@@ -63,11 +63,62 @@ object SparkEntry {
       Splits.explodeWords(t(s, d, "documents"), 200L)),
     "x3_route_counts" -> ((s, d) =>
       Splits.routeCounts(events(s, d), Splits.defaultRouteConfig(s))),
+    // ---- §2d joins ----
+    "j1_order_revenue_by_priority" -> ((s, d) =>
+      Joins.orderRevenueByPriority(t(s, d, "orders"), t(s, d, "lineitem"))),
+    "j2_customer_order_summary" -> ((s, d) =>
+      Joins.customerOrderSummary(t(s, d, "customer"), t(s, d, "orders"))),
+    "j3_interval_join" -> ((s, d) =>
+      Joins.purchasesWithRecentSignup(events(s, d))),
+    "j4_lookup_region" -> ((s, d) =>
+      Joins.lookupRegionName(events(s, d), t(s, d, "region"))),
+    "j5_dim_route" -> ((s, d) => {
+      import s.implicits._
+      Joins.dimRoute(env(s, d),
+        Seq(("user_info", "info"), ("order_info", "info"))
+          .toDF("table", "sink_family"))
+    }),
+    "j6_snowflake_enrich" -> ((s, d) =>
+      Joins.snowflakeEnrich(t(s, d, "orders"), t(s, d, "customer"),
+        t(s, d, "nation"), t(s, d, "region"))),
+    "j7_star_revenue_by_region" -> ((s, d) =>
+      Joins.revenueByRegion(t(s, d, "lineitem"), t(s, d, "orders"),
+        t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
+    "u1_kwsplit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, length}
+      t(s, d, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          graft.functions.Text.kwSplit(col("text")).as("keyword"))
+        .withColumn("kw_len", length(col("keyword")).cast("int"))
+    }),
     // ---- §2e aggregations ----
     "a1_hourly_count_by_type" -> ((s, d) =>
       Aggs.hourlyCountByType(events(s, d))),
+    "a2_keyed_window_stats" -> ((s, d) =>
+      Aggs.keyedWindowStats(events(s, d))),
+    "a3_global_daily_stats" -> ((s, d) =>
+      Aggs.globalDailyStats(events(s, d))),
+    "a4_keyword_counts" -> ((s, d) =>
+      Aggs.keywordDailyCounts(t(s, d, "documents"))),
+    "a5_pricing_summary" -> ((s, d) =>
+      Aggs.pricingSummary(t(s, d, "lineitem"))),
+    "a6_distinct_users_by_type" -> ((s, d) =>
+      Aggs.distinctUsersByType(events(s, d))),
+    "a7_keep_last_per_user" -> ((s, d) =>
+      Aggs.keepLastPerUser(events(s, d))),
     "a8_daily_unique_users" -> ((s, d) =>
       Aggs.dailyUniqueUsers(events(s, d))),
+    "a9_user_first_seen" -> ((s, d) =>
+      Aggs.userFirstSeen(events(s, d))),
+    // ---- §2f relational surface + S1 scan ----
+    "s1_scan_pushdown" -> ((s, d) =>
+      Relational.scanPushdown(events(s, d))),
+    "f1_top_purchases" -> ((s, d) =>
+      Relational.topPurchases(events(s, d), 100)),
+    "f2_engaged_user_days" -> ((s, d) =>
+      Relational.engagedUserDays(events(s, d))),
+    "f3_running_totals" -> ((s, d) =>
+      Relational.runningTotals(events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -161,13 +212,142 @@ object SparkEntry {
         |       COUNT(*) AS cnt
         |FROM events WHERE event_type <> 'error'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j1_order_revenue_by_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |            AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j2_customer_order_summary" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+        |                     0) AS DOUBLE) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "j3_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id
+        | AND s.ts >= p.ts - INTERVAL 15 MINUTE AND s.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND s.event_type = 'signup'""".stripMargin,
+    "j4_lookup_region" ->
+      """SELECT e.event_id, r.r_name AS region_name
+        |FROM events e LEFT JOIN region r ON e.user_id % 5 = r.r_regionkey""".stripMargin,
+    "j5_dim_route" ->
+      """SELECT CASE event_type WHEN 'signup' THEN 'user_info'
+        |            WHEN 'purchase' THEN 'order_info' END AS "table",
+        |       'info' AS sink_family, COUNT(*) AS cnt
+        |FROM events WHERE event_type IN ('signup','purchase')
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "j6_snowflake_enrich" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_spend
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j7_star_revenue_by_region" ->
+      """SELECT r_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |            AS DOUBLE) AS revenue,
+        |       COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "u1_kwsplit" ->
+      """SELECT doc_id, kw AS keyword, CAST(length(kw) AS INTEGER) AS kw_len
+        |FROM (SELECT doc_id,
+        |             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS kw
+        |      FROM documents WHERE doc_id < 100)
+        |WHERE kw <> ''""".stripMargin,
     "a1_hourly_count_by_type" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart,
         |       event_type, COUNT(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a2_keyed_window_stats" ->
+      """WITH b AS (
+        |  SELECT TIMESTAMP '1970-01-01 00:00:00' + INTERVAL 6 HOUR *
+        |           CAST(floor(epoch_ms(ts)/21600000.0) AS BIGINT) AS ws,
+        |         event_type, value
+        |  FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(ws + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       strftime(ws, '%Y-%m-%d') AS cur_date,
+        |       event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |       MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM b GROUP BY ws, event_type ORDER BY 1, 4""".stripMargin,
+    "a3_global_daily_stats" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a4_keyword_counts" ->
+      """SELECT kw AS keyword, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS kw
+        |      FROM documents)
+        |WHERE kw <> '' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a5_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |            AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) *
+        |                (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+        |            AS DOUBLE) AS sum_charge,
+        |       COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a6_distinct_users_by_type" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS uu, COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a7_keep_last_per_user" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |       value AS last_value
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
     "a8_daily_unique_users" ->
       """SELECT CAST(ts AS DATE) AS event_date,
         |       COUNT(DISTINCT user_id) AS uu
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a9_user_first_seen" ->
+      """SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date,
+        |       COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days
+        |FROM events GROUP BY 1""".stripMargin,
+    "s1_scan_pushdown" ->
+      """SELECT event_id, user_id FROM events
+        |WHERE event_type = 'purchase' AND value > 100.0""".stripMargin,
+    "f1_top_purchases" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase'
+        |ORDER BY value DESC, event_id LIMIT 100""".stripMargin,
+    "f2_engaged_user_days" ->
+      """SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+    "f3_running_totals" ->
+      """SELECT event_id, user_id,
+        |       COUNT(*) OVER w AS run_n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         AS run_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 }

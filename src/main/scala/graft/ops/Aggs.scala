@@ -58,4 +58,104 @@ object Aggs {
         col("event_type"),
         col("cnt"))
       .orderBy(col("wstart"), col("event_type"))
+
+  /** A2 — keyed tumbling window with multiple incremental sums plus the
+    * window-metadata finisher stamping stt/edt/cur_date
+    * (DwsTrafficVcChArIsNewPageViewWindow.java:121-148,
+    * TrafficPageViewBean.java:15-20). Window bounds emitted as formatted
+    * strings exactly like the reference's Doris rows.
+    */
+  def keyedWindowStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        date_format(col("window.start"), "yyyy-MM-dd").as("cur_date"),
+        col("event_type"), col("cnt"), col("sum_v"),
+        col("min_v"), col("max_v"))
+      .orderBy(col("stt"), col("event_type"))
+
+  /** A3 — global (non-keyed) window reduce: one group per window
+    * (DwsTrafficHomeDetailPageViewWindow.java:122-143 and 5 siblings).
+    * Output is tiny (one row per window), so the single-group-per-window
+    * hot spot is irrelevant after map-side partial aggregation.
+    */
+  def globalDailyStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .select(to_date(col("window.start")).as("d"), col("cnt"), col("sum_v"))
+      .orderBy(col("d"))
+
+  /** A5 — keyed windowed BigDecimal multi-amount sums
+    * (DwsTradeSkuOrderWindow.java:120-149) — the TPC-H Q1 shape over
+    * lineitem with exact DECIMAL accumulation. */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(3,2)")
+    val tax = col("l_tax").cast("decimal(3,2)")
+    val one = lit(1).cast("decimal(3,2)")
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** A6 — exact distinct count per key via the custom set-merge Aggregator
+    * (TradeProvinceOrderBean.java:38 Set<String> union). */
+  def distinctUsersByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.DistinctSetAgg.distinctSetCount(col("user_id")).as("uu"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  /** A7 — keep-last compaction per key: the batch twin of the reference's
+    * subtract-last-value retraction fix (DwsTradeSkuOrderWindow.java:77-118)
+    * and of the upsert-kafka last-write-wins sink (S6). */
+  def keepLastPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        col("value").as("last_value"))
+  }
+
+  /** A9 — is_new correction (DwdBaseLog.java:72-108): first-seen date per
+    * visitor decides whether a claimed new visit is really new. Batch:
+    * min(date) over the full history + activity span. */
+  def userFirstSeen(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min(to_date(col("ts"))).as("first_date"),
+        countDistinct(to_date(col("ts"))).as("n_active_days"))
+
+  /** A4/U1 — keyword extraction + windowed count: tokenize, explode, then
+    * tumbling daily window per keyword
+    * (DwsTrafficSourceKeywordPageViewWindowStream.java:86-116 — the manual
+    * HashMap-in-window is exactly groupBy(window, keyword) here). */
+  def keywordDailyCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(graft.functions.Text.kwSplit(col("text")).as("keyword"))
+      .groupBy(col("keyword"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("keyword"))
 }

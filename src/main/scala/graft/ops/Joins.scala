@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY.md §2d J1–J8), batch twins.
+  *
+  * Strategy notes for the 100 TB case:
+  *  - fact-to-fact equi joins (J1/J2) shuffle both sides on the key and let
+  *    AQE pick SMJ vs shuffled-hash (skew handled by AQE skew-join split);
+  *  - every dimension join (J4–J7) is an explicit `broadcast()` — the
+  *    reference's Redis/HBase cache hierarchy and async-I/O machinery
+  *    (DimAsyncFunction.java:38-84) collapses into a broadcast hash join;
+  *  - the interval join (J3) keeps its equi key so Spark plans a shuffled
+  *    join with the range as a post-filter, not a nested-loop cross.
+  */
+object Joins {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** J1 — inner equi-join order_detail x order_info
+    * (DwdTradeOrderDetail.java:22,73-92), here orders x lineitem, rolled up
+    * to revenue per order priority. */
+  def orderRevenueByPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(3,2)") -
+          col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** J2 — left outer join preserving unmatched left rows
+    * (DwdTradeOrderDetail.java:91-92): customers with zero orders kept. */
+  def customerOrderSummary(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec("o_totalprice")), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("spend"))
+
+  /** J3 — event-time interval join (DwdTradeOrderPaySucDetail.java:66-88):
+    * pay events matched to order events of the same key within
+    * [ts - 15 min, ts]. Equi key keeps it a shuffled join with a range
+    * post-filter; the unbounded-scale path would time-bucket both sides.
+    */
+  def purchasesWithRecentSignup(events: DataFrame): DataFrame = {
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val sgn = events.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"),
+        col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+    p.join(sgn,
+        col("user_id") === col("s_user_id") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 15 MINUTES") &&
+        col("s_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("signup_id"))
+  }
+
+  /** J4 — lookup join against a small dictionary, FOR SYSTEM_TIME AS OF
+    * proc-time (DwdInteractionCommentInfo.java:38-52). The dictionary is
+    * fully broadcast-resident — the reference's partial 20-row lookup cache
+    * (BaseSQLApp.java:78-81) is superseded. */
+  def lookupRegionName(events: DataFrame, region: DataFrame): DataFrame =
+    events.join(broadcast(region),
+        pmod(col("user_id"), lit(5)) === col("r_regionkey"), "left")
+      .select(col("event_id"), col("r_name").as("region_name"))
+
+  /** J5 — broadcast config join for dim routing (DimApp.java:144-202):
+    * inner join on table name, unmatched records dropped (:179-181). */
+  def dimRoute(env: DataFrame, dimConfig: DataFrame): DataFrame =
+    env.join(broadcast(dimConfig), Seq("table"))
+      .groupBy(col("table"), col("sink_family"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("table"))
+
+  /** J6/J7 — chained dim enrichment, the snowflake chain sku->spu->c3->c2->
+    * c1->tm (DwsTradeSkuOrderWindow.java:151-192) re-expressed as successive
+    * broadcast joins: orders -> customer -> nation -> region. */
+  def snowflakeEnrich(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("total_spend"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Star join at fact scale: lineitem x orders (shuffle) then broadcast
+    * dims — revenue per region (J1+J6 composed, the DWS rollup shape). */
+  def revenueByRegion(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(3,2)") -
+          col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("r_name"))
+}

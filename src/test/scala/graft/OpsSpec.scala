@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends GraftSuite {
+  import ops._
+
+  private lazy val events = Tables.load(spark, sf, "events")
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("a6 custom Aggregator equals built-in countDistinct") {
+    val got = Aggs.distinctUsersByType(events)
+      .select("event_type", "uu").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("uu")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+
+  test("a7 keep-last is idempotent and one row per user") {
+    val once = Aggs.keepLastPerUser(events)
+    assert(once.count() == events.select("user_id").distinct().count())
+    assert(once.groupBy("user_id").count().where(col("count") > 1).count() == 0)
+  }
+
+  test("p4 deltas telescope back to last value per user") {
+    // sum of deltas over a user's history == last value (A7 netting law)
+    val sums = Etl.deltaVsPrevious(events)
+      .groupBy("user_id")
+      .agg(round(sum(col("delta")), 2).as("s"))
+    val last = Aggs.keepLastPerUser(events)
+      .select(col("user_id"), round(col("last_value"), 2).as("v"))
+    assert(sums.join(last, "user_id").where(col("s") =!= col("v")).count() == 0)
+  }
+
+  test("x1 split legs partition the input") {
+    val legs = Splits.splitLog(events)
+    val total = legs.values.map(_.count()).sum
+    assert(total == events.count())
+    // and the single-pass counts agree with the multi-frame split
+    val counts = Splits.splitLogCounts(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    legs.foreach { case (name, df) => assert(counts(name) == df.count()) }
+  }
+
+  test("u1 tokenizer: deterministic, lowercase, no empties") {
+    val toks = docs.select(functions.Text.kwSplit(col("text")).as("kw"))
+    assert(toks.where(col("kw") === "" || col("kw") =!= lower(col("kw"))).count() == 0)
+  }
+
+  test("j2 left join keeps customers with zero orders") {
+    val c = Tables.load(spark, sf, "customer")
+    val o = Tables.load(spark, sf, "orders")
+    val summary = Joins.customerOrderSummary(c, o)
+    assert(summary.count() == c.count())
+    val zero = summary.where(col("n_orders") === 0)
+    assert(zero.where(col("spend") =!= 0.0).count() == 0)
+  }
+
+  test("s1 scan pushes filters and prunes columns") {
+    val plan = Relational.scanPushdown(events)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("IsNotNull"))
+  }
+
+  test("f1 top-k plans TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.topPurchases(events, 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}
