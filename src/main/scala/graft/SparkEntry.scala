@@ -119,6 +119,41 @@ object SparkEntry {
       Relational.engagedUserDays(events(s, d))),
     "f3_running_totals" -> ((s, d) =>
       Relational.runningTotals(events(s, d))),
+    // ---- training-data pipeline: text analysis ----
+    "t1_token_stats" -> ((s, d) =>
+      TextAnalysis.tokenStats(t(s, d, "documents"))),
+    "t2_quality_stats" -> ((s, d) =>
+      TextAnalysis.qualityStats(t(s, d, "documents"),
+        Seq("the", "a", "of", "to", "and"))),
+    "t3_language_id" -> ((s, d) =>
+      TextAnalysis.languageId(t(s, d, "documents"))),
+    "t4_doc_fingerprint" -> ((s, d) =>
+      TextAnalysis.normalizedFingerprint(t(s, d, "documents"))),
+    "t5_winnowing_fp" -> ((s, d) =>
+      TextAnalysis.winnowingFingerprint(t(s, d, "documents"), 4)
+        .select("doc_id", "n_fp")),
+    // ---- training-data pipeline: dedup ----
+    "d1_exact_dedup" -> ((s, d) =>
+      Dedup.exactDuplicates(t(s, d, "documents"))),
+    "d2_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), 3, 0.5)),
+    "d3_minhash_duplicates" -> ((s, d) =>
+      Dedup.minhashDuplicates(t(s, d, "documents"))),
+    "d4_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), 3)),
+    "d5_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), 0.4, 6, 8)),
+    // ---- training-data pipeline: similarity search ----
+    "sim1_brute_top1" -> ((s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), 100, 1)
+        .select("qid", "nid")),
+    "sim2_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(t(s, d, "embeddings"), 100, 5, 5, 12)),
+    "sim3_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), 100, 5)),
+    // ---- training-data pipeline: multimodal ----
+    "m1_media_features" -> ((s, d) =>
+      Multimodal.mediaFeatureSummary(t(s, d, "documents"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -349,5 +384,105 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+        |         AS n_ws_tokens,
+        |       CAST(len(list_filter(string_split_regex(lower(text),
+        |              '[^a-z0-9]+'), x -> x <> '')) AS INTEGER)
+        |         AS n_alnum_tokens,
+        |       CAST(length(text) AS INTEGER) AS n_chars_actual,
+        |       n_chars
+        |FROM documents""".stripMargin,
+    "t2_quality_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the','a','of','to','and'))) AS INTEGER)
+        |         AS n_stopwords,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+        |         AS n_distinct,
+        |       CAST(length(text) -
+        |            length(regexp_replace(text, '[.,!?;]', '', 'g'))
+        |            AS INTEGER) AS n_punct,
+        |       CAST(length(text) -
+        |            length(regexp_replace(text, '[0-9]', '', 'g'))
+        |            AS INTEGER) AS n_digits
+        |FROM documents""".stripMargin,
+    "t3_language_id" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang AS lang_true,
+        |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
+        |        ['the','and','of','to','a'])) AS hits_en,
+        |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
+        |        ['der','die','und','das','ist'])) AS hits_de,
+        |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
+        |        ['le','la','et','les','des'])) AS hits_fr,
+        |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
+        |        ['el','los','que','y','una'])) AS hits_es,
+        |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
+        |        ['de5','shi4','le5','zai4','he2'])) AS hits_zh
+        |  FROM documents)
+        |SELECT doc_id, lang_true,
+        |  CASE WHEN hits_zh > greatest(hits_en, hits_de, hits_fr, hits_es)
+        |         THEN 'zh'
+        |       WHEN hits_es > greatest(hits_en, hits_de, hits_fr) THEN 'es'
+        |       WHEN hits_fr > greatest(hits_en, hits_de) THEN 'fr'
+        |       WHEN hits_de > hits_en THEN 'de'
+        |       ELSE 'en' END AS lang_pred
+        |FROM h""".stripMargin,
+    "t4_doc_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |         AS fingerprint
+        |FROM documents""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |         AS fingerprint,
+        |       MIN(doc_id) AS keeper, COUNT(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_jaccard_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |            COUNT(*) AS common
+        |          FROM sh a JOIN sh b USING (shingle)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc1, doc2,
+        |       common / (s1.sz + s2.sz - common) AS jaccard
+        |FROM pairs
+        |JOIN sz s1 ON doc1 = s1.doc_id
+        |JOIN sz s2 ON doc2 = s2.doc_id
+        |WHERE common / (s1.sz + s2.sz - common) >= 0.5""".stripMargin,
+    "sim1_brute_top1" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
+        |           WHERE vec_id < 100),
+        |x AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+        |p AS (SELECT qid, nid,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS dot,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS qq,
+        |        SUM(CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS xx
+        |      FROM q, x, (SELECT unnest(range(1, 65)) AS i)
+        |      WHERE qid <> nid GROUP BY qid, nid),
+        |r AS (SELECT qid, nid, row_number() OVER
+        |        (PARTITION BY qid
+        |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+        |      FROM p)
+        |SELECT qid, nid FROM r WHERE rn = 1""".stripMargin,
+    "m1_media_features" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |       CAST(floor(octet_length(encode(text)) / 1024.0) AS INTEGER)
+        |         + 1 AS n_frames
+        |FROM documents""".stripMargin,
   )
 }

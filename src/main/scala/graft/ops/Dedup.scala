@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup variant is candidate-generation-first —
+  * pairs are only materialized inside a bucket (LSH band, SimHash chunk,
+  * hyperplane bucket), never via a global cross join. Exact verification
+  * (Jaccard / Hamming / cosine) runs only on candidates. At 100 TB the
+  * bucket join shuffles O(n · bands) rows, and AQE's skew split handles a
+  * hot bucket.
+  */
+object Dedup {
+
+  private def normText = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+
+  /** Exact dedup by content hash of normalized text: one row per distinct
+    * content with the kept (minimum) doc id and the duplicate count. */
+  def exactDuplicates(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(normText).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+
+  /** Distinct word n-gram shingles per document (the common substrate of
+    * the Jaccard and MinHash paths). */
+  def shingles(documents: DataFrame, n: Int): DataFrame = {
+    val toks = graft.functions.Text.tokenizeUdf(col("text"))
+    documents.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
+      .where(col("shingle") =!= "")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: candidates = docs sharing >=1
+    * shingle (inverted-index join), then jaccard = |∩| / |∪| >= threshold.
+    * doc1 < doc2 canonical order. */
+  def jaccardPairs(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(documents, n).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = sh.toDF("doc1", "shingle")
+      .join(sh.toDF("doc2", "shingle"), "shingle")
+      .where(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("doc1", "sz1"), "doc1")
+      .join(sizes.toDF("doc2", "sz2"), "doc2")
+      .withColumn("jaccard",
+        col("common") / (col("sz1") + col("sz2") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /** MinHash signature: `numHashes` permutation-min hashes over the shingle
+    * set. h_i(s) = mix(xxhash64(s) * A_i + B_i) with fixed odd constants —
+    * deterministic, no stored hash family. Signature laid out as
+    * (doc_id, hash_idx, min_hash) rows grouped into band arrays.
+    */
+  def minhashBands(documents: DataFrame, n: Int, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(documents, n)
+    val hashCols = (0 until numHashes).map { i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(hashCols.head, hashCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"h$i")): _*).as("band_sig"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
+  }
+
+  /** MinHash+LSH candidate pairs: docs agreeing on >=1 full band. */
+  def minhashCandidates(documents: DataFrame, n: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val b = minhashBands(documents, n, numHashes, bands)
+    b.toDF("doc1", "band", "band_sig")
+      .join(b.toDF("doc2", "band", "band_sig"), Seq("band", "band_sig"))
+      .where(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2")).distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs: candidates verified by exact Jaccard. */
+  def minhashDuplicates(documents: DataFrame, n: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val cand = minhashCandidates(documents, n, numHashes, bands)
+    val sh = shingles(documents, n).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.toDF("doc1", "shingle"), "doc1")
+      .join(sh.toDF("doc2", "shingle"), Seq("doc2", "shingle"))
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("common"))
+      .join(sizes.toDF("doc1", "sz1"), "doc1")
+      .join(sizes.toDF("doc2", "sz2"), "doc2")
+      .withColumn("jaccard",
+        col("common") / (col("sz1") + col("sz2") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: bit j is the sign of the token-count-
+    * weighted sum of (+-1) for bit j of each token's xxhash64. Declarative:
+    * token hashes are materialized once per row, then 64 per-row `aggregate`
+    * folds (one per bit) — no explode, no shuffle. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(col("th"), lit(0),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    documents
+      .withColumn("th",
+        transform(graft.functions.Text.tokenizeUdf(col("text")),
+          t => xxhash64(t)))
+      .select(col("doc_id"),
+        bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, candidates
+    * via 4x16-bit chunk banding (pigeonhole: distance <=3 implies an equal
+    * chunk). */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(documents)
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)
+            .as("chunk_val"))): _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
+    chunks.toDF("doc1", "sim1", "chunk", "chunk_val")
+      .join(chunks.toDF("doc2", "sim2", "chunk", "chunk_val"),
+        Seq("chunk", "chunk_val"))
+      .where(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs: hyperplane-LSH buckets (L tables of
+    * b bits) generate candidates; exact cosine >= threshold verifies. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
+      bits: Int = 12, tables: Int = 4, dims: Int = 64): DataFrame = {
+    import graft.functions.Vectors
+    val sigs = embeddings.select(col("vec_id"), col("embedding"),
+      explode(array((0 until tables).map(tbl =>
+        struct(lit(tbl).as("tbl"),
+          Vectors.hyperplaneSig(col("embedding"), dims, bits, tbl)
+            .as("sig"))): _*)).as("ts"))
+      .select(col("vec_id"), col("embedding"),
+        col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    val a = sigs.toDF("vec1", "emb1", "tbl", "sig")
+    val b = sigs.toDF("vec2", "emb2", "tbl", "sig")
+    a.join(b, Seq("tbl", "sig"))
+      .where(col("vec1") < col("vec2"))
+      .select(col("vec1"), col("vec2"), col("emb1"), col("emb2"))
+      .distinct()
+      .withColumn("cos", Vectors.cosine(col("emb1"), col("emb2")))
+      .where(col("cos") >= threshold)
+      .select(col("vec1"), col("vec2"), col("cos"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Quality gates for the approximate (rows-only) training-data ops:
+  * each approximate path is checked against its exact baseline. */
+class PipelineSpec extends GraftSuite {
+  import ops._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("d3 minhash-LSH finds every high-jaccard pair") {
+    val exact = pairSet(Dedup.jaccardPairs(docs, 3, 0.9))
+    val lsh = pairSet(Dedup.minhashDuplicates(docs, 3, 32, 8, 0.5))
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    info(s"minhash recall on jaccard>=0.9 pairs: $recall (${exact.size} pairs)")
+    assert(recall == 1.0)
+  }
+
+  test("d4 simhash finds near-identical docs and respects hamming bound") {
+    val planted = pairSet(Dedup.jaccardPairs(docs, 3, 0.95))
+    val sim = Dedup.simhashPairs(docs, 3)
+    assert(sim.where(col("hamming") > 3).count() == 0)
+    val simSet = pairSet(sim)
+    val recall = planted.count(simSet.contains).toDouble / planted.size.max(1)
+    info(s"simhash recall on jaccard>=0.95 pairs: $recall (${planted.size} pairs)")
+    assert(recall >= 0.5)
+  }
+
+  test("d5 embedding near-dup finds planted duplicate vectors") {
+    val dup = emb.where(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = emb.select("vec_id", "embedding", "label").union(dup)
+    val found = Dedup.embeddingNearDup(corpus, 0.999, 6, 8)
+      .where(col("vec2") >= 100000L && col("vec1") === col("vec2") - 100000L)
+    assert(found.count() == 20)
+  }
+
+  test("sim2 LSH ANN recall@5 vs brute force") {
+    val truth = Similarity.bruteForceTopK(emb, 50, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Similarity.lshTopK(emb, 50, 5, 5, 12)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = truth.count { case (q, n) =>
+      got.getOrElse(q, Set.empty).contains(n)
+    }.toDouble / truth.size
+    info(s"LSH ANN recall@5: $recall over ${truth.size} queries")
+    assert(recall >= 0.6)
+  }
+
+  test("sim3 IVF ANN recall@5 vs brute force") {
+    val truth = Similarity.bruteForceTopK(emb, 50, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Similarity.ivfTopK(emb, 50, 5)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = truth.count { case (q, n) =>
+      got.getOrElse(q, Set.empty).contains(n)
+    }.toDouble / truth.size
+    info(s"IVF ANN recall@5 (nprobe=2/16): $recall over ${truth.size} queries")
+    assert(recall >= 0.3)
+  }
+
+  test("m1 multimodal stub features are deterministic and byte-faithful") {
+    val media = Multimodal.toMediaTable(docs)
+    val f1 = Multimodal.extractFeatures(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val f2 = Multimodal.extractFeatures(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(f1 == f2)
+    val bad = Multimodal.extractFeatures(media)
+      .join(docs, "doc_id")
+      .where(col("byte_len") =!= length(col("text"))).count()
+    assert(bad == 0, "ASCII payloads: byte length must equal char length")
+  }
+
+  test("t5 winnowing fingerprint identical for identical normalized text") {
+    val twice = docs.limit(5).union(docs.limit(5))
+    val fps = TextAnalysis.winnowingFingerprint(twice, 4)
+      .groupBy("doc_id").agg(countDistinct(col("fp_hashes")).as("n"))
+    assert(fps.where(col("n") =!= 1).count() == 0)
+  }
+
+  test("d1 exact dedup keeps one keeper per fingerprint") {
+    val d = Dedup.exactDuplicates(docs)
+    assert(d.count() == d.select("fingerprint").distinct().count())
+  }
+}
