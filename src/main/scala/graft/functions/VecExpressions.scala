@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * A Scala UDF over `array<float>` boxes every element into a Seq per call
+  * (~24 us/pair measured); these expressions read the underlying ArrayData
+  * directly and generate a tight primitive loop under whole-stage codegen.
+  * Preference order (b) from the build guide: custom Expression before UDF.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = math.min(x.numElements(), y.numElements())
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |double $s = 0.0;
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Euclidean norm of an array<float> column. */
+case class FloatVecNorm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |double $s = 0.0;
+         |int $n = $x.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $x.getFloat($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VecExpressions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def vecDot(a: Column, b: Column): Column =
+    column(FloatVecDot(expression(a), expression(b)))
+  def vecNorm(a: Column): Column = column(FloatVecNorm(expression(a)))
+}

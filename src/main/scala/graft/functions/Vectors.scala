@@ -19,29 +19,48 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Random-hyperplane signature: `bits` sign bits packed into a long.
-    * Planes are pseudo-random ±1 hyperplanes derived deterministically from
-    * (tableId, bit, dim) via a splitmix-style mix of the indices — no
-    * training pass, identical on every executor, cheap to inline as a
-    * literal-free expression.
-    */
-  def hyperplaneSig(emb: Column, dims: Int, bits: Int, tableId: Int): Column = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val bitCols = (0 until bits).map { b =>
-      val coeffs = (0 until dims).map { i =>
-        if (mix(tableId.toLong * 1000003L + b * 1009L + i) >= 0) 1.0 else -1.0
-      }
-      val proj = aggregate(
-        zip_with(transform(emb, x => x.cast("double")),
-          array(coeffs.map(lit(_)): _*), (x, c) => x * c),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a + b)
+  /** Hot-path kernels as native Catalyst expressions (VecExpressions):
+    * no per-call boxing, tight primitive loops under whole-stage codegen,
+    * ascending-index accumulation — bit-identical to the declarative forms
+    * above and to the DuckDB oracle. */
+  def dotFast(a: Column, b: Column): Column = VecExpressions.vecDot(a, b)
+
+  def normFast(a: Column): Column = VecExpressions.vecNorm(a)
+
+  def cosineFast(aEmb: Column, bEmb: Column, aNorm: Column,
+      bNorm: Column): Column = dotFast(aEmb, bEmb) / (aNorm * bNorm)
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
+
+  /** Random-hyperplane signatures for ALL hash tables in one pass: element
+    * t of the result packs `bits` sign bits of pseudo-random ±1 hyperplane
+    * projections for table t. Planes derive deterministically from
+    * (tableId, bit, dim) via a splitmix-style index mix — no training pass,
+    * identical on every executor. */
+  def sigsUdf(dims: Int, bits: Int, tables: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Float]) =>
+      Array.tabulate(tables) { t =>
+        var sig = 0L
+        var b = 0
+        while (b < bits) {
+          var proj = 0.0
+          var i = 0
+          val n = math.min(dims, a.length)
+          while (i < n) {
+            val c = if (mix(t.toLong * 1000003L + b * 1009L + i) >= 0) 1.0 else -1.0
+            proj += a(i).toDouble * c
+            i += 1
+          }
+          if (proj >= 0) sig |= (1L << b)
+          b += 1
+        }
+        sig
+      }
+    }
 }

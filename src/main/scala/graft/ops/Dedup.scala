@@ -108,24 +108,35 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: bit j is the sign of the token-count-
-    * weighted sum of (+-1) for bit j of each token's xxhash64. Declarative:
-    * token hashes are materialized once per row, then 64 per-row `aggregate`
-    * folds (one per bit) — no explode, no shuffle. */
-  def simhash(documents: DataFrame): DataFrame = {
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(col("th"), lit(0),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+  /** 64-bit SimHash over tokens: bit j is the sign of the token-frequency-
+    * weighted sum of (+-1) for bit j of each token's 64-bit hash. Single
+    * tight-loop UDF per row (tokenize + vote + pack) — no explode, no
+    * shuffle, one pass over the text. */
+  private val simhashUdf = udf { (text: String) =>
+    val votes = new Array[Int](64)
+    if (text != null) {
+      text.toLowerCase.split("[^a-z0-9]+").foreach { t =>
+        if (t.nonEmpty) {
+          // 64-bit token hash from two 32-bit murmur passes
+          val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0)
+          val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+          val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+      }
     }
-    documents
-      .withColumn("th",
-        transform(graft.functions.Text.tokenizeUdf(col("text")),
-          t => xxhash64(t)))
-      .select(col("doc_id"),
-        bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
   }
+
+  def simhash(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), simhashUdf(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, candidates
     * via 4x16-bit chunk banding (pigeonhole: distance <=3 implies an equal
@@ -150,24 +161,26 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs: hyperplane-LSH buckets (L tables of
-    * b bits) generate candidates; exact cosine >= threshold verifies. */
+    * b bits) generate candidates; exact cosine >= threshold verifies.
+    * Only ids travel through the bucket join + dedup; embeddings and
+    * precomputed norms are re-attached afterwards for the cosine check. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
       bits: Int = 12, tables: Int = 4, dims: Int = 64): DataFrame = {
     import graft.functions.Vectors
-    val sigs = embeddings.select(col("vec_id"), col("embedding"),
-      explode(array((0 until tables).map(tbl =>
-        struct(lit(tbl).as("tbl"),
-          Vectors.hyperplaneSig(col("embedding"), dims, bits, tbl)
-            .as("sig"))): _*)).as("ts"))
-      .select(col("vec_id"), col("embedding"),
-        col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
-    val a = sigs.toDF("vec1", "emb1", "tbl", "sig")
-    val b = sigs.toDF("vec2", "emb2", "tbl", "sig")
-    a.join(b, Seq("tbl", "sig"))
+    val sigs = embeddings.select(col("vec_id"),
+      posexplode(Vectors.sigsUdf(dims, bits, tables)(col("embedding")))
+        .as(Seq("tbl", "sig")))
+    val candIds = sigs.toDF("vec1", "tbl", "sig")
+      .join(sigs.toDF("vec2", "tbl", "sig"), Seq("tbl", "sig"))
       .where(col("vec1") < col("vec2"))
-      .select(col("vec1"), col("vec2"), col("emb1"), col("emb2"))
-      .distinct()
-      .withColumn("cos", Vectors.cosine(col("emb1"), col("emb2")))
+      .select(col("vec1"), col("vec2")).distinct()
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      Vectors.normFast(col("embedding")).as("nrm"))
+    candIds
+      .join(base.toDF("vec1", "emb1", "nrm1"), "vec1")
+      .join(base.toDF("vec2", "emb2", "nrm2"), "vec2")
+      .withColumn("cos", Vectors.cosineFast(col("emb1"), col("emb2"),
+        col("nrm1"), col("nrm2")))
       .where(col("cos") >= threshold)
       .select(col("vec1"), col("vec2"), col("cos"))
   }
