@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the stateful operators (SURVEY.md §2e A7–A9, §2h T5).
+  *
+  * Each is a pure function over a streaming Dataset usable identically on a
+  * batch frame in tests. State is keyed and bounded: pass `ttl`
+  * (e.g. Some("36 hours")) for per-key processing-time expiry, replacing
+  * the reference's ValueState/MapState TTL
+  * (DwsTrafficVcChArIsNewPageViewWindow.java:61-105,
+  * DwsTradeSkuOrderWindow.java:77-118, DwdBaseLog.java:72-108).
+  * NOTE: with ProcessingTimeTimeout Spark keeps scheduling micro-batches to
+  * expire state, so Trigger.AvailableNow never terminates — set a TTL only
+  * for long-running deployments, None for bounded replays/tests.
+  */
+object Stateful {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class UuEmit(user_id: Long, event_date: String, event_id: Long)
+
+  /** A8 streaming — first-event-of-day per user: emits one record per
+    * (user, date) transition; GroupState holds the last-seen date string.
+    * Timeout clears idle users after 36h of processing time (TTL 1 day in
+    * the reference, DwsTradeCartAddUuWindow.java:83). */
+  def firstEventOfDay(events: Dataset[Event],
+      ttl: Option[String] = None): Dataset[UuEmit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, UuEmit](
+        OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[String]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+              .withZone(java.time.ZoneOffset.UTC)
+            val out = scala.collection.mutable.ArrayBuffer[UuEmit]()
+            var last = state.getOption.getOrElse("")
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val d = fmt.format(e.ts.toInstant)
+              if (d > last) { out += UuEmit(e.user_id, d, e.event_id); last = d }
+            }
+            state.update(last)
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
+  case class Upsert(id: Long, user_id: Long, amount: Double,
+      ts: java.sql.Timestamp)
+
+  case class Delta(id: Long, user_id: Long, delta: Double)
+
+  /** A7 streaming — subtract-last-value netting: repeated upserts of the
+    * same key emit (current - previous) so downstream sums stay correct
+    * without retractions (DwsTradeSkuOrderWindow.java:77-118; state TTL 30s
+    * there, 1h here). */
+  def deltaNetting(upserts: Dataset[Upsert],
+      ttl: Option[String] = None): Dataset[Delta] = {
+    val spark = upserts.sparkSession
+    import spark.implicits._
+    upserts
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[Double, Delta](
+        OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Double]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer[Delta]()
+            var prev = state.getOption.getOrElse(0.0)
+            it.toSeq.sortBy(e => e.ts.getTime).foreach { e =>
+              out += Delta(e.id, e.user_id, e.amount - prev)
+              prev = e.amount
+            }
+            state.update(prev)
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
+  case class VisitFlag(event_id: Long, user_id: Long, is_new: Int)
+
+  /** A9 streaming — is_new correction: a visit claims is_new=1 only if this
+    * user was never seen on an earlier date (DwdBaseLog.java:72-108).
+    * State holds first-seen date. */
+  def isNewFix(events: Dataset[Event]): Dataset[VisitFlag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, VisitFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[String]) =>
+          val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+            .withZone(java.time.ZoneOffset.UTC)
+          val out = scala.collection.mutable.ArrayBuffer[VisitFlag]()
+          var firstDate = state.getOption.getOrElse("")
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val d = fmt.format(e.ts.toInstant)
+            if (firstDate.isEmpty) firstDate = d
+            out += VisitFlag(e.event_id, e.user_id,
+              if (d == firstDate) 1 else 0)
+          }
+          state.update(firstDate)
+          out.iterator
+      }
+  }
+}

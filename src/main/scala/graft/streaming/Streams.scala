@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming shells (SURVEY.md §2h T1–T8): the same `graft.ops` functions
+  * wired with watermarks, windows, stream-stream joins, dedup-within-
+  * watermark, and foreachBatch sinks.
+  *
+  * Source-agnostic: callers pass any streaming DataFrame (Kafka
+  * `readStream` in production — value parsed with `from_json`; MemoryStream
+  * or file streams in tests). Nothing here knows about topics or paths.
+  */
+object Streams {
+
+  /** T1+A1/A2 — watermarked tumbling-window aggregate, append-mode-safe.
+    * Watermark 15s mirrors the reference's SQL sources (SQLUtil.java:40);
+    * the finisher stamps stt/edt/cur_date like the Doris rows. */
+  def windowedTypeCounts(events: DataFrame, window_dur: String = "10 seconds",
+      watermark: String = "15 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_dur), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        date_format(col("window.start"), "yyyy-MM-dd").as("cur_date"),
+        col("event_type"), col("cnt"), col("sum_v"))
+
+  /** T8/S6 — dedup within watermark: drop re-delivered ids (the
+    * upsert-kafka last-write-wins analogue for at-least-once upstreams). */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "30 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** J3 streaming — stream-stream interval join: purchases matched to
+    * signups of the same user within [ts - 15 min, ts]. Both sides
+    * watermarked so join state is bounded
+    * (DwdTradeOrderPaySucDetail.java:66-88). */
+  def intervalJoin(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 seconds")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val s = signups.withWatermark("ts", "30 seconds")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user_id"),
+        col("ts").as("s_ts"))
+    p.join(s,
+      col("user_id") === col("s_user_id") &&
+      col("s_ts") >= col("p_ts") - expr("INTERVAL 15 MINUTES") &&
+      col("s_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("signup_id"))
+  }
+
+  /** J4 streaming — stream-static broadcast lookup join: the static dim
+    * side is re-planned every micro-batch, superseding the reference's
+    * partial lookup cache (BaseSQLApp.java:78-83). */
+  def lookupJoin(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream.join(broadcast(dim),
+      pmod(col("user_id"), lit(5)) === col("r_regionkey"), "left")
+
+  /** S5/X3 — dynamic-topic router sink via foreachBatch: one parse, N
+    * outputs per micro-batch; destination derived per-row from the routing
+    * config (FlinkSinkUtil.java:38-52 + DwdBaseDb.java:96-135). Config is
+    * re-read per batch — config changes apply at batch granularity
+    * (accepted semantic difference, SURVEY §7). */
+  def routedSink(events: DataFrame, config: () => DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val routed = graft.ops.Splits.routeByConfig(batch, config()).cache()
+        try {
+          val topics = routed.select("sink_topic").distinct()
+            .collect().map(_.getString(0))
+          topics.foreach { t =>
+            routed.where(col("sink_topic") === t)
+              .drop("sink_topic")
+              .write.mode("append").parquet(s"$outDir/$t")
+          }
+        } finally routed.unpersist()
+    }
+
+  /** S6 — keyed upsert sink via foreachBatch merge: last-write-wins into a
+    * keyed parquet table (the upsert-kafka / HBase-put analogue, S8). */
+  def upsertSink(updates: DataFrame, targetDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(targetDir)
+          catch { case _: Throwable => spark.emptyDataFrame }
+        val merged =
+          if (existing.columns.isEmpty) batch
+          else {
+            import org.apache.spark.sql.expressions.Window
+            existing.withColumn("_src", lit(0))
+              .unionByName(batch.withColumn("_src", lit(1)))
+              .withColumn("_rn", row_number().over(
+                Window.partitionBy(col("event_id"))
+                  .orderBy(col("_src").desc, col("ts").desc)))
+              .where(col("_rn") === 1).drop("_src", "_rn")
+          }
+        // local-fs two-phase write (overwrite target after materializing)
+        val tmp = targetDir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(targetDir)
+    }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Stateful, Streams}
+
+/** Streaming semantics (SURVEY.md §2h): MemoryStream feeds the same
+  * transforms as batch; outputs must match the batch twins. */
+class StreamingSpec extends GraftSuite {
+  import Stateful._
+
+  private def eventsData: Seq[Event] = {
+    import spark.implicits._
+    Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect().toSeq
+  }
+
+  // Trigger.AvailableNow processes everything then stops — required because
+  // ProcessingTimeTimeout state ops re-trigger batches forever under the
+  // default trigger, so processAllAvailable would spin.
+  private def runToMemory[T](stream: org.apache.spark.sql.Dataset[T],
+      name: String, mode: OutputMode = OutputMode.Append()): Unit = {
+    val q = stream.writeStream.outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName(name).start()
+    assert(q.awaitTermination(120000), s"$name did not finish in 120s")
+  }
+
+  test("streaming windowed counts match batch aggregation (complete mode)") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](1, spark, None)
+    ms.addData(eventsData)
+    runToMemory(Streams.windowedTypeCounts(ms.toDF(), "1 hour", "15 seconds"),
+      "win_out", OutputMode.Complete())
+    val got = spark.table("win_out")
+      .select("stt", "event_type", "cnt").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val exp = ops.Aggs.hourlyCountByType(
+        Tables.load(spark, sf, "events"))
+      .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm:ss"),
+        col("event_type"), col("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == exp)
+  }
+
+  test("streaming first-event-of-day matches batch dedup-first") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](2, spark, None)
+    ms.addData(eventsData)
+    runToMemory(Stateful.firstEventOfDay(ms.toDS()), "uu_out")
+    val got = spark.table("uu_out")
+      .groupBy("event_date").agg(count(lit(1)).as("uu")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = ops.Aggs.dailyUniqueUsers(Tables.load(spark, sf, "events"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(got == exp)
+  }
+
+  test("streaming is_new fix matches batch first-seen semantics") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](3, spark, None)
+    ms.addData(eventsData)
+    runToMemory(Stateful.isNewFix(ms.toDS()), "isnew_out")
+    val flags = spark.table("isnew_out")
+    // exactly the first-date visits are flagged new
+    val firstDates = ops.Aggs.userFirstSeen(Tables.load(spark, sf, "events"))
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toString).toMap
+    val events = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"),
+        to_date(col("ts")).cast("string").as("d")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expNew = events.collect {
+      case (eid, uid, d) if firstDates(uid) == d => eid
+    }.toSet
+    val gotNew = flags.where(col("is_new") === 1).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotNew == expNew)
+  }
+
+  test("streaming delta netting telescopes to last value") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val ms = MemoryStream[Upsert](4, spark, None)
+    ms.addData(Seq(
+      Upsert(1L, 10L, 5.0, ts(0)), Upsert(1L, 10L, 8.0, ts(1)),
+      Upsert(1L, 10L, 6.5, ts(2)), Upsert(2L, 11L, 3.0, ts(0))))
+    runToMemory(Stateful.deltaNetting(ms.toDS()), "delta_out")
+    val sums = spark.table("delta_out").groupBy("id")
+      .agg(round(sum(col("delta")), 6).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sums == Map(1L -> 6.5, 2L -> 3.0))
+  }
+
+  test("stream-stream interval join matches batch interval join") {
+    import spark.implicits._
+    val all = eventsData
+    val ms1 = MemoryStream[Event](5, spark, None)
+    val ms2 = MemoryStream[Event](6, spark, None)
+    ms1.addData(all.filter(_.event_type == "purchase"))
+    ms2.addData(all.filter(_.event_type == "signup"))
+    runToMemory(Streams.intervalJoin(ms1.toDF(), ms2.toDF()), "ij_out")
+    val got = spark.table("ij_out").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exp = ops.Joins.purchasesWithRecentSignup(
+        Tables.load(spark, sf, "events")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == exp)
+  }
+
+  test("dedup within watermark drops redelivered ids") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](7, spark, None)
+    val dup = eventsData.take(50)
+    ms.addData(dup ++ dup) // redelivery in the same batch
+    runToMemory(Streams.dedupWithinWatermark(ms.toDF()), "dd_out")
+    assert(spark.table("dd_out").count() == 50)
+  }
+
+  test("routed foreachBatch sink writes one directory per topic") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_route").toString
+    val ms = MemoryStream[Event](8, spark, None)
+    ms.addData(eventsData)
+    val q = Streams.routedSink(ms.toDF(),
+      () => ops.Splits.defaultRouteConfig(spark), out).start()
+    q.processAllAvailable(); q.stop()
+    val routed = spark.read.parquet(s"$out/dwd_trade_order")
+    assert(routed.count() == eventsData.count(_.event_type == "purchase"))
+    assert(new java.io.File(s"$out/dwd_user_register").exists())
+    assert(!new java.io.File(s"$out/err_topic").exists())
+  }
+
+  test("upsert foreachBatch sink keeps last write per key") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_upsert").toString + "/t"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val ms = MemoryStream[Event](9, spark, None)
+    val q = Streams.upsertSink(ms.toDF(), out).start()
+    ms.addData(Seq(Event(1L, ts(0), 10L, "purchase", 5.0),
+      Event(2L, ts(0), 11L, "purchase", 7.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(Event(1L, ts(5), 10L, "purchase", 9.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out)
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(1L -> 9.0, 2L -> 7.0))
+  }
+}
