@@ -113,6 +113,13 @@ object SparkEntry {
     // ---- §2f relational surface + S1 scan ----
     "s1_scan_pushdown" -> ((s, d) =>
       Relational.scanPushdown(events(s, d))),
+    "s2_salted_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      Joins.saltedJoin(events(s, d), Splits.defaultRouteConfig(s),
+          "event_type", 8, "event_id")
+        .groupBy(col("sink_topic")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("sink_topic"))
+    }),
     "f1_top_purchases" -> ((s, d) =>
       Relational.topPurchases(events(s, d), 100)),
     "f2_engaged_user_days" -> ((s, d) =>
@@ -363,6 +370,14 @@ object SparkEntry {
     "s1_scan_pushdown" ->
       """SELECT event_id, user_id FROM events
         |WHERE event_type = 'purchase' AND value > 100.0""".stripMargin,
+    "s2_salted_join" ->
+      """SELECT CASE event_type WHEN 'signup' THEN 'dwd_user_register'
+        |            WHEN 'purchase' THEN 'dwd_trade_order'
+        |            WHEN 'click' THEN 'dwd_traffic_click'
+        |            WHEN 'view' THEN 'dwd_traffic_page' END AS sink_topic,
+        |       COUNT(*) AS cnt
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "f1_top_purchases" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'purchase'

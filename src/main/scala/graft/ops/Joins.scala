@@ -92,6 +92,22 @@ object Joins {
         sum(dec("o_totalprice")).cast("double").as("total_spend"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Skew-safe equi-join by key salting: the big (skewed) side gets a
+    * deterministic salt in [0, buckets), the small side is exploded x
+    * buckets, and the join key becomes (key, salt) — one hot key spreads
+    * over `buckets` reducers. Result set is identical to the unsalted
+    * join. AQE's skew-join split does this adaptively for sort-merge
+    * joins; explicit salting covers aggregations-after-join and engines
+    * where AQE can't see the skew. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int, saltSrc: String): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(col(saltSrc)), lit(buckets)).cast("int"))
+    val exploded = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(exploded, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Star join at fact scale: lineitem x orders (shuffle) then broadcast
     * dims — revenue per region (J1+J6 composed, the DWS rollup shape). */
   def revenueByRegion(lineitem: DataFrame, orders: DataFrame,
