@@ -32,13 +32,17 @@ object Splits {
     * instead of 5 scans for 5 filtered legs.
     */
   def splitLogCounts(events: DataFrame): DataFrame = {
-    val k = from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))("k")
+    // parse props ONCE into a materialized column — referencing the
+    // from_json expression from several CASE branches would re-run the
+    // (non-codegen) JSON parse per reference
+    val parsed = events.withColumn("k",
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))("k"))
     val leg = when(col("event_type").isin("view", "click"), "page")
       .when(col("event_type") === "signup", "start")
       .when(col("event_type") === "error", "err")
-      .when(col("event_type") === "purchase" && k >= 50, "display")
+      .when(col("event_type") === "purchase" && col("k") >= 50, "display")
       .otherwise("action")
-    events.groupBy(leg.as("leg")).agg(count(lit(1)).as("cnt"))
+    parsed.groupBy(leg.as("leg")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("leg"))
   }
 

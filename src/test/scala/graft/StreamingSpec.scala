@@ -137,6 +137,30 @@ class StreamingSpec extends GraftSuite {
     assert(!new java.io.File(s"$out/err_topic").exists())
   }
 
+  test("T4: late data beyond watermark is dropped in append mode") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, sec: Int) = Event(id,
+      new java.sql.Timestamp(t0.getTime + sec * 1000L), 1L, "view", 1.0)
+    val ms = MemoryStream[Event](20, spark, None)
+    val stream = Streams.windowedTypeCounts(ms.toDF(), "10 seconds", "5 seconds")
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_out").start()
+    ms.addData(Seq(ev(1, 0), ev(2, 3)))       // window [0,10)
+    q.processAllAvailable()
+    ms.addData(Seq(ev(3, 60)))                // advances watermark to 55s
+    q.processAllAvailable()
+    ms.addData(Seq(ev(4, 1)))                 // LATE: window [0,10) closed
+    q.processAllAvailable()
+    ms.addData(Seq(ev(5, 120)))               // flush more
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("late_out")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // the [0,10) window emitted cnt=2 — the late event 4 was NOT added
+    assert(counts("2024-01-01 00:00:00") == 2L)
+  }
+
   test("upsert foreachBatch sink keeps last write per key") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_upsert").toString + "/t"
