@@ -161,6 +161,18 @@ object SparkEntry {
     // ---- training-data pipeline: multimodal ----
     "m1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatureSummary(t(s, d, "documents"))),
+    // ---- E2 SQL entry path ----
+    "e2_sql_revenue_by_year" -> ((s, d) =>
+      graft.sql.SqlJobs.revenueByYear(s, d)),
+    "e2_sql_kwsplit_counts" -> ((s, d) =>
+      graft.sql.SqlJobs.keywordCounts(s, d)),
+    // ---- sketches ----
+    "a10_approx_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_uu"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -491,6 +503,15 @@ object SparkEntry {
         |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
         |      FROM p)
         |SELECT qid, nid FROM r WHERE rn = 1""".stripMargin,
+    "e2_sql_revenue_by_year" -> graft.sql.SqlJobs.revenueByYearSql,
+    "e2_sql_kwsplit_counts" ->
+      """SELECT kw AS keyword, COUNT(*) AS cnt
+        |FROM (SELECT DISTINCT doc_id,
+        |        unnest(list_distinct(list_filter(
+        |          string_split_regex(lower(text), '[^a-z0-9]+'),
+        |          x -> x <> ''))) AS kw
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "m1_media_features" ->
       """SELECT doc_id,
         |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'

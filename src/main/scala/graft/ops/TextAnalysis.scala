@@ -73,18 +73,44 @@ object TextAnalysis {
       md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
         .as("fingerprint"))
 
-  /** Winnowing-style rolling-hash fingerprint: min xxhash64 over each
-    * window of w consecutive tokens, distinct-sorted — the scale path for
-    * shingle-level containment detection. Not SQL-expressible => rows-only
-    * + ScalaTest. */
-  def winnowingFingerprint(documents: DataFrame, w: Int): DataFrame = {
-    val toks = graft.functions.Text.tokenizeUdf(col("text"))
-    val shingleHashes = transform(
-      sequence(lit(0), greatest(size(toks) - w, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w)))))
+  /** Winnowing-style rolling-hash fingerprint: one hash per window of w
+    * consecutive tokens, distinct-sorted — the scale path for shingle-level
+    * containment detection. Single tight-loop UDF per row (tokenize +
+    * rolling 64-bit polynomial hash + dedup): one pass over the text, no
+    * per-window array slicing. Not SQL-expressible => rows-only + ScalaTest.
+    */
+  private val winnowUdf = udf { (text: String, w: Int) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val tokHash = toks.map { t =>
+        var h = 1125899906842597L // FNV-ish polynomial per token
+        var i = 0
+        while (i < t.length) { h = 31 * h + t.charAt(i); i += 1 }
+        h
+      }
+      val n = math.max(tokHash.length - w + 1, if (tokHash.isEmpty) 0 else 1)
+      val seen = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) {
+        var h = 0L
+        var j = i
+        val end = math.min(i + w, tokHash.length)
+        while (j < end) { h = h * 1000003L + tokHash(j); j += 1 }
+        seen.add(h)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      out
+    }
+  }
+
+  def winnowingFingerprint(documents: DataFrame, w: Int): DataFrame =
     documents.select(col("doc_id"),
-      array_sort(array_distinct(shingleHashes)).as("fp_hashes"))
+      winnowUdf(col("text"), lit(w)).as("fp_hashes"))
       .select(col("doc_id"), size(col("fp_hashes")).as("n_fp"),
         col("fp_hashes"))
-  }
 }

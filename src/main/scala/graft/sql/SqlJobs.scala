@@ -1,0 +1,47 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** E2 — the SQL entry path (SURVEY.md §3): the reference's Flink SQL jobs
+  * become `spark.sql` over registered temp views; Catalyst runs the whole
+  * parse/analyze/optimize/physical pipeline. Engine functions (kwsplit,
+  * vec_dot, vec_norm) are registered so SQL text can use them.
+  */
+object SqlJobs {
+
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Tables.names.foreach { n =>
+      Tables.load(spark, dir, n).createOrReplaceTempView(n)
+    }
+    graft.functions.GraftFunctions.register(spark)
+  }
+
+  /** Shared ANSI SQL (runs verbatim on Spark AND DuckDB): yearly revenue
+    * rollup over the order-detail join. */
+  val revenueByYearSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+      |       COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+      |            AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def revenueByYear(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(revenueByYearSql)
+  }
+
+  /** SQL text using the native kwsplit Generator via LATERAL VIEW —
+    * the DwsTrafficSourceKeywordPageViewWindow shape
+    * (DwsTrafficSourceKeywordPageViewWindow.java:44-62). */
+  def keywordCounts(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT kw.keyword, COUNT(*) AS cnt
+        |FROM documents LATERAL VIEW kwsplit(text) kw AS keyword, kw_len
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+}

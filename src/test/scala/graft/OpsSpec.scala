@@ -58,6 +58,41 @@ class OpsSpec extends GraftSuite {
     assert(zero.where(col("spend") =!= 0.0).count() == 0)
   }
 
+  test("p1 drops malformed JSON without raising") {
+    import spark.implicits._
+    val frame = Seq(
+      (1L, 1L, "click", """{"k": 5}"""),
+      (2L, 1L, "click", """{bad json"""),
+      (3L, 1L, "click", null: String))
+      .toDF("event_id", "user_id", "event_type", "props")
+    val got = ops.Etl.parseValidate(frame, Seq("click"))
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("a10 approx distinct within 10% of exact") {
+    val approx = SparkEntry.queries("a10_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("uu")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.1,
+        s"$k: approx=${approx(k)} exact=$e")
+    }
+  }
+
+  test("e2 SQL kwsplit counts equal DSL per-doc-distinct keyword counts") {
+    val viaSql = graft.sql.SqlJobs.keywordCounts(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDsl = docs.select(col("doc_id"),
+        explode(array_distinct(functions.Text.tokenizeUdf(col("text"))))
+          .as("keyword"))
+      .groupBy("keyword").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaDsl)
+  }
+
   test("s1 scan pushes filters and prunes columns") {
     val plan = Relational.scanPushdown(events)
       .queryExecution.executedPlan.toString
