@@ -166,6 +166,13 @@ object SparkEntry {
       graft.sql.SqlJobs.revenueByYear(s, d)),
     "e2_sql_kwsplit_counts" -> ((s, d) =>
       graft.sql.SqlJobs.keywordCounts(s, d)),
+    // ---- window-family extensions ----
+    "a11_session_windows" -> ((s, d) =>
+      Aggs.userSessions(events(s, d))),
+    "a12_sliding_windows" -> ((s, d) =>
+      Aggs.slidingHourlyCounts(events(s, d))),
+    "a13_pricing_rollup" -> ((s, d) =>
+      Aggs.pricingRollup(t(s, d, "lineitem"))),
     // ---- sketches ----
     "a10_approx_distinct" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -503,6 +510,36 @@ object SparkEntry {
         |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
         |      FROM p)
         |SELECT qid, nid FROM r WHERE rn = 1""".stripMargin,
+    "a11_session_windows" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       user_id, COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, 1""".stripMargin,
+    "a12_sliding_windows" ->
+      """SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR * o,
+        |                '%Y-%m-%d %H:%M:%S') AS wstart,
+        |       COUNT(*) AS cnt
+        |FROM events, (SELECT unnest(range(0, 2)) AS o)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a13_pricing_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
     "e2_sql_revenue_by_year" -> graft.sql.SqlJobs.revenueByYearSql,
     "e2_sql_kwsplit_counts" ->
       """SELECT kw AS keyword, COUNT(*) AS cnt

@@ -148,6 +148,46 @@ object Aggs {
         min(to_date(col("ts"))).as("first_date"),
         countDistinct(to_date(col("ts"))).as("n_active_days"))
 
+  /** T3 extension — session windows: per-user sessions with a 30-minute
+    * inactivity gap (Spark `session_window`; the reference uses tumbling
+    * only — sessionization comes free with the engine). */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("user_id"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** T3 extension — sliding windows: 2-hour windows sliding by 1 hour;
+    * every event lands in exactly two windows. */
+  def slidingHourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("cnt"))
+      .orderBy(col("wstart"))
+
+  /** §2e extension — ROLLUP subtotals over the pricing keys (absent from
+    * the reference; free from Catalyst). NULL grouping slots coalesced to
+    * 'ALL' for a stable comparable output. */
+  def pricingRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
   /** A4/U1 — keyword extraction + windowed count: tokenize, explode, then
     * tumbling daily window per keyword
     * (DwsTrafficSourceKeywordPageViewWindowStream.java:86-116 — the manual
