@@ -150,6 +150,8 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, d, "documents"), 3)),
     "d5_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(t(s, d, "embeddings"), 0.4, 6, 8)),
+    "d6_deduped_corpus" -> ((s, d) =>
+      Dedup.dedupedCorpus(t(s, d, "documents"))),
     // ---- training-data pipeline: similarity search ----
     "sim1_brute_top1" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), 100, 1)
@@ -495,6 +497,26 @@ object SparkEntry {
         |JOIN sz s1 ON doc1 = s1.doc_id
         |JOIN sz s2 ON doc2 = s2.doc_id
         |WHERE common / (s1.sz + s2.sz - common) >= 0.5""".stripMargin,
+    "d6_deduped_corpus" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |            COUNT(*) AS common
+        |          FROM sh a JOIN sh b USING (shingle)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |dups AS (SELECT DISTINCT doc2 AS doc_id FROM pairs
+        |         JOIN sz s1 ON doc1 = s1.doc_id
+        |         JOIN sz s2 ON doc2 = s2.doc_id
+        |         WHERE common / (s1.sz + s2.sz - common) >= 0.5)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
     "sim1_brute_top1" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
         |           WHERE vec_id < 100),

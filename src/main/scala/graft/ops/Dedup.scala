@@ -108,6 +108,19 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
+  /** End-to-end dedup pass: drop every doc that is an exact OR near
+    * duplicate (n-gram Jaccard >= threshold) of a lower-id keeper — the
+    * "deduplicate the corpus" pipeline a training-data run executes.
+    * Anti-join against the duplicate side keeps the plan shuffle-light:
+    * candidates come from the bucketed near-dup path, never a cross join. */
+  def dedupedCorpus(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val dupIds = jaccardPairs(documents, n, threshold)
+      .select(col("doc2").as("doc_id")).distinct()
+    documents.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   /** 64-bit SimHash over tokens: bit j is the sign of the token-frequency-
     * weighted sum of (+-1) for bit j of each token's 64-bit hash. Single
     * tight-loop UDF per row (tokenize + vote + pack) — no explode, no

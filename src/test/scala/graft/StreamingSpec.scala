@@ -161,6 +161,35 @@ class StreamingSpec extends GraftSuite {
     assert(counts("2024-01-01 00:00:00") == 2L)
   }
 
+  test("T7: checkpointed aggregation recovers state across restarts") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_src").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val all = eventsData
+    val (chunk1, chunk2) = all.splitAt(all.size / 2)
+    val schema = chunk1.toDF().schema
+    val counts = scala.collection.mutable.Map[String, Long]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .groupBy(col("event_type")).count()
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => counts(r.getString(0)) = r.getLong(1))
+        }
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    chunk1.toDF().write.mode("append").parquet(srcDir)
+    runOnce() // first incarnation processes chunk 1
+    chunk2.toDF().write.mode("append").parquet(srcDir)
+    runOnce() // restarted incarnation must RESUME state, not recount
+    val exp = all.groupBy(_.event_type).view.mapValues(_.size.toLong).toMap
+    assert(counts.toMap == exp,
+      s"recovered counts must cover both incarnations: $counts vs $exp")
+  }
+
   test("upsert foreachBatch sink keeps last write per key") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_upsert").toString + "/t"
