@@ -53,6 +53,15 @@ object SparkEntry {
         "order_info" -> Seq("id", "amount"),
         "user_info" -> Seq("id"),
         "page_log" -> Seq("id")))),
+    "p11_debezium_filter" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      Etl.toDebeziumEnvelope(events(s, d))
+        .where(col("op").isin("c", "u"))
+        .select(col("event_id"), col("op"),
+          coalesce(col("before.amount").cast("string"), lit(""))
+            .as("before_amount"),
+          col("after.amount").cast("string").as("after_amount"))
+    }),
     "p7_snake_json" -> ((s, d) => Etl.toSnakeJson(events(s, d))),
     "p8_ts_units" -> ((s, d) => Etl.tsUnits(events(s, d))),
     "p9_date_formats" -> ((s, d) => Etl.dateFormats(events(s, d))),
@@ -229,6 +238,14 @@ object SparkEntry {
         |            WHEN 'signup' THEN 'id'
         |            WHEN 'view' THEN 'id' END AS kept_keys
         |FROM events WHERE event_type <> 'error'""".stripMargin,
+    "p11_debezium_filter" ->
+      """SELECT event_id,
+        |       CASE event_type WHEN 'signup' THEN 'c' ELSE 'u' END AS op,
+        |       CASE WHEN event_type = 'click'
+        |            THEN CAST(CAST(value AS DECIMAL(18,2)) - 2.50 AS VARCHAR)
+        |            ELSE '' END AS before_amount,
+        |       CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS after_amount
+        |FROM events WHERE event_type IN ('signup', 'click')""".stripMargin,
     "p7_snake_json" ->
       """SELECT event_id,
         |       '{"event_id":' || event_id || ',"event_type":"' || event_type

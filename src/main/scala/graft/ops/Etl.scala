@@ -58,6 +58,25 @@ object Etl {
           .cast("decimal(18,2)").cast("string"))).as("old"))
   }
 
+  /** Debezium-style CDC envelope {op, before, after} — the reference's
+    * SECOND CDC format, used for config tables (DimApp.java:103-115,
+    * DwdBaseDb.java:63-70): op c/u/d/r with typed before/after structs. */
+  def toDebeziumEnvelope(events: DataFrame): DataFrame = {
+    val amount = col("value").cast("decimal(18,2)")
+    val op = when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "click", "u")
+      .when(col("event_type") === "error", "d")
+      .otherwise("r")
+    events.select(
+      col("event_id"), col("ts"), op.as("op"),
+      when(op.isin("u", "d"), struct(
+        col("event_id").as("id"),
+        (amount - lit(2.50).cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("amount"))).as("before"),
+      when(op.isin("c", "u", "r"), struct(
+        col("event_id").as("id"), amount.as("amount"))).as("after"))
+  }
+
   /** P2 — CDC envelope filter on (database, table, type).
     * Reference: DwdTradeCartAdd.java:37-40, DimApp.java:64-75. */
   def cdcFilter(env: DataFrame, database: String, table: String,
