@@ -21,6 +21,31 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
       n_frames: Int, checksum: Long)
 
+  /** Resized/sampled representation: target dims after aspect-preserving
+    * resize (STUB arithmetic on metadata — a real decoder resizes pixels),
+    * plus up to `maxFrames` evenly-spaced frame byte-offsets (the
+    * frame-sample access pattern a video pipeline feeds the decoder). */
+  case class MediaSample(doc_id: Long, kind: String, out_w: Int, out_h: Int,
+      frame_offsets: Array[Long])
+
+  def sampleFrames(media: DataFrame, targetW: Int = 224,
+      maxFrames: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(64).flatMap(_.map { r =>
+        val w = math.max(r.width, 1)
+        val h = math.max(r.height, 1)
+        val scale = targetW.toDouble / w
+        val n = math.min(maxFrames, r.payload.length / 1024 + 1)
+        val stride = math.max(r.payload.length / math.max(n, 1), 1)
+        MediaSample(r.doc_id, r.kind, targetW,
+          math.max((h * scale).toInt, 1),
+          Array.tabulate(n)(i => i.toLong * stride))
+      })
+    }.toDF()
+  }
+
   /** Build a media table from documents: payload = UTF-8 bytes of the text
     * (the deterministic stand-in for real image/audio bytes), kind cycles
     * image/audio/video, width/height derived from n_chars. */

@@ -82,6 +82,24 @@ class PipelineSpec extends GraftSuite {
     assert(bad == 0, "ASCII payloads: byte length must equal char length")
   }
 
+  test("m2 frame sampling: offsets in-bounds, strictly increasing, resized dims positive") {
+    import org.apache.spark.sql.Row
+    val media = Multimodal.toMediaTable(docs)
+    val rows = Multimodal.sampleFrames(media, 224, 4)
+      .join(media.select(col("doc_id"), length(col("payload")).as("plen")),
+        "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val offs = r.getAs[scala.collection.Seq[Long]]("frame_offsets")
+      val plen = r.getAs[Int]("plen")
+      assert(offs.nonEmpty && offs.head == 0L)
+      assert(offs.zip(offs.tail).forall { case (a, b) => a < b })
+      assert(offs.forall(_ < math.max(plen, 1)))
+      assert(r.getAs[Int]("out_w") == 224 && r.getAs[Int]("out_h") > 0)
+    }
+  }
+
   test("t5 winnowing fingerprint identical for identical normalized text") {
     val twice = docs.limit(5).union(docs.limit(5))
     val fps = TextAnalysis.winnowingFingerprint(twice, 4)
