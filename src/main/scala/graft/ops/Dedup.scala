@@ -108,6 +108,49 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard (PPJoin-style): identical result set to
+    * `jaccardPairs`, far smaller candidate join ON SKEWED CORPORA. Docs are
+    * joined only on their PREFIX shingles — the (sz - ceil(t*sz) + 1)
+    * globally-rarest shingles of each doc. Any pair with jaccard >= t
+    * shares at least one prefix shingle (pigeonhole on the overlap lower
+    * bound), so no qualifying pair is lost; hot shingles (the quadratic
+    * blowup in the inverted-index join) land at the END of the frequency
+    * order and mostly drop out of prefixes. Exact |∩| is then recounted on
+    * full shingle sets for candidates only.
+    *
+    * Measured on the driver test data (uniform vocabulary, NO hot
+    * shingles): direct join 1.3 s vs prefix 8.8 s warm at sf0.1 — the
+    * extra frequency/rank shuffles only pay off when the shingle df
+    * distribution is Zipfian (real text). `jaccardPairs` stays the default;
+    * this is the skew path. */
+  def jaccardPairsPrefix(documents: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val sh = shingles(documents, n).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, "shingle").join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("shingle"))))
+      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = ranked.toDF("doc1", "shingle")
+      .join(ranked.toDF("doc2", "shingle"), "shingle")
+      .where(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2")).distinct()
+    cand
+      .join(sh.toDF("doc1", "shingle"), "doc1")
+      .join(sh.toDF("doc2", "shingle"), Seq("doc2", "shingle"))
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("common"))
+      .join(sizes.toDF("doc1", "sz1"), "doc1")
+      .join(sizes.toDF("doc2", "sz2"), "doc2")
+      .withColumn("jaccard",
+        col("common") / (col("sz1") + col("sz2") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
   /** End-to-end dedup pass: drop every doc that is an exact OR near
     * duplicate (n-gram Jaccard >= threshold) of a lower-id keeper — the
     * "deduplicate the corpus" pipeline a training-data run executes.

@@ -14,6 +14,15 @@ class PipelineSpec extends GraftSuite {
     df.select("doc1", "doc2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("d2 prefix-filtered jaccard equals the full inverted-index join") {
+    val full = Dedup.jaccardPairs(docs, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefix = Dedup.jaccardPairsPrefix(docs, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty)
+    assert(prefix == full)
+  }
+
   test("d3 minhash-LSH finds every high-jaccard pair") {
     val exact = pairSet(Dedup.jaccardPairs(docs, 3, 0.9))
     val lsh = pairSet(Dedup.minhashDuplicates(docs, 3, 32, 8, 0.5))

@@ -161,6 +161,29 @@ class StreamingSpec extends GraftSuite {
     assert(counts("2024-01-01 00:00:00") == 2L)
   }
 
+  test("E1 chain: filter -> stateful dedup -> windowed agg in one streaming query") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](21, spark, None)
+    ms.addData(eventsData)
+    // the DwdBaseLog -> DwsTraffic chain: page leg, first-event-of-day
+    // dedup, then daily uu — all one continuous streaming dataflow
+    val page = ms.toDS().filter(e =>
+      e.event_type == "view" || e.event_type == "click")
+    val chained = Stateful.firstEventOfDay(page)
+      .groupBy(col("event_date")).agg(count(lit(1)).as("uu"))
+    val q = chained.writeStream.outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("chain_out").start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("chain_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = ops.Aggs.dailyUniqueUsers(
+        Tables.load(spark, sf, "events")
+          .where(col("event_type").isin("view", "click")))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(got == exp)
+  }
+
   test("T7: checkpointed aggregation recovers state across restarts") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft_src").toString
