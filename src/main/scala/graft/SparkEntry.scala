@@ -93,6 +93,18 @@ object SparkEntry {
     "j7_star_revenue_by_region" -> ((s, d) =>
       Joins.revenueByRegion(t(s, d, "lineitem"), t(s, d, "orders"),
         t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
+    "j9_asof_last_signup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = events(s, d)
+      Joins.asofJoin(
+        ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts")),
+        ev.where(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"),
+            col("ts")),
+        "user_id", "ts", "ts", "purchase_id", "signup_id")
+    }),
     "u1_kwsplit" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, length}
       t(s, d, "documents").where(col("doc_id") < 100)
@@ -341,6 +353,12 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j9_asof_last_signup" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       s.event_id AS signup_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin,
     "u1_kwsplit" ->
       """SELECT doc_id, kw AS keyword, CAST(length(kw) AS INTEGER) AS kw_len
         |FROM (SELECT doc_id,

@@ -92,6 +92,33 @@ object Joins {
         sum(dec("o_totalprice")).cast("double").as("total_spend"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** As-of join — for each left row, the single most recent right row with
+    * rightTs <= leftTs on the same key. Spark has no native operator;
+    * instead of a range join (quadratic per key) this uses the union+window
+    * form: tag both sides, sort within key by (ts, side) with right rows
+    * first on ties, and propagate the last non-null right value forward.
+    * ONE shuffle on the key, linear state — the plan scales like a groupBy,
+    * not like an interval join. Left rows with no prior right row are
+    * dropped (inner as-of). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, leftId: String,
+      rightId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.select(col(key), col(leftTs).as("_ts"),
+      lit(1).as("_side"), col(leftId).as("_lid"),
+      lit(null).cast("long").as("_rid"))
+    val r = right.select(col(key), col(rightTs).as("_ts"),
+      lit(0).as("_side"), lit(null).cast("long").as("_lid"),
+      col(rightId).as("_rid"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_rid"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1 && col("_asof").isNotNull)
+      .select(col("_lid").as(leftId), col(key), col("_asof").as(rightId))
+  }
+
   /** Skew-safe equi-join by key salting: the big (skewed) side gets a
     * deterministic salt in [0, buckets), the small side is exploded x
     * buckets, and the join key becomes (key, salt) — one hot key spreads

@@ -58,6 +58,21 @@ class OpsSpec extends GraftSuite {
     assert(zero.where(col("spend") =!= 0.0).count() == 0)
   }
 
+  test("j9 as-of join picks the most recent prior right row, equal ts matches") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val left = Seq((100L, 1L, ts(10)), (101L, 1L, ts(5)), (102L, 2L, ts(3)))
+      .toDF("lid", "k", "ts")
+    val right = Seq((200L, 1L, ts(4)), (201L, 1L, ts(8)), (202L, 1L, ts(10)),
+      (203L, 3L, ts(1))).toDF("rid", "k", "ts")
+    val got = ops.Joins.asofJoin(left, right, "k", "ts", "ts", "lid", "rid")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // lid 100 @t10: rids at t4,t8,t10 -> equal-ts 202 matches (<=)
+    // lid 101 @t5: most recent prior is 200 @t4
+    // lid 102 key 2: no right rows -> dropped
+    assert(got == Map(100L -> 202L, 101L -> 200L))
+  }
+
   test("p1 drops malformed JSON without raising") {
     import spark.implicits._
     val frame = Seq(
