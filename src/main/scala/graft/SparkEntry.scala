@@ -196,7 +196,22 @@ object SparkEntry {
       Aggs.slidingHourlyCounts(events(s, d))),
     "a13_pricing_rollup" -> ((s, d) =>
       Aggs.pricingRollup(t(s, d, "lineitem"))),
+    "m2_frame_samples" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, size}
+      Multimodal.sampleFrames(
+          Multimodal.toMediaTable(t(s, d, "documents")), 224, 4)
+        .select(col("doc_id"), col("kind"), col("out_w"), col("out_h"),
+          size(col("frame_offsets")).as("n_sampled"))
+    }),
     // ---- sketches ----
+    "a14_approx_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      events(s, d).groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))
+        .orderBy(col("event_type"))
+    }),
     "a10_approx_distinct" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       events(s, d).groupBy(col("event_type"))
@@ -597,6 +612,17 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "m2_frame_samples" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       224 AS out_w,
+        |       CAST(greatest(trunc((n_chars % 480) *
+        |            (224.0 / greatest(n_chars % 640, 1))), 1) AS INTEGER)
+        |         AS out_h,
+        |       CAST(least(4, octet_length(encode(text)) // 1024 + 1)
+        |            AS INTEGER) AS n_sampled
+        |FROM documents""".stripMargin,
     "e2_sql_revenue_by_year" -> graft.sql.SqlJobs.revenueByYearSql,
     "e2_sql_kwsplit_counts" ->
       """SELECT kw AS keyword, COUNT(*) AS cnt

@@ -85,6 +85,33 @@ class OpsSpec extends GraftSuite {
     assert(got == Seq(1L))
   }
 
+  test("s4/s5 kafka record shape: per-row topic + compact JSON value") {
+    val routed = ops.Splits.routeByConfig(events,
+      ops.Splits.defaultRouteConfig(spark))
+    val recs = sources.Sinks.toKafkaRecords(
+      routed.select("sink_topic", "event_id", "event_type"), "sink_topic")
+    assert(recs.columns.toSeq == Seq("topic", "value"))
+    val r = recs.limit(1).collect()(0)
+    assert(r.getString(0).startsWith("dwd_"))
+    assert(r.getString(1).startsWith("{\"event_id\":"))
+  }
+
+  test("a14 approx quantiles within tolerance of exact percentiles") {
+    val approx = SparkEntry.queries("a14_approx_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    exact.foreach { case (k, (e50, e95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"$k p50 $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 < 0.05, s"$k p95 $a95 vs $e95")
+    }
+  }
+
   test("a10 approx distinct within 10% of exact") {
     val approx = SparkEntry.queries("a10_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
