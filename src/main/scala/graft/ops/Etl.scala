@@ -137,6 +137,18 @@ object Etl {
         array_join(array_sort(map_keys(col("kept"))), ",").as("kept_keys"))
   }
 
+  /** P6/E3 — config-as-DATA variant: the keep-list arrives as a DataFrame
+    * (the batch image of the reference's MySQL `table_process_dim` CDC
+    * stream, TableProcessDim.java:10-27). The tiny config is collected on
+    * the driver and becomes plan literals — in streaming this runs inside
+    * foreachBatch, so config changes re-shape the plan at batch
+    * granularity (SURVEY §7 accepted difference). */
+  def pruneColumnsFromConfig(env: DataFrame, config: DataFrame): DataFrame = {
+    val cfg = config.select("table", "sink_columns").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(",").toSeq).toMap
+    pruneColumns(env, cfg)
+  }
+
   /** P7 — snake_case JSON serialization for the sink
     * (DorisMapFunction.java:10-17): bean -> compact JSON string. */
   def toSnakeJson(events: DataFrame): DataFrame =

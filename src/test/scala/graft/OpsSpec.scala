@@ -85,6 +85,21 @@ class OpsSpec extends GraftSuite {
     assert(got == Seq(1L))
   }
 
+  test("p6 config-as-data pruning equals static-config pruning") {
+    import spark.implicits._
+    val cfgDf = Seq(("cart_info", "id,user_id"), ("order_info", "id,amount"),
+      ("user_info", "id"), ("page_log", "id"))
+      .toDF("table", "sink_columns")
+    val env = ops.Etl.toCdcEnvelope(events)
+    val viaDf = ops.Etl.pruneColumnsFromConfig(env, cfgDf)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val viaMap = ops.Etl.pruneColumns(env, Map(
+      "cart_info" -> Seq("id", "user_id"), "order_info" -> Seq("id", "amount"),
+      "user_info" -> Seq("id"), "page_log" -> Seq("id")))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(viaDf == viaMap && viaDf.nonEmpty)
+  }
+
   test("s4/s5 kafka record shape: per-row topic + compact JSON value") {
     val routed = ops.Splits.routeByConfig(events,
       ops.Splits.defaultRouteConfig(spark))

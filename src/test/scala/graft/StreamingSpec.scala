@@ -161,6 +161,22 @@ class StreamingSpec extends GraftSuite {
     assert(counts("2024-01-01 00:00:00") == 2L)
   }
 
+  test("streaming session windows match batch sessionization") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](22, spark, None)
+    ms.addData(eventsData)
+    val sessions = ops.Aggs.userSessions(ms.toDF())
+    val q = sessions.writeStream.outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("sess_out").start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("sess_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = ops.Aggs.userSessions(Tables.load(spark, sf, "events"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp)
+  }
+
   test("E1 chain: filter -> stateful dedup -> windowed agg in one streaming query") {
     import spark.implicits._
     val ms = MemoryStream[Event](21, spark, None)
