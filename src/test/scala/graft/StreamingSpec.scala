@@ -161,6 +161,21 @@ class StreamingSpec extends GraftSuite {
     assert(counts("2024-01-01 00:00:00") == 2L)
   }
 
+  test("J4 stream-static broadcast lookup enriches every record") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](23, spark, None)
+    ms.addData(eventsData.take(100))
+    val joined = Streams.lookupJoin(ms.toDF(),
+      Tables.load(spark, sf, "region"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("lkp_out").start()
+    assert(q.awaitTermination(120000))
+    val out = spark.table("lkp_out")
+    assert(out.count() == 100)
+    assert(out.where(col("r_name").isNull).count() == 0)
+  }
+
   test("streaming session windows match batch sessionization") {
     import spark.implicits._
     val ms = MemoryStream[Event](22, spark, None)
