@@ -93,6 +93,24 @@ object SparkEntry {
     "j7_star_revenue_by_region" -> ((s, d) =>
       Joins.revenueByRegion(t(s, d, "lineitem"), t(s, d, "orders"),
         t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
+    "j10_semi_join" -> ((s, d) =>
+      Joins.customersWithBigOrders(t(s, d, "customer"), t(s, d, "orders"),
+        400000.0)),
+    "j11_anti_join" -> ((s, d) =>
+      Joins.customersWithoutBigOrders(t(s, d, "customer"),
+        t(s, d, "orders"), 400000.0)),
+    "j12_full_outer" -> ((s, d) =>
+      Joins.fullOuterUserCustomer(events(s, d), t(s, d, "customer"), 200L)),
+    "a16_pivot_daily_types" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("d"))
+    }),
     "j9_asof_last_signup" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val ev = events(s, d)
@@ -368,6 +386,37 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j10_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000.0)""".stripMargin,
+    "j11_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000.0)""".stripMargin,
+    "j12_full_outer" ->
+      """SELECT COALESCE(u.user_id, c.c_custkey) AS id,
+        |       CASE WHEN u.user_id IS NULL THEN 0 ELSE 1 END AS has_events,
+        |       CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS is_customer
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |FULL OUTER JOIN (SELECT c_custkey FROM customer
+        |                 WHERE c_custkey < 200) c
+        |  ON u.user_id = c.c_custkey""".stripMargin,
+    "a16_pivot_daily_types" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |         AS click,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+        |         AS error,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |         AS purchase,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+        |         AS signup,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+        |         AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "j9_asof_last_signup" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |       s.event_id AS signup_id

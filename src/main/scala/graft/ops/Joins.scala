@@ -92,6 +92,39 @@ object Joins {
         sum(dec("o_totalprice")).cast("double").as("total_spend"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS) — absent from the reference,
+    * exposed by the engine (§2d note). Semi: customers having at least one
+    * order over `minTotal`. */
+  def customersWithBigOrders(customer: DataFrame, orders: DataFrame,
+      minTotal: Double): DataFrame =
+    customer.join(
+        orders.where(col("o_totalprice") > minTotal),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** Anti: customers with no order above `minTotal` (NOT EXISTS). */
+  def customersWithoutBigOrders(customer: DataFrame, orders: DataFrame,
+      minTotal: Double): DataFrame =
+    customer.join(
+        orders.where(col("o_totalprice") > minTotal),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** Full outer: event users vs a customer-key slice — unmatched rows
+    * survive on BOTH sides, null slots folded into flag/coalesce columns so
+    * the output is null-free. */
+  def fullOuterUserCustomer(events: DataFrame, customer: DataFrame,
+      maxKey: Long): DataFrame = {
+    val u = events.select(col("user_id")).distinct()
+    val c = customer.where(col("c_custkey") < maxKey)
+      .select(col("c_custkey"))
+    u.join(c, col("user_id") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("c_custkey")).as("id"),
+        when(col("user_id").isNull, 0).otherwise(1).as("has_events"),
+        when(col("c_custkey").isNull, 0).otherwise(1).as("is_customer"))
+  }
+
   /** As-of join — for each left row, the single most recent right row with
     * rightTs <= leftTs on the same key. Spark has no native operator;
     * instead of a range join (quadratic per key) this uses the union+window

@@ -42,6 +42,30 @@ class FunctionsSpec extends GraftSuite {
     }
   }
 
+  test("NormSquaredToSelfDot rewrites pow(norm,2) and norm*norm to self-dot") {
+    import graft.functions.VecExpressions.{vecDot, vecNorm}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val squared = emb.select(
+      (vecNorm(col("embedding")) * vecNorm(col("embedding"))).as("nn"),
+      pow(vecNorm(col("embedding")), 2).as("p2"))
+    val before = squared.queryExecution.analyzed
+    val after = plans.NormSquaredToSelfDot(before)
+    val s = after.toString
+    assert(!s.toLowerCase.contains("floatvecnorm"),
+      s"norms should be rewritten away:\n$s")
+    assert(s.toLowerCase.contains("floatvecdot"))
+    // and the rewrite preserves values
+    val viaRule = emb.limit(10)
+      .select(vecDot(col("embedding"), col("embedding")).as("v")).collect()
+      .map(_.getDouble(0))
+    val viaNorm = emb.limit(10)
+      .select((vecNorm(col("embedding")) * vecNorm(col("embedding")))
+        .as("v")).collect().map(_.getDouble(0))
+    viaRule.zip(viaNorm).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= math.ulp(a) * 4)
+    }
+  }
+
   test("GraftExtensions injects functions at builder time") {
     val ext = new GraftExtensions
     // smoke: applying to a fresh extensions object does not throw and
