@@ -161,6 +161,30 @@ class StreamingSpec extends GraftSuite {
     assert(counts("2024-01-01 00:00:00") == 2L)
   }
 
+  test("E3 DimApp pipeline: CDC stream -> config prune -> keyed dim upsert") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_dim").toString + "/dim"
+    val cfg = Seq(("user_info", "id,user_id"), ("order_info", "id,amount"))
+      .toDF("table", "sink_columns")
+    val ms = MemoryStream[Event](24, spark, None)
+    val q = ops.Etl.toCdcEnvelope(ms.toDF())
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // config re-read per micro-batch (E3 batch-granularity semantics)
+        val pruned = ops.Etl.pruneColumnsFromConfig(batch, cfg)
+        pruned.write.mode("append").parquet(out)
+      }.start()
+    ms.addData(eventsData.take(200))
+    q.processAllAvailable()
+    q.stop()
+    val dim = spark.read.parquet(out)
+    val expected = eventsData.take(200)
+      .count(e => e.event_type == "signup" || e.event_type == "purchase")
+    assert(dim.count() == expected)
+    assert(dim.select("table").distinct().collect().map(_.getString(0)).toSet
+      == Set("user_info", "order_info"))
+  }
+
   test("J4 stream-static broadcast lookup enriches every record") {
     import spark.implicits._
     val ms = MemoryStream[Event](23, spark, None)
