@@ -4,6 +4,7 @@ package graft
   * asserts broadcasts ARE broadcast, filters reach the scan, partial
   * aggregation happens map-side, and single-pass ops scan once. */
 class PlanSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
 
   private def plan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
@@ -64,6 +65,40 @@ class PlanSpec extends GraftSuite {
     val plain = SparkEntry.queries("x3_route_counts")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == plain)
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "true")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key (0) with 200k rows, 999 cold keys
+      val big = spark.range(0, 210000)
+        .select(when(col("id") < 200000, 0L).otherwise(col("id") % 1000)
+          .as("k"), col("id").as("payload"))
+      val small = spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      // count()/write() would clone the plan into a separate QueryExecution;
+      // collect() executes THIS one so executedPlan shows the final
+      // adaptive plan (isFinalPlan=true)
+      val joined = big.join(small, "k").select(col("k"))
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join split in final plan:\n$finalPlan")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("vector kernels run as native expressions inside codegen") {
