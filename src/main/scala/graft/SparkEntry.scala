@@ -161,6 +161,15 @@ object SparkEntry {
     }),
     "f1_top_purchases" -> ((s, d) =>
       Relational.topPurchases(events(s, d), 100)),
+    "f4_topk_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      events(s, d).groupBy(col("event_type"))
+        .agg(graft.functions.TopKAgg.topK(col("value"), col("event_id"), 3)
+          .as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("r0", "t")))
+        .select(col("event_type"), (col("r0") + 1).cast("int").as("rank"),
+          col("t.id").as("event_id"), col("t.value").as("value"))
+    }),
     "f2_engaged_user_days" -> ((s, d) =>
       Relational.engagedUserDays(events(s, d))),
     "f3_running_totals" -> ((s, d) =>
@@ -502,6 +511,13 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'purchase'
         |ORDER BY value DESC, event_id LIMIT 100""".stripMargin,
+    "f4_topk_per_group" ->
+      """SELECT event_type, CAST(rn AS INTEGER) AS rank, event_id, value
+        |FROM (SELECT event_type, event_id, value,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY value DESC, event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 3""".stripMargin,
     "f2_engaged_user_days" ->
       """SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
         |FROM events WHERE event_type = 'click'

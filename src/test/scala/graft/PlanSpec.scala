@@ -101,6 +101,16 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("f4 top-k aggregate runs as two-phase ObjectHashAggregate (map-side partial)") {
+    val p = plan("f4_topk_per_group")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2,
+      s"expect partial+final object aggregate:\n$p")
+    // shuffle input is the partial top-k buffers, not raw rows: exactly
+    // one exchange for the aggregation
+    assert("Exchange hashpartitioning\\(event_type".r.findAllIn(p).size == 1)
+  }
+
   test("vector kernels run as native expressions inside codegen") {
     val df = ops.Similarity.bruteForceTopK(
       Tables.load(spark, sf, "embeddings"), 10, 1)
