@@ -54,6 +54,26 @@ object Streams {
       .select(col("purchase_id"), col("user_id"), col("signup_id"))
   }
 
+  /** J2 streaming — stream-stream LEFT OUTER interval join: matched rows
+    * emit immediately; unmatched left rows emit null-padded once the
+    * watermark passes their join window (Spark's append-mode answer to the
+    * reference's retraction stream, DwdTradeOrderDetail.java:91-115 +
+    * SURVEY §7 risk list). */
+  def intervalLeftJoin(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 seconds")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val s = signups.withWatermark("ts", "30 seconds")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user_id"),
+        col("ts").as("s_ts"))
+    p.join(s,
+      col("user_id") === col("s_user_id") &&
+      col("s_ts") >= col("p_ts") - expr("INTERVAL 15 MINUTES") &&
+      col("s_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("signup_id"))
+  }
+
   /** J4 streaming — stream-static broadcast lookup join: the static dim
     * side is re-planned every micro-batch, superseding the reference's
     * partial lookup cache (BaseSQLApp.java:78-83). */

@@ -114,6 +114,33 @@ class StreamingSpec extends GraftSuite {
     assert(got == exp)
   }
 
+  test("J2 stream-stream left outer join null-pads unmatched after watermark") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, user: Long, tpe: String, sec: Int) = Event(id,
+      new java.sql.Timestamp(t0.getTime + sec * 1000L), user, tpe, 1.0)
+    val msP = MemoryStream[Event](30, spark, None)
+    val msS = MemoryStream[Event](31, spark, None)
+    val q = Streams.intervalLeftJoin(msP.toDF(), msS.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("loj_out").start()
+    // purchase 1 has a prior signup; purchase 2 has none
+    msP.addData(Seq(ev(1, 10, "purchase", 300), ev(2, 11, "purchase", 300)))
+    msS.addData(Seq(ev(50, 10, "signup", 100)))
+    q.processAllAvailable()
+    // advance both watermarks far past purchase 2's join window
+    msP.addData(Seq(ev(3, 12, "purchase", 5000)))
+    msS.addData(Seq(ev(51, 13, "signup", 5000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("loj_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(rows.contains((1L, 50L)), s"matched pair missing: $rows")
+    assert(rows.contains((2L, -1L)),
+      s"unmatched purchase must null-pad after watermark: $rows")
+  }
+
   test("dedup within watermark drops redelivered ids") {
     import spark.implicits._
     val ms = MemoryStream[Event](7, spark, None)
