@@ -200,6 +200,8 @@ object SparkEntry {
       Dedup.embeddingNearDup(t(s, d, "embeddings"), 0.4, 6, 8)),
     "d6_deduped_corpus" -> ((s, d) =>
       Dedup.dedupedCorpus(t(s, d, "documents"))),
+    "d7_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(t(s, d, "documents"))),
     // ---- training-data pipeline: similarity search ----
     "sim1_brute_top1" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), 100, 1)

@@ -164,6 +164,46 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Connected components over the near-dup pair graph: iterative min-label
+    * propagation until fixpoint (transitive closure of "is a near-dup of").
+    * Each doc ends with cluster_id = smallest doc_id reachable through dup
+    * edges — the canonical representative. Iterations are whole-graph
+    * DataFrame joins (checkpoint-friendly, no driver-side graph); diameter
+    * of dup clusters is tiny in practice so this converges in 2-4 rounds.
+    */
+  def dupClusters(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, maxIter: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    val pairs = jaccardPairs(documents, n, threshold)
+      .select(col("doc1"), col("doc2")).cache()
+    // undirected edges both ways + self-loops for isolated docs
+    val edges = pairs
+      .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+      .cache()
+    var labels = documents.select(col("doc_id"),
+      col("doc_id").as("cluster_id")).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "doc2"), Seq("doc2"))
+        .groupBy(col("doc1").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("doc_id")).where(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over tokens: bit j is the sign of the token-frequency-
     * weighted sum of (+-1) for bit j of each token's 64-bit hash. Single
     * tight-loop UDF per row (tokenize + vote + pack) — no explode, no

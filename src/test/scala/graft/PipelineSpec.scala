@@ -14,6 +14,28 @@ class PipelineSpec extends GraftSuite {
     df.select("doc1", "doc2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("d7 dup clusters equal the transitive closure of near-dup pairs") {
+    val pairs = Dedup.jaccardPairs(docs, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find as the oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> find(id)).toMap
+    val got = Dedup.dupClusters(docs, 3, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.toSet.size < got.size,
+      "planted dups must produce non-trivial clusters")
+  }
+
   test("d2 prefix-filtered jaccard equals the full inverted-index join") {
     val full = Dedup.jaccardPairs(docs, 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
