@@ -16,6 +16,7 @@ import graft.functions.{FloatVecDot, FloatVecNorm, KwSplitGenerator}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.NormSquaredToSelfDot)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("kwsplit"),
       new ExpressionInfo(classOf[KwSplitGenerator].getName, "kwsplit"),

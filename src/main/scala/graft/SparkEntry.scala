@@ -123,6 +123,18 @@ object SparkEntry {
             col("ts")),
         "user_id", "ts", "ts", "purchase_id", "signup_id")
     }),
+    "j13_asof_native" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = events(s, d)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val sg = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts").as("s_ts"))
+      graft.plans.AsOf.join(p, sg, "user_id", "ts", "s_ts")
+        .toDF("purchase_id", "user_id", "ts", "signup_id", "u2", "s_ts")
+        .select("purchase_id", "user_id", "signup_id")
+    }),
     "u1_kwsplit" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, length}
       t(s, d, "documents").where(col("doc_id") < 100)
@@ -429,6 +441,12 @@ object SparkEntry {
         |         AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "j9_asof_last_signup" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       s.event_id AS signup_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin,
+    "j13_asof_native" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |       s.event_id AS signup_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Native AsOfJoinExec (custom LogicalPlan + Strategy + SparkPlan) vs the
+  * union+window composition — identical results, one merge pass. */
+class AsOfJoinSpec extends GraftSuite {
+
+  private def sides = {
+    val ev = Tables.load(spark, sf, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val s = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("s_ts"))
+    (p, s)
+  }
+
+  test("AsOfJoinExec appears in the physical plan") {
+    val (p, s) = sides
+    val df = plans.AsOf.join(p, s, "user_id", "ts", "s_ts")
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+  }
+
+  test("native as-of join equals the union+window composition") {
+    val (p, s) = sides
+    val native = plans.AsOf.join(p, s, "user_id", "ts", "s_ts")
+      .toDF("purchase_id", "user_id", "ts", "signup_id", "u2", "s_ts")
+      .select("purchase_id", "signup_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = ops.Joins.asofJoin(
+        p, s.withColumnRenamed("s_ts", "ts2"),
+        "user_id", "ts", "ts2", "purchase_id", "signup_id")
+      .select("purchase_id", "signup_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.nonEmpty)
+    assert(native == composed)
+  }
+
+  test("native as-of join: unmatched left rows dropped, ties match") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val left = Seq((100L, 1L, ts(10)), (101L, 1L, ts(5)), (102L, 2L, ts(3)))
+      .toDF("lid", "k", "ts")
+    val right = Seq((200L, 1L, ts(4)), (201L, 1L, ts(8)), (202L, 1L, ts(10)),
+      (203L, 3L, ts(1))).toDF("rid", "k", "rts")
+    val got = plans.AsOf.join(left, right, "k", "ts", "rts")
+      .toDF("lid", "k", "ts", "rid", "k2", "rts")
+      .select("lid", "rid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 202L, 101L -> 200L))
+  }
+}
