@@ -230,6 +230,8 @@ object SparkEntry {
       graft.sql.SqlJobs.revenueByYear(s, d)),
     "e2_sql_kwsplit_counts" -> ((s, d) =>
       graft.sql.SqlJobs.keywordCounts(s, d)),
+    "e2_sql_corr_scalar" -> ((s, d) =>
+      graft.sql.SqlJobs.maxSpendPerCustomer(s, d)),
     // ---- window-family extensions ----
     "a11_session_windows" -> ((s, d) =>
       Aggs.userSessions(events(s, d))),
@@ -709,6 +711,7 @@ object SparkEntry {
         |            AS INTEGER) AS n_sampled
         |FROM documents""".stripMargin,
     "e2_sql_revenue_by_year" -> graft.sql.SqlJobs.revenueByYearSql,
+    "e2_sql_corr_scalar" -> graft.sql.SqlJobs.maxSpendPerCustomerSql,
     "e2_sql_kwsplit_counts" ->
       """SELECT kw AS keyword, COUNT(*) AS cnt
         |FROM (SELECT DISTINCT doc_id,

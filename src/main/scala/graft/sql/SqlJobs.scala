@@ -34,6 +34,21 @@ object SqlJobs {
     spark.sql(revenueByYearSql)
   }
 
+  /** Shared ANSI SQL: correlated scalar subquery (Catalyst decorrelates
+    * it into an aggregate + left join — no per-row subquery execution). */
+  val maxSpendPerCustomerSql: String =
+    """SELECT c_custkey,
+      |       COALESCE((SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2)))
+      |                             AS DOUBLE)
+      |                 FROM orders WHERE o_custkey = c_custkey),
+      |                0.0) AS max_spend
+      |FROM customer WHERE c_custkey <= 500""".stripMargin
+
+  def maxSpendPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(maxSpendPerCustomerSql)
+  }
+
   /** SQL text using the native kwsplit Generator via LATERAL VIEW —
     * the DwsTrafficSourceKeywordPageViewWindow shape
     * (DwsTrafficSourceKeywordPageViewWindow.java:44-62). */
