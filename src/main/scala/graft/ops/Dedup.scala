@@ -173,15 +173,16 @@ object Dedup {
     */
   def dupClusters(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.5, maxIter: Int = 10): DataFrame = {
-    val spark = documents.sparkSession
     val pairs = jaccardPairs(documents, n, threshold)
       .select(col("doc1"), col("doc2")).cache()
-    // undirected edges both ways + self-loops for isolated docs
+    // only nodes that appear in a pair need propagation — typically a tiny
+    // fraction of the corpus; everyone else keeps their own id. Iterations
+    // therefore join frames of O(|dup docs|), not O(|corpus|).
     val edges = pairs
       .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
       .cache()
-    var labels = documents.select(col("doc_id"),
-      col("doc_id").as("cluster_id")).cache()
+    var labels = edges.select(col("doc1").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -201,7 +202,10 @@ object Dedup {
       labels = next
       it += 1
     }
-    labels
+    documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** 64-bit SimHash over tokens: bit j is the sign of the token-frequency-
