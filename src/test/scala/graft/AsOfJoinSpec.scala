@@ -37,6 +37,35 @@ class AsOfJoinSpec extends GraftSuite {
     assert(native == composed)
   }
 
+  test("native as-of join matches brute force on randomized inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    (0 until 3).foreach { round =>
+      val left = (0 until 300).map(i =>
+        (i.toLong, rnd.nextInt(20).toLong, ts(rnd.nextInt(10000))))
+      // unique (k, ts) on the right: equal-timestamp ties within a key are
+      // resolved arbitrarily by the sort, so they'd make the test flaky
+      val right = (0 until 200).map(i =>
+        (1000L + i, rnd.nextInt(20).toLong, ts(rnd.nextInt(10000))))
+        .groupBy(c => (c._2, c._3)).map(_._2.head).toSeq
+      val lDf = left.toDF("lid", "k", "ts")
+      val rDf = right.toDF("rid", "k", "rts")
+      val got = plans.AsOf.join(lDf, rDf, "k", "ts", "rts")
+        .toDF("lid", "k", "ts", "rid", "k2", "rts")
+        .select("lid", "rid")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = left.flatMap { case (lid, k, lts) =>
+        val cands = right.filter { case (_, rk, rts) =>
+          rk == k && !rts.after(lts)
+        }
+        if (cands.isEmpty) None
+        else Some(lid -> cands.maxBy(c => (c._3.getTime, -c._1))._1)
+      }.toMap
+      assert(got == exp, s"round $round mismatch")
+    }
+  }
+
   test("native as-of join: unmatched left rows dropped, ties match") {
     import spark.implicits._
     def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
