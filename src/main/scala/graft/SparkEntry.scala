@@ -66,6 +66,14 @@ object SparkEntry {
     "p8_ts_units" -> ((s, d) => Etl.tsUnits(events(s, d))),
     "p9_date_formats" -> ((s, d) => Etl.dateFormats(events(s, d))),
     "g1_string_funcs" -> ((s, d) => Etl.stringFuncs(t(s, d, "documents"))),
+    "g2_array_agg" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      events(s, d).groupBy(col("user_id"))
+        .agg(
+          array_join(array_sort(collect_set(col("event_type"))), ",")
+            .as("types_seen"),
+          count(lit(1)).as("n"))
+    }),
     // ---- §2c splits ----
     "x1_split_counts" -> ((s, d) => Splits.splitLogCounts(events(s, d))),
     "x2_explode_words" -> ((s, d) =>
@@ -341,6 +349,18 @@ object SparkEntry {
         |       substring(text, 1, 10) AS prefix10,
         |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
         |FROM documents""".stripMargin,
+    "g2_array_agg" ->
+      """SELECT user_id,
+        |       array_to_string(list_sort(list_distinct(list(event_type))),
+        |                       ',') AS types_seen,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "g2_array_agg" ->
+      """SELECT user_id,
+        |       array_to_string(list_sort(list_distinct(list(event_type))),
+        |                       ',') AS types_seen,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "x1_split_counts" ->
       """SELECT CASE WHEN event_type IN ('view','click') THEN 'page'
         |            WHEN event_type = 'signup' THEN 'start'
