@@ -204,6 +204,8 @@ object SparkEntry {
       TextAnalysis.languageId(t(s, d, "documents"))),
     "t4_doc_fingerprint" -> ((s, d) =>
       TextAnalysis.normalizedFingerprint(t(s, d, "documents"))),
+    "t6_trigram_lm_score" -> ((s, d) =>
+      TextAnalysis.trigramLmScore(t(s, d, "documents"))),
     "t5_winnowing_fp" -> ((s, d) =>
       TextAnalysis.winnowingFingerprint(t(s, d, "documents"), 4)
         .select("doc_id", "n_fp")),

@@ -66,6 +66,35 @@ object TextAnalysis {
       .select("doc_id", "lang_true", "lang_pred")
   }
 
+  /** Char-trigram language-model quality score: phase 1 aggregates corpus
+    * trigram document frequencies (one groupBy), phase 2 scores each doc by
+    * the mean add-one-smoothed log-probability of its trigrams. The stats
+    * side is small (bounded by |alphabet|^3) => broadcast join; at 100 TB
+    * the stats come from a sample and the scoring pass stays a single
+    * narrow join. Declarative trigram extraction (substr over a sequence),
+    * no UDF.
+    */
+  def trigramLmScore(documents: DataFrame): DataFrame = {
+    val norm = lower(col("text"))
+    val tris = documents
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(length(norm) - 2, lit(1))),
+          i => norm.substr(i, lit(3)))).as("tri"))
+      .where(length(col("tri")) === 3)
+    val stats = tris.groupBy(col("tri")).agg(count(lit(1)).as("tf")).cache()
+    val totals = stats.agg(sum(col("tf")).as("total"),
+      count(lit(1)).as("vocab"))
+    tris
+      .join(broadcast(stats), Seq("tri"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(
+        avg(log((coalesce(col("tf"), lit(0L)) + 1).cast("double") /
+          (col("total") + col("vocab")).cast("double"))).as("lm_score"),
+        count(lit(1)).as("n_trigrams"))
+  }
+
   /** Document fingerprint, oracle-exact flavor: md5 of normalized text
     * (lowercase, non-alnum runs -> single space, trimmed). */
   def normalizedFingerprint(documents: DataFrame): DataFrame =

@@ -138,6 +138,21 @@ class PipelineSpec extends GraftSuite {
     assert(fps.where(col("n") =!= 1).count() == 0)
   }
 
+  test("t6 trigram LM score: finite, equal for identical docs, length-aware") {
+    val scored = TextAnalysis.trigramLmScore(docs)
+    assert(scored.count() == docs.count())
+    assert(scored.where(col("lm_score").isNull ||
+      org.apache.spark.sql.functions.isnan(col("lm_score"))).count() == 0)
+    // identical text must score identically: score the corpus with doc 0
+    // duplicated under a new id
+    val dup = docs.limit(1)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val scores = TextAnalysis.trigramLmScore(docs.unionByName(dup))
+      .where(col("doc_id").isin(0L, 100000L))
+      .collect().map(_.getDouble(1))
+    assert(scores.length == 2 && math.abs(scores(0) - scores(1)) < 1e-12)
+  }
+
   test("d1 exact dedup keeps one keeper per fingerprint") {
     val d = Dedup.exactDuplicates(docs)
     assert(d.count() == d.select("fingerprint").distinct().count())
