@@ -131,6 +131,9 @@ object SparkEntry {
             col("ts")),
         "user_id", "ts", "ts", "purchase_id", "signup_id")
     }),
+    "j14_scd2_lookup" -> ((s, d) =>
+      Joins.scd2Lookup(events(s, d),
+        Joins.makeVersionedDim(t(s, d, "region")))),
     "j13_asof_native" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val ev = events(s, d)
@@ -470,6 +473,18 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin,
+    "j14_scd2_lookup" ->
+      """SELECT e.event_id, d.r_name || '_' || d.ver AS attr
+        |FROM events e
+        |JOIN (SELECT r_regionkey AS dim_key, r_name, ver,
+        |             CAST(f AS TIMESTAMP) AS valid_from,
+        |             CAST(t AS TIMESTAMP) AS valid_to
+        |      FROM region,
+        |           (VALUES ('2024-01-01 00:00:00','2024-01-15 00:00:00','v1'),
+        |                   ('2024-01-15 00:00:00','2024-02-01 00:00:00','v2'))
+        |             AS v(f, t, ver)) d
+        |  ON e.user_id % 5 = d.dim_key
+        | AND e.ts >= d.valid_from AND e.ts < d.valid_to""".stripMargin,
     "j13_asof_native" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |       s.event_id AS signup_id

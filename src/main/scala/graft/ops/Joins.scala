@@ -92,6 +92,34 @@ object Joins {
         sum(dec("o_totalprice")).cast("double").as("total_spend"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** J4 full fidelity — SCD2/versioned dim lookup (FOR SYSTEM_TIME AS OF,
+    * DwdInteractionCommentInfo.java:38-52): each fact row joins the dim
+    * VERSION whose validity interval contains the fact timestamp. The dim
+    * is broadcast; the interval predicate is evaluated on the build side,
+    * so the fact table streams through once. */
+  def scd2Lookup(events: DataFrame, versionedDim: DataFrame): DataFrame =
+    events.join(broadcast(versionedDim),
+        pmod(col("user_id"), lit(5)) === col("dim_key") &&
+        col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+      .select(col("event_id"), col("attr"))
+
+  /** Deterministic versioned dim for tests/queries: each region key gets
+    * one version per half-month window, attr = name + version tag. */
+  def makeVersionedDim(region: DataFrame): DataFrame = {
+    val bounds = Seq(
+      ("2024-01-01 00:00:00", "2024-01-15 00:00:00", "v1"),
+      ("2024-01-15 00:00:00", "2024-02-01 00:00:00", "v2"))
+    val versions = bounds.map { case (f, t, v) =>
+      struct(lit(f).cast("timestamp").as("valid_from"),
+        lit(t).cast("timestamp").as("valid_to"), lit(v).as("ver"))
+    }
+    region.select(col("r_regionkey").as("dim_key"), col("r_name"),
+        explode(array(versions: _*)).as("w"))
+      .select(col("dim_key"), col("w.valid_from").as("valid_from"),
+        col("w.valid_to").as("valid_to"),
+        concat_ws("_", col("r_name"), col("w.ver")).as("attr"))
+  }
+
   /** Semi/anti joins (EXISTS / NOT EXISTS) — absent from the reference,
     * exposed by the engine (§2d note). Semi: customers having at least one
     * order over `minTotal`. */
