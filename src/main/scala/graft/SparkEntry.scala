@@ -225,6 +225,8 @@ object SparkEntry {
       Dedup.embeddingNearDup(t(s, d, "embeddings"), 0.4, 6, 8)),
     "d6_deduped_corpus" -> ((s, d) =>
       Dedup.dedupedCorpus(t(s, d, "documents"))),
+    "d8_edit_distance_pairs" -> ((s, d) =>
+      Dedup.editDistancePairs(t(s, d, "documents"))),
     "d7_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
     // ---- training-data pipeline: similarity search ----
@@ -691,6 +693,28 @@ object SparkEntry {
         |         WHERE common / (s1.sz + s2.sz - common) >= 0.5)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
+    "d8_edit_distance_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |pre AS (SELECT doc_id,
+        |          substring(trim(regexp_replace(lower(text),
+        |            '[^a-z0-9]+', ' ', 'g')), 1, 40) AS p
+        |        FROM documents),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        |         FROM sh a JOIN sh b USING (shingle)
+        |         WHERE a.doc_id < b.doc_id)
+        |SELECT doc1, doc2, CAST(levenshtein(p1.p, p2.p) AS INTEGER)
+        |         AS edit_dist
+        |FROM cand
+        |JOIN pre p1 ON doc1 = p1.doc_id
+        |JOIN pre p2 ON doc2 = p2.doc_id
+        |WHERE levenshtein(p1.p, p2.p) <= 10""".stripMargin,
     "sim1_brute_top1" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
         |           WHERE vec_id < 100),

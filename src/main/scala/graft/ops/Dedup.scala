@@ -164,6 +164,27 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** Fuzzy verification of candidate pairs by edit distance: levenshtein
+    * over normalized 40-char prefixes (bounded cost per pair) — the
+    * string-similarity check that complements set-based Jaccard. Runs only
+    * on LSH candidates, never all pairs. */
+  def editDistancePairs(documents: DataFrame, maxDist: Int = 10): DataFrame = {
+    val sh = shingles(documents, 3)
+    val cand = sh.toDF("doc1", "shingle")
+      .join(sh.toDF("doc2", "shingle"), "shingle")
+      .where(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2")).distinct()
+    val prefix = documents.select(col("doc_id"),
+      substring(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")),
+        1, 40).as("p"))
+    cand
+      .join(prefix.toDF("doc1", "p1"), "doc1")
+      .join(prefix.toDF("doc2", "p2"), "doc2")
+      .select(col("doc1"), col("doc2"),
+        levenshtein(col("p1"), col("p2")).as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+  }
+
   /** Connected components over the near-dup pair graph: iterative min-label
     * propagation until fixpoint (transitive closure of "is a near-dup of").
     * Each doc ends with cluster_id = smallest doc_id reachable through dup
