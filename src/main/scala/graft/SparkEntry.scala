@@ -197,6 +197,13 @@ object SparkEntry {
       Relational.engagedUserDays(events(s, d))),
     "f3_running_totals" -> ((s, d) =>
       Relational.runningTotals(events(s, d))),
+    "f5_trailing_hour_sums" -> ((s, d) =>
+      Relational.trailingHourSums(events(s, d))),
+    "f6_unpivot_daily_types" -> ((s, d) =>
+      Relational.unpivotDailyTypes(
+        queries("a16_pivot_daily_types")(s, d))),
+    "f7_value_quartiles" -> ((s, d) =>
+      Relational.valueQuartiles(events(s, d))),
     // ---- training-data pipeline: text analysis ----
     "t1_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(t(s, d, "documents"))),
@@ -596,6 +603,30 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "f5_trailing_hour_sums" ->
+      """SELECT event_id, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+        |              (PARTITION BY user_id ORDER BY epoch_s
+        |               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS hr_sum
+        |FROM (SELECT event_id, user_id, value,
+        |             CAST(floor(epoch_ms(ts)/1000.0) AS BIGINT) AS epoch_s
+        |      FROM events)""".stripMargin,
+    "f6_unpivot_daily_types" ->
+      """WITH dd AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+        |tt AS (SELECT unnest(['click','error','purchase','signup','view'])
+        |         AS event_type),
+        |cc AS (SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS cnt
+        |       FROM events GROUP BY 1, 2)
+        |SELECT dd.d, tt.event_type,
+        |       CAST(COALESCE(cc.cnt, 0) AS BIGINT) AS cnt
+        |FROM dd CROSS JOIN tt
+        |LEFT JOIN cc ON cc.d = dd.d AND cc.event_type = tt.event_type""".stripMargin,
+    "f7_value_quartiles" ->
+      """SELECT event_id,
+        |       CAST(ntile(4) OVER (PARTITION BY event_type
+        |              ORDER BY value, event_id) AS INTEGER) AS quartile
+        |FROM events""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         |       CAST(len(string_split_regex(text, '\s+')) AS INTEGER)

@@ -37,6 +37,36 @@ object Relational {
     userDays("click").intersect(userDays("purchase")).except(userDays("error"))
   }
 
+  /** f5 — RANGE frame: per-user sum of values in the trailing hour (range
+    * on epoch seconds, not row count — the frame the reference's windowed
+    * state would need for "last hour" semantics). */
+  def trailingHourSums(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3599, Window.currentRow)
+    events
+      .withColumn("epoch_s", (unix_millis(col("ts")) / 1000).cast("long"))
+      .select(col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("hr_sum"))
+  }
+
+  /** f6 — unpivot (melt): the inverse of pivot, wide per-type count columns
+    * back to (d, event_type, cnt) rows, zeros preserved. */
+  def unpivotDailyTypes(pivoted: DataFrame): DataFrame =
+    pivoted.unpivot(
+      Array(col("d")),
+      Array(col("click"), col("error"), col("purchase"), col("signup"),
+        col("view")),
+      "event_type", "cnt")
+
+  /** f7 — ntile quartiles by value within each event type (deterministic
+    * total order via (value, event_id) tie-break). */
+  def valueQuartiles(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      ntile(4).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))).as("quartile"))
+
   /** f3 — analytic window frame: per-user running event count and running
     * decimal-exact value sum in time order (the batch form of the
     * reference's keyed ValueState accumulators). */
