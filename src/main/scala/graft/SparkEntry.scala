@@ -109,6 +109,15 @@ object SparkEntry {
         t(s, d, "orders"), 400000.0)),
     "j12_full_outer" -> ((s, d) =>
       Joins.fullOuterUserCustomer(events(s, d), t(s, d, "customer"), 200L)),
+    "a17_pricing_cube" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+        .orderBy(col("rf"), col("ls"))
+    }),
     "a16_pivot_daily_types" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       events(s, d)
@@ -463,6 +472,12 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT c_custkey FROM customer
         |                 WHERE c_custkey < 200) c
         |  ON u.user_id = c.c_custkey""".stripMargin,
+    "a17_pricing_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
     "a16_pivot_daily_types" ->
       """SELECT CAST(ts AS DATE) AS d,
         |       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
