@@ -19,6 +19,25 @@ object Sinks {
       .partitionBy("_date")
       .parquet(path)
 
+  /** S7 incremental — dynamic partition overwrite: rewrite ONLY the date
+    * partitions present in `df`, leaving the rest of the table untouched —
+    * the idempotent backfill/late-restatement pattern for the OLAP sink
+    * (re-running a day's DWS job replaces exactly that day). */
+  def overwriteDatePartitions(df: DataFrame, dateCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.withColumn("_date", col(dateCol).cast("string"))
+      .write.mode("overwrite").partitionBy("_date").parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** S4/S5 — Kafka record shape: per-row topic routing column + JSON value
     * (FlinkSinkUtil.java:38-52). Feed to `.writeStream.format("kafka")`
     * when the connector is on the classpath; the routing semantics are

@@ -100,6 +100,24 @@ class OpsSpec extends GraftSuite {
     assert(viaDf == viaMap && viaDf.nonEmpty)
   }
 
+  test("s7 dynamic partition overwrite rewrites only the touched partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft_dpo").toString + "/t"
+    val daily = ops.Aggs.globalDailyStats(events)
+    sources.Sinks.writeDatePartitioned(daily, "d", out)
+    val before = spark.read.parquet(out)
+    val nDays = before.select("_date").distinct().count()
+    // restate ONE day with altered counts
+    val restated = daily.where(col("d") === "2024-01-05")
+      .withColumn("cnt", col("cnt") + 1000000L)
+    sources.Sinks.overwriteDatePartitions(restated, "d", out)
+    val after = spark.read.parquet(out)
+    assert(after.select("_date").distinct().count() == nDays,
+      "untouched partitions must survive")
+    assert(after.where(col("_date") === "2024-01-05")
+      .select("cnt").collect()(0).getLong(0) > 1000000L)
+    assert(after.where(col("_date") === "2024-01-06").count() == 1)
+  }
+
   test("s4/s5 kafka record shape: per-row topic + compact JSON value") {
     val routed = ops.Splits.routeByConfig(events,
       ops.Splits.defaultRouteConfig(spark))
