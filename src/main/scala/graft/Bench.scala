@@ -23,7 +23,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.load(spark, sfDir, "events").count() // warmup: scan + JVM init
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated filter for local iteration on a query subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -31,10 +38,19 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds keep the one-line JSON within the driver's tail
+    // capture; the full line is also flushed to bench_out.json so round
+    // comparisons never lose queries to stdout truncation.
+    def f(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      line.getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // stdout line is the contract
+    println(line)
     spark.stop()
   }
 }

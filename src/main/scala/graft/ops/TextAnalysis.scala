@@ -67,32 +67,41 @@ object TextAnalysis {
   }
 
   /** Char-trigram language-model quality score: phase 1 aggregates corpus
-    * trigram document frequencies (one groupBy), phase 2 scores each doc by
-    * the mean add-one-smoothed log-probability of its trigrams. The stats
-    * side is small (bounded by |alphabet|^3) => broadcast join; at 100 TB
-    * the stats come from a sample and the scoring pass stays a single
-    * narrow join. Declarative trigram extraction (substr over a sequence),
-    * no UDF.
+    * trigram frequencies (one groupBy), phase 2 scores each doc by the mean
+    * add-one-smoothed log-probability of its trigrams. The corpus is
+    * exploded ONCE into per-doc trigram counts and the result
+    * `localCheckpoint`ed — both the corpus stats and the scoring pass read
+    * that materialized frame, so no double explode and nothing stays pinned
+    * after the query's plan is released. The stats side is small (bounded
+    * by |alphabet|^3) => broadcast join; at 100 TB the stats come from a
+    * sample and the scoring pass stays a single narrow join. Declarative
+    * trigram extraction (substr over a sequence), no UDF. The per-doc mean
+    * is the count-weighted sum ÷ total — identical to the per-instance avg,
+    * over the far smaller (doc, tri, c) frame.
     */
   def trigramLmScore(documents: DataFrame): DataFrame = {
     val norm = lower(col("text"))
-    val tris = documents
+    val docTri = documents
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), greatest(length(norm) - 2, lit(1))),
           i => norm.substr(i, lit(3)))).as("tri"))
       .where(length(col("tri")) === 3)
-    val stats = tris.groupBy(col("tri")).agg(count(lit(1)).as("tf")).cache()
+      .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val stats = docTri.groupBy(col("tri")).agg(sum(col("c")).as("tf"))
+      .localCheckpoint()
     val totals = stats.agg(sum(col("tf")).as("total"),
       count(lit(1)).as("vocab"))
-    tris
-      .join(broadcast(stats), Seq("tri"), "left")
+    docTri
+      .join(broadcast(stats), Seq("tri"))
       .crossJoin(broadcast(totals))
       .groupBy(col("doc_id"))
       .agg(
-        avg(log((coalesce(col("tf"), lit(0L)) + 1).cast("double") /
-          (col("total") + col("vocab")).cast("double"))).as("lm_score"),
-        count(lit(1)).as("n_trigrams"))
+        (sum(col("c") * log((col("tf") + 1).cast("double") /
+          (col("total") + col("vocab")).cast("double"))) / sum(col("c")))
+          .as("lm_score"),
+        sum(col("c")).as("n_trigrams"))
   }
 
   /** Document fingerprint, oracle-exact flavor: md5 of normalized text

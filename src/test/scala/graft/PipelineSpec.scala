@@ -37,9 +37,9 @@ class PipelineSpec extends GraftSuite {
   }
 
   test("d2 prefix-filtered jaccard equals the full inverted-index join") {
-    val full = Dedup.jaccardPairs(docs, 3, 0.5)
+    val full = Dedup.jaccardPairsDirect(docs, 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val prefix = Dedup.jaccardPairsPrefix(docs, 3, 0.5)
+    val prefix = Dedup.jaccardPairs(docs, 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full.nonEmpty)
     assert(prefix == full)
