@@ -4,6 +4,7 @@ import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.apps.Apps
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -292,6 +293,10 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_uu"))
         .orderBy(col("event_type"))
     }),
+    // ---- assembled DWS apps (reference job compositions) ----
+    "a18_order_uu_new" -> ((s, d) => Apps.dwsTradeOrder(s, d)),
+    "a19_paysuc_uu_new" -> ((s, d) => Apps.dwsTradePaymentSuc(s, d)),
+    "j15_refund_window" -> ((s, d) => Apps.dwsTradeUserRefund(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -372,12 +377,6 @@ object SparkEntry {
         |       substring(text, 1, 10) AS prefix10,
         |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
         |FROM documents""".stripMargin,
-    "g2_array_agg" ->
-      """SELECT user_id,
-        |       array_to_string(list_sort(list_distinct(list(event_type))),
-        |                       ',') AS types_seen,
-        |       COUNT(*) AS n
-        |FROM events GROUP BY 1""".stripMargin,
     "g2_array_agg" ->
       """SELECT user_id,
         |       array_to_string(list_sort(list_distinct(list(event_type))),
@@ -835,5 +834,45 @@ object SparkEntry {
         |       CAST(floor(octet_length(encode(text)) / 1024.0) AS INTEGER)
         |         + 1 AS n_frames
         |FROM documents""".stripMargin,
+    "a18_order_uu_new" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS event_date
+        |           FROM events WHERE event_type = 'purchase'),
+        |fs AS (SELECT user_id, MIN(event_date) AS first_date
+        |       FROM p GROUP BY 1),
+        |d AS (SELECT DISTINCT user_id, event_date FROM p)
+        |SELECT event_date,
+        |       CAST(COUNT(*) AS BIGINT) AS order_uu,
+        |       CAST(SUM(CASE WHEN event_date = first_date THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS order_new_user_ct
+        |FROM d JOIN fs USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a19_paysuc_uu_new" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT p.user_id, CAST(p.ts AS DATE) AS event_date
+        |  FROM events p JOIN events s
+        |    ON p.user_id = s.user_id
+        |   AND s.ts >= p.ts - INTERVAL 15 MINUTE AND s.ts <= p.ts
+        |  WHERE p.event_type = 'purchase' AND s.event_type = 'signup'),
+        |fs AS (SELECT user_id, MIN(event_date) AS first_date
+        |       FROM ps GROUP BY 1)
+        |SELECT event_date,
+        |       CAST(COUNT(*) AS BIGINT) AS pay_suc_uu,
+        |       CAST(SUM(CASE WHEN event_date = first_date THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS pay_suc_new_user_ct
+        |FROM ps JOIN fs USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j15_refund_window" ->
+      """SELECT c.c_custkey, n.n_name, r.r_name,
+        |       CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT)
+        |         AS refund_order_ct,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS refund_amount
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 }

@@ -137,7 +137,76 @@ object Apps {
       Tables.load(s, d, "orders"), Tables.load(s, d, "customer"),
       Tables.load(s, d, "nation"), Tables.load(s, d, "region"))
 
-  /** All 15 job entry points, named after the reference classes. */
+  /** Shared uu/new-user day counters (the reference's keyed last-date
+    * ValueState + window sum): per day, users active for the first time
+    * that day (uu) and users active for the first time EVER (new). */
+  private def uuAndNewByDay(stream: DataFrame): DataFrame = {
+    val first = Aggs.firstEventOfDay(stream)
+    val firstSeen = Aggs.userFirstSeen(stream)
+      .select(col("user_id"), col("first_date"))
+    first.join(firstSeen, "user_id")
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("uu"),
+        sum(when(col("event_date") === col("first_date"), 1).otherwise(0))
+          .as("new_user_ct"))
+      .orderBy(col("event_date"))
+  }
+
+  /** DwsTradeOrderWindow (DwsTradeOrderWindow.java:75-133): order stream →
+    * per-day unique ordering users + first-ever buyers. The reference's
+    * last_pay_date ValueState is the A8 first-event-of-day dedup; the
+    * windowAll sum is the day groupBy. */
+  def dwsTradeOrder(s: SparkSession, d: String): DataFrame =
+    uuAndNewByDay(events(s, d).where(col("event_type") === "purchase"))
+      .withColumnRenamed("uu", "order_uu")
+      .withColumnRenamed("new_user_ct", "order_new_user_ct")
+
+  /** DwsTradePaymentSucWindow (DwsTradePaymentSucWindow.java:72-119): the
+    * pay-success stream (purchases with a signup within 15 min — the
+    * DwdTradeOrderPaySucDetail feed) → per-day pay uu + first-ever payers. */
+  def dwsTradePaymentSuc(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val sgn = ev.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+    val paySuc = p.join(sgn,
+        col("user_id") === col("s_user_id") &&
+        col("s_ts") >= col("ts") - expr("INTERVAL 15 MINUTES") &&
+        col("s_ts") <= col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts")).distinct()
+    uuAndNewByDay(paySuc)
+      .withColumnRenamed("uu", "pay_suc_uu")
+      .withColumnRenamed("new_user_ct", "pay_suc_new_user_ct")
+  }
+
+  /** DwsTradeTrademarkCategoryUserRefundWindow
+    * (DwsTradeTrademarkCategoryUserRefundWindow.java:65-189): refund stream
+    * enriched through the multi-level dim chain, keyed by (user × dim
+    * hierarchy), refund order count = EXACT distinct (the reference's
+    * orderIdSet). Here: returned line items (l_returnflag = 'R') through
+    * customer→nation→region broadcasts, distinct order count via the
+    * set-merge Aggregator (A6). */
+  def dwsTradeUserRefund(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+    val orders = Tables.load(s, d, "orders")
+    val customer = Tables.load(s, d, "customer")
+    val nation = Tables.load(s, d, "nation")
+    val region = Tables.load(s, d, "region")
+    li.where(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("c_custkey"), col("n_name"), col("r_name"))
+      .agg(
+        graft.functions.DistinctSetAgg
+          .distinctSetCount(col("l_orderkey")).as("refund_order_ct"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("refund_amount"))
+  }
+
+  /** All 20 job entry points, named after the reference classes. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "DimApp" -> dimApp _,
     "DwdBaseLog" -> dwdBaseLog _,
@@ -156,5 +225,8 @@ object Apps {
     "DwsTradeCartAddUuWindow" -> dwsTradeCartAddUu _,
     "DwsTradeSkuOrderWindow" -> dwsTradeSkuOrder _,
     "DwsTradeProvinceOrderWindow" -> dwsTradeProvinceOrder _,
+    "DwsTradeOrderWindow" -> dwsTradeOrder _,
+    "DwsTradePaymentSucWindow" -> dwsTradePaymentSuc _,
+    "DwsTradeTrademarkCategoryUserRefundWindow" -> dwsTradeUserRefund _,
   )
 }

@@ -23,7 +23,10 @@ object Splits {
       "start" -> parsed.where(col("event_type") === "signup"),
       "err" -> parsed.where(col("event_type") === "error"),
       "display" -> parsed.where(col("event_type") === "purchase" && col("k") >= 50),
-      "action" -> parsed.where(col("event_type") === "purchase" && col("k") < 50))
+      // k < 50 OR unparsable props: mirrors splitLogCounts' `.otherwise`
+      // branch so each leg frame's count equals the reported leg count
+      "action" -> parsed.where(col("event_type") === "purchase" &&
+        (col("k") < 50 || col("k").isNull)))
   }
 
   /** Leg-tagged row counts of the X1 split — the oracle-checkable summary.

@@ -72,30 +72,43 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var lastMatch: InternalRow = null    // best right row so far
         private var lastMatchKey: Long = 0L
 
-        private def fetchRight(): Unit =
-          rNext = if (rIter.hasNext) rIter.next() else null
+        // SQL join null semantics: a null key or timestamp on either side
+        // never matches anything — such rows are skipped outright (they
+        // sort first under Ascending/NULLS FIRST, so skipping on fetch
+        // keeps the merge invariants intact).
+        private def fetchRight(): Unit = {
+          rNext = null
+          while (rNext == null && rIter.hasNext) {
+            val r = rIter.next()
+            if (rk.eval(r) != null && rts.eval(r) != null) rNext = r
+          }
+        }
         fetchRight()
 
         private def advance(): Unit = {
           nextOut = null
           while (nextOut == null && lIter.hasNext) {
             val l = lIter.next()
-            val key = lk.eval(l).asInstanceOf[Long]
-            val ts = lts.eval(l).asInstanceOf[Long]
-            // consume right rows that are candidates for this left row
-            var go = rNext != null
-            while (go) {
-              val rKey = rk.eval(rNext).asInstanceOf[Long]
-              if (rKey < key ||
-                  (rKey == key && rts.eval(rNext).asInstanceOf[Long] <= ts)) {
-                lastMatch = rNext.copy()
-                lastMatchKey = rKey
-                fetchRight()
-                go = rNext != null
-              } else go = false
+            val keyV = lk.eval(l)
+            val tsV = lts.eval(l)
+            if (keyV != null && tsV != null) {
+              val key = keyV.asInstanceOf[Long]
+              val ts = tsV.asInstanceOf[Long]
+              // consume right rows that are candidates for this left row
+              var go = rNext != null
+              while (go) {
+                val rKey = rk.eval(rNext).asInstanceOf[Long]
+                if (rKey < key ||
+                    (rKey == key && rts.eval(rNext).asInstanceOf[Long] <= ts)) {
+                  lastMatch = rNext.copy()
+                  lastMatchKey = rKey
+                  fetchRight()
+                  go = rNext != null
+                } else go = false
+              }
+              if (lastMatch != null && lastMatchKey == key)
+                nextOut = toUnsafe(joined(l, lastMatch))
             }
-            if (lastMatch != null && lastMatchKey == key)
-              nextOut = toUnsafe(joined(l, lastMatch))
           }
         }
 

@@ -55,6 +55,45 @@ object Stateful {
       }
   }
 
+  case class UuNew(user_id: Long, event_date: String, uu: Int, is_new: Int)
+
+  /** DwsTradeOrderWindow / DwsTradePaymentSucWindow streaming core
+    * (DwsTradeOrderWindow.java:75-133, DwsTradePaymentSucWindow.java:72-119):
+    * per-user last-active-date ValueState; the first event of a new day
+    * emits uu=1, plus is_new=1 iff the user had no prior state at all.
+    * Same-day re-deliveries are absorbed by the state, so an upstream join
+    * that fans a record out never double-counts. */
+  def uuNewEmits(events: Dataset[Event],
+      ttl: Option[String] = None): Dataset[UuNew] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, UuNew](
+        OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[String]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+              .withZone(java.time.ZoneOffset.UTC)
+            val out = scala.collection.mutable.ArrayBuffer[UuNew]()
+            var last = state.getOption.getOrElse("")
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val d = fmt.format(e.ts.toInstant)
+              if (d > last) {
+                out += UuNew(e.user_id, d, 1, if (last.isEmpty) 1 else 0)
+                last = d
+              }
+            }
+            state.update(last)
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   case class Upsert(id: Long, user_id: Long, amount: Double,
       ts: java.sql.Timestamp)
 

@@ -81,6 +81,46 @@ object Streams {
     stream.join(broadcast(dim),
       pmod(col("user_id"), lit(5)) === col("r_regionkey"), "left")
 
+  /** DwsTradePaymentSucWindow streaming shell
+    * (DwsTradePaymentSucWindow.java:72-119): the pay-suc detail feed
+    * (stream-stream interval join, purchase side kept whole) chained into
+    * the keyed last-pay-date state. A purchase matching several signups is
+    * fanned out by the join but absorbed by the state — no double count. */
+  def paySucUuNew(purchases: DataFrame,
+      signups: DataFrame): org.apache.spark.sql.Dataset[Stateful.UuNew] = {
+    val spark = purchases.sparkSession
+    import spark.implicits._
+    val p = purchases.withWatermark("ts", "30 seconds")
+    val s = signups.withWatermark("ts", "30 seconds")
+      .select(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+    val paySuc = p.join(s,
+      col("user_id") === col("s_user_id") &&
+      col("s_ts") >= col("ts") - expr("INTERVAL 15 MINUTES") &&
+      col("s_ts") <= col("ts"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    Stateful.uuNewEmits(paySuc.as[Stateful.Event])
+  }
+
+  /** DwsTradeTrademarkCategoryUserRefundWindow streaming shell
+    * (DwsTradeTrademarkCategoryUserRefundWindow.java:65-189): refund stream
+    * through the broadcast dim chain, EXACT distinct order count via the
+    * set-merge Aggregator. Complete output mode — the reference emits the
+    * running per-key refund set size each window. */
+  def refundWindow(returns: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    returns
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("c_custkey"), col("n_name"), col("r_name"))
+      .agg(
+        graft.functions.DistinctSetAgg
+          .distinctSetCount(col("l_orderkey")).as("refund_order_ct"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("refund_amount"))
+
   /** S5/X3 — dynamic-topic router sink via foreachBatch: one parse, N
     * outputs per micro-batch; destination derived per-row from the routing
     * config (FlinkSinkUtil.java:38-52 + DwdBaseDb.java:96-135). Config is
@@ -109,9 +149,13 @@ object Streams {
     updates.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val targetPath = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // explicit existence check — "first batch" is only the missing-dir
+        // case; genuine read corruption still surfaces as an error
         val existing =
-          try spark.read.parquet(targetDir)
-          catch { case _: Throwable => spark.emptyDataFrame }
+          if (fs.exists(targetPath)) spark.read.parquet(targetDir)
+          else spark.emptyDataFrame
         val merged =
           if (existing.columns.isEmpty) batch
           else {
@@ -123,9 +167,19 @@ object Streams {
                   .orderBy(col("_src").desc, col("ts").desc)))
               .where(col("_rn") === 1).drop("_src", "_rn")
           }
-        // local-fs two-phase write (overwrite target after materializing)
-        val tmp = targetDir + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(targetDir)
+        // write the merge to a side dir (this materializes the read of the
+        // old target), then swap via renames — metadata ops on a local /
+        // HDFS-like fs, so the window where the target is absent is tiny
+        // and the previous generation survives as *_old until the swap
+        // completes. (A real deployment would use a table format's atomic
+        // commit; this is the closest a bare parquet dir gets.)
+        val tmp = new org.apache.hadoop.fs.Path(targetDir + "_tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val bak = new org.apache.hadoop.fs.Path(targetDir + "_old")
+        if (fs.exists(bak)) fs.delete(bak, true)
+        if (fs.exists(targetPath)) fs.rename(targetPath, bak)
+        fs.rename(tmp, targetPath)
+        fs.delete(bak, true)
+        ()
     }
 }

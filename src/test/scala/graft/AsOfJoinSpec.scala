@@ -66,6 +66,28 @@ class AsOfJoinSpec extends GraftSuite {
     }
   }
 
+  test("native as-of join: null keys and timestamps never match (SQL semantics)") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val left = Seq(
+      (100L, Some(1L), Some(ts(10))),  // normal match
+      (101L, None, Some(ts(5))),       // null key -> dropped
+      (102L, Some(1L), None),          // null ts -> dropped
+      (103L, Some(9L), Some(ts(9))))   // no right rows for key 9 -> dropped
+      .toDF("lid", "k", "ts")
+    val right = Seq(
+      (200L, Some(1L), Some(ts(4))),
+      (201L, Option.empty[Long], Some(ts(1))),  // null key: never a candidate
+      (202L, Some(1L), Option.empty[java.sql.Timestamp]), // null ts: never a candidate
+      (203L, Some(9L), Option.empty[java.sql.Timestamp]))
+      .toDF("rid", "k", "rts")
+    val got = plans.AsOf.join(left, right, "k", "ts", "rts")
+      .toDF("lid", "k", "ts", "rid", "k2", "rts")
+      .select("lid", "rid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 200L))
+  }
+
   test("native as-of join: unmatched left rows dropped, ties match") {
     import spark.implicits._
     def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)

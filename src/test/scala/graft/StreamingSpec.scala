@@ -295,6 +295,67 @@ class StreamingSpec extends GraftSuite {
       s"recovered counts must cover both incarnations: $counts vs $exp")
   }
 
+  test("DwsTradeOrderWindow streaming shell matches the batch app") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](10, spark, None)
+    ms.addData(eventsData.filter(_.event_type == "purchase"))
+    runToMemory(Stateful.uuNewEmits(ms.toDS()), "order_uu_out")
+    val got = spark.table("order_uu_out")
+      .groupBy("event_date")
+      .agg(sum(col("uu")).as("order_uu"),
+        sum(col("is_new")).as("order_new_user_ct"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = apps.Apps.dwsTradeOrder(spark, sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == exp)
+  }
+
+  test("DwsTradePaymentSucWindow streaming shell (join + state) matches the batch app") {
+    import spark.implicits._
+    val mp = MemoryStream[Event](11, spark, None)
+    val msg = MemoryStream[Event](12, spark, None)
+    mp.addData(eventsData.filter(_.event_type == "purchase"))
+    msg.addData(eventsData.filter(_.event_type == "signup"))
+    runToMemory(Streams.paySucUuNew(mp.toDF(), msg.toDF()), "paysuc_out")
+    val got = spark.table("paysuc_out")
+      .groupBy("event_date")
+      .agg(sum(col("uu")).as("pay_suc_uu"),
+        sum(col("is_new")).as("pay_suc_new_user_ct"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = apps.Apps.dwsTradePaymentSuc(spark, sf)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == exp)
+  }
+
+  test("DwsTradeTrademarkCategoryUserRefundWindow streaming shell matches the batch app") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val returnsData = li.where(col("l_returnflag") === "R")
+    // file-less stream twin: feed the returned lineitems through the same
+    // dim chain + exact-distinct agg in Complete mode via a Rate-less
+    // MemoryStream of rows (typed to the needed columns)
+    import spark.implicits._
+    val ms = MemoryStream[(Long, Double)](13, spark, None)
+    ms.addData(returnsData.select(col("l_orderkey"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    val stream = ms.toDF().toDF("l_orderkey", "l_extendedprice")
+    val out = Streams.refundWindow(stream,
+      Tables.load(spark, sf, "orders"), Tables.load(spark, sf, "customer"),
+      Tables.load(spark, sf, "nation"), Tables.load(spark, sf, "region"))
+    runToMemory(out, "refund_out", OutputMode.Complete())
+    val got = spark.table("refund_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        math.round(r.getDouble(4) * 100))).toSet
+    val exp = apps.Apps.dwsTradeUserRefund(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        math.round(r.getDouble(4) * 100))).toSet
+    assert(got.nonEmpty)
+    assert(got == exp)
+  }
+
   test("upsert foreachBatch sink keeps last write per key") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_upsert").toString + "/t"
