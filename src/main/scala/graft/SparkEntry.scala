@@ -834,6 +834,94 @@ object SparkEntry {
         |       CAST(floor(octet_length(encode(text)) / 1024.0) AS INTEGER)
         |         + 1 AS n_frames
         |FROM documents""".stripMargin,
+    // d3's verified output equals the exact-Jaccard pair set whenever LSH
+    // recall is 1.0 — guaranteed here: planted near-dups sit at j≈0.99, so
+    // a 4-row band misses with prob (1-0.99⁴)⁸ ≈ 4e-12 (PipelineSpec
+    // asserts recall == 1.0 on this generator).
+    "d3_minhash_duplicates" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |            COUNT(*) AS common
+        |          FROM sh a JOIN sh b USING (shingle)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc1, doc2,
+        |       common / (s1.sz + s2.sz - common) AS jaccard
+        |FROM pairs
+        |JOIN sz s1 ON doc1 = s1.doc_id
+        |JOIN sz s2 ON doc2 = s2.doc_id
+        |WHERE common / (s1.sz + s2.sz - common) >= 0.5""".stripMargin,
+    "d7_dup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        |       FROM sh a JOIN sh b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc1, doc2 FROM pr
+        |          JOIN sz s1 ON doc1 = s1.doc_id
+        |          JOIN sz s2 ON doc2 = s2.doc_id
+        |          WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+        |edges AS (SELECT doc1 AS u, doc2 AS v FROM pairs
+        |          UNION ALL SELECT doc2, doc1 FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        |         FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    // n_fp = |distinct rolling-hash values| = |distinct token windows|
+    // modulo 64-bit collisions (none on this corpus; the identity spec
+    // covers the hash itself)
+    "t5_winnowing_fp" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id,
+        |         array_to_string(tk[i : least(i + 3, len(tk))], chr(1)) AS win
+        |  FROM (SELECT doc_id, tk,
+        |          unnest(range(1, greatest(len(tk) - 3,
+        |            CASE WHEN len(tk) = 0 THEN 0 ELSE 1 END) + 1)) AS i
+        |        FROM toks))
+        |SELECT d.doc_id, CAST(COALESCE(w.n, 0) AS INTEGER) AS n_fp
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, COUNT(DISTINCT win) AS n
+        |           FROM wins GROUP BY 1) w
+        |  USING (doc_id)""".stripMargin,
+    "t6_trigram_lm_score" ->
+      """WITH tris AS (
+        |  SELECT doc_id, substr(lower(text), i, 3) AS tri
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text)-2,1)+1)) AS i
+        |        FROM documents)
+        |  WHERE length(substr(lower(text), i, 3)) = 3),
+        |dt AS (SELECT doc_id, tri, COUNT(*) AS c FROM tris GROUP BY 1, 2),
+        |stats AS (SELECT tri, SUM(c) AS tf FROM dt GROUP BY 1),
+        |tot AS (SELECT SUM(tf) AS total, COUNT(*) AS vocab FROM stats)
+        |SELECT doc_id,
+        |       SUM(c * ln((tf + 1) / CAST(total + vocab AS DOUBLE))) / SUM(c)
+        |         AS lm_score,
+        |       CAST(SUM(c) AS BIGINT) AS n_trigrams
+        |FROM dt JOIN stats USING (tri) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     "a18_order_uu_new" ->
       """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS event_date
         |           FROM events WHERE event_type = 'purchase'),
