@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured fastest for this workload: G1 with a much larger heap
+  // (tested 48g) grows the young gen so big that the object-heavy
+  // dedup/collect_list queries run ~3x slower; 8g keeps minor GCs small.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
