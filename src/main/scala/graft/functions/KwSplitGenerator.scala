@@ -9,10 +9,11 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** U1 full-fidelity path: a native Catalyst `Generator` (table function)
   * with the reference UDTF's exact shape — text -> rows of
-  * ROW<keyword STRING, kw_len INT> (KwSplit.java:11-21). Deterministic
-  * tokenizer (lowercase, non-alphanumeric split, per-row dedup like the
-  * reference's HashSet), usable in SQL via LATERAL VIEW after
-  * registration (GraftFunctions.register / GraftExtensions).
+  * ROW<keyword STRING, kw_len INT> (KwSplit.java:11-21). Shares the
+  * CJK-aware tokenizer core with `Text.tokenize` (Latin words + CJK
+  * character bigrams; per-row dedup like the reference's HashSet), usable
+  * in SQL via LATERAL VIEW after registration
+  * (GraftFunctions.register / GraftExtensions).
   */
 case class KwSplitGenerator(child: Expression)
     extends UnaryExpression with Generator with CodegenFallback {
@@ -26,8 +27,7 @@ case class KwSplitGenerator(child: Expression)
     if (v == null) Iterator.empty
     else {
       val seen = scala.collection.mutable.LinkedHashSet[String]()
-      v.asInstanceOf[UTF8String].toString.toLowerCase
-        .split("[^a-z0-9]+").foreach(t => if (t.nonEmpty) seen += t)
+      Text.tokenize(v.asInstanceOf[UTF8String].toString).foreach(seen += _)
       seen.iterator.map { t =>
         InternalRow(UTF8String.fromString(t), t.length)
       }

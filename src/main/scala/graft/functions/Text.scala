@@ -8,16 +8,59 @@ import org.apache.spark.sql.functions._
   *
   * The reference wraps the IK Chinese segmenter in a Flink UDTF
   * (dws .../function/KwSplit.java:11-21, util/IkUtil.java:14-35). We provide
-  * a deterministic tokenizer (lowercase, split on non-alphanumeric runs)
-  * with the same shape: text -> rows of (keyword, length) via explode —
-  * capability parity, not dictionary parity (SURVEY §7 risk list).
+  * a deterministic tokenizer with the same shape — text -> rows of
+  * (keyword, length) via explode. Latin/digit runs lowercase into words;
+  * CJK runs segment into overlapping character bigrams (the dictionary-free
+  * standard for zh/ja indexing, the shape Lucene's CJKAnalyzer produces) —
+  * capability parity with IK's dictionary segmentation without shipping a
+  * dictionary (SURVEY §7 risk list). On Latin-only text the output is
+  * byte-identical to a lowercase `[^a-z0-9]+` split, which keeps the DuckDB
+  * oracles expressible.
   */
 object Text {
 
-  val tokenizeUdf: UserDefinedFunction = udf { (s: String) =>
-    if (s == null) Array.empty[String]
-    else s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+  /** Shared tokenizer core (used by the UDF and the native Generator).
+    * CJK coverage: Unified Ideographs + Ext A, Hiragana/Katakana, Hangul
+    * syllables, compatibility ideographs. A lone CJK char between
+    * boundaries is emitted as itself; runs of >=2 emit bigrams only. */
+  def tokenize(s: String): Array[String] = {
+    if (s == null) return Array.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val latin = new java.lang.StringBuilder
+    var prevCjk: Char = 0
+    var cjkRun = 0
+    def isCjk(c: Char): Boolean =
+      (c >= 0x3400 && c <= 0x9fff) || (c >= 0x3040 && c <= 0x30ff) ||
+      (c >= 0xac00 && c <= 0xd7af) || (c >= 0xf900 && c <= 0xfaff)
+    def endLatin(): Unit =
+      if (latin.length > 0) { out += latin.toString; latin.setLength(0) }
+    def endCjk(): Unit = {
+      if (cjkRun == 1) out += prevCjk.toString
+      cjkRun = 0
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = Character.toLowerCase(s.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        endCjk()
+        latin.append(c)
+      } else if (isCjk(c)) {
+        endLatin()
+        if (cjkRun >= 1) out += new String(Array(prevCjk, c))
+        prevCjk = c
+        cjkRun += 1
+      } else {
+        endLatin()
+        endCjk()
+      }
+      i += 1
+    }
+    endLatin()
+    endCjk()
+    out.toArray
   }
+
+  val tokenizeUdf: UserDefinedFunction = udf { (s: String) => tokenize(s) }
 
   /** KwSplit-equivalent lateral: one row per keyword with its length. */
   def kwSplit(text: Column): Column = explode(tokenizeUdf(text))

@@ -35,4 +35,40 @@ class FormatsSpec extends GraftSuite {
     assert(got(spark.read.option("header", "true")
       .option("inferSchema", "true").csv(s"$dir/csv")) == want)
   }
+
+  test("S10 JDBC snapshot round-trips through embedded Derby") {
+    // Derby ships with Spark (metastore dependency) -> a real JDBC runtime
+    // path: create + seed a config table over plain JDBC, read it back via
+    // Sources.jdbcSnapshot, then write a frame out through the JDBC sink
+    // and re-read it (JdbcUtil.java:31-68 round trip).
+    val dir = Files.createTempDirectory("graft_derby").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE table_process
+        (source_table VARCHAR(64), sink_table VARCHAR(64),
+         sink_columns VARCHAR(256))""")
+      st.execute("""INSERT INTO table_process VALUES
+        ('user_info', 'dim_user_info', 'id,name'),
+        ('base_dic', 'dim_base_dic', 'dic_code,dic_name'),
+        ('sku_info', 'dim_sku_info', 'id,tm_id,category3_id')""")
+      st.close()
+    } finally conn.close()
+
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val cfg = sources.Sources.jdbcSnapshot(spark, url, "table_process", props)
+    assert(cfg.columns.map(_.toLowerCase).toSet ==
+      Set("source_table", "sink_table", "sink_columns"))
+    val rows = cfg.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("user_info" -> "dim_user_info",
+      "base_dic" -> "dim_base_dic", "sku_info" -> "dim_sku_info"))
+
+    // sink side: write a derived frame back over JDBC and re-read
+    cfg.select(col("source_table"), col("sink_table"))
+      .write.mode("append").jdbc(url, "routed_out", props)
+    val back = spark.read.jdbc(url, "routed_out", props)
+    assert(back.count() == 3)
+  }
 }

@@ -28,6 +28,26 @@ class FunctionsSpec extends GraftSuite {
     assert(viaUdf.except(got.select("doc_id", "keyword")).count() == 0)
   }
 
+  test("CJK-aware tokenizer: bigrams for CJK runs, words for Latin, stable mix") {
+    import functions.Text.tokenize
+    // pure Latin identical to lowercase [^a-z0-9]+ split
+    val latin = "Hello, World-2024 test"
+    assert(tokenize(latin).toSeq ==
+      latin.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+    // zh run -> overlapping character bigrams (CJKAnalyzer shape)
+    assert(tokenize("中文分词测试").toSeq ==
+      Seq("中文", "文分", "分词", "词测", "测试"))
+    // mixed Latin + CJK: boundaries split runs
+    assert(tokenize("Spark大数据处理123").toSeq ==
+      Seq("spark", "大数", "数据", "据处", "处理", "123"))
+    // a lone CJK char between boundaries is kept as itself
+    assert(tokenize("我 like 语").toSeq == Seq("我", "like", "语"))
+    // kana + hangul are segmented, not dropped
+    assert(tokenize("テスト 테스트").toSeq ==
+      Seq("テス", "スト", "테스", "스트"))
+    assert(tokenize(null).isEmpty && tokenize("!!!").isEmpty)
+  }
+
   test("vec_dot and vec_norm usable from SQL") {
     functions.GraftFunctions.register(spark)
     Tables.load(spark, sf, "embeddings").createOrReplaceTempView("emb_v")
