@@ -297,6 +297,18 @@ object SparkEntry {
     "a18_order_uu_new" -> ((s, d) => Apps.dwsTradeOrder(s, d)),
     "a19_paysuc_uu_new" -> ((s, d) => Apps.dwsTradePaymentSuc(s, d)),
     "j15_refund_window" -> ((s, d) => Apps.dwsTradeUserRefund(s, d)),
+    // ---- reproducible data selection (training-pipeline ops) ----
+    "smp1_hash_sample" -> ((s, d) =>
+      Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 0.25)
+        .select("doc_id", "lang")),
+    "smp2_split_counts" -> ((s, d) =>
+      Sampling.trainValTestSplit(t(s, d, "documents"), "doc_id")
+        .groupBy(org.apache.spark.sql.functions.col("split"),
+          org.apache.spark.sql.functions.col("lang"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))),
+    "smp3_token_offsets" -> ((s, d) =>
+      Sampling.tokenOffsets(t(s, d, "documents"), 4096)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -962,5 +974,30 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE l.l_returnflag = 'R'
         |GROUP BY 1, 2, 3""".stripMargin,
+    "smp1_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < '40000000'""".stripMargin,
+    "smp2_split_counts" ->
+      """SELECT CASE WHEN h < 'cccccccc' THEN 'train'
+        |            WHEN h < 'e6666666' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       lang, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h, lang
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+    "smp3_token_offsets" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+        |         AS n_tok,
+        |       CAST(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |           OVER (ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) AS BIGINT) AS start_offset,
+        |       CAST(floor(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |           OVER (ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) / 4096) AS BIGINT) AS chunk_id
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reproducible data-selection ops for training pipelines: deterministic
+  * sampling, train/val/test splits, and token-stream chunking.
+  *
+  * Selection is by CONTENT-STABLE hash, not RNG: a row's fate depends only
+  * on its key (md5 prefix compared against a hex threshold), so samples are
+  * reproducible across runs/clusters, stable under repartitioning, and
+  * composable (a 10% sample of a 50% sample is a true 5%). All three ops
+  * are narrow (no shuffle) except the chunker's two-phase prefix sum.
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5(key) — uniform in [0, 2^32) as a hex string,
+    * so a lexical compare against an 8-hex threshold selects a uniform
+    * fraction. Identical SQL exists in every engine with md5(). */
+  private def hashPrefix(keyCol: String) =
+    substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+
+  /** Hex threshold string for a fraction (e.g. 0.25 -> "40000000"). */
+  def fractionThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** Deterministic uniform sample: keep rows with hash(key) below the
+    * fraction threshold. Narrow — the predicate evaluates at the scan. */
+  def deterministicSample(df: DataFrame, keyCol: String,
+      fraction: Double): DataFrame =
+    df.where(hashPrefix(keyCol) < lit(fractionThreshold(fraction)))
+
+  /** Disjoint, exhaustive train/val/test assignment from the same hash:
+    * [0, train) -> train, [train, train+val) -> val, rest -> test. */
+  def trainValTestSplit(df: DataFrame, keyCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val h = hashPrefix(keyCol)
+    df.withColumn("split",
+      when(h < lit(fractionThreshold(trainFrac)), "train")
+        .when(h < lit(fractionThreshold(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
+
+  /** Token-stream chunking (sequence packing): concatenate the corpus in
+    * doc_id order and cut every `seqLen` tokens — each doc gets its global
+    * token start offset and the chunk id containing that offset (docs may
+    * straddle chunk boundaries, as pretraining packers do).
+    *
+    * Scale shape: a global running sum is computed two-phase — an
+    * intra-bucket window cumsum (buckets = doc_id ranges, parallel) plus a
+    * tiny per-bucket totals frame whose own cumsum is broadcast back. No
+    * single-partition global window; the only full shuffle is the bucket
+    * window's hash partition. */
+  def tokenOffsets(documents: DataFrame, seqLen: Int,
+      bucketSize: Long = 4096L): DataFrame = {
+    val n = documents.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).as("n_tok"),
+      floor(col("doc_id") / bucketSize).as("bkt"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+    val local = n.withColumn("local_end", sum(col("n_tok")).over(wIn))
+    // one row per bucket — the ordered window over it is driver-scale
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = n.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bt"))
+      .withColumn("bkt_off", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
+    local.join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), col("n_tok"),
+        (col("local_end") - col("n_tok") + col("bkt_off"))
+          .as("start_offset"))
+      .withColumn("chunk_id", floor(col("start_offset") / seqLen))
+  }
+}

@@ -180,4 +180,46 @@ class OpsSpec extends GraftSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("smp deterministic sampling: reproducible, composable, ~uniform") {
+    val docs = Tables.load(spark, sf, "documents")
+    val total = docs.count().toDouble
+    val s25 = Sampling.deterministicSample(docs, "doc_id", 0.25)
+    // reproducible: same rows every run
+    assert(s25.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Sampling.deterministicSample(docs, "doc_id", 0.25)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // ~uniform fraction (binomial tolerance)
+    val frac = s25.count() / total
+    assert(frac > 0.15 && frac < 0.35, s"25% sample returned $frac")
+    // composable: a 0.10 sample is a strict subset of the 0.25 sample
+    val s10 = Sampling.deterministicSample(docs, "doc_id", 0.10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s25ids = s25.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s25ids))
+  }
+
+  test("smp train/val/test split is disjoint and exhaustive") {
+    val docs = Tables.load(spark, sf, "documents")
+    val split = Sampling.trainValTestSplit(docs, "doc_id")
+    assert(split.count() == docs.count())
+    val byS = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS.values.sum == docs.count())
+    assert(byS("train") > byS("val") && byS("train") > byS("test"))
+  }
+
+  test("smp token offsets form a contiguous stream in doc order") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = Sampling.tokenOffsets(docs, 4096)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == docs.count())
+    assert(rows.head._3 == 0L)
+    rows.sliding(2).foreach {
+      case Array((_, n1, o1), (_, _, o2)) => assert(o2 == o1 + n1)
+      case _ =>
+    }
+  }
 }
