@@ -297,6 +297,17 @@ object SparkEntry {
     "a18_order_uu_new" -> ((s, d) => Apps.dwsTradeOrder(s, d)),
     "a19_paysuc_uu_new" -> ((s, d) => Apps.dwsTradePaymentSuc(s, d)),
     "j15_refund_window" -> ((s, d) => Apps.dwsTradeUserRefund(s, d)),
+    // ---- text quality / scrubbing (training-pipeline ops) ----
+    "t7_pii_stats" -> ((s, d) =>
+      TextAnalysis.piiStats(t(s, d, "documents"))),
+    "t8_repetition_stats" -> ((s, d) =>
+      TextAnalysis.repetitionStats(t(s, d, "documents"))),
+    "d9_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      import org.apache.spark.sql.functions.col
+      Dedup.contaminationCheck(
+        docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25))
+    }),
     // ---- reproducible data selection (training-pipeline ops) ----
     "smp1_hash_sample" -> ((s, d) =>
       Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 0.25)
@@ -974,6 +985,48 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE l.l_returnflag = 'R'
         |GROUP BY 1, 2, 3""".stripMargin,
+    "t7_pii_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER)
+        |    AS n_urls,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |    AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{7,}\b')) AS INTEGER)
+        |    AS n_long_numbers
+        |FROM documents""".stripMargin,
+    "t8_repetition_stats" ->
+      """WITH tris AS (
+        |  SELECT doc_id, substr(lower(text), i, 3) AS tri
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text)-2,1)+1)) AS i
+        |        FROM documents)
+        |  WHERE length(substr(lower(text), i, 3)) = 3),
+        |dt AS (SELECT doc_id, tri, COUNT(*) AS c FROM tris GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       CAST(SUM(c) AS BIGINT) AS n_total,
+        |       CAST(MAX(c) AS BIGINT) AS max_rep,
+        |       COUNT(*) / CAST(SUM(c) AS DOUBLE) AS ttr
+        |FROM dt GROUP BY doc_id""".stripMargin,
+    "d9_contamination" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx)
+        |SELECT c.doc_id, b.doc_id AS bench_id,
+        |       CAST(COUNT(*) AS BIGINT) AS overlap
+        |FROM sh c JOIN sh b USING (shingle)
+        |WHERE c.doc_id >= 25 AND b.doc_id < 25 AND c.doc_id <> b.doc_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 5""".stripMargin,
     "smp1_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

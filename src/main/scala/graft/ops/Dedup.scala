@@ -273,6 +273,25 @@ object Dedup {
       .where(col("edit_dist") <= maxDist)
   }
 
+  /** Benchmark-contamination check (decontamination pre-pass): corpus docs
+    * sharing >= minOverlap distinct n-gram shingles with any benchmark doc.
+    * The benchmark side is tiny (an eval set), so its shingle index
+    * broadcasts — the corpus streams through one narrow join, no self-join
+    * at all. Returns (doc_id, bench_id, overlap). */
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 3, minOverlap: Int = 5): DataFrame = {
+    val corpusSh = shingleCache(corpus, n)
+    val benchSh = shingles(benchmark, n)
+      .select(col("doc_id").as("bench_id"),
+        xxhash64(col("shingle")).as("shingle"))
+    corpusSh
+      .join(broadcast(benchSh), "shingle")
+      .where(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+  }
+
   /** Connected components over the near-dup pair graph: iterative min-label
     * propagation until fixpoint (transitive closure of "is a near-dup of").
     * Each doc ends with cluster_id = smallest doc_id reachable through dup

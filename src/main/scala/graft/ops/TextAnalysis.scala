@@ -104,6 +104,44 @@ object TextAnalysis {
         sum(col("c")).as("n_trigrams"))
   }
 
+  /** PII indicator counts per document — the scrubbing pre-pass of a
+    * training-data pipeline (counts feed filtering/redaction policy).
+    * Patterns stay in the RE2-compatible subset so the DuckDB oracle uses
+    * the same regexes verbatim. Narrow, codegen, no shuffle. */
+  def piiStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit("https?://[^ ]+"), lit(0)))
+        .as("n_urls"),
+      size(regexp_extract_all(col("text"),
+        lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
+        lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit("\\b[0-9]{7,}\\b"), lit(0)))
+        .as("n_long_numbers"))
+
+  /** Repetition / diversity quality signals per document over char
+    * trigrams: distinct-to-total ratio (trigram type-token ratio — low
+    * values flag boilerplate/spam) and the count of the most repeated
+    * trigram. One explode + one groupBy pair, partial-agg friendly. */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val norm = lower(col("text"))
+    documents
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(length(norm) - 2, lit(1))),
+          i => norm.substr(i, lit(3)))).as("tri"))
+      .where(length(col("tri")) === 3)
+      .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("c")).as("n_total"),
+        max(col("c")).as("max_rep"))
+      .withColumn("ttr", col("n_distinct") / col("n_total"))
+  }
+
   /** Document fingerprint, oracle-exact flavor: md5 of normalized text
     * (lowercase, non-alnum runs -> single space, trimmed). */
   def normalizedFingerprint(documents: DataFrame): DataFrame =

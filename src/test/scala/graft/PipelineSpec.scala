@@ -153,6 +153,21 @@ class PipelineSpec extends GraftSuite {
     assert(scores.length == 2 && math.abs(scores(0) - scores(1)) < 1e-12)
   }
 
+  test("d9 contamination check flags every corpus doc copied from the benchmark") {
+    // plant: 5 benchmark docs re-enter the corpus under new ids
+    val bench = docs.limit(5)
+    val leaked = bench.select((col("doc_id") + 200000L).as("doc_id"),
+      col("text"))
+    val corpus = docs.select("doc_id", "text").union(leaked)
+    val hits = Dedup.contaminationCheck(corpus, bench, 3, 5)
+      .where(col("doc_id") >= 200000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = bench.select("doc_id").collect()
+      .map(r => (r.getLong(0) + 200000L, r.getLong(0))).toSet
+    assert(expected.subsetOf(hits),
+      s"missing planted contamination: ${expected -- hits}")
+  }
+
   test("d1 exact dedup keeps one keeper per fingerprint") {
     val d = Dedup.exactDuplicates(docs)
     assert(d.count() == d.select("fingerprint").distinct().count())
