@@ -79,7 +79,12 @@ object TextAnalysis {
     * is the count-weighted sum ÷ total — identical to the per-instance avg,
     * over the far smaller (doc, tri, c) frame.
     */
-  def trigramLmScore(documents: DataFrame): DataFrame = {
+  /** Shared substrate of the trigram family (t6 LM score, t8 repetition):
+    * per-doc char-trigram counts, persisted so plan-equality cache reuse
+    * serves every trigram query from one explode (same discipline as the
+    * dedup shingle substrate; count() barrier prevents concurrent scans of
+    * the uncached plan inside one action). */
+  private def docTriCounts(documents: DataFrame): DataFrame = {
     val norm = lower(col("text"))
     val docTri = documents
       .select(col("doc_id"),
@@ -88,7 +93,15 @@ object TextAnalysis {
           i => norm.substr(i, lit(3)))).as("tri"))
       .where(length(col("tri")) === 3)
       .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    if (docTri.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      docTri.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docTri.count()
+    }
+    docTri
+  }
+
+  def trigramLmScore(documents: DataFrame): DataFrame = {
+    val docTri = docTriCounts(documents)
     val stats = docTri.groupBy(col("tri")).agg(sum(col("c")).as("tf"))
       .localCheckpoint()
     val totals = stats.agg(sum(col("tf")).as("total"),
@@ -126,21 +139,13 @@ object TextAnalysis {
     * trigrams: distinct-to-total ratio (trigram type-token ratio — low
     * values flag boilerplate/spam) and the count of the most repeated
     * trigram. One explode + one groupBy pair, partial-agg friendly. */
-  def repetitionStats(documents: DataFrame): DataFrame = {
-    val norm = lower(col("text"))
-    documents
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), greatest(length(norm) - 2, lit(1))),
-          i => norm.substr(i, lit(3)))).as("tri"))
-      .where(length(col("tri")) === 3)
-      .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
+  def repetitionStats(documents: DataFrame): DataFrame =
+    docTriCounts(documents)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_distinct"),
         sum(col("c")).as("n_total"),
         max(col("c")).as("max_rep"))
       .withColumn("ttr", col("n_distinct") / col("n_total"))
-  }
 
   /** Document fingerprint, oracle-exact flavor: md5 of normalized text
     * (lowercase, non-alnum runs -> single space, trimmed). */
