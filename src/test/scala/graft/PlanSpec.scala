@@ -111,6 +111,36 @@ class PlanSpec extends GraftSuite {
     assert("Exchange hashpartitioning\\(event_type".r.findAllIn(p).size == 1)
   }
 
+  test("d9 contamination check broadcasts the benchmark shingle index") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = ops.Dedup.contaminationCheck(
+      docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d2 jaccard plan: no cartesian product, candidate joins on hashed longs") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = ops.Dedup.jaccardPairs(docs, 3, 0.5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("smp3 token offsets avoid a single-partition global window") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = ops.Sampling.tokenOffsets(docs, 4096)
+    val p = df.queryExecution.executedPlan.toString
+    // the doc-level window partitions by bucket (parallel); only the tiny
+    // per-bucket totals frame may use an ordered global window
+    assert(p.contains("Window [") || p.contains("RunningWindowFunction") ||
+      p.contains("Window"), "expected window operators")
+    assert(p.contains("hashpartitioning(bkt"),
+      s"doc-level cumsum must partition by bucket:\n${p.take(1500)}")
+  }
+
   test("vector kernels run as native expressions inside codegen") {
     val df = ops.Similarity.bruteForceTopK(
       Tables.load(spark, sf, "embeddings"), 10, 1)
