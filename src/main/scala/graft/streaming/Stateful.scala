@@ -94,6 +94,62 @@ object Stateful {
       }
   }
 
+  /** A8 on the MODERN state API (Spark 4 `transformWithState`): identical
+    * semantics to `firstEventOfDay`, with state TTL declared via
+    * `TTLConfig` instead of hand-rolled timers. Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass`).
+    * CAVEAT (measured): a TTL forces TimeMode.ProcessingTime, and under
+    * that mode Spark schedules micro-batches indefinitely — the same
+    * never-terminating-AvailableNow behavior as
+    * flatMapGroupsWithState + ProcessingTimeTimeout. TTL stays opt-in:
+    * None for bounded replays/tests, Some(d) for long-running deployments.
+    */
+  class FirstEventProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UuEmit] {
+    @transient private var lastDate:
+      org.apache.spark.sql.streaming.ValueState[String] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttlConf = ttl
+        .map(org.apache.spark.sql.streaming.TTLConfig.apply)
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
+      lastDate = getHandle.getValueState[String]("lastDate",
+        org.apache.spark.sql.Encoders.STRING, ttlConf)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UuEmit] = {
+      val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+        .withZone(java.time.ZoneOffset.UTC)
+      val out = scala.collection.mutable.ArrayBuffer[UuEmit]()
+      var last = if (lastDate.exists()) lastDate.get() else ""
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val d = fmt.format(e.ts.toInstant)
+        if (d > last) { out += UuEmit(e.user_id, d, e.event_id); last = d }
+      }
+      lastDate.update(last)
+      out.iterator
+    }
+  }
+
+  /** A8 streaming via transformWithState (see FirstEventProcessor). */
+  def firstEventOfDayTws(events: Dataset[Event],
+      ttl: Option[java.time.Duration] = None): Dataset[UuEmit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // TTL'd state requires TimeMode.ProcessingTime (see class caveat)
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FirstEventProcessor(ttl), timeMode,
+        OutputMode.Append())
+  }
+
   case class Upsert(id: Long, user_id: Long, amount: Double,
       ts: java.sql.Timestamp)
 

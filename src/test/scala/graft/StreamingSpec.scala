@@ -295,6 +295,33 @@ class StreamingSpec extends GraftSuite {
       s"recovered counts must cover both incarnations: $counts vs $exp")
   }
 
+  test("transformWithState first-event-of-day matches batch (RocksDB store)") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event](14, spark, None)
+      ms.addData(eventsData)
+      // no TTL: like the old API, a TTL (=> TimeMode.ProcessingTime) makes
+      // Spark schedule micro-batches forever, so AvailableNow never
+      // terminates — measured, documented on firstEventOfDayTws
+      runToMemory(Stateful.firstEventOfDayTws(ms.toDS()), "tws_out")
+      val got = spark.table("tws_out")
+        .groupBy("event_date").agg(count(lit(1)).as("uu")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exp = ops.Aggs.dailyUniqueUsers(Tables.load(spark, sf, "events"))
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      assert(got == exp)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("DwsTradeOrderWindow streaming shell matches the batch app") {
     import spark.implicits._
     val ms = MemoryStream[Event](10, spark, None)
