@@ -401,9 +401,12 @@ object Dedup {
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
       bits: Int = 12, tables: Int = 4, dims: Int = 64): DataFrame = {
     import graft.functions.Vectors
+    // localCheckpoint: both sides of the bucket self-join read this frame —
+    // one hyperplane-UDF pass, not two
     val sigs = embeddings.select(col("vec_id"),
       posexplode(Vectors.sigsUdf(dims, bits, tables)(col("embedding")))
         .as(Seq("tbl", "sig")))
+      .localCheckpoint()
     val candIds = sigs.toDF("vec1", "tbl", "sig")
       .join(sigs.toDF("vec2", "tbl", "sig"), Seq("tbl", "sig"))
       .where(col("vec1") < col("vec2"))

@@ -51,10 +51,14 @@ object Similarity {
     * `tables` hash tables; exact cosine ranks candidates. */
   def lshTopK(embeddings: DataFrame, numQueries: Int, k: Int,
       bits: Int = 5, tables: Int = 12, dims: Int = 64): DataFrame = {
+    // localCheckpoint: the signature frame feeds both the query side and
+    // the corpus side of the bucket join — materialize the hyperplane UDF
+    // once instead of twice
     val sigs = embeddings
       .select(col("vec_id"),
         posexplode(Vectors.sigsUdf(dims, bits, tables)(col("embedding")))
           .as(Seq("tbl", "sig")))
+      .localCheckpoint()
     val q = sigs.where(col("vec_id") < numQueries).toDF("qid", "tbl", "sig")
     val candIds = sigs.toDF("nid", "tbl", "sig")
       .join(broadcast(q), Seq("tbl", "sig"))
