@@ -985,6 +985,16 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |WHERE l.l_returnflag = 'R'
         |GROUP BY 1, 2, 3""".stripMargin,
+    // percentile_approx(accuracy=10000) is EXACT whenever a group holds
+    // fewer than `accuracy` values (the sketch keeps every value), and its
+    // nearest-rank answer == DuckDB's quantile_disc. Oracle valid at the
+    // driver's sf0.01 (2k rows/group); at larger SF it reverts to a sketch
+    // by design.
+    "a14_approx_quantiles" ->
+      """SELECT event_type,
+        |       quantile_disc(value, 0.5) AS p50,
+        |       quantile_disc(value, 0.95) AS p95
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "t7_pii_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
