@@ -308,6 +308,9 @@ object SparkEntry {
       Dedup.contaminationCheck(
         docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25))
     }),
+    // ---- flagship end-to-end training-corpus pipeline ----
+    "e3_training_corpus" -> ((s, d) =>
+      Pipeline.trainingCorpus(t(s, d, "documents"))),
     // ---- reproducible data selection (training-pipeline ops) ----
     "smp1_hash_sample" -> ((s, d) =>
       Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 0.25)
@@ -1037,6 +1040,53 @@ object SparkEntry {
         |WHERE c.doc_id >= 25 AND b.doc_id < 25 AND c.doc_id <> b.doc_id
         |GROUP BY 1, 2
         |HAVING COUNT(*) >= 5""".stripMargin,
+    "e3_training_corpus" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        |       FROM sh a JOIN sh b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
+        |             JOIN sz s1 ON doc1 = s1.doc_id
+        |             JOIN sz s2 ON doc2 = s2.doc_id
+        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+        |exactdups AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        |                                'g')))) AS keeper
+        |    FROM documents)
+        |  WHERE doc_id <> keeper),
+        |contam AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
+        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
+        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5)),
+        |survivors AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id >= 25 AND length(text) >= 100
+        |    AND doc_id NOT IN (SELECT doc_id FROM neardups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM exactdups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+        |SELECT doc_id, lang,
+        |       CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+        |         AS n_tok,
+        |       CAST(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |           OVER (ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) AS BIGINT) AS start_offset,
+        |       CAST(floor(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |           OVER (ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) / 4096) AS BIGINT) AS chunk_id
+        |FROM survivors""".stripMargin,
     "smp1_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

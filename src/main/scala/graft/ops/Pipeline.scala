@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The flagship end-to-end training-corpus build: one declarative
+  * DataFrame program chaining the pipeline a 100 TB pretraining run
+  * executes —
+  *
+  *   near-dup dedup -> exact dedup -> quality filter -> benchmark
+  *   decontamination -> reproducible sampling -> sequence packing.
+  *
+  * Every stage is one of the already-verified operators, so the whole
+  * pipeline stays a single Catalyst plan: the dedup/contamination stages
+  * reuse the persisted shingle substrate, the anti-joins are broadcast
+  * (the drop-lists are tiny relative to the corpus), and the final packing
+  * is the two-phase prefix sum. Nothing collects to the driver.
+  */
+object Pipeline {
+
+  /** Returns the packed training corpus: one row per surviving document
+    * with (doc_id, lang, n_tok, start_offset, chunk_id).
+    *
+    * @param benchmarkMaxId docs below this id form the held-out benchmark:
+    *        they are excluded from the corpus and any doc overlapping them
+    *        by >= 5 shingles is dropped as contaminated.
+    * @param sampleFrac reproducible hash-sample fraction applied last. */
+  def trainingCorpus(documents: DataFrame, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5,
+      seqLen: Int = 4096): DataFrame = {
+    val corpus = documents.where(col("doc_id") >= benchmarkMaxId)
+    val benchmark = documents.where(col("doc_id") < benchmarkMaxId)
+
+    // near-dup drop-list: the lower-id doc of each pair is the keeper
+    // (reuses the d2 pair cache when both run in one session)
+    val nearDups = Dedup.jaccardPairs(documents, 3, 0.5)
+      .select(col("doc2").as("doc_id")).distinct()
+    // exact-dup drop-list: any doc whose normalized fingerprint has a
+    // smaller keeper id
+    val exactDups = documents
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("fp"))
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    val contaminated = Dedup.contaminationCheck(corpus, benchmark, 3, 5)
+      .select(col("doc_id")).distinct()
+
+    val survivors = corpus
+      .where(length(col("text")) >= minChars)
+      .join(broadcast(nearDups), Seq("doc_id"), "left_anti")
+      .join(broadcast(exactDups), Seq("doc_id"), "left_anti")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .transform(Sampling.deterministicSample(_, "doc_id", sampleFrac))
+
+    Sampling.tokenOffsets(survivors, seqLen)
+      .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        col("start_offset"), col("chunk_id"))
+  }
+}
