@@ -302,6 +302,8 @@ object SparkEntry {
       TextAnalysis.piiStats(t(s, d, "documents"))),
     "t8_repetition_stats" -> ((s, d) =>
       TextAnalysis.repetitionStats(t(s, d, "documents"))),
+    "t9_pii_redact" -> ((s, d) =>
+      TextAnalysis.redactPii(t(s, d, "documents"))),
     "d9_contamination" -> ((s, d) => {
       val docs = t(s, d, "documents")
       import org.apache.spark.sql.functions.col
@@ -1025,6 +1027,21 @@ object SparkEntry {
         |       CAST(MAX(c) AS BIGINT) AS max_rep,
         |       COUNT(*) / CAST(SUM(c) AS DOUBLE) AS ttr
         |FROM dt GROUP BY doc_id""".stripMargin,
+    "t9_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>',
+        |    'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>',
+        |    'g') AS clean_text,
+        |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>',
+        |    'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>',
+        |    'g')) AS INTEGER) AS clean_len
+        |FROM documents""".stripMargin,
     "d9_contamination" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),

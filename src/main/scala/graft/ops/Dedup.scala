@@ -306,8 +306,17 @@ object Dedup {
     * an extra job per round).
     */
   def dupClusters(documents: DataFrame, n: Int = 3,
-      threshold: Double = 0.5, maxIter: Int = 10): DataFrame = {
-    val pairs = jaccardPairs(documents, n, threshold)
+      threshold: Double = 0.5, maxIter: Int = 10): DataFrame =
+    clustersFromPairs(documents.select(col("doc_id")),
+      jaccardPairs(documents, n, threshold), maxIter)
+
+  /** Connected components over an explicit (doc1, doc2) pair frame —
+    * `dupClusters` with the candidate generator factored out, so any
+    * near-dup variant (minhash, simhash, embedding) or a synthetic graph
+    * can be clustered with the same propagation loop. */
+  def clustersFromPairs(docIds: DataFrame, pairFrame: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val pairs = pairFrame
       .select(col("doc1"), col("doc2")).localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
@@ -336,7 +345,7 @@ object Dedup {
         else 1L
       labels = next
     }
-    documents.select(col("doc_id"))
+    docIds.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

@@ -135,6 +135,21 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("\\b[0-9]{7,}\\b"), lit(0)))
         .as("n_long_numbers"))
 
+  /** PII redaction — the actionable counterpart of `piiStats`: emails,
+    * URLs, and IPs are replaced by typed placeholder tokens (the usual
+    * pre-training scrub). Order matters (emails before URLs before IPs so
+    * narrower patterns never split a wider match); same RE2-safe regexes
+    * as the stats pass. Narrow, codegen. */
+  def redactPii(documents: DataFrame): DataFrame = {
+    val noEmail = regexp_replace(col("text"),
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
+    val noUrl = regexp_replace(noEmail, "https?://[^ ]+", "<URL>")
+    val noIp = regexp_replace(noUrl,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    documents.select(col("doc_id"), noIp.as("clean_text"),
+      length(noIp).as("clean_len"))
+  }
+
   /** Repetition / diversity quality signals per document over char
     * trigrams: distinct-to-total ratio (trigram type-token ratio — low
     * values flag boilerplate/spam) and the count of the most repeated

@@ -153,6 +153,22 @@ class PipelineSpec extends GraftSuite {
     assert(scores.length == 2 && math.abs(scores(0) - scores(1)) < 1e-12)
   }
 
+  test("d7 propagation collapses long chains and stars (multi-iteration + bounded plan)") {
+    import spark.implicits._
+    // chain 0-1-2-...-9 (diameter 9 forces ~5 propagation rounds under the
+    // every-2nd-iteration convergence check), star 100-{101..105},
+    // isolated 900
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val star = (101L to 105L).map(i => (100L, i))
+    val pairs = (chain ++ star).toDF("doc1", "doc2")
+    val ids = ((0L to 9L) ++ (100L to 105L) :+ 900L).toDF("doc_id")
+    val got = Dedup.clustersFromPairs(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+    (100L to 105L).foreach(i => assert(got(i) == 100L, s"star node $i"))
+    assert(got(900L) == 900L)
+  }
+
   test("d9 contamination check flags every corpus doc copied from the benchmark") {
     // plant: 5 benchmark docs re-enter the corpus under new ids
     val bench = docs.limit(5)
