@@ -37,6 +37,8 @@ object SparkEntry {
     // ---- §2b projections / filters / per-record transforms ----
     "p1_parse_validate" -> ((s, d) =>
       Etl.parseValidate(events(s, d), Seq("click", "view", "purchase"))),
+    "p12_parse_rejects" -> ((s, d) =>
+      Etl.parseRejects(events(s, d), Seq("click", "view", "purchase"))),
     "p2_cdc_filter" -> ((s, d) =>
       Etl.cdcFilter(env(s, d), "gmall", "cart_info", Seq("update"))
         .select("event_id", "table", "type", "ts_ms")),
@@ -336,6 +338,15 @@ object SparkEntry {
         |FROM events
         |WHERE props->>'$.k' IS NOT NULL AND user_id IS NOT NULL
         |  AND event_type IN ('click','view','purchase')""".stripMargin,
+    "p12_parse_rejects" ->
+      """SELECT event_id,
+        |       CASE WHEN props->>'$.k' IS NULL THEN 'unparsable_props'
+        |            WHEN user_id IS NULL THEN 'missing_user'
+        |            WHEN event_type NOT IN ('click','view','purchase')
+        |              THEN 'unknown_type' END AS reject_reason
+        |FROM events
+        |WHERE props->>'$.k' IS NULL OR user_id IS NULL
+        |   OR event_type NOT IN ('click','view','purchase')""".stripMargin,
     "p2_cdc_filter" ->
       """SELECT event_id, 'cart_info' AS "table", 'update' AS type,
         |       epoch_ms(ts) AS ts_ms

@@ -26,6 +26,21 @@ object Etl {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("j.k").as("k"))
 
+  /** P1 dirty channel — the records `parseValidate` rejects, tagged with
+    * the first failed check (the reference logs these from its catch block,
+    * DwdBaseLog.java:54-56; at scale you route them to a quarantine sink
+    * instead of dropping). Same single parse as the accept path — in a
+    * streaming foreachBatch both legs share one scan. */
+  def parseRejects(events: DataFrame, requiredTypes: Seq[String]): DataFrame =
+    events
+      .withColumn("j", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .withColumn("reject_reason",
+        when(col("j.k").isNull, "unparsable_props")
+          .when(col("user_id").isNull, "missing_user")
+          .when(!col("event_type").isin(requiredTypes: _*), "unknown_type"))
+      .where(col("reject_reason").isNotNull)
+      .select(col("event_id"), col("reject_reason"))
+
   /** Synthesized Maxwell-style CDC envelope over `events` — the deterministic
     * stand-in for the reference's `topic_db` stream
     * (realtime-common .../util/SQLUtil.java:31-41: {database, table, type,
