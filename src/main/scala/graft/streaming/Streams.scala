@@ -142,9 +142,14 @@ object Streams {
         } finally routed.unpersist()
     }
 
-  /** S6 — keyed upsert sink via foreachBatch merge: last-write-wins into a
-    * keyed parquet table (the upsert-kafka / HBase-put analogue, S8). */
-  def upsertSink(updates: DataFrame, targetDir: String)
+  /** S6/S8 — keyed upsert sink via foreachBatch merge: last-write-wins into
+    * a keyed parquet table (the upsert-kafka / HBase-put analogue).
+    * `deleteWhen` marks tombstones (the reference's CDC type=delete path,
+    * DimHBaseSinkFunc.java:41-45): the newest record per key wins, and if
+    * that record is a tombstone the key disappears from the table — so a
+    * delete followed by a newer re-insert keeps the re-insert. */
+  def upsertSink(updates: DataFrame, targetDir: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -156,17 +161,24 @@ object Streams {
         val existing =
           if (fs.exists(targetPath)) spark.read.parquet(targetDir)
           else spark.emptyDataFrame
-        val merged =
-          if (existing.columns.isEmpty) batch
-          else {
-            import org.apache.spark.sql.expressions.Window
-            existing.withColumn("_src", lit(0))
-              .unionByName(batch.withColumn("_src", lit(1)))
-              .withColumn("_rn", row_number().over(
-                Window.partitionBy(col("event_id"))
-                  .orderBy(col("_src").desc, col("ts").desc)))
-              .where(col("_rn") === 1).drop("_src", "_rn")
-          }
+        val tagged = batch.withColumn("_del",
+          deleteWhen.getOrElse(lit(false)))
+        val merged = {
+          import org.apache.spark.sql.expressions.Window
+          val unioned =
+            if (existing.columns.isEmpty) tagged
+            else existing.withColumn("_src", lit(0)).withColumn("_del", lit(false))
+              .unionByName(tagged.withColumn("_src", lit(1)))
+          val withSrc =
+            if (unioned.columns.contains("_src")) unioned
+            else unioned.withColumn("_src", lit(1))
+          withSrc
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("event_id"))
+                .orderBy(col("_src").desc, col("ts").desc)))
+            .where(col("_rn") === 1 && !col("_del"))
+            .drop("_src", "_rn", "_del")
+        }
         // write the merge to a side dir (this materializes the read of the
         // old target), then swap via renames — metadata ops on a local /
         // HDFS-like fs, so the window where the target is absent is tiny

@@ -383,6 +383,32 @@ class StreamingSpec extends GraftSuite {
     assert(got == exp)
   }
 
+  test("upsert sink tombstones: CDC delete removes the key, newer re-insert survives") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_upsert_del").toString + "/t"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val ms = MemoryStream[Event](15, spark, None)
+    // event_type == "error" plays the CDC delete record
+    val q = Streams.upsertSink(ms.toDF(), out,
+      Some(col("event_type") === "error")).start()
+    ms.addData(Seq(Event(1L, ts(0), 10L, "purchase", 5.0),
+      Event(2L, ts(0), 11L, "purchase", 7.0),
+      Event(3L, ts(0), 12L, "purchase", 9.0)))
+    q.processAllAvailable()
+    // delete key 1; update key 2; delete-then-reinsert key 3
+    ms.addData(Seq(Event(1L, ts(5), 10L, "error", 0.0),
+      Event(2L, ts(5), 11L, "purchase", 8.0),
+      Event(3L, ts(5), 12L, "error", 0.0),
+      Event(3L, ts(6), 12L, "purchase", 1.5)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out)
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(2L -> 8.0, 3L -> 1.5), s"got $rows")
+  }
+
   test("upsert foreachBatch sink keeps last write per key") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_upsert").toString + "/t"
