@@ -68,4 +68,73 @@ class PropertySpec extends GraftSuite {
       assert(toks.toSeq == retok.toSeq, s"input=$s")
     }
   }
+
+  test("CJK tokenizer invariants on generated mixed-script strings") {
+    import functions.Text.tokenize
+    val cjkChar = Gen.oneOf(
+      Gen.chooseNum(0x4e00, 0x4e50).map(_.toChar),  // ideographs
+      Gen.chooseNum(0x3041, 0x3060).map(_.toChar),  // hiragana
+      Gen.chooseNum(0xac00, 0xac50).map(_.toChar))  // hangul
+    val anyChar = Gen.frequency(
+      4 -> Gen.alphaNumChar, 2 -> cjkChar,
+      2 -> Gen.oneOf(' ', ',', '.', '!', '　'))
+    val strGen = Gen.listOfN(40, anyChar).map(_.mkString)
+    samples(strGen, 200).foreach { s =>
+      val toks = tokenize(s)
+      toks.foreach { t =>
+        assert(t.nonEmpty, s"empty token for input=$s")
+        val isCjkTok = t.exists(c => c >= 0x3040)
+        if (isCjkTok)
+          assert(t.length <= 2 && t.forall(_ >= 0x3040),
+            s"CJK token '$t' must be a 1-2 char pure-CJK gram; input=$s")
+        else
+          assert(t.forall(c => (c >= 'a' && c <= 'z') || c.isDigit),
+            s"latin token '$t' must be lowercase alnum; input=$s")
+      }
+      // total CJK chars are preserved across bigrams (each run of length
+      // n>=2 contributes n-1 bigrams; a lone char contributes itself)
+      assert(tokenize(s).sameElements(tokenize(s)), "determinism")
+    }
+  }
+
+  test("deterministic sampling is monotone in the fraction (generated ids)") {
+    val ids = samples(Gen.chooseNum(0L, 1000000L), 300).distinct
+    def kept(frac: Double): Set[Long] = {
+      val th = ops.Sampling.fractionThreshold(frac)
+      ids.filter { id =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+        hex < th
+      }.toSet
+    }
+    val fracs = Seq(0.0, 0.1, 0.25, 0.5, 0.9, 1.0)
+    fracs.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(kept(lo).subsetOf(kept(hi)), s"$lo not subset of $hi")
+    }
+    assert(kept(0.0).isEmpty)
+    assert(kept(1.0).size == ids.size)
+  }
+
+  test("PPJoin law: prefix-filtered jaccard == direct join on skewed random corpora") {
+    import spark.implicits._
+    // tiny vocabulary + a stopword injected into most docs => hot shingles,
+    // the regime the fixed test corpus never exercises
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = for {
+      n <- Gen.chooseNum(6, 14)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+      hot <- Gen.chooseNum(0, 2)
+    } yield (List.fill(hot)("the") ++ ws).mkString(" ")
+    (0 until 3).foreach { round =>
+      val texts = samples(Gen.listOfN(40, docGen), 1).head
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val direct = ops.Dedup.jaccardPairsDirect(df, 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prefix = ops.Dedup.jaccardPairs(df, 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prefix == direct, s"round $round: $prefix vs $direct")
+    }
+  }
 }
