@@ -312,6 +312,15 @@ object SparkEntry {
       Dedup.contaminationCheck(
         docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25))
     }),
+    // ---- sketch pushdown: bloom pre-filtered anti-join ----
+    "s3_bloom_antijoin" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = events(s, d)
+      val dropKeys = ev.select(col("user_id")).distinct()
+        .where(col("user_id") % 3 === 0)
+      Sketches.bloomAntiJoin(ev, dropKeys, "user_id", 10000L)
+        .select("event_id", "user_id", "event_type")
+    }),
     // ---- flagship end-to-end training-corpus pipeline ----
     "e3_training_corpus" -> ((s, d) =>
       Pipeline.trainingCorpus(t(s, d, "documents"))),
@@ -1068,6 +1077,11 @@ object SparkEntry {
         |WHERE c.doc_id >= 25 AND b.doc_id < 25 AND c.doc_id <> b.doc_id
         |GROUP BY 1, 2
         |HAVING COUNT(*) >= 5""".stripMargin,
+    // anti-join vs the distinct %3==0 key set == the complement predicate;
+    // null user_ids never match an anti-join key, so they survive
+    "s3_bloom_antijoin" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id IS NULL OR user_id % 3 <> 0""".stripMargin,
     "e3_training_corpus" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),

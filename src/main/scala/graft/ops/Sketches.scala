@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Probabilistic-sketch patterns for 100 TB plans (beyond the built-in
+  * `approx_count_distinct` / `percentile_approx` already in the query
+  * surface):
+  *
+  * - Bloom pre-filtered anti-join: the classic big-side pushdown. The
+  *   exact anti-join of a 100 TB fact against a drop-list shuffles the
+  *   whole fact; a Bloom filter built over the drop-list keys and
+  *   broadcast as a scan-side predicate removes the guaranteed-clean rows
+  *   (no false negatives) BEFORE the shuffle, leaving the exact anti-join
+  *   to run over the tiny maybe-set. Result is exactly the plain
+  *   anti-join's (spec-enforced).
+  *
+  * - Count-min heavy-hitters: one-pass approximate per-key counts with a
+  *   proven overcount bound; candidates verified exactly. */
+object Sketches {
+
+  /** `big` minus rows whose `keyCol` appears in `keys`: semantically a
+    * LEFT ANTI join, executed as bloom-prefilter + exact anti-join on the
+    * survivors. `expectedKeys`/`fpp` size the filter (~ -n·ln(fpp)/ln2²
+    * bits — 1M keys at 1% fpp ≈ 1.2 MB broadcast). */
+  def bloomAntiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    val spark = big.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+    // rows failing the bloom test are definitely not in `keys` — emit
+    // directly; only the maybe-set (true matches + fpp false positives)
+    // pays the exact anti-join
+    val maybe = big.where(mightContain(col(keyCol)))
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    big.where(!mightContain(col(keyCol))).unionByName(maybe)
+  }
+
+  /** Approximate heavy-hitters via count-min sketch: one pass builds the
+    * sketch (mergeable, driver-combined), candidate keys are read from a
+    * bounded exact pass over the DISTINCT keys only (small), and each
+    * candidate's estimate carries the CMS overcount guarantee
+    * (est >= true; est <= true + eps·N with prob 1-delta). */
+  def cmsTopKeys(df: DataFrame, keyCol: String, k: Int,
+      eps: Double = 0.001, delta: Double = 0.01): DataFrame = {
+    val cms = df.stat.countMinSketch(col(keyCol), eps, delta, seed = 42)
+    val spark = df.sparkSession
+    val cmsBc = spark.sparkContext.broadcast(cms)
+    val estimate = udf((s: String) => cmsBc.value.estimateCount(s))
+    df.select(col(keyCol)).distinct()
+      .withColumn("est_count", estimate(col(keyCol)))
+      .orderBy(col("est_count").desc, col(keyCol))
+      .limit(k)
+  }
+}

@@ -181,6 +181,33 @@ class OpsSpec extends GraftSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("bloom pre-filtered anti-join equals the plain anti-join") {
+    val ev = events
+    val dropKeys = ev.select(col("user_id")).distinct()
+      .where(col("user_id") % 3 === 0)
+    val exact = ev.join(dropKeys, Seq("user_id"), "left_anti")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val bloomed = Sketches.bloomAntiJoin(ev, dropKeys, "user_id",
+        expectedKeys = 10000L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(bloomed == exact)
+    assert(exact.nonEmpty && exact.size < ev.count())
+  }
+
+  test("count-min heavy hitters: estimates bound true counts from above, top key right") {
+    val ev = events
+    val exact = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val got = Sketches.cmsTopKeys(ev, "event_type", 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (k, est) =>
+      assert(est >= exact(k), s"CMS must never undercount: $k")
+      assert(est <= exact(k) + (0.001 * n).toLong + 1, s"overcount bound: $k")
+    }
+    assert(got.maxBy(_._2)._1 == exact.maxBy(_._2)._1)
+  }
+
   test("smp deterministic sampling: reproducible, composable, ~uniform") {
     val docs = Tables.load(spark, sf, "documents")
     val total = docs.count().toDouble
