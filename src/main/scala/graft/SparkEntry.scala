@@ -90,6 +90,13 @@ object SparkEntry {
       Joins.customerOrderSummary(t(s, d, "customer"), t(s, d, "orders"))),
     "j3_interval_join" -> ((s, d) =>
       Joins.purchasesWithRecentSignup(events(s, d))),
+    "j16_bucketed_interval" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = events(s, d)
+      Joins.bucketedIntervalJoin(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "signup"))
+    }),
     "j4_lookup_region" -> ((s, d) =>
       Joins.lookupRegionName(events(s, d), t(s, d, "region"))),
     "j5_dim_route" -> ((s, d) => {
@@ -466,6 +473,12 @@ object SparkEntry {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1""".stripMargin,
     "j3_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id
+        | AND s.ts >= p.ts - INTERVAL 15 MINUTE AND s.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND s.event_type = 'signup'""".stripMargin,
+    "j16_bucketed_interval" ->
       """SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id
         |FROM events p JOIN events s
         |  ON p.user_id = s.user_id

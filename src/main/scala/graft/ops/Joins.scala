@@ -44,7 +44,8 @@ object Joins {
   /** J3 — event-time interval join (DwdTradeOrderPaySucDetail.java:66-88):
     * pay events matched to order events of the same key within
     * [ts - 15 min, ts]. Equi key keeps it a shuffled join with a range
-    * post-filter; the unbounded-scale path would time-bucket both sides.
+    * post-filter; `bucketedIntervalJoin` below is the unbounded-scale
+    * time-bucketed form of the same query (spec- and oracle-equal).
     */
   def purchasesWithRecentSignup(events: DataFrame): DataFrame = {
     val p = events.where(col("event_type") === "purchase")
@@ -178,6 +179,33 @@ object Joins {
       .withColumn("_asof", last(col("_rid"), ignoreNulls = true).over(w))
       .where(col("_side") === 1 && col("_asof").isNotNull)
       .select(col("_lid").as(leftId), col(key), col("_asof").as(rightId))
+  }
+
+  /** The unbounded-scale path for the J3 interval join: time-bucket BOTH
+    * sides so the range predicate becomes an equi-join. Each right row
+    * lands in its own bucket; each left row probes its bucket and the
+    * `lookback` buckets before it (bucket width == the interval span, so
+    * exactly 2 buckets per left row at lookback=1). The join key is
+    * (user, bucket) — a plain shuffled equi-join whose per-task input is
+    * bounded by bucket population, not by key history length; the exact
+    * range check runs as a post-filter. Result set identical to the direct
+    * range-condition join (spec-enforced). */
+  def bucketedIntervalJoin(purchases: DataFrame, signups: DataFrame,
+      intervalSec: Long = 900L): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"),
+        floor(unix_timestamp(col("ts")) / intervalSec).as("_pb"))
+      .withColumn("_lbkt", explode(array(col("_pb"), col("_pb") - 1)))
+    val s = signups
+      .select(col("event_id").as("signup_id"),
+        col("user_id").as("s_user_id"), col("ts").as("s_ts"),
+        floor(unix_timestamp(col("ts")) / intervalSec).as("_sbkt"))
+    p.join(s,
+        col("user_id") === col("s_user_id") && col("_lbkt") === col("_sbkt"))
+      .where(col("s_ts") >= col("p_ts") - expr(s"INTERVAL $intervalSec SECONDS") &&
+        col("s_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("signup_id"))
   }
 
   /** Skew-safe equi-join by key salting: the big (skewed) side gets a

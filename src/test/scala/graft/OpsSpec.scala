@@ -181,6 +181,18 @@ class OpsSpec extends GraftSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("bucketed interval join equals the direct range-condition join") {
+    val ev = events
+    val p = ev.where(col("event_type") === "purchase")
+    val s = ev.where(col("event_type") === "signup")
+    val direct = ops.Joins.purchasesWithRecentSignup(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bucketed = ops.Joins.bucketedIntervalJoin(p, s)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(direct.nonEmpty)
+    assert(bucketed == direct)
+  }
+
   test("bloom pre-filtered anti-join equals the plain anti-join") {
     val ev = events
     val dropKeys = ev.select(col("user_id")).distinct()
