@@ -302,6 +302,19 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_uu"))
         .orderBy(col("event_type"))
     }),
+    // mergeable-sketch rollup: daily HLL sketches unioned to a per-type
+    // estimate — the OLAP pattern where day partitions keep sketches and
+    // period queries merge them without rescanning raw data
+    "a15_hll_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      events(s, d)
+        .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("daily_sketch"))
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("daily_sketch")))
+          .as("merged_uu"))
+        .orderBy(col("event_type"))
+    }),
     // ---- assembled DWS apps (reference job compositions) ----
     "a18_order_uu_new" -> ((s, d) => Apps.dwsTradeOrder(s, d)),
     "a19_paysuc_uu_new" -> ((s, d) => Apps.dwsTradePaymentSuc(s, d)),
