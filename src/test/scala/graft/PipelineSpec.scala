@@ -100,6 +100,24 @@ class PipelineSpec extends GraftSuite {
     assert(recall >= 0.3)
   }
 
+  test("sim4 PQ ANN: compressed codes, recall@5 vs brute force") {
+    val truth = Similarity.bruteForceTopK(emb, 50, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Similarity.pqTopK(emb, 50, 5, m = 16, k = 32)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = truth.count { case (q, n) =>
+      got.getOrElse(q, Set.empty).contains(n)
+    }.toDouble / truth.size
+    info(s"PQ (16x32, 16x compression) ANN recall@5: $recall")
+    assert(recall >= 0.3)
+    // codes really are m bytes
+    val code = Similarity.pqEncode(emb,
+      Similarity.pqCodebooks(emb)).select("code").head
+      .getAs[Array[Byte]](0)
+    assert(code.length == 8)
+  }
+
   test("m1 multimodal stub features are deterministic and byte-faithful") {
     val media = Multimodal.toMediaTable(docs)
     val f1 = Multimodal.extractFeatures(media)
