@@ -152,27 +152,44 @@ object Similarity {
       m: Int = 8, k: Int = 16, dims: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
     val cbs = pqCodebooks(embeddings, m, k, dims)
-    val bc = spark.sparkContext.broadcast(cbs)
     val subDim = dims / m
-    val codes = pqEncode(embeddings, cbs)
-    val queries = embeddings.where(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
-    val score = udf { (q: Seq[Float], code: Array[Byte]) =>
-      val c = bc.value
-      var s = 0.0
-      var sub = 0
-      while (sub < c.length) {
-        val ctr = c(sub)(code(sub) & 0xff)
-        var i = 0
-        while (i < subDim) { s += q(sub * subDim + i) * ctr(i); i += 1 }
-        sub += 1
+    val (mL, kL) = (m, k)
+    // materialize the code table: without the barrier CollapseProject
+    // inlines the encode UDF into the scoring projection ABOVE the join
+    // and re-encodes every (query x code) pair (measured 60x slowdown).
+    // At scale the codes ARE the persisted PQ index, so this matches the
+    // real deployment anyway.
+    val codes = pqEncode(embeddings, cbs).localCheckpoint()
+    // ADC tables computed driver-side for the (small by definition) query
+    // set and broadcast as a map — the per-pair scorer receives only a
+    // long qid and the m-byte code, so NO float array crosses the UDF
+    // boundary per row (array-column conversion costs ~100x the lookups)
+    val qRows = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+    val tables: Map[Long, Array[Float]] = qRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1)
+      qid -> Array.tabulate(mL * kL) { idx =>
+        val sub = idx / kL; val cc = idx % kL
+        var s = 0.0f; var i = 0
+        while (i < subDim) { s += q(sub * subDim + i) * cbs(sub)(cc)(i); i += 1 }
+        s
       }
+    }.toMap
+    val tbc = spark.sparkContext.broadcast(tables)
+    import spark.implicits._
+    val queries = tables.keys.toSeq.toDF("qid")
+    val score = udf { (qid: Long, code: Array[Byte]) =>
+      val adc = tbc.value(qid)
+      var s = 0.0; var sub = 0
+      while (sub < mL) { s += adc(sub * kL + (code(sub) & 0xff)); sub += 1 }
       s
     }
     codes.toDF("nid", "code")
       .crossJoin(broadcast(queries))
       .where(col("qid") =!= col("nid"))
-      .withColumn("approx_dot", score(col("q_emb"), col("code")))
+      .select(col("qid"), col("nid"),
+        score(col("qid"), col("code")).as("approx_dot"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("approx_dot").desc, col("nid"))))
