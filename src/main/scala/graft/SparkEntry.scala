@@ -328,6 +328,12 @@ object SparkEntry {
       TextAnalysis.repetitionStats(t(s, d, "documents"))),
     "t9_pii_redact" -> ((s, d) =>
       TextAnalysis.redactPii(t(s, d, "documents"))),
+    "d10_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      import org.apache.spark.sql.functions.col
+      Dedup.incrementalDedup(
+        docs.where(col("doc_id") < 400), docs.where(col("doc_id") >= 400))
+    }),
     "d9_contamination" -> ((s, d) => {
       val docs = t(s, d, "documents")
       import org.apache.spark.sql.functions.col
@@ -1090,6 +1096,51 @@ object SparkEntry {
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>',
         |    'g')) AS INTEGER) AS clean_len
         |FROM documents""".stripMargin,
+    "d10_incremental_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        |       FROM sh a JOIN sh b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc1, doc2 FROM pr
+        |          JOIN sz s1 ON doc1 = s1.doc_id
+        |          JOIN sz s2 ON doc2 = s2.doc_id
+        |          WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+        |fp AS (SELECT doc_id,
+        |         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        |                                 'g'))) AS f
+        |       FROM documents),
+        |exactp AS (
+        |  SELECT b.doc_id, c.doc_id AS partner
+        |  FROM fp b JOIN fp c ON b.f = c.f AND b.doc_id <> c.doc_id
+        |  WHERE b.doc_id >= 400 AND (c.doc_id < 400 OR c.doc_id < b.doc_id)),
+        |nearp AS (
+        |  SELECT doc_id, partner FROM (
+        |    SELECT doc2 AS doc_id, doc1 AS partner FROM pairs
+        |    UNION ALL
+        |    SELECT doc1 AS doc_id, doc2 AS partner FROM pairs)
+        |  WHERE doc_id >= 400 AND (partner < 400 OR partner < doc_id)),
+        |agg AS (
+        |  SELECT doc_id, BOOL_OR(is_exact) AS any_exact,
+        |         MIN(partner) AS dup_of
+        |  FROM (SELECT doc_id, partner, TRUE AS is_exact FROM exactp
+        |        UNION ALL
+        |        SELECT doc_id, partner, FALSE FROM nearp)
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CASE WHEN a.any_exact THEN 'exact_dup'
+        |            WHEN a.dup_of IS NOT NULL THEN 'near_dup'
+        |            ELSE 'keep' END AS decision,
+        |       a.dup_of
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "d9_contamination" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),

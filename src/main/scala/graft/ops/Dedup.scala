@@ -273,6 +273,84 @@ object Dedup {
       .where(col("edit_dist") <= maxDist)
   }
 
+  /** Incremental dedup — classify each doc of a NEW batch against an
+    * EXISTING corpus and against lower-id batch peers, without
+    * re-deduplicating the corpus:
+    *
+    *   exact_dup  same normalized fingerprint as a corpus doc or a
+    *              lower-id batch doc
+    *   near_dup   n-gram jaccard >= threshold with such a doc
+    *   keep       neither
+    *
+    * Returns (doc_id, decision, dup_of) with dup_of = the smallest
+    * matching partner id (null for keep).
+    *
+    * Scale shape: only the BATCH side is fully processed; the corpus
+    * contributes its (cached / at scale: persisted-index) shingle frame
+    * and fingerprints. Cross-candidates come from the batch docs' PREFIX
+    * shingles only — one-sided prefix filtering is exact (if no prefix
+    * shingle of a batch doc hits a corpus doc, their overlap is at most
+    * ceil(t·sz_batch) - 1 < the overlap any jaccard >= t pair needs), so
+    * no qualifying pair is missed while hot corpus shingles stay out of
+    * the probe set. */
+  def incrementalDedup(corpus: DataFrame, newDocs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val fpCol = md5(normText)
+    // fingerprint partners: corpus docs, or batch docs with a smaller id
+    val allFp = corpus
+      .select(col("doc_id").as("partner"), fpCol.as("fp"),
+        lit(true).as("in_corpus"))
+      .unionByName(newDocs.select(col("doc_id").as("partner"), fpCol.as("fp"),
+        lit(false).as("in_corpus")))
+    val exactPartners = newDocs.select(col("doc_id"), fpCol.as("fp"))
+      .join(allFp, "fp")
+      .where(col("in_corpus") || col("partner") < col("doc_id"))
+      .select(col("doc_id"), col("partner"), lit(true).as("is_exact"))
+
+    // near partners, batch-internal: the standard pair path on the batch
+    val within = jaccardPairs(newDocs, n, threshold)
+      .select(col("doc2").as("doc_id"), col("doc1").as("partner"))
+
+    // near partners, batch x corpus: batch prefix probes the corpus index
+    val cSh = shingleCache(corpus, n)
+    val cSets = cSh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("set"), count(lit(1)).as("sz"))
+    val bSets = shingleSets(shingleCache(newDocs, n), threshold)
+    if (bSets.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      bSets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bSets.count()
+    }
+    val probe = bSets.select(col("doc_id"),
+      explode(col("prefix")).as("shingle"))
+    val candCross = probe
+      .join(cSh.toDF("partner", "shingle"), "shingle")
+      .select(col("doc_id"), col("partner")).distinct()
+    val crossVerified = candCross
+      .join(bSets.select(col("doc_id"), col("set").as("bset"),
+        col("sz").as("bsz")), "doc_id")
+      .join(cSets.select(col("doc_id").as("partner"), col("set").as("cset"),
+        col("sz").as("csz")), "partner")
+      .withColumn("common", size(array_intersect(col("bset"), col("cset"))))
+      .where(col("common") / (col("bsz") + col("csz") - col("common"))
+        >= threshold)
+      .select(col("doc_id"), col("partner"))
+
+    val nearPartners = within.unionByName(crossVerified)
+      .select(col("doc_id"), col("partner"), lit(false).as("is_exact"))
+
+    val partners = exactPartners.unionByName(nearPartners)
+      .groupBy(col("doc_id"))
+      .agg(max(col("is_exact")).as("any_exact"),
+        min(col("partner")).as("dup_of"))
+    newDocs.select(col("doc_id"))
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("any_exact"), "exact_dup")
+          .when(col("dup_of").isNotNull, "near_dup")
+          .otherwise("keep").as("decision"),
+        col("dup_of"))
+  }
+
   /** Benchmark-contamination check (decontamination pre-pass): corpus docs
     * sharing >= minOverlap distinct n-gram shingles with any benchmark doc.
     * The benchmark side is tiny (an eval set), so its shingle index

@@ -187,6 +187,28 @@ class PipelineSpec extends GraftSuite {
     assert(got(900L) == 900L)
   }
 
+  test("d10 incremental dedup classifies planted exact/near/fresh batch docs") {
+    import spark.implicits._
+    val corpus = docs.select("doc_id", "text")
+    // batch: an exact copy of corpus doc 3, a lightly-edited near copy of
+    // doc 7, and a fresh synthetic doc
+    val base7 = docs.where(col("doc_id") === 7).select("text")
+      .head.getString(0)
+    val nearText = base7 + " zzqx"
+    val fresh = "totally novel content qqq www eee rrr ttt yyy uuu iii " * 3
+    val exactText = docs.where(col("doc_id") === 3).select("text")
+      .head.getString(0)
+    val batch = Seq((900001L, exactText), (900002L, nearText),
+      (900003L, fresh)).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(900001L) == ("exact_dup", 3L), s"got ${got(900001L)}")
+    assert(got(900002L)._1 == "near_dup" && got(900002L)._2 == 7L,
+      s"got ${got(900002L)}")
+    assert(got(900003L) == ("keep", -1L), s"got ${got(900003L)}")
+  }
+
   test("d9 contamination check flags every corpus doc copied from the benchmark") {
     // plant: 5 benchmark docs re-enter the corpus under new ids
     val bench = docs.limit(5)
