@@ -331,8 +331,10 @@ object SparkEntry {
     "d10_incremental_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
       import org.apache.spark.sql.functions.col
+      // corpus = everything but the first 100 ids; batch = those 100 —
+      // the realistic shape (small new batch vs large standing corpus)
       Dedup.incrementalDedup(
-        docs.where(col("doc_id") < 400), docs.where(col("doc_id") >= 400))
+        docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100))
     }),
     "d9_contamination" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1120,13 +1122,13 @@ object SparkEntry {
         |exactp AS (
         |  SELECT b.doc_id, c.doc_id AS partner
         |  FROM fp b JOIN fp c ON b.f = c.f AND b.doc_id <> c.doc_id
-        |  WHERE b.doc_id >= 400 AND (c.doc_id < 400 OR c.doc_id < b.doc_id)),
+        |  WHERE b.doc_id < 100 AND (c.doc_id >= 100 OR c.doc_id < b.doc_id)),
         |nearp AS (
         |  SELECT doc_id, partner FROM (
         |    SELECT doc2 AS doc_id, doc1 AS partner FROM pairs
         |    UNION ALL
         |    SELECT doc1 AS doc_id, doc2 AS partner FROM pairs)
-        |  WHERE doc_id >= 400 AND (partner < 400 OR partner < doc_id)),
+        |  WHERE doc_id < 100 AND (partner >= 100 OR partner < doc_id)),
         |agg AS (
         |  SELECT doc_id, BOOL_OR(is_exact) AS any_exact,
         |         MIN(partner) AS dup_of
@@ -1139,7 +1141,7 @@ object SparkEntry {
         |            WHEN a.dup_of IS NOT NULL THEN 'near_dup'
         |            ELSE 'keep' END AS decision,
         |       a.dup_of
-        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
         |LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "d9_contamination" ->
       """WITH tk AS (
