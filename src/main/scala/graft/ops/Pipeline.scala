@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Every stage is one of the already-verified operators, so the whole
   * pipeline stays a single Catalyst plan: the dedup/contamination stages
-  * reuse the persisted shingle substrate, the anti-joins are broadcast
-  * (the drop-lists are tiny relative to the corpus), and the final packing
-  * is the two-phase prefix sum. Nothing collects to the driver.
+  * reuse the persisted shingle substrate, the drop-list anti-joins are
+  * planner-chosen (AQE broadcasts them while small; they scale with the
+  * corpus, so no forced hint), and the final packing is the two-phase
+  * prefix sum. Nothing collects to the driver.
   */
 object Pipeline {
 
@@ -48,11 +49,15 @@ object Pipeline {
     val contaminated = Dedup.contaminationCheck(corpus, benchmark, 3, 5)
       .select(col("doc_id")).distinct()
 
+    // deliberately NO broadcast hints on the drop-lists: near/exact-dup
+    // lists grow with the corpus (a forced broadcast would break at
+    // 100 TB), so the anti-joins stay planner-chosen — AQE broadcasts
+    // them when they measure small, shuffles when they don't
     val survivors = corpus
       .where(length(col("text")) >= minChars)
-      .join(broadcast(nearDups), Seq("doc_id"), "left_anti")
-      .join(broadcast(exactDups), Seq("doc_id"), "left_anti")
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(nearDups, Seq("doc_id"), "left_anti")
+      .join(exactDups, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .transform(Sampling.deterministicSample(_, "doc_id", sampleFrac))
 
     Sampling.tokenOffsets(survivors, seqLen)
