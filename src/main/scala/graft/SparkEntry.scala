@@ -328,20 +328,16 @@ object SparkEntry {
       TextAnalysis.repetitionStats(t(s, d, "documents"))),
     "t9_pii_redact" -> ((s, d) =>
       TextAnalysis.redactPii(t(s, d, "documents"))),
-    "d10_incremental_dedup" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      import org.apache.spark.sql.functions.col
+    "d10_incremental_dedup" -> ((s, d) =>
       // corpus = everything but the first 100 ids; batch = those 100 —
-      // the realistic shape (small new batch vs large standing corpus)
-      Dedup.incrementalDedup(
-        docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100))
-    }),
-    "d9_contamination" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      import org.apache.spark.sql.functions.col
-      Dedup.contaminationCheck(
-        docs.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25))
-    }),
+      // the realistic shape (small new batch vs large standing corpus);
+      // the split form derives every shingle frame from the parent
+      // substrate shared with the rest of the d-family
+      Dedup.incrementalDedupSplit(t(s, d, "documents"), 100)),
+    "d9_contamination" -> ((s, d) =>
+      // id-split form: corpus and benchmark shingles are both filters of
+      // the parent corpus substrate (shared with the rest of the d-family)
+      Dedup.contaminationSplitCheck(t(s, d, "documents"), 25)),
     // ---- sketch pushdown: bloom pre-filtered anti-join ----
     "s3_bloom_antijoin" -> ((s, d) => {
       import org.apache.spark.sql.functions.col

@@ -46,7 +46,13 @@ object Pipeline {
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .where(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"))
-    val contaminated = Dedup.contaminationCheck(corpus, benchmark, 3, 5)
+    // contamination stage shares the FULL-corpus shingle substrate that
+    // jaccardPairs above already persisted: both the corpus and benchmark
+    // shingle frames are id-range filters of it, so the pipeline shingles
+    // each document exactly once (re-shingling the corpus subset would
+    // build — and cache — a second substrate for the same text)
+    val contaminated = Dedup
+      .contaminationSplitCheck(documents, benchmarkMaxId, 3, 5)
       .select(col("doc_id")).distinct()
 
     // deliberately NO broadcast hints on the drop-lists: near/exact-dup

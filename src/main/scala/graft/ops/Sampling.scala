@@ -27,6 +27,11 @@ object Sampling {
     f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
   }
 
+  /** The content-stable selection hash as a column — for callers that need
+    * to order or cap a deterministic sample (e.g. a bounded, unbiased
+    * training sample: filter by threshold, then take the lowest hashes). */
+  def contentHash(keyCol: String) = hashPrefix(keyCol)
+
   /** Deterministic uniform sample: keep rows with hash(key) below the
     * fraction threshold. Narrow — the predicate evaluates at the scan. */
   def deterministicSample(df: DataFrame, keyCol: String,

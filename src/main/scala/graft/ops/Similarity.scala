@@ -76,12 +76,23 @@ object Similarity {
   /** Product-quantization codebooks: split the embedding into `m`
     * subspaces and k-means each on a bounded driver-side sample (the same
     * sample-then-broadcast shape a 100 TB run uses — training never scans
-    * the corpus). Returns [m][k][subDim] centroids. Deterministic:
-    * seeded sample + fixed Lloyd iterations. */
+    * the corpus). The sample is a content-stable hash sample (threshold
+    * sized to ~1.3x sampleN, capped by taking the lowest hashes): unbiased
+    * across partitions — a bare `limit` would train on the first file's
+    * vectors only — and deterministic, since row selection depends only on
+    * vec_id. Returns [m][k][subDim] centroids. */
   def pqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16,
       dims: Int = 64, sampleN: Int = 2048): Array[Array[Array[Float]]] = {
     val subDim = dims / m
-    val sample = embeddings.select(col("embedding")).limit(sampleN)
+    val total = embeddings.count()
+    val frac = math.min(1.0, sampleN * 1.3 / math.max(total, 1L).toDouble)
+    val sample = embeddings
+      .select(col("embedding"), col("vec_id"),
+        Sampling.contentHash("vec_id").as("h"))
+      .where(col("h") < lit(Sampling.fractionThreshold(frac)))
+      .orderBy(col("h"), col("vec_id")) // TakeOrdered: distributed top-N cap
+      .limit(sampleN)
+      .select(col("embedding"))
       .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
     Array.tabulate(m) { s =>

@@ -38,19 +38,57 @@ object Sketches {
   }
 
   /** Approximate heavy-hitters via count-min sketch: one pass builds the
-    * sketch (mergeable, driver-combined), candidate keys are read from a
-    * bounded exact pass over the DISTINCT keys only (small), and each
-    * candidate's estimate carries the CMS overcount guarantee
-    * (est >= true; est <= true + eps·N with prob 1-delta). */
+    * sketch (mergeable, driver-combined); candidates come from a bounded
+    * per-partition Misra-Gries pass (`m` counters per partition — never a
+    * shuffle of the full key universe, which on a heavy-tailed 100 TB key
+    * space would negate the sketch's one-pass win); each candidate's
+    * estimate carries the CMS overcount guarantee (est >= true;
+    * est <= true + eps·N with prob 1-delta).
+    *
+    * Candidate completeness: Misra-Gries with `m` counters retains every
+    * key occurring > n_p/(m+1) times in its partition, so any key with
+    * global frequency > N/(m+1) — every true heavy hitter long before
+    * top-k matters — survives in at least one partition. The candidate
+    * union is <= partitions x m rows (spec-bounded). */
   def cmsTopKeys(df: DataFrame, keyCol: String, k: Int,
-      eps: Double = 0.001, delta: Double = 0.01): DataFrame = {
+      eps: Double = 0.001, delta: Double = 0.01, m: Int = 256): DataFrame = {
     val cms = df.stat.countMinSketch(col(keyCol), eps, delta, seed = 42)
     val spark = df.sparkSession
     val cmsBc = spark.sparkContext.broadcast(cms)
     val estimate = udf((s: String) => cmsBc.value.estimateCount(s))
-    df.select(col(keyCol)).distinct()
+    mgCandidates(df, keyCol, m)
       .withColumn("est_count", estimate(col(keyCol)))
       .orderBy(col("est_count").desc, col(keyCol))
       .limit(k)
+  }
+
+  /** The bounded candidate pass of `cmsTopKeys`: per-partition Misra-Gries
+    * summaries (m counters each), unioned and deduped — at most
+    * partitions x m rows. Exposed for the candidate-bound spec. */
+  private[graft] def mgCandidates(df: DataFrame, keyCol: String,
+      m: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        // Misra-Gries summary: O(m) memory regardless of partition size
+        val counters = new scala.collection.mutable.HashMap[String, Long]
+        it.foreach { s =>
+          if (s != null) {
+            if (counters.contains(s)) counters(s) += 1L
+            else if (counters.size < m) counters(s) = 1L
+            else {
+              // decrement-all step; drop zeroed counters
+              val dead = new scala.collection.mutable.ArrayBuffer[String]
+              counters.keysIterator.foreach { key =>
+                val c = counters(key) - 1L
+                if (c == 0L) dead += key else counters(key) = c
+              }
+              dead.foreach(counters.remove)
+            }
+          }
+        }
+        counters.keysIterator
+      }.toDF(keyCol).distinct()
   }
 }

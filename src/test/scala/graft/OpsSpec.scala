@@ -220,6 +220,27 @@ class OpsSpec extends GraftSuite {
     assert(got.maxBy(_._2)._1 == exact.maxBy(_._2)._1)
   }
 
+  test("cms candidate pass is bounded and retains heavy hitters at high cardinality") {
+    import spark.implicits._
+    // 60k unique tail keys + two planted heavy keys
+    val tail = spark.range(60000).select(concat(lit("u"), col("id")).as("key"))
+    val hot = spark.range(5000).select(lit("hot1").as("key"))
+      .union(spark.range(3000).select(lit("hot2").as("key")))
+    val df = tail.union(hot).repartition(8)
+    val m = 64
+    val cand = Sketches.mgCandidates(df, "key", m)
+    val nParts = df.rdd.getNumPartitions
+    // bounded: never the full 60k key universe
+    assert(cand.count() <= nParts.toLong * m,
+      s"candidates exceed partitions x m bound")
+    val keys = cand.collect().map(_.getString(0)).toSet
+    assert(keys.contains("hot1") && keys.contains("hot2"),
+      "Misra-Gries must retain keys with freq > N/(m+1)")
+    val top = Sketches.cmsTopKeys(df, "key", 2, m = m)
+      .collect().map(_.getString(0)).toSeq
+    assert(top == Seq("hot1", "hot2"))
+  }
+
   test("smp deterministic sampling: reproducible, composable, ~uniform") {
     val docs = Tables.load(spark, sf, "documents")
     val total = docs.count().toDouble
