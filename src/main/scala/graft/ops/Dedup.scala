@@ -578,7 +578,18 @@ object Dedup {
   /** Embedding-cosine near-dup pairs: hyperplane-LSH buckets (L tables of
     * b bits) generate candidates; exact cosine >= threshold verifies.
     * Only ids travel through the bucket join + dedup; embeddings and
-    * precomputed norms are re-attached afterwards for the cosine check. */
+    * precomputed norms are re-attached afterwards for the cosine check.
+    *
+    * Deliberately NOT DuckDB-oracled (rows-only in the driver gate): the
+    * test embeddings carry no planted near-dup pairs — every pair above
+    * the 0.4 query threshold sits in the 0.40-0.51 cosine band (59 exact
+    * pairs at sf0.01, measured), where a hyperplane-LSH config with honest
+    * bucketing has recall < 1 by construction (p_table = (1-θ/π)^bits ≈
+    * 0.06 at θ≈66°), and any config pushing recall to ~1 needs bits <= 2,
+    * i.e. n²/4 candidate pairs per table — a disguised cross join, not
+    * ANN. The exact-cosine verification kernel is oracle-verified through
+    * `sim1_brute_top1`; LSH recall is spec-verified on planted vectors
+    * (20/20 planted-pair recall in ScaleSpec). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95,
       bits: Int = 12, tables: Int = 4, dims: Int = 64): DataFrame = {
     import graft.functions.Vectors

@@ -83,6 +83,43 @@ class StreamingSpec extends GraftSuite {
     assert(gotNew == expNew)
   }
 
+  test("every stateful op with ttl=None terminates under Trigger.AvailableNow") {
+    // pins the round-1 landmine: opting into a TTL switches on
+    // ProcessingTimeTimeout / TimeMode.ProcessingTime, under which Spark
+    // schedules micro-batches forever and AvailableNow NEVER terminates.
+    // ttl=None must therefore stay the default for every stateful op — a
+    // Spark upgrade that silently changes this hangs the whole suite, so
+    // each op is asserted to finish (awaitTermination inside runToMemory).
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val some = eventsData.take(40)
+    val m1 = MemoryStream[Event](41, spark, None); m1.addData(some)
+    runToMemory(Stateful.firstEventOfDay(m1.toDS(), ttl = None), "ttl_n1")
+    val m2 = MemoryStream[Event](42, spark, None); m2.addData(some)
+    runToMemory(Stateful.uuNewEmits(m2.toDS(), ttl = None), "ttl_n2")
+    val m3 = MemoryStream[Event](43, spark, None); m3.addData(some)
+    // transformWithState requires the RocksDB provider (column families)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToMemory(Stateful.firstEventOfDayTws(m3.toDS(), ttl = None), "ttl_n3")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val m4 = MemoryStream[Upsert](44, spark, None)
+    m4.addData(Seq(Upsert(1L, 10L, 5.0, ts(0)), Upsert(1L, 10L, 8.0, ts(1))))
+    runToMemory(Stateful.deltaNetting(m4.toDS(), ttl = None), "ttl_n4")
+    val m5 = MemoryStream[Event](45, spark, None); m5.addData(some)
+    runToMemory(Stateful.isNewFix(m5.toDS()), "ttl_n5")
+    // outputs non-empty: the ops actually processed data before stopping
+    Seq("ttl_n1", "ttl_n2", "ttl_n3", "ttl_n4", "ttl_n5").foreach { tbl =>
+      assert(spark.table(tbl).count() > 0, s"$tbl empty")
+    }
+  }
+
   test("streaming delta netting telescopes to last value") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
