@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Bench gate check: compare a graft.Bench result against BASELINE.md.
+
+Usage: python3 tools/benchgate.py [bench_out.json]
+
+Baselines are the union of every ```json {"metric":"total",...} line in
+BASELINE.md, EARLIEST line winning per query (a query's gate is its first
+recorded baseline; later lines only add baselines for newer queries).
+A query passes if its time is <= 2x its baseline. Queries without a
+baseline are listed separately. Exit code 1 if any gate is breached.
+
+Box-variance caveat (BASELINE.md round-1 notes): identical code measured
++-30% or worse run-to-run on this box — re-run before believing a small
+breach, especially sub-second absolute deltas.
+"""
+import json
+import sys
+
+GATE = 2.0
+
+
+def baselines(path="BASELINE.md"):
+    base = {}
+    for line in open(path):
+        line = line.strip()
+        if line.startswith('{"metric"'):
+            for q, sec in json.loads(line)["queries"].items():
+                base.setdefault(q, sec)  # earliest line wins
+    return base
+
+
+def main():
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
+    bench = json.load(open(bench_path))["queries"]
+    base = baselines()
+    breaches, ungated = [], []
+    for q, sec in sorted(bench.items()):
+        if q not in base:
+            ungated.append(q)
+            continue
+        ratio = sec / base[q]
+        flag = "BREACH" if ratio > GATE else "ok"
+        if ratio > GATE:
+            breaches.append(q)
+        if ratio > GATE or ratio > 1.5:
+            print(f"{flag:7s} {q:32s} {sec:8.3f}s  baseline {base[q]:8.3f}s"
+                  f"  ratio {ratio:5.2f}x")
+    covered = [q for q in bench if q in base]
+    tot = sum(bench[q] for q in covered)
+    tot_base = sum(base[q] for q in covered)
+    print(f"== {len(covered)} gated queries: total {tot:.1f}s vs baseline "
+          f"{tot_base:.1f}s = {tot / tot_base:.2f}x; "
+          f"{len(breaches)} breach(es) ==")
+    if ungated:
+        print(f"== {len(ungated)} ungated (no baseline): "
+              f"{', '.join(sorted(ungated))} ==")
+    sys.exit(1 if breaches else 0)
+
+
+if __name__ == "__main__":
+    main()
