@@ -187,6 +187,36 @@ class PipelineSpec extends GraftSuite {
     assert(got(900L) == 900L)
   }
 
+  test("d7 pointer jumping converges a diameter-79 chain within 10 rounds") {
+    import spark.implicits._
+    // plain min-label propagation moves the label one hop per round — a
+    // 79-diameter chain would need ~79 rounds and maxIter=10 would return
+    // unconverged labels; label-of-label shortcutting needs ~log2(79) ≈ 7
+    val chain = (0L until 79L).map(i => (i, i + 1))
+    val ids = (0L to 79L).toDF("doc_id")
+    val got = Dedup.clustersFromPairs(ids, chain.toDF("doc1", "doc2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 79L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+  }
+
+  test("split-form contamination and incremental dedup equal the two-frame forms") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs.where(col("doc_id") >= 100)
+    val batch = docs.where(col("doc_id") < 100)
+    val cSplit = Dedup.contaminationSplitCheck(docs, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cTwo = Dedup.contaminationCheck(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cSplit == cTwo && cSplit.nonEmpty)
+    val iSplit = Dedup.incrementalDedupSplit(docs, 100)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val iTwo = Dedup.incrementalDedup(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(iSplit == iTwo && iSplit.nonEmpty)
+  }
+
   test("d10 incremental dedup classifies planted exact/near/fresh batch docs") {
     import spark.implicits._
     val corpus = docs.select("doc_id", "text")
