@@ -94,4 +94,49 @@ class FunctionsSpec extends GraftSuite {
     ext.apply(e) // would be picked up by a builder using withExtensions
     succeed
   }
+
+  test("dictionary FMM segmentation: longest match wins, bigram fallback for OOV") {
+    import graft.functions.DictSegment
+    val dict = DictSegment.buildDict(
+      Seq("\u4e2d\u56fd", "\u4eba\u6c11", "\u4e2d\u56fd\u4eba\u6c11", "\u94f6\u884c"))
+    // "zhongguo renmin yinhang chengli le": FMM takes the 4-char compound,
+    // then the bank word, then bigrams the uncovered tail
+    val got = DictSegment.segment(dict,
+      "\u4e2d\u56fd\u4eba\u6c11\u94f6\u884c\u6210\u7acb\u4e86").toSeq
+    assert(got == Seq("\u4e2d\u56fd\u4eba\u6c11", "\u94f6\u884c",
+      "\u6210\u7acb", "\u7acb\u4e86"))
+    // single uncovered char between matches emits as itself
+    val single = DictSegment.segment(dict,
+      "\u4e2d\u56fd\u4e4b\u94f6\u884c").toSeq
+    assert(single == Seq("\u4e2d\u56fd", "\u4e4b", "\u94f6\u884c"))
+    // mixed script: latin runs tokenize as words around the CJK segments
+    val mixed = DictSegment.segment(dict, "Abc\u4e2d\u56fddef123").toSeq
+    assert(mixed == Seq("abc", "\u4e2d\u56fd", "def123"))
+  }
+
+  test("dictionary segmentation with an empty dict equals the dictionary-free tokenizer") {
+    import graft.functions.{DictSegment, Text}
+    val empty = DictSegment.buildDict(Nil)
+    val samples = Seq(
+      "hello world 42", "\u4e2d\u56fd\u4eba\u6c11\u94f6\u884c",
+      "a\u4e2db\u56fdc", "\u4e2d", "", "Latin only text",
+      "\u30ab\u30bf\u30ab\u30ca\u8a9e \ud55c\uad6d\uc5b4!")
+    samples.foreach { s =>
+      assert(DictSegment.segment(empty, s).toSeq == Text.tokenize(s).toSeq,
+        s"empty-dict parity on: " + s)
+    }
+  }
+
+  test("dictionary loads from a DataFrame and segments via the broadcast UDF") {
+    import graft.functions.DictSegment
+    import spark.implicits._
+    val words = Seq("\u4e2d\u56fd", "\u94f6\u884c").toDF("word")
+    val dict = DictSegment.fromFrame(words, "word")
+    assert(dict.size == 2 && dict.contains("\u4e2d\u56fd"))
+    val df = Seq((1L, "\u4e2d\u56fd\u94f6\u884c")).toDF("id", "text")
+    val segged = df.select(org.apache.spark.sql.functions.explode(
+      DictSegment.segmentUdf(spark, dict)(org.apache.spark.sql.functions.col("text"))).as("kw"))
+      .collect().map(_.getString(0)).toSeq
+    assert(segged == Seq("\u4e2d\u56fd", "\u94f6\u884c"))
+  }
 }
