@@ -253,6 +253,10 @@ object SparkEntry {
       Dedup.dedupedCorpus(t(s, d, "documents"))),
     "d8_edit_distance_pairs" -> ((s, d) =>
       Dedup.editDistancePairs(t(s, d, "documents"))),
+    "d11_boilerplate_segments" -> ((s, d) =>
+      Dedup.boilerplateSegments(t(s, d, "documents"), 8, 2)),
+    "t10_boilerplate_stats" -> ((s, d) =>
+      Dedup.boilerplateStats(t(s, d, "documents"), 8, 2)),
     "d7_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
     // ---- training-data pipeline: similarity search ----
@@ -1154,6 +1158,36 @@ object SparkEntry {
         |WHERE c.doc_id >= 25 AND b.doc_id < 25 AND c.doc_id <> b.doc_id
         |GROUP BY 1, 2
         |HAVING COUNT(*) >= 5""".stripMargin,
+    "d11_boilerplate_segments" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, CAST(floor(len(toks)/8) AS BIGINT)+1))
+        |            AS i FROM tk),
+        |seg AS (SELECT DISTINCT doc_id,
+        |          array_to_string(toks[(i-1)*8+1 : (i-1)*8+8], ' ')
+        |            AS segment FROM idx)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM seg GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+    "t10_boilerplate_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, CAST(floor(len(toks)/8) AS BIGINT)+1))
+        |            AS i FROM tk),
+        |seg AS (SELECT DISTINCT doc_id,
+        |          array_to_string(toks[(i-1)*8+1 : (i-1)*8+8], ' ')
+        |            AS segment FROM idx),
+        |boiler AS (SELECT segment FROM seg GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg,
+        |       CAST(SUM(CASE WHEN b.segment IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_boiler
+        |FROM seg s LEFT JOIN boiler b ON s.segment = b.segment
+        |GROUP BY 1""".stripMargin,
     // anti-join vs the distinct %3==0 key set == the complement predicate;
     // null user_ids never match an anti-join key, so they survive
     "s3_bloom_antijoin" ->

@@ -523,6 +523,60 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Sub-document segment frame for line/paragraph-level dedup: distinct
+    * non-overlapping `segWords`-word segments per document (the C4 /
+    * RefinedWeb boilerplate-removal unit, adapted to the flat word-stream
+    * test corpus where no newline structure exists; with real documents
+    * the same pipeline runs on lines or paragraphs). Construction is
+    * entirely narrow — tokenize, slice, in-array distinct, explode — the
+    * first shuffle is whatever the consumer does with the segments. */
+  def docSegments(documents: DataFrame, segWords: Int = 8): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      t => t =!= "")
+    val nseg = floor(size(toks) / segWords).cast("int")
+    // sequence(1, 0) would generate a DESCENDING [1, 0] — clamp to 1 and
+    // drop partial slices (shorter than segWords) instead
+    val slices = filter(
+      transform(sequence(lit(1), greatest(nseg, lit(1))),
+        i => slice(toks, (i - 1) * segWords + 1, lit(segWords))),
+      a => size(a) === segWords)
+    documents.select(col("doc_id"),
+      explode(array_distinct(transform(slices, a => concat_ws(" ", a))))
+        .as("segment"))
+  }
+
+  /** Line-level (segment-level) dedup, the boilerplate detector: segments
+    * occurring in >= minDocs DISTINCT documents, with their document
+    * frequency. The C4 cleaning rule ("drop any line occurring 3+ times in
+    * the corpus") is this frame anti-joined back onto the segments.
+    *
+    * Scale shape: per-doc distinct happens in-array before the explode, so
+    * the one shuffle is the groupBy(segment) over O(corpus segments) rows;
+    * segments are short fixed-width strings (at 100 TB, group by
+    * xxhash64(segment) and keep min(segment) if the key bytes dominate —
+    * same trick as the shingle substrate). */
+  def boilerplateSegments(documents: DataFrame, segWords: Int = 8,
+      minDocs: Int = 2): DataFrame =
+    docSegments(documents, segWords)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate exposure: of each doc's segments, how many
+    * are corpus-level boilerplate (>= minDocs docs share them). The
+    * boilerplate join is planner-chosen — the boilerplate list shrinks
+    * with minDocs but grows with the corpus, so no forced broadcast. */
+  def boilerplateStats(documents: DataFrame, segWords: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val seg = docSegments(documents, segWords)
+    val boiler = boilerplateSegments(documents, segWords, minDocs)
+      .select(col("segment"), lit(1).as("is_boiler"))
+    seg.join(boiler, Seq("segment"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        coalesce(sum(col("is_boiler")), lit(0L)).cast("long").as("n_boiler"))
+  }
+
   /** 64-bit SimHash over tokens: bit j is the sign of the token-frequency-
     * weighted sum of (+-1) for bit j of each token's 64-bit hash. Single
     * tight-loop UDF per row (tokenize + vote + pack) — no explode, no

@@ -217,6 +217,24 @@ class PipelineSpec extends GraftSuite {
     assert(iSplit == iTwo && iSplit.nonEmpty)
   }
 
+  test("d11 segment-level dedup detects planted cross-doc boilerplate") {
+    import spark.implicits._
+    // segments are non-overlapping 8-word windows from doc start, so the
+    // planted boilerplate is 8-word aligned in both carriers
+    val b = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, b + " a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, b + " b1 b2 b3 b4 b5 b6 b7 b8"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 tail words dropped here")) // partial 2nd window drops
+      .toDF("doc_id", "text")
+    val boiler = Dedup.boilerplateSegments(df, 8, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(boiler.toSeq == Seq(b -> 2L))
+    val stats = Dedup.boilerplateStats(df, 8, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((1L, 0L))))
+  }
+
   test("d10 incremental dedup classifies planted exact/near/fresh batch docs") {
     import spark.implicits._
     val corpus = docs.select("doc_id", "text")
