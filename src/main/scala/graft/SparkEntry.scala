@@ -358,6 +358,12 @@ object SparkEntry {
     "smp1_hash_sample" -> ((s, d) =>
       Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 0.25)
         .select("doc_id", "lang")),
+    "smp4_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.8, "zh" -> 0.2), 0.5)
+        .select("doc_id", "lang")),
+    "smp5_token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetSample(t(s, d, "documents"), 15000L)),
     "smp2_split_counts" -> ((s, d) =>
       Sampling.trainValTestSplit(t(s, d, "documents"), "doc_id")
         .groupBy(org.apache.spark.sql.functions.col("split"),
@@ -1244,6 +1250,23 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
         |      < '40000000'""".stripMargin,
+    // thresholds: 0.8 -> cccccccc, 0.2 -> 33333333, default 0.5 -> 80000000
+    "smp4_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      CASE lang WHEN 'en' THEN 'cccccccc'
+        |                WHEN 'zh' THEN '33333333'
+        |                ELSE '80000000' END""".stripMargin,
+    "smp5_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+        |           AS n_tok,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        SUM(n_tok) OVER (ORDER BY h, doc_id) AS cum FROM t)
+        |SELECT doc_id, n_tok FROM c WHERE cum <= 15000""".stripMargin,
     "smp2_split_counts" ->
       """SELECT CASE WHEN h < 'cccccccc' THEN 'train'
         |            WHEN h < 'e6666666' THEN 'val'

@@ -49,6 +49,56 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Stratified deterministic sample — the corpus-mixing knob (keep 100%
+    * of one language/source, 25% of another). Same content-stable hash as
+    * `deterministicSample`, so per-stratum samples stay reproducible,
+    * composable, and stable under repartitioning. The fraction table is
+    * config turned into a literal map expression (config-scale by
+    * definition), so the whole thing remains ONE narrow scan-level
+    * predicate — no join, no shuffle, evaluated at the parquet scan. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double): DataFrame = {
+    val entries = fractions.toSeq.flatMap { case (s, f) =>
+      Seq(lit(s), lit(fractionThreshold(f)))
+    }
+    val thr =
+      if (entries.isEmpty) lit(fractionThreshold(defaultFraction))
+      else coalesce(element_at(map(entries: _*), col(stratumCol)),
+        lit(fractionThreshold(defaultFraction)))
+    df.where(hashPrefix(keyCol) < thr)
+  }
+
+  /** Deterministic token-budget cut: keep documents in content-hash order
+    * until the cumulative token count reaches `budget` — "take ~N tokens
+    * of corpus, reproducibly", the selection a scaling-law or ablation run
+    * makes. Hash order is simultaneously the shuffle (unbiased corpus
+    * order) and the stability guarantee (adding hardware or repartitioning
+    * cannot change which docs make the cut).
+    *
+    * Scale shape: the global running sum over hash order is the same
+    * two-phase prefix sum as `tokenOffsets` — an intra-bucket window
+    * cumsum over 256 UNIFORM buckets (the first two hex chars of the
+    * hash) plus a broadcast per-bucket offset — never a single-partition
+    * global window. */
+  def tokenBudgetSample(documents: DataFrame, budget: Long): DataFrame = {
+    val h = hashPrefix("doc_id")
+    val n = documents.select(col("doc_id"), h.as("h"),
+      size(split(col("text"), "\\s+")).as("n_tok"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
+    val local = n.withColumn("cum_in", sum(col("n_tok")).over(wIn))
+    // one row per bucket — the ordered window over it is driver-scale
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = n.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bt"))
+      .withColumn("bkt_off", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      .select(col("bkt"), col("bkt_off"))
+    local.join(broadcast(offs), "bkt")
+      .where(col("cum_in") + col("bkt_off") <= budget)
+      .select(col("doc_id"), col("n_tok"))
+  }
+
   /** Token-stream chunking (sequence packing): concatenate the corpus in
     * doc_id order and cut every `seqLen` tokens — each doc gets its global
     * token start offset and the chunk id containing that offset (docs may

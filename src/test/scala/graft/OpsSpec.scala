@@ -241,6 +241,55 @@ class OpsSpec extends GraftSuite {
     assert(top == Seq("hot1", "hot2"))
   }
 
+  test("smp4 stratified sample honors per-stratum fractions and stays composable") {
+    val docs = Tables.load(spark, sf, "documents")
+    val frs = Map("en" -> 0.8, "zh" -> 0.2)
+    val got = Sampling.stratifiedSample(docs, "doc_id", "lang", frs, 0.5)
+    val perLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, tot) =>
+      val want = frs.getOrElse(lang, 0.5)
+      val fracGot = perLang.getOrElse(lang, 0L).toDouble / tot
+      assert(math.abs(fracGot - want) < 0.15,
+        s"$lang: got $fracGot want ~$want")
+    }
+    // per-stratum selection is the SAME hash order as the flat sample:
+    // the 0.2-stratum rows are exactly the flat 0.2 sample of that stratum
+    val zhGot = got.where(col("lang") === "zh").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val zhFlat = Sampling.deterministicSample(
+        docs.where(col("lang") === "zh"), "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(zhGot == zhFlat)
+  }
+
+  test("smp5 token budget: cut is tight, deterministic, and hash-ordered") {
+    val docs = Tables.load(spark, sf, "documents")
+    val budget = 15000L
+    val got = Sampling.tokenBudgetSample(docs, budget).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kept = got.values.map(_.toLong).sum
+    assert(kept <= budget, s"kept $kept tokens > budget")
+    // tight: no excluded doc could still have fit at the cut point (the
+    // cut is a prefix of the hash order, so the NEXT doc in that order
+    // must overflow the budget)
+    val all = docs.selectExpr("doc_id",
+        "size(split(text, '\\\\s+')) as n_tok",
+        "substring(md5(cast(cast(doc_id as string) as binary)), 1, 8) as h")
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getInt(1)))
+      .sortBy(t => (t._1, t._2))
+    val firstExcluded = all.find { case (_, id, _) => !got.contains(id) }
+    firstExcluded.foreach { case (_, _, n) =>
+      assert(kept + n > budget, "cut left room for the next doc in order")
+    }
+    // reproducible
+    val again = Sampling.tokenBudgetSample(docs, budget).collect()
+      .map(_.getLong(0)).toSet
+    assert(again == got.keySet)
+  }
+
   test("smp deterministic sampling: reproducible, composable, ~uniform") {
     val docs = Tables.load(spark, sf, "documents")
     val total = docs.count().toDouble
