@@ -364,6 +364,10 @@ object SparkEntry {
         .select("doc_id", "lang")),
     "smp5_token_budget" -> ((s, d) =>
       Sampling.tokenBudgetSample(t(s, d, "documents"), 15000L)),
+    "smp6_weighted_mix" -> ((s, d) =>
+      Sampling.mixWithWeights(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 1.5, "zh" -> 0.25), 1.0)
+        .select("doc_id", "lang", "replica")),
     "smp2_split_counts" -> ((s, d) =>
       Sampling.trainValTestSplit(t(s, d, "documents"), "doc_id")
         .groupBy(org.apache.spark.sql.functions.col("split"),
@@ -1257,6 +1261,24 @@ object SparkEntry {
         |      CASE lang WHEN 'en' THEN 'cccccccc'
         |                WHEN 'zh' THEN '33333333'
         |                ELSE '80000000' END""".stripMargin,
+    // en w=1.5: whole 1 + extra for hash < 0.5 -> '80000000'; zh w=0.25:
+    // whole 0 + copy only for hash < '40000000'; default w=1.0: exactly 1
+    "smp6_weighted_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        |  FROM documents),
+        |n AS (SELECT doc_id, lang,
+        |        CASE lang
+        |          WHEN 'en' THEN 1 + CASE WHEN h < '80000000'
+        |                                  THEN 1 ELSE 0 END
+        |          WHEN 'zh' THEN CASE WHEN h < '40000000'
+        |                              THEN 1 ELSE 0 END
+        |          ELSE 1 END AS copies
+        |      FROM w)
+        |SELECT doc_id, lang,
+        |       CAST(unnest(range(1, copies + 1)) AS BIGINT) AS replica
+        |FROM n WHERE copies >= 1""".stripMargin,
     "smp5_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -99,6 +99,41 @@ object Sampling {
       .select(col("doc_id"), col("n_tok"))
   }
 
+  /** Weighted corpus mixing — the epoch-upsampling knob: a stratum with
+    * weight w contributes floor(w) copies of every doc plus one extra copy
+    * for a hash-selected (w - floor(w)) fraction; w < 1 downsamples (docs
+    * with zero copies drop out). Deterministic end to end: the fractional
+    * copy is the same content-stable hash selection as
+    * `deterministicSample`, so a mix is reproducible across runs and
+    * clusters and composes with the other sampling ops. Replication is a
+    * narrow explode(sequence) — output grows by exactly the mix factor,
+    * no shuffle, no RNG. Returns the input row + `replica` (1-based). */
+  def mixWithWeights(df: DataFrame, keyCol: String, stratumCol: String,
+      weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0.0),
+      "weights must be >= 0")
+    def wholeOf(w: Double) = lit(math.floor(w).toLong)
+    def fracThr(w: Double) = lit(fractionThreshold(w - math.floor(w)))
+    val wholeEntries = weights.toSeq.flatMap { case (s, w) =>
+      Seq(lit(s), wholeOf(w)) }
+    val fracEntries = weights.toSeq.flatMap { case (s, w) =>
+      Seq(lit(s), fracThr(w)) }
+    val whole =
+      if (wholeEntries.isEmpty) wholeOf(defaultWeight)
+      else coalesce(element_at(map(wholeEntries: _*), col(stratumCol)),
+        wholeOf(defaultWeight))
+    val thr =
+      if (fracEntries.isEmpty) fracThr(defaultWeight)
+      else coalesce(element_at(map(fracEntries: _*), col(stratumCol)),
+        fracThr(defaultWeight))
+    val copies = whole +
+      when(hashPrefix(keyCol) < thr, lit(1L)).otherwise(lit(0L))
+    df.withColumn("copies", copies)
+      .where(col("copies") >= 1) // sequence(1,0) would generate [1,0]
+      .withColumn("replica", explode(sequence(lit(1L), col("copies"))))
+      .drop("copies")
+  }
+
   /** Token-stream chunking (sequence packing): concatenate the corpus in
     * doc_id order and cut every `seqLen` tokens — each doc gets its global
     * token start offset and the chunk id containing that offset (docs may

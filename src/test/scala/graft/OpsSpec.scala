@@ -290,6 +290,32 @@ class OpsSpec extends GraftSuite {
     assert(again == got.keySet)
   }
 
+  test("smp6 weighted mix: per-stratum mix factors, deterministic replicas") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = Sampling.mixWithWeights(docs, "doc_id", "lang",
+      Map("en" -> 1.5, "zh" -> 0.25), 1.0)
+    val rows = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, tot) =>
+      val w = Map("en" -> 1.5, "zh" -> 0.25).getOrElse(lang, 1.0)
+      val factor = rows.getOrElse(lang, 0L).toDouble / tot
+      assert(math.abs(factor - w) < 0.2, s"$lang: factor $factor want ~$w")
+    }
+    // whole weights replicate exactly: every kept en doc has replica 1,
+    // and replica 2 appears iff the doc is in the fractional hash sample
+    val en2 = got.where(col("lang") === "en" && col("replica") === 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val enHalf = Sampling.deterministicSample(
+        docs.where(col("lang") === "en"), "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(en2 == enHalf)
+    // default stratum passes through exactly once
+    val frCount = got.where(col("lang") === "fr").count()
+    assert(frCount == totals("fr"))
+  }
+
   test("smp deterministic sampling: reproducible, composable, ~uniform") {
     val docs = Tables.load(spark, sf, "documents")
     val total = docs.count().toDouble
