@@ -141,6 +141,31 @@ class PlanSpec extends GraftSuite {
       s"doc-level cumsum must partition by bucket:\n${p.take(1500)}")
   }
 
+  test("d11 boilerplate: narrow segment build, one aggregation shuffle, no join") {
+    val p = plan("d11_boilerplate_segments")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
+      && !p.contains("BroadcastHashJoin"),
+      s"segment dedup must not join:\n${p.take(1200)}")
+    // exactly one exchange: the groupBy(segment); the distinct-per-doc is
+    // in-array (array_distinct before the explode), not a shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges")
+  }
+
+  test("smp4/smp6 sampling and mixing stay narrow (no shuffle, no join)") {
+    Seq("smp4_stratified_sample", "smp6_weighted_mix").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange") && !p.contains("Join"),
+        s"$q must be a narrow scan pipeline:\n${p.take(1200)}")
+    }
+  }
+
+  test("smp5 token budget partitions its cumsum by hash bucket") {
+    val p = plan("smp5_token_budget")
+    assert(p.contains("hashpartitioning(bkt"),
+      s"doc-level cumsum must partition by bucket:\n${p.take(1500)}")
+  }
+
   test("vector kernels run as native expressions inside codegen") {
     val df = ops.Similarity.bruteForceTopK(
       Tables.load(spark, sf, "embeddings"), 10, 1)
