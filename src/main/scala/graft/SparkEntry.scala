@@ -269,6 +269,9 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, d, "embeddings"), 100, 5)),
     "sim4_pq_topk" -> ((s, d) =>
       Similarity.pqTopK(t(s, d, "embeddings"), 100, 5, m = 16, k = 32)),
+    "sim5_ivfpq_topk" -> ((s, d) =>
+      Similarity.ivfPqTopK(t(s, d, "embeddings"), 100, 5,
+        nCells = 16, nprobe = 4, m = 16, k = 32)),
     // ---- training-data pipeline: multimodal ----
     "m1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatureSummary(t(s, d, "documents"))),

@@ -208,6 +208,86 @@ object Similarity {
       .select(col("qid"), col("rn"), col("nid"))
   }
 
+  /** IVF-PQ ANN — the composition a production-scale vector index runs:
+    * the IVF coarse quantizer restricts each query to `nprobe` cells, and
+    * inside the probed cells distance is approximated by PQ asymmetric
+    * distance over m-byte codes instead of exact cosine over raw vectors.
+    * The index is (cell, code) per vector — at 100 TB both are persisted
+    * artifacts ~32x smaller than the embeddings, and a query touches
+    * nprobe/nCells of the code table and zero raw corpus vectors.
+    *
+    * Codes are trained/encoded on raw vectors rather than cell residuals
+    * (classic IVF-PQ encodes residuals for extra precision; same plumbing,
+    * one more subtraction — omitted to share `pqCodebooks`/`pqEncode`
+    * verbatim with the flat-PQ path). The query side is driver-built and
+    * broadcast exactly like `pqTopK`: per-query ADC tables plus per-query
+    * probed cells, so no float array ever crosses the UDF boundary. */
+  def ivfPqTopK(embeddings: DataFrame, numQueries: Int, topK: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 8, k: Int = 16,
+      dims: Int = 64): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val spark = embeddings.sparkSession
+    val cbs = pqCodebooks(embeddings, m, k, dims)
+    val subDim = dims / m
+    val (mL, kL) = (m, k)
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val withVec = embeddings.withColumn("fv", toVec(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(42L)
+      .setMaxIter(8).setInitMode("random")
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(withVec)
+    // the persisted index: (nid, cell, code) — localCheckpoint is both the
+    // CollapseProject barrier (see pqTopK) and the stand-in for reading a
+    // written index table
+    val index = model.transform(withVec).select(col("vec_id").as("nid"),
+        col("cell"))
+      .join(pqEncode(embeddings, cbs).toDF("nid", "code"), "nid")
+      .localCheckpoint()
+    // driver-side query prep (queries are small by definition): ADC table
+    // and probed-cell list per query
+    val centers = model.clusterCenters
+    val qRows = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+    val adc: Map[Long, Array[Float]] = qRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1)
+      qid -> Array.tabulate(mL * kL) { idx =>
+        val sub = idx / kL; val cc = idx % kL
+        var s = 0.0f; var i = 0
+        while (i < subDim) { s += q(sub * subDim + i) * cbs(sub)(cc)(i); i += 1 }
+        s
+      }
+    }.toMap
+    val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1)
+      centers.indices
+        .map(c => (c, centers(c).toArray.zip(q).map { case (x, y) =>
+          val d = x - y; d * d }.sum))
+        .sortBy { case (c, d) => (d, c) }
+        .take(nprobe).map { case (c, _) => (qid, c.toInt) }
+    }
+    val tbc = spark.sparkContext.broadcast(adc)
+    import spark.implicits._
+    val probeDf = probes.toDF("qid", "cell")
+    val score = udf { (qid: Long, code: Array[Byte]) =>
+      val t = tbc.value(qid)
+      var s = 0.0; var sub = 0
+      while (sub < mL) { s += t(sub * kL + (code(sub) & 0xff)); sub += 1 }
+      s
+    }
+    index.join(broadcast(probeDf), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        score(col("qid"), col("code")).as("approx_dot"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("approx_dot").desc, col("nid"))))
+      .where(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("nid"))
+  }
+
   /** IVF ANN: k-means coarse quantizer (MLlib, fixed seed) partitions the
     * corpus into cells; each query probes the `nprobe` cells whose
     * centroids are nearest, then exact cosine ranks candidates. At 100 TB

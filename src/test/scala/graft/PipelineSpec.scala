@@ -217,6 +217,25 @@ class PipelineSpec extends GraftSuite {
     assert(iSplit == iTwo && iSplit.nonEmpty)
   }
 
+  test("sim5 IVF-PQ ANN: probed-cell code scan, recall@5 vs brute force") {
+    val truth = Similarity.bruteForceTopK(emb, 50, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Similarity.ivfPqTopK(emb, 50, 5, nCells = 16, nprobe = 4,
+        m = 16, k = 32)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = truth.count { case (q, n) =>
+      got.getOrElse(q, Set.empty).contains(n)
+    }.toDouble / truth.size
+    info(s"IVF-PQ (nprobe=4/16, 16x32 codes) ANN recall@5: $recall")
+    // bounded by the IVF probe (sim3 floor), approximated by PQ distance:
+    // recall must stay in the same band as its two components
+    assert(recall >= 0.3)
+    // result count respects topK per query
+    Similarity.ivfPqTopK(emb, 10, 5).groupBy("qid").count().collect()
+      .foreach(r => assert(r.getLong(1) <= 5))
+  }
+
   test("d11 segment-level dedup detects planted cross-doc boilerplate") {
     import spark.implicits._
     // segments are non-overlapping 8-word windows from doc start, so the
