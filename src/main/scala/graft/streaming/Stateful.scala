@@ -185,6 +185,58 @@ object Stateful {
       }
   }
 
+  case class DocIn(doc_id: Long, text: String)
+
+  case class DedupEmit(doc_id: Long, decision: String, dup_of: Option[Long])
+
+  /** Streaming exact dedup — the ingest-time form of the incremental-dedup
+    * fingerprint stage (`ops/Dedup.incrementalDedup`): documents keyed by
+    * normalized-content fingerprint; keyed state holds the first-seen
+    * doc_id (the keeper), so the keeper emits `keep` and every later
+    * arrival of the same content emits `exact_dup` with dup_of = keeper.
+    * Within one micro-batch the lowest doc_id wins, matching the batch
+    * operator's min-id keeper rule; state is one long per distinct
+    * content fingerprint — the smallest possible standing dedup index.
+    * `ttl` bounds state exactly like the other ops (None for replays). */
+  def exactDedupStream(docs: Dataset[DocIn],
+      ttl: Option[String] = None): Dataset[DedupEmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    docs
+      .map { d =>
+        val norm = Option(d.text).getOrElse("").toLowerCase
+          .replaceAll("[^a-z0-9]+", " ").trim
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (fp, d.doc_id)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, DedupEmit](
+        OutputMode.Append, timeout) {
+        case (_, it, state: GroupState[Long]) =>
+          if (ttl.isDefined && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = it.map(_._2).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer[DedupEmit]()
+            var keeper = state.getOption.getOrElse(-1L)
+            ids.foreach { id =>
+              if (keeper < 0L) {
+                keeper = id
+                out += DedupEmit(id, "keep", None)
+              } else out += DedupEmit(id, "exact_dup", Some(keeper))
+            }
+            state.update(keeper)
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   case class VisitFlag(event_id: Long, user_id: Long, is_new: Int)
 
   /** A9 streaming — is_new correction: a visit claims is_new=1 only if this

@@ -332,6 +332,47 @@ class StreamingSpec extends GraftSuite {
       s"recovered counts must cover both incarnations: $counts vs $exp")
   }
 
+  test("streaming exact dedup: keeper state survives batches and restarts") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_dd_src").toString
+    val ckpt = Files.createTempDirectory("graft_dd_ckpt").toString
+    val emits = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val schema = Seq(Stateful.DocIn(0L, "x")).toDF().schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .as[Stateful.DocIn]
+        .transform(Stateful.exactDedupStream(_, ttl = None))
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Stateful.DedupEmit], _: Long) =>
+            b.collect().foreach(e => emits.synchronized {
+              emits += ((e.doc_id, e.decision, e.dup_of.getOrElse(-1L)))
+            })
+        }
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    // incarnation 1: two contents; doc 5 duplicates doc 1 within the batch
+    // (min id wins); normalization folds case and punctuation
+    Seq(Stateful.DocIn(5L, "Alpha, beta!"), Stateful.DocIn(1L, "alpha beta"),
+      Stateful.DocIn(2L, "gamma delta"))
+      .toDF().write.mode("append").parquet(srcDir)
+    runOnce()
+    // incarnation 2 (restart): doc 7 duplicates doc 2's content seen in
+    // the PREVIOUS incarnation — recovered keeper state must catch it
+    Seq(Stateful.DocIn(7L, "GAMMA   delta"), Stateful.DocIn(8L, "epsilon"))
+      .toDF().write.mode("append").parquet(srcDir)
+    runOnce()
+    val byDoc = emits.map(e => e._1 -> ((e._2, e._3))).toMap
+    assert(byDoc(1L) == (("keep", -1L)))
+    assert(byDoc(5L) == (("exact_dup", 1L)))
+    assert(byDoc(2L) == (("keep", -1L)))
+    assert(byDoc(7L) == (("exact_dup", 2L)), s"cross-restart dup: $byDoc")
+    assert(byDoc(8L) == (("keep", -1L)))
+  }
+
   test("transformWithState first-event-of-day matches batch (RocksDB store)") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
