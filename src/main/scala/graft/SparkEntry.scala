@@ -357,6 +357,8 @@ object SparkEntry {
     // ---- flagship end-to-end training-corpus pipeline ----
     "e3_training_corpus" -> ((s, d) =>
       Pipeline.trainingCorpus(t(s, d, "documents"))),
+    "e4_corpus_report" -> ((s, d) =>
+      Pipeline.corpusReport(t(s, d, "documents"))),
     // ---- reproducible data selection (training-pipeline ops) ----
     "smp1_hash_sample" -> ((s, d) =>
       Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 0.25)
@@ -1206,6 +1208,32 @@ object SparkEntry {
     "s3_bloom_antijoin" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE user_id IS NULL OR user_id % 3 <> 0""".stripMargin,
+    "e4_corpus_report" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        |       FROM sh a JOIN sh b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
+        |             JOIN sz s1 ON doc1 = s1.doc_id
+        |             JOIN sz s2 ON doc2 = s2.doc_id
+        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5)
+        |SELECT lang, source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |         AS total_tokens,
+        |       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_near_dup
+        |FROM documents d LEFT JOIN neardups nd USING (doc_id)
+        |GROUP BY 1, 2""".stripMargin,
     "e3_training_corpus" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),

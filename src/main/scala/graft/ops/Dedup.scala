@@ -36,15 +36,37 @@ object Dedup {
     * (P[any] ≈ |shingles|²/2⁶⁵ — ~1e-7 even at 10⁹ distinct shingles,
     * standard for shingle-based dedup at scale). Safe to call repeatedly —
     * an already-cached plan is served from the existing entry. */
+  /** Registry of every frame this object has persisted, so a long-running
+    * session can reclaim the storage deterministically (persists are
+    * MEMORY_AND_DISK and evictable under pressure, so leaving them is
+    * safe — this is hygiene, not a correctness requirement). */
+  private val persistedFrames =
+    scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  private def registerPersist(df: DataFrame): Unit =
+    persistedFrames.synchronized { persistedFrames += df }
+
+  /** Unpersist every substrate/pair frame this object has cached (shingle
+    * substrates, shingle-set frames, verified pair frames — across all
+    * corpora and parameter combinations seen by this session). */
+  def clearSubstrates(): Unit = persistedFrames.synchronized {
+    persistedFrames.foreach(_.unpersist())
+    persistedFrames.clear()
+  }
+
   private[ops] def shingleCache(documents: DataFrame, n: Int): DataFrame = {
     val sh = shingles(documents, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (sh.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      registerPersist(sh)
+    }
     sh
   }
 
   /** Drop the persisted shingle substrate for a corpus (library users
-    * running one-shot dedup jobs who want storage back immediately). */
+    * running one-shot dedup jobs who want storage back immediately;
+    * `clearSubstrates()` drops everything at once). */
   def unpersistShingles(documents: DataFrame, n: Int): Unit =
     shingles(documents, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
@@ -121,6 +143,7 @@ object Dedup {
     val sets = shingleSets(shingleCache(documents, n), threshold)
     if (sets.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      registerPersist(sets)
       sets.count()
     }
     sets
@@ -155,6 +178,7 @@ object Dedup {
     val out = pairsFromSets(sets, threshold)
     if (out.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      registerPersist(out)
       out.count()
     }
     out

@@ -71,4 +71,27 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("n_tok"),
         col("start_offset"), col("chunk_id"))
   }
+
+  /** Corpus datasheet: per (lang, source) stratum — document count, token
+    * and character totals, and near-dup exposure. The report every corpus
+    * release ships (and the input the mixing weights of
+    * `Sampling.mixWithWeights` are tuned against). All measures are exact
+    * integer sums (no float aggregation, no hash-compare flakiness); the
+    * near-dup flag reuses the persisted pair frame, so on a warmed session
+    * the report costs one scan plus a tiny rollup shuffle. */
+  def corpusReport(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val dupIds = Dedup.jaccardPairs(documents, n, threshold)
+      .select(col("doc2").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1))
+    documents
+      .join(dupIds, Seq("doc_id"), "left")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+"))).cast("long")
+          .as("total_tokens"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        coalesce(sum(col("is_dup")), lit(0)).cast("long").as("n_near_dup"))
+  }
 }

@@ -236,6 +236,19 @@ class PipelineSpec extends GraftSuite {
       .foreach(r => assert(r.getLong(1) <= 5))
   }
 
+  test("dedup substrate registry: clearSubstrates reclaims persisted frames") {
+    val before = Dedup.jaccardPairs(docs, 3, 0.5)
+    val pairsBefore = pairSet(before)
+    assert(before.storageLevel.useMemory || before.storageLevel.useDisk,
+      "pair frame should be persisted")
+    Dedup.clearSubstrates()
+    assert(before.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "clearSubstrates must unpersist the pair frame")
+    // rebuild works and matches (registry refills on the way)
+    assert(pairSet(Dedup.jaccardPairs(docs, 3, 0.5)) == pairsBefore)
+  }
+
   test("d11 segment-level dedup detects planted cross-doc boilerplate") {
     import spark.implicits._
     // segments are non-overlapping 8-word windows from doc start, so the
