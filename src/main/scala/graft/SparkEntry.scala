@@ -255,6 +255,8 @@ object SparkEntry {
       Dedup.editDistancePairs(t(s, d, "documents"))),
     "d11_boilerplate_segments" -> ((s, d) =>
       Dedup.boilerplateSegments(t(s, d, "documents"), 8, 2)),
+    "d12_repeated_ngrams" -> ((s, d) =>
+      Dedup.repeatedNgrams(t(s, d, "documents"), 8, 2)),
     "t10_boilerplate_stats" -> ((s, d) =>
       Dedup.boilerplateStats(t(s, d, "documents"), 8, 2)),
     "d7_dup_clusters" -> ((s, d) =>
@@ -1184,6 +1186,17 @@ object SparkEntry {
         |seg AS (SELECT DISTINCT doc_id,
         |          array_to_string(toks[(i-1)*8+1 : (i-1)*8+8], ' ')
         |            AS segment FROM idx)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM seg GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+    "d12_repeated_ngrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-7, 0)+1)) AS i FROM tk),
+        |seg AS (SELECT DISTINCT doc_id,
+        |          array_to_string(toks[i : i+7], ' ') AS segment FROM idx)
         |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM seg GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
     "t10_boilerplate_stats" ->

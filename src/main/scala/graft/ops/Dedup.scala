@@ -554,20 +554,43 @@ object Dedup {
     * the same pipeline runs on lines or paragraphs). Construction is
     * entirely narrow — tokenize, slice, in-array distinct, explode — the
     * first shuffle is whatever the consumer does with the segments. */
-  def docSegments(documents: DataFrame, segWords: Int = 8): DataFrame = {
+  def docSegments(documents: DataFrame, segWords: Int = 8): DataFrame =
+    docSegmentsStrided(documents, segWords, segWords)
+
+  /** `docSegments` with an explicit window stride. stride == segWords is
+    * the tiling d11 uses (cheapest, alignment-sensitive); stride == 1
+    * emits EVERY k-word window — the alignment-free form exact-substring
+    * dedup wants: two docs sharing any k-word run share a window
+    * regardless of where the run sits in either doc. Output grows by
+    * segWords/stride, nothing else changes shape-wise. */
+  def docSegmentsStrided(documents: DataFrame, segWords: Int,
+      stride: Int): DataFrame = {
+    require(stride >= 1 && segWords >= 1, "segWords and stride must be >= 1")
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
       t => t =!= "")
-    val nseg = floor(size(toks) / segWords).cast("int")
+    val nseg = (floor((size(toks) - segWords) / stride).cast("int") + 1)
     // sequence(1, 0) would generate a DESCENDING [1, 0] — clamp to 1 and
     // drop partial slices (shorter than segWords) instead
     val slices = filter(
       transform(sequence(lit(1), greatest(nseg, lit(1))),
-        i => slice(toks, (i - 1) * segWords + 1, lit(segWords))),
+        i => slice(toks, (i - 1) * stride + 1, lit(segWords))),
       a => size(a) === segWords)
     documents.select(col("doc_id"),
       explode(array_distinct(transform(slices, a => concat_ws(" ", a))))
         .as("segment"))
   }
+
+  /** Alignment-free cross-doc repeated n-grams: every `segWords`-word
+    * window (stride 1) occurring in >= minDocs distinct documents — the
+    * exact-substring dedup signal ("which long runs repeat across the
+    * corpus"), free of d11's window-alignment sensitivity at a
+    * segWords-fold larger (still linear) segment frame. */
+  def repeatedNgrams(documents: DataFrame, segWords: Int = 8,
+      minDocs: Int = 2): DataFrame =
+    docSegmentsStrided(documents, segWords, 1)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
 
   /** Line-level (segment-level) dedup, the boilerplate detector: segments
     * occurring in >= minDocs DISTINCT documents, with their document

@@ -267,6 +267,22 @@ class PipelineSpec extends GraftSuite {
     assert(stats == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((1L, 0L))))
   }
 
+  test("d12 repeated n-grams are alignment-free where d11 tiling is not") {
+    import spark.implicits._
+    // the shared 8-word run sits at offset 0 in doc 1 but offset 1 in
+    // doc 2 — tiled windows never line up, stride-1 windows must
+    val b = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, b + " x1 x2 x3 x4 x5 x6 x7 x8"),
+      (2L, "y0 " + b + " y1 y2 y3 y4 y5 y6 y7"))
+      .toDF("doc_id", "text")
+    assert(Dedup.boilerplateSegments(df, 8, 2).count() == 0,
+      "tiling should miss the offset run")
+    val rep = Dedup.repeatedNgrams(df, 8, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(rep.toSeq == Seq(b -> 2L))
+  }
+
   test("d10 incremental dedup classifies planted exact/near/fresh batch docs") {
     import spark.implicits._
     val corpus = docs.select("doc_id", "text")
