@@ -33,8 +33,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.load(spark, sfDir, "events").count() // warmup: scan + JVM init
-    // named warm-up: materialize the dedup substrate (see class doc)
-    ops.Dedup.warmSubstrate(Tables.load(spark, sfDir, "documents"), 3, 0.5)
+    // named warm-up: materialize the dedup substrate (see class doc).
+    // Guarded: a warm-up failure must degrade to cold-cache timings, not
+    // abort the whole bench before any query line is emitted.
+    try ops.Dedup.warmSubstrate(Tables.load(spark, sfDir, "documents"), 3, 0.5)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] substrate warm-up failed: ${e.getMessage}")
+    }
     // Optional comma-separated filter for local iteration on a query subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -55,7 +60,9 @@ object Bench {
       if (i % 8 == 7) System.gc()
       name -> dt
     }
-    def f(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + f(kv._2)
     val total = results.map(_._2).sum
     val allQs = results.map(entry).mkString("{", ",", "}")

@@ -566,8 +566,11 @@ object Dedup {
   def docSegmentsStrided(documents: DataFrame, segWords: Int,
       stride: Int): DataFrame = {
     require(stride >= 1 && segWords >= 1, "segWords and stride must be >= 1")
-    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
-      t => t =!= "")
+    // same tokenizer as the shingle substrate (CJK-aware bigrams, Latin
+    // words) so segment dedup covers exactly the documents shingle dedup
+    // covers; on Latin text this equals a lowercase [^a-z0-9]+ split,
+    // which keeps the DuckDB oracles expressible
+    val toks = graft.functions.Text.tokenizeUdf(col("text"))
     val nseg = (floor((size(toks) - segWords) / stride).cast("int") + 1)
     // sequence(1, 0) would generate a DESCENDING [1, 0] — clamp to 1 and
     // drop partial slices (shorter than segWords) instead
@@ -615,8 +618,14 @@ object Dedup {
     * with minDocs but grows with the corpus, so no forced broadcast. */
   def boilerplateStats(documents: DataFrame, segWords: Int = 8,
       minDocs: Int = 2): DataFrame = {
-    val seg = docSegments(documents, segWords)
-    val boiler = boilerplateSegments(documents, segWords, minDocs)
+    // both consumers below read the segment frame — materialize the
+    // tokenize/slice/explode pipeline once (Catalyst does not dedup
+    // common subplans inside one action)
+    val seg = docSegments(documents, segWords).localCheckpoint()
+    val boiler = seg
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
       .select(col("segment"), lit(1).as("is_boiler"))
     seg.join(boiler, Seq("segment"), "left")
       .groupBy(col("doc_id"))

@@ -152,6 +152,37 @@ object Similarity {
     embeddings.select(col("vec_id"), enc(col("embedding")).as("code"))
   }
 
+  /** Driver-side ADC preparation shared by the PQ search variants: per
+    * collected query row, an m x k table of subspace dot products against
+    * the codebooks — scoring a code is then m table lookups. */
+  private def adcTables(qRows: Array[org.apache.spark.sql.Row],
+      cbs: Array[Array[Array[Float]]], m: Int, k: Int,
+      subDim: Int): Map[Long, Array[Float]] =
+    qRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1)
+      qid -> Array.tabulate(m * k) { idx =>
+        val sub = idx / k; val cc = idx % k
+        var s = 0.0f; var i = 0
+        while (i < subDim) { s += q(sub * subDim + i) * cbs(sub)(cc)(i); i += 1 }
+        s
+      }
+    }.toMap
+
+  /** The per-pair ADC scorer: only a long qid and the m-byte code cross
+    * the UDF boundary (no float array conversion per row). */
+  private def adcScoreUdf(spark: org.apache.spark.sql.SparkSession,
+      tables: Map[Long, Array[Float]], m: Int, k: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val tbc = spark.sparkContext.broadcast(tables)
+    udf { (qid: Long, code: Array[Byte]) =>
+      val adc = tbc.value(qid)
+      var s = 0.0; var sub = 0
+      while (sub < m) { s += adc(sub * k + (code(sub) & 0xff)); sub += 1 }
+      s
+    }
+  }
+
   /** PQ ANN (asymmetric distance): queries stay exact; each query
     * precomputes an m x k table of subspace dot products against the
     * codebooks, and every corpus code scores in O(m) table lookups.
@@ -177,25 +208,10 @@ object Similarity {
     // boundary per row (array-column conversion costs ~100x the lookups)
     val qRows = embeddings.where(col("vec_id") < numQueries)
       .select(col("vec_id"), col("embedding")).collect()
-    val tables: Map[Long, Array[Float]] = qRows.map { r =>
-      val qid = r.getLong(0)
-      val q = r.getSeq[Float](1)
-      qid -> Array.tabulate(mL * kL) { idx =>
-        val sub = idx / kL; val cc = idx % kL
-        var s = 0.0f; var i = 0
-        while (i < subDim) { s += q(sub * subDim + i) * cbs(sub)(cc)(i); i += 1 }
-        s
-      }
-    }.toMap
-    val tbc = spark.sparkContext.broadcast(tables)
+    val tables = adcTables(qRows, cbs, mL, kL, subDim)
     import spark.implicits._
     val queries = tables.keys.toSeq.toDF("qid")
-    val score = udf { (qid: Long, code: Array[Byte]) =>
-      val adc = tbc.value(qid)
-      var s = 0.0; var sub = 0
-      while (sub < mL) { s += adc(sub * kL + (code(sub) & 0xff)); sub += 1 }
-      s
-    }
+    val score = adcScoreUdf(spark, tables, mL, kL)
     codes.toDF("nid", "code")
       .crossJoin(broadcast(queries))
       .where(col("qid") =!= col("nid"))
@@ -249,16 +265,7 @@ object Similarity {
     val centers = model.clusterCenters
     val qRows = embeddings.where(col("vec_id") < numQueries)
       .select(col("vec_id"), col("embedding")).collect()
-    val adc: Map[Long, Array[Float]] = qRows.map { r =>
-      val qid = r.getLong(0)
-      val q = r.getSeq[Float](1)
-      qid -> Array.tabulate(mL * kL) { idx =>
-        val sub = idx / kL; val cc = idx % kL
-        var s = 0.0f; var i = 0
-        while (i < subDim) { s += q(sub * subDim + i) * cbs(sub)(cc)(i); i += 1 }
-        s
-      }
-    }.toMap
+    val tables = adcTables(qRows, cbs, mL, kL, subDim)
     val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0)
       val q = r.getSeq[Float](1)
@@ -268,15 +275,9 @@ object Similarity {
         .sortBy { case (c, d) => (d, c) }
         .take(nprobe).map { case (c, _) => (qid, c.toInt) }
     }
-    val tbc = spark.sparkContext.broadcast(adc)
     import spark.implicits._
     val probeDf = probes.toDF("qid", "cell")
-    val score = udf { (qid: Long, code: Array[Byte]) =>
-      val t = tbc.value(qid)
-      var s = 0.0; var sub = 0
-      while (sub < mL) { s += t(sub * kL + (code(sub) & 0xff)); sub += 1 }
-      s
-    }
+    val score = adcScoreUdf(spark, tables, mL, kL)
     index.join(broadcast(probeDf), Seq("cell"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),

@@ -52,6 +52,10 @@ object Sketches {
     * union is <= partitions x m rows (spec-bounded). */
   def cmsTopKeys(df: DataFrame, keyCol: String, k: Int,
       eps: Double = 0.001, delta: Double = 0.01, m: Int = 256): DataFrame = {
+    // the result is the top-k AMONG CANDIDATES: complete for keys with
+    // global frequency > N/(m+1) (true heavy hitters), but on near-flat
+    // distributions ranks close to k may be missed — size m well above k
+    require(k <= m, s"k=$k must be <= candidate budget m=$m")
     val cms = df.stat.countMinSketch(col(keyCol), eps, delta, seed = 42)
     val spark = df.sparkSession
     val cmsBc = spark.sparkContext.broadcast(cms)

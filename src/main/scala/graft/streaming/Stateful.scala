@@ -206,12 +206,26 @@ object Stateful {
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     docs
-      .map { d =>
-        val norm = Option(d.text).getOrElse("").toLowerCase
-          .replaceAll("[^a-z0-9]+", " ").trim
-        val fp = java.security.MessageDigest.getInstance("MD5")
-          .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        (fp, d.doc_id)
+      .mapPartitions { it =>
+        // digest hoisted per partition; hex via lookup table — the per-row
+        // cost is the hash itself, not allocation/formatting
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        it.map { d =>
+          // Locale.ROOT: executor default locale must not change the
+          // fingerprint (Turkish-I etc.) — matches the batch normText
+          // (Spark's lower()) byte for byte
+          val norm = Option(d.text).getOrElse("")
+            .toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("[^a-z0-9]+", " ").trim
+          md.reset()
+          val dig = md.digest(norm.getBytes("UTF-8"))
+          val sb = new java.lang.StringBuilder(32)
+          dig.foreach { b =>
+            sb.append(hex((b >> 4) & 0xf)); sb.append(hex(b & 0xf))
+          }
+          (sb.toString, d.doc_id)
+        }
       }
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, DedupEmit](
@@ -223,14 +237,19 @@ object Stateful {
           } else {
             val ids = it.map(_._2).toArray.sorted
             val out = scala.collection.mutable.ArrayBuffer[DedupEmit]()
-            var keeper = state.getOption.getOrElse(-1L)
+            // state.exists, not a sentinel: negative doc ids are legal
+            var keeper =
+              if (state.exists) Some(state.get) else None
             ids.foreach { id =>
-              if (keeper < 0L) {
-                keeper = id
-                out += DedupEmit(id, "keep", None)
-              } else out += DedupEmit(id, "exact_dup", Some(keeper))
+              keeper match {
+                case None =>
+                  keeper = Some(id)
+                  out += DedupEmit(id, "keep", None)
+                case Some(k) =>
+                  out += DedupEmit(id, "exact_dup", Some(k))
+              }
             }
-            state.update(keeper)
+            keeper.foreach(state.update)
             ttl.foreach(state.setTimeoutDuration)
             out.iterator
           }

@@ -48,8 +48,9 @@ def main():
     covered = [q for q in bench if q in base]
     tot = sum(bench[q] for q in covered)
     tot_base = sum(base[q] for q in covered)
+    ratio = f"{tot / tot_base:.2f}x" if tot_base > 0 else "n/a"
     print(f"== {len(covered)} gated queries: total {tot:.1f}s vs baseline "
-          f"{tot_base:.1f}s = {tot / tot_base:.2f}x; "
+          f"{tot_base:.1f}s = {ratio}; "
           f"{len(breaches)} breach(es) ==")
     if ungated:
         print(f"== {len(ungated)} ungated (no baseline): "
