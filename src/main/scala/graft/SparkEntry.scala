@@ -259,6 +259,10 @@ object SparkEntry {
       Dedup.repeatedNgrams(t(s, d, "documents"), 8, 2)),
     "t10_boilerplate_stats" -> ((s, d) =>
       Dedup.boilerplateStats(t(s, d, "documents"), 8, 2)),
+    "t11_passage_chunks" -> ((s, d) =>
+      TextAnalysis.passageChunks(t(s, d, "documents"), 64, 48)),
+    "d13_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizeHistogram(t(s, d, "documents"))),
     "d7_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
     // ---- training-data pipeline: similarity search ----
@@ -1188,6 +1192,54 @@ object SparkEntry {
         |            AS segment FROM idx)
         |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM seg GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+    "t11_passage_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(0, CAST(greatest(
+        |            ceil((len(toks) - 64) / 48.0), 0) AS BIGINT) + 1))
+        |            AS k
+        |        FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, k AS chunk_idx,
+        |       CAST(len(toks[k*48+1 : least(k*48+64, len(toks))])
+        |         AS INTEGER) AS n_tok,
+        |       array_to_string(toks[k*48+1 : least(k*48+64, len(toks))],
+        |         ' ') AS passage
+        |FROM idx""".stripMargin,
+    "d13_cluster_sizes" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        |       FROM sh a JOIN sh b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc1, doc2 FROM pr
+        |          JOIN sz s1 ON doc1 = s1.doc_id
+        |          JOIN sz s2 ON doc2 = s2.doc_id
+        |          WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+        |edges AS (SELECT doc1 AS u, doc2 AS v FROM pairs
+        |          UNION ALL SELECT doc2, doc1 FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        |         FROM reach GROUP BY u),
+        |lab AS (SELECT d.doc_id,
+        |          CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT)
+        |            AS cluster_id
+        |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY 1)
+        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM cs GROUP BY 1""".stripMargin,
     "d12_repeated_ngrams" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),

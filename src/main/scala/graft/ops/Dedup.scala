@@ -633,6 +633,18 @@ object Dedup {
         coalesce(sum(col("is_boiler")), lit(0L)).cast("long").as("n_boiler"))
   }
 
+  /** Dup-cluster size distribution — the dedup report's headline table
+    * ("how much of the corpus sits in duplicate clusters of what size"):
+    * (cluster_size, n_clusters) over ALL docs, singletons included. Two
+    * tiny rollup shuffles on top of the cluster labels. */
+  def clusterSizeHistogram(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    dupClusters(documents, n, threshold)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** 64-bit SimHash over tokens: bit j is the sign of the token-frequency-
     * weighted sum of (+-1) for bit j of each token's 64-bit hash. Single
     * tight-loop UDF per row (tokenize + vote + pack) — no explode, no

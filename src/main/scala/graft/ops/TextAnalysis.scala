@@ -164,6 +164,32 @@ object TextAnalysis {
 
   /** Document fingerprint, oracle-exact flavor: md5 of normalized text
     * (lowercase, non-alnum runs -> single space, trimmed). */
+  /** Overlapping passage chunks for retrieval-index construction: windows
+    * of `chunkTokens` whitespace tokens every `stride` tokens, with the
+    * final window shortened to cover the tail (every token lands in at
+    * least one chunk; consecutive chunks overlap by chunkTokens - stride).
+    * Entirely narrow — tokenize, slice, explode; the chunk table is
+    * written bucketed/partitioned by whatever the retrieval layer shards
+    * on. */
+  def passageChunks(documents: DataFrame, chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1, "chunkTokens/stride >= 1")
+    val toks = split(col("text"), "\\s+")
+    // last start covers the tail: k = 0 .. max(ceil((len-chunk)/stride),0)
+    val lastK = greatest(ceil((size(toks) - chunkTokens)
+      .cast("double") / stride), lit(0.0)).cast("long")
+    documents
+      .where(size(toks) > 0)
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(0L), lastK)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)).as("w"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("w")).as("n_tok"),
+        concat_ws(" ", col("w")).as("passage"))
+  }
+
   def normalizedFingerprint(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))

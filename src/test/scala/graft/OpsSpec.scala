@@ -316,6 +316,27 @@ class OpsSpec extends GraftSuite {
     assert(frCount == totals("fr"))
   }
 
+  test("t11 passage chunks: full token coverage, stride overlap, short tail only") {
+    val docs = Tables.load(spark, sf, "documents")
+    val lens = docs.selectExpr("doc_id", "size(split(text, '\\\\s+')) as n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextAnalysis.passageChunks(docs, 64, 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet == lens.keySet)
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // starts are exactly 0, 48, 96, ...
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      // every token covered: last chunk ends at the doc's token count
+      val last = sorted.last
+      assert(last._2 * 48 + last._3 == lens(doc),
+        s"doc $doc tail not covered")
+      // only the last chunk may be shorter than chunkTokens
+      assert(sorted.dropRight(1).forall(_._3 == 64), s"doc $doc short mid-chunk")
+    }
+  }
+
   test("smp deterministic sampling: reproducible, composable, ~uniform") {
     val docs = Tables.load(spark, sf, "documents")
     val total = docs.count().toDouble
