@@ -80,41 +80,75 @@ object TextAnalysis {
     * over the far smaller (doc, tri, c) frame.
     */
   /** Shared substrate of the trigram family (t6 LM score, t8 repetition):
-    * per-doc char-trigram counts, persisted so plan-equality cache reuse
-    * serves every trigram query from one explode (same discipline as the
-    * dedup shingle substrate; count() barrier prevents concurrent scans of
-    * the uncached plan inside one action). */
-  private def docTriCounts(documents: DataFrame): DataFrame = {
-    val norm = lower(col("text"))
-    val docTri = documents
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), greatest(length(norm) - 2, lit(1))),
-          i => norm.substr(i, lit(3)))).as("tri"))
-      .where(length(col("tri")) === 3)
-      .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
-    if (docTri.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      docTri.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      docTri.count()
+    * per-doc char-trigram counts computed IN ROW — one UDF pass builds the
+    * (trigram, count) pairs as two parallel arrays, because per-doc counts
+    * are a per-row property and never needed a shuffle. Persisted so
+    * plan-equality cache reuse serves every trigram query from one pass
+    * (same discipline as the dedup shingle substrate). Docs shorter than
+    * one trigram drop out, matching the old explode-based substrate. */
+  private def docTriArrays(documents: DataFrame): DataFrame = {
+    val cnt = udf { (text: String) =>
+      val s = Option(text).getOrElse("")
+        .toLowerCase(java.util.Locale.ROOT)
+      val m = new java.util.LinkedHashMap[String, Long]()
+      var i = 0
+      while (i + 3 <= s.length) {
+        m.merge(s.substring(i, i + 3), 1L, (a, b) => a + b)
+        i += 1
+      }
+      val ts = new Array[String](m.size)
+      val cs = new Array[Long](m.size)
+      var j = 0
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); ts(j) = e.getKey; cs(j) = e.getValue; j += 1
+      }
+      (ts, cs)
     }
-    docTri
+    val df = documents
+      .select(col("doc_id"), cnt(col("text")).as("tc"))
+      .select(col("doc_id"), col("tc._1").as("ts"), col("tc._2").as("cs"))
+      .where(size(col("ts")) > 0)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+    }
+    df
   }
 
   def trigramLmScore(documents: DataFrame): DataFrame = {
-    val docTri = docTriCounts(documents)
-    val stats = docTri.groupBy(col("tri")).agg(sum(col("c")).as("tf"))
-      .localCheckpoint()
-    val totals = stats.agg(sum(col("tf")).as("total"),
-      count(lit(1)).as("vocab"))
-    docTri
-      .join(broadcast(stats), Seq("tri"))
-      .crossJoin(broadcast(totals))
-      .groupBy(col("doc_id"))
-      .agg(
-        (sum(col("c") * log((col("tf") + 1).cast("double") /
-          (col("total") + col("vocab")).cast("double"))) / sum(col("c")))
-          .as("lm_score"),
-        sum(col("c")).as("n_trigrams"))
+    val sub = docTriArrays(documents)
+    // global trigram frequencies: explode the pre-counted per-doc pairs
+    // (map-side partial agg shrinks every partition to the trigram
+    // vocabulary before one small shuffle). The result is BOUNDED by the
+    // charset cubed (~50k entries for lowercased text), so it collects and
+    // broadcasts as a map — scoring is then a narrow pass, no join, no
+    // final groupBy shuffle.
+    val tf: Map[String, Long] = sub
+      .select(explode(arrays_zip(col("ts"), col("cs"))).as("z"))
+      .groupBy(col("z.ts").as("tri"))
+      .agg(sum(col("z.cs")).as("tf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = tf.values.sum
+    val vocab = tf.size
+    val spark = documents.sparkSession
+    val bc = spark.sparkContext.broadcast(tf)
+    val denom = (total + vocab).toDouble
+    val score = udf { (ts: Seq[String], cs: Seq[Long]) =>
+      val m = bc.value
+      var num = 0.0
+      var n = 0L
+      var i = 0
+      while (i < ts.length) {
+        num += cs(i) * math.log((m.getOrElse(ts(i), 0L) + 1).toDouble / denom)
+        n += cs(i)
+        i += 1
+      }
+      (num / n, n)
+    }
+    sub.select(col("doc_id"), score(col("ts"), col("cs")).as("r"))
+      .select(col("doc_id"), col("r._1").as("lm_score"),
+        col("r._2").as("n_trigrams"))
   }
 
   /** PII indicator counts per document — the scrubbing pre-pass of a
@@ -155,11 +189,11 @@ object TextAnalysis {
     * values flag boilerplate/spam) and the count of the most repeated
     * trigram. One explode + one groupBy pair, partial-agg friendly. */
   def repetitionStats(documents: DataFrame): DataFrame =
-    docTriCounts(documents)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_distinct"),
-        sum(col("c")).as("n_total"),
-        max(col("c")).as("max_rep"))
+    docTriArrays(documents)
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_distinct"),
+        aggregate(col("cs"), lit(0L), (a, b) => a + b).as("n_total"),
+        array_max(col("cs")).as("max_rep"))
       .withColumn("ttr", col("n_distinct") / col("n_total"))
 
   /** Document fingerprint, oracle-exact flavor: md5 of normalized text
