@@ -337,6 +337,31 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("smp5 token budget monotonicity: a larger budget keeps a superset") {
+    val docs = Tables.load(spark, sf, "documents")
+    val small = Sampling.tokenBudgetSample(docs, 8000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = Sampling.tokenBudgetSample(docs, 16000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large) && small.size < large.size,
+      s"prefix property violated: ${small.size} vs ${large.size}")
+  }
+
+  test("smp4 stratified sample composes with a flat sub-sample") {
+    val docs = Tables.load(spark, sf, "documents")
+    val strat = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.8), 0.5)
+    // a flat 0.25 sample of the stratified sample equals stratifying the
+    // flat 0.25 sample: selection depends only on the content hash
+    val a = Sampling.deterministicSample(strat, "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(
+        Sampling.deterministicSample(docs, "doc_id", 0.25),
+        "doc_id", "lang", Map("en" -> 0.8), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("smp deterministic sampling: reproducible, composable, ~uniform") {
     val docs = Tables.load(spark, sf, "documents")
     val total = docs.count().toDouble
