@@ -236,6 +236,32 @@ class PipelineSpec extends GraftSuite {
       .foreach(r => assert(r.getLong(1) <= 5))
   }
 
+  test("text/dedup surface tolerates null, empty, and tiny documents") {
+    import spark.implicits._
+    val weird = Seq(
+      (1L, null.asInstanceOf[String], "en", "src0"),
+      (2L, "", "en", "src0"),
+      (3L, "a", "de", "src1"),
+      (4L, "ab cd ef gh ij kl mn op qr st", "fr", "src1"),
+      (5L, "ab cd ef gh ij kl mn op qr st", "fr", "src2"))
+      .toDF("doc_id", "text", "lang", "source")
+    // every op must run without throwing; duplicate pair 4/5 must survive
+    assert(Dedup.exactDuplicates(weird).count() >= 3)
+    val jp = Dedup.jaccardPairs(weird, 3, 0.5).collect()
+    assert(jp.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((4L, 5L)))
+    assert(Dedup.minhashDuplicates(weird).count() == 1)
+    Dedup.simhashPairs(weird).count()
+    assert(Dedup.dupClusters(weird).count() == 5)
+    Dedup.boilerplateSegments(weird, 8, 2).count()
+    Dedup.repeatedNgrams(weird, 8, 2).count()
+    Dedup.clusterSizeHistogram(weird).count()
+    assert(TextAnalysis.repetitionStats(weird).count() == 2) // docs with >=1 trigram
+    assert(TextAnalysis.trigramLmScore(weird).count() == 2)
+    TextAnalysis.passageChunks(weird, 4, 3).count()
+    assert(Pipeline.corpusReport(weird).count() >= 3)
+    Dedup.clearSubstrates() // don't leak the weird-corpus caches
+  }
+
   test("dedup substrate registry: clearSubstrates reclaims persisted frames") {
     val before = Dedup.jaccardPairs(docs, 3, 0.5)
     val pairsBefore = pairSet(before)
