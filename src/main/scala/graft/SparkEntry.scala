@@ -261,6 +261,11 @@ object SparkEntry {
       Dedup.boilerplateStats(t(s, d, "documents"), 8, 2)),
     "t11_passage_chunks" -> ((s, d) =>
       TextAnalysis.passageChunks(t(s, d, "documents"), 64, 48)),
+    // rows-only by design: BPE training is an iterative merge loop with
+    // no SQL expression; the merge sequence and encoder are spec-verified
+    // against a hand-computed example and round-trip/determinism laws
+    "t12_bpe_subwords" -> ((s, d) =>
+      Bpe.subwordStats(t(s, d, "documents"), 100, 2L)),
     "d13_cluster_sizes" -> ((s, d) =>
       Dedup.clusterSizeHistogram(t(s, d, "documents"))),
     "d7_dup_clusters" -> ((s, d) =>

@@ -362,6 +362,31 @@ class OpsSpec extends GraftSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("BPE training: hand-computed merges, encode round-trip, determinism") {
+    // words: abab x3, ab x2 -> pair (a,b) count 8 beats (b,a) count 3;
+    // after merging, (ab,ab) count 3 is the only pair left
+    val merges = Bpe.trainMerges(Array("abab" -> 3L, "ab" -> 2L), 5)
+    assert(merges == Seq(("a", "b"), ("ab", "ab")))
+    val rank = merges.zipWithIndex.toMap
+    assert(Bpe.encodeWord("ababab", rank).toSeq == Seq("abab", "ab"))
+    assert(Bpe.encodeWord("ba", rank).toSeq == Seq("b", "a"))
+    // encoding always reconstructs the word
+    Seq("abab", "ab", "aabb", "xyz").foreach { w =>
+      assert(Bpe.encodeWord(w, rank).mkString == w)
+    }
+    // corpus training is deterministic and the encoder compresses
+    val docs = Tables.load(spark, sf, "documents")
+    val m1 = Bpe.train(docs, 50, 2L)
+    val m2 = Bpe.train(docs, 50, 2L)
+    assert(m1 == m2 && m1.size == 50)
+    val stats = Bpe.subwordStats(docs, 50, 2L).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getInt(1) > 0 && r.getInt(1) <= r.getInt(2),
+        s"doc ${r.getLong(0)}: subtokens must be in (0, n_chars]")
+    }
+  }
+
   test("smp deterministic sampling: reproducible, composable, ~uniform") {
     val docs = Tables.load(spark, sf, "documents")
     val total = docs.count().toDouble
