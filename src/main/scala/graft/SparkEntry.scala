@@ -407,10 +407,12 @@ object SparkEntry {
       """SELECT event_id,
         |       CASE WHEN props->>'$.k' IS NULL THEN 'unparsable_props'
         |            WHEN user_id IS NULL THEN 'missing_user'
-        |            WHEN event_type NOT IN ('click','view','purchase')
+        |            WHEN event_type IS NULL
+        |              OR event_type NOT IN ('click','view','purchase')
         |              THEN 'unknown_type' END AS reject_reason
         |FROM events
         |WHERE props->>'$.k' IS NULL OR user_id IS NULL
+        |   OR event_type IS NULL
         |   OR event_type NOT IN ('click','view','purchase')""".stripMargin,
     "p2_cdc_filter" ->
       """SELECT event_id, 'cart_info' AS "table", 'update' AS type,
@@ -494,7 +496,11 @@ object SparkEntry {
         |            WHEN event_type = 'purchase'
         |                 AND CAST(props->>'$.k' AS INTEGER) >= 50
         |                 THEN 'display'
-        |            ELSE 'action' END AS leg,
+        |            WHEN event_type = 'purchase'
+        |                 AND (CAST(props->>'$.k' AS INTEGER) < 50
+        |                      OR (props->>'$.k') IS NULL)
+        |                 THEN 'action'
+        |            ELSE 'dropped' END AS leg,
         |       COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "x2_explode_words" ->

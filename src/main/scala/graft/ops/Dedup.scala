@@ -471,9 +471,12 @@ object Dedup {
     * never shingles the same text twice (see Pipeline.trainingCorpus). */
   def contaminationFromShingles(corpusSh: DataFrame, benchSh: DataFrame,
       minOverlap: Int = 5): DataFrame =
+    // NO doc_id =!= bench_id guard here: the two frames have independent
+    // id spaces, so a numeric id collision is NOT a self-pair — filtering
+    // it would hide real contamination. The split form can't produce
+    // self-pairs at all (its id ranges are disjoint by construction).
     corpusSh
       .join(broadcast(benchSh), "shingle")
-      .where(col("doc_id") =!= col("bench_id"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("overlap"))
       .where(col("overlap") >= minOverlap)
@@ -652,7 +655,7 @@ object Dedup {
   private val simhashUdf = udf { (text: String) =>
     val votes = new Array[Int](64)
     if (text != null) {
-      text.toLowerCase.split("[^a-z0-9]+").foreach { t =>
+      text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").foreach { t =>
         if (t.nonEmpty) {
           // 64-bit token hash from two 32-bit murmur passes
           val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0)

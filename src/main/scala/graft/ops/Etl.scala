@@ -37,7 +37,11 @@ object Etl {
       .withColumn("reject_reason",
         when(col("j.k").isNull, "unparsable_props")
           .when(col("user_id").isNull, "missing_user")
-          .when(!col("event_type").isin(requiredTypes: _*), "unknown_type"))
+          // null-safe: a NULL event_type is rejected by the accept path's
+          // isin, so it must land here too (a bare NOT isin is NULL for
+          // NULL input and would silently drop the record from BOTH legs)
+          .when(col("event_type").isNull ||
+            !col("event_type").isin(requiredTypes: _*), "unknown_type"))
       .where(col("reject_reason").isNotNull)
       .select(col("event_id"), col("reject_reason"))
 
@@ -176,7 +180,7 @@ object Etl {
   def tsUnits(events: DataFrame): DataFrame =
     events.select(col("event_id"),
       unix_millis(col("ts")).as("ts_ms"),
-      (unix_millis(col("ts")) / 1000).cast("long").as("ts_s"))
+      floor(unix_millis(col("ts")) / 1000).cast("long").as("ts_s")) // floor, not truncation: pre-1970 ts round toward -inf like the oracle
 
   /** P9/P10 — date/time formatting (DateFormatUtil.java:21-64; UTC here,
     * unlike the reference's hardcoded UTC+8). */

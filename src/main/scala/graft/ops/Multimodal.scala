@@ -35,12 +35,14 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(64).flatMap(_.map { r =>
         val w = math.max(r.width, 1)
-        val h = math.max(r.height, 1)
         val scale = targetW.toDouble / w
+        // scale the RAW height and clamp the RESULT (clamping height
+        // before scaling would turn a degenerate 0-height medium into
+        // out_h = scale instead of the 1-pixel floor)
         val n = math.min(maxFrames, r.payload.length / 1024 + 1)
         val stride = math.max(r.payload.length / math.max(n, 1), 1)
         MediaSample(r.doc_id, r.kind, targetW,
-          math.max((h * scale).toInt, 1),
+          math.max((r.height * scale).toInt, 1),
           Array.tabulate(n)(i => i.toLong * stride))
       })
     }.toDF()

@@ -59,12 +59,17 @@ object Pipeline {
     // lists grow with the corpus (a forced broadcast would break at
     // 100 TB), so the anti-joins stay planner-chosen — AQE broadcasts
     // them when they measure small, shuffles when they don't
+    // localCheckpoint: the packing stage reads survivors three times (the
+    // bucket window, the bucket totals, and the final lang join) and
+    // Catalyst does not dedup common subplans inside one action — without
+    // the barrier the filter + three anti-joins + sampling would run 3x
     val survivors = corpus
       .where(length(col("text")) >= minChars)
       .join(nearDups, Seq("doc_id"), "left_anti")
       .join(exactDups, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .transform(Sampling.deterministicSample(_, "doc_id", sampleFrac))
+      .localCheckpoint()
 
     Sampling.tokenOffsets(survivors, seqLen)
       .join(survivors.select(col("doc_id"), col("lang")), "doc_id")

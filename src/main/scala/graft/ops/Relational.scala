@@ -45,7 +45,7 @@ object Relational {
       .orderBy(col("epoch_s"))
       .rangeBetween(-3599, Window.currentRow)
     events
-      .withColumn("epoch_s", (unix_millis(col("ts")) / 1000).cast("long"))
+      .withColumn("epoch_s", floor(unix_millis(col("ts")) / 1000).cast("long"))
       .select(col("event_id"), col("user_id"),
         sum(col("value").cast("decimal(18,2)")).over(w)
           .cast("double").as("hr_sum"))

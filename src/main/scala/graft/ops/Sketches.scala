@@ -31,10 +31,15 @@ object Sketches {
     val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
     // rows failing the bloom test are definitely not in `keys` — emit
     // directly; only the maybe-set (true matches + fpp false positives)
-    // pays the exact anti-join
-    val maybe = big.where(mightContain(col(keyCol)))
+    // pays the exact anti-join. NULL keys never match an anti-join key,
+    // so they go straight to the clean branch (the primitive-typed UDF
+    // would return NULL for them and silently drop the row from BOTH
+    // branches otherwise).
+    val maybe = big
+      .where(col(keyCol).isNotNull && mightContain(col(keyCol)))
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    big.where(!mightContain(col(keyCol))).unionByName(maybe)
+    big.where(col(keyCol).isNull || !mightContain(col(keyCol)))
+      .unionByName(maybe)
   }
 
   /** Approximate heavy-hitters via count-min sketch: one pass builds the
@@ -56,7 +61,12 @@ object Sketches {
     // global frequency > N/(m+1) (true heavy hitters), but on near-flat
     // distributions ranks close to k may be missed — size m well above k
     require(k <= m, s"k=$k must be <= candidate budget m=$m")
-    val cms = df.stat.countMinSketch(col(keyCol), eps, delta, seed = 42)
+    // the sketch and the candidate probe must hash the SAME representation:
+    // build it over the string-cast column, since candidates and estimates
+    // flow through strings (a numeric-built sketch probed with strings
+    // would return collision noise)
+    val cms = df.stat.countMinSketch(col(keyCol).cast("string"), eps, delta,
+      seed = 42)
     val spark = df.sparkSession
     val cmsBc = spark.sparkContext.broadcast(cms)
     val estimate = udf((s: String) => cmsBc.value.estimateCount(s))

@@ -40,11 +40,17 @@ object Splits {
     // (non-codegen) JSON parse per reference
     val parsed = events.withColumn("k",
       from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))("k"))
+    // explicit purchase branch for 'action' + a 'dropped' bucket for any
+    // unknown/NULL event_type, so every leg count equals the matching
+    // splitLog frame's count (a bare .otherwise would claim rows no leg
+    // frame contains)
     val leg = when(col("event_type").isin("view", "click"), "page")
       .when(col("event_type") === "signup", "start")
       .when(col("event_type") === "error", "err")
       .when(col("event_type") === "purchase" && col("k") >= 50, "display")
-      .otherwise("action")
+      .when(col("event_type") === "purchase" &&
+        (col("k") < 50 || col("k").isNull), "action")
+      .otherwise("dropped")
     parsed.groupBy(leg.as("leg")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("leg"))
   }

@@ -238,7 +238,7 @@ object TextAnalysis {
   private val winnowUdf = udf { (text: String, w: Int) =>
     if (text == null) Array.empty[Long]
     else {
-      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
       val tokHash = toks.map { t =>
         var h = 1125899906842597L // FNV-ish polynomial per token
         var i = 0
