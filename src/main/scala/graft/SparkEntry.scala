@@ -235,6 +235,8 @@ object SparkEntry {
       TextAnalysis.normalizedFingerprint(t(s, d, "documents"))),
     "t6_trigram_lm_score" -> ((s, d) =>
       TextAnalysis.trigramLmScore(t(s, d, "documents"))),
+    "t13_cross_perplexity" -> ((s, d) =>
+      TextAnalysis.crossPerplexity(t(s, d, "documents"), "en")),
     "t5_winnowing_fp" -> ((s, d) =>
       TextAnalysis.winnowingFingerprint(t(s, d, "documents"), 4)
         .select("doc_id", "n_fp")),
@@ -1037,6 +1039,26 @@ object SparkEntry {
         |         AS lm_score,
         |       CAST(SUM(c) AS BIGINT) AS n_trigrams
         |FROM dt JOIN stats USING (tri) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+    "t13_cross_perplexity" ->
+      """WITH tris AS (
+        |  SELECT doc_id, substr(lower(text), i, 3) AS tri
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text)-2,1)+1)) AS i
+        |        FROM documents)
+        |  WHERE length(substr(lower(text), i, 3)) = 3),
+        |dt AS (SELECT doc_id, tri, COUNT(*) AS c FROM tris GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT tri, SUM(c) AS tf
+        |  FROM dt JOIN documents USING (doc_id)
+        |  WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT SUM(tf) AS total, COUNT(*) AS vocab FROM stats)
+        |SELECT doc_id,
+        |       SUM(c * ln((COALESCE(tf, 0) + 1)
+        |                  / CAST(total + vocab AS DOUBLE))) / SUM(c)
+        |         AS xlm_score,
+        |       CAST(SUM(c) AS BIGINT) AS n_trigrams
+        |FROM dt LEFT JOIN stats USING (tri) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
     "a18_order_uu_new" ->
       """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS event_date

@@ -151,6 +151,48 @@ object TextAnalysis {
         col("r._2").as("n_trigrams"))
   }
 
+  /** Cross-corpus perplexity filter (the CCNet / LLaMA-data shape): train a
+    * char-trigram LM on a trusted reference stratum (here `lang = refLang`),
+    * then score EVERY document by its mean add-one-smoothed log-probability
+    * under that reference model. Unlike `trigramLmScore` (self-scored), the
+    * stats side is a filtered subset — the standard quality-filter setup
+    * where Wikipedia-like text defines "good" and the whole crawl is ranked
+    * against it. Shares the persisted per-doc trigram substrate with
+    * t6/t8 (one pass builds it, every trigram query reuses it); the
+    * reference stats stay bounded by |alphabet|^3 so they collect and
+    * broadcast, leaving scoring a narrow pass with no join and no final
+    * shuffle. At 100 TB the reference stratum is sampled for stats and the
+    * scoring pass is unchanged. */
+  def crossPerplexity(documents: DataFrame, refLang: String = "en"): DataFrame = {
+    val sub = docTriArrays(documents)
+    val refIds = documents.filter(col("lang") === refLang).select("doc_id")
+    val tf: Map[String, Long] = sub
+      .join(refIds, Seq("doc_id"), "left_semi")
+      .select(explode(arrays_zip(col("ts"), col("cs"))).as("z"))
+      .groupBy(col("z.ts").as("tri"))
+      .agg(sum(col("z.cs")).as("tf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = tf.values.sum
+    val vocab = tf.size
+    val bc = documents.sparkSession.sparkContext.broadcast(tf)
+    val denom = (total + vocab).toDouble
+    val score = udf { (ts: Seq[String], cs: Seq[Long]) =>
+      val m = bc.value
+      var num = 0.0
+      var n = 0L
+      var i = 0
+      while (i < ts.length) {
+        num += cs(i) * math.log((m.getOrElse(ts(i), 0L) + 1).toDouble / denom)
+        n += cs(i)
+        i += 1
+      }
+      (num / n, n)
+    }
+    sub.select(col("doc_id"), score(col("ts"), col("cs")).as("r"))
+      .select(col("doc_id"), col("r._1").as("xlm_score"),
+        col("r._2").as("n_trigrams"))
+  }
+
   /** PII indicator counts per document — the scrubbing pre-pass of a
     * training-data pipeline (counts feed filtering/redaction policy).
     * Patterns stay in the RE2-compatible subset so the DuckDB oracle uses

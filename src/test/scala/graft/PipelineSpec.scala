@@ -171,6 +171,27 @@ class PipelineSpec extends GraftSuite {
     assert(scores.length == 2 && math.abs(scores(0) - scores(1)) < 1e-12)
   }
 
+  test("t13 cross perplexity: ranks reference language above others; " +
+       "degenerates to self-scored LM when the corpus is all-reference") {
+    val scored = TextAnalysis.crossPerplexity(docs, "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val byLang = scored.groupBy("lang").agg(avg("xlm_score").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the en-trained model must prefer en text to zh text on average
+    assert(byLang("en") > byLang("zh"),
+      s"expected en > zh, got $byLang")
+    // all-reference corpus: cross-scoring IS self-scoring
+    val enOnly = docs.where(col("lang") === "en")
+    val cross = TextAnalysis.crossPerplexity(enOnly, "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val self = TextAnalysis.trigramLmScore(enOnly)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cross.keySet == self.keySet)
+    cross.foreach { case (id, v) =>
+      assert(math.abs(v - self(id)) < 1e-12, s"doc $id: $v vs ${self(id)}")
+    }
+  }
+
   test("d7 propagation collapses long chains and stars (multi-iteration + bounded plan)") {
     import spark.implicits._
     // chain 0-1-2-...-9 (diameter 9 forces ~5 propagation rounds under the
