@@ -285,6 +285,9 @@ object SparkEntry {
     "sim5_ivfpq_topk" -> ((s, d) =>
       Similarity.ivfPqTopK(t(s, d, "embeddings"), 100, 5,
         nCells = 16, nprobe = 4, m = 16, k = 32)),
+    "sim6_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(t(s, d, "embeddings"), 1)
+        .select("qid", "nid")),
     // ---- training-data pipeline: multimodal ----
     "m1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatureSummary(t(s, d, "documents"))),
@@ -881,6 +884,20 @@ object SparkEntry {
     "sim1_brute_top1" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
         |           WHERE vec_id < 100),
+        |x AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+        |p AS (SELECT qid, nid,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS dot,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS qq,
+        |        SUM(CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS xx
+        |      FROM q, x, (SELECT unnest(range(1, 65)) AS i)
+        |      WHERE qid <> nid GROUP BY qid, nid),
+        |r AS (SELECT qid, nid, row_number() OVER
+        |        (PARTITION BY qid
+        |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+        |      FROM p)
+        |SELECT qid, nid FROM r WHERE rn = 1""".stripMargin,
+    "sim6_knn_graph" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings),
         |x AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
         |p AS (SELECT qid, nid,
         |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS dot,

@@ -47,6 +47,54 @@ object Similarity {
     rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"))
   }
 
+  /** Exact k-nearest-neighbor GRAPH: the top-k neighbor list for EVERY
+    * corpus vector, not just a query set — the substrate SemDeDup-style
+    * semantic pruning and dataset-cartography curation build on. Quadratic
+    * by definition (|N|^2 cosine evaluations), so this form is the oracle
+    * and the small-corpus path; at scale use `knnGraphBlocked`, which only
+    * scores pairs that share an LSH bucket. */
+  def knnGraph(embeddings: DataFrame, k: Int = 1): DataFrame = {
+    val base = withNorm(embeddings)
+    val q = base.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val pairs = base
+      .select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"))
+      .join(broadcast(q), col("qid") =!= col("nid"))
+    rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"))
+  }
+
+  /** LSH-blocked kNN graph — the 100 TB form of `knnGraph`: vectors are
+    * bucketed by `tables` hyperplane signatures and cosine is evaluated
+    * only within buckets, so the pair count drops from |N|^2 to
+    * sum(bucket^2) while the bucket self-join is an ordinary shuffle join
+    * on (table, signature) — no broadcast of the corpus anywhere. Both
+    * directions of a shared bucket emit, so the graph stays asymmetric-kNN
+    * like the exact form. Vectors sharing no bucket with anyone (possible
+    * for outliers at high `bits`) simply have no row — at scale that is
+    * the desired behavior, since an isolated vector has no near neighbor
+    * worth recording. Recall vs the exact graph is gated in PipelineSpec. */
+  def knnGraphBlocked(embeddings: DataFrame, k: Int = 1, bits: Int = 4,
+      tables: Int = 16, dims: Int = 64): DataFrame = {
+    val sigs = embeddings
+      .select(col("vec_id"),
+        posexplode(Vectors.sigsUdf(dims, bits, tables)(col("embedding")))
+          .as(Seq("tbl", "sig")))
+      .localCheckpoint() // one signature pass feeds both join sides
+    val candIds = sigs.toDF("qid", "tbl", "sig")
+      .join(sigs.toDF("nid", "tbl2", "sig2"),
+        col("tbl") === col("tbl2") && col("sig") === col("sig2") &&
+          col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val base = withNorm(embeddings)
+    val pairs = candIds
+      .join(base.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm")), "nid")
+    rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"), col("cos"))
+  }
+
   /** Hyperplane-LSH ANN: candidates share a bucket with the query in any of
     * `tables` hash tables; exact cosine ranks candidates. */
   def lshTopK(embeddings: DataFrame, numQueries: Int, k: Int,

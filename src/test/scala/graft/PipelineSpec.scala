@@ -192,6 +192,23 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("sim6 blocked kNN graph: recall vs the exact graph, near-full coverage") {
+    val exact = Similarity.knnGraph(emb, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact.size == emb.count(),
+      "exact graph must have one top-1 row per vector")
+    val blocked = Similarity.knnGraphBlocked(emb, 5)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val coverage = blocked.size.toDouble / exact.size
+    val recall = exact.count { case (q, n) =>
+      blocked.getOrElse(q, Set.empty).contains(n)
+    }.toDouble / exact.size
+    info(s"blocked kNN graph coverage: $coverage, top-1 recall@5: $recall")
+    assert(coverage >= 0.95, s"coverage $coverage")
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("d7 propagation collapses long chains and stars (multi-iteration + bounded plan)") {
     import spark.implicits._
     // chain 0-1-2-...-9 (diameter 9 forces ~5 propagation rounds under the
