@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route forked run output straight to stdout: the driver's bench harness
+// tail-parses the ONE JSON line graft.Bench prints, and sbt's default
+// logger prefixes every line with "[info] ", which breaks json.loads.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,7 +32,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.load(spark, sfDir, "events").count() // warmup: scan + JVM init
+    val warmEvents = Tables.load(spark, sfDir, "events")
+    warmEvents.count() // warmup: scan + JVM init
+    // JSON-parse path warm-up: the first timed queries (p1/p12/p6) are
+    // from_json-heavy, and on a loaded box Jackson class-loading + Janino
+    // codegen + C2 compilation of that path costs seconds that belong to
+    // JVM startup, not the operators. A 2000-row untimed slice compiles
+    // the same generated classes the timed runs then reuse.
+    try {
+      val slice = warmEvents.limit(2000)
+      ops.Etl.parseValidate(slice, Seq("click", "view", "purchase"))
+        .write.format("noop").mode("overwrite").save()
+      ops.Etl.pruneColumns(ops.Etl.toCdcEnvelope(slice),
+          Map("cart_info" -> Seq("id", "user_id")))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] parse warm-up failed: ${e.getMessage}")
+    }
     // named warm-up: materialize the dedup substrate (see class doc).
     // Guarded: a warm-up failure must degrade to cold-cache timings, not
     // abort the whole bench before any query line is emitted.

@@ -112,18 +112,23 @@ object Bpe {
   }
 
   /** Subword tokenization UDF: text -> array of BPE tokens. The ranked
-    * merge list broadcasts; per-word results are memoized per task (the
-    * Zipfian word distribution makes the cache hit rate ~1). */
+    * merge list broadcasts; per-word results are memoized in a cache held
+    * by the UDF closure — one map per deserialized UDF instance, shared
+    * across all rows of a task (the Zipfian word distribution makes the
+    * hit rate ~1). ConcurrentHashMap keeps a shared instance thread-safe
+    * in local mode; its size is bounded by the corpus vocabulary. */
   def encodeUdf(spark: SparkSession,
       merges: Seq[(String, String)]): UserDefinedFunction = {
     val rank = merges.zipWithIndex.toMap
     val bc = spark.sparkContext.broadcast(rank)
+    val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
     udf { (text: String) =>
-      val cache = scala.collection.mutable.HashMap[String, Array[String]]()
       Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
         .split("[^a-z0-9]+").iterator
         .filter(_.nonEmpty)
-        .flatMap(w => cache.getOrElseUpdate(w, encodeWord(w, bc.value)))
+        .flatMap(w =>
+          cache.computeIfAbsent(w, k => encodeWord(k, bc.value)))
         .toArray
     }
   }

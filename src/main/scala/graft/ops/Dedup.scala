@@ -439,7 +439,14 @@ object Dedup {
     * sharing >= minOverlap distinct n-gram shingles with any benchmark doc.
     * The benchmark side is tiny (an eval set), so its shingle index
     * broadcasts — the corpus streams through one narrow join, no self-join
-    * at all. Returns (doc_id, bench_id, overlap). */
+    * at all. Returns (doc_id, bench_id, overlap).
+    *
+    * Corpus and benchmark ids are frequently sliced from ONE id space (an
+    * in-place holdout check), so equal-id pairs are filtered here: without
+    * the guard every doc shared between the frames reports itself as
+    * maximal contamination. Callers with genuinely independent id spaces
+    * that must keep colliding-id pairs should use
+    * [[contaminationFromShingles]], which applies no guard. */
   def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 3, minOverlap: Int = 5): DataFrame =
     contaminationFromShingles(
@@ -448,6 +455,7 @@ object Dedup {
         .select(col("doc_id").as("bench_id"),
           xxhash64(col("shingle")).as("shingle")),
       minOverlap)
+      .where(col("doc_id") =!= col("bench_id"))
 
   /** `contaminationCheck` where the benchmark is the `doc_id < benchMaxId`
     * slice of one parent corpus (the common eval-holdout layout): both

@@ -59,8 +59,10 @@ object Sketches {
       eps: Double = 0.001, delta: Double = 0.01, m: Int = 256): DataFrame = {
     // the result is the top-k AMONG CANDIDATES: complete for keys with
     // global frequency > N/(m+1) (true heavy hitters), but on near-flat
-    // distributions ranks close to k may be missed — size m well above k
-    require(k <= m, s"k=$k must be <= candidate budget m=$m")
+    // distributions ranks close to k may be missed — so the candidate
+    // budget must dominate k with a generous margin, not merely bound it
+    require(m >= 4 * k, s"candidate budget m=$m must be >= 4*k (k=$k): " +
+      "ranks near k are only reliable well inside the Misra-Gries budget")
     // the sketch and the candidate probe must hash the SAME representation:
     // build it over the string-cast column, since candidates and estimates
     // flow through strings (a numeric-built sketch probed with strings
@@ -70,8 +72,14 @@ object Sketches {
     val spark = df.sparkSession
     val cmsBc = spark.sparkContext.broadcast(cms)
     val estimate = udf((s: String) => cmsBc.value.estimateCount(s))
+    // candidates flow through strings (the sketch is string-keyed); cast
+    // back to the input column's native type so the output schema matches
+    // the input regardless of key type. Lossless: every candidate value
+    // was produced by casting the original column to string.
+    val keyType = df.schema(keyCol).dataType
     mgCandidates(df, keyCol, m)
       .withColumn("est_count", estimate(col(keyCol)))
+      .withColumn(keyCol, col(keyCol).cast(keyType))
       .orderBy(col("est_count").desc, col(keyCol))
       .limit(k)
   }
