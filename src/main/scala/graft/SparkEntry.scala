@@ -240,6 +240,21 @@ object SparkEntry {
     "t5_winnowing_fp" -> ((s, d) =>
       TextAnalysis.winnowingFingerprint(t(s, d, "documents"), 4)
         .select("doc_id", "n_fp")),
+    "t14_gopher_quality" -> ((s, d) =>
+      TextAnalysis.gopherQuality(t(s, d, "documents"))),
+    // ---- training-data pipeline: corpus-level lexical stats ----
+    "n1_bigram_topk" -> ((s, d) =>
+      Corpus.ngramTopK(t(s, d, "documents"), 100)),
+    "n2_vocab_zipf" -> ((s, d) =>
+      Corpus.vocabZipf(t(s, d, "documents"))),
+    "r1_bm25_topk" -> ((s, d) =>
+      Corpus.bm25TopK(t(s, d, "documents"))),
+    // ---- training-data pipeline: graph analytics ----
+    "gr1_knn_pagerank" -> ((s, d) =>
+      Graph.pageRank(
+        Similarity.knnGraph(t(s, d, "embeddings"), 1)
+          .select(org.apache.spark.sql.functions.col("qid").as("src"),
+            org.apache.spark.sql.functions.col("nid").as("dst")), 5)),
     // ---- training-data pipeline: dedup ----
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactDuplicates(t(s, d, "documents"))),

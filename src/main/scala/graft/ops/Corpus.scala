@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-LEVEL lexical statistics for a training-data pipeline — the
+  * aggregate companions of the per-document ops in [[TextAnalysis]]:
+  * n-gram frequency tables, vocabulary Zipf ranks, and BM25 retrieval
+  * scoring. All three follow the same scale shape: one explode, one
+  * groupBy whose map-side partial aggregation shrinks every partition to
+  * its local vocabulary before the single shuffle, then a bounded-size
+  * result (vocab / top-k / queries x k).
+  */
+object Corpus {
+
+  /** Tokenization shared with TextAnalysis.qualityStats and the DuckDB
+    * oracle: plain single-space split. */
+  private def words = split(col("text"), " ")
+
+  /** Top-k corpus word bigrams by total count, with document frequency —
+    * the collocation table a data-auditing pass reads ("what phrases
+    * dominate my corpus"). `sequence(1, size-1)` is guarded by a
+    * `size >= 2` filter because Spark generates a DESCENDING [1,0] range
+    * when the upper bound is below the lower one (single-word docs would
+    * emit garbage bigrams instead of none).
+    *
+    * Scale: explode + one groupBy with partial aggregation; exact
+    * `countDistinct(doc_id)` doubles the shuffle width vs tf alone — at
+    * 100 TB swap it for `approx_count_distinct`/HLL (the a15 rollup
+    * pattern) and keep tf exact. Top-k compiles to
+    * TakeOrderedAndProject: O(k) per partition, no global sort. */
+  def ngramTopK(documents: DataFrame, k: Int = 100): DataFrame =
+    documents
+      .select(col("doc_id"), words.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1)))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("bigram"))
+      .limit(k)
+
+  /** Vocabulary table with Zipf ranks: every word's corpus frequency,
+    * document frequency, and dense frequency rank (ties broken by word so
+    * the rank is total and deterministic). The unpartitioned window runs
+    * over the AGGREGATED vocabulary — bounded by |vocab|, not corpus size
+    * — so the single-partition sort is a driver-scale frame, same
+    * argument as Sampling.tokenOffsets. */
+  def vocabZipf(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(words).as("word"), col("doc_id"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("word"))))
+
+  /** The fixed audit query set for the r1 query entry (terms from the
+    * corpus vocabulary so every query matches documents). */
+  val defaultQueries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("spark", "stream", "batch"),
+    "q2" -> Seq("table", "join", "query"),
+    "q3" -> Seq("vector", "hash"))
+
+  /** BM25 top-k retrieval over the corpus for a literal query set — the
+    * lexical-retrieval baseline every RAG/dedup audit wants next to the
+    * embedding ANN path (Robertson/Sparck-Jones weighting, the Lucene
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf flavor).
+    *
+    * Scale shape: term frequencies are computed ONLY for query terms (the
+    * `isin` filter lands before the groupBy, so the shuffle carries
+    * O(docs x |query terms|), not the full posting list); document
+    * frequency and the query table are broadcast; the per-(query, doc)
+    * sum is a second narrow-keyed groupBy; top-k per query is a window
+    * over O(matching docs). N and avgdl are two driver scalars from one
+    * aggregate — at 100 TB those come from table statistics instead. */
+  def bm25TopK(documents: DataFrame,
+      queries: Seq[(String, Seq[String])] = defaultQueries,
+      topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val docs = documents.select(col("doc_id"), words.as("w"))
+    val dl = docs.select(col("doc_id"), size(col("w")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
+    val nDocs = stats.getDouble(0)
+    val avgdl = stats.getDouble(1)
+    val terms = queries.flatMap(_._2).distinct
+    val q = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val tf = docs
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .where(col("term").isin(terms.map(lit(_)): _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .join(broadcast(q), "term")
+      .withColumn("idf",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + (lit(1 - b) + col("dl") * lit(b / avgdl)) * k1))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s")).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rn") <= topK)
+      .select("query_id", "doc_id", "score", "rn")
+  }
+}

@@ -39,6 +39,42 @@ object TextAnalysis {
         .cast("int").as("n_digits"))
   }
 
+  /** Gopher-style composition quality rules (the Rae et al. 2021 filter
+    * shape, restated over this corpus's space-separated text): per-doc
+    * word count, mean word length, stopword hits, and the fraction of the
+    * single most common word, plus the keep flag under the classic
+    * thresholds (word count in range, mean word length in [3,10], top
+    * word below a dominance cap, >= 2 stopword hits). All declarative
+    * array ops — narrow, no shuffle, no UDF; the most-common-word count
+    * is O(distinct x words) per row, bounded by document length. Ratios
+    * stay DOUBLE (plain division — deterministic both sides); the keep
+    * flag is cast to INT so the oracle hash is representation-stable. */
+  def gopherQuality(documents: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"),
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxTopWordFrac: Double = 0.1, minStopwordHits: Int = 2): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / nWords
+    val nStop = size(filter(toks,
+      t => t.isin(stopwords.map(lit(_)): _*)))
+    val topCnt = array_max(transform(array_distinct(toks),
+      w => size(filter(toks, t => t === w))))
+    val topFrac = topCnt.cast("double") / nWords
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      nStop.as("n_stopwords"),
+      topFrac.as("top_word_frac"),
+      (nWords.between(minWords, maxWords) &&
+        meanLen.between(minMeanLen, maxMeanLen) &&
+        topFrac <= maxTopWordFrac &&
+        nStop >= minStopwordHits).cast("int").as("keep"))
+  }
+
   /** Language ID via marker-token voting — a deterministic n-gram/stopword
     * heuristic. Picks the language whose marker set hits the document most;
     * ties and zero-hits fall back to 'en'. Declarative (no UDF): one
