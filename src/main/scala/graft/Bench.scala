@@ -39,6 +39,10 @@ object Bench {
     // codegen + C2 compilation of that path costs seconds that belong to
     // JVM startup, not the operators. A 2000-row untimed slice compiles
     // the same generated classes the timed runs then reuse.
+    // warm-up status is surfaced in the stdout JSON line ("warmup" field)
+    // so a silent warm-up regression can't hide behind stderr, which the
+    // driver's stdout tail never captures
+    var warmup = "ok"
     try {
       val slice = warmEvents.limit(2000)
       ops.Etl.parseValidate(slice, Seq("click", "view", "purchase"))
@@ -47,6 +51,7 @@ object Bench {
           Map("cart_info" -> Seq("id", "user_id")))
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable =>
+      warmup = "parse_failed"
       System.err.println(s"[bench] parse warm-up failed: ${e.getMessage}")
     }
     // named warm-up: materialize the dedup substrate (see class doc).
@@ -54,6 +59,7 @@ object Bench {
     // abort the whole bench before any query line is emitted.
     try ops.Dedup.warmSubstrate(Tables.load(spark, sfDir, "documents"), 3, 0.5)
     catch { case e: Throwable =>
+      warmup = if (warmup == "ok") "substrate_failed" else "both_failed"
       System.err.println(s"[bench] substrate warm-up failed: ${e.getMessage}")
     }
     // Optional comma-separated filter for local iteration on a query subset.
@@ -83,7 +89,7 @@ object Bench {
     val total = results.map(_._2).sum
     val allQs = results.map(entry).mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$allQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup":"$warmup","queries":$allQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       fullLine.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // stdout line is the contract
@@ -91,7 +97,7 @@ object Bench {
     // until the byte budget is spent; `nq` + `full` point at the rest
     val budget = sys.env.getOrElse("SPARK_GRAFT_LINE_BUDGET", "1700").toInt
     val head =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"full":"bench_out.json","sf":"$sfDir","queries":{"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"warmup":"$warmup","full":"bench_out.json","sf":"$sfDir","queries":{"""
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + 2
     results.sortBy(-_._2).foreach { kv =>

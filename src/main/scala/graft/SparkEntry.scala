@@ -250,11 +250,17 @@ object SparkEntry {
     "r1_bm25_topk" -> ((s, d) =>
       Corpus.bm25TopK(t(s, d, "documents"))),
     // ---- training-data pipeline: graph analytics ----
-    "gr1_knn_pagerank" -> ((s, d) =>
+    // rank rounded to 9dp on BOTH sides: pagerank over a k=1 graph yields
+    // terminating decimals that can sit exactly on the compare's 6dp
+    // rounding boundary, where ~1e-19 summation-order noise flips the
+    // rounded digit; 9dp snaps both engines to the same decimal first
+    "gr1_knn_pagerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
       Graph.pageRank(
         Similarity.knnGraph(t(s, d, "embeddings"), 1)
-          .select(org.apache.spark.sql.functions.col("qid").as("src"),
-            org.apache.spark.sql.functions.col("nid").as("dst")), 5)),
+          .select(col("qid").as("src"), col("nid").as("dst")), 5)
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+    }),
     // ---- training-data pipeline: dedup ----
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactDuplicates(t(s, d, "documents"))),
@@ -1471,5 +1477,149 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
         |FROM documents""".stripMargin,
+    "n1_bigram_topk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |b AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |            FROM w WHERE len(w) >= 2))
+        |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS tf,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM b GROUP BY 1
+        |ORDER BY tf DESC, bigram LIMIT 100""".stripMargin,
+    "n2_vocab_zipf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS tf,
+        |             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |      FROM t GROUP BY 1)
+        |SELECT word, tf, df,
+        |       CAST(row_number() OVER (ORDER BY tf DESC, word) AS INTEGER)
+        |         AS rank
+        |FROM v""".stripMargin,
+    // thresholds mirror gopherQuality defaults; top_word_frac and
+    // mean_word_len are plain double divisions of identical ints on both
+    // sides, so the 6dp compare is exact
+    "t14_gopher_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |tc AS (SELECT doc_id, MAX(c) AS top_cnt FROM
+        |       (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |base AS (SELECT doc_id,
+        |           CAST(len(toks) AS INTEGER) AS n_words,
+        |           list_sum(list_transform(toks, x -> length(x)))
+        |             / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+        |           CAST(len(list_filter(toks, x -> list_contains(
+        |             ['the', 'a', 'and', 'of', 'to'], x))) AS INTEGER)
+        |             AS n_stopwords
+        |         FROM t)
+        |SELECT b.doc_id, b.n_words, b.mean_word_len, b.n_stopwords,
+        |       tc.top_cnt / CAST(b.n_words AS DOUBLE) AS top_word_frac,
+        |       CAST(CASE WHEN b.n_words BETWEEN 50 AND 100000
+        |              AND b.mean_word_len BETWEEN 3.0 AND 10.0
+        |              AND tc.top_cnt / CAST(b.n_words AS DOUBLE) <= 0.1
+        |              AND b.n_stopwords >= 2
+        |            THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM base b JOIN tc USING (doc_id)""".stripMargin,
+    // constants are written as the same double OPS Spark executes
+    // ((1.2 + 1), (1 - 0.75), (0.75 / avgdl)) so both engines fold them
+    // to identical bits; remaining diffs are summation-order LSBs, far
+    // below the 6dp compare
+    "r1_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl
+        |       FROM dl),
+        |q(query_id, term) AS (VALUES
+        |  ('q1', 'spark'), ('q1', 'stream'), ('q1', 'batch'),
+        |  ('q2', 'table'), ('q2', 'join'), ('q2', 'query'),
+        |  ('q3', 'vector'), ('q3', 'hash')),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM tok
+        |       WHERE term IN ('spark', 'stream', 'batch', 'table', 'join',
+        |                      'query', 'vector', 'hash')
+        |       GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        |       FROM tf GROUP BY 1),
+        |s AS (SELECT q.query_id, tf.doc_id,
+        |        ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |          * tf.tf * (1.2 + 1)
+        |          / (tf.tf + ((1 - 0.75) + dl.dl * (0.75 / st.avgdl)) * 1.2)
+        |          AS s
+        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |           JOIN q USING (term) CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id, SUM(s) AS score FROM s
+        |       GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score, rn FROM (
+        |  SELECT query_id, doc_id, score,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY score DESC, doc_id) AS INTEGER) AS rn
+        |  FROM sc)
+        |WHERE rn <= 10""".stripMargin,
+    // edges CTE == the proven sim6_knn_graph oracle; then 5 unrolled
+    // PageRank rounds (d = 0.85), each one join + one GROUP BY, exactly
+    // the Graph.pageRank recurrence with (1 - 0.85) / n kept as the same
+    // double ops Spark's driver constant performs
+    "gr1_knn_pagerank" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings),
+        |x AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+        |p AS (SELECT qid, nid,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS dot,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS qq,
+        |        SUM(CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS xx
+        |      FROM q, x, (SELECT unnest(range(1, 65)) AS i)
+        |      WHERE qid <> nid GROUP BY qid, nid),
+        |r AS (SELECT qid, nid, row_number() OVER
+        |        (PARTITION BY qid
+        |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+        |      FROM p),
+        |edges AS (SELECT qid AS src, nid AS dst FROM r WHERE rn = 1),
+        |nodes AS (SELECT DISTINCT id FROM
+        |          (SELECT src AS id FROM edges
+        |           UNION ALL SELECT dst FROM edges)),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges
+        |        GROUP BY 1),
+        |r0 AS (SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+        |i1 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |            JOIN r0 r ON r.id = e.src GROUP BY 1),
+        |r1 AS (SELECT nodes.id,
+        |         (1 - 0.85) / n + 0.85 * COALESCE(i1.s, 0.0) AS rank
+        |       FROM nodes CROSS JOIN nn
+        |            LEFT JOIN i1 ON nodes.id = i1.id),
+        |i2 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |            JOIN r1 r ON r.id = e.src GROUP BY 1),
+        |r2 AS (SELECT nodes.id,
+        |         (1 - 0.85) / n + 0.85 * COALESCE(i2.s, 0.0) AS rank
+        |       FROM nodes CROSS JOIN nn
+        |            LEFT JOIN i2 ON nodes.id = i2.id),
+        |i3 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |            JOIN r2 r ON r.id = e.src GROUP BY 1),
+        |r3 AS (SELECT nodes.id,
+        |         (1 - 0.85) / n + 0.85 * COALESCE(i3.s, 0.0) AS rank
+        |       FROM nodes CROSS JOIN nn
+        |            LEFT JOIN i3 ON nodes.id = i3.id),
+        |i4 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |            JOIN r3 r ON r.id = e.src GROUP BY 1),
+        |r4 AS (SELECT nodes.id,
+        |         (1 - 0.85) / n + 0.85 * COALESCE(i4.s, 0.0) AS rank
+        |       FROM nodes CROSS JOIN nn
+        |            LEFT JOIN i4 ON nodes.id = i4.id),
+        |i5 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |            JOIN r4 r ON r.id = e.src GROUP BY 1),
+        |r5 AS (SELECT nodes.id,
+        |         (1 - 0.85) / n + 0.85 * COALESCE(i5.s, 0.0) AS rank
+        |       FROM nodes CROSS JOIN nn
+        |            LEFT JOIN i5 ON nodes.id = i5.id)
+        |SELECT id, ROUND(rank, 9) AS rank FROM r5""".stripMargin,
   )
 }

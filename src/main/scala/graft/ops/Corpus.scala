@@ -44,18 +44,40 @@ object Corpus {
       .limit(k)
 
   /** Vocabulary table with Zipf ranks: every word's corpus frequency,
-    * document frequency, and dense frequency rank (ties broken by word so
-    * the rank is total and deterministic). The unpartitioned window runs
-    * over the AGGREGATED vocabulary — bounded by |vocab|, not corpus size
-    * — so the single-partition sort is a driver-scale frame, same
-    * argument as Sampling.tokenOffsets. */
-  def vocabZipf(documents: DataFrame): DataFrame =
-    documents
+    * document frequency, and frequency rank (ties broken by word so the
+    * rank is total and deterministic — identical to
+    * `row_number() OVER (ORDER BY tf DESC, word)`).
+    *
+    * Two-phase rank, NO unpartitioned window over the vocabulary (a raw
+    * web-corpus vocab — typos, URLs, numbers — runs to billions of
+    * entries; a single-partition sort is the wrong plan): phase 1 ranks
+    * words WITHIN their tf bucket (window partitioned by tf — parallel
+    * across buckets); phase 2 offsets each bucket by the count of all
+    * strictly-more-frequent words, a cumulative sum over the per-tf
+    * histogram — one row per DISTINCT tf value, a frame bounded by
+    * O(sqrt(corpus tokens)) (sum of distinct tf values <= total tokens),
+    * so its ordered window is driver-scale and the result broadcasts.
+    * Same shape as Sampling.tokenOffsets. Residual skew: the tf=1
+    * (hapax) bucket is the largest single partition; at extreme scale
+    * sub-bucket it by a word-prefix range before ranking. */
+  def vocabZipf(documents: DataFrame): DataFrame = {
+    val vocab = documents
       .select(explode(words).as("word"), col("doc_id"))
       .groupBy("word")
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("tf").desc, col("word"))))
+    val wIn = Window.partitionBy(col("tf")).orderBy(col("word"))
+    val local = vocab.withColumn("local_rn", row_number().over(wIn))
+    // one row per distinct tf — the ordered window over it is tiny
+    val wB = Window.orderBy(col("tf").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vocab.groupBy(col("tf"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("tf"), col("off"))
+    local.join(broadcast(offsets), "tf")
+      .select(col("word"), col("tf"), col("df"),
+        (col("off") + col("local_rn")).cast("int").as("rank"))
+  }
 
   /** The fixed audit query set for the r1 query entry (terms from the
     * corpus vocabulary so every query matches documents). */
@@ -85,15 +107,31 @@ object Corpus {
     val dl = docs.select(col("doc_id"), size(col("w")).cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
     val nDocs = stats.getDouble(0)
+    if (nDocs == 0) // avg(dl) is NULL on an empty corpus; return typed empty
+      return documents.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            documents.schema("doc_id").dataType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rn",
+            org.apache.spark.sql.types.IntegerType))))
     val avgdl = stats.getDouble(1)
     val terms = queries.flatMap(_._2).distinct
     val q = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
+    // localCheckpoint: df below derives from tf, and Catalyst does not
+    // dedup common subplans — without the barrier the explode+groupBy
+    // subtree executes twice (once per join side)
     val tf = docs
       .select(col("doc_id"), explode(col("w")).as("term"))
       .where(col("term").isin(terms.map(lit(_)): _*))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("term")
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     tf.join(broadcast(df), "term")

@@ -46,9 +46,12 @@ object TextAnalysis {
     * thresholds (word count in range, mean word length in [3,10], top
     * word below a dominance cap, >= 2 stopword hits). All declarative
     * array ops — narrow, no shuffle, no UDF; the most-common-word count
-    * is O(distinct x words) per row, bounded by document length. Ratios
-    * stay DOUBLE (plain division — deterministic both sides); the keep
-    * flag is cast to INT so the oracle hash is representation-stable. */
+    * is the longest equal run in the SORTED token array — one
+    * O(n log n) sort plus one linear `aggregate` pass per row (the naive
+    * distinct-x-scan form is quadratic and melts on a 100k-word doc).
+    * Ratios stay DOUBLE (plain division — deterministic both sides); the
+    * keep flag is cast to INT so the oracle hash is
+    * representation-stable. */
   def gopherQuality(documents: DataFrame,
       stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"),
       minWords: Int = 50, maxWords: Int = 100000,
@@ -60,8 +63,19 @@ object TextAnalysis {
       .cast("double") / nWords
     val nStop = size(filter(toks,
       t => t.isin(stopwords.map(lit(_)): _*)))
-    val topCnt = array_max(transform(array_distinct(toks),
-      w => size(filter(toks, t => t === w))))
+    // longest equal run over the sorted tokens == max word multiplicity;
+    // state = (prev token, current run, best run). Init prev = "" is safe:
+    // run starts at 0, so a leading "" token still counts to 1.
+    val topCnt = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val topFrac = topCnt.cast("double") / nWords
     documents.select(
       col("doc_id"),
@@ -152,39 +166,72 @@ object TextAnalysis {
     df
   }
 
-  def trigramLmScore(documents: DataFrame): DataFrame = {
+  /** Shared scoring pass of the trigram-LM family: mean add-one-smoothed
+    * log-probability of each doc's trigrams under a (tri, tf) stats frame.
+    *
+    * Two plans, picked by a size PROBE (`limit(bound+1).collect()` — one
+    * action; if the stats fit the bound the probe IS the full collect):
+    *  - stats within `maxDriverTf` rows (true for any lowercased-ASCII
+    *    corpus, |charset|^3 ~ 50k): driver map + broadcast, scoring is a
+    *    narrow UDF pass — no join, no final shuffle.
+    *  - stats above the bound (CJK corpora: ~20k^3 trigram space — the
+    *    driver map would be GB-scale): explode the per-doc substrate and
+    *    LEFT-join the stats frame, then one groupBy(doc_id) — two
+    *    shuffles, nothing driver-resident. Unseen trigrams coalesce to
+    *    tf=0, matching the map path's getOrElse. */
+  private def lmScoreAgainst(sub: DataFrame, stats: DataFrame,
+      outCol: String, maxDriverTf: Int): DataFrame = {
+    val probe = stats.limit(maxDriverTf + 1).collect()
+    if (probe.length <= maxDriverTf) {
+      val tf: Map[String, Long] =
+        probe.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = tf.values.sum
+      val vocab = tf.size
+      val bc = sub.sparkSession.sparkContext.broadcast(tf)
+      val denom = (total + vocab).toDouble
+      val score = udf { (ts: Seq[String], cs: Seq[Long]) =>
+        val m = bc.value
+        var num = 0.0
+        var n = 0L
+        var i = 0
+        while (i < ts.length) {
+          num += cs(i) * math.log((m.getOrElse(ts(i), 0L) + 1).toDouble / denom)
+          n += cs(i)
+          i += 1
+        }
+        (num / n, n)
+      }
+      sub.select(col("doc_id"), score(col("ts"), col("cs")).as("r"))
+        .select(col("doc_id"), col("r._1").as(outCol),
+          col("r._2").as("n_trigrams"))
+    } else {
+      val tot = stats.agg(sum(col("tf")), count(lit(1))).head()
+      val denom = (tot.getLong(0) + tot.getLong(1)).toDouble
+      sub.select(col("doc_id"),
+          explode(arrays_zip(col("ts"), col("cs"))).as("z"))
+        .select(col("doc_id"), col("z.ts").as("tri"), col("z.cs").as("c"))
+        .join(stats, Seq("tri"), "left")
+        .groupBy("doc_id")
+        .agg(
+          (sum(col("c") *
+            log((coalesce(col("tf"), lit(0L)) + 1).cast("double") / denom))
+            / sum(col("c"))).as(outCol),
+          sum(col("c")).as("n_trigrams"))
+        .select(col("doc_id"), col(outCol), col("n_trigrams"))
+    }
+  }
+
+  def trigramLmScore(documents: DataFrame,
+      maxDriverTf: Int = 5000000): DataFrame = {
     val sub = docTriArrays(documents)
     // global trigram frequencies: explode the pre-counted per-doc pairs
     // (map-side partial agg shrinks every partition to the trigram
-    // vocabulary before one small shuffle). The result is BOUNDED by the
-    // charset cubed (~50k entries for lowercased text), so it collects and
-    // broadcasts as a map — scoring is then a narrow pass, no join, no
-    // final groupBy shuffle.
-    val tf: Map[String, Long] = sub
+    // vocabulary before one small shuffle).
+    val stats = sub
       .select(explode(arrays_zip(col("ts"), col("cs"))).as("z"))
       .groupBy(col("z.ts").as("tri"))
       .agg(sum(col("z.cs")).as("tf"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = tf.values.sum
-    val vocab = tf.size
-    val spark = documents.sparkSession
-    val bc = spark.sparkContext.broadcast(tf)
-    val denom = (total + vocab).toDouble
-    val score = udf { (ts: Seq[String], cs: Seq[Long]) =>
-      val m = bc.value
-      var num = 0.0
-      var n = 0L
-      var i = 0
-      while (i < ts.length) {
-        num += cs(i) * math.log((m.getOrElse(ts(i), 0L) + 1).toDouble / denom)
-        n += cs(i)
-        i += 1
-      }
-      (num / n, n)
-    }
-    sub.select(col("doc_id"), score(col("ts"), col("cs")).as("r"))
-      .select(col("doc_id"), col("r._1").as("lm_score"),
-        col("r._2").as("n_trigrams"))
+    lmScoreAgainst(sub, stats, "lm_score", maxDriverTf)
   }
 
   /** Cross-corpus perplexity filter (the CCNet / LLaMA-data shape): train a
@@ -199,34 +246,16 @@ object TextAnalysis {
     * broadcast, leaving scoring a narrow pass with no join and no final
     * shuffle. At 100 TB the reference stratum is sampled for stats and the
     * scoring pass is unchanged. */
-  def crossPerplexity(documents: DataFrame, refLang: String = "en"): DataFrame = {
+  def crossPerplexity(documents: DataFrame, refLang: String = "en",
+      maxDriverTf: Int = 5000000): DataFrame = {
     val sub = docTriArrays(documents)
     val refIds = documents.filter(col("lang") === refLang).select("doc_id")
-    val tf: Map[String, Long] = sub
+    val stats = sub
       .join(refIds, Seq("doc_id"), "left_semi")
       .select(explode(arrays_zip(col("ts"), col("cs"))).as("z"))
       .groupBy(col("z.ts").as("tri"))
       .agg(sum(col("z.cs")).as("tf"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = tf.values.sum
-    val vocab = tf.size
-    val bc = documents.sparkSession.sparkContext.broadcast(tf)
-    val denom = (total + vocab).toDouble
-    val score = udf { (ts: Seq[String], cs: Seq[Long]) =>
-      val m = bc.value
-      var num = 0.0
-      var n = 0L
-      var i = 0
-      while (i < ts.length) {
-        num += cs(i) * math.log((m.getOrElse(ts(i), 0L) + 1).toDouble / denom)
-        n += cs(i)
-        i += 1
-      }
-      (num / n, n)
-    }
-    sub.select(col("doc_id"), score(col("ts"), col("cs")).as("r"))
-      .select(col("doc_id"), col("r._1").as("xlm_score"),
-        col("r._2").as("n_trigrams"))
+    lmScoreAgainst(sub, stats, "xlm_score", maxDriverTf)
   }
 
   /** PII indicator counts per document — the scrubbing pre-pass of a

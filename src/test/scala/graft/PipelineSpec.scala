@@ -388,4 +388,100 @@ class PipelineSpec extends GraftSuite {
     val d = Dedup.exactDuplicates(docs)
     assert(d.count() == d.select("fingerprint").distinct().count())
   }
+
+  test("t14 gopher top-word count is exact and linear on a 50k-word doc") {
+    import spark.implicits._
+    // hand-checked multiplicities
+    val tiny = Seq(
+      (1L, "a b a a c"),            // top = a x3
+      (2L, "x y z"),                // all distinct -> 1
+      (3L, "the the the the")).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(tiny)
+      .select("doc_id", "n_words", "top_word_frac")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(got(1L) == ((5, 3.0 / 5)), s"got ${got(1L)}")
+    assert(got(2L) == ((3, 1.0 / 3)), s"got ${got(2L)}")
+    assert(got(3L) == ((4, 1.0)), s"got ${got(3L)}")
+    // 50k words, 20k distinct: the old distinct-x-scan form is ~2.5e9
+    // comparisons per row (minutes); the sorted-run form must be instant
+    val nWords = 50000
+    val big = Seq((9L, (0 until nWords).map(i => s"w${i % 20000}")
+      .mkString(" "))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val r = TextAnalysis.gopherQuality(big)
+      .select("n_words", "top_word_frac").head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r.getInt(0) == nWords)
+    assert(r.getDouble(1) == 3.0 / nWords) // classes 0..9999 appear 3x
+    assert(secs < 30, s"top-word scan took ${secs}s — not linear")
+  }
+
+  test("n2 two-phase zipf rank equals the single-window row_number form") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Corpus.vocabZipf(docs)
+    val expected = got.select("word", "tf")
+      .withColumn("rank_w", row_number().over(
+        Window.orderBy(col("tf").desc, col("word"))))
+    val diff = got.join(expected, Seq("word", "tf"))
+      .where(col("rank") =!= col("rank_w")).count()
+    assert(diff == 0, s"$diff rank mismatches vs window form")
+    assert(got.where(col("rank") === 1).count() == 1)
+  }
+
+  test("t6/t13 join-based LM fallback equals the driver-map fast path") {
+    val fast = TextAnalysis.trigramLmScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    // maxDriverTf = 1 forces the shuffle-join path on any real corpus
+    val slow = TextAnalysis.trigramLmScore(docs, maxDriverTf = 1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(fast.keySet == slow.keySet)
+    fast.foreach { case (id, (s, n)) =>
+      assert(n == slow(id)._2, s"doc $id trigram count")
+      assert(math.abs(s - slow(id)._1) < 1e-9,
+        s"doc $id: $s vs ${slow(id)._1}")
+    }
+    val fastX = TextAnalysis.crossPerplexity(docs, "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val slowX = TextAnalysis.crossPerplexity(docs, "en", maxDriverTf = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fastX.keySet == slowX.keySet)
+    fastX.foreach { case (id, s) =>
+      assert(math.abs(s - slowX(id)) < 1e-9, s"doc $id: $s vs ${slowX(id)}")
+    }
+  }
+
+  test("r1 bm25 returns a typed empty frame on an empty corpus") {
+    val out = Corpus.bm25TopK(docs.where(lit(false)))
+    assert(out.columns.toSeq == Seq("query_id", "doc_id", "score", "rn"))
+    assert(out.count() == 0)
+  }
+
+  test("gr2 pagerank over the blocked kNN graph tracks the exact-graph ranking") {
+    // the 100 TB composition: LSH-blocked candidate graph feeding the
+    // fixed-iteration PageRank — assert rank agreement vs the exact graph
+    def ranksOf(edges: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      Graph.pageRank(edges, 5).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = ranksOf(Similarity.knnGraph(emb, 3)
+      .select(col("qid").as("src"), col("nid").as("dst")))
+    val approx = ranksOf(Similarity.knnGraphBlocked(emb, 3)
+      .select(col("qid").as("src"), col("nid").as("dst")))
+    val common = exact.keySet intersect approx.keySet
+    assert(common.size >= (exact.size * 0.95).toInt,
+      s"blocked graph covers ${common.size}/${exact.size} nodes")
+    // Spearman rank correlation over the common nodes
+    def toRanks(m: Map[Long, Double]): Map[Long, Double] = {
+      val sorted = common.toSeq.sortBy(id => (-m(id), id)).zipWithIndex
+      sorted.map { case (id, i) => id -> (i + 1).toDouble }.toMap
+    }
+    val (ra, rb) = (toRanks(exact), toRanks(approx))
+    val n = common.size.toDouble
+    val d2 = common.iterator.map(id => math.pow(ra(id) - rb(id), 2)).sum
+    val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    info(s"gr2 spearman rho over ${common.size} nodes: $rho")
+    assert(rho >= 0.5, s"rank correlation $rho too low")
+  }
 }
