@@ -242,6 +242,8 @@ object SparkEntry {
         .select("doc_id", "n_fp")),
     "t14_gopher_quality" -> ((s, d) =>
       TextAnalysis.gopherQuality(t(s, d, "documents"))),
+    "t15_unigram_entropy" -> ((s, d) =>
+      TextAnalysis.unigramEntropy(t(s, d, "documents"))),
     // ---- training-data pipeline: corpus-level lexical stats ----
     "n1_bigram_topk" -> ((s, d) =>
       Corpus.ngramTopK(t(s, d, "documents"), 100)),
@@ -249,6 +251,12 @@ object SparkEntry {
       Corpus.vocabZipf(t(s, d, "documents"))),
     "r1_bm25_topk" -> ((s, d) =>
       Corpus.bm25TopK(t(s, d, "documents"))),
+    "n3_pmi_bigrams" -> ((s, d) =>
+      Corpus.pmiBigrams(t(s, d, "documents"), 100, 5L)),
+    "r2_tfidf_topterms" -> ((s, d) =>
+      Corpus.tfidfTopTerms(t(s, d, "documents"), 5)),
+    "a20_cohort_retention" -> ((s, d) =>
+      Aggs.cohortRetention(events(s, d))),
     // ---- training-data pipeline: graph analytics ----
     // rank rounded to 9dp on BOTH sides: pagerank over a k=1 graph yields
     // terminating decimals that can sit exactly on the compare's 6dp
@@ -1477,6 +1485,72 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
         |FROM documents""".stripMargin,
+    // H = ln(n) - SUM(c ln c)/n; the only cross-engine difference is the
+    // summation order of c*ln(c) (~1e-15), far below the 6dp compare
+    "t15_unigram_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |c AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS c
+        |      FROM w GROUP BY doc_id, w),
+        |e AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_distinct,
+        |             SUM(c * ln(c)) AS s
+        |      FROM c GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(toks) AS INTEGER) AS n_words,
+        |       e.n_distinct,
+        |       ln(CAST(len(toks) AS DOUBLE)) - e.s / len(toks) AS entropy
+        |FROM t JOIN e USING (doc_id)""".stripMargin,
+    // pmi arithmetic mirrors Corpus.pmiBigrams op-for-op — pure per-row
+    // double arithmetic on exact integers, bit-identical across engines
+    "n3_pmi_bigrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |uni AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS uf
+        |        FROM (SELECT unnest(w) AS w FROM t) GROUP BY 1),
+        |totu AS (SELECT CAST(SUM(uf) AS DOUBLE) AS totu FROM uni),
+        |totb AS (SELECT CAST(SUM(greatest(len(w) - 1, 0)) AS DOUBLE)
+        |           AS totb FROM t),
+        |bi AS (SELECT w[i] AS w1, w[i+1] AS w2,
+        |              CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM (SELECT w, unnest(range(1, len(w))) AS i
+        |             FROM t WHERE len(w) >= 2)
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, tf,
+        |       ln((CAST(tf AS DOUBLE) / totb) /
+        |          ((CAST(u1.uf AS DOUBLE) / totu) *
+        |           (CAST(u2.uf AS DOUBLE) / totu))) AS pmi
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.word
+        |        JOIN uni u2 ON bi.w2 = u2.word
+        |        CROSS JOIN totu CROSS JOIN totb
+        |ORDER BY tf DESC, w1, w2 LIMIT 100""".stripMargin,
+    // smooth idf (ln((1+N)/(1+df)) + 1) — per-row arithmetic on exact
+    // integers, so tfidf ties are bit-identical and the (tfidf desc,
+    // term) order is engine-stable
+    "r2_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |               AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+        |       FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0) AS tfidf
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, rn FROM (
+        |  SELECT doc_id, term, tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |                ORDER BY tfidf DESC, term) AS INTEGER) AS rn
+        |  FROM s)
+        |WHERE rn <= 5""".stripMargin,
+    "a20_cohort_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |           FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY 1)
+        |SELECT f.cohort, CAST(d.day - f.cohort AS INTEGER) AS day_n,
+        |       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "n1_bigram_topk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

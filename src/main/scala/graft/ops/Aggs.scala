@@ -148,6 +148,28 @@ object Aggs {
         min(to_date(col("ts"))).as("first_date"),
         countDistinct(to_date(col("ts"))).as("n_active_days"))
 
+  /** A9 companion — cohort retention: users grouped by first-seen date
+    * (the cohort), counted on each later active day as a day-N offset.
+    * The classic product-analytics retention triangle, and the aggregate
+    * the reference's new-visitor correction (A9) feeds at report time.
+    *
+    * Scale shape: one distinct over (user, day) — map-side partial —
+    * then a groupBy(user) for the cohort and ONE join keyed on user_id
+    * that reuses the distinct frame; the final groupBy is
+    * (cohort, day_n), a bounded days x days result. No window, no
+    * driver state. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val d = events
+      .where(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = d.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    d.join(first, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).as("day_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** T3 extension — session windows: per-user sessions with a 30-minute
     * inactivity gap (Spark `session_window`; the reference uses tumbling
     * only — sessionization comes free with the engine). */

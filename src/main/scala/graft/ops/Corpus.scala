@@ -79,6 +79,80 @@ object Corpus {
         (col("off") + col("local_rn")).cast("int").as("rank"))
   }
 
+  /** Pointwise mutual information for corpus bigrams above a count floor —
+    * the collocation-strength table (Church & Hanks): pmi =
+    * ln(p(xy) / (p(x) p(y))). Top-k by bigram count with a deterministic
+    * (tf desc, w1, w2) total order.
+    *
+    * Scale shape: one unigram groupBy (checkpointed — it feeds both join
+    * sides and the total), one bigram groupBy with the `minTf` floor
+    * applied BEFORE the unigram joins (the floor is what keeps the join
+    * input the interesting-bigram set, not the full cross-vocabulary),
+    * then two keyed joins. Totals are two driver scalars — at 100 TB they
+    * come from table statistics. The pmi arithmetic mirrors the oracle
+    * op-for-op ((tf/totB) / ((uf1/totU) * (uf2/totU)), then ln) so both
+    * engines produce bit-identical doubles — no summation is involved. */
+  def pmiBigrams(documents: DataFrame, k: Int = 100,
+      minTf: Long = 5L): DataFrame = {
+    val uni = documents.select(explode(words).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uf"))
+      .localCheckpoint()
+    val totU = uni.agg(sum(col("uf"))).head().getLong(0).toDouble
+    val totB = documents
+      .select(greatest(size(words) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum(col("nb"))).head().getLong(0).toDouble
+    val bi = documents
+      .select(words.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("tf"))
+      .where(col("tf") >= minTf)
+    bi
+      .join(uni.select(col("w").as("w1"), col("uf").as("uf1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("uf").as("uf2")), "w2")
+      .withColumn("pmi", log(
+        (col("tf").cast("double") / totB) /
+          ((col("uf1").cast("double") / totU) *
+            (col("uf2").cast("double") / totU))))
+      .orderBy(col("tf").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "tf", "pmi")
+  }
+
+  /** Per-document top-k terms by TF-IDF (sklearn-flavoured smooth idf:
+    * ln((1+N)/(1+df)) + 1, never zero or negative) — the keyword-summary
+    * table an audit or retrieval index build reads per doc.
+    *
+    * Scale shape: one explode + groupBy(doc, term) for tf (checkpointed:
+    * df derives from it and Catalyst would otherwise run the subtree
+    * twice), one groupBy(term) for df, one keyed join, and a window
+    * PARTITIONED by doc_id (parallel across documents — never a global
+    * sort). N is one driver scalar. Ties: identical (tf, df) pairs yield
+    * bit-identical tfidf in any engine (pure per-row arithmetic, no
+    * summation), so the (tfidf desc, term) order is total and
+    * engine-stable. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    val nDocs = documents.count().toDouble
+    val tf = documents.select(col("doc_id"), explode(words).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(df, "term")
+      .withColumn("tfidf",
+        col("tf") * (log((lit(1.0) + nDocs) / (lit(1.0) + col("df"))) + 1.0))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))))
+      .where(col("rn") <= k)
+      .select("doc_id", "term", "tfidf", "rn")
+  }
+
   /** The fixed audit query set for the r1 query entry (terms from the
     * corpus vocabulary so every query matches documents). */
   val defaultQueries: Seq[(String, Seq[String])] = Seq(

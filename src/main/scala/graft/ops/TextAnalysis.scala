@@ -89,6 +89,48 @@ object TextAnalysis {
         nStop >= minStopwordHits).cast("int").as("keep"))
   }
 
+  /** Per-document Shannon entropy of the word distribution (nats) —
+    * the lexical-diversity score a quality filter ranks on (low entropy =
+    * repetitive/templated text): H = ln(n) - (1/n) * sum_w c_w ln c_w.
+    *
+    * Same linear shape as [[gopherQuality]]'s top-word scan: ONE pass
+    * over the sorted token array closing c*ln(c) per equal-run — narrow,
+    * no shuffle, no UDF, O(n log n) per row for the sort. A run opens
+    * when the previous run length is 0 (first token, including a literal
+    * "" token) or the token changes. */
+  def unigramEntropy(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val res = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0.0).as("acc"), lit(0).as("nd")),
+      (acc, t) => {
+        val isNew = (acc.getField("run") === 0L) ||
+          (t =!= acc.getField("prev"))
+        val run = when(isNew, lit(1L)).otherwise(acc.getField("run") + 1L)
+        val closed = when(isNew && acc.getField("run") > 0L,
+          acc.getField("acc") + acc.getField("run").cast("double") *
+            log(acc.getField("run").cast("double")))
+          .otherwise(acc.getField("acc"))
+        struct(t.as("prev"), run.as("run"), closed.as("acc"),
+          when(isNew, acc.getField("nd") + 1).otherwise(acc.getField("nd"))
+            .as("nd"))
+      },
+      acc => struct(
+        (when(acc.getField("run") > 0L,
+          acc.getField("acc") + acc.getField("run").cast("double") *
+            log(acc.getField("run").cast("double")))
+          .otherwise(acc.getField("acc"))).as("sumclnc"),
+        acc.getField("nd").as("nd")))
+    documents
+      .select(col("doc_id"), n.as("n_words"), res.as("a"))
+      .select(col("doc_id"), col("n_words"),
+        col("a.nd").as("n_distinct"),
+        (log(col("n_words").cast("double")) -
+          col("a.sumclnc") / col("n_words")).as("entropy"))
+  }
+
   /** Language ID via marker-token voting — a deterministic n-gram/stopword
     * heuristic. Picks the language whose marker set hits the document most;
     * ties and zero-hits fall back to 'en'. Declarative (no UDF): one

@@ -26,6 +26,28 @@ class AggsSpec extends GraftSuite {
     assert(total == events.count())
   }
 
+  test("a20 cohort retention matches a hand-computed triangle") {
+    import spark.implicits._
+    // u1: days 0,1 (cohort d0); u2: day 0 only; u3: first seen day 1;
+    // null user must be dropped
+    val ev = Seq(
+      (Some(1L), "2024-01-01 10:00:00"), (Some(1L), "2024-01-01 12:00:00"),
+      (Some(1L), "2024-01-02 09:00:00"),
+      (Some(2L), "2024-01-01 08:00:00"),
+      (Some(3L), "2024-01-02 23:00:00"),
+      (Option.empty[Long], "2024-01-01 00:00:00"))
+      .toDF("user_id", "s")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val got = ops.Aggs.cohortRetention(ev)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> 2L,
+      ("2024-01-01", 1) -> 1L,
+      ("2024-01-02", 0) -> 1L), s"got $got")
+  }
+
   test("every query has either an oracle or is explicitly rows-only") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

@@ -459,6 +459,49 @@ class PipelineSpec extends GraftSuite {
     assert(out.count() == 0)
   }
 
+  test("t15 unigram entropy matches hand-computed distributions") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a a b"),     // H = ln3 - (2 ln2)/3, 2 distinct
+      (2L, "x x x x"),   // degenerate: H = 0, 1 distinct
+      (3L, "a b c"))     // uniform: H = ln3, 3 distinct
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramEntropy(tiny)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L)._1 == 3 && got(1L)._2 == 2)
+    assert(math.abs(got(1L)._3 - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12)
+    assert(got(2L) == ((4, 1, 0.0)), s"got ${got(2L)}")
+    assert(got(3L)._2 == 3)
+    assert(math.abs(got(3L)._3 - math.log(3)) < 1e-12)
+  }
+
+  test("n3 pmi matches the closed form on a tiny corpus") {
+    import spark.implicits._
+    // "x y x y x y": bigrams xy x3, yx x2; unigrams x,y x3; totB=5, totU=6
+    val tiny = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val got = Corpus.pmiBigrams(tiny, k = 10, minTf = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == Set(("x", "y"), ("y", "x")))
+    val (tfXy, pmiXy) = got(("x", "y"))
+    assert(tfXy == 3L)
+    // pmi = ln((3/5) / ((3/6)*(3/6))) = ln(2.4)
+    assert(math.abs(pmiXy - math.log((3.0 / 5) / ((3.0 / 6) * (3.0 / 6)))) < 1e-12)
+    assert(got(("y", "x"))._1 == 2L)
+  }
+
+  test("r2 tfidf ranks rare terms above ubiquitous ones") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Corpus.tfidfTopTerms(tiny, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'a' is in every doc (smooth idf = 1); 'b'/'c' are doc-unique
+    assert(got == Map(1L -> "b", 2L -> "c"), s"got $got")
+  }
+
   test("gr2 pagerank over the blocked kNN graph tracks the exact-graph ranking") {
     // the 100 TB composition: LSH-blocked candidate graph feeding the
     // fixed-iteration PageRank — assert rank agreement vs the exact graph
