@@ -257,6 +257,12 @@ object SparkEntry {
       Corpus.tfidfTopTerms(t(s, d, "documents"), 5)),
     "a20_cohort_retention" -> ((s, d) =>
       Aggs.cohortRetention(events(s, d))),
+    "a21_funnel_stages" -> ((s, d) =>
+      Aggs.funnelStages(events(s, d))),
+    "q1_model_quality" -> ((s, d) =>
+      TextAnalysis.modelQualityScore(t(s, d, "documents"))),
+    "d14_dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(t(s, d, "documents"), 8, 2)),
     // ---- training-data pipeline: graph analytics ----
     // rank rounded to 9dp on BOTH sides: pagerank over a k=1 graph yields
     // terminating decimals that can sit exactly on the compare's 6dp
@@ -1551,6 +1557,75 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
         |FROM d JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "a21_funnel_stages" ->
+      """WITH base AS (SELECT user_id, event_type, ts FROM events
+        |              WHERE user_id IS NOT NULL),
+        |s1 AS (SELECT user_id, MIN(ts) AS t FROM base
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT b.user_id, MIN(b.ts) AS t
+        |       FROM base b JOIN s1 USING (user_id)
+        |       WHERE b.event_type = 'click' AND b.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT b.user_id, MIN(b.ts) AS t
+        |       FROM base b JOIN s2 USING (user_id)
+        |       WHERE b.event_type = 'purchase' AND b.ts > s2.t GROUP BY 1)
+        |SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3""".stripMargin,
+    // weights are INTEGER before the one double division + sigmoid, so the
+    // 6dp round sits on exact inputs — same bit-stability trick as n3
+    "q1_model_quality" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents),
+        |dt AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+        |vocab AS (
+        |  SELECT word,
+        |         CAST((length(word) * 31 + ascii(substring(word, 1, 1))) % 13
+        |              - 6 AS BIGINT) AS w
+        |  FROM (SELECT word, COUNT(*) AS cnt FROM dt GROUP BY 1
+        |        ORDER BY cnt DESC, word LIMIT 1000)),
+        |per AS (SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |               COALESCE(SUM(v.w), 0) AS raw
+        |        FROM dt LEFT JOIN vocab v USING (word) GROUP BY 1)
+        |SELECT doc_id, n_toks,
+        |       ROUND(1.0 / (1.0 + exp(-(raw / (10.0 * n_toks) - 0.1))), 6)
+        |         AS score
+        |FROM per""".stripMargin,
+    "d14_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |win AS (SELECT doc_id, i, array_to_string(toks[i : i+7], ' ')
+        |          AS segment
+        |        FROM (SELECT doc_id, toks,
+        |                unnest(range(1, greatest(len(toks)-7, 0)+1)) AS i
+        |              FROM tk)),
+        |rep AS (SELECT segment FROM win
+        |        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT w.doc_id, w.i FROM win w JOIN rep USING (segment)),
+        |flg AS (SELECT doc_id, i,
+        |          CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+        |                 IS NULL
+        |               OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+        |                 + 8 THEN 1 ELSE 0 END AS ns
+        |        FROM hit),
+        |sp AS (SELECT doc_id, sid, MIN(i) AS s, MAX(i) + 7 AS e
+        |       FROM (SELECT doc_id, i,
+        |               SUM(ns) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+        |             FROM flg)
+        |       GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |               CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
+        |        FROM sp GROUP BY 1)
+        |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_words,
+        |       COALESCE(agg.n_spans, 0) AS n_spans,
+        |       COALESCE(agg.dup_words, 0) AS dup_words,
+        |       CASE WHEN len(tk.toks) = 0 THEN 0.0
+        |            ELSE ROUND(COALESCE(agg.dup_words, 0)
+        |                   / CAST(len(tk.toks) AS DOUBLE), 6) END AS dup_frac
+        |FROM tk LEFT JOIN agg USING (doc_id)""".stripMargin,
     "n1_bigram_topk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

@@ -210,6 +210,41 @@ object Aggs {
         col("sum_qty"), col("n"))
       .orderBy(col("rf"), col("ls"))
 
+  /** A9/A20 companion — ordered conversion funnel over the event stream:
+    * how many users produce a `view`, then a `click` strictly AFTER their
+    * first view, then a `purchase` strictly after that click. This is the
+    * product-analytics query the reference's page→cart→order DWS layer
+    * exists to feed (reference realtime-dws trade apps join the same
+    * event chain pairwise; the funnel is the 3-stage closure).
+    *
+    * Scale shape: three keyed aggregations chained by user_id joins — every
+    * shuffle is on user_id, so AQE/exchange-reuse keeps one partitioning
+    * throughout; each stage's frame only SHRINKS (stage k+1 users ⊆ stage
+    * k users). No window over all events, no per-user event-list
+    * collection — at 100 TB the stage frames are |users|-sized, not
+    * |events|-sized. */
+  def funnelStages(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val base = events
+      .where(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    // reached(k): per-user earliest ts of stage k that follows the user's
+    // stage-(k-1) time; head stage is an unconditional min
+    val head = base.where(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val reached = stages.tail.scanLeft(head) { (prev, stage) =>
+      base.where(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), "user_id")
+        .where(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    reached.zip(stages).map { case (df, stage) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(stage).as("stage"), col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** A4/U1 — keyword extraction + windowed count: tokenize, explode, then
     * tumbling daily window per keyword
     * (DwsTrafficSourceKeywordPageViewWindowStream.java:86-116 — the manual

@@ -594,6 +594,80 @@ object Dedup {
         .as("segment"))
   }
 
+  /** `docSegmentsStrided(_, segWords, 1)` with the 1-based word position
+    * of every window kept — the frame exact-substring span removal needs
+    * (the position is what turns "this n-gram repeats" into "these words
+    * of THIS document are duplicated text"). No per-doc distinct: every
+    * occurrence matters for coverage. */
+  private[ops] def docWindowsPositioned(documents: DataFrame,
+      segWords: Int): DataFrame = {
+    require(segWords >= 1, "segWords must be >= 1")
+    val toks = graft.functions.Text.tokenizeUdf(col("text"))
+    val nseg = (size(toks) - segWords + 1)
+    documents
+      .select(col("doc_id"), toks.as("toks"), nseg.as("nseg"))
+      .where(col("nseg") >= 1)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("nseg"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("toks"), col("pos"), lit(segWords)))
+          .as("segment"))
+  }
+
+  /** Exact-substring duplicate SPANS, the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") removal unit: for each
+    * document, the maximal word ranges covered by `segWords`-word windows
+    * that occur in >= minDocs distinct documents. d12 answers "which runs
+    * repeat"; this answers "which bytes of each document would exact
+    * substring dedup delete" — per doc: span count, duplicated word
+    * count, and duplicated fraction (6dp).
+    *
+    * Scale shape: the suffix-array of the paper is replaced by the
+    * shuffle-native equivalent — positioned stride-1 windows (linear in
+    * corpus words), one groupBy(segment) with countDistinct(doc_id) for
+    * the repeated set, one segment-keyed join back, then a PER-DOCUMENT
+    * window (partitionBy doc_id — never unpartitioned) that merges
+    * overlapping/adjacent hits into maximal spans with a lag + running-sum
+    * pass. Span merge is the classic interval-union trick: same-length
+    * intervals sorted by start need only lag(pos) to detect a gap. */
+  def dupSpans(documents: DataFrame, segWords: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tokenize once; windows feed both the repeated-set agg and the join
+    val win = docWindowsPositioned(documents, segWords).localCheckpoint()
+    val repeated = win
+      .groupBy(col("segment"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("segment"))
+    val hits = win.join(repeated, "segment")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // new span when this window starts past the previous window's
+    // coverage (+1 keeps adjacent-but-contiguous coverage in one span)
+    val flagged = hits.withColumn("ns",
+      when(lag(col("pos"), 1).over(byDoc).isNull
+        || col("pos") > lag(col("pos"), 1).over(byDoc) + segWords, 1)
+        .otherwise(0))
+    val spans = flagged
+      .withColumn("sid", sum(col("ns")).over(byDoc))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + segWords - 1).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_words"))
+    val lens = documents.select(col("doc_id"),
+      size(graft.functions.Text.tokenizeUdf(col("text"))).cast("long")
+        .as("n_words"))
+    lens.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dup_words"), lit(0L))
+            / col("n_words").cast("double"), 6)).as("dup_frac"))
+  }
+
   /** Alignment-free cross-doc repeated n-grams: every `segWords`-word
     * window (stride 1) occurring in >= minDocs distinct documents — the
     * exact-substring dedup signal ("which long runs repeat across the

@@ -413,6 +413,49 @@ object TextAnalysis {
     }
   }
 
+  /** Model-based quality scoring — the fastText-classifier shape every
+    * large curation pipeline runs (CCNet/RedPajama-style "quality model"
+    * pass): a linear bag-of-words model over a bounded vocabulary, scored
+    * as sigmoid(w·x / |doc| + bias). The "trained" weights here are a
+    * deterministic function of the word (so the DuckDB oracle can rebuild
+    * the identical model); swapping in real learned weights is a one-line
+    * change to the `weight` expression or an external weight table.
+    *
+    * Scale shape: the model is the part that must NOT scale with the
+    * corpus — vocab is capped at `vocabSize` via a global
+    * TakeOrderedAndProject (count desc, word asc tie-break), then
+    * broadcast to the token stream, so the big side is one explode +
+    * one groupBy(doc_id) with map-side combine. Per-token weights are
+    * INTEGERS (−6..6) so the per-doc sum is exact — no summation-order
+    * noise ahead of the single double division + sigmoid, which makes the
+    * 6dp-rounded score bit-stable across engines and partitionings. */
+  def modelQualityScore(documents: DataFrame, vocabSize: Int = 1000,
+      bias: Double = -0.1): DataFrame = {
+    val toks = split(col("text"), " ")
+    val docToks = documents
+      .select(col("doc_id"), explode(toks).as("word"))
+      .where(col("word") =!= "")
+    // top-V vocabulary by corpus frequency, deterministic tie-break
+    val vocab = docToks
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(vocabSize)
+      // integer pseudo-weight in [-6, 6], derivable in any SQL engine
+      .select(col("word"),
+        ((length(col("word")) * 31 + ascii(substring(col("word"), 1, 1))) % 13
+          - 6).cast("long").as("w"))
+    val perDoc = docToks
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        coalesce(sum(col("w")), lit(0L)).as("raw"))
+    perDoc.select(
+      col("doc_id"), col("n_toks"),
+      round(lit(1.0) / (lit(1.0) +
+        exp(-(col("raw") / (lit(10.0) * col("n_toks")) + lit(bias)))), 6)
+        .as("score"))
+  }
+
   def winnowingFingerprint(documents: DataFrame, w: Int): DataFrame =
     documents.select(col("doc_id"),
       winnowUdf(col("text"), lit(w)).as("fp_hashes"))

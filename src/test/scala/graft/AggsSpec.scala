@@ -26,6 +26,32 @@ class AggsSpec extends GraftSuite {
     assert(total == events.count())
   }
 
+  test("a21 funnel requires strict stage order per user") {
+    import spark.implicits._
+    // u1 completes view->click->purchase in order; u2 clicks BEFORE its
+    // first view (click must not count); u3 views+purchases but never
+    // clicks (purchase must not count); u4 view->click, purchase exactly
+    // AT the click ts (strict > drops it); null user ignored
+    val ev = Seq(
+      (Some(1L), "view", "2024-01-01 10:00:00"),
+      (Some(1L), "click", "2024-01-01 10:05:00"),
+      (Some(1L), "purchase", "2024-01-01 10:10:00"),
+      (Some(2L), "click", "2024-01-01 09:00:00"),
+      (Some(2L), "view", "2024-01-01 09:30:00"),
+      (Some(3L), "view", "2024-01-01 08:00:00"),
+      (Some(3L), "purchase", "2024-01-01 08:30:00"),
+      (Some(4L), "view", "2024-01-01 07:00:00"),
+      (Some(4L), "click", "2024-01-01 07:10:00"),
+      (Some(4L), "purchase", "2024-01-01 07:10:00"),
+      (Option.empty[Long], "view", "2024-01-01 06:00:00"))
+      .toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"))
+    val got = ops.Aggs.funnelStages(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L))
+  }
+
   test("a20 cohort retention matches a hand-computed triangle") {
     import spark.implicits._
     // u1: days 0,1 (cohort d0); u2: day 0 only; u3: first seen day 1;

@@ -527,4 +527,60 @@ class PipelineSpec extends GraftSuite {
     info(s"gr2 spearman rho over ${common.size} nodes: $rho")
     assert(rho >= 0.5, s"rank correlation $rho too low")
   }
+
+  test("d14 dup spans merge overlapping windows into maximal ranges") {
+    import spark.implicits._
+    // doc 1 and doc 2 share one 10-word run (words 3..12 of doc 1,
+    // words 1..10 of doc 2): stride-1 8-word windows hit doc 1 at
+    // pos 3,4,5 — one merged span of 10 words. doc 3 is all unique.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"a b $shared x y"),
+      (2L, s"$shared p q r"),
+      (3L, (1 to 20).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(d, 8, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got(1L) == ((14L, 1L, 10L, math.rint(10.0 / 14 * 1e6) / 1e6)))
+    assert(got(2L) == ((13L, 1L, 10L, math.rint(10.0 / 13 * 1e6) / 1e6)))
+    assert(got(3L) == ((20L, 0L, 0L, 0.0)))
+  }
+
+  test("d14 two disjoint shared runs stay two spans") {
+    import spark.implicits._
+    val r1 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val r2 = (1 to 8).map(i => s"b$i").mkString(" ")
+    // doc 1 carries both runs separated by a 5-word unique gap; docs 2/3
+    // each carry one run, so both runs are corpus-repeated
+    val d = Seq(
+      (1L, s"$r1 g1 g2 g3 g4 g5 $r2"),
+      (2L, s"$r1 zz1 zz2"),
+      (3L, s"zz3 $r2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(d, 8, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((2L, 16L)), s"expected two 8-word spans, got $got")
+  }
+
+  test("q1 model score matches a hand-computed sigmoid and caps the vocab") {
+    import spark.implicits._
+    val d = Seq((1L, "aa bb aa"), (2L, "bb cc")).toDF("doc_id", "text")
+    // full vocab: every word weighted; w(word) for 2-letter lowercase
+    // 'xy': (2*31 + ascii(x)) % 13 - 6
+    def w(word: String): Long = ((word.length * 31 + word.head.toInt) % 13) - 6
+    val got = TextAnalysis.modelQualityScore(d, vocabSize = 1000)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((3L,
+      r6(sig((2 * w("aa") + w("bb")) / 30.0 - 0.1)))))
+    assert(got(2L) == ((2L, r6(sig((w("bb") + w("cc")) / 20.0 - 0.1)))))
+    // vocabSize=1: only the most frequent word ('aa', tf=2) is weighted
+    val capped = TextAnalysis.modelQualityScore(d, vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(capped(2L) == r6(sig(0.0 / 20.0 - 0.1)),
+      "doc 2 has no vocab hits when vocab is capped to 'aa'")
+  }
 }
