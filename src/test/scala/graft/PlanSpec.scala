@@ -160,6 +160,32 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("q1 model scoring broadcasts the capped vocabulary") {
+    val p = plan("q1_model_quality")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded weight table must broadcast, not shuffle:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cap must be a global top-V, not a full sort:\n${p.take(1500)}")
+  }
+
+  test("d14 dup-span interval merge windows partition by doc_id") {
+    val p = plan("d14_dup_spans")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"span merge must be a per-document window:\n${p.take(1500)}")
+    assert(!p.contains("windowspecdefinition(pos"),
+      "no unpartitioned/global window allowed")
+    assert(!p.contains("CartesianProduct"), "no cartesian pair generation")
+  }
+
+  test("a21 funnel shuffles only on user_id") {
+    val p = plan("a21_funnel_stages")
+    // every hash exchange keys on user_id (the stage-count finals are
+    // SinglePartition exchanges over |stages| rows, which is fine)
+    val bad = "hashpartitioning\\(([a-z_#0-9]+)".r.findAllMatchIn(p)
+      .map(_.group(1)).filterNot(_.startsWith("user_id")).toList
+    assert(bad.isEmpty, s"non-user_id exchange keys: $bad")
+  }
+
   test("smp5 token budget partitions its cumsum by hash bucket") {
     val p = plan("smp5_token_budget")
     assert(p.contains("hashpartitioning(bkt"),
