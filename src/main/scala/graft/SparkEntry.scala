@@ -263,6 +263,8 @@ object SparkEntry {
       TextAnalysis.modelQualityScore(t(s, d, "documents"))),
     "d14_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(t(s, d, "documents"), 8, 2)),
+    "ml1_kmeans_assign" -> ((s, d) =>
+      Clustering.kmeansAssign(t(s, d, "embeddings"), 8, 2)),
     // ---- training-data pipeline: graph analytics ----
     // rank rounded to 9dp on BOTH sides: pagerank over a k=1 graph yields
     // terminating decimals that can sit exactly on the compare's 6dp
@@ -1626,6 +1628,45 @@ object SparkEntry {
         |            ELSE ROUND(COALESCE(agg.dup_words, 0)
         |                   / CAST(len(tk.toks) AS DOUBLE), 6) END AS dup_frac
         |FROM tk LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // two unrolled Lloyd rounds; centroids ROUND(mean, 6) each round on
+    // both sides so parallel-sum noise cannot accumulate (Clustering.scala
+    // determinism contract)
+    "ml1_kmeans_assign" ->
+      """WITH emb AS (SELECT vec_id,
+        |               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |             FROM embeddings),
+        |dims AS (SELECT unnest(range(1,
+        |           (SELECT len(v) FROM emb LIMIT 1) + 1)) AS i),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cen
+        |       FROM emb ORDER BY vec_id LIMIT 8),
+        |a0 AS (SELECT vec_id, cid FROM (
+        |         SELECT e.vec_id, c.cid, row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+        |               i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
+        |           AS rn
+        |         FROM emb e CROSS JOIN c0 c) WHERE rn = 1),
+        |c1 AS (SELECT cid, list(m ORDER BY i) AS cen FROM (
+        |         SELECT a.cid, d.i, ROUND(SUM(e.v[d.i]) / COUNT(*), 6) AS m
+        |         FROM a0 a JOIN emb e USING (vec_id) CROSS JOIN dims d
+        |         GROUP BY 1, 2) GROUP BY 1),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |         SELECT e.vec_id, c.cid, row_number() OVER (
+        |             PARTITION BY e.vec_id
+        |             ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+        |               i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
+        |           AS rn
+        |         FROM emb e CROSS JOIN c1 c) WHERE rn = 1),
+        |c2 AS (SELECT cid, list(m ORDER BY i) AS cen FROM (
+        |         SELECT a.cid, d.i, ROUND(SUM(e.v[d.i]) / COUNT(*), 6) AS m
+        |         FROM a1 a JOIN emb e USING (vec_id) CROSS JOIN dims d
+        |         GROUP BY 1, 2) GROUP BY 1)
+        |SELECT vec_id, cid AS cluster FROM (
+        |  SELECT e.vec_id, c.cid, row_number() OVER (
+        |      PARTITION BY e.vec_id
+        |      ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+        |        i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid) AS rn
+        |  FROM emb e CROSS JOIN c2 c) WHERE rn = 1""".stripMargin,
     "n1_bigram_topk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

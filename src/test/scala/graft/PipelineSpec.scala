@@ -563,6 +563,32 @@ class PipelineSpec extends GraftSuite {
     assert(got(1L) == ((2L, 16L)), s"expected two 8-word spans, got $got")
   }
 
+  test("ml1 kmeans follows the hand-computed Lloyd trajectory") {
+    import spark.implicits._
+    // two tight groups on a line; init picks v1,v2 (BOTH in the left
+    // group). round 1: v1->c0, everything else closer to c1(0.1,0) than
+    // c0 only for v2,v3... hand-traced below; after round 2 the clusters
+    // settle into the two geometric groups
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(0.2f, 0.0f)), (4L, Array(10.0f, 10.0f)),
+      (5L, Array(10.1f, 10.0f)), (6L, Array(10.2f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.kmeansAssign(pts, 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 1),
+      s"unexpected assignment: $got")
+  }
+
+  test("ml1 Lloyd objective is non-increasing across rounds") {
+    val s1 = Clustering.sse(emb, 8, 1)
+    val s2 = Clustering.sse(emb, 8, 2)
+    val s3 = Clustering.sse(emb, 8, 3)
+    info(f"sse by round: $s1%.3f -> $s2%.3f -> $s3%.3f")
+    assert(s2 <= s1 * (1 + 1e-9) && s3 <= s2 * (1 + 1e-9),
+      s"objective increased: $s1 -> $s2 -> $s3")
+  }
+
   test("q1 model score matches a hand-computed sigmoid and caps the vocab") {
     import spark.implicits._
     val d = Seq((1L, "aa bb aa"), (2L, "bb cc")).toDF("doc_id", "text")
