@@ -265,6 +265,11 @@ object SparkEntry {
       Dedup.dupSpans(t(s, d, "documents"), 8, 2)),
     "ml1_kmeans_assign" -> ((s, d) =>
       Clustering.kmeansAssign(t(s, d, "embeddings"), 8, 2)),
+    // threshold 0.4 like d5: the synthetic embeddings carry no true
+    // near-dups (max pairwise cosine ~0.51), so the demo threshold sits
+    // where the data has pairs; the operator default stays the paper's
+    "d15_semdedup_pairs" -> ((s, d) =>
+      Clustering.semdedupPairs(t(s, d, "embeddings"), 8, 2, 0.4)),
     // ---- training-data pipeline: graph analytics ----
     // rank rounded to 9dp on BOTH sides: pagerank over a k=1 graph yields
     // terminating decimals that can sit exactly on the compare's 6dp
@@ -438,6 +443,47 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared CTE block for the ml1/d15 oracles: two unrolled Lloyd rounds
+    * ending in the final assignment `a2(vec_id, cid)`; mirrors the
+    * `Clustering.kmeansAssign` determinism contract exactly. */
+  private val kmeansCtes: String =
+    """emb AS (SELECT vec_id,
+      |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings),
+      |dims AS (SELECT unnest(range(1,
+      |           (SELECT len(v) FROM emb LIMIT 1) + 1)) AS i),
+      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cen
+      |       FROM emb ORDER BY vec_id LIMIT 8),
+      |a0 AS (SELECT vec_id, cid FROM (
+      |         SELECT e.vec_id, c.cid, row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+      |               i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
+      |           AS rn
+      |         FROM emb e CROSS JOIN c0 c) WHERE rn = 1),
+      |c1 AS (SELECT cid, list(m ORDER BY i) AS cen FROM (
+      |         SELECT a.cid, d.i, ROUND(SUM(e.v[d.i]) / COUNT(*), 6) AS m
+      |         FROM a0 a JOIN emb e USING (vec_id) CROSS JOIN dims d
+      |         GROUP BY 1, 2) GROUP BY 1),
+      |a1 AS (SELECT vec_id, cid FROM (
+      |         SELECT e.vec_id, c.cid, row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+      |               i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
+      |           AS rn
+      |         FROM emb e CROSS JOIN c1 c) WHERE rn = 1),
+      |c2 AS (SELECT cid, list(m ORDER BY i) AS cen FROM (
+      |         SELECT a.cid, d.i, ROUND(SUM(e.v[d.i]) / COUNT(*), 6) AS m
+      |         FROM a1 a JOIN emb e USING (vec_id) CROSS JOIN dims d
+      |         GROUP BY 1, 2) GROUP BY 1),
+      |a2 AS (SELECT vec_id, cid FROM (
+      |         SELECT e.vec_id, c.cid, row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+      |               i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
+      |           AS rn
+      |         FROM emb e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+
   def oracleSql: Map[String, String] = ListMap(
     "p1_parse_validate" ->
       """SELECT event_id, user_id, event_type,
@@ -1630,43 +1676,27 @@ object SparkEntry {
         |FROM tk LEFT JOIN agg USING (doc_id)""".stripMargin,
     // two unrolled Lloyd rounds; centroids ROUND(mean, 6) each round on
     // both sides so parallel-sum noise cannot accumulate (Clustering.scala
-    // determinism contract)
+    // determinism contract). The shared CTE block also powers d15.
     "ml1_kmeans_assign" ->
-      """WITH emb AS (SELECT vec_id,
-        |               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |             FROM embeddings),
-        |dims AS (SELECT unnest(range(1,
-        |           (SELECT len(v) FROM emb LIMIT 1) + 1)) AS i),
-        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cen
-        |       FROM emb ORDER BY vec_id LIMIT 8),
-        |a0 AS (SELECT vec_id, cid FROM (
-        |         SELECT e.vec_id, c.cid, row_number() OVER (
-        |             PARTITION BY e.vec_id
-        |             ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
-        |               i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
-        |           AS rn
-        |         FROM emb e CROSS JOIN c0 c) WHERE rn = 1),
-        |c1 AS (SELECT cid, list(m ORDER BY i) AS cen FROM (
-        |         SELECT a.cid, d.i, ROUND(SUM(e.v[d.i]) / COUNT(*), 6) AS m
-        |         FROM a0 a JOIN emb e USING (vec_id) CROSS JOIN dims d
-        |         GROUP BY 1, 2) GROUP BY 1),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |         SELECT e.vec_id, c.cid, row_number() OVER (
-        |             PARTITION BY e.vec_id
-        |             ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
-        |               i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
-        |           AS rn
-        |         FROM emb e CROSS JOIN c1 c) WHERE rn = 1),
-        |c2 AS (SELECT cid, list(m ORDER BY i) AS cen FROM (
-        |         SELECT a.cid, d.i, ROUND(SUM(e.v[d.i]) / COUNT(*), 6) AS m
-        |         FROM a1 a JOIN emb e USING (vec_id) CROSS JOIN dims d
-        |         GROUP BY 1, 2) GROUP BY 1)
-        |SELECT vec_id, cid AS cluster FROM (
-        |  SELECT e.vec_id, c.cid, row_number() OVER (
-        |      PARTITION BY e.vec_id
-        |      ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
-        |        i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid) AS rn
-        |  FROM emb e CROSS JOIN c2 c) WHERE rn = 1""".stripMargin,
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cid AS cluster FROM a2""".stripMargin,
+    // SemDeDup: within-cluster cosine over the k-means assignment; dot and
+    // norms in double over the same ordinal dim order as the Spark side
+    "d15_semdedup_pairs" ->
+      s"""WITH $kmeansCtes,
+         |ev AS (SELECT e.vec_id, a2.cid AS cluster, e.v
+         |       FROM emb e JOIN a2 USING (vec_id)),
+         |pr AS (SELECT x.vec_id AS vid_a, y.vec_id AS vid_b,
+         |         list_sum(list_transform(range(1, len(x.v)+1),
+         |           i -> x.v[i]*y.v[i])) AS dot,
+         |         sqrt(list_sum(list_transform(range(1, len(x.v)+1),
+         |           i -> x.v[i]*x.v[i]))) AS na,
+         |         sqrt(list_sum(list_transform(range(1, len(y.v)+1),
+         |           i -> y.v[i]*y.v[i]))) AS nb
+         |       FROM ev x JOIN ev y
+         |         ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+         |SELECT vid_a, vid_b, ROUND(dot / (na * nb), 6) AS cos_sim
+         |FROM pr WHERE ROUND(dot / (na * nb), 6) >= 0.4""".stripMargin,
     "n1_bigram_topk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

@@ -88,6 +88,47 @@ object Clustering {
     assign(cents)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup as
+    * k-means blocking + within-cluster cosine: candidate pairs are only
+    * formed INSIDE a cluster, so the quadratic pair space shrinks from n²
+    * to Σ n_c² (the paper's core trick, and the reason the composition
+    * scales: k grows with the corpus, n_c stays bounded). Cross-cluster
+    * near-dups are missed by design — that recall trade-off is the spec'd
+    * approximation, exactly as in the paper.
+    *
+    * Emits (vid_a, vid_b, cos_sim 6dp) for within-cluster pairs with
+    * rounded cosine >= threshold. Dot products and norms run as the same
+    * codegen explode-join shape as the k-means distance pass — no
+    * interpreted lambda per pair. */
+  def semdedupPairs(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      threshold: Double = 0.95): DataFrame = {
+    val asg = kmeansAssign(embeddings, k, iters)
+    val exv = embeddings
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("i", "x")))
+      .join(asg, "vec_id")
+      .localCheckpoint() // feeds norms AND both pair sides
+    val norms = exv.groupBy(col("vec_id"))
+      .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+    val a = exv.select(col("cluster"), col("i"),
+      col("vec_id").as("vid_a"), col("x").as("xa"))
+    val b = exv.select(col("cluster"), col("i"),
+      col("vec_id").as("vid_b"), col("x").as("xb"))
+    val dots = a.join(b, Seq("cluster", "i"))
+      .where(col("vid_a") < col("vid_b"))
+      .groupBy(col("vid_a"), col("vid_b"))
+      .agg(sum(col("xa") * col("xb")).as("dot"))
+    val cos = dots
+      .join(norms.select(col("vec_id").as("vid_a"), col("nrm").as("na")),
+        "vid_a")
+      .join(norms.select(col("vec_id").as("vid_b"), col("nrm").as("nb")),
+        "vid_b")
+      .select(col("vid_a"), col("vid_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+    cos.where(col("cos_sim") >= threshold)
+  }
+
   /** Within-cluster sum of squared distances for a given assignment —
     * Lloyd's objective; each round must not increase it (spec'd).
     * Spec-support only: collects the vectors, so small frames only. */

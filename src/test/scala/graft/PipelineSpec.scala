@@ -589,6 +589,32 @@ class PipelineSpec extends GraftSuite {
       s"objective increased: $s1 -> $s2 -> $s3")
   }
 
+  test("d15 semdedup pairs within clusters only; cosine exact") {
+    import spark.implicits._
+    // two geometric groups; (v1,v2) colinear (cos 1.0) and (v3,v4) near-
+    // identical both land within-cluster; the cross pair (v1,v3) has
+    // cos ~0.707 >= 0.4 but MUST be absent — clusters block it (the
+    // SemDeDup recall trade-off, by design)
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.0f, 10.1f))
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.semdedupPairs(pts, 2, 2, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum)
+        * math.sqrt(b.map(x => x * x).sum))
+      math.rint(r * 1e6) / 1e6
+    }
+    assert(got.keySet == Set((1L, 2L), (3L, 4L)),
+      s"expected only within-cluster pairs, got ${got.keySet}")
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((3L, 4L)) ==
+      cos(Array(10.0, 10.0), Array(10.0, 10.100000381469727)))
+  }
+
   test("q1 model score matches a hand-computed sigmoid and caps the vocab") {
     import spark.implicits._
     val d = Seq((1L, "aa bb aa"), (2L, "bb cc")).toDF("doc_id", "text")
