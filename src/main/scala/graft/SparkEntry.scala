@@ -270,6 +270,8 @@ object SparkEntry {
     // where the data has pairs; the operator default stays the paper's
     "d15_semdedup_pairs" -> ((s, d) =>
       Clustering.semdedupPairs(t(s, d, "embeddings"), 8, 2, 0.4)),
+    "smp7_cluster_sample" -> ((s, d) =>
+      Clustering.clusterBalancedSample(t(s, d, "embeddings"), 25, 8, 2)),
     // ---- training-data pipeline: graph analytics ----
     // rank rounded to 9dp on BOTH sides: pagerank over a k=1 graph yields
     // terminating decimals that can sit exactly on the compare's 6dp
@@ -1697,6 +1699,13 @@ object SparkEntry {
          |         ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
          |SELECT vid_a, vid_b, ROUND(dot / (na * nb), 6) AS cos_sim
          |FROM pr WHERE ROUND(dot / (na * nb), 6) >= 0.4""".stripMargin,
+    // cluster-balanced sample: smallest 25 vec_ids per k-means cluster
+    "smp7_cluster_sample" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cid AS cluster FROM (
+         |  SELECT vec_id, cid, row_number() OVER (
+         |      PARTITION BY cid ORDER BY vec_id) AS rn FROM a2)
+         |WHERE rn <= 25""".stripMargin,
     "n1_bigram_topk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

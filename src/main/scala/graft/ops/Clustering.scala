@@ -129,6 +129,22 @@ object Clustering {
     cos.where(col("cos_sim") >= threshold)
   }
 
+  /** Cluster-balanced sampling — the diversity-sampling step cluster-based
+    * curation runs after assignment (every semantic region contributes at
+    * most `perCluster` items, so dominant modes cannot crowd out the
+    * tail). Deterministic pick: the smallest vec_ids per cluster; the
+    * window partitions by cluster — never global. */
+  def clusterBalancedSample(embeddings: DataFrame, perCluster: Int,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perCluster >= 1, "perCluster must be >= 1")
+    kmeansAssign(embeddings, k, iters)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("vec_id"))))
+      .where(col("rn") <= perCluster)
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Within-cluster sum of squared distances for a given assignment —
     * Lloyd's objective; each round must not increase it (spec'd).
     * Spec-support only: collects the vectors, so small frames only. */

@@ -615,6 +615,21 @@ class PipelineSpec extends GraftSuite {
       cos(Array(10.0, 10.0), Array(10.0, 10.100000381469727)))
   }
 
+  test("smp7 cluster-balanced sample takes the smallest ids per cluster") {
+    val full = Clustering.kmeansAssign(emb, 8, 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val got = Clustering.clusterBalancedSample(emb, 5, 8, 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val byCluster = full.groupBy(_._2)
+    val expected = byCluster.values
+      .flatMap(_.map(_._1).sorted.take(5)).toSet
+    assert(got.map(_._1).toSet == expected)
+    // balance: no cluster exceeds the cap, every nonempty cluster present
+    val counts = got.groupBy(_._2).map { case (c, xs) => c -> xs.length }
+    assert(counts.values.forall(_ <= 5))
+    assert(counts.keySet == byCluster.keySet)
+  }
+
   test("q1 model score matches a hand-computed sigmoid and caps the vocab") {
     import spark.implicits._
     val d = Seq((1L, "aa bb aa"), (2L, "bb cc")).toDF("doc_id", "text")
