@@ -43,12 +43,30 @@ object Clustering {
     }.toDF("cid", "i", "m")
   }
 
+  /** Memoized assignments, keyed by (canonicalized input plan, k, iters) —
+    * the Dedup-substrate pattern: ml1/d15/smp7 all consume the same
+    * clustering of the same corpus, so the Lloyd loop runs once per
+    * session per (corpus, k, iters). Values are localCheckpoint'ed
+    * (materialized, lineage-free); `clearAssignments()` drops them. */
+  private val assignCache = scala.collection.mutable.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
+    DataFrame]()
+
+  def clearAssignments(): Unit =
+    assignCache.synchronized(assignCache.clear())
+
   /** `iters` Lloyd rounds from the deterministic init, then the final
     * assignment against the last (rounded) centroids: (vec_id, cluster).
     */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8,
       iters: Int = 2): DataFrame = {
     require(k >= 1 && iters >= 0, "k must be >= 1 and iters >= 0")
+    val cacheKey =
+      (embeddings.queryExecution.analyzed.canonicalized, k, iters)
+    assignCache.synchronized(assignCache.get(cacheKey)) match {
+      case Some(cached) => return cached
+      case None =>
+    }
     val emb = embeddings
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
@@ -85,7 +103,9 @@ object Clustering {
         }
         .toSeq.sortBy(_._1)
     }
-    assign(cents)
+    val result = assign(cents).localCheckpoint()
+    assignCache.synchronized(assignCache.update(cacheKey, result))
+    result
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup as
