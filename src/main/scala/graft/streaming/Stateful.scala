@@ -256,6 +256,48 @@ object Stateful {
       }
   }
 
+  case class StageEmit(user_id: Long, stage_idx: Int, stage: String,
+      ts: java.sql.Timestamp)
+
+  /** A21 streaming twin — per-user funnel state machine: a user advances to
+    * stage k+1 on the first stage-(k+1) event STRICTLY after their stage-k
+    * time (same strict-order semantics as `Aggs.funnelStages`; each user
+    * emits each stage at most once, so stage counts downstream equal the
+    * batch funnel). State is two scalars (completed-stage count, last
+    * stage time) — bounded per user regardless of event volume. Within a
+    * batch events are (ts, event_id)-sorted like every twin here; across
+    * batches in-order arrival is assumed (watermarked source). */
+  def streamingFunnel(events: Dataset[Event],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      ttl: Option[String] = None): Dataset[StageEmit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Long), StageEmit](
+        OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[(Int, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (done, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer[StageEmit]()
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              if (done < stages.length && e.event_type == stages(done)
+                  && (done == 0 || e.ts.getTime > lastTs)) {
+                out += StageEmit(e.user_id, done + 1, stages(done), e.ts)
+                lastTs = e.ts.getTime
+                done += 1
+              }
+            }
+            state.update((done, lastTs))
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   case class VisitFlag(event_id: Long, user_id: Long, is_new: Int)
 
   /** A9 streaming — is_new correction: a visit claims is_new=1 only if this

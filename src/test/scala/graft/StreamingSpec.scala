@@ -83,6 +83,27 @@ class StreamingSpec extends GraftSuite {
     assert(gotNew == expNew)
   }
 
+  test("streaming funnel state machine matches the batch funnel counts") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](23, spark, None)
+    // two in-order batches so stage state must carry across micro-batches
+    val sorted = eventsData.sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = sorted.splitAt(sorted.length / 2)
+    ms.addData(first)
+    ms.addData(second)
+    runToMemory(Stateful.streamingFunnel(ms.toDS()), "funnel_out")
+    val got = spark.table("funnel_out")
+      .groupBy("stage").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = ops.Aggs.funnelStages(Tables.load(spark, sf, "events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"streaming $got vs batch $exp")
+    // each user emits each stage at most once
+    val dupes = spark.table("funnel_out")
+      .groupBy("user_id", "stage_idx").count().where(col("count") > 1).count()
+    assert(dupes == 0)
+  }
+
   test("every stateful op with ttl=None terminates under Trigger.AvailableNow") {
     // pins the round-1 landmine: opting into a TTL switches on
     // ProcessingTimeTimeout / TimeMode.ProcessingTime, under which Spark
