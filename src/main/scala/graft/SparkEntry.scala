@@ -419,6 +419,8 @@ object SparkEntry {
       Pipeline.trainingCorpus(t(s, d, "documents"))),
     "e4_corpus_report" -> ((s, d) =>
       Pipeline.corpusReport(t(s, d, "documents"))),
+    "e5_curated_corpus" -> ((s, d) =>
+      Pipeline.curatedCorpus(t(s, d, "documents"))),
     // ---- reproducible data selection (training-pipeline ops) ----
     "smp1_hash_sample" -> ((s, d) =>
       Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 0.25)
@@ -485,6 +487,66 @@ object SparkEntry {
       |               i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
       |           AS rn
       |         FROM emb e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+
+  /** Shared CTE block for the q1/e5 oracles, ending in
+    * `qsc(doc_id, n_toks, score)` — mirrors
+    * `TextAnalysis.modelQualityScore`. */
+  private val modelScoreCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents),
+      |dt AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+      |vocab AS (
+      |  SELECT word,
+      |         CAST((length(word) * 31 + ascii(substring(word, 1, 1))) % 13
+      |              - 6 AS BIGINT) AS w
+      |  FROM (SELECT word, COUNT(*) AS cnt FROM dt GROUP BY 1
+      |        ORDER BY cnt DESC, word LIMIT 1000)),
+      |per AS (SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |               COALESCE(SUM(v.w), 0) AS raw
+      |        FROM dt LEFT JOIN vocab v USING (word) GROUP BY 1),
+      |qsc AS (SELECT doc_id, n_toks,
+      |          ROUND(1.0 / (1.0 + exp(-(raw / (10.0 * n_toks) - 0.1))), 6)
+      |            AS score
+      |        FROM per)""".stripMargin
+
+  /** Shared CTE block for the d14/e5 oracles, ending in
+    * `dspan(doc_id, n_words, n_spans, dup_words, dup_frac)` — mirrors
+    * `Dedup.dupSpans`. */
+  private val dupSpanCtes: String =
+    """tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |win AS (SELECT doc_id, i, array_to_string(toks[i : i+7], ' ')
+      |          AS segment
+      |        FROM (SELECT doc_id, toks,
+      |                unnest(range(1, greatest(len(toks)-7, 0)+1)) AS i
+      |              FROM tk)),
+      |rep AS (SELECT segment FROM win
+      |        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+      |hit AS (SELECT w.doc_id, w.i FROM win w JOIN rep USING (segment)),
+      |flg AS (SELECT doc_id, i,
+      |          CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+      |                 IS NULL
+      |               OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+      |                 + 8 THEN 1 ELSE 0 END AS ns
+      |        FROM hit),
+      |sp AS (SELECT doc_id, sid, MIN(i) AS s, MAX(i) + 7 AS e
+      |       FROM (SELECT doc_id, i,
+      |               SUM(ns) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+      |             FROM flg)
+      |       GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |               CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
+      |        FROM sp GROUP BY 1),
+      |dspan AS (
+      |  SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_words,
+      |         COALESCE(agg.n_spans, 0) AS n_spans,
+      |         COALESCE(agg.dup_words, 0) AS dup_words,
+      |         CASE WHEN len(tk.toks) = 0 THEN 0.0
+      |              ELSE ROUND(COALESCE(agg.dup_words, 0)
+      |                     / CAST(len(tk.toks) AS DOUBLE), 6) END AS dup_frac
+      |  FROM tk LEFT JOIN agg USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = ListMap(
     "p1_parse_validate" ->
@@ -1626,56 +1688,26 @@ object SparkEntry {
     // weights are INTEGER before the one double division + sigmoid, so the
     // 6dp round sits on exact inputs — same bit-stability trick as n3
     "q1_model_quality" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |             FROM documents),
-        |dt AS (SELECT doc_id, word FROM tok WHERE word <> ''),
-        |vocab AS (
-        |  SELECT word,
-        |         CAST((length(word) * 31 + ascii(substring(word, 1, 1))) % 13
-        |              - 6 AS BIGINT) AS w
-        |  FROM (SELECT word, COUNT(*) AS cnt FROM dt GROUP BY 1
-        |        ORDER BY cnt DESC, word LIMIT 1000)),
-        |per AS (SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
-        |               COALESCE(SUM(v.w), 0) AS raw
-        |        FROM dt LEFT JOIN vocab v USING (word) GROUP BY 1)
-        |SELECT doc_id, n_toks,
-        |       ROUND(1.0 / (1.0 + exp(-(raw / (10.0 * n_toks) - 0.1))), 6)
-        |         AS score
-        |FROM per""".stripMargin,
+      s"""WITH $modelScoreCtes
+         |SELECT doc_id, n_toks, score FROM qsc""".stripMargin,
     "d14_dup_spans" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |win AS (SELECT doc_id, i, array_to_string(toks[i : i+7], ' ')
-        |          AS segment
-        |        FROM (SELECT doc_id, toks,
-        |                unnest(range(1, greatest(len(toks)-7, 0)+1)) AS i
-        |              FROM tk)),
-        |rep AS (SELECT segment FROM win
-        |        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
-        |hit AS (SELECT w.doc_id, w.i FROM win w JOIN rep USING (segment)),
-        |flg AS (SELECT doc_id, i,
-        |          CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
-        |                 IS NULL
-        |               OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
-        |                 + 8 THEN 1 ELSE 0 END AS ns
-        |        FROM hit),
-        |sp AS (SELECT doc_id, sid, MIN(i) AS s, MAX(i) + 7 AS e
-        |       FROM (SELECT doc_id, i,
-        |               SUM(ns) OVER (PARTITION BY doc_id ORDER BY i) AS sid
-        |             FROM flg)
-        |       GROUP BY 1, 2),
-        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-        |               CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
-        |        FROM sp GROUP BY 1)
-        |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_words,
-        |       COALESCE(agg.n_spans, 0) AS n_spans,
-        |       COALESCE(agg.dup_words, 0) AS dup_words,
-        |       CASE WHEN len(tk.toks) = 0 THEN 0.0
-        |            ELSE ROUND(COALESCE(agg.dup_words, 0)
-        |                   / CAST(len(tk.toks) AS DOUBLE), 6) END AS dup_frac
-        |FROM tk LEFT JOIN agg USING (doc_id)""".stripMargin,
+      s"""WITH $dupSpanCtes
+         |SELECT doc_id, n_words, n_spans, dup_words, dup_frac
+         |FROM dspan""".stripMargin,
+    // e5: the curation composition over the model score, dup spans, and
+    // exact keepers — every predicate compares the same 6dp-rounded value
+    // both engines already hash-match individually
+    "e5_curated_corpus" ->
+      s"""WITH $modelScoreCtes,
+         |$dupSpanCtes,
+         |exk AS (SELECT doc_id FROM (
+         |          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+         |              md5(trim(regexp_replace(lower(text),
+         |                '[^a-z0-9]+', ' ', 'g')))) AS keeper
+         |          FROM documents) WHERE doc_id = keeper)
+         |SELECT q.doc_id, q.n_toks, q.score, d.dup_frac
+         |FROM qsc q JOIN dspan d USING (doc_id) JOIN exk USING (doc_id)
+         |WHERE q.score >= 0.45 AND d.dup_frac <= 0.5""".stripMargin,
     // two unrolled Lloyd rounds; centroids ROUND(mean, 6) each round on
     // both sides so parallel-sum noise cannot accumulate (Clustering.scala
     // determinism contract). The shared CTE block also powers d15.

@@ -84,6 +84,37 @@ object Pipeline {
     * integer sums (no float aggregation, no hash-compare flakiness); the
     * near-dup flag reuses the persisted pair frame, so on a warmed session
     * the report costs one scan plus a tiny rollup shuffle. */
+  /** E5 — the round-5 curation composition: model-based quality filter
+    * (q1), exact-substring duplication cap (d14), and exact-dup keeper
+    * selection (d1) in one pass over the corpus. This is the pipeline a
+    * CCNet/RefinedWeb-style curation run executes: score with the quality
+    * model, drop heavily-duplicated documents, keep one copy per exact
+    * fingerprint. Each input frame is a one-shuffle-family operator; the
+    * composition joins them on doc_id, so the plan stays three parallel
+    * doc_id-keyed branches and two joins — no new shuffle shape.
+    *
+    * Thresholds compare the same 6dp-rounded values both engines already
+    * hash-match per-operator, so the composed filter is oracle-exact. */
+  def curatedCorpus(documents: DataFrame, minScore: Double = 0.45,
+      maxDupFrac: Double = 0.5): DataFrame = {
+    val scores = TextAnalysis.modelQualityScore(documents)
+    val spans = Dedup.dupSpans(documents, 8, 2)
+      .select(col("doc_id"), col("dup_frac"))
+    val keepers = documents
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("fp"))
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .where(col("doc_id") === col("keeper"))
+      .select(col("doc_id"))
+    scores
+      .join(spans, "doc_id")
+      .join(keepers, "doc_id")
+      .where(col("score") >= minScore && col("dup_frac") <= maxDupFrac)
+      .select(col("doc_id"), col("n_toks"), col("score"), col("dup_frac"))
+  }
+
   def corpusReport(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val dupIds = Dedup.jaccardPairs(documents, n, threshold)

@@ -528,6 +528,40 @@ class PipelineSpec extends GraftSuite {
     assert(rho >= 0.5, s"rank correlation $rho too low")
   }
 
+  test("d14 span merge stays linear on a 50k-word document") {
+    import spark.implicits._
+    // one 50k-word doc sharing a 1000-word run with a small doc: the
+    // positioned-window + interval-merge path must stay O(n log n) per
+    // doc (t14's round-4 lesson: no hidden per-row quadratics)
+    val big = (1 to 49000).map(i => s"w$i").mkString(" ")
+    val run = (1 to 1000).map(i => s"r$i").mkString(" ")
+    val d = Seq((1L, s"$big $run"), (2L, s"$run zz")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = Dedup.dupSpans(d, 8, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"50k-word dupSpans pass: $secs%.1fs")
+    assert(got(1L) == ((1L, 1000L)), s"one 1000-word span expected: $got")
+    assert(secs < 60, f"span pass took $secs%.1fs - not linear")
+  }
+
+  test("e5 curated corpus equals the conjunction of its component filters") {
+    val kept = Pipeline.curatedCorpus(docs).collect()
+      .map(r => r.getLong(0)).toSet
+    val scores = TextAnalysis.modelQualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val fracs = Dedup.dupSpans(docs, 8, 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val keepers = Dedup.exactDuplicates(docs).collect()
+      .map(_.getLong(1)).toSet // (fingerprint, keeper, cnt)
+    val expected = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => keepers.contains(id)
+        && scores(id) >= 0.45 && fracs(id) <= 0.5).toSet
+    assert(kept == expected)
+    assert(kept.nonEmpty, "thresholds dropped everything")
+    assert(kept.size < scores.size, "thresholds dropped nothing")
+  }
+
   test("d14 dup spans merge overlapping windows into maximal ranges") {
     import spark.implicits._
     // doc 1 and doc 2 share one 10-word run (words 3..12 of doc 1,
