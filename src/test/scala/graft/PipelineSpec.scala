@@ -297,6 +297,23 @@ class PipelineSpec extends GraftSuite {
     assert(TextAnalysis.trigramLmScore(weird).count() == 2)
     TextAnalysis.passageChunks(weird, 4, 3).count()
     assert(Pipeline.corpusReport(weird).count() >= 3)
+    // round-5 surface on the same degenerate corpus
+    val spans = Dedup.dupSpans(weird, 8, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(spans(4L) == ((1L, 10L)) && spans(5L) == ((1L, 10L)),
+      s"identical 10-word docs must be one full-cover span: $spans")
+    assert(spans(2L) == ((0L, 0L)) && spans(3L) == ((0L, 0L)))
+    assert(TextAnalysis.modelQualityScore(weird).count() == 3) // tokenful docs
+    Pipeline.curatedCorpus(weird).count()
+    // k-means with fewer vectors than clusters must not throw
+    val tiny = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Clustering.kmeansAssign(tiny, 8, 2).count() == 2)
+    // funnel over an empty event frame: all stages report zero users
+    val noEvents = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_type", "ts")
+    assert(ops.Aggs.funnelStages(noEvents).collect()
+      .map(r => r.getLong(1)).toSeq == Seq(0L, 0L, 0L))
     Dedup.clearSubstrates() // don't leak the weird-corpus caches
   }
 
