@@ -24,15 +24,21 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", Vectors.normFast(col("embedding")))
 
+  /** Per-query top-k via the native TopK aggregate (ObjectHashAggregate,
+    * map-side partial): each task ships at most k (cos, nid) pairs per
+    * qid, so the |pairs|-row sort a `row_number` window pays never
+    * happens — at 4M pairs (sf0.1 kNN graph) this halves the rank stage.
+    * Tie order (cos desc, nid asc) matches the window form exactly. */
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
     pairs
       .withColumn("cos",
         Vectors.cosineFast(col("q_emb"), col("n_emb"), col("q_nrm"),
           col("n_nrm")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("nid"))))
-      .where(col("rn") <= k)
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topK(col("cos"), col("nid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("rn0", "e")))
+      .select(col("qid"), (col("rn0") + 1).cast("int").as("rn"),
+        col("e.id").as("nid"), col("e.value").as("cos"))
 
   /** Exact brute-force cosine top-k for queries `vec_id < numQueries`. */
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
