@@ -116,6 +116,84 @@ class PropertySpec extends GraftSuite {
     assert(kept(1.0).size == ids.size)
   }
 
+  test("d14 law: dup spans == brute-force coverage on random corpora") {
+    import spark.implicits._
+    // small alphabet + short docs force heavy window collisions, then the
+    // distributed span merge must equal a direct per-doc computation
+    val docGen = Gen.listOfN(14, Gen.oneOf("a", "b", "c", "d"))
+      .map(_.mkString(" "))
+    val segWords = 3
+    (0 until 4).foreach { round =>
+      val texts = samples(Gen.listOfN(8, docGen), 1 + round).last
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = ops.Dedup.dupSpans(docs, segWords, 2).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      // brute force: a position is covered iff some segWords-window over
+      // it occurs in >= 2 distinct docs
+      val toks = texts.map(_.split(" ").toSeq)
+      val winDocs = toks.zipWithIndex
+        .flatMap { case (ws, d) =>
+          ws.sliding(segWords).filter(_.size == segWords)
+            .map(w => (w.mkString(" "), d)).toSeq.distinct
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      toks.zipWithIndex.foreach { case (ws, d) =>
+        val covered = scala.collection.mutable.Set[Int]()
+        ws.sliding(segWords).zipWithIndex.foreach { case (w, p) =>
+          if (w.size == segWords && winDocs(w.mkString(" ")) >= 2)
+            (p until p + segWords).foreach(covered += _)
+        }
+        // span count = maximal runs of consecutive covered positions
+        val nSpans = covered.toSeq.sorted
+          .foldLeft((0, -2)) { case ((n, prev), p) =>
+            (if (p == prev + 1) n else n + 1, p)
+          }._1
+        val (gw, gs, gd) = got(d.toLong)
+        assert(gw == ws.size && gs == nSpans && gd == covered.size,
+          s"round $round doc $d: got ($gw,$gs,$gd) want " +
+            s"(${ws.size},$nSpans,${covered.size}) text='${texts(d)}'")
+      }
+    }
+  }
+
+  test("a21 law: funnel == brute-force per-user scan on generated logs") {
+    import spark.implicits._
+    val rowGen = for {
+      user <- Gen.chooseNum(1L, 6L)
+      stage <- Gen.oneOf("view", "click", "purchase", "error")
+      sec <- Gen.chooseNum(0, 600)
+    } yield (user, stage, sec)
+    (0 until 5).foreach { round =>
+      val rows = samples(Gen.listOfN(80, rowGen), 1 + round).last
+      val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val df = rows.zipWithIndex.map { case ((u, st, s), i) =>
+        (i.toLong, new java.sql.Timestamp(base + s * 1000L), u, st, 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = ops.Aggs.funnelStages(df).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // brute force: per user, greedy strict-order stage scan
+      val stages = Seq("view", "click", "purchase")
+      val byUser = rows.zipWithIndex
+        .map { case ((u, st, s), i) => (u, st, s.toLong, i.toLong) }
+        .groupBy(_._1)
+      val reached = Array(0L, 0L, 0L)
+      byUser.values.foreach { evs =>
+        var done = 0
+        var lastTs = Long.MinValue
+        evs.sortBy(e => (e._3, e._4)).foreach { case (_, st, ts, _) =>
+          if (done < 3 && st == stages(done)
+              && (done == 0 || ts > lastTs)) {
+            reached(done) += 1; lastTs = ts; done += 1
+          }
+        }
+      }
+      assert(got == Map("view" -> reached(0), "click" -> reached(1),
+        "purchase" -> reached(2)), s"round $round: $got vs ${reached.toSeq}")
+    }
+  }
+
   test("PPJoin law: prefix-filtered jaccard == direct join on skewed random corpora") {
     import spark.implicits._
     // tiny vocabulary + a stopword injected into most docs => hot shingles,
