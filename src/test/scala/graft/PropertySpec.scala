@@ -194,6 +194,43 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("ml1 law: distributed Lloyd == driver-side Lloyd on random embeddings") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-100, 100).map(_ / 10.0f))
+    (0 until 3).foreach { round =>
+      val vecs = samples(Gen.listOfN(12, vecGen), 1 + round).last
+        .map(_.toArray)
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val k = 3; val iters = 2
+      val got = ops.Clustering.kmeansAssign(df, k, iters).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // driver-side Lloyd with the same contract: smallest-id init,
+      // squared L2, smallest-cid ties, round(mean,6), empty drop
+      val pts = vecs.map(_.map(_.toDouble))
+      def nearest(cents: Seq[(Int, Array[Double])], p: Array[Double]): Int =
+        cents.map { case (cid, c) =>
+          (p.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }.minBy(identity)._2
+      var cents: Seq[(Int, Array[Double])] =
+        (0 until k).map(i => (i, pts(i)))
+      (1 to iters).foreach { _ =>
+        val asg = pts.map(p => nearest(cents, p))
+        cents = asg.zip(pts).groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (cid, grp) =>
+            val n = grp.size
+            (cid, (0 until 4).map(d =>
+              BigDecimal(grp.map(_._2(d)).sum / n)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              .toArray)
+          }
+      }
+      val want = pts.zipWithIndex
+        .map { case (p, i) => i.toLong -> nearest(cents, p) }.toMap
+      assert(got == want, s"round $round: $got vs $want")
+    }
+  }
+
   test("PPJoin law: prefix-filtered jaccard == direct join on skewed random corpora") {
     import spark.implicits._
     // tiny vocabulary + a stopword injected into most docs => hot shingles,
