@@ -272,6 +272,8 @@ object SparkEntry {
       Clustering.semdedupPairs(t(s, d, "embeddings"), 8, 2, 0.4)),
     "smp7_cluster_sample" -> ((s, d) =>
       Clustering.clusterBalancedSample(t(s, d, "embeddings"), 25, 8, 2)),
+    "d16_semdedup_keep" -> ((s, d) =>
+      Clustering.semdedupKeep(t(s, d, "embeddings"), 8, 2, 0.4)),
     // ---- training-data pipeline: graph analytics ----
     // rank rounded to 9dp on BOTH sides: pagerank over a k=1 graph yields
     // terminating decimals that can sit exactly on the compare's 6dp
@@ -547,6 +549,24 @@ object SparkEntry {
       |              ELSE ROUND(COALESCE(agg.dup_words, 0)
       |                     / CAST(len(tk.toks) AS DOUBLE), 6) END AS dup_frac
       |  FROM tk LEFT JOIN agg USING (doc_id))""".stripMargin
+
+  /** SemDeDup pair CTEs (compose after `kmeansCtes`), ending in
+    * `prs(vid_a, vid_b, cos_sim)` — mirrors `Clustering.semdedupPairs`
+    * at threshold 0.4. */
+  private val semdedupPairCtes: String =
+    """ev AS (SELECT e.vec_id, a2.cid AS cluster, e.v
+      |       FROM emb e JOIN a2 USING (vec_id)),
+      |pr AS (SELECT x.vec_id AS vid_a, y.vec_id AS vid_b,
+      |         list_sum(list_transform(range(1, len(x.v)+1),
+      |           i -> x.v[i]*y.v[i])) AS dot,
+      |         sqrt(list_sum(list_transform(range(1, len(x.v)+1),
+      |           i -> x.v[i]*x.v[i]))) AS na,
+      |         sqrt(list_sum(list_transform(range(1, len(y.v)+1),
+      |           i -> y.v[i]*y.v[i]))) AS nb
+      |       FROM ev x JOIN ev y
+      |         ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+      |prs AS (SELECT vid_a, vid_b, ROUND(dot / (na * nb), 6) AS cos_sim
+      |        FROM pr WHERE ROUND(dot / (na * nb), 6) >= 0.4)""".stripMargin
 
   def oracleSql: Map[String, String] = ListMap(
     "p1_parse_validate" ->
@@ -1718,19 +1738,15 @@ object SparkEntry {
     // norms in double over the same ordinal dim order as the Spark side
     "d15_semdedup_pairs" ->
       s"""WITH $kmeansCtes,
-         |ev AS (SELECT e.vec_id, a2.cid AS cluster, e.v
-         |       FROM emb e JOIN a2 USING (vec_id)),
-         |pr AS (SELECT x.vec_id AS vid_a, y.vec_id AS vid_b,
-         |         list_sum(list_transform(range(1, len(x.v)+1),
-         |           i -> x.v[i]*y.v[i])) AS dot,
-         |         sqrt(list_sum(list_transform(range(1, len(x.v)+1),
-         |           i -> x.v[i]*x.v[i]))) AS na,
-         |         sqrt(list_sum(list_transform(range(1, len(y.v)+1),
-         |           i -> y.v[i]*y.v[i]))) AS nb
-         |       FROM ev x JOIN ev y
-         |         ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
-         |SELECT vid_a, vid_b, ROUND(dot / (na * nb), 6) AS cos_sim
-         |FROM pr WHERE ROUND(dot / (na * nb), 6) >= 0.4""".stripMargin,
+         |$semdedupPairCtes
+         |SELECT vid_a, vid_b, cos_sim FROM prs""".stripMargin,
+    // keeper list: e3's convention — the lower-id side of every surviving
+    // pair keeps, the higher-id side drops
+    "d16_semdedup_keep" ->
+      s"""WITH $kmeansCtes,
+         |$semdedupPairCtes
+         |SELECT vec_id FROM emb
+         |WHERE vec_id NOT IN (SELECT vid_b FROM prs)""".stripMargin,
     // cluster-balanced sample: smallest 25 vec_ids per k-means cluster
     "smp7_cluster_sample" ->
       s"""WITH $kmeansCtes

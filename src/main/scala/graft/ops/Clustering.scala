@@ -149,6 +149,18 @@ object Clustering {
     cos.where(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup keeper list: the lower-id side of every surviving pair
+    * keeps, the higher-id side drops (the e3 keeper convention) — one
+    * distinct + one left-anti join on top of the pair frame, so the
+    * drop-list never leaves the cluster-blocked pair space. */
+  def semdedupKeep(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      threshold: Double = 0.95): DataFrame = {
+    val drops = semdedupPairs(embeddings, k, iters, threshold)
+      .select(col("vid_b").as("vec_id")).distinct()
+    embeddings.select(col("vec_id"))
+      .join(drops, Seq("vec_id"), "left_anti")
+  }
+
   /** Cluster-balanced sampling — the diversity-sampling step cluster-based
     * curation runs after assignment (every semantic region contributes at
     * most `perCluster` items, so dominant modes cannot crowd out the

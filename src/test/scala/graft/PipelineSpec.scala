@@ -666,6 +666,18 @@ class PipelineSpec extends GraftSuite {
       cos(Array(10.0, 10.0), Array(10.0, 10.100000381469727)))
   }
 
+  test("d16 keepers = all vectors minus higher-id pair sides") {
+    val pairs = Clustering.semdedupPairs(emb, 8, 2, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keep = Clustering.semdedupKeep(emb, 8, 2, 0.4).collect()
+      .map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keep == all -- pairs.map(_._2).toSet)
+    // the lower-id side of every pair always survives
+    assert(pairs.map(_._1).forall(a =>
+      keep.contains(a) || pairs.exists(_._2 == a)))
+  }
+
   test("smp7 cluster-balanced sample takes the smallest ids per cluster") {
     val full = Clustering.kmeansAssign(emb, 8, 2).collect()
       .map(r => r.getLong(0) -> r.getInt(1))
