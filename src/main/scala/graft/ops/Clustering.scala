@@ -52,8 +52,20 @@ object Clustering {
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
     DataFrame]()
 
-  def clearAssignments(): Unit =
+  /** Pair-frame memo for the SemDeDup family: d15 (pairs) and d16
+    * (keepers) share the quadratic within-cluster dot-product stage —
+    * the dominant cost — not just the Lloyd loop. */
+  private val pairCache = scala.collection.mutable.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int,
+      Long), DataFrame]()
+
+  /** Drop every memoized frame (tests and long sessions clustering many
+    * corpora call this; the blocks are otherwise pinned for the session —
+    * same hygiene contract as `Dedup.clearSubstrates`). */
+  def clearAssignments(): Unit = {
     assignCache.synchronized(assignCache.clear())
+    pairCache.synchronized(pairCache.clear())
+  }
 
   /** `iters` Lloyd rounds from the deterministic init, then the final
     * assignment against the last (rounded) centroids: (vec_id, cluster).
@@ -122,6 +134,12 @@ object Clustering {
     * interpreted lambda per pair. */
   def semdedupPairs(embeddings: DataFrame, k: Int = 8, iters: Int = 2,
       threshold: Double = 0.95): DataFrame = {
+    val cacheKey = (embeddings.queryExecution.analyzed.canonicalized, k,
+      iters, java.lang.Double.doubleToLongBits(threshold))
+    pairCache.synchronized(pairCache.get(cacheKey)) match {
+      case Some(cached) => return cached
+      case None =>
+    }
     val asg = kmeansAssign(embeddings, k, iters)
     val exv = embeddings
       .select(col("vec_id"),
@@ -146,7 +164,9 @@ object Clustering {
         "vid_b")
       .select(col("vid_a"), col("vid_b"),
         round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
-    cos.where(col("cos_sim") >= threshold)
+    val result = cos.where(col("cos_sim") >= threshold).localCheckpoint()
+    pairCache.synchronized(pairCache.update(cacheKey, result))
+    result
   }
 
   /** SemDeDup keeper list: the lower-id side of every surviving pair

@@ -599,13 +599,12 @@ object Dedup {
     * (the position is what turns "this n-gram repeats" into "these words
     * of THIS document are duplicated text"). No per-doc distinct: every
     * occurrence matters for coverage. */
-  private[ops] def docWindowsPositioned(documents: DataFrame,
+  private[ops] def docWindowsPositioned(tokFrame: DataFrame,
       segWords: Int): DataFrame = {
     require(segWords >= 1, "segWords must be >= 1")
-    val toks = graft.functions.Text.tokenizeUdf(col("text"))
-    val nseg = (size(toks) - segWords + 1)
-    documents
-      .select(col("doc_id"), toks.as("toks"), nseg.as("nseg"))
+    val nseg = (size(col("toks")) - segWords + 1)
+    tokFrame
+      .select(col("doc_id"), col("toks"), nseg.as("nseg"))
       .where(col("nseg") >= 1)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), col("nseg"))).as("pos"))
@@ -633,8 +632,16 @@ object Dedup {
   def dupSpans(documents: DataFrame, segWords: Int = 8,
       minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // tokenize once; windows feed both the repeated-set agg and the join
-    val win = docWindowsPositioned(documents, segWords).localCheckpoint()
+    // ONE tokenizer pass, checkpointed at the token-array level (1x the
+    // corpus, vs segWords-fold for materialized windows): the window
+    // explode below derives from it twice (repeated-set agg + hit join)
+    // and the n_words lens frame reads it too — the narrow explode/slice
+    // recompute is cheap next to a second UDF tokenize of the corpus
+    val tok = documents
+      .select(col("doc_id"),
+        graft.functions.Text.tokenizeUdf(col("text")).as("toks"))
+      .localCheckpoint()
+    val win = docWindowsPositioned(tok, segWords)
     val repeated = win
       .groupBy(col("segment"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -656,9 +663,8 @@ object Dedup {
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("dup_words"))
-    val lens = documents.select(col("doc_id"),
-      size(graft.functions.Text.tokenizeUdf(col("text"))).cast("long")
-        .as("n_words"))
+    val lens = tok.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_words"))
     lens.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),

@@ -100,14 +100,10 @@ object Pipeline {
     val scores = TextAnalysis.modelQualityScore(documents)
     val spans = Dedup.dupSpans(documents, 8, 2)
       .select(col("doc_id"), col("dup_frac"))
-    val keepers = documents
-      .select(col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
-          .as("fp"))
-      .withColumn("keeper", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .where(col("doc_id") === col("keeper"))
-      .select(col("doc_id"))
+    // keeper convention shared with d1/e3: min doc_id per normalized
+    // fingerprint — derive from the d1 operator instead of restating it
+    val keepers = Dedup.exactDuplicates(documents)
+      .select(col("keeper").as("doc_id")).distinct()
     scores
       .join(spans, "doc_id")
       .join(keepers, "doc_id")

@@ -28,12 +28,18 @@ object Similarity {
     * map-side partial): each task ships at most k (cos, nid) pairs per
     * qid, so the |pairs|-row sort a `row_number` window pays never
     * happens — at 4M pairs (sf0.1 kNN graph) this halves the rank stage.
-    * Tie order (cos desc, nid asc) matches the window form exactly. */
+    * Tie order (cos desc, nid asc) matches the window form exactly.
+    * NaN cosines (a zero-norm vector makes 0/0) are EXCLUDED before
+    * ranking: a degenerate vector has no meaningful nearest neighbor, and
+    * leaving NaN in would rank it first under a window's NULLS-LAST sort
+    * but last under the aggregate's ordering — filtering makes the
+    * semantics explicit and identical for both formulations. */
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
     pairs
       .withColumn("cos",
         Vectors.cosineFast(col("q_emb"), col("n_emb"), col("q_nrm"),
           col("n_nrm")))
+      .where(!isnan(col("cos")))
       .groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topK(col("cos"), col("nid"), k).as("tk"))
       .select(col("qid"), posexplode(col("tk")).as(Seq("rn0", "e")))

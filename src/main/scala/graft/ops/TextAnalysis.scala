@@ -221,8 +221,14 @@ object TextAnalysis {
     *    LEFT-join the stats frame, then one groupBy(doc_id) — two
     *    shuffles, nothing driver-resident. Unseen trigrams coalesce to
     *    tf=0, matching the map path's getOrElse. */
-  private def lmScoreAgainst(sub: DataFrame, stats: DataFrame,
+  private def lmScoreAgainst(sub: DataFrame, statsRaw: DataFrame,
       outCol: String, maxDriverTf: Int): DataFrame = {
+    // materialize the stats aggregation ONCE: the probe, the totals agg,
+    // and the fallback join all read it, and Catalyst does not dedup
+    // common subplans — without this the full corpus tokenize+aggregate
+    // subtree would run three times on the (by definition largest) slow
+    // path
+    val stats = statsRaw.localCheckpoint()
     val probe = stats.limit(maxDriverTf + 1).collect()
     if (probe.length <= maxDriverTf) {
       val tf: Map[String, Long] =
@@ -420,6 +426,11 @@ object TextAnalysis {
     * deterministic function of the word (so the DuckDB oracle can rebuild
     * the identical model); swapping in real learned weights is a one-line
     * change to the `weight` expression or an external weight table.
+    * Engine-portability caveat: the weight uses `ascii(first char)`,
+    * which agrees across engines for BMP-initial words only — for an
+    * astral-plane initial (emoji, CJK ext-B) Spark returns the UTF-16
+    * high surrogate while DuckDB returns the code point, so a real
+    * deployment over such text should swap in an explicit weight table.
     *
     * Scale shape: the model is the part that must NOT scale with the
     * corpus — vocab is capped at `vocabSize` via a global

@@ -315,6 +315,7 @@ class PipelineSpec extends GraftSuite {
     assert(ops.Aggs.funnelStages(noEvents).collect()
       .map(r => r.getLong(1)).toSeq == Seq(0L, 0L, 0L))
     Dedup.clearSubstrates() // don't leak the weird-corpus caches
+    Clustering.clearAssignments() // nor the tiny-frame kmeans memos
   }
 
   test("dedup substrate registry: clearSubstrates reclaims persisted frames") {

@@ -229,6 +229,7 @@ class PropertySpec extends GraftSuite {
         .map { case (p, i) => i.toLong -> nearest(cents, p) }.toMap
       assert(got == want, s"round $round: $got vs $want")
     }
+    ops.Clustering.clearAssignments() // drop the random-frame memos
   }
 
   test("PPJoin law: prefix-filtered jaccard == direct join on skewed random corpora") {
