@@ -53,4 +53,45 @@ class ScaleSpec extends GraftSuite {
     // shift by 3 lands on ids ≡ 3 (mod 5) -> purchase ids ≡ 2: no overlap
     assert(joined == 0L)
   }
+
+  test("a21 funnel on 2M rows is exact (closed-form full conversion)") {
+    // type cycles with the user's j-th event (id = u + 10000j, ts grows
+    // with id): j=0 click, j=1 view, j=2 purchase, j=3 signup, ... so
+    // every user's first view is j=1, first later click j=5, first later
+    // purchase j=7 — all 10000 users convert fully
+    val ev = spark.range(0, 2000000).select(
+      col("id").as("event_id"),
+      timestamp_millis(lit(1704067200000L) + col("id") * 1000).as("ts"),
+      (col("id") % 10000).as("user_id"),
+      element_at(array(lit("click"), lit("view"), lit("purchase"),
+        lit("signup"), lit("error")),
+        ((col("id") / 10000).cast("long") % 5 + 1).cast("int"))
+        .as("event_type"))
+    val t0 = System.nanoTime()
+    val got = ops.Aggs.funnelStages(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"2M-row funnel took $sec%.1f s")
+    assert(got == Map("view" -> 10000L, "click" -> 10000L,
+      "purchase" -> 10000L))
+    assert(sec < 120.0)
+  }
+
+  test("ml1 kmeans on 50k x 16-dim vectors stays bounded and total") {
+    val emb = spark.range(0, 50000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => ((col("id") * 31 + d * 17) % 1000).cast("double") / 100.0)
+        .as("embedding"))
+    val t0 = System.nanoTime()
+    val asg = ops.Clustering.kmeansAssign(emb, 8, 2).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"50k-vector 2-round Lloyd took $sec%.1f s")
+    assert(asg.length == 50000, "every vector must be assigned")
+    val clusters = asg.map(_.getInt(1)).distinct
+    assert(clusters.forall(c => c >= 0 && c < 8))
+    assert(clusters.length > 1, "degenerate single-cluster outcome")
+    assert(sec < 120.0)
+    ops.Clustering.clearAssignments()
+  }
 }
