@@ -91,7 +91,11 @@ object Pipeline {
     * model, drop heavily-duplicated documents, keep one copy per exact
     * fingerprint. Each input frame is a one-shuffle-family operator; the
     * composition joins them on doc_id, so the plan stays three parallel
-    * doc_id-keyed branches and two joins — no new shuffle shape.
+    * doc_id-keyed branches and two joins — no new shuffle shape. The
+    * corpus is scanned once per branch (columnar parquet reads of the two
+    * needed columns); sharing one materialized text frame instead would
+    * trade three cheap scans for corpus-scale checkpoint storage, the
+    * wrong trade at 100 TB.
     *
     * Thresholds compare the same 6dp-rounded values both engines already
     * hash-match per-operator, so the composed filter is oracle-exact. */
