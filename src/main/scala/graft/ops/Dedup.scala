@@ -64,6 +64,22 @@ object Dedup {
     sh
   }
 
+  /** Memoized token-array substrate: (doc_id, toks) under the standard
+    * tokenizer, persisted with the same plan-equality reuse as the
+    * shingle substrate — the segment-op family (d11 boilerplate, d12
+    * repeated n-grams, t10 boilerplate stats, d14 dup spans) all start
+    * from this frame, so a session tokenizes each corpus ONCE for the
+    * whole family instead of once per query. */
+  private[ops] def tokenCache(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"),
+      graft.functions.Text.tokenizeUdf(col("text")).as("toks"))
+    if (tok.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      tok.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      registerPersist(tok)
+    }
+    tok
+  }
+
   /** Drop the persisted shingle substrate for a corpus (library users
     * running one-shot dedup jobs who want storage back immediately;
     * `clearSubstrates()` drops everything at once). */
@@ -580,8 +596,9 @@ object Dedup {
     // same tokenizer as the shingle substrate (CJK-aware bigrams, Latin
     // words) so segment dedup covers exactly the documents shingle dedup
     // covers; on Latin text this equals a lowercase [^a-z0-9]+ split,
-    // which keeps the DuckDB oracles expressible
-    val toks = graft.functions.Text.tokenizeUdf(col("text"))
+    // which keeps the DuckDB oracles expressible. Drawn from the shared
+    // token substrate: the whole segment family tokenizes a corpus once.
+    val toks = col("toks")
     val nseg = (floor((size(toks) - segWords) / stride).cast("int") + 1)
     // sequence(1, 0) would generate a DESCENDING [1, 0] — clamp to 1 and
     // drop partial slices (shorter than segWords) instead
@@ -589,7 +606,7 @@ object Dedup {
       transform(sequence(lit(1), greatest(nseg, lit(1))),
         i => slice(toks, (i - 1) * stride + 1, lit(segWords))),
       a => size(a) === segWords)
-    documents.select(col("doc_id"),
+    tokenCache(documents).select(col("doc_id"),
       explode(array_distinct(transform(slices, a => concat_ws(" ", a))))
         .as("segment"))
   }
@@ -632,15 +649,13 @@ object Dedup {
   def dupSpans(documents: DataFrame, segWords: Int = 8,
       minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // ONE tokenizer pass, checkpointed at the token-array level (1x the
-    // corpus, vs segWords-fold for materialized windows): the window
-    // explode below derives from it twice (repeated-set agg + hit join)
-    // and the n_words lens frame reads it too — the narrow explode/slice
-    // recompute is cheap next to a second UDF tokenize of the corpus
-    val tok = documents
-      .select(col("doc_id"),
-        graft.functions.Text.tokenizeUdf(col("text")).as("toks"))
-      .localCheckpoint()
+    // ONE tokenizer pass, shared with the whole segment family via the
+    // persisted token substrate (1x the corpus, vs segWords-fold for
+    // materialized windows): the window explode below derives from it
+    // twice (repeated-set agg + hit join) and the n_words lens frame
+    // reads it too — the narrow explode/slice recompute is cheap next to
+    // a second UDF tokenize of the corpus
+    val tok = tokenCache(documents)
     val win = docWindowsPositioned(tok, segWords)
     val repeated = win
       .groupBy(col("segment"))
