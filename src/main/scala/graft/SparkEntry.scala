@@ -153,6 +153,8 @@ object SparkEntry {
     "j14_scd2_lookup" -> ((s, d) =>
       Joins.scd2Lookup(events(s, d),
         Joins.makeVersionedDim(t(s, d, "region")))),
+    "j17_time_to_convert" -> ((s, d) =>
+      Joins.timeToConvert(events(s, d))),
     "j13_asof_native" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val ev = events(s, d)
@@ -802,6 +804,18 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin,
+    "j17_time_to_convert" ->
+      """SELECT signup_id, user_id, purchase_id, delay_ms FROM (
+        |  SELECT s.event_id AS signup_id, s.user_id,
+        |         p.event_id AS purchase_id,
+        |         CAST(epoch_ms(p.ts) - epoch_ms(s.ts) AS BIGINT)
+        |           AS delay_ms,
+        |         row_number() OVER (PARTITION BY s.event_id
+        |           ORDER BY p.ts, p.event_id) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |  JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON s.user_id = p.user_id AND p.ts >= s.ts)
+        |WHERE rn = 1""".stripMargin,
     "u1_kwsplit" ->
       """SELECT doc_id, kw AS keyword, CAST(length(kw) AS INTEGER) AS kw_len
         |FROM (SELECT doc_id,

@@ -181,6 +181,29 @@ object Joins {
       .select(col("_lid").as(leftId), col(key), col("_asof").as(rightId))
   }
 
+  /** J17 — FORWARD as-of (time-to-convert): for each signup, the user's
+    * first purchase at-or-after it, with the delay in milliseconds. The
+    * forward direction comes free from the native BACKWARD as-of plan
+    * (plans/AsOfJoin.scala) by negating the event time on both sides:
+    * "last right with -p_ts <= -s_ts" is exactly "first right with
+    * p_ts >= s_ts". Same one-shuffle sort-merge scale shape as j13.
+    * Ties (two purchases at the identical instant for one user) fall to
+    * merge order; the generated event stream has unique (user, ts). */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val sg = events.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        unix_millis(col("ts")).as("s_ms"),
+        (-unix_micros(col("ts"))).as("neg_ts"))
+    val pu = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_millis(col("ts")).as("p_ms"),
+        (-unix_micros(col("ts"))).as("neg_ts"))
+    graft.plans.AsOf.join(sg, pu, "user_id", "neg_ts", "neg_ts")
+      .select(col("signup_id"), col("user_id"),
+        col("purchase_id__r").as("purchase_id"),
+        (col("p_ms__r") - col("s_ms")).as("delay_ms"))
+  }
+
   /** The unbounded-scale path for the J3 interval join: time-bucket BOTH
     * sides so the range predicate becomes an equi-join. Each right row
     * lands in its own bucket; each left row probes its bucket and the

@@ -101,4 +101,28 @@ class AsOfJoinSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(100L -> 202L, 101L -> 200L))
   }
+
+  test("j17 forward as-of: first purchase at-or-after each signup") {
+    import spark.implicits._
+    // u1: purchase before signup ignored, first of the two later ones
+    // wins; u2: purchase exactly AT signup counts (>= inclusive, delay
+    // 0); u3: only earlier purchases -> dropped (inner forward as-of)
+    val ev = Seq(
+      (1L, "signup", "2024-01-01 10:00:00", 1L),
+      (2L, "purchase", "2024-01-01 09:00:00", 1L),
+      (3L, "purchase", "2024-01-01 10:30:00", 1L),
+      (4L, "purchase", "2024-01-01 11:00:00", 1L),
+      (5L, "signup", "2024-01-02 08:00:00", 2L),
+      (6L, "purchase", "2024-01-02 08:00:00", 2L),
+      (7L, "signup", "2024-01-03 12:00:00", 3L),
+      (8L, "purchase", "2024-01-03 11:59:59", 3L))
+      .toDF("event_id", "event_type", "s", "user_id")
+      .select(col("event_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"), col("user_id"))
+    val got = ops.Joins.timeToConvert(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> ((3L, 1800000L)),
+      5L -> ((6L, 0L))), s"unexpected: $got")
+  }
 }
