@@ -194,6 +194,67 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("q1 law: model score == driver-side scoring on random corpora") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "f", "ggg")
+    val docGen = Gen.listOfN(6, wordGen).map(_.mkString(" "))
+    (0 until 3).foreach { round =>
+      val texts = samples(Gen.listOfN(10, docGen), 1 + round).last
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val vocabSize = 4 // smaller than the 7-word alphabet: cap must bite
+      val got = ops.TextAnalysis.modelQualityScore(docs, vocabSize)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      // driver-side: top-V by (count desc, word asc), integer weights,
+      // sigmoid of the single double division
+      val all = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      val vocab = all.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (w, c) => (-c, w) }.take(vocabSize)
+        .map { case (w, _) =>
+          w -> (((w.length * 31 + w.head.toInt) % 13) - 6).toLong
+        }.toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" ").filter(_.nonEmpty)
+        val raw = toks.map(w => vocab.getOrElse(w, 0L)).sum
+        val score = 1.0 / (1.0 +
+          math.exp(-(raw / (10.0 * toks.length) - 0.1)))
+        val want = (toks.length.toLong, math.rint(score * 1e6) / 1e6)
+        assert(got(i.toLong) == want,
+          s"round $round doc $i: ${got(i.toLong)} vs $want ('$t')")
+      }
+    }
+  }
+
+  test("a20 law: cohort retention == brute-force triangle on generated logs") {
+    import spark.implicits._
+    val rowGen = for {
+      user <- Gen.chooseNum(1L, 8L)
+      day <- Gen.chooseNum(0, 6)
+      sec <- Gen.chooseNum(0, 86399)
+    } yield (user, day, sec)
+    (0 until 3).foreach { round =>
+      val rows = samples(Gen.listOfN(70, rowGen), 11 + round).last
+      val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+      val df = rows.zipWithIndex.map { case ((u, d, s), i) =>
+        (i.toLong, new java.sql.Timestamp(base + d * 86400000L + s * 1000L),
+          u, "e", 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = ops.Aggs.cohortRetention(df).collect()
+        .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2))
+        .toMap
+      val activeDays = rows.map { case (u, d, _) => (u, d) }.distinct
+      val firstDay = activeDays.groupBy(_._1).view.mapValues(_.map(_._2).min)
+      val want = activeDays
+        .map { case (u, d) => (firstDay(u), d - firstDay(u)) }
+        .groupBy(identity).map { case ((c, dn), xs) =>
+          (java.time.LocalDate.of(2024, 5, 1).plusDays(c).toString, dn) ->
+            xs.size.toLong
+        }
+      assert(got == want, s"round $round: $got vs $want")
+    }
+  }
+
   test("ml1 law: distributed Lloyd == driver-side Lloyd on random embeddings") {
     import spark.implicits._
     val vecGen = Gen.listOfN(4, Gen.chooseNum(-100, 100).map(_ / 10.0f))
