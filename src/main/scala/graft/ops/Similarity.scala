@@ -21,6 +21,17 @@ import graft.functions.Vectors
   * after. */
 object Similarity {
 
+  /** Registry of persisted kNN-graph frames (same hygiene contract as
+    * `Dedup.clearSubstrates` — persists are evictable, this is for
+    * deterministic reclaim). */
+  private val persistedGraphs =
+    scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  def clearGraphCache(): Unit = persistedGraphs.synchronized {
+    persistedGraphs.foreach(_.unpersist())
+    persistedGraphs.clear()
+  }
+
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", Vectors.normFast(col("embedding")))
 
@@ -73,7 +84,15 @@ object Similarity {
       .select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"))
       .join(broadcast(q), col("qid") =!= col("nid"))
-    rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"))
+    // plan-equality persist: the exact graph is the shared substrate of
+    // sim6 (the graph itself) and gr1 (PageRank over it) — the O(N^2)
+    // cosine pass runs once per session per (corpus, k)
+    val g = rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"))
+    if (g.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persistedGraphs.synchronized(persistedGraphs += g)
+    }
+    g
   }
 
   /** LSH-blocked kNN graph — the 100 TB form of `knnGraph`: vectors are
