@@ -353,6 +353,47 @@ class StreamingSpec extends GraftSuite {
       s"recovered counts must cover both incarnations: $counts vs $exp")
   }
 
+  test("streaming funnel stage state survives a checkpoint restart") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_fn_src").toString
+    val ckpt = Files.createTempDirectory("graft_fn_ckpt").toString
+    val emits = scala.collection.mutable.ArrayBuffer[(Long, Int, String)]()
+    val schema = Seq(Event(0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      0L, "x", 0.0)).toDF().schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .as[Event]
+        .transform(Stateful.streamingFunnel(_))
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Stateful.StageEmit], _: Long) =>
+            b.collect().foreach(e => emits.synchronized {
+              emits += ((e.user_id, e.stage_idx, e.stage))
+            })
+        }
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    def ev(id: Long, u: Long, tp: String, s: String) =
+      Event(id, java.sql.Timestamp.valueOf(s), u, tp, 0.0)
+    // incarnation 1: user 1 views and clicks
+    Seq(ev(1, 1, "view", "2024-01-01 10:00:00"),
+      ev(2, 1, "click", "2024-01-01 10:05:00"))
+      .toDF().write.mode("append").parquet(srcDir)
+    runOnce()
+    // incarnation 2 (restart): the purchase must advance the RECOVERED
+    // stage-2 state, and a replayed click must NOT double-emit
+    Seq(ev(3, 1, "click", "2024-01-01 10:06:00"),
+      ev(4, 1, "purchase", "2024-01-01 10:10:00"))
+      .toDF().write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(emits.sortBy(_._2).toList == List(
+      (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase")),
+      s"unexpected emits: $emits")
+  }
+
   test("streaming exact dedup: keeper state survives batches and restarts") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft_dd_src").toString
