@@ -56,24 +56,25 @@ object Corpus {
     * strictly-more-frequent words, a cumulative sum over the per-tf
     * histogram — one row per DISTINCT tf value, a frame bounded by
     * O(sqrt(corpus tokens)) (sum of distinct tf values <= total tokens),
-    * so its ordered window is driver-scale and the result broadcasts.
-    * Same shape as Sampling.tokenOffsets. Residual skew: the tf=1
-    * (hapax) bucket is the largest single partition; at extreme scale
-    * sub-bucket it by a word-prefix range before ranking. */
+    * so its exclusive cumsum runs as `Sampling.exclusiveOffsets`' tiny
+    * broadcast self-join (no unpartitioned window) and broadcasts back.
+    * Same shape as Sampling.tokenOffsets; the vocabulary aggregation is
+    * checkpointed once so the corpus explode+groupBy feeds both the rank
+    * branch and the histogram branch from one pass. Residual skew: the
+    * tf=1 (hapax) bucket is the largest single partition; at extreme
+    * scale sub-bucket it by a word-prefix range before ranking. */
   def vocabZipf(documents: DataFrame): DataFrame = {
     val vocab = documents
       .select(explode(words).as("word"), col("doc_id"))
       .groupBy("word")
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint()
     val wIn = Window.partitionBy(col("tf")).orderBy(col("word"))
     val local = vocab.withColumn("local_rn", row_number().over(wIn))
-    // one row per distinct tf — the ordered window over it is tiny
-    val wB = Window.orderBy(col("tf").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = vocab.groupBy(col("tf"))
-      .agg(count(lit(1)).as("bn"))
-      .withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
-      .select(col("tf"), col("off"))
+    val hist = vocab.groupBy(col("tf")).agg(count(lit(1)).as("bn"))
+      .localCheckpoint() // one row per distinct tf — driver-scale
+    val offsets = Sampling.exclusiveOffsets(hist, "tf", "bn", "off",
+      (b, a) => b > a) // rank counts words with STRICTLY HIGHER tf
     local.join(broadcast(offsets), "tf")
       .select(col("word"), col("tf"), col("df"),
         (col("off") + col("local_rn")).cast("int").as("rank"))

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 
 /** Reproducible data-selection ops for training pipelines: deterministic
   * sampling, train/val/test splits, and token-stream chunking.
@@ -69,6 +70,24 @@ object Sampling {
     df.where(hashPrefix(keyCol) < thr)
   }
 
+  /** Exclusive prefix sum over a tiny per-bucket totals frame WITHOUT any
+    * window: off(k) = sum of `valCol` at strictly "smaller" keys (by
+    * `before`), via a broadcast non-equi self-join + re-aggregation. The
+    * totals frame is bounded (256 hash buckets / O(sqrt(tokens)) distinct
+    * tf values), so the O(buckets^2) nested-loop join is driver-scale —
+    * and unlike an unpartitioned `Window.orderBy`, it never funnels rows
+    * through a single partition (no `WindowExec: No Partition Defined`).
+    * Callers must pass an already-materialized (checkpointed) `totals` so
+    * the two join sides don't recompute the upstream aggregation. */
+  private[ops] def exclusiveOffsets(totals: DataFrame, keyCol: String,
+      valCol: String, offCol: String,
+      before: (Column, Column) => Column = _ < _): DataFrame =
+    totals.as("a")
+      .join(broadcast(totals.as("b")),
+        before(col(s"b.$keyCol"), col(s"a.$keyCol")), "left")
+      .groupBy(col(s"a.$keyCol").as(keyCol))
+      .agg(coalesce(sum(col(s"b.$valCol")), lit(0L)).as(offCol))
+
   /** Deterministic token-budget cut: keep documents in content-hash order
     * until the cumulative token count reaches `budget` — "take ~N tokens
     * of corpus, reproducibly", the selection a scaling-law or ablation run
@@ -79,21 +98,21 @@ object Sampling {
     * Scale shape: the global running sum over hash order is the same
     * two-phase prefix sum as `tokenOffsets` — an intra-bucket window
     * cumsum over 256 UNIFORM buckets (the first two hex chars of the
-    * hash) plus a broadcast per-bucket offset — never a single-partition
-    * global window. */
+    * hash) plus a broadcast per-bucket offset computed by
+    * `exclusiveOffsets` — no single-partition window anywhere. The narrow
+    * (doc_id, h, n_tok) projection is checkpointed once so the tokenize
+    * feeds both the window branch and the totals branch from one pass. */
   def tokenBudgetSample(documents: DataFrame, budget: Long): DataFrame = {
     val h = hashPrefix("doc_id")
     val n = documents.select(col("doc_id"), h.as("h"),
       size(split(col("text"), "\\s+")).as("n_tok"))
       .withColumn("bkt", substring(col("h"), 1, 2))
+      .localCheckpoint()
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("h"), col("doc_id"))
     val local = n.withColumn("cum_in", sum(col("n_tok")).over(wIn))
-    // one row per bucket — the ordered window over it is driver-scale
-    val wB = Window.orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = n.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bt"))
-      .withColumn("bkt_off", coalesce(sum(col("bt")).over(wB), lit(0L)))
-      .select(col("bkt"), col("bkt_off"))
+    val totals = n.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bt"))
+      .localCheckpoint() // 256 rows — materialized for the self-join
+    val offs = exclusiveOffsets(totals, "bkt", "bt", "bkt_off")
     local.join(broadcast(offs), "bkt")
       .where(col("cum_in") + col("bkt_off") <= budget)
       .select(col("doc_id"), col("n_tok"))
@@ -141,22 +160,22 @@ object Sampling {
     *
     * Scale shape: a global running sum is computed two-phase — an
     * intra-bucket window cumsum (buckets = doc_id ranges, parallel) plus a
-    * tiny per-bucket totals frame whose own cumsum is broadcast back. No
+    * tiny per-bucket totals frame whose exclusive cumsum comes from the
+    * `exclusiveOffsets` self-join and is broadcast back. No
     * single-partition global window; the only full shuffle is the bucket
-    * window's hash partition. */
+    * window's hash partition, and the tokenize runs once (the narrow
+    * per-doc projection is checkpointed before it fans out). */
   def tokenOffsets(documents: DataFrame, seqLen: Int,
       bucketSize: Long = 4096L): DataFrame = {
     val n = documents.select(col("doc_id"),
       size(split(col("text"), "\\s+")).as("n_tok"),
       floor(col("doc_id") / bucketSize).as("bkt"))
+      .localCheckpoint()
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
     val local = n.withColumn("local_end", sum(col("n_tok")).over(wIn))
-    // one row per bucket — the ordered window over it is driver-scale
-    val wB = Window.orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = n.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bt"))
-      .withColumn("bkt_off", coalesce(sum(col("bt")).over(wB), lit(0L)))
-      .select(col("bkt"), col("bkt_off"))
+    val totals = n.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bt"))
+      .localCheckpoint() // one row per bucket — materialized for the join
+    val offsets = exclusiveOffsets(totals, "bkt", "bt", "bkt_off")
     local.join(broadcast(offsets), "bkt")
       .select(col("doc_id"), col("n_tok"),
         (col("local_end") - col("n_tok") + col("bkt_off"))
