@@ -1121,15 +1121,22 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    // the payload is a real PNG/WAV wrapper around the text bytes, so the
+    // oracle adds the per-format header overhead (57 PNG / 44 WAV /
+    // 77 APNG) and mirrors the audio kind's zero dims
     "m2_frame_samples" ->
       """SELECT doc_id,
         |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |       224 AS out_w,
-        |       CAST(greatest(trunc((n_chars % 480) *
-        |            (224.0 / greatest(n_chars % 640, 1))), 1) AS INTEGER)
+        |       CAST(CASE WHEN doc_id % 3 = 1 THEN 1
+        |            ELSE greatest(trunc((n_chars % 480 + 1) *
+        |              (224.0 / (n_chars % 640 + 1))), 1) END AS INTEGER)
         |         AS out_h,
-        |       CAST(least(4, octet_length(encode(text)) // 1024 + 1)
+        |       CAST(least(4,
+        |            (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 57
+        |                  WHEN 1 THEN 44 ELSE 77 END
+        |             + octet_length(encode(text))) // 1024 + 1)
         |            AS INTEGER) AS n_sampled
         |FROM documents""".stripMargin,
     "e2_sql_revenue_by_year" -> graft.sql.SqlJobs.revenueByYearSql,
@@ -1142,13 +1149,30 @@ object SparkEntry {
         |          x -> x <> ''))) AS kw
         |      FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // every non-id column below is, on the Spark side, parsed out of the
+    // payload BYTES (PNG IHDR/acTL, WAV fmt/data chunks); the oracle
+    // reconstructs the same values from the deterministic builder
+    // arithmetic (format overheads 57/44/77; PNG dims n_chars%640+1 x
+    // n_chars%480+1; WAV = 8-bit mono 8 kHz so frames = data bytes and
+    // duration_ms = bytes/8)
     "m1_media_features" ->
       """SELECT doc_id,
         |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |       CAST(floor(octet_length(encode(text)) / 1024.0) AS INTEGER)
-        |         + 1 AS n_frames
+        |       CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 57
+        |            WHEN 1 THEN 44 ELSE 77 END
+        |            + octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |       CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+        |            ELSE n_chars % 640 + 1 END AS INTEGER) AS width,
+        |       CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+        |            ELSE n_chars % 480 + 1 END AS INTEGER) AS height,
+        |       CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1
+        |            WHEN 1 THEN octet_length(encode(text))
+        |            ELSE octet_length(encode(text)) // 1024 + 1
+        |            END AS BIGINT) AS n_frames,
+        |       CAST(CASE WHEN doc_id % 3 = 1
+        |            THEN octet_length(encode(text)) // 8
+        |            ELSE 0 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
     // d3's verified output equals the exact-Jaccard pair set whenever LSH
     // recall is 1.0 — guaranteed here: planted near-dups sit at j≈0.99, so

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` payloads with typed
@@ -8,10 +8,25 @@ import org.apache.spark.sql.functions._
   * (typed Dataset, mapPartitions with intra-partition batching — the Scala
   * analogue of mapInPandas' batch iteration).
   *
-  * NOTE: the actual media decode is a STUB — image/audio codecs are not in
-  * this container. `decodeStub` derives deterministic fake features from
-  * the payload bytes; swap its body for a real decoder (JavaCV etc.)
-  * without touching the surrounding schema/partitioning/batching.
+  * The payloads are REAL public formats and the decoder is a REAL byte
+  * parser — no metadata shortcut anywhere in the feature path:
+  *
+  *   - images are PNG (ISO/IEC 15948): signature, IHDR with CRC-32,
+  *     IDAT, IEND;
+  *   - videos are APNG: a PNG whose acTL chunk carries the frame count;
+  *   - audio is WAV (RIFF): `fmt ` chunk (PCM, mono, 8 kHz, 8-bit) +
+  *     `data` chunk.
+  *
+  * `decode` dispatches on the MAGIC BYTES (not the `kind` column), walks
+  * the chunk structure, verifies the PNG IHDR CRC-32 and the RIFF/WAVE
+  * tags, and derives every feature column — kind, dimensions, frame
+  *  count, duration, checksum — from the parsed payload alone. A corrupted
+  * signature, a flipped CRC byte, or a truncated chunk makes the record
+  * undecodable (`None`), which the corruption specs in PipelineSpec pin.
+  * Pixel/sample DECODING (inflate the IDAT zlib stream, PCM DSP) is out of
+  * scope in this container — the payload carries the document text as the
+  * IDAT/data body — but every header field the features come from is real
+  * format structure parsed from real bytes.
   */
 object Multimodal {
 
@@ -19,14 +34,161 @@ object Multimodal {
       width: Int, height: Int)
 
   case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
-      n_frames: Int, checksum: Long)
+      width: Int, height: Int, n_frames: Long, duration_ms: Long,
+      checksum: Long)
 
   /** Resized/sampled representation: target dims after aspect-preserving
-    * resize (STUB arithmetic on metadata — a real decoder resizes pixels),
-    * plus up to `maxFrames` evenly-spaced frame byte-offsets (the
+    * resize (arithmetic on the typed metadata — a real decoder resizes
+    * pixels), plus up to `maxFrames` evenly-spaced frame byte-offsets (the
     * frame-sample access pattern a video pipeline feeds the decoder). */
   case class MediaSample(doc_id: Long, kind: String, out_w: Int, out_h: Int,
       frame_offsets: Array[Long])
+
+  // ---------------------------------------------------------------- bytes
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def crc32(parts: Array[Byte]*): Long = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(c.update)
+    c.getValue
+  }
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+    ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+    ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    be32(data.length.toLong) ++ t ++ data ++ be32(crc32(t, data))
+  }
+
+  /** A real PNG: signature + IHDR(width, height, 8-bit, truecolor) +
+    * optional acTL(nFrames) [APNG] + one IDAT carrying `data` + IEND.
+    * Overhead over `data`: 57 bytes plain, 77 with acTL. */
+  private[graft] def pngBytes(w: Int, h: Int, data: Array[Byte],
+      nFrames: Option[Long]): Array[Byte] = {
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, deflate, none, none
+    val actl = nFrames.map(n => chunk("acTL", be32(n) ++ be32(0L)))
+    PngSig ++ chunk("IHDR", ihdr) ++ actl.getOrElse(Array.empty[Byte]) ++
+      chunk("IDAT", data) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  /** A real WAV: RIFF/WAVE + `fmt ` (PCM, 1 channel, `rate` Hz, 8-bit) +
+    * `data` carrying `data`. Overhead over `data`: 44 bytes. */
+  private[graft] def wavBytes(data: Array[Byte],
+      rate: Int = 8000): Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ le32(36L + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16L) ++
+      le16(1) ++ le16(1) ++ le32(rate.toLong) ++ le32(rate.toLong) ++
+      le16(1) ++ le16(8) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data
+
+  private def be32At(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def le32At(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def le16At(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def asciiAt(b: Array[Byte], i: Int, n: Int): String =
+    new String(b, i, n, "US-ASCII")
+
+  // --------------------------------------------------------------- decode
+  /** Parse one payload. PNG: signature + chunk walk, IHDR CRC-32
+    * verified, dims from IHDR, frame count from acTL (absent -> 1 ->
+    * "image", present -> "video"). WAV: RIFF/WAVE tags + chunk walk,
+    * sample count = data length / block align, duration from byte rate.
+    * Returns None for anything that is not a structurally valid payload
+    * of either format — bad magic, truncated chunk, CRC mismatch,
+    * non-PCM fmt. The checksum is the CRC-32 of the whole payload. */
+  private[graft] def decode(r: MediaRecord): Option[MediaFeatures] = try {
+    val b = r.payload
+    if (b.length >= 8 && b.take(8).sameElements(PngSig)) {
+      // IHDR must be the first chunk (PNG spec) and its CRC must hold
+      if (be32At(b, 8) != 13L || asciiAt(b, 12, 4) != "IHDR") return None
+      if (crc32(java.util.Arrays.copyOfRange(b, 12, 29)) != be32At(b, 29))
+        return None
+      val w = be32At(b, 16).toInt
+      val h = be32At(b, 20).toInt
+      if (w <= 0 || h <= 0) return None
+      var frames = Option.empty[Long]
+      var sawEnd = false
+      var i = 33 // past IHDR
+      while (i + 8 <= b.length && !sawEnd) {
+        val len = be32At(b, i)
+        val typ = asciiAt(b, i + 4, 4)
+        if (i + 12 + len > b.length) return None // truncated chunk
+        if (typ == "acTL") frames = Some(be32At(b, i + 8))
+        if (typ == "IEND") sawEnd = true
+        i += 12 + len.toInt
+      }
+      if (!sawEnd) return None
+      Some(MediaFeatures(r.doc_id,
+        if (frames.isDefined) "video" else "image", b.length,
+        w, h, frames.getOrElse(1L), 0L, crc32(b)))
+    } else if (b.length >= 12 && asciiAt(b, 0, 4) == "RIFF" &&
+        asciiAt(b, 8, 4) == "WAVE") {
+      var rate = 0L; var byteRate = 0L; var blockAlign = 0
+      var dataLen = -1L
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = asciiAt(b, i, 4)
+        val len = le32At(b, i + 4)
+        if (i + 8 + len > b.length) return None // truncated chunk
+        if (id == "fmt ") {
+          if (len < 16 || le16At(b, i + 8) != 1) return None // PCM only
+          rate = le32At(b, i + 12)
+          byteRate = le32At(b, i + 16)
+          blockAlign = le16At(b, i + 20)
+        }
+        if (id == "data") dataLen = len
+        i += 8 + len.toInt
+      }
+      if (rate <= 0 || byteRate <= 0 || blockAlign <= 0 || dataLen < 0)
+        return None
+      Some(MediaFeatures(r.doc_id, "audio", b.length, 0, 0,
+        dataLen / blockAlign, dataLen * 1000L / byteRate, crc32(b)))
+    } else None
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** Build a media table from documents: REAL format bytes with the
+    * document text as the IDAT/data body, kind cycling image/audio/video
+    * by doc_id, PNG dims derived from n_chars (+1: the PNG spec forbids
+    * zero dimensions). The width/height metadata columns mirror what the
+    * encoder wrote — `decode` never reads them (spec-pinned: it
+    * re-derives both from the IHDR bytes). */
+  def toMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"),
+      col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, String, Int)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val data = text.getBytes("UTF-8")
+        val w = nChars % 640 + 1
+        val h = nChars % 480 + 1
+        (id % 3) match {
+          case 0 => MediaRecord(id, "image", pngBytes(w, h, data, None), w, h)
+          case 1 => MediaRecord(id, "audio", wavBytes(data), 0, 0)
+          case _ => MediaRecord(id, "video",
+            pngBytes(w, h, data, Some(data.length / 1024L + 1L)), w, h)
+        }
+      }).toDF()
+  }
 
   def sampleFrames(media: DataFrame, targetW: Int = 224,
       maxFrames: Int = 4): DataFrame = {
@@ -48,47 +210,24 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Build a media table from documents: payload = UTF-8 bytes of the text
-    * (the deterministic stand-in for real image/audio bytes), kind cycles
-    * image/audio/video, width/height derived from n_chars. */
-  def toMediaTable(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
-      pmod(col("n_chars"), lit(640)).cast("int").as("width"),
-      pmod(col("n_chars"), lit(480)).cast("int").as("height"))
-
-  /** STUB decoder: in production this calls the codec; here it computes
-    * deterministic pseudo-features so the pipeline is fully testable. */
-  private def decodeStub(r: MediaRecord): MediaFeatures = {
-    var checksum = 0L
-    var i = 0
-    while (i < r.payload.length) {
-      checksum = (checksum * 31 + (r.payload(i) & 0xff)) & 0x7fffffffffffffffL
-      i += 1
-    }
-    MediaFeatures(r.doc_id, r.kind, r.payload.length,
-      r.payload.length / 1024 + 1, checksum)
-  }
-
   /** Feature extraction over the media table: typed mapPartitions, batched
     * 64 records at a time inside each partition (the batch shape a
-    * vectorized decoder wants). Runs embarrassingly parallel — one task per
-    * input split, no shuffle. */
+    * vectorized decoder wants). Runs embarrassingly parallel — one task
+    * per input split, no shuffle. Undecodable payloads drop out (the
+    * filter-on-parse-failure a real media pipeline applies). */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val ds: Dataset[MediaRecord] = media.as[MediaRecord]
     ds.mapPartitions { it =>
-      it.grouped(64).flatMap { batch => batch.map(decodeStub) }
+      it.grouped(64).flatMap { batch => batch.flatMap(decode) }
     }.toDF()
   }
 
   /** Oracle-checkable projection of the feature pass (checksum is covered
-    * by ScalaTest instead — byte-level arithmetic isn't DuckDB SQL). */
+    * by ScalaTest instead — CRC-32 isn't DuckDB SQL). */
   def mediaFeatureSummary(documents: DataFrame): DataFrame =
     extractFeatures(toMediaTable(documents))
-      .select(col("doc_id"), col("kind"), col("byte_len"), col("n_frames"))
+      .select(col("doc_id"), col("kind"), col("byte_len"), col("width"),
+        col("height"), col("n_frames"), col("duration_ms"))
 }

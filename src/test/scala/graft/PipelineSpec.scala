@@ -118,17 +118,60 @@ class PipelineSpec extends GraftSuite {
     assert(code.length == 8)
   }
 
-  test("m1 multimodal stub features are deterministic and byte-faithful") {
+  test("m1 features are parsed from real PNG/APNG/WAV payload bytes") {
     val media = Multimodal.toMediaTable(docs)
-    val f1 = Multimodal.extractFeatures(media)
-      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
-    val f2 = Multimodal.extractFeatures(media)
-      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
-    assert(f1 == f2)
-    val bad = Multimodal.extractFeatures(media)
-      .join(docs, "doc_id")
-      .where(col("byte_len") =!= length(col("text"))).count()
-    assert(bad == 0, "ASCII payloads: byte length must equal char length")
+    val feats = Multimodal.extractFeatures(media)
+    // every builder payload is structurally valid -> none drop
+    assert(feats.count() == media.count())
+    // byte_len = text bytes + the real format overhead the encoder wrote
+    // (PNG 57 / WAV 44 / APNG 77)
+    val bad = feats.join(docs, "doc_id")
+      .where(col("byte_len") =!= length(col("text")) +
+        when(pmod(col("doc_id"), lit(3)) === 0, 57)
+          .when(pmod(col("doc_id"), lit(3)) === 1, 44).otherwise(77))
+      .count()
+    assert(bad == 0, "byte_len must be data + format header overhead")
+    // kind comes from the MAGIC BYTES, not the kind column (decode never
+    // reads it) — and it lands on the same cycle the builder used
+    val kinds = feats.join(media.select(col("doc_id"),
+        col("kind").as("built_kind")), "doc_id")
+      .where(col("kind") =!= col("built_kind")).count()
+    assert(kinds == 0)
+  }
+
+  test("m1 decode is a function of the payload bytes: corruption kills the record") {
+    val data = "hello media payload".getBytes("UTF-8")
+    val png = Multimodal.pngBytes(3, 2, data, None)
+    val apng = Multimodal.pngBytes(3, 2, data, Some(5L))
+    val wav = Multimodal.wavBytes(data)
+    // metadata zeroed: decode must work from bytes alone
+    def rec(p: Array[Byte]) = Multimodal.MediaRecord(1L, "unset", p, 0, 0)
+    val fi = Multimodal.decode(rec(png)).get
+    assert(fi.kind == "image" && fi.width == 3 && fi.height == 2 &&
+      fi.n_frames == 1L && fi.byte_len == 57 + data.length)
+    val fv = Multimodal.decode(rec(apng)).get
+    assert(fv.kind == "video" && fv.n_frames == 5L &&
+      fv.byte_len == 77 + data.length)
+    val fa = Multimodal.decode(rec(wav)).get
+    assert(fa.kind == "audio" && fa.n_frames == data.length.toLong &&
+      fa.duration_ms == data.length * 1000L / 8000 &&
+      fa.byte_len == 44 + data.length)
+    // flip a bit of the stored IHDR CRC -> undecodable
+    val crcFlip = png.clone(); crcFlip(29) = (crcFlip(29) ^ 0x01).toByte
+    assert(Multimodal.decode(rec(crcFlip)).isEmpty)
+    // flip a bit of the stored width -> CRC mismatch -> undecodable
+    val widFlip = png.clone(); widFlip(16) = (widFlip(16) ^ 0x01).toByte
+    assert(Multimodal.decode(rec(widFlip)).isEmpty)
+    // corrupt the RIFF magic
+    val magFlip = wav.clone(); magFlip(0) = 'X'.toByte
+    assert(Multimodal.decode(rec(magFlip)).isEmpty)
+    // truncate mid-chunk (both formats)
+    assert(Multimodal.decode(rec(png.take(png.length - 3))).isEmpty)
+    assert(Multimodal.decode(rec(wav.take(20))).isEmpty)
+    // the checksum digests the whole payload, not just headers
+    val otherPng = Multimodal.pngBytes(3, 2,
+      "other body".getBytes("UTF-8"), None)
+    assert(Multimodal.decode(rec(otherPng)).get.checksum != fi.checksum)
   }
 
   test("m2 frame sampling: offsets in-bounds, strictly increasing, resized dims positive") {
