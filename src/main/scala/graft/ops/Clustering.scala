@@ -47,7 +47,15 @@ object Clustering {
     * the Dedup-substrate pattern: ml1/d15/smp7 all consume the same
     * clustering of the same corpus, so the Lloyd loop runs once per
     * session per (corpus, k, iters). Values are localCheckpoint'ed
-    * (materialized, lineage-free); `clearAssignments()` drops them. */
+    * (materialized, lineage-free); `clearAssignments()` drops them.
+    * Computation happens UNDER the cache lock (single-flight): a second
+    * concurrent caller for the same corpus blocks until the first
+    * finishes rather than running a duplicate Lloyd loop and leaking the
+    * loser's checkpointed frame. Staleness caveat (all session memos in
+    * this package share it): keys are canonicalized plans, so re-reading
+    * a path whose files were rewritten mid-session returns assignments
+    * computed from the old bytes — memos assume immutable inputs; call
+    * `clearAssignments()` after mutating a corpus in place. */
   private val assignCache = scala.collection.mutable.Map[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
     DataFrame]()
@@ -75,10 +83,13 @@ object Clustering {
     require(k >= 1 && iters >= 0, "k must be >= 1 and iters >= 0")
     val cacheKey =
       (embeddings.queryExecution.analyzed.canonicalized, k, iters)
-    assignCache.synchronized(assignCache.get(cacheKey)) match {
-      case Some(cached) => return cached
-      case None =>
+    assignCache.synchronized {
+      assignCache.getOrElseUpdate(cacheKey, lloydAssign(embeddings, k, iters))
     }
+  }
+
+  private def lloydAssign(embeddings: DataFrame, k: Int,
+      iters: Int): DataFrame = {
     val emb = embeddings
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
@@ -115,9 +126,7 @@ object Clustering {
         }
         .toSeq.sortBy(_._1)
     }
-    val result = assign(cents).localCheckpoint()
-    assignCache.synchronized(assignCache.update(cacheKey, result))
-    result
+    assign(cents).localCheckpoint()
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup as
@@ -136,10 +145,16 @@ object Clustering {
       threshold: Double = 0.95): DataFrame = {
     val cacheKey = (embeddings.queryExecution.analyzed.canonicalized, k,
       iters, java.lang.Double.doubleToLongBits(threshold))
-    pairCache.synchronized(pairCache.get(cacheKey)) match {
-      case Some(cached) => return cached
-      case None =>
+    // single-flight like assignCache; lock order is always
+    // pairCache -> assignCache (via kmeansAssign below), never reversed
+    pairCache.synchronized {
+      pairCache.getOrElseUpdate(cacheKey,
+        pairsFor(embeddings, k, iters, threshold))
     }
+  }
+
+  private def pairsFor(embeddings: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
     val asg = kmeansAssign(embeddings, k, iters)
     val exv = embeddings
       .select(col("vec_id"),
@@ -164,9 +179,7 @@ object Clustering {
         "vid_b")
       .select(col("vid_a"), col("vid_b"),
         round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
-    val result = cos.where(col("cos_sim") >= threshold).localCheckpoint()
-    pairCache.synchronized(pairCache.update(cacheKey, result))
-    result
+    cos.where(col("cos_sim") >= threshold).localCheckpoint()
   }
 
   /** SemDeDup keeper list: the lower-id side of every surviving pair

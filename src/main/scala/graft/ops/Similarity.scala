@@ -32,6 +32,43 @@ object Similarity {
     persistedGraphs.clear()
   }
 
+  /** Session memo for the IVF coarse quantizer, keyed by (canonicalized
+    * corpus plan, nCells) — the `Clustering.assignCache` pattern: sim3
+    * and sim5 search the same corpus with the same cell count, so MLlib
+    * KMeans trains once per session per (corpus, nCells) instead of per
+    * call. Training runs UNDER the lock (single-flight: a concurrent
+    * caller for the same key waits instead of training a duplicate).
+    * Staleness caveat, shared by every session memo in this package:
+    * the key is the canonicalized logical plan, so re-reading a path
+    * whose FILES were rewritten mid-session returns the model trained
+    * on the old bytes — session memos assume immutable inputs (true of
+    * the bench/verify corpus; call `clearQuantizers` otherwise). */
+  private val quantCache = scala.collection.mutable.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    org.apache.spark.ml.clustering.KMeansModel]()
+
+  def clearQuantizers(): Unit = quantCache.synchronized(quantCache.clear())
+
+  private val toVecUdf = udf((a: Seq[Float]) =>
+    org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+
+  /** `embeddings` + an MLlib vector column `fv` — the quantizer's
+    * training/assignment representation. */
+  private def withFeatureVec(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("fv", toVecUdf(col("embedding")))
+
+  private def coarseQuantizer(embeddings: DataFrame,
+      nCells: Int): org.apache.spark.ml.clustering.KMeansModel =
+    quantCache.synchronized {
+      val key = (embeddings.queryExecution.analyzed.canonicalized, nCells)
+      quantCache.getOrElseUpdate(key,
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(nCells).setSeed(42L)
+          .setMaxIter(8).setInitMode("random") // coarse cells only — full
+          .setFeaturesCol("fv").setPredictionCol("cell") // convergence buys
+          .fit(withFeatureVec(embeddings))) // no recall at nprobe<<nCells
+    }
+
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", Vectors.normFast(col("embedding")))
 
@@ -320,18 +357,12 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, numQueries: Int, topK: Int,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 8, k: Int = 16,
       dims: Int = 64): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     val spark = embeddings.sparkSession
     val cbs = pqCodebooks(embeddings, m, k, dims)
     val subDim = dims / m
     val (mL, kL) = (m, k)
-    val toVec = udf((a: Seq[Float]) =>
-      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
-    val withVec = embeddings.withColumn("fv", toVec(col("embedding")))
-    val model = new KMeans().setK(nCells).setSeed(42L)
-      .setMaxIter(8).setInitMode("random")
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(withVec)
+    val withVec = withFeatureVec(embeddings)
+    val model = coarseQuantizer(embeddings, nCells)
     // the persisted index: (nid, cell, code) — localCheckpoint is both the
     // CollapseProject barrier (see pqTopK) and the stand-in for reading a
     // written index table
@@ -375,14 +406,8 @@ object Similarity {
     * bucketed by cell, so a query touches nprobe/nCells of the data. */
   def ivfTopK(embeddings: DataFrame, numQueries: Int, k: Int,
       nCells: Int = 16, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    val toVec = udf((a: Seq[Float]) =>
-      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
-    val withVec = embeddings.withColumn("fv", toVec(col("embedding")))
-    val model = new KMeans().setK(nCells).setSeed(42L)
-      .setMaxIter(8).setInitMode("random") // coarse cells only — full
-      .setFeaturesCol("fv").setPredictionCol("cell") // convergence buys no
-      .fit(withVec) // recall at nprobe<<nCells
+    val withVec = withFeatureVec(embeddings)
+    val model = coarseQuantizer(embeddings, nCells)
     val base = withNorm(model.transform(withVec))
     val corpus = base.select(col("vec_id").as("nid"),
       col("embedding").as("n_emb"), col("nrm").as("n_nrm"), col("cell"))
