@@ -336,6 +336,22 @@ object SparkEntry {
     "sim6_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(t(s, d, "embeddings"), 1)
         .select("qid", "nid")),
+    // rows-only by design (like sim2–sim5): the LSH-blocked graph is the
+    // 100 TB twin of sim6 — recall and rank-correlation vs the exact
+    // graph are gated in PipelineSpec, not by a hash oracle
+    "sim7_blocked_knn" -> ((s, d) =>
+      Similarity.knnGraphBlocked(t(s, d, "embeddings"), 1)
+        .select("qid", "rn", "nid")),
+    // rows-only by design: PageRank over the LSH-blocked graph — the
+    // scale-path composition of gr1 (exact-graph PageRank is the oracle
+    // anchor; Spearman rho between the two rankings is spec-gated)
+    "gr2_blocked_pagerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      Graph.pageRank(
+        Similarity.knnGraphBlocked(t(s, d, "embeddings"), 1)
+          .select(col("qid").as("src"), col("nid").as("dst")), 5)
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+    }),
     // ---- training-data pipeline: multimodal ----
     "m1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatureSummary(t(s, d, "documents"))),
@@ -387,6 +403,36 @@ object SparkEntry {
         .agg(hll_sketch_estimate(hll_union_agg(col("daily_sketch")))
           .as("merged_uu"))
         .orderBy(col("event_type"))
+    }),
+    // exact-verified heavy hitters: Misra-Gries candidates + count-min
+    // prune + exact count of the survivors — the output is the EXACT
+    // top-20 words (hash-oracled), produced without ever shuffling the
+    // full key universe
+    "cms1_heavy_hitters" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val words = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+      Sketches.verifiedTopKeys(words, "word", 20)
+    }),
+    // dictionary-driven CJK segmentation (the reference's IK-analyzer
+    // capability): dictionary and corpus are inline literals so the FMM
+    // path gets a deterministic hash oracle (the expected segmentation,
+    // hand-computed, lives in the oracle as VALUES) — the parquet corpus
+    // is ASCII-only and cannot exercise CJK
+    "seg1_dict_segment" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val dict = graft.functions.DictSegment.fromFrame(
+        Seq("中国", "人民", "共和国", "中华人民共和国", "数据", "处理",
+          "引擎").toDF("w"), "w")
+      val docs = Seq(
+        (1L, "中华人民共和国的数据处理引擎"),
+        (2L, "中国人民热爱数据"),
+        (3L, "spark引擎处理大数据 big data engine")).toDF("id", "s")
+      docs.select(explode(
+          graft.functions.DictSegment.segmentUdf(s, dict)(col("s")))
+          .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     }),
     // ---- assembled DWS apps (reference job compositions) ----
     "a18_order_uu_new" -> ((s, d) => Apps.dwsTradeOrder(s, d)),
@@ -1792,6 +1838,26 @@ object SparkEntry {
          |  SELECT vec_id, cid, row_number() OVER (
          |      PARTITION BY cid ORDER BY vec_id) AS rn FROM a2)
          |WHERE rn <= 25""".stripMargin,
+    // cms1's sketch path (Misra-Gries candidates + CMS prune + exact
+    // verify) must land on the plain exact top-k — the oracle IS that
+    // exact top-k, same tokenization as n2
+    "cms1_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM documents)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM w GROUP BY word
+        |ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    // seg1 runs FMM segmentation over inline CJK literals (the parquet
+    // corpus is ASCII-only); the oracle carries the hand-computed
+    // expected segmentation: 中华人民共和国 wins over 中国 at position 0
+    // (longest match), 热爱/大 are bigram/single OOV fallbacks, latin
+    // runs tokenize as lowercase words
+    "seg1_dict_segment" ->
+      """SELECT token, CAST(cnt AS BIGINT) AS cnt FROM (VALUES
+        |  ('中华人民共和国', 1), ('的', 1), ('数据', 3), ('处理', 2),
+        |  ('引擎', 2), ('中国', 1), ('人民', 1), ('热爱', 1), ('大', 1),
+        |  ('spark', 1), ('big', 1), ('data', 1), ('engine', 1))
+        |  AS t(token, cnt)""".stripMargin,
     "n1_bigram_topk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

@@ -84,6 +84,42 @@ object Sketches {
       .limit(k)
   }
 
+  /** Exact-VERIFIED heavy hitters — the two-pass pattern a production
+    * top-k runs at 100 TB: (1) a bounded candidate pass (per-partition
+    * Misra-Gries, <= partitions x m rows — never a shuffle of the full
+    * key universe); (2) a CMS prune that discards candidates whose
+    * estimate falls below the Misra-Gries guarantee floor N/(m+1) —
+    * SAFE, because CMS never undercounts, so no key with true count >=
+    * the floor can be pruned; (3) an exact count of the surviving
+    * candidates only (a semi-join of the data against the broadcast
+    * candidate set), ranked (count desc, key) for a total order.
+    *
+    * The result equals the plain exact top-k whenever every true top-k
+    * key clears the Misra-Gries floor — i.e. on any heavy-tailed (Zipf)
+    * key distribution with m >> k, which is the regime heavy-hitter
+    * queries target; the completeness condition is the same one
+    * `cmsTopKeys` documents. Three passes over the data here (sketch,
+    * candidates, verify); a production deployment fuses the first two
+    * into one mapPartitions — kept separate to compose the two existing
+    * primitives. */
+  def verifiedTopKeys(df: DataFrame, keyCol: String, k: Int,
+      eps: Double = 0.001, delta: Double = 0.01, m: Int = 256): DataFrame = {
+    require(m >= 4 * k, s"candidate budget m=$m must be >= 4*k (k=$k)")
+    val keyed = df.select(col(keyCol).cast("string").as(keyCol))
+    val cms = keyed.stat.countMinSketch(col(keyCol), eps, delta, seed = 42)
+    val floor = cms.totalCount() / (m + 1L) // MG guarantee threshold
+    val spark = df.sparkSession
+    val cmsBc = spark.sparkContext.broadcast(cms)
+    val estimate = udf((s: String) => cmsBc.value.estimateCount(s))
+    val survivors = mgCandidates(df, keyCol, m)
+      .where(estimate(col(keyCol)) >= floor)
+    keyed.join(broadcast(survivors), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** The bounded candidate pass of `cmsTopKeys`: per-partition Misra-Gries
     * summaries (m counters each), unioned and deduped — at most
     * partitions x m rows. Exposed for the candidate-bound spec. */

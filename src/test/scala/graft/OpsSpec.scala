@@ -241,6 +241,21 @@ class OpsSpec extends GraftSuite {
     assert(top == Seq("hot1", "hot2"))
   }
 
+  test("cms1 verified heavy hitters equal the plain exact top-k on skewed keys") {
+    import spark.implicits._
+    // Zipf-ish: key i appears ~600/i times across 8 partitions
+    val rows = (1 to 50).flatMap(i => Seq.fill(600 / i)(s"k$i"))
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("key")
+    val got = Sketches.verifiedTopKeys(df, "key", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = df.groupBy("key").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // exact counts AND exact ranking — the CMS prune and the bounded
+    // candidate pass must be invisible in the result
+    assert(got == exact)
+  }
+
   test("smp4 stratified sample honors per-stratum fractions and stays composable") {
     val docs = Tables.load(spark, sf, "documents")
     val frs = Map("en" -> 0.8, "zh" -> 0.2)
