@@ -17,7 +17,14 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** NaN (not an ANSI DIVIDE_BY_ZERO error) when either vector has zero
+    * norm: the rankers treat "no meaningful cosine" as an excludable NaN,
+    * and under Spark 4's default ANSI mode a bare `/` would instead kill
+    * the whole query on the first degenerate vector. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / denom)
+  }
 
   /** Hot-path kernels as native Catalyst expressions (VecExpressions):
     * no per-call boxing, tight primitive loops under whole-stage codegen,
@@ -27,8 +34,13 @@ object Vectors {
 
   def normFast(a: Column): Column = VecExpressions.vecNorm(a)
 
+  /** Same zero-norm -> NaN contract as `cosine` (ANSI-safe). */
   def cosineFast(aEmb: Column, bEmb: Column, aNorm: Column,
-      bNorm: Column): Column = dotFast(aEmb, bEmb) / (aNorm * bNorm)
+      bNorm: Column): Column = {
+    val denom = aNorm * bNorm
+    when(denom === 0.0, lit(Double.NaN))
+      .otherwise(dotFast(aEmb, bEmb) / denom)
+  }
 
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

@@ -187,8 +187,9 @@ object Joins {
     * (plans/AsOfJoin.scala) by negating the event time on both sides:
     * "last right with -p_ts <= -s_ts" is exactly "first right with
     * p_ts >= s_ts". Same one-shuffle sort-merge scale shape as j13.
-    * Ties (two purchases at the identical instant for one user) fall to
-    * merge order; the generated event stream has unique (user, ts). */
+    * Ties (two purchases at the identical instant for one user) resolve
+    * to the SMALLEST purchase event_id via the negated-id tie column —
+    * the same total order as the oracle's `ORDER BY p.ts, p.event_id`. */
   def timeToConvert(events: DataFrame): DataFrame = {
     val sg = events.where(col("event_type") === "signup")
       .select(col("event_id").as("signup_id"), col("user_id"),
@@ -197,8 +198,10 @@ object Joins {
     val pu = events.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         unix_millis(col("ts")).as("p_ms"),
-        (-unix_micros(col("ts"))).as("neg_ts"))
-    graft.plans.AsOf.join(sg, pu, "user_id", "neg_ts", "neg_ts")
+        (-unix_micros(col("ts"))).as("neg_ts"),
+        (-col("event_id")).as("neg_id"))
+    graft.plans.AsOf.join(sg, pu, "user_id", "neg_ts", "neg_ts",
+        rightTie = Some("neg_id"))
       .select(col("signup_id"), col("user_id"),
         col("purchase_id__r").as("purchase_id"),
         (col("p_ms__r") - col("s_ms")).as("delay_ms"))

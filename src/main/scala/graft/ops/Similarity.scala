@@ -94,7 +94,13 @@ object Similarity {
       .select(col("qid"), (col("rn0") + 1).cast("int").as("rn"),
         col("e.id").as("nid"), col("e.value").as("cos"))
 
-  /** Exact brute-force cosine top-k for queries `vec_id < numQueries`. */
+  /** Exact brute-force cosine top-k for queries `vec_id < numQueries`.
+    * Degenerate (zero-norm) vectors produce NaN cosines and are EXCLUDED
+    * from ranking — a query that is itself zero, or whose every
+    * neighbor is zero, returns fewer than k rows (possibly none) rather
+    * than arbitrarily-ranked NaN neighbors. Spec-pinned in
+    * PipelineSpec; the same rule applies to every ranker below
+    * (`knnGraph`, `knnGraphBlocked`, `lshTopK`, `ivfTopK`). */
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val base = withNorm(embeddings)
     val q = base.where(col("vec_id") < numQueries)
@@ -112,7 +118,9 @@ object Similarity {
     * semantic pruning and dataset-cartography curation build on. Quadratic
     * by definition (|N|^2 cosine evaluations), so this form is the oracle
     * and the small-corpus path; at scale use `knnGraphBlocked`, which only
-    * scores pairs that share an LSH bucket. */
+    * scores pairs that share an LSH bucket. Zero-norm vectors are excluded
+    * from the graph (NaN-cosine rule — see `bruteForceTopK`): they have
+    * no meaningful nearest neighbor, so they contribute no `qid` rows. */
   def knnGraph(embeddings: DataFrame, k: Int = 1): DataFrame = {
     val base = withNorm(embeddings)
     val q = base.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),

@@ -20,12 +20,23 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * sort-buffer machinery; compared to an interval join it never
   * materializes (left x right-in-range) pairs.
   *
-  * MVP typing: key must be LongType, ts TimestampType (the engine's id/ts
-  * conventions). Inner as-of: unmatched left rows are dropped.
+  * Typing: key must be LongType; ts is anything whose eval is a Long —
+  * TimestampType or LongType (j17 passes negated epoch micros as a plain
+  * Long to get the forward direction). Inner as-of: unmatched left rows
+  * are dropped.
+  *
+  * Determinism: among right rows with the SAME (key, ts), the selected
+  * match is the last in (rightTie ascending) order — i.e. the MAX tie
+  * value — because the merge keeps the final candidate. Callers pick the
+  * tie column to spell out the total order (j17: negated event_id, so
+  * ties resolve to the smallest event_id, matching its oracle's
+  * `ORDER BY p.ts, p.event_id`). Without a meaningful tie the result on
+  * tied input would fall to merge order — nondeterministic.
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    rightTie: Expression) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
@@ -34,15 +45,16 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, rtie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rtie) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    rightTie: Expression) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -50,9 +62,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     ClusteredDistribution(Seq(leftKey)),
     ClusteredDistribution(Seq(rightKey)))
 
+  // the tie column totalizes the right sort: the merge's last-candidate-
+  // wins rule then deterministically selects the max tie among equal
+  // (key, ts) rows
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightTie, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
@@ -135,8 +151,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 /** DataFrame-level entry point. Registers the strategy on first use
   * (idempotent); also injectable at builder time via GraftExtensions. */
 object AsOf {
+  /** `rightTie` (optional): right-side column that breaks (key, ts) ties
+    * deterministically — the selected match is the MAX tie among tied
+    * rows. Defaults to the ts column itself (i.e. no extra tie-break,
+    * fine when (key, ts) is unique on the right). */
   def join(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      rightTie: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -154,6 +175,7 @@ object AsOf {
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
       AsOfJoinNode(lPlan, rPlan,
         attr(lPlan, key), attr(rPlan, key + "__r"),
-        attr(lPlan, leftTs), attr(rPlan, rightTs + "__r")))
+        attr(lPlan, leftTs), attr(rPlan, rightTs + "__r"),
+        attr(rPlan, rightTie.getOrElse(rightTs) + "__r")))
   }
 }

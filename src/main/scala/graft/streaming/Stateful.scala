@@ -266,7 +266,13 @@ object Stateful {
     * batch funnel). State is two scalars (completed-stage count, last
     * stage time) — bounded per user regardless of event volume. Within a
     * batch events are (ts, event_id)-sorted like every twin here; across
-    * batches in-order arrival is assumed (watermarked source). */
+    * batches in-order arrival is assumed (watermarked source). The
+    * assumption is WATCHED, not silent: a next-stage event arriving with
+    * ts <= the stored stage time (out-of-order across a batch boundary —
+    * the case where this twin can diverge from the batch funnel) is
+    * counted and logged per group before being discarded; a
+    * lateness-tolerant deployment would buffer sub-watermark events in
+    * state instead. */
   def streamingFunnel(events: Dataset[Event],
       stages: Seq[String] = Seq("view", "click", "purchase"),
       ttl: Option[String] = None): Dataset[StageEmit] = {
@@ -283,14 +289,28 @@ object Stateful {
           else {
             var (done, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
             val out = scala.collection.mutable.ArrayBuffer[StageEmit]()
+            var lateDropped = 0
+            var lateUser = 0L
             it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              if (done < stages.length && e.event_type == stages(done)
-                  && (done == 0 || e.ts.getTime > lastTs)) {
-                out += StageEmit(e.user_id, done + 1, stages(done), e.ts)
-                lastTs = e.ts.getTime
-                done += 1
+              if (done < stages.length && e.event_type == stages(done)) {
+                if (done == 0 || e.ts.getTime > lastTs) {
+                  out += StageEmit(e.user_id, done + 1, stages(done), e.ts)
+                  lastTs = e.ts.getTime
+                  done += 1
+                } else if (e.ts.getTime < lastTs) {
+                  // would-be next stage but STRICTLY older than the stored
+                  // stage time: the in-order-across-batches assumption
+                  // broke (equal-ts drops are the shared strict-order
+                  // semantics — the batch funnel drops those too)
+                  lateDropped += 1; lateUser = e.user_id
+                }
               }
             }
+            if (lateDropped > 0)
+              org.slf4j.LoggerFactory.getLogger("graft.streaming.Stateful")
+                .warn(s"streamingFunnel: dropped $lateDropped out-of-order " +
+                  s"stage event(s) for user $lateUser (event ts <= stored " +
+                  "stage time; batch funnel would count them)")
             state.update((done, lastTs))
             ttl.foreach(state.setTimeoutDuration)
             out.iterator

@@ -125,4 +125,23 @@ class AsOfJoinSpec extends GraftSuite {
       1L -> ((3L, 1800000L)),
       5L -> ((6L, 0L))), s"unexpected: $got")
   }
+
+  test("j17 tie-break: two purchases at the identical instant -> smallest event_id") {
+    import spark.implicits._
+    // the rightTie column (negated event_id) totalizes the right sort, so
+    // the tie resolves like the oracle's ORDER BY p.ts, p.event_id —
+    // independent of merge order. Shuffled input exercises the sort.
+    val ev = Seq(
+      (10L, "signup", "2024-01-01 10:00:00", 1L),
+      (22L, "purchase", "2024-01-01 10:30:00", 1L),
+      (21L, "purchase", "2024-01-01 10:30:00", 1L),
+      (23L, "purchase", "2024-01-01 10:30:00", 1L))
+      .toDF("event_id", "event_type", "s", "user_id")
+      .select(col("event_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"), col("user_id"))
+      .repartition(4)
+    val got = ops.Joins.timeToConvert(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(10L -> 21L), s"tie must pick min event_id: $got")
+  }
 }

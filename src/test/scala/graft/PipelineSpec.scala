@@ -118,6 +118,27 @@ class PipelineSpec extends GraftSuite {
     assert(code.length == 8)
   }
 
+  test("sim rankers exclude NaN cosines: zero vectors get no neighbor rows") {
+    import spark.implicits._
+    val dims = 4
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0.9f, 0.1f, 0f, 0f),
+      2L -> Array.fill(dims)(0f), // zero-norm: cosine vs anything is NaN
+      3L -> Array(0f, 1f, 0f, 0f))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, 4, 2).collect()
+    // the zero vector is neither a ranked query...
+    assert(!top.exists(_.getLong(0) == 2L))
+    // ...nor anyone's neighbor
+    assert(!top.exists(_.getLong(2) == 2L))
+    // non-degenerate queries still rank their real neighbors
+    assert(top.exists(r => r.getLong(0) == 0L && r.getLong(2) == 1L))
+    val graph = Similarity.knnGraph(vecs, 1).collect()
+    assert(!graph.exists(_.getLong(0) == 2L) &&
+      !graph.exists(_.getLong(2) == 2L))
+  }
+
   test("m1 features are parsed from real PNG/APNG/WAV payload bytes") {
     val media = Multimodal.toMediaTable(docs)
     val feats = Multimodal.extractFeatures(media)

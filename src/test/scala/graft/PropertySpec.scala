@@ -226,6 +226,19 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("q1 oracle precondition: the fixture corpus is BMP-only") {
+    // modelQualityScore's pseudo-weight uses ascii(first char), which
+    // diverges between Spark (UTF-16 high surrogate) and DuckDB (code
+    // point) for astral-plane-initial words. The oracle is only sound on
+    // BMP text, so pin the corpus to it: if the generator ever emits
+    // emoji/CJK-ext-B, this fails loudly instead of the hash flaking.
+    val docs = Tables.load(spark, sf, "documents")
+    val surrogates = docs.where(
+      col("text").rlike("[\\uD800-\\uDFFF]")).count()
+    assert(surrogates == 0,
+      "documents.text must stay BMP-only for the q1 ascii-weight oracle")
+  }
+
   test("a20 law: cohort retention == brute-force triangle on generated logs") {
     import spark.implicits._
     val rowGen = for {
