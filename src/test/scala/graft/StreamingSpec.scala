@@ -549,6 +549,85 @@ class StreamingSpec extends GraftSuite {
     assert(rows == Map(2L -> 8.0, 3L -> 1.5), s"got $rows")
   }
 
+  test("upsert sink survives a checkpoint restart, exactly-once-observable") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_up_src").toString
+    val ckpt = Files.createTempDirectory("graft_up_ckpt").toString
+    val tgt = Files.createTempDirectory("graft_up_tgt").toString + "/t"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val schema = Seq(Event(0L, ts(0), 0L, "x", 0.0)).toDF().schema
+    def runOnce(): Unit = {
+      val q = Streams.upsertSink(
+          spark.readStream.schema(schema).parquet(srcDir),
+          tgt, Some(col("event_type") === "error"))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    Seq(Event(1L, ts(0), 10L, "purchase", 5.0),
+      Event(2L, ts(0), 11L, "purchase", 7.0)).toDF()
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    // incarnation 2 (restart): update key 1, tombstone key 2, insert key 3
+    // — the merge must run against the RECOVERED target, and the source
+    // checkpoint must not replay incarnation 1's file into the merge
+    Seq(Event(1L, ts(5), 10L, "purchase", 9.0),
+      Event(2L, ts(5), 11L, "error", 0.0),
+      Event(3L, ts(5), 12L, "purchase", 3.0)).toDF()
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    def table() = spark.read.parquet(tgt).select("event_id", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val afterRestart = table()
+    // == the batch twin (keep-newest per key, tombstones removed) over
+    // the union of both incarnations' input
+    assert(afterRestart == Map(1L -> 9.0, 3L -> 3.0), s"got $afterRestart")
+    // incarnation 3, no new input: restart must be observably a no-op
+    runOnce()
+    assert(table() == afterRestart, "restart without input must not change the table")
+  }
+
+  test("routed sink survives a checkpoint restart without replaying topics") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_rt_src").toString
+    val ckpt = Files.createTempDirectory("graft_rt_ckpt").toString
+    val out = Files.createTempDirectory("graft_rt_out").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, tp: String) =
+      Event(id, new java.sql.Timestamp(t0.getTime + id * 1000L), id, tp, 1.0)
+    val schema = Seq(ev(0, "x")).toDF().schema
+    def runOnce(): Unit = {
+      val q = Streams.routedSink(
+          spark.readStream.schema(schema).parquet(srcDir),
+          () => ops.Splits.defaultRouteConfig(spark), out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    Seq(ev(1, "purchase"), ev(2, "view")).toDF()
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    // incarnation 2 (restart): appends must land exactly once — the
+    // append-mode topic dirs would show duplicates if the source replayed
+    Seq(ev(3, "purchase"), ev(4, "signup")).toDF()
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    def ids(topic: String) = spark.read.parquet(s"$out/$topic")
+      .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids("dwd_trade_order") == Seq(1L, 3L))
+    assert(ids("dwd_traffic_page") == Seq(2L))
+    assert(ids("dwd_user_register") == Seq(4L))
+    // incarnation 3, no new input: nothing may be appended anywhere
+    runOnce()
+    assert(ids("dwd_trade_order") == Seq(1L, 3L) &&
+      ids("dwd_traffic_page") == Seq(2L) &&
+      ids("dwd_user_register") == Seq(4L),
+      "restart without input must not re-append")
+  }
+
   test("upsert foreachBatch sink keeps last write per key") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_upsert").toString + "/t"
