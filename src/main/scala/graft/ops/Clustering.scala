@@ -211,29 +211,22 @@ object Clustering {
   }
 
   /** Within-cluster sum of squared distances for a given assignment —
-    * Lloyd's objective; each round must not increase it (spec'd).
-    * Spec-support only: collects the vectors, so small frames only. */
+    * Lloyd's objective; each round must not increase it (spec'd). Fully
+    * distributed: one exploded (cluster, dim, x) pass (checkpointed —
+    * it feeds the centroid aggregation AND the distance sum), centroids
+    * stay a k x dim frame broadcast into the distance join, and only the
+    * scalar objective reaches the driver. */
   def sse(embeddings: DataFrame, k: Int, iters: Int): Double = {
     val emb = embeddings.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
     val asg = kmeansAssign(embeddings, k, iters)
-    val cents = emb.join(asg, "vec_id")
+    val ex = emb.join(asg, "vec_id")
       .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("cluster"), col("i"))
+      .localCheckpoint()
+    val cents = ex.groupBy(col("cluster"), col("i"))
       .agg((sum(col("x")) / count(lit(1))).as("m"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (cid, rows) =>
-        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-      }
-    emb.join(asg, "vec_id")
-      .select(col("cluster"), col("v"))
-      .collect()
-      .map { r =>
-        val cen = cents(r.getInt(0))
-        r.getSeq[Double](1).zip(cen).map { case (a, b) => (a - b) * (a - b) }
-          .sum
-      }
-      .sum
+    ex.join(broadcast(cents), Seq("cluster", "i"))
+      .agg(sum((col("x") - col("m")) * (col("x") - col("m"))).as("sse"))
+      .head().getDouble(0)
   }
 }

@@ -38,9 +38,12 @@ object Multimodal {
       checksum: Long)
 
   /** Resized/sampled representation: target dims after aspect-preserving
-    * resize (arithmetic on the typed metadata — a real decoder resizes
-    * pixels), plus up to `maxFrames` evenly-spaced frame byte-offsets (the
-    * frame-sample access pattern a video pipeline feeds the decoder). */
+    * resize — the source dims come from the PARSED payload header, not
+    * the metadata columns (a real decoder resizes pixels; this computes
+    * the header-level plan for it) — plus up to `maxFrames`
+    * evenly-spaced frame byte-offsets (the frame-sample access pattern a
+    * video pipeline feeds the decoder). Undecodable payloads drop, like
+    * `extractFeatures`. */
   case class MediaSample(doc_id: Long, kind: String, out_w: Int, out_h: Int,
       frame_offsets: Array[Long])
 
@@ -195,17 +198,19 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      it.grouped(64).flatMap(_.map { r =>
-        val w = math.max(r.width, 1)
-        val scale = targetW.toDouble / w
-        // scale the RAW height and clamp the RESULT (clamping height
-        // before scaling would turn a degenerate 0-height medium into
-        // out_h = scale instead of the 1-pixel floor)
-        val n = math.min(maxFrames, r.payload.length / 1024 + 1)
-        val stride = math.max(r.payload.length / math.max(n, 1), 1)
-        MediaSample(r.doc_id, r.kind, targetW,
-          math.max((r.height * scale).toInt, 1),
-          Array.tabulate(n)(i => i.toLong * stride))
+      it.grouped(64).flatMap(_.flatMap { r =>
+        decode(r).map { f =>
+          val w = math.max(f.width, 1) // parsed audio dims are 0x0
+          val scale = targetW.toDouble / w
+          // scale the RAW height and clamp the RESULT (clamping height
+          // before scaling would turn a degenerate 0-height medium into
+          // out_h = scale instead of the 1-pixel floor)
+          val n = math.min(maxFrames, r.payload.length / 1024 + 1)
+          val stride = math.max(r.payload.length / math.max(n, 1), 1)
+          MediaSample(r.doc_id, f.kind, targetW,
+            math.max((f.height * scale).toInt, 1),
+            Array.tabulate(n)(i => i.toLong * stride))
+        }
       })
     }.toDF()
   }

@@ -30,7 +30,18 @@ object Similarity {
   def clearGraphCache(): Unit = persistedGraphs.synchronized {
     persistedGraphs.foreach(_.unpersist())
     persistedGraphs.clear()
+    blockedCache.synchronized(blockedCache.clear())
   }
+
+  /** Session memo for the BLOCKED kNN graph, keyed by (canonicalized
+    * corpus plan, k, bits, tables, dims). knnGraph's plan-equality
+    * persist cannot work here — the signature localCheckpoint mints a
+    * fresh plan per call — so sim7/gr2 share through an explicit memo
+    * (single-flight under the lock, same staleness caveat as
+    * `quantCache`). */
+  private val blockedCache = scala.collection.mutable.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int,
+      Int, Int), DataFrame]()
 
   /** Session memo for the IVF coarse quantizer, keyed by (canonicalized
     * corpus plan, nCells) — the `Clustering.assignCache` pattern: sim3
@@ -149,9 +160,21 @@ object Similarity {
     * like the exact form. Vectors sharing no bucket with anyone (possible
     * for outliers at high `bits`) simply have no row — at scale that is
     * the desired behavior, since an isolated vector has no near neighbor
-    * worth recording. Recall vs the exact graph is gated in PipelineSpec. */
+    * worth recording. Recall vs the exact graph is gated in PipelineSpec.
+    * The result is session-memoized (see `blockedCache`): sim7 and gr2
+    * consume the same blocked graph from one bucket-join + cosine pass. */
   def knnGraphBlocked(embeddings: DataFrame, k: Int = 1, bits: Int = 4,
-      tables: Int = 16, dims: Int = 64): DataFrame = {
+      tables: Int = 16, dims: Int = 64): DataFrame =
+    blockedCache.synchronized {
+      val key = (embeddings.queryExecution.analyzed.canonicalized, k, bits,
+        tables, dims)
+      blockedCache.getOrElseUpdate(key,
+        knnGraphBlockedCompute(embeddings, k, bits, tables, dims)
+          .localCheckpoint())
+    }
+
+  private def knnGraphBlockedCompute(embeddings: DataFrame, k: Int,
+      bits: Int, tables: Int, dims: Int): DataFrame = {
     val sigs = embeddings
       .select(col("vec_id"),
         posexplode(Vectors.sigsUdf(dims, bits, tables)(col("embedding")))
