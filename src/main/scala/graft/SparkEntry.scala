@@ -263,6 +263,17 @@ object SparkEntry {
       Aggs.funnelStages(events(s, d))),
     "q1_model_quality" -> ((s, d) =>
       TextAnalysis.modelQualityScore(t(s, d, "documents"))),
+    // classifier calibration report: decile bins of the q1 score with
+    // per-bin volume — the distribution a threshold choice is read from
+    "cal1_score_bins" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      TextAnalysis.modelQualityScore(t(s, d, "documents"))
+        .groupBy(least(floor(col("score") * 10), lit(9L)).cast("int")
+          .as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          round(avg(col("score")), 6).as("mean_score"))
+    }),
     "d14_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(t(s, d, "documents"), 8, 2)),
     "ml1_kmeans_assign" -> ((s, d) =>
@@ -320,6 +331,9 @@ object SparkEntry {
       Dedup.clusterSizeHistogram(t(s, d, "documents"))),
     "d7_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
+    // quality-aware dedup keepers: best q1 score per d7 cluster
+    "cur2_best_of_cluster" -> ((s, d) =>
+      Dedup.bestOfCluster(t(s, d, "documents"))),
     // ---- training-data pipeline: similarity search ----
     "sim1_brute_top1" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), 100, 1)
@@ -493,6 +507,53 @@ object SparkEntry {
           org.apache.spark.sql.functions.lit(1)).as("n"))),
     "smp3_token_offsets" -> ((s, d) =>
       Sampling.tokenOffsets(t(s, d, "documents"), 4096)),
+    // packed-sequence manifest: the per-sequence contract a dataloader
+    // reads (docs spanned, slots filled) over the doc_id-ordered corpus
+    "pack1_packed_sequences" -> ((s, d) =>
+      Sampling.packedSequences(t(s, d, "documents"), 2048)),
+    // per-doc n-gram novelty of the 20% hash-held-out slice vs the 80%
+    // reference slice — shares the d-family shingle substrate
+    "nov1_ngram_novelty" -> ((s, d) =>
+      Dedup.ngramNovelty(t(s, d, "documents"), 0.8, 3)),
+    // cross-source shingle-overlap matrix: which corpus components
+    // mirror each other (pair fan-out bounded by |sources|, never df)
+    "xsrc1_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(t(s, d, "documents"), 3)),
+    // T5-style temperature mixing (alpha=0.7, half-corpus target):
+    // per-source rates derived in-plan, applied as md5 thresholds
+    "mix2_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(t(s, d, "documents"), "doc_id", "source",
+        0.7, 0.5).select("doc_id", "source")),
+    // fixed-size per-stratum sample: exactly 50 docs per language,
+    // chosen by the content hash (unbiased eval-set construction)
+    "smp8_fixed_stratum" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Sampling.perGroupCap(t(s, d, "documents"), "lang",
+        Seq(Sampling.contentHash("doc_id"), col("doc_id")), 50)
+        .select("doc_id", "lang", "grp_rank")
+    }),
+    // CCNet-style domain cap: at most 40 docs per source, longest first
+    "cur1_source_cap" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Sampling.perGroupCap(t(s, d, "documents"), "source",
+        Seq(col("n_chars").desc, col("doc_id")), 40)
+        .select("doc_id", "source", "n_chars", "grp_rank")
+    }),
+    // deterministic global shuffle ordinals (two-phase rank, no global
+    // window) — the reproducible epoch order a dataloader consumes
+    "smp9_shuffle_positions" -> ((s, d) =>
+      Sampling.shufflePositions(t(s, d, "documents"), "doc_id")),
+    // Efraimidis-Spirakis weighted sample: 100 docs, char-count weights
+    // (token-uniform coverage), pure-integer key hash
+    "es1_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(t(s, d, "documents"), "doc_id", "n_chars",
+        100).select("doc_id", "n_chars")),
+    // contrastive hard negatives: exact top-5 cross-label cosine
+    "hn1_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(t(s, d, "embeddings"), 100, 5)),
+    // kNN majority-vote classification over the vec_id >= 100 train slice
+    "knn2_label_vote" -> ((s, d) =>
+      Similarity.knnClassify(t(s, d, "embeddings"), 100, 5)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -615,6 +676,40 @@ object SparkEntry {
       |         ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
       |prs AS (SELECT vid_a, vid_b, ROUND(dot / (na * nb), 6) AS cos_sim
       |        FROM pr WHERE ROUND(dot / (na * nb), 6) >= 0.4)""".stripMargin
+
+  /** Shared CTE block for the d7/cur2 oracles: transitive-closure cluster
+    * assignment ending in `cl(doc_id, cluster_id)` — mirrors
+    * `Dedup.dupClusters` (3-gram jaccard >= 0.5 pairs, min-label
+    * components). Must be introduced by `WITH RECURSIVE`. */
+  private val dupClusterCtes: String =
+    """tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |idx AS (SELECT doc_id, toks,
+      |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+      |       FROM sh a JOIN sh b USING (shingle)
+      |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc1, doc2 FROM pr
+      |          JOIN sz s1 ON doc1 = s1.doc_id
+      |          JOIN sz s2 ON doc2 = s2.doc_id
+      |          WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+      |edges AS (SELECT doc1 AS u, doc2 AS v FROM pairs
+      |          UNION ALL SELECT doc2, doc1 FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      |         FROM reach GROUP BY u),
+      |cl AS (SELECT d.doc_id,
+      |         CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT)
+      |           AS cluster_id
+      |       FROM documents d LEFT JOIN comp c USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = ListMap(
     "p1_parse_validate" ->
@@ -1245,33 +1340,22 @@ object SparkEntry {
         |JOIN sz s2 ON doc2 = s2.doc_id
         |WHERE common / (s1.sz + s2.sz - common) >= 0.5""".stripMargin,
     "d7_dup_clusters" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |idx AS (SELECT doc_id, toks,
-        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
-        |       FROM sh a JOIN sh b USING (shingle)
-        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT doc1, doc2 FROM pr
-        |          JOIN sz s1 ON doc1 = s1.doc_id
-        |          JOIN sz s2 ON doc2 = s2.doc_id
-        |          WHERE common / (s1.sz + s2.sz - common) >= 0.5),
-        |edges AS (SELECT doc1 AS u, doc2 AS v FROM pairs
-        |          UNION ALL SELECT doc2, doc1 FROM pairs),
-        |reach(u, v) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-        |comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
-        |         FROM reach GROUP BY u)
-        |SELECT d.doc_id,
-        |       CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
-        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+      s"""WITH RECURSIVE $dupClusterCtes
+         |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+    // quality-aware keeper: argmax score per cluster (6dp score is the
+    // value q1 already hash-matches, so the argmax cannot straddle
+    // engines); CTE names of the two shared blocks are disjoint
+    "cur2_best_of_cluster" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+         |$modelScoreCtes,
+         |jn AS (SELECT cl.cluster_id, cl.doc_id, q.score,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |           ORDER BY q.score DESC, cl.doc_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY cl.cluster_id) AS nm
+         |       FROM cl JOIN qsc q USING (doc_id))
+         |SELECT cluster_id, doc_id AS keeper_doc,
+         |       CAST(nm AS BIGINT) AS n_members, score AS best_score
+         |FROM jn WHERE rn = 1""".stripMargin,
     // n_fp = |distinct rolling-hash values| = |distinct token windows|
     // modulo 64-bit collisions (none on this corpus; the identity spec
     // covers the hash itself)
@@ -1707,6 +1791,162 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
         |FROM documents""".stripMargin,
+    // per-sequence packing manifest over the doc_id-ordered token stream;
+    // overlap arithmetic is all-integer so the hash compare is exact
+    "pack1_packed_sequences" ->
+      """WITH n AS (SELECT doc_id,
+        |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |          AS n_tok
+        |      FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0) AS BIGINT) AS s
+        |      FROM n),
+        |e AS (SELECT doc_id, n_tok, s,
+        |        unnest(range(s // 2048, (s + n_tok - 1) // 2048 + 1))
+        |          AS seq_id
+        |      FROM c)
+        |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |       CAST(SUM(LEAST(2048 * (seq_id + 1), s + n_tok)
+        |              - GREATEST(2048 * seq_id, s)) AS BIGINT) AS n_tokens
+        |FROM e GROUP BY seq_id""".stripMargin,
+    // novelty of the 20% held-out slice vs the 80% reference slice; the
+    // hash split mirrors Sampling.fractionThreshold(0.8) -> 'cccccccc';
+    // shingle form matches the d9 oracle (3-gram, lower, non-alnum split)
+    "nov1_ngram_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx
+        |       WHERE array_to_string(toks[i:i+2], ' ') <> ''),
+        |t AS (SELECT doc_id, shingle,
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |          AS is_ref
+        |      FROM sh),
+        |ref AS (SELECT DISTINCT shingle FROM t WHERE is_ref),
+        |ev AS (SELECT doc_id, shingle FROM t WHERE NOT is_ref)
+        |SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |       CAST(COALESCE(SUM(CASE WHEN r.shingle IS NOT NULL
+        |           THEN 1 END), 0) AS BIGINT) AS n_seen,
+        |       ROUND(1.0 - CAST(COALESCE(SUM(CASE WHEN r.shingle IS NOT
+        |           NULL THEN 1 END), 0) AS DOUBLE) / COUNT(*), 6)
+        |         AS novelty
+        |FROM ev LEFT JOIN ref r ON ev.shingle = r.shingle
+        |GROUP BY ev.doc_id""".stripMargin,
+    // shingle CTE matches the d9 oracle; the pair count is per-distinct
+    // (source, shingle), so document frequency cannot inflate it
+    "xsrc1_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx
+        |       WHERE array_to_string(toks[i:i+2], ' ') <> ''),
+        |ss AS (SELECT DISTINCT d.source, sh.shingle
+        |       FROM sh JOIN documents d USING (doc_id))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       CAST(COUNT(*) AS BIGINT) AS shared_shingles
+        |FROM ss a JOIN ss b
+        |  ON a.shingle = b.shingle AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+    // rate_s = min(1, targetFrac * N * n_s^(alpha-1) / sum n_t^alpha),
+    // alpha 0.7, targetFrac 0.5; thresholds printf'd to the same 8-hex
+    // form as Sampling.fractionThreshold
+    "mix2_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_s
+        |           FROM documents GROUP BY source),
+        |z AS (SELECT SUM(pow(n_s, 0.7)) AS z, SUM(n_s) AS n_tot FROM c),
+        |t AS (SELECT source, printf('%08x',
+        |         LEAST(CAST(floor(LEAST(1.0,
+        |             0.5 * z.n_tot * pow(c.n_s, -0.3) / z.z)
+        |           * 4294967296.0) AS BIGINT), 4294967295)) AS thr
+        |      FROM c, z)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN t USING (source)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < t.thr""".stripMargin,
+    "smp8_fixed_stratum" ->
+      """WITH r AS (SELECT doc_id, lang, row_number() OVER
+        |    (PARTITION BY lang
+        |     ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+        |    AS grp_rank FROM documents)
+        |SELECT doc_id, lang, CAST(grp_rank AS INTEGER) AS grp_rank
+        |FROM r WHERE grp_rank <= 50""".stripMargin,
+    "cur1_source_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars, row_number() OVER
+        |    (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+        |    AS grp_rank FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |       CAST(grp_rank AS INTEGER) AS grp_rank
+        |FROM r WHERE grp_rank <= 40""".stripMargin,
+    "smp9_shuffle_positions" ->
+      """SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+        |  - 1 AS BIGINT) AS position
+        |FROM documents""".stripMargin,
+    // ln((knuth_hash + 0.5) / 2^32) / weight is the Efraimidis-Spirakis
+    // key; the hash is pure int64 arithmetic so both engines agree
+    "es1_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+        |        / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es_key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars FROM k
+        |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
+    // exact top-5 cross-label cosine (contrastive hard negatives); same
+    // dot/norm arithmetic and tie order as the sim1/sim6 oracles
+    "hn1_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS ql, embedding AS e
+        |           FROM embeddings WHERE vec_id < 100),
+        |x AS (SELECT vec_id AS nid, label AS nl, embedding AS e
+        |      FROM embeddings),
+        |p AS (SELECT qid, nid,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS dot,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS qq,
+        |        SUM(CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS xx
+        |      FROM q, x, (SELECT unnest(range(1, 65)) AS i)
+        |      WHERE qid <> nid AND q.ql <> x.nl GROUP BY qid, nid),
+        |r AS (SELECT qid, nid, row_number() OVER
+        |        (PARTITION BY qid
+        |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+        |      FROM p)
+        |SELECT qid, CAST(rn AS INTEGER) AS rn, nid FROM r
+        |WHERE rn <= 5""".stripMargin,
+    // kNN majority vote over the vec_id >= 100 train slice; vote ties
+    // break toward the smaller label, neighbor ties toward the smaller nid
+    "knn2_label_vote" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
+        |           WHERE vec_id < 100),
+        |x AS (SELECT vec_id AS nid, label, embedding AS e FROM embeddings
+        |      WHERE vec_id >= 100),
+        |p AS (SELECT qid, nid,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS dot,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS qq,
+        |        SUM(CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS xx
+        |      FROM q, x, (SELECT unnest(range(1, 65)) AS i)
+        |      GROUP BY qid, nid),
+        |r AS (SELECT qid, nid, row_number() OVER
+        |        (PARTITION BY qid
+        |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+        |      FROM p),
+        |v AS (SELECT r.qid, x.label, COUNT(*) AS votes
+        |      FROM r JOIN x ON r.nid = x.nid WHERE r.rn <= 5
+        |      GROUP BY r.qid, x.label),
+        |w AS (SELECT qid, label, votes, row_number() OVER
+        |        (PARTITION BY qid ORDER BY votes DESC, label) AS wr
+        |      FROM v)
+        |SELECT qid, CAST(label AS INTEGER) AS pred_label,
+        |       CAST(votes AS BIGINT) AS votes FROM w
+        |WHERE wr = 1""".stripMargin,
     // H = ln(n) - SUM(c ln c)/n; the only cross-engine difference is the
     // summation order of c*ln(c) (~1e-15), far below the 6dp compare
     "t15_unigram_entropy" ->
@@ -1794,6 +2034,15 @@ object SparkEntry {
     "q1_model_quality" ->
       s"""WITH $modelScoreCtes
          |SELECT doc_id, n_toks, score FROM qsc""".stripMargin,
+    // bins sit on the 6dp-rounded score both engines hash-match in q1,
+    // so floor(score*10) cannot straddle engines
+    "cal1_score_bins" ->
+      s"""WITH $modelScoreCtes
+         |SELECT CAST(LEAST(floor(score * 10), 9) AS INTEGER) AS bin,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+         |       ROUND(AVG(score), 6) AS mean_score
+         |FROM qsc GROUP BY 1""".stripMargin,
     "d14_dup_spans" ->
       s"""WITH $dupSpanCtes
          |SELECT doc_id, n_words, n_spans, dup_words, dup_frac

@@ -505,6 +505,58 @@ object Dedup {
       .agg(count(lit(1)).as("overlap"))
       .where(col("overlap") >= minOverlap)
 
+  /** Cross-SOURCE overlap matrix: for every pair of sources, how many
+    * distinct n-gram shingles they share — the curation diagnostic that
+    * shows which corpus components mirror/syndicate each other (and
+    * therefore double-count under a per-source mixing plan). Scale
+    * shape: the corpus-size work is one doc_id-keyed join to tag the
+    * substrate with sources and one distinct down to (source, shingle);
+    * after that the shingle self-join fans out at most
+    * |sources| choose 2 per shingle — bounded by the (tiny) source
+    * vocabulary, never by document frequency, so a boilerplate shingle
+    * in 10^6 docs still contributes exactly one unit per source pair. */
+  def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
+    val ss = shingleCache(documents, n)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+    ss.as("a")
+      .join(ss.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+  }
+
+  /** Per-document n-gram NOVELTY against a held-in reference slice — the
+    * memorization/coverage score a curation pipeline reports per candidate
+    * document: what fraction of the doc's distinct n-gram shingles never
+    * occur in the reference corpus. The split is the content-stable md5
+    * hash of `doc_id` (`Sampling.fractionThreshold` semantics), so
+    * reference membership is a scan-level predicate on the persisted
+    * shingle substrate — proportional at every corpus size, no id-range
+    * assumptions, zero extra joins to tag rows.
+    *
+    * Scale shape: both sides are filters of ONE shingleCache pass; the
+    * only wide ops are the reference `distinct` and the eval-to-reference
+    * left join, both shuffled on the (xxhash64) shingle key. Counters stay
+    * integer; `novelty` is the one derived double, rounded to 6dp. */
+  def ngramNovelty(documents: DataFrame, refFraction: Double = 0.8,
+      n: Int = 3): DataFrame = {
+    val isRef =
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8) <
+        lit(graft.ops.Sampling.fractionThreshold(refFraction))
+    val sh = shingleCache(documents, n).withColumn("is_ref", isRef)
+    val ref = sh.where(col("is_ref")).select(col("shingle")).distinct()
+    sh.where(!col("is_ref"))
+      .join(ref.withColumn("hit", lit(1L)), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen") / col("n_shingles"), 6))
+  }
+
   /** Connected components over the near-dup pair graph: min-label
     * propagation WITH pointer jumping until fixpoint (transitive closure of
     * "is a near-dup of"). Each doc ends with cluster_id = smallest doc_id
@@ -524,6 +576,29 @@ object Dedup {
       threshold: Double = 0.5, maxIter: Int = 10): DataFrame =
     clustersFromPairs(documents.select(col("doc_id")),
       jaccardPairs(documents, n, threshold), maxIter)
+
+  /** Quality-aware dedup keeper rule: within every near-dup cluster keep
+    * the HIGHEST-quality document (model score, ties to the smaller
+    * doc_id) instead of d6's smallest-id convention — the curation
+    * policy production dedup actually wants ("of these 40 mirrors, keep
+    * the cleanest"). Composes the d7 cluster assignment with the q1
+    * score; both windows share one cluster_id-keyed shuffle. Output is
+    * one row per cluster: keeper, member count, and the 6dp score the
+    * keeper won with (exact across engines — the score is the value q1
+    * already hash-matches). */
+  def bestOfCluster(documents: DataFrame): DataFrame = {
+    val clusters = dupClusters(documents)
+    val scores = TextAnalysis.modelQualityScore(documents)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    val j = clusters.join(scores, "doc_id")
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+    j.where(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_doc"),
+        col("n_members"), col("score").as("best_score"))
+  }
 
   /** Connected components over an explicit (doc1, doc2) pair frame —
     * `dupClusters` with the candidate generator factored out, so any

@@ -182,4 +182,127 @@ object Sampling {
           .as("start_offset"))
       .withColumn("chunk_id", floor(col("start_offset") / seqLen))
   }
+
+  /** Per-group fixed-size cap: keep the first `n` rows of every group
+    * under `order` — ONE op with two pipeline contracts. Ordered by the
+    * content hash it is an unbiased fixed-size per-stratum sample (eval
+    * sets: "exactly 50 docs per language"); ordered by a quality column
+    * it is the CCNet-style domain cap ("at most N docs per source, best
+    * first"), the standard defense against one domain dominating a
+    * training mix. The window is PARTITIONED by the group key — fully
+    * parallel, no global sort; skew is bounded by the largest group,
+    * which is exactly the thing this op caps. Emits `grp_rank` (1-based
+    * within-group rank) alongside the input row. */
+  def perGroupCap(df: DataFrame, groupCol: String, order: Seq[Column],
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("grp_rank", row_number().over(w))
+      .where(col("grp_rank") <= n)
+  }
+
+  /** Deterministic global shuffle: every row's 0-based ordinal position
+    * under the content-hash order — the reproducible "shuffled corpus"
+    * a dataloader reads sequentially (position k = k-th doc of the
+    * shuffled epoch). Same two-phase rank as `tokenOffsets`: row_number
+    * within 256 uniform hash buckets + broadcast exclusive bucket-count
+    * offsets — no single-partition window, stable under repartitioning,
+    * and composable with `packedSequences` for a shuffled packing. */
+  def shufflePositions(df: DataFrame, keyCol: String): DataFrame = {
+    val n = df.select(col(keyCol), hashPrefix(keyCol).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+      .localCheckpoint()
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("h"), col(keyCol))
+    val local = n.withColumn("pos_in", row_number().over(wIn))
+    val totals = n.groupBy(col("bkt")).agg(count(lit(1)).as("bc"))
+      .localCheckpoint() // 256 rows — materialized for the self-join
+    val offs = exclusiveOffsets(totals, "bkt", "bc", "bkt_off")
+    local.join(broadcast(offs), "bkt")
+      .select(col(keyCol),
+        (col("pos_in") + col("bkt_off") - 1).as("position"))
+  }
+
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row draws u from a content-stable integer hash
+    * of its key and ranks by ln(u)/w — the top `n` keys are an exact
+    * weight-proportional sample. With w = token/char count this is
+    * token-uniform document sampling (every token equally likely to be
+    * covered), the mix a scaling-law ablation wants. The key hash is the
+    * Knuth multiplicative scramble (pure 64-bit integer arithmetic, so
+    * any engine reproduces it bit-exactly; swap in the md5 path for
+    * adversarial keys). Selection is `orderBy.limit` = distributed
+    * top-n (TakeOrdered): per-partition heaps, no global sort, no
+    * single-partition window. Zero/negative weights are excluded (their
+    * inclusion probability is 0). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    // pmod, not %: a negative key under % would feed log() a negative u
+    // (NaN — which a descending sort ranks FIRST, i.e. always selected).
+    // For non-negative keys — the oracle's documented domain — pmod == %.
+    val h = pmod(col(keyCol).cast("long") * lit(2654435761L),
+      lit(4294967296L))
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.where(col(weightCol) > 0)
+      .withColumn("es_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(n)
+      .drop("es_key")
+  }
+
+  /** Temperature-rebalanced corpus sampling (the T5/mC4 mixing rule):
+    * stratum s is sampled at a rate making its expected share proportional
+    * to n_s^alpha — alpha < 1 UPWEIGHTS small sources relative to their
+    * natural share, the standard fix for head-domain dominance. Unlike
+    * `stratifiedSample` (rates given) the rates are DERIVED from corpus
+    * statistics in the same plan: rate_s = min(1, targetFrac * N *
+    * n_s^(alpha-1) / sum_t n_t^alpha), so the op is the full two-pass
+    * shape — a count pass whose tiny per-stratum result broadcasts back
+    * as hash thresholds onto the scan filter. Selection stays the
+    * content-stable md5 rule, so the mix composes with every other
+    * sampling op and is reproducible across runs and cluster layouts. */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+      alpha: Double, targetFrac: Double): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("double").as("n_s"))
+    val z = counts.agg(sum(pow(col("n_s"), alpha)).as("z"),
+      sum(col("n_s")).as("n_tot"))
+    val thr = counts.crossJoin(broadcast(z))
+      .select(col(stratumCol),
+        least(lit(1.0),
+          lit(targetFrac) * col("n_tot") * pow(col("n_s"), alpha - 1) /
+            col("z")).as("rate"))
+      .select(col(stratumCol),
+        lpad(lower(hex(least(floor(col("rate") * 4294967296.0)
+          .cast("long"), lit(4294967295L)))), 8, "0").as("thr"))
+    df.join(broadcast(thr), stratumCol)
+      .where(hashPrefix(keyCol) < col("thr"))
+  }
+
+  /** Packed-sequence manifest: the per-SEQUENCE view of `tokenOffsets` —
+    * for every fixed-length training sequence, how many documents overlap
+    * it, which documents bound it, and how many of its token slots are
+    * filled (== seqLen everywhere except the ragged tail). This is the
+    * packer's output contract a dataloader consumes: seq s holds tokens
+    * [s*L, (s+1)*L) of the doc_id-ordered concatenated corpus.
+    *
+    * Scale shape: reuses the two-phase prefix sum of `tokenOffsets` (no
+    * single-partition window), then each doc explodes to the sequences it
+    * overlaps — the fan-out is ceil(n_tok/L)+1 per doc, i.e. ~1 unless a
+    * document is longer than a whole sequence — and one groupBy(seq_id)
+    * shuffle aggregates the manifest. Overlap arithmetic stays in longs. */
+  def packedSequences(documents: DataFrame, seqLen: Int): DataFrame = {
+    val off = tokenOffsets(documents, seqLen)
+    val end = col("start_offset") + col("n_tok") // exclusive token end
+    off
+      .withColumn("seq_id",
+        explode(sequence(col("chunk_id"), floor((end - 1) / seqLen))))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(
+          least(lit(seqLen.toLong) * (col("seq_id") + 1), end) -
+            greatest(lit(seqLen.toLong) * col("seq_id"),
+              col("start_offset"))).as("n_tokens"))
+  }
 }

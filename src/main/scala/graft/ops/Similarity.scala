@@ -124,6 +124,60 @@ object Similarity {
     rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"))
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the top-k
+    * most-similar vectors whose LABEL DIFFERS from the query's — the pairs
+    * a contrastive trainer wants as negatives precisely because they are
+    * hard (high cosine, wrong class). Exact by construction (same
+    * brute-force scan shape as `bruteForceTopK`, label predicate applied
+    * at pairing time, so the top-k is over the true negative set rather
+    * than a post-filtered top-k'). Ties and NaN handling follow
+    * `rankTopK`. At scale the same LSH blocking as `knnGraphBlocked`
+    * applies — this exact form is the oracle anchor. */
+  def hardNegatives(embeddings: DataFrame, numQueries: Int,
+      k: Int): DataFrame = {
+    val base = withNorm(embeddings)
+    val q = base.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("label").as("q_lbl"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val pairs = base
+      .select(col("vec_id").as("nid"), col("label").as("n_lbl"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+      .join(broadcast(q),
+        col("qid") =!= col("nid") && col("q_lbl") =!= col("n_lbl"))
+    rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"))
+  }
+
+  /** kNN majority-vote classification: label each query (`vec_id <
+    * numQueries`) by the most frequent label among its k nearest
+    * neighbors in the REST of the corpus (`vec_id >= numQueries` — a
+    * clean train/eval split, no self-matches possible). Vote ties break
+    * toward the smaller label; neighbor-rank ties follow `rankTopK`.
+    * The vote stage runs over |Q|*k rows (tiny), so the per-query winner
+    * window costs nothing; the scan is the same broadcast-queries
+    * brute-force pass as `bruteForceTopK` and blocks the same way at
+    * scale. */
+  def knnClassify(embeddings: DataFrame, numQueries: Int,
+      k: Int): DataFrame = {
+    val base = withNorm(embeddings)
+    val q = base.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val n = base.where(col("vec_id") >= numQueries)
+      .select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"))
+    val top = rankTopK(n.crossJoin(broadcast(q)), k)
+    val labels = embeddings.select(col("vec_id").as("nid"), col("label"))
+    val votes = top.join(labels, "nid")
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("wr", row_number().over(w))
+      .where(col("wr") === 1)
+      .select(col("qid"), col("label").cast("int").as("pred_label"),
+        col("votes"))
+  }
+
   /** Exact k-nearest-neighbor GRAPH: the top-k neighbor list for EVERY
     * corpus vector, not just a query set — the substrate SemDeDup-style
     * semantic pruning and dataset-cartography curation build on. Quadratic

@@ -142,6 +142,67 @@ object Streams {
         } finally routed.unpersist()
     }
 
+  /** Streaming heavy hitters with BOUNDED state — the one-pass stream
+    * twin of `Sketches.cmsTopKeys`/`verifiedTopKeys`: each micro-batch
+    * reduces to the exact counts of its own Misra-Gries candidates
+    * (<= m rows however large the batch), which merge into a persisted
+    * summary table via the mergeable-MG rule (Agarwal et al. 2012: sum
+    * counters, then subtract the (m+1)-th largest and drop the
+    * non-positive). The state NEVER exceeds `m` keys no matter how
+    * unbounded the stream's key universe is, and every stored count
+    * undercounts its true frequency by at most N/(m+1) — so any key
+    * with true share above that floor is guaranteed present, the same
+    * completeness contract the batch operator documents. The merge
+    * itself touches <= 2m rows (driver-scale by construction — this is
+    * the rare case where a collect IS the scale design, because MG's
+    * whole point is an O(m) summary). */
+  def heavyHittersSink(keys: DataFrame, stateDir: String,
+      m: Int = 256): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    keys.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val keyCol = batch.columns.head
+        // bounded batch summary: exact batch counts of the batch's own
+        // MG candidate set (semi-join against <= partitions x m keys)
+        val cand = graft.ops.Sketches.mgCandidates(batch, keyCol, m)
+          .select(col(keyCol).cast("string").as("key")).distinct()
+        val bcounts = batch.select(col(keyCol).cast("string").as("key"))
+          .join(broadcast(cand), Seq("key"), "left_semi")
+          .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = statePath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val existing: Array[(String, Long)] =
+          if (fs.exists(statePath))
+            spark.read.parquet(stateDir).collect()
+              .map(r => r.getString(0) -> r.getLong(1))
+          else Array.empty
+        // mergeable-MG combine over <= 2m entries
+        val summed = scala.collection.mutable.HashMap[String, Long]()
+        (existing ++ bcounts).foreach { case (k, c) =>
+          summed(k) = summed.getOrElse(k, 0L) + c
+        }
+        val merged =
+          if (summed.size <= m) summed.toArray
+          else {
+            val cut = summed.values.toArray.sorted(
+              Ordering[Long].reverse).apply(m) // (m+1)-th largest
+            summed.iterator.map { case (k, c) => k -> (c - cut) }
+              .filter(_._2 > 0L).toArray
+          }
+        import spark.implicits._
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "_tmp")
+        merged.toSeq.toDF("key", "cnt")
+          .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+        val bak = new org.apache.hadoop.fs.Path(stateDir + "_old")
+        if (fs.exists(bak)) fs.delete(bak, true)
+        if (fs.exists(statePath)) fs.rename(statePath, bak)
+        fs.rename(tmp, statePath)
+        fs.delete(bak, true)
+        ()
+    }
+
   /** S6/S8 — keyed upsert sink via foreachBatch merge: last-write-wins into
     * a keyed parquet table (the upsert-kafka / HBase-put analogue).
     * `deleteWhen` marks tombstones (the reference's CDC type=delete path,

@@ -431,6 +431,209 @@ class OpsSpec extends GraftSuite {
     assert(byS("train") > byS("val") && byS("train") > byS("test"))
   }
 
+  test("pack1 packed sequences: hand-computed manifest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), // 3 tokens, stream [0,3)
+      (2L, "d e f g h"), // 5 tokens, [3,8)
+      (3L, "i j k l")) // 4 tokens, [8,12)
+      .toDF("doc_id", "text")
+    val got = Sampling.packedSequences(docs, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      (0L, 2L, 1L, 2L, 4L), // seq0: all of doc1 + 1 slot of doc2
+      (1L, 1L, 2L, 2L, 4L), // seq1: doc2 alone
+      (2L, 1L, 3L, 3L, 4L))) // seq2: doc3 fills it exactly
+    // a doc longer than a whole sequence spans several manifest rows
+    val long = Seq((7L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = Sampling.packedSequences(long, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(spans == Set((0L, 1L, 4L), (1L, 1L, 4L), (2L, 1L, 2L)))
+  }
+
+  test("pack1 packed sequences: slots full, token stream conserved") {
+    val docs = Tables.load(spark, sf, "documents")
+    val seqs = Sampling.packedSequences(docs, 2048).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val total = docs
+      .select(sum(size(split(col("text"), "\\s+"))).cast("long"))
+      .head.getLong(0)
+    assert(seqs.values.sum == total) // no token lost or double-counted
+    val tail = seqs.keys.max
+    seqs.foreach { case (sid, n) =>
+      if (sid != tail) assert(n == 2048L) else assert(n <= 2048L)
+    }
+  }
+
+  test("smp8/cur1 per-group cap: exact size, order, rank semantics") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 30L), (2L, "a", 50L), (3L, "a", 50L), (4L, "a", 10L),
+      (5L, "b", 99L)) // group below the cap survives whole
+      .toDF("doc_id", "source", "n_chars")
+    val got = Sampling.perGroupCap(rows, "source",
+      Seq(col("n_chars").desc, col("doc_id")), 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+      .toSet
+    // group a: 50s first, doc_id breaks the tie; 30 and 10 are cut
+    assert(got == Set((2L, "a", 1), (3L, "a", 2), (5L, "b", 1)))
+    // hash-ordered contract: exactly min(cap, group size) per group and
+    // stable across runs
+    val docs = Tables.load(spark, sf, "documents")
+    val capped = Sampling.perGroupCap(docs, "lang",
+      Seq(Sampling.contentHash("doc_id"), col("doc_id")), 50)
+    val sizes = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (l, n) => assert(sizes(l) == math.min(50L, n)) }
+    assert(capped.collect().map(_.getLong(0)).sorted.toSeq ==
+      Sampling.perGroupCap(docs, "lang",
+        Seq(Sampling.contentHash("doc_id"), col("doc_id")), 50)
+        .collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("smp9 shuffle positions: a permutation matching the window form") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pos = Sampling.shufflePositions(docs, "doc_id")
+    val got = pos.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // 0..n-1, each exactly once
+    assert(got.map(_._2).sorted.toSeq == (0L until got.length).toSeq)
+    // equals the single-window formulation (the oracle's shape)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      Sampling.contentHash("doc_id"), col("doc_id"))
+    val ref = docs
+      .select(col("doc_id"),
+        (row_number().over(w) - 1).cast("long").as("position"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, p) => assert(ref(id) == p) }
+  }
+
+  test("es1 weighted sample: deterministic, weight-proportional, " +
+    "zero-weight excluded") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i =>
+      (i, if (i <= 100) 10000L else 1L)).toDF("doc_id", "w")
+    val s1 = Sampling.weightedSample(rows, "doc_id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.weightedSample(rows, "doc_id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.size == 50) // reproducible, exact size
+    // 10000x weight dominates: essentially the whole sample is heavy
+    assert(s1.count(_ <= 100L) >= 45)
+    // zero and negative weights can never be drawn
+    val z = (1L to 5L).map(i => (i, if (i <= 3) 0L else 7L))
+      .toDF("doc_id", "w")
+    val zs = Sampling.weightedSample(z, "doc_id", "w", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(zs == Set(4L, 5L))
+  }
+
+  test("cur2 best-of-cluster: argmax keeper laws vs the component ops") {
+    val clusters = Dedup.dupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val scores = TextAnalysis.modelQualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val got = Dedup.bestOfCluster(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // one row per cluster; members account for the whole corpus
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.map(_._1).toSet == clusters.map(_._2).toSet)
+    assert(got.map(_._3).sum == docs.count())
+    val byCluster = clusters.groupBy(_._2)
+    got.foreach { case (cid, keeper, nm, best) =>
+      val members = byCluster(cid).map(_._1)
+      assert(members.contains(keeper), s"keeper $keeper not in $cid")
+      assert(nm == members.length.toLong)
+      // the keeper's score is the cluster max, ties to the smaller id
+      val maxScore = members.map(scores).max
+      assert(best == maxScore)
+      assert(keeper == members.filter(m => scores(m) == maxScore).min)
+    }
+  }
+
+  test("xsrc1 source overlap: planted shared shingle, df-independent") {
+    import spark.implicits._
+    val docs = (Seq(
+      (1L, "one two three four", "A"),
+      (2L, "one two three zzz", "B"),
+      (3L, "qq ww ee", "C")) ++
+      // df inflation attempt: many more A-docs with the shared shingle
+      (10L to 14L).map(i => (i, "one two three four", "A")))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs, 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // A and B share exactly ONE distinct shingle ("one two three") no
+    // matter how many A-docs carry it; C shares nothing
+    assert(got == Map(("A", "B") -> 1L))
+  }
+
+  test("mix2 temperature mix: alpha=1 is uniform, alpha<1 upweights " +
+    "small sources") {
+    import spark.implicits._
+    // alpha = 1 degenerates to plain uniform sampling at targetFrac:
+    // same rate for every source == deterministicSample's threshold
+    val corpus = Tables.load(spark, sf, "documents")
+    val viaMix = Sampling.temperatureMix(corpus, "doc_id", "source",
+      1.0, 0.25).select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaUniform = Sampling.deterministicSample(corpus, "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaMix == viaUniform && viaMix.nonEmpty)
+    // skewed corpus: 1000 big-source docs vs 10 small-source docs;
+    // alpha=0.5 drives the small source's rate to the cap (all kept)
+    // while the big source samples well below it
+    val skew = ((1L to 1000L).map(i => (i, "big")) ++
+      (2001L to 2010L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val got = Sampling.temperatureMix(skew, "doc_id", "source", 0.5, 0.3)
+      .select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val nSmall = got.count(_._2 == "small")
+    val nBig = got.count(_._2 == "big")
+    assert(nSmall == 10, s"small source must be fully kept, got $nSmall")
+    // expected ~275 of 1000; generous band for hash variance
+    assert(nBig > 180 && nBig < 380, s"big-source sample out of band: $nBig")
+    // reproducible
+    val again = Sampling.temperatureMix(skew, "doc_id", "source", 0.5, 0.3)
+      .select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("nov1 ngram novelty: planted duplicate and unique eval docs") {
+    import spark.implicits._
+    def hp(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val ids = (1L to 60L).toSeq
+    val evalIds = ids.filter(hp(_) >= "cccccccc") // the 20% held-out slice
+    val refIds = ids.filter(hp(_) < "cccccccc")
+    assert(evalIds.size >= 2 && refIds.nonEmpty) // fixture sanity
+    val uniq = evalIds.head
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = ids.map(i =>
+      (i, if (i == uniq) "qqq www eee rrr ttt yyy" else shared))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs, 0.8, 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // only held-out docs are scored
+    assert(got.keySet == evalIds.toSet)
+    // duplicated eval text: every shingle seen in the reference slice
+    evalIds.filterNot(_ == uniq).foreach { i =>
+      val (n, seen, nov) = got(i)
+      assert(n == seen && nov == 0.0)
+    }
+    // unique eval text: nothing seen, fully novel
+    val (nU, seenU, novU) = got(uniq)
+    assert(nU > 0 && seenU == 0L && novU == 1.0)
+    // with an empty reference slice everything is novel
+    val none = Dedup.ngramNovelty(docs, 0.0, 3).collect()
+    assert(none.length == ids.size && none.forall(_.getDouble(3) == 1.0))
+  }
+
   test("smp token offsets form a contiguous stream in doc order") {
     val docs = Tables.load(spark, sf, "documents")
     val rows = Sampling.tokenOffsets(docs, 4096)

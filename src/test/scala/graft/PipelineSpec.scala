@@ -139,6 +139,53 @@ class PipelineSpec extends GraftSuite {
       !graph.exists(_.getLong(2) == 2L))
   }
 
+  test("hn1 hard negatives: cross-label top-k, same-label excluded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.9f, 0.1f), 0), // nearest overall — but same label
+      (2L, Array(1f, 0.01f), 1), // nearest cross-label
+      (3L, Array(0f, 1f), 1)) // orthogonal cross-label
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // q0's negatives are ranked among label!=0 only: id2 then id3;
+    // id1 (cos 0.994, label 0) never appears
+    assert(got.toSeq == Seq((0L, 1, 2L), (0L, 2, 3L)))
+  }
+
+  test("knn2 classification: majority vote, hand-computed") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 99), // query — own label must not matter
+      (1L, Array(0f, 1f), 99), // query
+      (2L, Array(1f, 0f), 7),
+      (3L, Array(0.9f, 0.1f), 7),
+      (4L, Array(0.8f, 0.2f), 3),
+      (5L, Array(0f, 1f), 3),
+      (6L, Array(0.5f, 0.5f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(vecs, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // q0 top-3 = {2, 3, 4} -> labels {7, 7, 3} -> 7 by 2 votes;
+    // q1 top-3 = {5, 6, 4} -> all 3s
+    assert(got == Set((0L, 7, 2L), (1L, 3, 3L)))
+  }
+
+  test("knn2 classification: vote tie breaks toward the smaller label") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 99),
+      (1L, Array(1f, 0f), 9), // rank-1 neighbor, label 9
+      (2L, Array(0.9f, 0.1f), 4)) // rank-2 neighbor, label 4
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(vecs, 1, 2).collect()
+    assert(got.length == 1)
+    // 1 vote each: the smaller label wins even though rank-1 carries 9
+    assert(got.head.getLong(0) == 0L && got.head.getInt(1) == 4 &&
+      got.head.getLong(2) == 1L)
+  }
+
   test("m1 features are parsed from real PNG/APNG/WAV payload bytes") {
     val media = Multimodal.toMediaTable(docs)
     val feats = Multimodal.extractFeatures(media)

@@ -200,4 +200,34 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("floatvecdot") || p.contains("FloatVecDot") ||
       !p.contains("ScalaUDF"), s"vector path should not fall back to UDF")
   }
+
+  test("es1 weighted sample is a distributed top-n (no sort, no window)") {
+    val p = plan("es1_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"E-S selection must be per-partition top-n:\n${p.take(1200)}")
+    assert(!p.contains("windowspecdefinition"), "no rank window allowed")
+  }
+
+  test("smp9/pack1 global ordinals partition their cumsum by bucket") {
+    Seq("smp9_shuffle_positions", "pack1_packed_sequences").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("hashpartitioning(bkt"),
+        s"$q must two-phase its global rank/cumsum:\n${p.take(1200)}")
+    }
+  }
+
+  test("smp8/cur1 per-group cap windows partition by the group key") {
+    assert(plan("cur1_source_cap")
+      .contains("windowspecdefinition(source"),
+      "domain cap must window per source")
+    assert(plan("smp8_fixed_stratum")
+      .contains("windowspecdefinition(lang"),
+      "stratum sample must window per lang")
+  }
+
+  test("mix2 temperature thresholds broadcast onto the scan") {
+    val p = plan("mix2_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-source threshold table must broadcast:\n${p.take(1500)}")
+  }
 }

@@ -77,6 +77,25 @@ class ScaleSpec extends GraftSuite {
     assert(sec < 120.0)
   }
 
+  test("pack1/smp9 global ordinals on 1M docs: exact closed forms") {
+    // 1M one-line docs, 4 tokens each -> every global offset/position has
+    // a closed form; the two-phase cumsum must reproduce it exactly
+    val docs = spark.range(0, 1000000).select(
+      col("id").as("doc_id"), lit("a b c d").as("text"))
+    val t0 = System.nanoTime()
+    val seqs = ops.Sampling.packedSequences(docs, 4096).collect()
+    info(f"1M-doc packing took ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // 4M tokens / 4096 = exactly 976.5625 -> 977 sequences, tail 2304
+    assert(seqs.length == 977)
+    assert(seqs.map(r => r.getLong(4)).sum == 4000000L)
+    val pos = ops.Sampling.shufflePositions(docs, "doc_id")
+    // permutation law at scale: positions are exactly 0..n-1 once
+    val stats = pos.agg(count(lit(1)), min(col("position")),
+      max(col("position")), countDistinct(col("position"))).head
+    assert(stats.getLong(0) == 1000000L && stats.getLong(1) == 0L &&
+      stats.getLong(2) == 999999L && stats.getLong(3) == 1000000L)
+  }
+
   test("ml1 kmeans on 50k x 16-dim vectors stays bounded and total") {
     val emb = spark.range(0, 50000).select(
       col("id").as("vec_id"),

@@ -246,6 +246,40 @@ class StreamingSpec extends GraftSuite {
     assert(counts("2024-01-01 00:00:00") == 2L)
   }
 
+  test("streaming heavy hitters: bounded MG state, exact-top-k parity " +
+    "on a skewed stream") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft_hh").toString + "/hh"
+    val ms = MemoryStream[String](41, spark, None)
+    val q = Streams.heavyHittersSink(ms.toDF(), state, m = 64).start()
+    val all = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until 3).foreach { b =>
+      // Zipf head (k1..k40, counts 800/i) + a 500-key unique flood that
+      // would blow up any per-key state but must NOT blow up MG state
+      val words = (1 to 40).flatMap(i => Seq.fill(800 / i)(s"k$i")) ++
+        (1 to 500).map(j => s"u${b}_$j")
+      all ++= words
+      ms.addData(words)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val st = spark.read.parquet(state).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st.size <= 64, s"state must stay bounded, got ${st.size}")
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.size.toLong
+    // MG contract: stored counts undercount by at most N/(m+1)
+    st.foreach { case (k, c) =>
+      assert(c <= exact(k), s"$k overcounted: $c > ${exact(k)}")
+      assert(exact(k) - c <= n / 65 + 1,
+        s"$k undercount beyond the MG bound")
+    }
+    // the Zipf head survives the unique flood: stored top-10 == exact
+    def top10(m: Map[String, Long]) =
+      m.toSeq.sortBy { case (k, c) => (-c, k) }.take(10).map(_._1).toSet
+    assert(top10(st) == top10(exact))
+  }
+
   test("E3 DimApp pipeline: CDC stream -> config prune -> keyed dim upsert") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_dim").toString + "/dim"
