@@ -1897,8 +1897,8 @@ object SparkEntry {
     // key; the hash is pure int64 arithmetic so both engines agree
     "es1_weighted_sample" ->
       """WITH k AS (SELECT doc_id, n_chars,
-        |    ln((((doc_id * 2654435761) % 4294967296) + 0.5)
-        |        / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es_key
+        |    ln(((((doc_id % 2147483648) * 2654435761) % 4294967296)
+        |        + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es_key
         |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars FROM k
         |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,

@@ -543,9 +543,8 @@ object Dedup {
     * integer; `novelty` is the one derived double, rounded to 6dp. */
   def ngramNovelty(documents: DataFrame, refFraction: Double = 0.8,
       n: Int = 3): DataFrame = {
-    val isRef =
-      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8) <
-        lit(graft.ops.Sampling.fractionThreshold(refFraction))
+    val isRef = graft.ops.Sampling.contentHash("doc_id") <
+      lit(graft.ops.Sampling.fractionThreshold(refFraction))
     val sh = shingleCache(documents, n).withColumn("is_ref", isRef)
     val ref = sh.where(col("is_ref")).select(col("shingle")).distinct()
     sh.where(!col("is_ref"))

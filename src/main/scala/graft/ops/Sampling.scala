@@ -235,11 +235,15 @@ object Sampling {
     * inclusion probability is 0). */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       n: Int): DataFrame = {
-    // pmod, not %: a negative key under % would feed log() a negative u
-    // (NaN — which a descending sort ranks FIRST, i.e. always selected).
-    // For non-negative keys — the oracle's documented domain — pmod == %.
-    val h = pmod(col(keyCol).cast("long") * lit(2654435761L),
-      lit(4294967296L))
+    // The key reduces below 2^31 BEFORE the Knuth multiply so the product
+    // stays under 2^63 in every engine (a raw key above ~3.47e9 would
+    // silently wrap in Spark but range-error in engines with checked
+    // int64 math). pmod, not %: a negative key under % would feed log()
+    // a negative u (NaN — which a descending sort ranks FIRST, i.e.
+    // always selected). For keys in [0, 2^31) the two-step form equals
+    // the plain product mod 2^32.
+    val h = pmod(pmod(col(keyCol).cast("long"), lit(2147483648L)) *
+      lit(2654435761L), lit(4294967296L))
     val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
     df.where(col(weightCol) > 0)
       .withColumn("es_key", log(u) / col(weightCol).cast("double"))

@@ -142,66 +142,112 @@ object Streams {
         } finally routed.unpersist()
     }
 
+  /** Write `df` to `targetDir` via a tmp-dir + rename swap: the write
+    * materializes into `targetDir + "_tmp"` (which also forces any read
+    * of the CURRENT target inside `df`'s plan to complete first), the
+    * previous generation moves to `targetDir + "_old"`, and the tmp dir
+    * renames into place. Metadata-only ops on a local/HDFS-like fs, so
+    * the absent-target window is tiny; callers that must survive a crash
+    * INSIDE that window recover by falling back to the `_old` dir (see
+    * `readStateWithRecovery`). A real deployment would use a table
+    * format's atomic commit; this is the closest a bare dir gets. */
+  private def swapIntoPlace(df: DataFrame, targetDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(targetDir).getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val tmp = new org.apache.hadoop.fs.Path(targetDir + "_tmp")
+    val bak = new org.apache.hadoop.fs.Path(targetDir + "_old")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(target)) fs.rename(target, bak)
+    fs.rename(tmp, target)
+    fs.delete(bak, true)
+  }
+
+  /** Read a swap-managed state dir, recovering from the `_old` backup if
+    * a crash landed between the two renames of `swapIntoPlace` (target
+    * absent, backup present) — state history survives the swap window. */
+  private def readStateWithRecovery(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val target = new org.apache.hadoop.fs.Path(stateDir)
+    val bak = new org.apache.hadoop.fs.Path(stateDir + "_old")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target) && fs.exists(bak)) fs.rename(bak, target)
+    if (fs.exists(target)) Some(spark.read.parquet(stateDir)) else None
+  }
+
   /** Streaming heavy hitters with BOUNDED state — the one-pass stream
     * twin of `Sketches.cmsTopKeys`/`verifiedTopKeys`: each micro-batch
-    * reduces to the exact counts of its own Misra-Gries candidates
-    * (<= m rows however large the batch), which merge into a persisted
-    * summary table via the mergeable-MG rule (Agarwal et al. 2012: sum
-    * counters, then subtract the (m+1)-th largest and drop the
+    * reduces to the exact counts of its own Misra-Gries candidate union
+    * (<= partitions x m rows however large the batch), which merge into
+    * a persisted summary table via the mergeable-MG rule (Agarwal et al.
+    * 2012: sum counters, then subtract the (m+1)-th largest and drop the
     * non-positive). The state NEVER exceeds `m` keys no matter how
     * unbounded the stream's key universe is, and every stored count
     * undercounts its true frequency by at most N/(m+1) — so any key
     * with true share above that floor is guaranteed present, the same
-    * completeness contract the batch operator documents. The merge
-    * itself touches <= 2m rows (driver-scale by construction — this is
-    * the rare case where a collect IS the scale design, because MG's
-    * whole point is an O(m) summary). */
+    * completeness contract the batch operator documents. The driver-side
+    * combine touches <= (partitions + 1) x m entries — bounded by
+    * CONFIG, not data, which is why the collect IS the scale design
+    * (MG's whole point is an O(m)-per-summary sketch); size m against
+    * the batch partition count accordingly.
+    *
+    * Replay-safe: foreachBatch is at-least-once, and an additive merge
+    * is NOT naturally idempotent (a replayed batch would double-count,
+    * breaking the undercount-only contract), so the state records the
+    * last applied batchId and a replay of it becomes a no-op. A crash
+    * between the state-swap renames recovers from the `_old` generation
+    * (`readStateWithRecovery`). */
   def heavyHittersSink(keys: DataFrame, stateDir: String,
       m: Int = 256): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     keys.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val keyCol = batch.columns.head
-        // bounded batch summary: exact batch counts of the batch's own
-        // MG candidate set (semi-join against <= partitions x m keys)
-        val cand = graft.ops.Sketches.mgCandidates(batch, keyCol, m)
-          .select(col(keyCol).cast("string").as("key")).distinct()
-        val bcounts = batch.select(col(keyCol).cast("string").as("key"))
-          .join(broadcast(cand), Seq("key"), "left_semi")
-          .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
-          .collect().map(r => r.getString(0) -> r.getLong(1))
-        val statePath = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = statePath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val existing: Array[(String, Long)] =
-          if (fs.exists(statePath))
-            spark.read.parquet(stateDir).collect()
-              .map(r => r.getString(0) -> r.getLong(1))
-          else Array.empty
-        // mergeable-MG combine over <= 2m entries
-        val summed = scala.collection.mutable.HashMap[String, Long]()
-        (existing ++ bcounts).foreach { case (k, c) =>
-          summed(k) = summed.getOrElse(k, 0L) + c
-        }
-        val merged =
-          if (summed.size <= m) summed.toArray
-          else {
-            val cut = summed.values.toArray.sorted(
-              Ordering[Long].reverse).apply(m) // (m+1)-th largest
-            summed.iterator.map { case (k, c) => k -> (c - cut) }
-              .filter(_._2 > 0L).toArray
-          }
-        import spark.implicits._
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "_tmp")
-        merged.toSeq.toDF("key", "cnt")
-          .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-        val bak = new org.apache.hadoop.fs.Path(stateDir + "_old")
-        if (fs.exists(bak)) fs.delete(bak, true)
-        if (fs.exists(statePath)) fs.rename(statePath, bak)
-        fs.rename(tmp, statePath)
-        fs.delete(bak, true)
-        ()
+        mergeHeavyHitters(batch, batchId, stateDir, m)
     }
+
+  /** The per-batch body of `heavyHittersSink`, package-visible so the
+    * replay guard and swap-window recovery are directly testable. */
+  private[graft] def mergeHeavyHitters(batch: DataFrame, batchId: Long,
+      stateDir: String, m: Int): Unit = {
+    val spark = batch.sparkSession
+    val keyCol = batch.columns.head
+    val state = readStateWithRecovery(spark, stateDir)
+    val lastBid = state.map(
+      _.agg(max(col("bid"))).head.getLong(0)).getOrElse(-1L)
+    if (batchId > lastBid) { // at-least-once replay -> no-op
+      // bounded batch summary: exact batch counts of the batch's own
+      // MG candidate union (semi-join against <= partitions x m keys)
+      val cand = graft.ops.Sketches.mgCandidates(batch, keyCol, m)
+        .select(col(keyCol).cast("string").as("key")).distinct()
+      val bcounts = batch.select(col(keyCol).cast("string").as("key"))
+        .join(broadcast(cand), Seq("key"), "left_semi")
+        .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val existing: Array[(String, Long)] = state
+        .map(_.select(col("key"), col("cnt")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)))
+        .getOrElse(Array.empty)
+      // mergeable-MG combine over <= (partitions + 1) x m entries
+      val summed = scala.collection.mutable.HashMap[String, Long]()
+      (existing ++ bcounts).foreach { case (k, c) =>
+        summed(k) = summed.getOrElse(k, 0L) + c
+      }
+      val merged =
+        if (summed.size <= m) summed.toArray
+        else {
+          val cut = summed.values.toArray.sorted(
+            Ordering[Long].reverse).apply(m) // (m+1)-th largest
+          summed.iterator.map { case (k, c) => k -> (c - cut) }
+            .filter(_._2 > 0L).toArray
+        }
+      import spark.implicits._
+      swapIntoPlace(
+        merged.toSeq.map { case (k, c) => (k, c, batchId) }
+          .toDF("key", "cnt", "bid").repartition(1),
+        stateDir)
+    }
+  }
 
   /** S6/S8 — keyed upsert sink via foreachBatch merge: last-write-wins into
     * a keyed parquet table (the upsert-kafka / HBase-put analogue).
@@ -215,13 +261,10 @@ object Streams {
     updates.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val targetPath = new org.apache.hadoop.fs.Path(targetDir)
-        val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // explicit existence check — "first batch" is only the missing-dir
-        // case; genuine read corruption still surfaces as an error
-        val existing =
-          if (fs.exists(targetPath)) spark.read.parquet(targetDir)
-          else spark.emptyDataFrame
+        // missing-dir (after crash-window recovery) is the only "first
+        // batch" case; genuine read corruption still surfaces as an error
+        val existing = readStateWithRecovery(spark, targetDir)
+          .getOrElse(spark.emptyDataFrame)
         val tagged = batch.withColumn("_del",
           deleteWhen.getOrElse(lit(false)))
         val merged = {
@@ -240,19 +283,9 @@ object Streams {
             .where(col("_rn") === 1 && !col("_del"))
             .drop("_src", "_rn", "_del")
         }
-        // write the merge to a side dir (this materializes the read of the
-        // old target), then swap via renames — metadata ops on a local /
-        // HDFS-like fs, so the window where the target is absent is tiny
-        // and the previous generation survives as *_old until the swap
-        // completes. (A real deployment would use a table format's atomic
-        // commit; this is the closest a bare parquet dir gets.)
-        val tmp = new org.apache.hadoop.fs.Path(targetDir + "_tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        val bak = new org.apache.hadoop.fs.Path(targetDir + "_old")
-        if (fs.exists(bak)) fs.delete(bak, true)
-        if (fs.exists(targetPath)) fs.rename(targetPath, bak)
-        fs.rename(tmp, targetPath)
-        fs.delete(bak, true)
+        // the tmp-dir write materializes the read of the old target
+        // before the swap renames it away (see swapIntoPlace)
+        swapIntoPlace(merged, targetDir)
         ()
     }
 }

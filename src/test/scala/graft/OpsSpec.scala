@@ -529,6 +529,15 @@ class OpsSpec extends GraftSuite {
     val zs = Sampling.weightedSample(z, "doc_id", "w", 5)
       .collect().map(_.getLong(0)).toSet
     assert(zs == Set(4L, 5L))
+    // keys beyond 2^31 (a 100 TB id space) must not overflow the Knuth
+    // multiply or produce NaN keys that a desc sort would always select
+    val big = Seq((5000000000L, 5L), (4999999999L, 5L), (7L, 5L))
+      .toDF("doc_id", "w")
+    val b1 = Sampling.weightedSample(big, "doc_id", "w", 2)
+      .collect().map(_.getLong(0)).toSet
+    val b2 = Sampling.weightedSample(big, "doc_id", "w", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(b1.size == 2 && b1 == b2)
   }
 
   test("cur2 best-of-cluster: argmax keeper laws vs the component ops") {

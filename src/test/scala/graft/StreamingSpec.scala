@@ -280,6 +280,35 @@ class StreamingSpec extends GraftSuite {
     assert(top10(st) == top10(exact))
   }
 
+  test("heavy-hitters sink: batch replay is a no-op, state survives " +
+    "the swap window") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft_hh_st").toString + "/hh"
+    def st() = spark.read.parquet(state).select("key", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b0 = (1 to 30).flatMap(i => Seq.fill(300 / i)(s"k$i"))
+      .toDF("value")
+    Streams.mergeHeavyHitters(b0, 0L, state, 64)
+    val after1 = st()
+    assert(after1("k1") == 300L) // 30 keys < m: counts are exact
+    // at-least-once replay: the same batchId again (crash before the
+    // streaming commit) — the bid guard must be a no-op, not a double
+    Streams.mergeHeavyHitters(b0, 0L, state, 64)
+    assert(st() == after1, "replayed batch must not double-count")
+    // crash inside the swap window: target renamed away, _old present —
+    // the next batch must recover the accumulated counts
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(state),
+      new org.apache.hadoop.fs.Path(state + "_old"))
+    val b1 = (31 to 40).flatMap(i => Seq.fill(10)(s"k$i")).toDF("value")
+    Streams.mergeHeavyHitters(b1, 1L, state, 64)
+    val after3 = st()
+    assert(after3("k1") == 300L,
+      "pre-crash counts must survive the swap window")
+    assert(after3("k31") == 10L)
+  }
+
   test("E3 DimApp pipeline: CDC stream -> config prune -> keyed dim upsert") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_dim").toString + "/dim"
