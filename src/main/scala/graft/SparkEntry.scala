@@ -485,6 +485,18 @@ object SparkEntry {
       Pipeline.corpusReport(t(s, d, "documents"))),
     "e5_curated_corpus" -> ((s, d) =>
       Pipeline.curatedCorpus(t(s, d, "documents"))),
+    // flagship composition v3: curate (e5 predicate) then PACK the kept
+    // corpus into fixed 2048-token training sequences — the pipeline's
+    // final artifact is the dataloader manifest itself
+    "e6_packed_corpus" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = Pipeline.curatedCorpus(docs).select("doc_id")
+      Sampling.packedSequences(docs.join(kept, "doc_id"), 2048)
+    }),
+    // embedding outlier score: cosine to the label centroid (6dp-rounded
+    // centroid components, kmeansAssign determinism contract)
+    "out1_centroid_outliers" -> ((s, d) =>
+      Clustering.centroidOutliers(t(s, d, "embeddings"))),
     // ---- reproducible data selection (training-pipeline ops) ----
     "smp1_hash_sample" -> ((s, d) =>
       Sampling.deterministicSample(t(s, d, "documents"), "doc_id", 0.25)
@@ -2061,6 +2073,56 @@ object SparkEntry {
          |SELECT q.doc_id, q.n_toks, q.score, d.dup_frac
          |FROM qsc q JOIN dspan d USING (doc_id) JOIN exk USING (doc_id)
          |WHERE q.score >= 0.45 AND d.dup_frac <= 0.5""".stripMargin,
+    // e6: the e5 keep-set fed through the pack1 cumsum — the composed
+    // filter compares 6dp values both engines hash-match, and the pack
+    // arithmetic is all-integer, so the composition is oracle-exact
+    "e6_packed_corpus" ->
+      s"""WITH $modelScoreCtes,
+         |$dupSpanCtes,
+         |exk AS (SELECT doc_id FROM (
+         |          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+         |              md5(trim(regexp_replace(lower(text),
+         |                '[^a-z0-9]+', ' ', 'g')))) AS keeper
+         |          FROM documents) WHERE doc_id = keeper),
+         |kept AS (SELECT q.doc_id FROM qsc q JOIN dspan d USING (doc_id)
+         |         JOIN exk USING (doc_id)
+         |         WHERE q.score >= 0.45 AND d.dup_frac <= 0.5),
+         |pn AS (SELECT d.doc_id,
+         |         CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT)
+         |           AS n_tok
+         |       FROM documents d JOIN kept USING (doc_id)),
+         |pc AS (SELECT doc_id, n_tok,
+         |         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS BIGINT) AS s
+         |       FROM pn),
+         |pe AS (SELECT doc_id, n_tok, s,
+         |         unnest(range(s // 2048, (s + n_tok - 1) // 2048 + 1))
+         |           AS seq_id
+         |       FROM pc)
+         |SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+         |       CAST(SUM(LEAST(2048 * (seq_id + 1), s + n_tok)
+         |              - GREATEST(2048 * seq_id, s)) AS BIGINT)
+         |         AS n_tokens
+         |FROM pe GROUP BY seq_id""".stripMargin,
+    // label centroids ROUND(avg, 6) before the cosine so parallel-mean
+    // summation order cannot reach the 6dp-rounded score
+    "out1_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |comp AS (SELECT vec_id, label, i, v[i] AS x
+        |         FROM e, (SELECT unnest(range(1,
+        |           (SELECT len(v) FROM e LIMIT 1) + 1)) AS i)),
+        |cen AS (SELECT label, i, ROUND(AVG(x), 6) AS c
+        |        FROM comp GROUP BY 1, 2),
+        |agg AS (SELECT comp.vec_id, comp.label,
+        |          SUM(x * c) AS dot, SUM(x * x) AS xx, SUM(c * c) AS cc
+        |        FROM comp JOIN cen USING (label, i) GROUP BY 1, 2)
+        |SELECT vec_id, label,
+        |       ROUND(dot / (sqrt(xx) * sqrt(cc)), 6) AS centroid_cos
+        |FROM agg""".stripMargin,
     // two unrolled Lloyd rounds; centroids ROUND(mean, 6) each round on
     // both sides so parallel-sum noise cannot accumulate (Clustering.scala
     // determinism contract). The shared CTE block also powers d15.

@@ -229,4 +229,33 @@ object Clustering {
       .agg(sum((col("x") - col("m")) * (col("x") - col("m"))).as("sse"))
       .head().getDouble(0)
   }
+
+  /** Per-vector cosine to its LABEL centroid — the embedding-space
+    * outlier score curation uses to flag mislabeled/degenerate members
+    * of a class (low cosine = far from the class mean = candidate drop;
+    * the dataset-cartography-style filter when training dynamics aren't
+    * available). Determinism contract mirrors `kmeansAssign`: centroid
+    * components are ROUND(avg, 6) so the parallel mean's summation
+    * order cannot leak into the 6dp-rounded score.
+    *
+    * Scale shape: one posexplode pass (n x dims rows), a labels x dims
+    * centroid aggregate (tiny, broadcast back), one per-vector
+    * re-aggregation — the kmeansAssign scan pattern with labels as the
+    * fixed "clusters". */
+  def centroidOutliers(embeddings: DataFrame): DataFrame = {
+    val comp = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val cen = comp.groupBy(col("label"), col("i"))
+      .agg(round(avg(col("x")), 6).as("c"))
+    comp.join(broadcast(cen), Seq("label", "i"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("x") * col("c")).as("dot"),
+        sum(col("x") * col("x")).as("xx"),
+        sum(col("c") * col("c")).as("cc"))
+      .select(col("vec_id"), col("label"),
+        round(col("dot") / (sqrt(col("xx")) * sqrt(col("cc"))), 6)
+          .as("centroid_cos"))
+  }
 }

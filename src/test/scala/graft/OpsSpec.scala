@@ -540,6 +540,41 @@ class OpsSpec extends GraftSuite {
     assert(b1.size == 2 && b1 == b2)
   }
 
+  test("e6 packed corpus: conservation and full-slot laws over the " +
+    "e5 keep-set") {
+    val kept = Pipeline.curatedCorpus(docs).select("doc_id")
+    val keptTokens = docs.join(kept, "doc_id")
+      .select(sum(size(split(col("text"), "\\s+"))).cast("long"))
+      .head.getLong(0)
+    val seqs = SparkEntry.queries("e6_packed_corpus")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(seqs.values.sum == keptTokens,
+      "every kept token lands in exactly one sequence")
+    val tail = seqs.keys.max
+    seqs.foreach { case (sid, n) =>
+      if (sid != tail) assert(n == 2048L) else assert(n <= 2048L)
+    }
+  }
+
+  test("out1 centroid outliers: hand-computed cosines, outlier ordering") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0), // centroid (.5,.5)
+      (2L, Array(1f, 0f), 1), (3L, Array(1f, 0f), 1), // centroid (1,0)
+      (4L, Array(1f, 0f), 2), (5L, Array(0.9f, 0.1f), 2),
+      (6L, Array(0f, 1f), 2)) // the planted outlier of label 2
+      .toDF("vec_id", "embedding", "label")
+    val got = Clustering.centroidOutliers(vecs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // label 0: cos(v, (.5,.5)) = 1/sqrt(2) for both members
+    assert(got(0L) == 0.707107 && got(1L) == 0.707107)
+    // label 1: both vectors ARE the centroid
+    assert(got(2L) == 1.0 && got(3L) == 1.0)
+    // label 2: the orthogonal member scores far below the aligned ones
+    assert(got(6L) < got(5L) && got(6L) < got(4L))
+    assert(got(4L) > 0.8 && got(6L) < 0.6)
+  }
+
   test("cur2 best-of-cluster: argmax keeper laws vs the component ops") {
     val clusters = Dedup.dupClusters(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
