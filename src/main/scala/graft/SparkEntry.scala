@@ -723,6 +723,20 @@ object SparkEntry {
       |           AS cluster_id
       |       FROM documents d LEFT JOIN comp c USING (doc_id))""".stripMargin
 
+  /** Shared CTE block for the e5/e6 oracles (compose after
+    * `modelScoreCtes` and `dupSpanCtes`): the exact-dup keeper window
+    * plus the curation predicate, ending in `kept(doc_id)` — mirrors
+    * `Pipeline.curatedCorpus` at minScore 0.45 / maxDupFrac 0.5. */
+  private val curationKeepCtes: String =
+    """exk AS (SELECT doc_id FROM (
+      |          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+      |              md5(trim(regexp_replace(lower(text),
+      |                '[^a-z0-9]+', ' ', 'g')))) AS keeper
+      |          FROM documents) WHERE doc_id = keeper),
+      |kept AS (SELECT q.doc_id FROM qsc q JOIN dspan d USING (doc_id)
+      |         JOIN exk USING (doc_id)
+      |         WHERE q.score >= 0.45 AND d.dup_frac <= 0.5)""".stripMargin
+
   def oracleSql: Map[String, String] = ListMap(
     "p1_parse_validate" ->
       """SELECT event_id, user_id, event_type,
@@ -2065,28 +2079,17 @@ object SparkEntry {
     "e5_curated_corpus" ->
       s"""WITH $modelScoreCtes,
          |$dupSpanCtes,
-         |exk AS (SELECT doc_id FROM (
-         |          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
-         |              md5(trim(regexp_replace(lower(text),
-         |                '[^a-z0-9]+', ' ', 'g')))) AS keeper
-         |          FROM documents) WHERE doc_id = keeper)
+         |$curationKeepCtes
          |SELECT q.doc_id, q.n_toks, q.score, d.dup_frac
-         |FROM qsc q JOIN dspan d USING (doc_id) JOIN exk USING (doc_id)
-         |WHERE q.score >= 0.45 AND d.dup_frac <= 0.5""".stripMargin,
+         |FROM qsc q JOIN dspan d USING (doc_id)
+         |JOIN kept USING (doc_id)""".stripMargin,
     // e6: the e5 keep-set fed through the pack1 cumsum — the composed
     // filter compares 6dp values both engines hash-match, and the pack
     // arithmetic is all-integer, so the composition is oracle-exact
     "e6_packed_corpus" ->
       s"""WITH $modelScoreCtes,
          |$dupSpanCtes,
-         |exk AS (SELECT doc_id FROM (
-         |          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
-         |              md5(trim(regexp_replace(lower(text),
-         |                '[^a-z0-9]+', ' ', 'g')))) AS keeper
-         |          FROM documents) WHERE doc_id = keeper),
-         |kept AS (SELECT q.doc_id FROM qsc q JOIN dspan d USING (doc_id)
-         |         JOIN exk USING (doc_id)
-         |         WHERE q.score >= 0.45 AND d.dup_frac <= 0.5),
+         |$curationKeepCtes,
          |pn AS (SELECT d.doc_id,
          |         CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT)
          |           AS n_tok

@@ -247,6 +247,7 @@ object Clustering {
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("i", "x")))
       .withColumn("x", col("x").cast("double"))
+      .localCheckpoint() // feeds the centroid agg AND the distance join
     val cen = comp.groupBy(col("label"), col("i"))
       .agg(round(avg(col("x")), 6).as("c"))
     comp.join(broadcast(cen), Seq("label", "i"))

@@ -159,8 +159,13 @@ object Streams {
     val bak = new org.apache.hadoop.fs.Path(targetDir + "_old")
     df.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(target)) fs.rename(target, bak)
-    fs.rename(tmp, target)
+    // Hadoop rename returns false instead of throwing on many failures;
+    // an unchecked false here followed by the bak delete would destroy
+    // the ONLY remaining copy — fail loudly and keep the backup instead
+    if (fs.exists(target))
+      require(fs.rename(target, bak), s"rename $target -> $bak failed")
+    require(fs.rename(tmp, target),
+      s"rename $tmp -> $target failed; previous state preserved at $bak")
     fs.delete(bak, true)
   }
 
@@ -212,9 +217,31 @@ object Streams {
       stateDir: String, m: Int): Unit = {
     val spark = batch.sparkSession
     val keyCol = batch.columns.head
-    val state = readStateWithRecovery(spark, stateDir)
-    val lastBid = state.map(
-      _.agg(max(col("bid"))).head.getLong(0)).getOrElse(-1L)
+    // ONE collect serves both the replay guard and the merge (the state
+    // is <= m rows by construction); a missing `bid` column (a state dir
+    // written before the replay guard existed) reads as lastBid = -1
+    // rather than failing analysis, and an empty state file likewise
+    val stateRows: Array[(String, Long, Long)] =
+      readStateWithRecovery(spark, stateDir).map { df =>
+        val hasBid = df.columns.contains("bid")
+        df.select(col("key"), col("cnt"),
+            if (hasBid) col("bid") else lit(-1L).as("bid"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      }.getOrElse(Array.empty)
+    val lastBid = if (stateRows.isEmpty) -1L else stateRows.map(_._3).max
+    // Skips are logged because a skip has two causes with very different
+    // meanings: a genuine at-least-once replay (batchId == lastBid,
+    // expected) vs a RESET CHECKPOINT pointed at an old state dir
+    // (batchId restarts at 0 << lastBid — every batch would be silently
+    // dropped; reset stateDir together with the checkpoint). An
+    // all-residuals-cut merge can write an EMPTY state, which forgets
+    // lastBid; the subsequent replay then re-merges one batch into
+    // empty state, which stays undercount-only (still a lower bound).
+    if (batchId <= lastBid)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"heavyHittersSink: skipping batch $batchId (state at $lastBid)" +
+          " — replay no-op, or a reset checkpoint against old state")
     if (batchId > lastBid) { // at-least-once replay -> no-op
       // bounded batch summary: exact batch counts of the batch's own
       // MG candidate union (semi-join against <= partitions x m keys)
@@ -224,10 +251,8 @@ object Streams {
         .join(broadcast(cand), Seq("key"), "left_semi")
         .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
         .collect().map(r => r.getString(0) -> r.getLong(1))
-      val existing: Array[(String, Long)] = state
-        .map(_.select(col("key"), col("cnt")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)))
-        .getOrElse(Array.empty)
+      val existing: Array[(String, Long)] =
+        stateRows.map { case (k, c, _) => k -> c }
       // mergeable-MG combine over <= (partitions + 1) x m entries
       val summed = scala.collection.mutable.HashMap[String, Long]()
       (existing ++ bcounts).foreach { case (k, c) =>

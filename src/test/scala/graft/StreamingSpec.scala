@@ -309,6 +309,29 @@ class StreamingSpec extends GraftSuite {
     assert(after3("k31") == 10L)
   }
 
+  test("heavy-hitters sink: empty and legacy (bid-less) state survive") {
+    import spark.implicits._
+    // state written before the replay guard existed: (key, cnt) only —
+    // must read as lastBid = -1 and merge, not fail analysis
+    val legacy = Files.createTempDirectory("graft_hh_leg").toString + "/hh"
+    Seq(("k1", 5L)).toDF("key", "cnt").write.parquet(legacy)
+    Streams.mergeHeavyHitters(Seq("k1", "k2").toDF("value"), 0L,
+      legacy, 8)
+    val st = spark.read.parquet(legacy).select("key", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st == Map("k1" -> 6L, "k2" -> 1L))
+    // an empty state file (all residuals cut in a prior merge) must not
+    // NPE on the bid read; the next batch merges from scratch
+    val empty = Files.createTempDirectory("graft_hh_emp").toString + "/hh"
+    Seq.empty[(String, Long, Long)].toDF("key", "cnt", "bid")
+      .write.parquet(empty)
+    Streams.mergeHeavyHitters(Seq("x", "x", "y").toDF("value"), 3L,
+      empty, 8)
+    val st2 = spark.read.parquet(empty).select("key", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st2 == Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("E3 DimApp pipeline: CDC stream -> config prune -> keyed dim upsert") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_dim").toString + "/dim"
