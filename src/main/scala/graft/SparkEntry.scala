@@ -566,7 +566,34 @@ object SparkEntry {
     // kNN majority-vote classification over the vec_id >= 100 train slice
     "knn2_label_vote" -> ((s, d) =>
       Similarity.knnClassify(t(s, d, "embeddings"), 100, 5)),
+    // Deequ-style single-scan expectation suite: the admission gate a
+    // corpus drop passes before entering the training pipeline
+    "dq1_expectations" -> ((s, d) =>
+      DataQuality.expectations(events(s, d), dqChecks)),
+    // per-column profile (null/distinct/min/max) in one scan
+    "dq2_column_profile" -> ((s, d) =>
+      DataQuality.columnProfile(events(s, d),
+        Seq("event_id", "user_id", "event_type", "value"))),
+    // behavioral-pretraining sequences: first 20 events per user in
+    // (ts, event_id) order as one training example
+    "seq1_user_sequences" -> ((s, d) =>
+      Pipeline.userEventSequences(events(s, d), 20)),
+    // overlap-coefficient containment pairs: small-doc-quoted-in-large
+    // near-dups that Jaccard's union term hides
+    "d17_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), 3, 0.8)),
   )
+
+  /** The dq1 check suite (shared by query + oracle doc): a representative
+    * mix of passing and violated expectations over `events`. */
+  private val dqChecks: Seq[DataQuality.Check] = Seq(
+    DataQuality.Check("c1", "event_id", "not_null"),
+    DataQuality.Check("c2", "value", "between", lo = 0.0, hi = 400.0),
+    DataQuality.Check("c3", "event_type", "in_set",
+      allowed = Seq("click", "view", "purchase", "signup")),
+    DataQuality.Check("c4", "props", "matches", regex = "^\\{"),
+    DataQuality.Check("c5", "event_id", "unique"),
+    DataQuality.Check("c6", "user_id", "not_null"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2316,5 +2343,107 @@ object SparkEntry {
         |       FROM nodes CROSS JOIN nn
         |            LEFT JOIN i5 ON nodes.id = i5.id)
         |SELECT id, ROUND(rank, 9) AS rank FROM r5""".stripMargin,
+    "dq1_expectations" ->
+      """WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
+        |SELECT 'c1' AS check_id, 'event_id' AS col_name,
+        |       'not_null' AS kind,
+        |       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS violations,
+        |       (SELECT total FROM tot) AS total
+        |FROM events
+        |UNION ALL
+        |SELECT 'c2', 'value', 'between',
+        |       CAST(SUM(CASE WHEN value < 0.0 OR value > 400.0
+        |                     THEN 1 ELSE 0 END) AS BIGINT),
+        |       (SELECT total FROM tot)
+        |FROM events
+        |UNION ALL
+        |SELECT 'c3', 'event_type', 'in_set',
+        |       CAST(SUM(CASE WHEN event_type NOT IN
+        |                       ('click','view','purchase','signup')
+        |                     THEN 1 ELSE 0 END) AS BIGINT),
+        |       (SELECT total FROM tot)
+        |FROM events
+        |UNION ALL
+        |SELECT 'c4', 'props', 'matches',
+        |       CAST(SUM(CASE WHEN NOT regexp_matches(props, '^\{')
+        |                     THEN 1 ELSE 0 END) AS BIGINT),
+        |       (SELECT total FROM tot)
+        |FROM events
+        |UNION ALL
+        |SELECT 'c5', 'event_id', 'unique',
+        |       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT),
+        |       (SELECT total FROM tot)
+        |FROM events
+        |UNION ALL
+        |SELECT 'c6', 'user_id', 'not_null',
+        |       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT),
+        |       (SELECT total FROM tot)
+        |FROM events""".stripMargin,
+    "dq2_column_profile" ->
+      """SELECT 'event_id' AS col_name,
+        |       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_null,
+        |       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |       ROUND(CAST(MIN(event_id) AS DOUBLE), 6) AS min_num,
+        |       ROUND(CAST(MAX(event_id) AS DOUBLE), 6) AS max_num
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id',
+        |       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT),
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+        |       ROUND(CAST(MIN(user_id) AS DOUBLE), 6),
+        |       ROUND(CAST(MAX(user_id) AS DOUBLE), 6)
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type',
+        |       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT),
+        |       CAST(COUNT(DISTINCT event_type) AS BIGINT),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value',
+        |       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT),
+        |       CAST(COUNT(DISTINCT value) AS BIGINT),
+        |       ROUND(CAST(MIN(value) AS DOUBLE), 6),
+        |       ROUND(CAST(MAX(value) AS DOUBLE), 6)
+        |FROM events""".stripMargin,
+    // floor(epoch(ts)) mirrors Spark's unix_timestamp second truncation
+    // (events are post-1970, so floor == truncation on both engines)
+    "seq1_user_sequences" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS rn
+        |           FROM events)
+        |SELECT user_id,
+        |       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts)))
+        |            AS BIGINT) AS span_sec
+        |FROM r WHERE rn <= 20 GROUP BY user_id""".stripMargin,
+    "d17_containment_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |            COUNT(*) AS common
+        |          FROM sh a JOIN sh b USING (shingle)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc1, doc2,
+        |       common / least(s1.sz, s2.sz) AS containment
+        |FROM pairs
+        |JOIN sz s1 ON doc1 = s1.doc_id
+        |JOIN sz s2 ON doc2 = s2.doc_id
+        |WHERE common / least(s1.sz, s2.sz) >= 0.8""".stripMargin,
   )
 }

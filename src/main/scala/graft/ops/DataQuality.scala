@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Declarative data-quality validation over a table — the admission gate a
+  * training-data pipeline runs before a corpus drop is accepted (the same
+  * role the reference's parse-and-validate splits play per record, e.g.
+  * gmall-realtime-dws/.../DwsTrafficVcChArIsNewPageViewWindow.java's dirty
+  * routing, generalized to a config-driven check suite à la AWS Deequ).
+  *
+  * Both entry points are SINGLE-PASS: every check compiles to a conditional
+  * aggregate over one scan, partial-aggregated map-side, so validating a
+  * 100 TB table costs one read and a one-row-per-partition shuffle. The
+  * only expansion is Spark's expand node for exact distinct aggregates
+  * (one extra in-memory projection per distinct column — swap in
+  * `approx_count_distinct` at scale if 2% error is acceptable; the exact
+  * form is kept here because it is the oracle-comparable one, and the
+  * HLL twin already exists as `a10`/`a14`).
+  */
+object DataQuality {
+
+  /** One declarative expectation. `id` keys the output row; `column` is the
+    * checked column; the violation predicate is per `kind`:
+    *  - `not_null`: value IS NULL
+    *  - `between`:  value outside [lo, hi] (NULLs are NOT range violations —
+    *    pair with a `not_null` check to forbid them)
+    *  - `in_set`:   value not among `allowed` (NULLs pass, as above)
+    *  - `matches`:  value does not match `regex` (RE2-safe subset only, so
+    *    the same pattern runs on Spark and DuckDB/RE2 engines)
+    *  - `unique`:   duplicated values; violations = count(*) − count(distinct)
+    *    (NULL rows count as violations — count(distinct) ignores them)
+    */
+  final case class Check(id: String, column: String, kind: String,
+      lo: Double = Double.NaN, hi: Double = Double.NaN,
+      allowed: Seq[String] = Nil, regex: String = "")
+
+  /** Run a check suite in one scan. Output: one row per check,
+    * (check_id, col_name, kind, violations, total) — all counts exact
+    * BIGINTs, so the result is engine-portable (hash-comparable).
+    *
+    * The single wide `agg` keeps everything in whole-stage codegen; the
+    * per-check rows come from an unpivot (`stack`) of the one aggregated
+    * row, which is driver-negligible. Empty input yields zero violations
+    * (sums coalesced), matching the SQL convention.
+    */
+  def expectations(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    require(checks.map(_.id).distinct.size == checks.size, "check ids unique")
+    val aggs = checks.map { c =>
+      val v = col(c.column)
+      val violations = c.kind match {
+        case "not_null" => sum(when(v.isNull, 1L).otherwise(0L))
+        case "between" =>
+          sum(when(v < c.lo || v > c.hi, 1L).otherwise(0L))
+        case "in_set" =>
+          sum(when(!v.isin(c.allowed: _*), 1L).otherwise(0L))
+        case "matches" =>
+          sum(when(!v.rlike(c.regex), 1L).otherwise(0L))
+        case "unique" => count(lit(1)) - count_distinct(v)
+        case other => throw new IllegalArgumentException(
+          s"unknown check kind '$other'")
+      }
+      coalesce(violations, lit(0L)).as(c.id)
+    }
+    val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val stackArgs = checks.map(c =>
+      s"'${c.id}', '${c.column}', '${c.kind}', `${c.id}`").mkString(", ")
+    one.selectExpr(
+      s"stack(${checks.size}, $stackArgs)" +
+        " AS (check_id, col_name, kind, violations)",
+      "__total AS total")
+  }
+
+  /** Per-column profile in one scan: NULL count, exact distinct count, and
+    * (for numeric columns) min/max as 6-dp doubles — the summary a corpus
+    * registry records per ingested drop. Non-numeric columns report NULL
+    * min/max rather than string extremes, keeping the output
+    * engine-portable (string collation differs across engines; counts and
+    * rounded numerics do not). */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val numeric = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+    val aggs = cols.flatMap { c =>
+      val (mn, mx) =
+        if (numeric(c))
+          (round(min(col(c)).cast("double"), 6),
+           round(max(col(c)).cast("double"), 6))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      Seq(
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__null_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        mn.as(s"__min_$c"), mx.as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `__null_$c`, `__nd_$c`, `__min_$c`, `__max_$c`")
+      .mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs)" +
+        " AS (col_name, n_null, n_distinct, min_num, max_num)")
+  }
+}

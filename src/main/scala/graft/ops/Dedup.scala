@@ -239,6 +239,44 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
+  /** Overlap-coefficient (containment) near-dup pairs: |A∩B| / min(|A|,|B|)
+    * >= threshold — catches a small document quoted wholesale inside a much
+    * larger one, which Jaccard misses (the union term drowns the overlap).
+    *
+    * Candidate generation reuses the PPJoin prefix substrate: containment
+    * >= t needs |A∩B| >= ceil(t·|A|) for the SMALLER doc A, so by the same
+    * pigeonhole as Jaccard, A's (|A| − ceil(t·|A|) + 1)-rarest-shingle
+    * prefix must hit the intersection — i.e. hit SOME shingle of B. The
+    * candidate join is therefore prefix(doc) × full shingle index (not
+    * prefix × prefix as in Jaccard: the bound only holds against the
+    * other doc's FULL set). Hot shingles still mostly vanish from the
+    * prefix side, so the join stays O(Σ prefixDf(s)·df(s)) instead of
+    * O(Σ df(s)²). Verification is exact over the per-doc arrays.
+    * Ref behavior anchor: same role as the reference's keyword-overlap
+    * dedup (gmall-realtime-dws/.../split analytics), generalized. */
+  def containmentPairs(documents: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val sets = cachedSets(documents, n, threshold)
+    val pref = sets.select(col("doc_id"), explode(col("prefix")).as("shingle"))
+    val full = shingleCache(documents, n)
+    val cand = pref.toDF("da", "shingle")
+      .join(full.toDF("db", "shingle"), "shingle")
+      .where(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc1"),
+        greatest(col("da"), col("db")).as("doc2"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc1"), col("set").as("set1"),
+        col("sz").as("sz1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("set").as("set2"),
+        col("sz").as("sz2")), "doc2")
+      .withColumn("common", size(array_intersect(col("set1"), col("set2"))))
+      .withColumn("containment",
+        col("common") / least(col("sz1"), col("sz2")))
+      .where(col("containment") >= threshold)
+      .select(col("doc1"), col("doc2"), col("containment"))
+  }
+
   /** MinHash signature: `numHashes` permutation-min hashes over the shingle
     * set. h_i(s) = mix(xxhash64(s) * A_i + B_i) with fixed odd constants —
     * deterministic, no stored hash family. Signature laid out as

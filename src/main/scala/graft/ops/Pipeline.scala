@@ -130,4 +130,38 @@ object Pipeline {
         sum(length(col("text"))).cast("long").as("total_chars"),
         coalesce(sum(col("is_dup")), lit(0)).cast("long").as("n_near_dup"))
   }
+
+  /** Behavioral-pretraining sequence builder: each user's first `maxLen`
+    * events as one ordered training example — (user_id, seq, n_events,
+    * span_sec), where `seq` is the comma-joined event-type string in
+    * (ts, event_id) order and `span_sec` the second-truncated time span
+    * of the capped window. The same construction turns 100 TB of raw
+    * clickstream into next-action-prediction examples.
+    *
+    * One shuffle total: the row_number window partitions by user_id and
+    * the groupBy reuses that hash partitioning, so cap + assemble ride a
+    * single exchange. The in-group sort is done ONCE by the window; the
+    * post-aggregation `array_sort` over ≤ maxLen structs (ts, event_id,
+    * event_type) re-establishes order after collect_list (which has no
+    * ordering guarantee) at O(maxLen log maxLen) per user — driver-free
+    * and skew-immune because the array is capped. event_id breaks ts
+    * ties, so the sequence is total-ordered and engine-portable. */
+  def userEventSequences(events: DataFrame, maxLen: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxLen)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x("event_type")), ",").as("seq"),
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("span_sec"))
+  }
 }

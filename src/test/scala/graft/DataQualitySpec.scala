@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DataQuality, Pipeline}
+import graft.ops.DataQuality.Check
+
+/** Hand-computed fixtures for the data-quality gate and the behavioral
+  * sequence builder. */
+class DataQualitySpec extends GraftSuite {
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (Option(1L), Option("a"), Option(5.0), "x@y.com"),
+      (Option(2L), Option("b"), Option(50.0), "nope"),
+      (Option(2L), Option.empty[String], Option(-1.0), "z@w.org"),
+      (Option.empty[Long], Option("zz"), Option.empty[Double], "bad too"))
+      .toDF("id", "cat", "v", "email")
+  }
+
+  test("expectations: every check kind, hand-computed violation counts") {
+    val out = DataQuality.expectations(fixture, Seq(
+      Check("k1", "id", "not_null"),
+      Check("k2", "v", "between", lo = 0.0, hi = 10.0),
+      Check("k3", "cat", "in_set", allowed = Seq("a", "b")),
+      Check("k4", "email", "matches", regex = "^[^@ ]+@[^@ ]+$"),
+      Check("k5", "id", "unique")))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out("k1") == (("id", "not_null", 1L, 4L)))
+    // 50.0 and -1.0 breach [0, 10]; the NULL is not a range violation
+    assert(out("k2") == (("v", "between", 2L, 4L)))
+    // "zz" is out of set; NULL passes
+    assert(out("k3") == (("cat", "in_set", 1L, 4L)))
+    assert(out("k4") == (("email", "matches", 2L, 4L)))
+    // 4 rows - 2 distinct non-null ids = 2 (the dup 2L AND the null row)
+    assert(out("k5") == (("id", "unique", 2L, 4L)))
+  }
+
+  test("expectations: empty input reports zero violations, zero total") {
+    val out = DataQuality.expectations(fixture.where(lit(false)), Seq(
+      Check("k1", "id", "not_null"), Check("k5", "id", "unique")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out == Map("k1" -> ((0L, 0L)), "k5" -> ((0L, 0L))))
+  }
+
+  test("expectations rejects unknown kinds and duplicate ids") {
+    intercept[IllegalArgumentException] {
+      DataQuality.expectations(fixture, Seq(Check("k", "id", "nope")))
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.expectations(fixture,
+        Seq(Check("k", "id", "not_null"), Check("k", "v", "not_null")))
+    }
+  }
+
+  test("columnProfile: null/distinct/min/max per column, strings unprofiled") {
+    val out = DataQuality.columnProfile(fixture, Seq("id", "cat", "v"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out("id") == ((1L, 2L, Some(1.0), Some(2.0))))
+    assert(out("cat") == ((1L, 3L, None, None)))
+    assert(out("v") == ((1L, 3L, Some(-1.0), Some(50.0))))
+  }
+
+  test("userEventSequences: order, ts-tie by event_id, cap, span") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 10L, "view"),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:05"), 11L, "click"),
+      // same ts as event 11 but smaller id -> sorts first
+      (1L, Timestamp.valueOf("2024-01-01 00:00:05"), 9L, "signup"),
+      // 4th event: beyond the maxLen=3 cap, must not appear
+      (1L, Timestamp.valueOf("2024-01-01 00:01:00"), 12L, "purchase"),
+      (2L, Timestamp.valueOf("2024-01-01 08:00:00"), 20L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Pipeline.userEventSequences(ev, maxLen = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("view,signup,click", 3L, 5L)))
+    assert(out(2L) == (("view", 1L, 0L)))
+  }
+}

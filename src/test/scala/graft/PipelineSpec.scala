@@ -45,6 +45,34 @@ class PipelineSpec extends GraftSuite {
     assert(prefix == full)
   }
 
+  test("d17 containment: quoted small doc found; prefix candidates lose no pair") {
+    import spark.implicits._
+    val quoted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // 4 words -> 2 shingles, both inside doc 1: containment 1.0,
+      // jaccard only 2/(8+2-2) = 0.25 — invisible to the d2 threshold
+      (2L, "beta gamma delta epsilon"),
+      (3L, "totally unrelated words appear in this document body"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(quoted, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    assert(Dedup.jaccardPairsDirect(quoted, 3, 0.5).count() == 0)
+
+    // coverage proof on the fixture corpus: the prefix-filtered candidate
+    // path must equal an unfiltered all-shared-shingle computation
+    val sh = Dedup.shingles(docs, 3)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val brute = sh.toDF("doc1", "shingle")
+      .join(sh.toDF("doc2", "shingle"), "shingle")
+      .where(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("common"))
+      .join(sz.toDF("doc1", "sz1"), "doc1")
+      .join(sz.toDF("doc2", "sz2"), "doc2")
+      .where(col("common") / least(col("sz1"), col("sz2")) >= 0.8)
+    assert(pairSet(Dedup.containmentPairs(docs, 3, 0.8)) == pairSet(brute))
+  }
+
   test("d3 minhash-LSH finds every high-jaccard pair") {
     val exact = pairSet(Dedup.jaccardPairs(docs, 3, 0.9))
     val lsh = pairSet(Dedup.minhashDuplicates(docs, 3, 32, 8, 0.5))
