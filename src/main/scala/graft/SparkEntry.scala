@@ -582,7 +582,29 @@ object SparkEntry {
     // near-dups that Jaccard's union term hides
     "d17_containment_pairs" -> ((s, d) =>
       Dedup.containmentPairs(t(s, d, "documents"), 3, 0.8)),
+    // PSI distribution drift between two corpus drops (even/odd event_id
+    // slices), 10 equal-width value bins over [0, 400)
+    "drift1_psi" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      DataQuality.psi(events(s, d), "value",
+        col("event_id") % 2 === 0, 10, 0.0, 400.0)
+    }),
+    // Matryoshka truncation fidelity: does the exact top-1 neighbor
+    // survive truncation to the first 16 of 64 dims?
+    "emb1_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaTop1(t(s, d, "embeddings"), 100, 16)),
+    // BM25 + dense cosine retrieval fused by reciprocal-rank fusion
+    "rrf1_hybrid_topk" -> ((s, d) =>
+      Pipeline.hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"),
+        rrfQueries)),
   )
+
+  /** The rrf1 query set: BM25 terms from `Corpus.defaultQueries` plus
+    * each query's dense query-embedding vec_id. */
+  private val rrfQueries: Seq[(String, Seq[String], Long)] = Seq(
+    ("q1", Seq("spark", "stream", "batch"), 0L),
+    ("q2", Seq("table", "join", "query"), 1L),
+    ("q3", Seq("vector", "hash"), 2L))
 
   /** The dq1 check suite (shared by query + oracle doc): a representative
     * mix of passing and violated expectations over `events`. */
@@ -763,6 +785,42 @@ object SparkEntry {
       |kept AS (SELECT q.doc_id FROM qsc q JOIN dspan d USING (doc_id)
       |         JOIN exk USING (doc_id)
       |         WHERE q.score >= 0.45 AND d.dup_frac <= 0.5)""".stripMargin
+
+  /** Shared CTE block for the r1/rrf1 oracles: the full BM25 scoring
+    * chain over `Corpus.defaultQueries`, ending in the complete ranked
+    * list `lexr(query_id, doc_id, score, rn)` (consumers filter to
+    * their own k) — mirrors `Corpus.bm25TopK` k1=1.2, b=0.75. */
+  private val bm25RankCtes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl
+      |       FROM dl),
+      |q(query_id, term) AS (VALUES
+      |  ('q1', 'spark'), ('q1', 'stream'), ('q1', 'batch'),
+      |  ('q2', 'table'), ('q2', 'join'), ('q2', 'query'),
+      |  ('q3', 'vector'), ('q3', 'hash')),
+      |tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |       FROM tok
+      |       WHERE term IN ('spark', 'stream', 'batch', 'table', 'join',
+      |                      'query', 'vector', 'hash')
+      |       GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      |       FROM tf GROUP BY 1),
+      |s AS (SELECT q.query_id, tf.doc_id,
+      |        ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |          * tf.tf * (1.2 + 1)
+      |          / (tf.tf + ((1 - 0.75) + dl.dl * (0.75 / st.avgdl)) * 1.2)
+      |          AS s
+      |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      |           JOIN q USING (term) CROSS JOIN st),
+      |sc AS (SELECT query_id, doc_id, SUM(s) AS score FROM s
+      |       GROUP BY 1, 2),
+      |lexr AS (SELECT query_id, doc_id, score,
+      |           CAST(row_number() OVER (PARTITION BY query_id
+      |                  ORDER BY score DESC, doc_id) AS INTEGER) AS rn
+      |         FROM sc)""".stripMargin
 
   def oracleSql: Map[String, String] = ListMap(
     "p1_parse_validate" ->
@@ -2250,37 +2308,8 @@ object SparkEntry {
     // to identical bits; remaining diffs are summation-order LSBs, far
     // below the 6dp compare
     "r1_bm25_topk" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
-        |           FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
-        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl
-        |       FROM dl),
-        |q(query_id, term) AS (VALUES
-        |  ('q1', 'spark'), ('q1', 'stream'), ('q1', 'batch'),
-        |  ('q2', 'table'), ('q2', 'join'), ('q2', 'query'),
-        |  ('q3', 'vector'), ('q3', 'hash')),
-        |tok AS (SELECT doc_id, unnest(w) AS term FROM d),
-        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-        |       FROM tok
-        |       WHERE term IN ('spark', 'stream', 'batch', 'table', 'join',
-        |                      'query', 'vector', 'hash')
-        |       GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-        |       FROM tf GROUP BY 1),
-        |s AS (SELECT q.query_id, tf.doc_id,
-        |        ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-        |          * tf.tf * (1.2 + 1)
-        |          / (tf.tf + ((1 - 0.75) + dl.dl * (0.75 / st.avgdl)) * 1.2)
-        |          AS s
-        |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
-        |           JOIN q USING (term) CROSS JOIN st),
-        |sc AS (SELECT query_id, doc_id, SUM(s) AS score FROM s
-        |       GROUP BY 1, 2)
-        |SELECT query_id, doc_id, score, rn FROM (
-        |  SELECT query_id, doc_id, score,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |                ORDER BY score DESC, doc_id) AS INTEGER) AS rn
-        |  FROM sc)
+      s"""WITH $bm25RankCtes
+        |SELECT query_id, doc_id, score, rn FROM lexr
         |WHERE rn <= 10""".stripMargin,
     // edges CTE == the proven sim6_knn_graph oracle; then 5 unrolled
     // PageRank rounds (d = 0.85), each one join + one GROUP BY, exactly
@@ -2445,5 +2474,103 @@ object SparkEntry {
         |JOIN sz s1 ON doc1 = s1.doc_id
         |JOIN sz s2 ON doc2 = s2.doc_id
         |WHERE common / least(s1.sz, s2.sz) >= 0.8""".stripMargin,
+    // Laplace-smoothed PSI over 10 equal-width bins of `value`, even vs
+    // odd event_id as the reference/current drops; arithmetic mirrors
+    // DataQuality.psi exactly (clamped floor bin, (n+1)/(N+10), ln)
+    "drift1_psi" ->
+      """WITH b AS (
+        |  SELECT least(greatest(CAST(floor((value - 0.0) / 40.0)
+        |           AS BIGINT), 0), 9) AS bin,
+        |         (event_id % 2 = 0) AS is_ref
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT bin,
+        |        CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_ref,
+        |        CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_cur
+        |      FROM b GROUP BY 1),
+        |sp AS (SELECT unnest(range(0, 10)) AS bin),
+        |f AS (SELECT sp.bin, COALESCE(n_ref, 0) AS n_ref,
+        |        COALESCE(n_cur, 0) AS n_cur
+        |      FROM sp LEFT JOIN c ON sp.bin = c.bin),
+        |t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+        |        CAST(SUM(n_cur) AS DOUBLE) AS t_cur FROM f)
+        |SELECT bin, n_ref, n_cur,
+        |       ROUND(((n_ref + 1.0) / (t_ref + 10.0)
+        |               - (n_cur + 1.0) / (t_cur + 10.0))
+        |             * ln(((n_ref + 1.0) / (t_ref + 10.0))
+        |                  / ((n_cur + 1.0) / (t_cur + 10.0))), 6)
+        |         AS psi_term
+        |FROM f CROSS JOIN t""".stripMargin,
+    // full-dim vs first-16-dim exact top-1 per query; both rankings are
+    // the proven sim1 all-pairs form (cos desc, nid tie-break)
+    "emb1_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
+        |           WHERE vec_id < 100),
+        |x AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+        |pf AS (SELECT qid, nid,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS dot,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS qq,
+        |        SUM(CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS xx
+        |      FROM q, x, (SELECT unnest(range(1, 65)) AS i)
+        |      WHERE qid <> nid GROUP BY qid, nid),
+        |rf AS (SELECT qid, nid, row_number() OVER
+        |         (PARTITION BY qid
+        |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+        |       FROM pf),
+        |pt AS (SELECT qid, nid,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS dot,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS qq,
+        |        SUM(CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS xx
+        |      FROM q, x, (SELECT unnest(range(1, 17)) AS i)
+        |      WHERE qid <> nid GROUP BY qid, nid),
+        |rt AS (SELECT qid, nid, row_number() OVER
+        |         (PARTITION BY qid
+        |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+        |       FROM pt)
+        |SELECT f.qid, f.nid AS nid_full, t.nid AS nid_trunc,
+        |       f.nid = t.nid AS agree
+        |FROM rf f JOIN rt t ON f.qid = t.qid
+        |WHERE f.rn = 1 AND t.rn = 1""".stripMargin,
+    // RRF fusion of the shared BM25 ranking (lexr) and the sim1-form
+    // dense ranking; score is pure rational arithmetic over ranks
+    "rrf1_hybrid_topk" ->
+      s"""WITH $bm25RankCtes,
+        |lex AS (SELECT query_id, doc_id, rn AS rn_lex FROM lexr
+        |        WHERE rn <= 50),
+        |qv(query_id, qid) AS (VALUES ('q1', 0), ('q2', 1), ('q3', 2)),
+        |qe AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
+        |       WHERE vec_id < 3),
+        |x AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+        |p AS (SELECT qid, nid,
+        |        SUM(CAST(qe.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE))
+        |          AS dot,
+        |        SUM(CAST(qe.e[i] AS DOUBLE) * CAST(qe.e[i] AS DOUBLE))
+        |          AS qq,
+        |        SUM(CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE))
+        |          AS xx
+        |      FROM qe, x, (SELECT unnest(range(1, 65)) AS i)
+        |      WHERE qid <> nid GROUP BY qid, nid),
+        |dr AS (SELECT qid, nid, row_number() OVER
+        |         (PARTITION BY qid
+        |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+        |       FROM p),
+        |den AS (SELECT qv.query_id, dr.nid AS doc_id, dr.rn AS rn_dense
+        |        FROM dr JOIN qv USING (qid) WHERE dr.rn <= 50),
+        |fu AS (SELECT COALESCE(lex.query_id, den.query_id) AS query_id,
+        |         COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+        |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + rn_lex),
+        |                  CAST(0.0 AS DOUBLE))
+        |           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rn_dense),
+        |                      CAST(0.0 AS DOUBLE)) AS rrf
+        |       FROM lex FULL OUTER JOIN den
+        |         ON lex.query_id = den.query_id
+        |            AND lex.doc_id = den.doc_id)
+        |SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf, rn FROM (
+        |  SELECT query_id, doc_id, rrf,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
+        |  FROM fu)
+        |WHERE rn <= 10""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -102,5 +102,57 @@ object DataQuality {
     one.selectExpr(
       s"stack(${cols.size}, $stackArgs)" +
         " AS (col_name, n_null, n_distinct, min_num, max_num)")
+  }
+
+  /** Population Stability Index between two slices of one table — the
+    * distribution-drift alarm a corpus registry raises when a new drop's
+    * feature distribution has moved from the reference drop's (the
+    * between-drops companion of the within-drop gates above).
+    *
+    * `valueCol` is bucketed into `nBins` equal-width bins over [lo, hi)
+    * (out-of-range values clamp into the edge bins, the standard PSI
+    * convention so probability mass is conserved); NULLs are excluded —
+    * pair with a `not_null` expectation to forbid them. Proportions are
+    * Laplace-smoothed, p = (n + 1) / (N + nBins), so empty bins never
+    * produce ln(0) and the per-bin term (p_ref − p_cur) · ln(p_ref/p_cur)
+    * is total. Output: one row per bin (bin spine included even for
+    * empty bins), (bin, n_ref, n_cur, psi_term@6dp); total PSI = the sum
+    * of psi_term (>0.2 conventionally = significant drift).
+    *
+    * Scale: ONE scan — bin + slice flag are projected, then a single
+    * groupBy(bin) with two conditional sums partial-aggregates map-side
+    * to ≤ nBins rows per partition; totals come from re-aggregating the
+    * nBins-row frame (driver-scale) and joining back via crossJoin of a
+    * one-row frame. The bin spine join is broadcast-trivial. */
+  def psi(df: DataFrame, valueCol: String, isRef: Column, nBins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    require(hi > lo, "hi must exceed lo")
+    val spark = df.sparkSession
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(valueCol) - lo) / width), lit(0L)), lit(nBins - 1L))
+    val counts = df
+      .where(col(valueCol).isNotNull)
+      .select(bin.as("bin"), isRef.as("is_ref"))
+      .groupBy("bin")
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val filled = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = filled.agg(
+      sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    filled.crossJoin(broadcast(totals))
+      .withColumn("p_ref",
+        (col("n_ref") + 1.0) / (col("t_ref") + lit(nBins.toDouble)))
+      .withColumn("p_cur",
+        (col("n_cur") + 1.0) / (col("t_cur") + lit(nBins.toDouble)))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")),
+          6).as("psi_term"))
   }
 }

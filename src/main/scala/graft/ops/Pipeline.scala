@@ -146,6 +146,57 @@ object Pipeline {
     * ordering guarantee) at O(maxLen log maxLen) per user — driver-free
     * and skew-immune because the array is capped. event_id breaks ts
     * ties, so the sequence is total-ordered and engine-portable. */
+  /** Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion —
+    * the retrieval stage of a RAG/data-curation pipeline that wants
+    * BM25's exact-term precision AND embedding recall without score
+    * calibration (RRF uses only RANKS, so the two retrievers' incomparable
+    * score scales never meet; Cormack et al., SIGIR'09).
+    *
+    * Each query names its BM25 terms (via [[Corpus.bm25TopK]]) and the
+    * vec_id of its query embedding (dense side =
+    * [[Similarity.bruteForceTopK]] over the corpus vectors, which
+    * excludes the query vector itself). Both retrievers contribute their
+    * top `kRetrieve` ranked lists; fusion is a full-outer join on
+    * (query_id, doc_id) with score Σ 1/(rrfK + rank) over the lists the
+    * doc appears in (absent list ⇒ no contribution — standard RRF).
+    * Output: top `topK` per query, (query_id, doc_id, rrf@6dp, rn), ties
+    * broken by doc_id. Determinism: the fused score is pure rational
+    * arithmetic over integer ranks, so it is engine-portable wherever
+    * the two input rankings are (both are proven: r1, sim1).
+    *
+    * Scale: fusion costs nothing — each side is a bounded |Q|·kRetrieve
+    * list, so the join and the per-query top-k windows run on driver-scale
+    * frames. The expensive parts are the retrievers themselves, which
+    * carry their own scale paths (BM25's query-term pre-filter;
+    * IVF/LSH in place of brute force). */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(String, Seq[String], Long)],
+      kRetrieve: Int = 50, topK: Int = 10, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val lex = Corpus.bm25TopK(documents,
+        queries.map(q => (q._1, q._2)), kRetrieve)
+      .select(col("query_id"), col("doc_id"), col("rn").as("rn_lex"))
+    val qmap = queries.map(q => (q._1, q._3)).toDF("query_id", "qid")
+    val maxQid = queries.map(_._3).max + 1
+    val dense = Similarity.bruteForceTopK(embeddings, maxQid.toInt,
+        kRetrieve)
+      .join(broadcast(qmap), "qid")
+      .select(col("query_id"), col("nid").as("doc_id"),
+        col("rn").as("rn_dense"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rn_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rn_dense")), lit(0.0)))
+    fused
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("doc_id"))))
+      .where(col("rn") <= topK)
+      .select(col("query_id"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"), col("rn"))
+  }
+
   def userEventSequences(events: DataFrame, maxLen: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))

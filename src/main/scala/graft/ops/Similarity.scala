@@ -178,6 +178,37 @@ object Similarity {
         col("votes"))
   }
 
+  /** Matryoshka-style truncation fidelity: for each query (`vec_id <
+    * numQueries`), the exact full-dimension top-1 neighbor next to the
+    * top-1 computed on only the first `prefixDims` components
+    * (truncated, implicitly re-normalized — cosine is scale-invariant,
+    * so no explicit renorm is needed). `agree` marks queries whose
+    * nearest neighbor survives truncation — the measurement that decides
+    * whether a prefix-dim index is a safe cheap first stage for ANN
+    * (retrieve wide on the prefix, re-rank exact on the full vector),
+    * the two-stage plan that cuts a 100 TB vector scan by dims/prefix.
+    *
+    * Both rankings are the same broadcast-queries brute-force pass as
+    * [[bruteForceTopK]] (the truncated one over arrays `prefixDims`
+    * long, so its dot products cost prefix/dims of the full pass); ties
+    * and NaN exclusion follow [[rankTopK]], and the inner join drops
+    * queries degenerate in either space (zero full vector or zero
+    * prefix). */
+  def matryoshkaTop1(embeddings: DataFrame, numQueries: Int,
+      prefixDims: Int): DataFrame = {
+    require(prefixDims >= 1, "need at least one prefix dimension")
+    val full = bruteForceTopK(embeddings, numQueries, 1)
+      .select(col("qid"), col("nid").as("nid_full"))
+    val trunc = bruteForceTopK(
+      embeddings.withColumn("embedding",
+        slice(col("embedding"), 1, prefixDims)),
+      numQueries, 1)
+      .select(col("qid"), col("nid").as("nid_trunc"))
+    full.join(trunc, "qid")
+      .select(col("qid"), col("nid_full"), col("nid_trunc"),
+        (col("nid_full") === col("nid_trunc")).as("agree"))
+  }
+
   /** Exact k-nearest-neighbor GRAPH: the top-k neighbor list for EVERY
     * corpus vector, not just a query set — the substrate SemDeDup-style
     * semantic pruning and dataset-cartography curation build on. Quadratic

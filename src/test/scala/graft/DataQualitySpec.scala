@@ -74,6 +74,51 @@ class DataQualitySpec extends GraftSuite {
     assert(out("v") == ((1L, 3L, Some(-1.0), Some(50.0))))
   }
 
+  test("psi: hand-computed two-bin drift, nulls excluded, symmetric terms") {
+    import spark.implicits._
+    // ref: 1, 2, 6 -> bins 0,0,1 ; cur: 1, 7, 8 (+null dropped) -> 0,1,1
+    val rows = Seq(
+      (true, Option(1.0)), (true, Option(2.0)), (true, Option(6.0)),
+      (false, Option(1.0)), (false, Option(7.0)), (false, Option(8.0)),
+      (false, Option.empty[Double]))
+      .toDF("is_ref", "v")
+    val out = DataQuality.psi(rows, "v", col("is_ref"), 2, 0.0, 10.0)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // p_ref(b0) = (2+1)/(3+2) = 0.6, p_cur(b0) = (1+1)/(3+2) = 0.4
+    // term = 0.2 * ln(1.5) = 0.081093; bin 1 is the mirror image
+    assert(out(0L) == ((2L, 1L, 0.081093)))
+    assert(out(1L) == ((1L, 2L, 0.081093)))
+  }
+
+  test("psi: identical slices give all-zero terms over the full bin spine") {
+    import spark.implicits._
+    val rows = Seq((true, 1.0), (false, 1.0)).toDF("is_ref", "v")
+    val out = DataQuality.psi(rows, "v", col("is_ref"), 3, 0.0, 9.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // empty bins 1 and 2 still appear (spine), every term exactly 0
+    assert(out.map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(out.forall(_._2 == 0.0))
+  }
+
+  test("psi: out-of-range values clamp into the edge bins") {
+    import spark.implicits._
+    val rows = Seq((true, -5.0), (true, 100.0), (false, 3.0))
+      .toDF("is_ref", "v")
+    val out = DataQuality.psi(rows, "v", col("is_ref"), 2, 0.0, 10.0)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((1L, 1L))) // -5 clamps up to bin 0
+    assert(out(1L) == ((1L, 0L))) // 100 clamps down to bin 1
+    intercept[IllegalArgumentException] {
+      DataQuality.psi(rows, "v", col("is_ref"), 1, 0.0, 10.0)
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.psi(rows, "v", col("is_ref"), 2, 10.0, 10.0)
+    }
+  }
+
   test("userEventSequences: order, ts-tie by event_id, cap, span") {
     import spark.implicits._
     val ev = Seq(

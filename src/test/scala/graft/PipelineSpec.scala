@@ -167,6 +167,52 @@ class PipelineSpec extends GraftSuite {
       !graph.exists(_.getLong(2) == 2L))
   }
 
+  test("emb1 matryoshka: prefix-flattering neighbor flips the top-1") {
+    import spark.implicits._
+    // v1's first two dims ARE v0's direction (prefix cos = 1.0) but its
+    // tail is huge, so full-dim cos collapses to 0.196; v2 is the true
+    // full-dim neighbor (cos 0.9985) and prefix runner-up (0.9984)
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(1f, 0f, 5f, 0f),
+      2L -> Array(0.9f, 0.05f, 0f, 0f))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaTop1(vecs, 1, 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)) ==
+      ((0L, 2L, 1L, false)))
+    // degenerate prefix dims == full dims must agree everywhere
+    val same = Similarity.matryoshkaTop1(vecs, 1, 4).collect()
+    assert(same.forall(_.getBoolean(3)))
+  }
+
+  test("emb1 matryoshka on the corpus: full-width prefix agrees 100%") {
+    val out = Similarity.matryoshkaTop1(emb, 30, 64)
+    assert(out.where(!col("agree")).count() == 0)
+    assert(out.count() == 30)
+  }
+
+  test("rrf1 hybrid: hand-computed fusion covers lex-only/dense-only/both") {
+    import spark.implicits._
+    val docs3 = Seq(
+      (0L, "apple banana"), (1L, "apple"), (2L, "cherry"))
+      .toDF("doc_id", "text")
+    val emb3 = Seq(
+      0L -> Array(1f, 0f), 1L -> Array(0f, 1f), 2L -> Array(0.9f, 0.1f))
+      .toDF("vec_id", "embedding")
+    val out = Pipeline.hybridRrf(docs3, emb3,
+        Seq(("qa", Seq("apple"), 0L)))
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    // lex: doc1 rank 1 (shorter), doc0 rank 2; dense from vec 0: doc2
+    // rank 1 (cos .9939), doc1 rank 2 (cos 0); doc0 is lex-only, doc2
+    // dense-only, doc1 in both lists
+    assert(out(1L) == ((0.032522, 1))) // 1/61 + 1/62
+    assert(out(2L) == ((0.016393, 2))) // 1/61
+    assert(out(0L) == ((0.016129, 3))) // 1/62
+  }
+
   test("hn1 hard negatives: cross-label top-k, same-label excluded") {
     import spark.implicits._
     val vecs = Seq(
