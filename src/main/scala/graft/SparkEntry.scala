@@ -597,6 +597,23 @@ object SparkEntry {
     "rrf1_hybrid_topk" -> ((s, d) =>
       Pipeline.hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"),
         rrfQueries)),
+    // supervised next-action pairs: every prefix of the first 10 events
+    // per user becomes (context, label)
+    "seq2_next_event_pairs" -> ((s, d) =>
+      Pipeline.nextEventPairs(events(s, d), 10)),
+    // whole-schema referential-integrity gate over three fact->dim
+    // relations (clean data reports zero orphans; the spec proves
+    // detection on planted violations)
+    "dq3_ref_integrity" -> ((s, d) =>
+      DataQuality.refIntegrity(events(s, d), "user_id",
+          t(s, d, "customer"), "c_custkey",
+          "events.user_id->customer.c_custkey")
+        .union(DataQuality.refIntegrity(t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer"), "c_custkey",
+          "orders.o_custkey->customer.c_custkey"))
+        .union(DataQuality.refIntegrity(t(s, d, "lineitem"), "l_partkey",
+          t(s, d, "part"), "p_partkey",
+          "lineitem.l_partkey->part.p_partkey"))),
   )
 
   /** The rrf1 query set: BM25 terms from `Corpus.defaultQueries` plus
@@ -2572,5 +2589,47 @@ object SparkEntry {
         |                ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
         |  FROM fu)
         |WHERE rn <= 10""".stripMargin,
+    // QUALIFY (not WHERE) so position-1 rows stay visible to the
+    // string_agg frame while emitting no example themselves
+    "seq2_next_event_pairs" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS rn
+        |           FROM events),
+        |c AS (SELECT user_id, event_type, rn FROM r WHERE rn <= 10)
+        |SELECT user_id, CAST(rn AS INTEGER) AS pos,
+        |       string_agg(event_type, ',') OVER (PARTITION BY user_id
+        |         ORDER BY rn
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         AS context,
+        |       event_type AS label
+        |FROM c QUALIFY rn >= 2""".stripMargin,
+    "dq3_ref_integrity" ->
+      """SELECT 'events.user_id->customer.c_custkey' AS relation,
+        |       CAST(COUNT(*) AS BIGINT) AS n_child,
+        |       CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_orphans
+        |FROM (SELECT user_id AS ck FROM events
+        |      WHERE user_id IS NOT NULL) c
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p
+        |  ON c.ck = p.pk
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer.c_custkey',
+        |       CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT)
+        |FROM (SELECT o_custkey AS ck FROM orders
+        |      WHERE o_custkey IS NOT NULL) c
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p
+        |  ON c.ck = p.pk
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part.p_partkey',
+        |       CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT)
+        |FROM (SELECT l_partkey AS ck FROM lineitem
+        |      WHERE l_partkey IS NOT NULL) c
+        |LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p
+        |  ON c.ck = p.pk""".stripMargin,
   )
 }

@@ -104,6 +104,38 @@ object DataQuality {
         " AS (col_name, n_null, n_distinct, min_num, max_num)")
   }
 
+  /** Referential-integrity check: how many child rows point at a key
+    * absent from the parent table — the cross-TABLE companion of the
+    * single-table [[expectations]] gate (a corpus drop whose fact rows
+    * reference missing dimension keys fails admission the same way a
+    * NULL-ridden column does). NULL child keys are excluded — pair with
+    * a `not_null` expectation to forbid them.
+    *
+    * Output: ONE row, (relation, n_child, n_orphans) — compose several
+    * relations with `unionAll` for a whole-schema gate.
+    *
+    * Scale: the parent side is reduced to DISTINCT keys before a LEFT
+    * join (never a row-multiplying join — one output row per child row),
+    * then a conditional count aggregates to one row with map-side
+    * partials. The join shuffles on the key; AQE broadcasts the parent
+    * key set while it is small (dimension tables), and the same plan
+    * degrades gracefully to a shuffle join when the parent is itself
+    * fact-scale. */
+  def refIntegrity(child: DataFrame, childCol: String, parent: DataFrame,
+      parentCol: String, relation: String): DataFrame = {
+    val pk = parent.select(col(parentCol).as("__pk")).where(col("__pk")
+      .isNotNull).distinct().withColumn("__hit", lit(1))
+    child.select(col(childCol).as("__ck"))
+      .where(col("__ck").isNotNull)
+      .join(pk, col("__ck") === col("__pk"), "left")
+      .agg(
+        count(lit(1)).as("n_child"),
+        coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_orphans"))
+      .select(lit(relation).as("relation"), col("n_child"),
+        col("n_orphans"))
+  }
+
   /** Population Stability Index between two slices of one table — the
     * distribution-drift alarm a corpus registry raises when a new drop's
     * feature distribution has moved from the reference drop's (the
@@ -119,16 +151,20 @@ object DataQuality {
     * empty bins), (bin, n_ref, n_cur, psi_term@6dp); total PSI = the sum
     * of psi_term (>0.2 conventionally = significant drift).
     *
-    * Scale: ONE scan — bin + slice flag are projected, then a single
-    * groupBy(bin) with two conditional sums partial-aggregates map-side
-    * to ≤ nBins rows per partition; totals come from re-aggregating the
-    * nBins-row frame (driver-scale) and joining back via crossJoin of a
-    * one-row frame. The bin spine join is broadcast-trivial. */
+    * Scale: ONE scan, ONE plan — bin + slice flag are projected, a
+    * single groupBy(bin) with two conditional sums partial-aggregates
+    * map-side to ≤ nBins rows per partition, and everything after
+    * (slice totals, the full-bin spine, the smoothed terms) is array
+    * arithmetic over the ONE collected ≤ nBins-element row: totals via
+    * an `aggregate` HOF, the spine via `explode(sequence(...))`, the
+    * per-bin lookup via `filter`. No second branch re-reading the scan
+    * (Catalyst does not dedup common subplans — PlanSpec-asserted), no
+    * unpartitioned window, no driver round-trip; the interpreted HOF
+    * lambdas touch one nBins-element array, not the data. */
   def psi(df: DataFrame, valueCol: String, isRef: Column, nBins: Int,
       lo: Double, hi: Double): DataFrame = {
     require(nBins >= 2, "need at least two bins")
     require(hi > lo, "hi must exceed lo")
-    val spark = df.sparkSession
     val width = (hi - lo) / nBins
     val bin = least(greatest(
       floor((col(valueCol) - lo) / width), lit(0L)), lit(nBins - 1L))
@@ -139,14 +175,21 @@ object DataQuality {
       .agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
-    val spine = spark.range(nBins).select(col("id").as("bin"))
-    val filled = spine.join(counts, Seq("bin"), "left")
-      .select(col("bin"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val totals = filled.agg(
-      sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
-    filled.crossJoin(broadcast(totals))
+    counts
+      .agg(collect_list(struct(col("bin"), col("n_ref"), col("n_cur")))
+        .as("cs"))
+      .select(col("cs"),
+        aggregate(col("cs"), lit(0L), (a, x) => a + x("n_ref"))
+          .as("t_ref"),
+        aggregate(col("cs"), lit(0L), (a, x) => a + x("n_cur"))
+          .as("t_cur"),
+        explode(sequence(lit(0L), lit(nBins - 1L))).as("b"))
+      .withColumn("hit", try_element_at( // empty bin -> NULL, not ANSI error
+        filter(col("cs"), x => x("bin") === col("b")), lit(1)))
+      .select(col("b").as("bin"),
+        coalesce(col("hit.n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("hit.n_cur"), lit(0L)).as("n_cur"),
+        col("t_ref"), col("t_cur"))
       .withColumn("p_ref",
         (col("n_ref") + 1.0) / (col("t_ref") + lit(nBins.toDouble)))
       .withColumn("p_cur",

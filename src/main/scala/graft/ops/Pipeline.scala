@@ -215,4 +215,40 @@ object Pipeline {
         (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
           .as("span_sec"))
   }
+
+  /** Supervised next-action-prediction pairs from the capped per-user
+    * sequences of [[userEventSequences]]: for every position 2..n of a
+    * user's first `maxLen` events, one training example (user_id, pos,
+    * context = comma-joined types of positions 1..pos−1, label = the
+    * type at pos). Causal by construction — a context never sees its
+    * own label or anything after it.
+    *
+    * Same ONE-exchange shape as userEventSequences (window and groupBy
+    * both key on user_id); the per-user ordered type array is built once
+    * (array_sort over the ≤ maxLen capped structs, skew-immune), then
+    * posexplode + slice derive all n−1 prefix/label pairs WITHOUT
+    * re-shuffling — the expansion is a generator over an in-memory
+    * array, ≤ maxLen rows per user. */
+  def nextEventPairs(events: DataFrame, maxLen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxLen)
+      .groupBy(col("user_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => x("event_type")).as("types"))
+      .select(col("user_id"),
+        posexplode(col("types")).as(Seq("i0", "label")),
+        col("types"))
+      .where(col("i0") >= 1)
+      .select(col("user_id"), (col("i0") + 1).cast("int").as("pos"),
+        array_join(slice(col("types"), lit(1), col("i0")), ",")
+          .as("context"),
+        col("label"))
+  }
 }

@@ -138,4 +138,38 @@ class DataQualitySpec extends GraftSuite {
     assert(out(1L) == (("view,signup,click", 3L, 5L)))
     assert(out(2L) == (("view", 1L, 0L)))
   }
+
+  test("nextEventPairs: causal prefixes, cap excludes tail, singletons skip") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 10L, "view"),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:05"), 11L, "click"),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:05"), 9L, "signup"),
+      (1L, Timestamp.valueOf("2024-01-01 00:01:00"), 12L, "purchase"),
+      (2L, Timestamp.valueOf("2024-01-01 08:00:00"), 20L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Pipeline.nextEventPairs(ev, maxLen = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getString(3))))
+      .toMap
+    // ordered user-1 window: view, signup, click (purchase capped away)
+    assert(out == Map(
+      (1L, 2) -> (("view", "signup")),
+      (1L, 3) -> (("view,signup", "click"))))
+  }
+
+  test("refIntegrity: orphans counted, parent dup keys don't multiply") {
+    import spark.implicits._
+    val child = Seq(Option(1L), Option(2L), Option(2L), Option(3L),
+      Option.empty[Long]).toDF("fk")
+    val parent = Seq(1L, 1L, 2L).toDF("pk") // dup key 1 must not double-count
+    val r = DataQuality.refIntegrity(child, "fk", parent, "pk", "c->p")
+      .collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) == (("c->p", 4L, 1L)))
+    // empty child: zero rows, zero orphans (coalesced sum)
+    val e = DataQuality.refIntegrity(child.where(lit(false)), "fk",
+      parent, "pk", "c->p").collect().head
+    assert((e.getLong(1), e.getLong(2)) == ((0L, 0L)))
+  }
 }

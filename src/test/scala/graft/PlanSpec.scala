@@ -53,6 +53,29 @@ class PlanSpec extends GraftSuite {
     assert(plan("f1_top_purchases").contains("TakeOrderedAndProject"))
   }
 
+  test("dq1 expectation suite validates in a single scan of events") {
+    val p = plan("dq1_expectations")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"the whole check suite must cost one read:\n$p")
+  }
+
+  test("drift1 PSI scans events once and partial-aggregates the bins") {
+    val p = plan("drift1_psi")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"PSI must cost one read of the fact table:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "bin counting must be partial + final")
+  }
+
+  test("seq1/seq2 share one user_id exchange for window and groupBy") {
+    for (q <- Seq("seq1_user_sequences", "seq2_next_event_pairs")) {
+      val p = plan(q)
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"$q: window + groupBy must ride a single hashpartitioning" +
+          s"(user_id) exchange:\n$p")
+    }
+  }
+
   test("j1 equi-join aggregates after a single shuffle of each side") {
     val p = plan("j1_order_revenue_by_priority")
     assert("Exchange".r.findAllIn(p).size <= 4,
