@@ -274,6 +274,88 @@ object Streams {
     }
   }
 
+  /** Streaming distribution-drift monitor — the stream twin of
+    * `DataQuality.psi`: the state accumulates the CURRENT drop's bin
+    * histogram across micro-batches (bounded at nBins rows forever, the
+    * dq/sketch family's bounded-state contract), and every batch emits
+    * one (bid, psi@6dp) row scoring the accumulated stream against a
+    * static REFERENCE histogram — the alarm a training-data ingest
+    * raises the moment the live feed drifts from the corpus it was
+    * admitted against. Binning and Laplace smoothing mirror
+    * `DataQuality.psi` exactly (spec-asserted parity: the monitor's psi
+    * after N batches equals the batch operator run over everything
+    * streamed), and the per-term 6dp rounding matches too, so batch and
+    * stream report the same number.
+    *
+    * Replay-safe like `heavyHittersSink`: a replayed batchId is a state
+    * no-op. The psi OUTPUT is appended BEFORE the state swap, so a crash
+    * between the two replays the batch and may duplicate an output row
+    * (same bid, same psi) — at-least-once output, exactly-once state;
+    * consumers dedup on bid. Crash inside the swap window recovers from
+    * `_old` (`readStateWithRecovery`). */
+  def driftSink(values: DataFrame, refCounts: Map[Long, Long], nBins: Int,
+      lo: Double, hi: Double, stateDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    values.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        mergeDrift(batch, batchId, refCounts, nBins, lo, hi, stateDir,
+          outDir)
+    }
+
+  /** The per-batch body of `driftSink`, package-visible so the replay
+    * guard, swap recovery, and batch-parity are directly testable. */
+  private[graft] def mergeDrift(batch: DataFrame, batchId: Long,
+      refCounts: Map[Long, Long], nBins: Int, lo: Double, hi: Double,
+      stateDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val valueCol = batch.columns.head
+    val stateRows: Array[(Long, Long, Long)] =
+      readStateWithRecovery(spark, stateDir).map { df =>
+        df.select(col("bin"), col("cnt"), col("bid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }.getOrElse(Array.empty)
+    val lastBid = if (stateRows.isEmpty) -1L else stateRows.map(_._3).max
+    if (batchId <= lastBid) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"driftSink: skipping batch $batchId (state at $lastBid)" +
+          " — replay no-op, or a reset checkpoint against old state")
+      return
+    }
+    val width = (hi - lo) / nBins
+    // the batch reduces to <= nBins rows before the collect — bounded
+    // by CONFIG like the MG sink, however large the batch
+    val bcounts = batch
+      .where(col(valueCol).isNotNull)
+      .select(least(greatest(floor((col(valueCol) - lo) / width),
+        lit(0L)), lit(nBins - 1L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val merged = scala.collection.mutable.HashMap[Long, Long]()
+    stateRows.foreach { case (b, c, _) => merged(b) = c }
+    bcounts.foreach { case (b, c) =>
+      merged(b) = merged.getOrElse(b, 0L) + c
+    }
+    // driver arithmetic over nBins entries — the same smoothed terms,
+    // 6dp-rounded per bin, that DataQuality.psi emits
+    val tRef = refCounts.values.sum.toDouble
+    val tCur = merged.values.sum.toDouble
+    val psi = (0L until nBins.toLong).map { b =>
+      val pr = (refCounts.getOrElse(b, 0L) + 1.0) / (tRef + nBins)
+      val pc = (merged.getOrElse(b, 0L) + 1.0) / (tCur + nBins)
+      BigDecimal((pr - pc) * math.log(pr / pc))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sum
+    import spark.implicits._
+    // output first: a crash before the state swap replays this batch,
+    // duplicating (bid, psi) rather than losing it — see scaladoc
+    Seq((batchId, psi)).toDF("bid", "psi")
+      .write.mode("append").parquet(outDir)
+    swapIntoPlace(
+      merged.toSeq.map { case (b, c) => (b, c, batchId) }
+        .toDF("bin", "cnt", "bid").repartition(1),
+      stateDir)
+  }
+
   /** S6/S8 — keyed upsert sink via foreachBatch merge: last-write-wins into
     * a keyed parquet table (the upsert-kafka / HBase-put analogue).
     * `deleteWhen` marks tombstones (the reference's CDC type=delete path,

@@ -332,6 +332,71 @@ class StreamingSpec extends GraftSuite {
     assert(st2 == Map("x" -> 2L, "y" -> 1L))
   }
 
+  test("drift sink: streamed PSI equals the batch operator after N batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_drift").toString
+    val (state, out) = (dir + "/state", dir + "/out")
+    // reference histogram: the admitted drop, values mostly low bins
+    val refVals = Seq(1.0, 2.0, 3.0, 12.0, 22.0)
+    val refCounts = refVals.groupBy(v => math.min(v / 10.0, 3.0).toLong)
+      .view.mapValues(_.size.toLong).toMap
+    val batches = Seq(
+      Seq(5.0, 15.0, 35.0), // live feed drifts toward the high bins
+      Seq(36.0, 37.0, 8.0))
+    val ms = MemoryStream[Double](42, spark, None)
+    val q = Streams.driftSink(ms.toDF(), refCounts, 4, 0.0, 40.0,
+      state, out).start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    // state: bounded at nBins rows, accumulated across batches
+    val st = spark.read.parquet(state).select("bin", "cnt").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st.size <= 4)
+    assert(st == Map(0L -> 2L, 1L -> 1L, 3L -> 3L))
+    // psi parity: the monitor's last row == DataQuality.psi over
+    // (reference union everything-streamed), terms summed
+    val lastPsi = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).maxBy(_._1)._2
+    val union = (refVals.map((true, _)) ++
+      batches.flatten.map((false, _))).toDF("is_ref", "v")
+    val batchPsi = ops.DataQuality.psi(union, "v", col("is_ref"),
+      4, 0.0, 40.0).collect().map(_.getDouble(3)).sum
+    assert(math.abs(lastPsi - batchPsi) < 1e-9,
+      s"stream psi $lastPsi != batch psi $batchPsi")
+  }
+
+  test("drift sink: replay no-op, at-least-once output, swap recovery") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_drift2").toString
+    val (state, out) = (dir + "/state", dir + "/out")
+    val ref = Map(0L -> 3L, 1L -> 1L)
+    def st() = spark.read.parquet(state).select("bin", "cnt").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Streams.mergeDrift(Seq(1.0, 11.0).toDF("v"), 0L, ref, 2, 0.0, 20.0,
+      state, out)
+    val after1 = st()
+    assert(after1 == Map(0L -> 1L, 1L -> 1L))
+    // at-least-once replay of batch 0: state must NOT double-count
+    Streams.mergeDrift(Seq(1.0, 11.0).toDF("v"), 0L, ref, 2, 0.0, 20.0,
+      state, out)
+    assert(st() == after1, "replayed batch must not double-count")
+    // crash inside the swap window: recover accumulated bins from _old
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(state),
+      new org.apache.hadoop.fs.Path(state + "_old"))
+    Streams.mergeDrift(Seq(15.0).toDF("v"), 1L, ref, 2, 0.0, 20.0,
+      state, out)
+    assert(st() == Map(0L -> 1L, 1L -> 2L),
+      "pre-crash bins must survive the swap window")
+    // output is keyed by bid and dedupable: one distinct row per batch
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L))
+    assert(rows.distinct.length == rows.map(_._1).distinct.length,
+      "replayed output rows must carry identical psi values")
+  }
+
   test("E3 DimApp pipeline: CDC stream -> config prune -> keyed dim upsert") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_dim").toString + "/dim"
