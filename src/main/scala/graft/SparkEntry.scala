@@ -601,6 +601,18 @@ object SparkEntry {
     // per user becomes (context, label)
     "seq2_next_event_pairs" -> ((s, d) =>
       Pipeline.nextEventPairs(events(s, d), 10)),
+    // C4-style config-driven blocklist gate: per-doc hit counts and an
+    // integer-arithmetic keep flag at a 5% blocked-fraction cap
+    "t16_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklistFilter(t(s, d, "documents"),
+        Seq("slow", "merge", "stream"), 20)),
+    // Jensen-Shannon categorical drift over event_type, even vs odd
+    // event_id slices (the categorical companion of drift1's PSI)
+    "drift2_js_categorical" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      DataQuality.jsDivergence(events(s, d), "event_type",
+        col("event_id") % 2 === 0)
+    }),
     // whole-schema referential-integrity gate over three fact->dim
     // relations (clean data reports zero orphans; the spec proves
     // detection on planted violations)
@@ -2604,6 +2616,39 @@ object SparkEntry {
         |         AS context,
         |       event_type AS label
         |FROM c QUALIFY rn >= 2""".stripMargin,
+    "t16_blocklist" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS word FROM d)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(CASE WHEN word IN ('slow', 'merge', 'stream')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+        |       (CAST(SUM(CASE WHEN word IN ('slow', 'merge', 'stream')
+        |                      THEN 1 ELSE 0 END) AS BIGINT) * 20
+        |         <= CAST(COUNT(*) AS BIGINT)) AS keep
+        |FROM tok GROUP BY doc_id""".stripMargin,
+    // smoothing arithmetic mirrors DataQuality.jsDivergence exactly;
+    // K = observed category count, m recomputed inline as (p+q)/2
+    "drift2_js_categorical" ->
+      """WITH b AS (SELECT event_type AS cat, (event_id % 2 = 0) AS is_ref
+        |           FROM events WHERE event_type IS NOT NULL),
+        |c AS (SELECT cat,
+        |        CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_ref,
+        |        CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_cur
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+        |        CAST(SUM(n_cur) AS DOUBLE) AS t_cur,
+        |        CAST(COUNT(*) AS DOUBLE) AS k FROM c),
+        |pq AS (SELECT cat, n_ref, n_cur,
+        |        (n_ref + 1.0) / (t_ref + k) AS p,
+        |        (n_cur + 1.0) / (t_cur + k) AS q
+        |       FROM c CROSS JOIN t)
+        |SELECT cat AS event_type, n_ref, n_cur,
+        |       ROUND(0.5 * p * ln(p / ((p + q) / 2))
+        |             + 0.5 * q * ln(q / ((p + q) / 2)), 6) AS js_term
+        |FROM pq""".stripMargin,
     "dq3_ref_integrity" ->
       """SELECT 'events.user_id->customer.c_custkey' AS relation,
         |       CAST(COUNT(*) AS BIGINT) AS n_child,

@@ -198,4 +198,50 @@ object DataQuality {
         round((col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")),
           6).as("psi_term"))
   }
+
+  /** Jensen-Shannon divergence between two slices' CATEGORICAL
+    * distributions — the companion of [[psi]] for columns with no
+    * numeric order (event types, languages, sources). Per observed
+    * category: 0.5·p·ln(p/m) + 0.5·q·ln(q/m) with m = (p+q)/2 and the
+    * same Laplace smoothing as psi over K = the number of observed
+    * categories; the term sum is the JSD, bounded by ln 2 and symmetric
+    * in the two slices (unlike KL). NULL categories are excluded.
+    *
+    * Same ONE-scan ONE-plan shape as [[psi]]: groupBy(category) with
+    * two conditional sums partial-aggregates map-side, then totals and
+    * K come from `aggregate`/`size` HOFs over the single collected
+    * category array (K is categorical cardinality — profile with
+    * [[columnProfile]] first if it might not be config-scale), and the
+    * per-category rows explode back out. No spine is needed: the
+    * observed category set IS the union of both slices' supports. */
+  def jsDivergence(df: DataFrame, catCol: String,
+      isRef: Column): DataFrame = {
+    val counts = df
+      .where(col(catCol).isNotNull)
+      .select(col(catCol).as("cat"), isRef.as("is_ref"))
+      .groupBy("cat")
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    counts
+      .agg(collect_list(struct(col("cat"), col("n_ref"), col("n_cur")))
+        .as("cs"))
+      .select(col("cs"),
+        aggregate(col("cs"), lit(0L), (a, x) => a + x("n_ref"))
+          .as("t_ref"),
+        aggregate(col("cs"), lit(0L), (a, x) => a + x("n_cur"))
+          .as("t_cur"),
+        size(col("cs")).cast("double").as("k"))
+      .select(explode(col("cs")).as("r"), col("t_ref"), col("t_cur"),
+        col("k"))
+      .select(col("r.cat").as(catCol),
+        col("r.n_ref").as("n_ref"), col("r.n_cur").as("n_cur"),
+        ((col("r.n_ref") + 1.0) / (col("t_ref") + col("k"))).as("p"),
+        ((col("r.n_cur") + 1.0) / (col("t_cur") + col("k"))).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .select(col(catCol), col("n_ref"), col("n_cur"),
+        round(lit(0.5) * col("p") * log(col("p") / col("m"))
+          + lit(0.5) * col("q") * log(col("q") / col("m")), 6)
+          .as("js_term"))
+  }
 }

@@ -467,6 +467,35 @@ object TextAnalysis {
         .as("score"))
   }
 
+  /** Config-driven blocklist filter (the C4-style "bad words" gate): per
+    * document, total token count, blocklist-hit count, and a keep flag
+    * requiring the blocked fraction stay at or below `maxFrac`. The
+    * keep comparison is INTEGER arithmetic (hits · round(1/maxFrac) ≤
+    * words for the default 5%), so the flag is engine-portable with no
+    * float thresholds.
+    *
+    * Scale: one explode + one groupBy with map-side partials — the
+    * blocklist membership test compiles to a codegen'd `isin` over the
+    * broadcast-literal list (a blocklist is config-scale; were it a
+    * table, the x3 router's broadcast-join-config pattern applies
+    * instead). Zero-hit documents appear with n_blocked = 0 because the
+    * conditional sum runs inside the same aggregation, not a join. */
+  def blocklistFilter(documents: DataFrame, blocklist: Seq[String],
+      denom: Int = 20): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    require(denom >= 1, "denom must be positive")
+    documents
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("word").isin(blocklist.map(x => x: Any): _*), 1L)
+          .otherwise(0L)).as("n_blocked"))
+      .withColumn("keep",
+        col("n_blocked") * denom <= col("n_words"))
+  }
+
   def winnowingFingerprint(documents: DataFrame, w: Int): DataFrame =
     documents.select(col("doc_id"),
       winnowUdf(col("text"), lit(w)).as("fp_hashes"))

@@ -159,6 +159,29 @@ class DataQualitySpec extends GraftSuite {
       (1L, 3) -> (("view,signup", "click"))))
   }
 
+  test("jsDivergence: hand-computed terms, symmetric, zero on identity") {
+    import spark.implicits._
+    // disjoint supports: a is ref-only, b is cur-only; K=2, totals 2/2
+    val rows = Seq((true, "a"), (true, "a"), (false, "b"), (false, "b"))
+      .toDF("is_ref", "cat")
+    val out = DataQuality.jsDivergence(rows, "cat", col("is_ref"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // p=0.75, q=0.25, m=0.5: 0.375*ln(1.5) + 0.125*ln(0.5) = 0.065406
+    assert(out("a") == ((2L, 0L, 0.065406)))
+    assert(out("b") == ((0L, 2L, 0.065406)))
+    // JSD is symmetric in the slices: swapping ref/cur preserves terms
+    val swapped = DataQuality.jsDivergence(rows, "cat", !col("is_ref"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(swapped == Map("a" -> 0.065406, "b" -> 0.065406))
+    // identical distributions: every term exactly zero
+    val same = Seq((true, "a"), (false, "a"), (true, "b"), (false, "b"))
+      .toDF("is_ref", "cat")
+    assert(DataQuality.jsDivergence(same, "cat", col("is_ref"))
+      .collect().forall(_.getDouble(3) == 0.0))
+  }
+
   test("refIntegrity: orphans counted, parent dup keys don't multiply") {
     import spark.implicits._
     val child = Seq(Option(1L), Option(2L), Option(2L), Option(3L),

@@ -352,6 +352,27 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("t16 blocklist filter: hand-computed hits, integer keep threshold") {
+    import spark.implicits._
+    val fix = Seq(
+      // 2 hits in 20 words: 2*20 > 20 -> drop
+      (1L, (Seq.fill(18)("ok") ++ Seq("bad", "worse")).mkString(" ")),
+      // 1 hit in 20 words: exactly at the 5% cap -> keep
+      (2L, (Seq.fill(19)("ok") :+ "bad").mkString(" ")),
+      (3L, "totally clean words here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(fix, Seq("bad", "worse"), 20)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((20L, 2L, false)))
+    assert(out(2L) == ((20L, 1L, true)))
+    assert(out(3L) == ((4L, 0L, true)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistFilter(fix, Nil, 20)
+    }
+  }
+
   test("smp5 token budget monotonicity: a larger budget keeps a superset") {
     val docs = Tables.load(spark, sf, "documents")
     val small = Sampling.tokenBudgetSample(docs, 8000L)

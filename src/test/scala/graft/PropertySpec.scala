@@ -33,6 +33,26 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("drift law: psi is zero on identical slices and slice-swap " +
+    "invariant on generated data") {
+    import spark.implicits._
+    val vs = samples(Gen.chooseNum(0.0, 100.0), 150)
+    val flags = samples(Gen.oneOf(true, false), 150)
+    val df = flags.zip(vs).toDF("is_ref", "v")
+    // per-bin terms (pa-pb)ln(pa/pb) are symmetric under slice swap —
+    // smoothing denominators swap along with the counts
+    val a = ops.DataQuality.psi(df, "v", col("is_ref"), 8, 0.0, 100.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val b = ops.DataQuality.psi(df, "v", !col("is_ref"), 8, 0.0, 100.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(a == b)
+    // a slice compared against itself has zero drift in every bin
+    val ident = (vs.map((true, _)) ++ vs.map((false, _)))
+      .toDF("is_ref", "v")
+    assert(ops.DataQuality.psi(ident, "v", col("is_ref"), 8, 0.0, 100.0)
+      .collect().forall(_.getDouble(3) == 0.0))
+  }
+
   test("A8 law: dedup-first daily-uu == COUNT(DISTINCT) on generated logs") {
     import spark.implicits._
     val rowGen = for {
