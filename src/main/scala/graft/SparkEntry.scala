@@ -2491,7 +2491,8 @@ object SparkEntry {
         |idx AS (SELECT doc_id, toks,
         |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
         |sh AS (SELECT DISTINCT doc_id,
-        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx
+        |       WHERE array_to_string(toks[i:i+2], ' ') <> ''),
         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
         |            COUNT(*) AS common
@@ -2652,7 +2653,8 @@ object SparkEntry {
     "dq3_ref_integrity" ->
       """SELECT 'events.user_id->customer.c_custkey' AS relation,
         |       CAST(COUNT(*) AS BIGINT) AS n_child,
-        |       CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+        |       CAST(COALESCE(SUM(CASE WHEN p.pk IS NULL
+        |                              THEN 1 ELSE 0 END), 0)
         |            AS BIGINT) AS n_orphans
         |FROM (SELECT user_id AS ck FROM events
         |      WHERE user_id IS NOT NULL) c
@@ -2661,7 +2663,8 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'orders.o_custkey->customer.c_custkey',
         |       CAST(COUNT(*) AS BIGINT),
-        |       CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+        |       CAST(COALESCE(SUM(CASE WHEN p.pk IS NULL
+        |                              THEN 1 ELSE 0 END), 0)
         |            AS BIGINT)
         |FROM (SELECT o_custkey AS ck FROM orders
         |      WHERE o_custkey IS NOT NULL) c
@@ -2670,7 +2673,8 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'lineitem.l_partkey->part.p_partkey',
         |       CAST(COUNT(*) AS BIGINT),
-        |       CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+        |       CAST(COALESCE(SUM(CASE WHEN p.pk IS NULL
+        |                              THEN 1 ELSE 0 END), 0)
         |            AS BIGINT)
         |FROM (SELECT l_partkey AS ck FROM lineitem
         |      WHERE l_partkey IS NOT NULL) c

@@ -48,6 +48,20 @@ object DataQuality {
   def expectations(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "at least one check")
     require(checks.map(_.id).distinct.size == checks.size, "check ids unique")
+    // reject the misconfigurations that would silently pass everything:
+    // NaN bounds never compare true, an empty regex matches every row,
+    // an empty set would flag every row instead of failing loudly
+    checks.foreach { c =>
+      c.kind match {
+        case "between" => require(!c.lo.isNaN && !c.hi.isNaN,
+          s"check '${c.id}': between requires lo and hi")
+        case "in_set" => require(c.allowed.nonEmpty,
+          s"check '${c.id}': in_set requires a non-empty allowed list")
+        case "matches" => require(c.regex.nonEmpty,
+          s"check '${c.id}': matches requires a non-empty regex")
+        case _ => ()
+      }
+    }
     val aggs = checks.map { c =>
       val v = col(c.column)
       val violations = c.kind match {

@@ -77,13 +77,6 @@ object Pipeline {
         col("start_offset"), col("chunk_id"))
   }
 
-  /** Corpus datasheet: per (lang, source) stratum — document count, token
-    * and character totals, and near-dup exposure. The report every corpus
-    * release ships (and the input the mixing weights of
-    * `Sampling.mixWithWeights` are tuned against). All measures are exact
-    * integer sums (no float aggregation, no hash-compare flakiness); the
-    * near-dup flag reuses the persisted pair frame, so on a warmed session
-    * the report costs one scan plus a tiny rollup shuffle. */
   /** E5 — the round-5 curation composition: model-based quality filter
     * (q1), exact-substring duplication cap (d14), and exact-dup keeper
     * selection (d1) in one pass over the corpus. This is the pipeline a
@@ -115,6 +108,13 @@ object Pipeline {
       .select(col("doc_id"), col("n_toks"), col("score"), col("dup_frac"))
   }
 
+  /** Corpus datasheet: per (lang, source) stratum — document count, token
+    * and character totals, and near-dup exposure. The report every corpus
+    * release ships (and the input the mixing weights of
+    * `Sampling.mixWithWeights` are tuned against). All measures are exact
+    * integer sums (no float aggregation, no hash-compare flakiness); the
+    * near-dup flag reuses the persisted pair frame, so on a warmed session
+    * the report costs one scan plus a tiny rollup shuffle. */
   def corpusReport(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val dupIds = Dedup.jaccardPairs(documents, n, threshold)
@@ -131,21 +131,6 @@ object Pipeline {
         coalesce(sum(col("is_dup")), lit(0)).cast("long").as("n_near_dup"))
   }
 
-  /** Behavioral-pretraining sequence builder: each user's first `maxLen`
-    * events as one ordered training example — (user_id, seq, n_events,
-    * span_sec), where `seq` is the comma-joined event-type string in
-    * (ts, event_id) order and `span_sec` the second-truncated time span
-    * of the capped window. The same construction turns 100 TB of raw
-    * clickstream into next-action-prediction examples.
-    *
-    * One shuffle total: the row_number window partitions by user_id and
-    * the groupBy reuses that hash partitioning, so cap + assemble ride a
-    * single exchange. The in-group sort is done ONCE by the window; the
-    * post-aggregation `array_sort` over ≤ maxLen structs (ts, event_id,
-    * event_type) re-establishes order after collect_list (which has no
-    * ordering guarantee) at O(maxLen log maxLen) per user — driver-free
-    * and skew-immune because the array is capped. event_id breaks ts
-    * ties, so the sequence is total-ordered and engine-portable. */
   /** Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion —
     * the retrieval stage of a RAG/data-curation pipeline that wants
     * BM25's exact-term precision AND embedding recall without score
@@ -179,9 +164,8 @@ object Pipeline {
         queries.map(q => (q._1, q._2)), kRetrieve)
       .select(col("query_id"), col("doc_id"), col("rn").as("rn_lex"))
     val qmap = queries.map(q => (q._1, q._3)).toDF("query_id", "qid")
-    val maxQid = queries.map(_._3).max + 1
-    val dense = Similarity.bruteForceTopK(embeddings, maxQid.toInt,
-        kRetrieve)
+    val dense = Similarity.bruteForceTopKIds(embeddings,
+        queries.map(_._3), kRetrieve)
       .join(broadcast(qmap), "qid")
       .select(col("query_id"), col("nid").as("doc_id"),
         col("rn").as("rn_dense"))
@@ -197,6 +181,21 @@ object Pipeline {
         round(col("rrf"), 6).as("rrf"), col("rn"))
   }
 
+  /** Behavioral-pretraining sequence builder: each user's first `maxLen`
+    * events as one ordered training example — (user_id, seq, n_events,
+    * span_sec), where `seq` is the comma-joined event-type string in
+    * (ts, event_id) order and `span_sec` the second-truncated time span
+    * of the capped window. The same construction turns 100 TB of raw
+    * clickstream into next-action-prediction examples.
+    *
+    * One shuffle total: the row_number window partitions by user_id and
+    * the groupBy reuses that hash partitioning, so cap + assemble ride a
+    * single exchange. The in-group sort is done ONCE by the window; the
+    * post-aggregation `array_sort` over ≤ maxLen structs (ts, event_id,
+    * event_type) re-establishes order after collect_list (which has no
+    * ordering guarantee) at O(maxLen log maxLen) per user — driver-free
+    * and skew-immune because the array is capped. event_id breaks ts
+    * ties, so the sequence is total-ordered and engine-portable. */
   def userEventSequences(events: DataFrame, maxLen: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))

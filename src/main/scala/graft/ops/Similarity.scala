@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,9 +112,22 @@ object Similarity {
     * than arbitrarily-ranked NaN neighbors. Spec-pinned in
     * PipelineSpec; the same rule applies to every ranker below
     * (`knnGraph`, `knnGraphBlocked`, `lshTopK`, `ivfTopK`). */
-  def bruteForceTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame =
+    bruteForceTopKWhere(embeddings, col("vec_id") < numQueries, k)
+
+  /** [[bruteForceTopK]] for an EXPLICIT query-id set: only the named
+    * vectors rank as queries (everything still ranks as a neighbor), so
+    * a single large or non-contiguous query id costs |ids| × |N|, not
+    * max(id) × |N|. */
+  def bruteForceTopKIds(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int): DataFrame =
+    bruteForceTopKWhere(embeddings,
+      col("vec_id").isin(queryIds.map(x => x: Any): _*), k)
+
+  private def bruteForceTopKWhere(embeddings: DataFrame,
+      queryPred: Column, k: Int): DataFrame = {
     val base = withNorm(embeddings)
-    val q = base.where(col("vec_id") < numQueries)
+    val q = base.where(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val pairs = base

@@ -469,10 +469,10 @@ object TextAnalysis {
 
   /** Config-driven blocklist filter (the C4-style "bad words" gate): per
     * document, total token count, blocklist-hit count, and a keep flag
-    * requiring the blocked fraction stay at or below `maxFrac`. The
-    * keep comparison is INTEGER arithmetic (hits · round(1/maxFrac) ≤
-    * words for the default 5%), so the flag is engine-portable with no
-    * float thresholds.
+    * requiring the blocked fraction stay at or below 1/`denom` (the
+    * default denom=20 is a 5% cap). The keep comparison is INTEGER
+    * arithmetic (hits · denom ≤ words), so the flag is engine-portable
+    * with no float thresholds.
     *
     * Scale: one explode + one groupBy with map-side partials — the
     * blocklist membership test compiles to a codegen'd `isin` over the

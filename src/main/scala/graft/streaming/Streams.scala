@@ -307,6 +307,14 @@ object Streams {
   private[graft] def mergeDrift(batch: DataFrame, batchId: Long,
       refCounts: Map[Long, Long], nBins: Int, lo: Double, hi: Double,
       stateDir: String, outDir: String): Unit = {
+    // a reference key outside [0, nBins) would inflate tRef while never
+    // contributing a term, silently under-reporting psi and breaking
+    // the documented parity with DataQuality.psi — fail loudly instead
+    // (the batch operator clamps at BINNING time; a refCounts histogram
+    // must already be clamped the same way)
+    require(refCounts.keys.forall(b => b >= 0L && b < nBins),
+      s"refCounts keys must lie in [0, $nBins): got " +
+        refCounts.keys.filterNot(b => b >= 0L && b < nBins).mkString(","))
     val spark = batch.sparkSession
     val valueCol = batch.columns.head
     val stateRows: Array[(Long, Long, Long)] =

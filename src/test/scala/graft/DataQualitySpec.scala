@@ -61,6 +61,20 @@ class DataQualitySpec extends GraftSuite {
     }
   }
 
+  test("expectations rejects silently-vacuous configs (NaN bounds, " +
+    "empty regex, empty set)") {
+    // each of these would report zero violations forever if accepted
+    intercept[IllegalArgumentException] {
+      DataQuality.expectations(fixture, Seq(Check("k", "v", "between")))
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.expectations(fixture, Seq(Check("k", "email", "matches")))
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.expectations(fixture, Seq(Check("k", "cat", "in_set")))
+    }
+  }
+
   test("columnProfile: null/distinct/min/max per column, strings unprofiled") {
     val out = DataQuality.columnProfile(fixture, Seq("id", "cat", "v"))
       .collect()
