@@ -601,6 +601,25 @@ object SparkEntry {
     // per user becomes (context, label)
     "seq2_next_event_pairs" -> ((s, d) =>
       Pipeline.nextEventPairs(events(s, d), 10)),
+    // per-dimension embedding health: quantized-integer mean/variance
+    // catches dead dims and collapsed encoders
+    "emb2_dim_stats" -> ((s, d) =>
+      Similarity.dimStats(t(s, d, "embeddings"))),
+    // MRR/hit@10 of the hybrid retriever, ground truth = each query
+    // vector's exact full-dim top-1 neighbor
+    "r3_mrr_eval" -> ((s, d) => {
+      import s.implicits._
+      val qrels = Similarity
+        .bruteForceTopKIds(t(s, d, "embeddings"), rrfQueries.map(_._3), 1)
+        .join(org.apache.spark.sql.functions.broadcast(
+          rrfQueries.map(q => (q._1, q._3)).toDF("query_id", "qid")),
+          "qid")
+        .select($"query_id", $"nid".as("doc_id"))
+      Pipeline.retrievalEval(
+        Pipeline.hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"),
+          rrfQueries),
+        qrels, 10)
+    }),
     // C4-style config-driven blocklist gate: per-doc hit counts and an
     // integer-arithmetic keep flag at a 5% blocked-fraction cap
     "t16_blocklist" -> ((s, d) =>
@@ -850,6 +869,48 @@ object SparkEntry {
       |           CAST(row_number() OVER (PARTITION BY query_id
       |                  ORDER BY score DESC, doc_id) AS INTEGER) AS rn
       |         FROM sc)""".stripMargin
+
+  /** Shared CTE block for the rrf1/r3 oracles (composes after
+    * `bm25RankCtes`): the dense sim1-form ranking `dr`, the query map
+    * `qv`, and the RRF fusion ending in the complete hybrid ranking
+    * `hyb(query_id, doc_id, rrf, rn)` — mirrors `Pipeline.hybridRrf`
+    * kRetrieve=50, rrfK=60. */
+  private val rrfFusedCtes: String =
+    s"""$bm25RankCtes,
+      |lex AS (SELECT query_id, doc_id, rn AS rn_lex FROM lexr
+      |        WHERE rn <= 50),
+      |qv(query_id, qid) AS (VALUES ('q1', 0), ('q2', 1), ('q3', 2)),
+      |qe AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
+      |       WHERE vec_id < 3),
+      |x AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+      |p AS (SELECT qid, nid,
+      |        SUM(CAST(qe.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE))
+      |          AS dot,
+      |        SUM(CAST(qe.e[i] AS DOUBLE) * CAST(qe.e[i] AS DOUBLE))
+      |          AS qq,
+      |        SUM(CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE))
+      |          AS xx
+      |      FROM qe, x, (SELECT unnest(range(1, 65)) AS i)
+      |      WHERE qid <> nid GROUP BY qid, nid),
+      |dr AS (SELECT qid, nid, row_number() OVER
+      |         (PARTITION BY qid
+      |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+      |       FROM p),
+      |den AS (SELECT qv.query_id, dr.nid AS doc_id, dr.rn AS rn_dense
+      |        FROM dr JOIN qv USING (qid) WHERE dr.rn <= 50),
+      |fu AS (SELECT COALESCE(lex.query_id, den.query_id) AS query_id,
+      |         COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+      |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + rn_lex),
+      |                  CAST(0.0 AS DOUBLE))
+      |           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rn_dense),
+      |                      CAST(0.0 AS DOUBLE)) AS rrf
+      |       FROM lex FULL OUTER JOIN den
+      |         ON lex.query_id = den.query_id
+      |            AND lex.doc_id = den.doc_id),
+      |hyb AS (SELECT query_id, doc_id, rrf,
+      |          CAST(row_number() OVER (PARTITION BY query_id
+      |                 ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
+      |        FROM fu)""".stripMargin
 
   def oracleSql: Map[String, String] = ListMap(
     "p1_parse_validate" ->
@@ -2565,43 +2626,43 @@ object SparkEntry {
     // RRF fusion of the shared BM25 ranking (lexr) and the sim1-form
     // dense ranking; score is pure rational arithmetic over ranks
     "rrf1_hybrid_topk" ->
-      s"""WITH $bm25RankCtes,
-        |lex AS (SELECT query_id, doc_id, rn AS rn_lex FROM lexr
-        |        WHERE rn <= 50),
-        |qv(query_id, qid) AS (VALUES ('q1', 0), ('q2', 1), ('q3', 2)),
-        |qe AS (SELECT vec_id AS qid, embedding AS e FROM embeddings
-        |       WHERE vec_id < 3),
-        |x AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
-        |p AS (SELECT qid, nid,
-        |        SUM(CAST(qe.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE))
-        |          AS dot,
-        |        SUM(CAST(qe.e[i] AS DOUBLE) * CAST(qe.e[i] AS DOUBLE))
-        |          AS qq,
-        |        SUM(CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE))
-        |          AS xx
-        |      FROM qe, x, (SELECT unnest(range(1, 65)) AS i)
-        |      WHERE qid <> nid GROUP BY qid, nid),
-        |dr AS (SELECT qid, nid, row_number() OVER
-        |         (PARTITION BY qid
-        |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-        |       FROM p),
-        |den AS (SELECT qv.query_id, dr.nid AS doc_id, dr.rn AS rn_dense
-        |        FROM dr JOIN qv USING (qid) WHERE dr.rn <= 50),
-        |fu AS (SELECT COALESCE(lex.query_id, den.query_id) AS query_id,
-        |         COALESCE(lex.doc_id, den.doc_id) AS doc_id,
-        |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + rn_lex),
-        |                  CAST(0.0 AS DOUBLE))
-        |           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rn_dense),
-        |                      CAST(0.0 AS DOUBLE)) AS rrf
-        |       FROM lex FULL OUTER JOIN den
-        |         ON lex.query_id = den.query_id
-        |            AND lex.doc_id = den.doc_id)
-        |SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf, rn FROM (
-        |  SELECT query_id, doc_id, rrf,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |                ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
-        |  FROM fu)
+      s"""WITH $rrfFusedCtes
+        |SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf, rn FROM hyb
         |WHERE rn <= 10""".stripMargin,
+    // qrels = each query vector's exact full-dim top-1 (dr rn=1);
+    // rr = 1/first relevant rank in the hybrid top-10, 0 on a miss
+    "r3_mrr_eval" ->
+      s"""WITH $rrfFusedCtes,
+        |qrel AS (SELECT qv.query_id, dr.nid AS doc_id
+        |         FROM dr JOIN qv USING (qid) WHERE dr.rn = 1),
+        |hits AS (SELECT qrel.query_id, MIN(h.rn) AS first_hit
+        |         FROM qrel LEFT JOIN
+        |           (SELECT * FROM hyb WHERE rn <= 10) h
+        |           ON qrel.query_id = h.query_id
+        |              AND qrel.doc_id = h.doc_id
+        |         GROUP BY 1)
+        |SELECT query_id,
+        |       ROUND(COALESCE(CAST(1.0 AS DOUBLE) / first_hit,
+        |                      CAST(0.0 AS DOUBLE)), 6) AS rr,
+        |       first_hit IS NOT NULL AS hit
+        |FROM hits""".stripMargin,
+    // quantized-integer sums (x·1e6 as BIGINT) make mean/variance exact
+    // and engine-portable; arithmetic order mirrors Similarity.dimStats
+    "emb2_dim_stats" ->
+      """WITH e AS (SELECT CAST(i.i AS INTEGER) AS dim,
+        |             CAST(embedding[i.i] AS DOUBLE) AS x
+        |           FROM embeddings,
+        |                (SELECT unnest(range(1, 65)) AS i) i),
+        |q AS (SELECT dim, CAST(round(x * 1000000) AS BIGINT) AS qx
+        |      FROM e)
+        |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(CAST(SUM(qx) AS DOUBLE) / COUNT(*) / 1000000, 6)
+        |         AS mean,
+        |       ROUND(CAST(SUM(qx * qx) AS DOUBLE) / COUNT(*)
+        |               / 1000000000000
+        |             - POWER(CAST(SUM(qx) AS DOUBLE) / COUNT(*)
+        |                       / 1000000, 2), 6) AS variance
+        |FROM q GROUP BY dim""".stripMargin,
     // QUALIFY (not WHERE) so position-1 rows stay visible to the
     // string_agg frame while emitting no example themselves
     "seq2_next_event_pairs" ->

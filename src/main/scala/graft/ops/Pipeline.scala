@@ -181,6 +181,30 @@ object Pipeline {
         round(col("rrf"), 6).as("rrf"), col("rn"))
   }
 
+  /** Retrieval evaluation: reciprocal rank and hit@k of a ranked run
+    * against a relevance set — the harness that turns [[hybridRrf]] (or
+    * any retriever emitting (query_id, doc_id, rn)) into a scored
+    * experiment. Per query: rr = 1/rank of the FIRST relevant document
+    * within the top `k` (0.0 if none — the no-hit query still appears,
+    * so averaging rr over the output IS the MRR@k), and a boolean hit
+    * flag. Multiple relevant docs per query are fine: `min(rn)` picks
+    * the earliest.
+    *
+    * Scale: both inputs are bounded — qrels is |Q|·(relevant per query)
+    * and the run is |Q|·k — so the join and per-query aggregate are
+    * driver-scale no matter how large the corpus behind the run was. */
+  def retrievalEval(ranked: DataFrame, qrels: DataFrame,
+      k: Int = 10): DataFrame =
+    qrels
+      .join(ranked.where(col("rn") <= k).select(col("query_id"),
+        col("doc_id"), col("rn")), Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(min(col("rn")).as("first_hit"))
+      .select(col("query_id"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6)
+          .as("rr"),
+        col("first_hit").isNotNull.as("hit"))
+
   /** Behavioral-pretraining sequence builder: each user's first `maxLen`
     * events as one ordered training example — (user_id, seq, n_events,
     * span_sec), where `seq` is the comma-joined event-type string in

@@ -191,6 +191,37 @@ object Similarity {
         col("votes"))
   }
 
+  /** Per-DIMENSION embedding health stats: mean and variance of every
+    * component across the corpus — the check that catches dead
+    * dimensions (variance ≈ 0), collapsed encoders (most dims dead), and
+    * mis-scaled batches (means far from 0) before a similarity index is
+    * built on garbage. Values are quantized to 1e-6 resolution
+    * (`round(x·10⁶)` as BIGINT) so the sums are EXACT integers — no
+    * float-summation-order sensitivity, hash-identical on any engine;
+    * mean/variance then derive from the integer sums in a fixed
+    * expression order and round to 6dp. Variance uses the E[x²]−E[x]²
+    * form on the quantized values.
+    *
+    * Scale: one posexplode (dims × N rows) into a groupBy(dim) whose
+    * map-side partials reduce every partition to ≤ dims rows — the
+    * shuffle carries dims × partitions tiny rows regardless of corpus
+    * size. */
+  def dimStats(embeddings: DataFrame): DataFrame = {
+    val q = embeddings
+      .select(posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).cast("int").as("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("qx"))
+    q.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qx")).as("s"),
+        sum(col("qx") * col("qx")).as("ss"))
+      .select(col("dim"), col("n"),
+        round(col("s").cast("double") / col("n") / 1e6, 6).as("mean"),
+        round(col("ss").cast("double") / col("n") / 1e12
+          - pow(col("s").cast("double") / col("n") / 1e6, 2), 6)
+          .as("variance"))
+  }
+
   /** Matryoshka-style truncation fidelity: for each query (`vec_id <
     * numQueries`), the exact full-dimension top-1 neighbor next to the
     * top-1 computed on only the first `prefixDims` components

@@ -193,6 +193,44 @@ class PipelineSpec extends GraftSuite {
     assert(out.count() == 30)
   }
 
+  test("emb2 dim stats: hand-computed mean/variance, dead dim flagged") {
+    import spark.implicits._
+    val vecs = Seq(
+      1L -> Array(1f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f)) // dim 3 is dead: constant zero
+      .toDF("vec_id", "embedding")
+    val out = Similarity.dimStats(vecs).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // dims 1/2: values {1, 0} -> mean .5, var = E[x^2]-mean^2 = .5-.25
+    assert(out(1) == ((2L, 0.5, 0.25)))
+    assert(out(2) == ((2L, 0.5, 0.25)))
+    assert(out(3) == ((2L, 0.0, 0.0)), "dead dimension must read var=0")
+  }
+
+  test("r3 retrieval eval: hand-computed rr, miss scores zero, min rank wins") {
+    import spark.implicits._
+    val ranked = Seq(
+      ("qa", 10L, 1), ("qa", 11L, 2), ("qa", 12L, 3),
+      ("qb", 20L, 1), ("qb", 21L, 2),
+      ("qc", 30L, 1)).toDF("query_id", "doc_id", "rn")
+    val qrels = Seq(
+      ("qa", 12L),            // hit at rank 3 -> rr = 1/3
+      ("qb", 20L), ("qb", 21L), // two relevant: min rank 1 wins
+      ("qc", 99L))            // miss -> rr = 0, still a row
+      .toDF("query_id", "doc_id")
+    val out = Pipeline.retrievalEval(ranked, qrels, 10).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(out("qa") == ((0.333333, true)))
+    assert(out("qb") == ((1.0, true)))
+    assert(out("qc") == ((0.0, false)))
+    // the k cutoff excludes hits beyond it
+    val cut = Pipeline.retrievalEval(ranked, qrels, 2).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(cut("qa") == false && cut("qb") == true)
+  }
+
   test("rrf1 hybrid: hand-computed fusion covers lex-only/dense-only/both") {
     import spark.implicits._
     val docs3 = Seq(
