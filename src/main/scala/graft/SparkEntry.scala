@@ -719,7 +719,9 @@ object SparkEntry {
       |  SELECT word,
       |         CAST((length(word) * 31 + ascii(substring(word, 1, 1))) % 13
       |              - 6 AS BIGINT) AS w
-      |  FROM (SELECT word, COUNT(*) AS cnt FROM dt GROUP BY 1
+      |  FROM (SELECT word, COUNT(*) AS cnt FROM dt
+      |        WHERE ascii(substring(word, 1, 1)) < 55296
+      |        GROUP BY 1
       |        ORDER BY cnt DESC, word LIMIT 1000)),
       |per AS (SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
       |               COALESCE(SUM(v.w), 0) AS raw

@@ -426,11 +426,14 @@ object TextAnalysis {
     * deterministic function of the word (so the DuckDB oracle can rebuild
     * the identical model); swapping in real learned weights is a one-line
     * change to the `weight` expression or an external weight table.
-    * Engine-portability caveat: the weight uses `ascii(first char)`,
-    * which agrees across engines for BMP-initial words only — for an
-    * astral-plane initial (emoji, CJK ext-B) Spark returns the UTF-16
-    * high surrogate while DuckDB returns the code point, so a real
-    * deployment over such text should swap in an explicit weight table.
+    * The weight uses `ascii(first char)`, so the vocabulary is restricted
+    * to words whose first char has code point < U+D800: Spark's `ascii`
+    * yields the UTF-16 high surrogate for an astral-plane initial while
+    * other engines yield the code point, and both representations are
+    * >= 0xD800 — the same `< 55296` predicate therefore selects the
+    * identical word set in every engine, making the weight fully
+    * engine-portable (astral-initial words simply score weight 0, like
+    * any other out-of-vocab word).
     *
     * Scale shape: the model is the part that must NOT scale with the
     * corpus — vocab is capped at `vocabSize` via a global
@@ -446,8 +449,10 @@ object TextAnalysis {
     val docToks = documents
       .select(col("doc_id"), explode(toks).as("word"))
       .where(col("word") =!= "")
-    // top-V vocabulary by corpus frequency, deterministic tie-break
+    // top-V vocabulary by corpus frequency, deterministic tie-break;
+    // BMP-initial words only (see class doc: keeps ascii() engine-portable)
     val vocab = docToks
+      .where(ascii(substring(col("word"), 1, 1)) < 55296)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
       .limit(vocabSize)

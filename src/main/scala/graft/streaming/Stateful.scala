@@ -263,55 +263,93 @@ object Stateful {
     * stage k+1 on the first stage-(k+1) event STRICTLY after their stage-k
     * time (same strict-order semantics as `Aggs.funnelStages`; each user
     * emits each stage at most once, so stage counts downstream equal the
-    * batch funnel). State is two scalars (completed-stage count, last
-    * stage time) — bounded per user regardless of event volume. Within a
-    * batch events are (ts, event_id)-sorted like every twin here; across
-    * batches in-order arrival is assumed (watermarked source). The
-    * assumption is WATCHED, not silent: a next-stage event arriving with
-    * ts <= the stored stage time (out-of-order across a batch boundary —
-    * the case where this twin can diverge from the batch funnel) is
-    * counted and logged per group before being discarded; a
-    * lateness-tolerant deployment would buffer sub-watermark events in
-    * state instead. */
+    * batch funnel).
+    *
+    * Out-of-order arrival ACROSS micro-batches is handled by buffering:
+    * events for stages the user hasn't reached yet (e.g. a `purchase`
+    * arriving a batch before its `click`) are held in keyed state and
+    * replayed through the greedy chain whenever an earlier stage advances,
+    * so cross-batch disorder converges to the batch funnel instead of
+    * silently losing the later stage. The buffer is bounded: per pending
+    * stage only the `maxPendingPerStage` SMALLEST (ts, event_id) candidates
+    * are kept (the greedy chain always picks the minimum valid ts, so
+    * evicting the largest can only turn an exact result into an undercount,
+    * never a wrong emission). Already-emitted stages are immutable (Append
+    * mode): a late CURRENT-stage event older than the committed stage time
+    * could have lowered that stage's time in batch — that residual
+    * divergence is counted and logged, not silent; a watermark-delayed
+    * emitter would be needed to close it. */
   def streamingFunnel(events: Dataset[Event],
       stages: Seq[String] = Seq("view", "click", "purchase"),
-      ttl: Option[String] = None): Dataset[StageEmit] = {
+      ttl: Option[String] = None,
+      maxPendingPerStage: Int = 64): Dataset[StageEmit] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Int, Long), StageEmit](
+      // state: (completed stages, last stage micros, pending future-stage
+      // events as (stageIdx, micros, event_id))
+      .flatMapGroupsWithState[(Int, Long, Seq[(Int, Long, Long)]), StageEmit](
         OutputMode.Append,
         if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout) {
-        case (_, it, state: GroupState[(Int, Long)]) =>
+        case (user, it, state: GroupState[(Int, Long, Seq[(Int, Long, Long)])]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var (done, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
-            val out = scala.collection.mutable.ArrayBuffer[StageEmit]()
+            var (done, lastTs, pending) =
+              state.getOption.getOrElse((0, Long.MinValue, Seq.empty))
+            val pool = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+            pool ++= pending
             var lateDropped = 0
-            var lateUser = 0L
-            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              if (done < stages.length && e.event_type == stages(done)) {
-                if (done == 0 || e.ts.getTime > lastTs) {
-                  out += StageEmit(e.user_id, done + 1, stages(done), e.ts)
-                  lastTs = e.ts.getTime
-                  done += 1
-                } else if (e.ts.getTime < lastTs) {
-                  // would-be next stage but STRICTLY older than the stored
-                  // stage time: the in-order-across-batches assumption
-                  // broke (equal-ts drops are the shared strict-order
-                  // semantics — the batch funnel drops those too)
-                  lateDropped += 1; lateUser = e.user_id
-                }
+            it.foreach { e =>
+              stageIdx.get(e.event_type) match {
+                case Some(s) if s >= done =>
+                  pool += ((s, micros(e.ts), e.event_id))
+                case Some(s) if s == done - 1 && micros(e.ts) < lastTs =>
+                  // late event for an ALREADY-EMITTED stage, older than the
+                  // committed stage time: batch would have chosen it as the
+                  // stage time (lowering the threshold for later stages);
+                  // Append mode can't retract, so count-and-log
+                  lateDropped += 1
+                case _ => () // earlier stages: can no longer affect the chain
+              }
+            }
+            val out = scala.collection.mutable.ArrayBuffer[StageEmit]()
+            // greedy chain over buffered + new events, exactly the batch
+            // recurrence: t_k = min ts of stage-k events with ts > t_(k-1)
+            var advanced = true
+            while (advanced && done < stages.length) {
+              val cand = pool
+                .filter(p => p._1 == done && (done == 0 || p._2 > lastTs))
+              if (cand.isEmpty) advanced = false
+              else {
+                val chosen = cand.minBy(p => (p._2, p._3))
+                out += StageEmit(user, done + 1, stages(done), toTs(chosen._2))
+                lastTs = chosen._2
+                done += 1
               }
             }
             if (lateDropped > 0)
               org.slf4j.LoggerFactory.getLogger("graft.streaming.Stateful")
-                .warn(s"streamingFunnel: dropped $lateDropped out-of-order " +
-                  s"stage event(s) for user $lateUser (event ts <= stored " +
-                  "stage time; batch funnel would count them)")
-            state.update((done, lastTs))
+                .warn(s"streamingFunnel: $lateDropped late event(s) for user " +
+                  s"$user older than an already-emitted stage time; the batch " +
+                  "funnel would have used them (Append mode cannot retract)")
+            // retain only still-reachable future-stage events, bounded to
+            // the smallest candidates per stage
+            val kept = pool.filter(p => p._1 >= done &&
+                (p._1 > done || done == 0 || p._2 > lastTs))
+              .groupBy(_._1).valuesIterator
+              .flatMap(_.sortBy(p => (p._2, p._3)).take(maxPendingPerStage))
+              .toSeq
+            state.update((done, lastTs, kept))
             ttl.foreach(state.setTimeoutDuration)
             out.iterator
           }

@@ -104,6 +104,64 @@ class StreamingSpec extends GraftSuite {
     assert(dupes == 0)
   }
 
+  test("streaming funnel buffers out-of-order stages across batch boundaries") {
+    import spark.implicits._
+    // Two SEPARATE query incarnations against a file source guarantee the
+    // disorder really crosses a micro-batch boundary (MemoryStream blocks
+    // can coalesce under AvailableNow).
+    val srcDir = Files.createTempDirectory("graft_ooo_src").toString
+    val ckpt = Files.createTempDirectory("graft_ooo_ckpt").toString
+    val emits = scala.collection.mutable.ArrayBuffer[(Long, Int, String, String)]()
+    val schema = Seq(Event(0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      0L, "x", 0.0)).toDF().schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .as[Event]
+        .transform(Stateful.streamingFunnel(_))
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Stateful.StageEmit], _: Long) =>
+            b.collect().foreach(e => emits.synchronized {
+              emits += ((e.user_id, e.stage_idx, e.stage, e.ts.toString))
+            })
+        }
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    def ev(id: Long, u: Long, tp: String, s: String) =
+      Event(id, java.sql.Timestamp.valueOf(s), u, tp, 0.0)
+    // batch 1: user 1's purchase arrives a batch BEFORE its click; user 2's
+    // click arrives before any view (and precedes the eventual view's ts,
+    // so it must never fire)
+    val batch1 = Seq(
+      ev(1, 1, "view", "2024-01-01 10:00:00"),
+      ev(2, 1, "purchase", "2024-01-01 10:10:00"),
+      ev(3, 2, "click", "2024-01-01 09:00:00"))
+    val batch2 = Seq(
+      ev(4, 1, "click", "2024-01-01 10:05:00"),
+      ev(5, 2, "view", "2024-01-01 09:30:00"))
+    batch1.toDF().write.mode("append").parquet(srcDir)
+    runOnce()
+    batch2.toDF().write.mode("append").parquet(srcDir)
+    runOnce()
+    // must match the batch funnel over the union of both batches
+    val exp = ops.Aggs.funnelStages((batch1 ++ batch2).toDF())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = emits.groupBy(_._3).view
+      .mapValues(_.map(_._1).distinct.size.toLong).toMap
+    def stagesMatch(g: Map[String, Long], e: Map[String, Long]) =
+      Seq("view", "click", "purchase").forall(s =>
+        g.getOrElse(s, 0L) == e.getOrElse(s, 0L))
+    assert(stagesMatch(got, exp), s"streaming $got vs batch $exp")
+    // the buffered purchase must surface with its ORIGINAL event time
+    assert(emits.contains((1L, 3, "purchase", "2024-01-01 10:10:00.0")),
+      s"buffered purchase not replayed faithfully: $emits")
+    // user 2's too-early click must never fire
+    assert(!emits.exists(e => e._1 == 2L && e._3 == "click"), s"$emits")
+  }
+
   test("every stateful op with ttl=None terminates under Trigger.AvailableNow") {
     // pins the round-1 landmine: opting into a TTL switches on
     // ProcessingTimeTimeout / TimeMode.ProcessingTime, under which Spark
