@@ -620,6 +620,23 @@ object SparkEntry {
           rrfQueries),
         qrels, 10)
     }),
+    // MRR/hit@10 of the hybrid retriever against qrels built by the
+    // ENGINE-PORTABLE blocked ANN (integer-quantized sign-LSH top-1) —
+    // the oracle rebuilds the blocking bit-for-bit, so the rows-only ANN
+    // family gains a hash-gated consumer
+    "r4_ann_qrels_mrr" -> ((s, d) => {
+      import s.implicits._
+      val qrels = Similarity
+        .portableLshTop1(t(s, d, "embeddings"), rrfQueries.map(_._3))
+        .join(org.apache.spark.sql.functions.broadcast(
+          rrfQueries.map(q => (q._1, q._3)).toDF("query_id", "qid")),
+          "qid")
+        .select($"query_id", $"nid".as("doc_id"))
+      Pipeline.retrievalEval(
+        Pipeline.hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"),
+          rrfQueries),
+        qrels, 10)
+    }),
     // C4-style config-driven blocklist gate: per-doc hit counts and an
     // integer-arithmetic keep flag at a 5% blocked-fraction cap
     "t16_blocklist" -> ((s, d) =>
@@ -2648,6 +2665,59 @@ object SparkEntry {
         |                      CAST(0.0 AS DOUBLE)), 6) AS rr,
         |       first_hit IS NOT NULL AS hit
         |FROM hits""".stripMargin,
+    // qrels from the ENGINE-PORTABLE sign-LSH: integer hyperplane weights
+    // ((2654435761*(p*64+i)) % 1000003) - 500001 over 1e-6-quantized
+    // components make every sign bit an exact integer comparison, so the
+    // blocking reproduces bit-for-bit (Similarity.portableLshTop1,
+    // bits=6); rerank + MRR mirror r3
+    "r4_ann_qrels_mrr" ->
+      s"""WITH $rrfFusedCtes,
+        |lz AS (SELECT vec_id, ii.i AS i,
+        |         CAST(ROUND(CAST(embedding[ii.i] AS DOUBLE) * 1000000)
+        |              AS BIGINT) AS qc
+        |       FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii),
+        |ld AS (SELECT lz.vec_id, pl.p, SUM(lz.qc *
+        |         (((2654435761 * (pl.p * 64 + lz.i)) % 1000003) - 500001))
+        |         AS dot
+        |       FROM lz, (SELECT unnest(range(0, 6)) AS p) pl
+        |       GROUP BY 1, 2),
+        |ls AS (SELECT vec_id,
+        |         CAST(SUM(CASE WHEN dot >= 0
+        |                  THEN CAST(POWER(2, p) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS sig
+        |       FROM ld GROUP BY 1),
+        |lc AS (SELECT qv.query_id, qv.qid, ln.vec_id AS nid
+        |       FROM qv
+        |         JOIN ls lsq ON lsq.vec_id = qv.qid
+        |         JOIN ls ln ON ln.sig = lsq.sig AND ln.vec_id <> qv.qid),
+        |lp AS (SELECT lc.query_id, lc.nid,
+        |         SUM(CAST(eq.embedding[ii.i] AS DOUBLE)
+        |             * CAST(en.embedding[ii.i] AS DOUBLE)) AS dot,
+        |         SUM(CAST(eq.embedding[ii.i] AS DOUBLE)
+        |             * CAST(eq.embedding[ii.i] AS DOUBLE)) AS qq,
+        |         SUM(CAST(en.embedding[ii.i] AS DOUBLE)
+        |             * CAST(en.embedding[ii.i] AS DOUBLE)) AS xx
+        |       FROM lc
+        |         JOIN embeddings eq ON eq.vec_id = lc.qid
+        |         JOIN embeddings en ON en.vec_id = lc.nid,
+        |         (SELECT unnest(range(1, 65)) AS i) ii
+        |       GROUP BY 1, 2),
+        |lr AS (SELECT query_id, nid, row_number() OVER
+        |         (PARTITION BY query_id
+        |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+        |       FROM lp),
+        |lqrel AS (SELECT query_id, nid AS doc_id FROM lr WHERE rn = 1),
+        |lhits AS (SELECT lqrel.query_id, MIN(h.rn) AS first_hit
+        |          FROM lqrel LEFT JOIN
+        |            (SELECT * FROM hyb WHERE rn <= 10) h
+        |            ON lqrel.query_id = h.query_id
+        |               AND lqrel.doc_id = h.doc_id
+        |          GROUP BY 1)
+        |SELECT query_id,
+        |       ROUND(COALESCE(CAST(1.0 AS DOUBLE) / first_hit,
+        |                      CAST(0.0 AS DOUBLE)), 6) AS rr,
+        |       first_hit IS NOT NULL AS hit
+        |FROM lhits""".stripMargin,
     // quantized-integer sums (x·1e6 as BIGINT) make mean/variance exact
     // and engine-portable; arithmetic order mirrors Similarity.dimStats
     "emb2_dim_stats" ->

@@ -349,6 +349,63 @@ object Similarity {
     rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"), col("cos"))
   }
 
+  /** ENGINE-PORTABLE hyperplane-LSH top-1 — the oracle-checkable twin of
+    * [[lshTopK]], giving the rows-only ANN family a cross-engine-verified
+    * consumer. Two deliberate choices make every stage reproducible in any
+    * SQL engine (the DuckDB oracle rebuilds it bit-for-bit):
+    *
+    *  1. Hyperplanes are pure integer arithmetic, not hashed floats:
+    *     component (p, i) has weight `((2654435761 * (p*dims + i + 1)) mod
+    *     1000003) - 500001` — a Knuth-multiplicative pseudo-random integer
+    *     in [-500001, 500001], identical wherever 64-bit integer mod
+    *     exists.
+    *  2. The sign dot-product runs on 1e-6-QUANTIZED integer components
+    *     (`round(x*1e6)` as long, the `dimStats` trick), so the per-plane
+    *     dot is an exact integer sum — no float summation-order noise can
+    *     flip a sign bit near zero, on any engine or partitioning.
+    *
+    * Signature = `bits` sign bits packed into a long; candidates share the
+    * query's bucket in the single table; exact cosine (shared `rankTopK`
+    * path, NaN-excluded, cos desc / nid asc ties) picks top-1. A query
+    * whose bucket holds no other vector emits no row — same at-most-one
+    * contract as the oracle's rn=1 filter.
+    *
+    * Scale: identical shape to `lshTopK` — one narrow signature scan
+    * (bits×dims integer multiply-adds per row, no UDF boundary), a
+    * broadcast of |Q| query signatures, bucket-join, rerank over bucket
+    * occupancy only. */
+  def portableLshTop1(embeddings: DataFrame, queryIds: Seq[Long],
+      bits: Int = 6, dims: Int = 64): DataFrame = {
+    val A = 2654435761L // Knuth multiplicative constant
+    val M = 1000003L    // prime modulus
+    val HALF = 500001L  // (M - 1) / 2: centers the weight on zero
+    val sig: Column = (0 until bits).map { p =>
+      val dot = aggregate(
+        sequence(lit(0), lit(dims - 1)),
+        lit(0L),
+        (acc, i) => acc +
+          round(element_at(col("embedding"), i + 1).cast("double") * 1e6)
+            .cast("long") *
+          ((lit(A) * (lit(p.toLong * dims) + i + 1)) % M - HALF))
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = embeddings.select(col("vec_id"), sig.as("sig"))
+    val q = sigs
+      .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .toDF("qid", "sig")
+    val cand = sigs.toDF("nid", "sig")
+      .join(broadcast(q), Seq("sig"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val base = withNorm(embeddings)
+    val pairs = cand
+      .join(base.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm")), "nid")
+    rankTopK(pairs, 1).select(col("qid"), col("nid"))
+  }
+
   /** Product-quantization codebooks: split the embedding into `m`
     * subspaces and k-means each on a bounded driver-side sample (the same
     * sample-then-broadcast shape a 100 TB run uses — training never scans

@@ -432,6 +432,31 @@ class PipelineSpec extends GraftSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("portable LSH top-1: bucket-local argmax, deterministic, no self") {
+    val qids = Seq(0L, 1L, 2L)
+    val got = Similarity.portableLshTop1(emb, qids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "all query buckets empty — bits too high for corpus")
+    assert(got.keySet.subsetOf(qids.toSet))
+    assert(got.forall { case (q, n) => q != n }, s"self-match in $got")
+    // re-invocation is bit-identical (pure integer blocking, no RNG)
+    val again = Similarity.portableLshTop1(emb, qids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == again)
+    // each answer must be the EXACT cosine argmax among same-bucket
+    // candidates: re-derive the buckets via brute-force ranking restricted
+    // to the emitted neighbor's rank being minimal is implied by rankTopK;
+    // here check the weaker contract a consumer relies on: the chosen
+    // neighbor is in the query's brute-force top-50 (bucket-local argmax
+    // of a 64-bucket blocking over 500 vectors should not be an outlier)
+    val brute = Similarity.bruteForceTopKIds(emb, qids, 50)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getLong(2)).toSet).toMap
+    val inTop = got.count { case (q, n) => brute(q).contains(n) }
+    info(s"portable-LSH top-1 within brute top-50: $inTop/${got.size}")
+    assert(inTop >= got.size / 2, s"blocking quality collapsed: $got")
+  }
+
   test("d7 propagation collapses long chains and stars (multi-iteration + bounded plan)") {
     import spark.implicits._
     // chain 0-1-2-...-9 (diameter 9 forces ~5 propagation rounds under the

@@ -60,6 +60,12 @@ def main():
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     names = sorted([os.path.basename(d) for d in glob.glob(f"{OUT}/*") if os.path.isdir(d)])
     fails = 0
+    # per-query failure markers written by graft.Verify (round-6 postmortem:
+    # stderr-only failures made dead queries vanish from the compare)
+    errp = f"{OUT}/errors.json"
+    if os.path.exists(errp):
+        for name, msg in sorted(json.load(open(errp)).items()):
+            print(f"FAIL {name}: verify error: {msg[:200]}"); fails += 1
     for name in names:
         files = glob.glob(f"{OUT}/{name}/*.parquet")
         if not files:
