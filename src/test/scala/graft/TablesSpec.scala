@@ -60,4 +60,53 @@ class TablesSpec extends GraftSuite {
       org.apache.spark.sql.types.TimestampType)
     assert(events.limit(5).count() > 0)
   }
+
+  test("every driver table satisfies the column contract the ops assume") {
+    // The minimal (name -> type-class) contract the operator library reads.
+    // Checked as a SUBSET so the driver adding columns never breaks the
+    // suite, while a rename/retype (the round-6 failure class) fails HERE
+    // with one clear line instead of as 60 dead queries downstream.
+    import org.apache.spark.sql.types._
+    def cls(dt: DataType): String = dt match {
+      case _: IntegerType | _: LongType => "int"
+      case _: FloatType | _: DoubleType => "float"
+      case _: StringType => "string"
+      case _: TimestampType | _: TimestampNTZType | _: DateType => "time"
+      case ArrayType(e, _) => s"array<${cls(e)}>"
+      case other => other.simpleString
+    }
+    val contract: Map[String, Seq[(String, String)]] = Map(
+      "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+        "n_regionkey" -> "int"),
+      "customer" -> Seq("c_custkey" -> "int", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "float",
+        "c_mktsegment" -> "string"),
+      "supplier" -> Seq("s_suppkey" -> "int", "s_nationkey" -> "int"),
+      "part" -> Seq("p_partkey" -> "int", "p_name" -> "string",
+        "p_size" -> "int", "p_retailprice" -> "float"),
+      "orders" -> Seq("o_orderkey" -> "int", "o_custkey" -> "int",
+        "o_orderstatus" -> "string", "o_totalprice" -> "float",
+        "o_orderdate" -> "time", "o_orderpriority" -> "string"),
+      "lineitem" -> Seq("l_orderkey" -> "int", "l_partkey" -> "int",
+        "l_suppkey" -> "int", "l_quantity" -> "float",
+        "l_extendedprice" -> "float", "l_discount" -> "float",
+        "l_returnflag" -> "string", "l_linestatus" -> "string"),
+      "events" -> Seq("event_id" -> "int", "ts" -> "time",
+        "user_id" -> "int", "event_type" -> "string", "value" -> "float",
+        "props" -> "string"),
+      "documents" -> Seq("doc_id" -> "int", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "int"),
+      "embeddings" -> Seq("vec_id" -> "int",
+        "embedding" -> "array<float>", "label" -> "int"))
+    val problems = Tables.names.flatMap { t =>
+      val schema = Tables.load(spark, sf, t).schema
+      val have = schema.fields.map(f => f.name -> cls(f.dataType)).toMap
+      contract(t).collect {
+        case (c, want) if !have.contains(c) => s"$t.$c missing (have: ${have.keys.mkString(",")})"
+        case (c, want) if have(c) != want => s"$t.$c is ${have(c)}, ops expect $want"
+      }
+    }
+    assert(problems.isEmpty, problems.mkString("; "))
+  }
 }
