@@ -642,6 +642,11 @@ object SparkEntry {
     "t16_blocklist" -> ((s, d) =>
       TextAnalysis.blocklistFilter(t(s, d, "documents"),
         Seq("slow", "merge", "stream"), 20)),
+    // Unicode NFC + control-strip + whitespace-collapse normalization —
+    // the first stage of every curation pipeline, oracle-gated against
+    // DuckDB's nfc_normalize (both sides implement UAX#15)
+    "t17_normalize_text" -> ((s, d) =>
+      TextAnalysis.normalizeText(t(s, d, "documents"))),
     // Jensen-Shannon categorical drift over event_type, even vs odd
     // event_id slices (the categorical companion of drift1's PSI)
     "drift2_js_categorical" -> ((s, d) => {
@@ -2761,6 +2766,20 @@ object SparkEntry {
         |                      THEN 1 ELSE 0 END) AS BIGINT) * 20
         |         <= CAST(COUNT(*) AS BIGINT)) AS keep
         |FROM tok GROUP BY doc_id""".stripMargin,
+    // NFC via DuckDB's nfc_normalize (UAX#15, agrees with
+    // java.text.Normalizer); control-strip before \s+ collapse so the
+    // Java-vs-RE2 \x0B class difference can never matter
+    "t17_normalize_text" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text,
+        |       CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |       CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+        |       text <> clean_text AS changed
+        |FROM c""".stripMargin,
     // smoothing arithmetic mirrors DataQuality.jsDivergence exactly;
     // K = observed category count, m recomputed inline as (p+q)/2
     "drift2_js_categorical" ->

@@ -419,6 +419,40 @@ object TextAnalysis {
     }
   }
 
+  /** Unicode text normalization — the stage every curation pipeline runs
+    * FIRST, because downstream fingerprints, shingles, and token counts
+    * must not distinguish é-as-e+combining-accent from precomposed é, or
+    * text littered with control characters from its clean form. Three
+    * steps, each engine-portable:
+    *
+    *  1. NFC normalization (native codegen expression, ASCII fast path —
+    *     functions/TextExpressions.scala; DuckDB `nfc_normalize` agrees,
+    *     both implement UAX#15).
+    *  2. C0/DEL control characters (except \t \n \r) replaced by spaces —
+    *     the hex class is identical in Java regex and RE2.
+    *  3. Whitespace runs collapsed to one space, ends trimmed. Step 2
+    *     removes \x0B/\x0C first, so the `\s+` class difference between
+    *     Java (includes \x0B) and RE2 (doesn't) can never matter.
+    *
+    * Emits the cleaned text plus before/after char counts and a changed
+    * flag — the counts feed curation reports (how much of a crawl is
+    * mojibake/control noise) without rescanning.
+    *
+    * Scale: one narrow projection, no shuffle, no UDF boundary; the NFC
+    * fast path returns the input buffer untouched for pure-ASCII rows. */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    val nfc = graft.functions.TextExpressions.nfc(col("text"))
+    val cleaned = trim(regexp_replace(regexp_replace(nfc,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", " "),
+      "\\s+", " "))
+    documents.select(
+      col("doc_id"),
+      cleaned.as("clean_text"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      length(cleaned).cast("long").as("n_chars_clean"),
+      (col("text") =!= cleaned).as("changed"))
+  }
+
   /** Model-based quality scoring — the fastText-classifier shape every
     * large curation pipeline runs (CCNet/RedPajama-style "quality model"
     * pass): a linear bag-of-words model over a bounded vocabulary, scored

@@ -28,6 +28,45 @@ class FunctionsSpec extends GraftSuite {
     assert(viaUdf.except(got.select("doc_id", "keyword")).count() == 0)
   }
 
+  test("NFC expression + normalizeText: planted NFD, control, whitespace") {
+    import spark.implicits._
+    // fixture chars built programmatically so the source file stays clean
+    // ASCII: NUL/VT/FF are stripped to spaces, U+0301 composes, U+00E9 is
+    // the precomposed e-acute
+    val nul = 0.toChar; val vt = 11.toChar; val ff = 12.toChar
+    val acute = 0x0301.toChar; val eAcute = 0xE9.toChar
+    val docs = Seq(
+      // NFD e + combining acute must compose to precomposed e-acute
+      (1L, s"cafe$acute crema"),
+      // controls become spaces, whitespace runs collapse, ends trim
+      (2L, s"  a${nul}b\tc$vt${ff}d  \r\n e  "),
+      // pure ASCII already clean: fast path, changed=false
+      (3L, "plain ascii text"),
+      // already-NFC non-ASCII: isNormalized probe, no change
+      (4L, s"caf$eAcute"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = ops.TextAnalysis.normalizeText(docs)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == s"caf$eAcute crema", s"NFD not composed: ${got(1L)}")
+    assert(got(2L) == "a b c d e", s"control/ws not cleaned: '${got(2L)}'")
+    assert(got(3L) == "plain ascii text")
+    assert(got(4L) == s"caf$eAcute")
+    assert(got(5L) == null)
+    val flags = ops.TextAnalysis.normalizeText(docs)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) null else Boolean.box(r.getBoolean(4)))).toMap
+    assert(flags(1L) == Boolean.box(true))
+    assert(flags(3L) == Boolean.box(false))
+    assert(flags(4L) == Boolean.box(false))
+    // counts are code points: NFD raw is one longer than the composed form
+    val counts = ops.TextAnalysis.normalizeText(docs)
+      .where(col("doc_id") === 1L)
+      .select("n_chars_raw", "n_chars_clean").collect()(0)
+    assert(counts.getLong(0) == 11L && counts.getLong(1) == 10L)
+  }
+
   test("CJK-aware tokenizer: bigrams for CJK runs, words for Latin, stable mix") {
     import functions.Text.tokenize
     // pure Latin identical to lowercase [^a-z0-9]+ split
