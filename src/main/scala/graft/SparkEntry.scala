@@ -347,6 +347,11 @@ object SparkEntry {
     "sim5_ivfpq_topk" -> ((s, d) =>
       Similarity.ivfPqTopK(t(s, d, "embeddings"), 100, 5,
         nCells = 16, nprobe = 4, m = 16, k = 32)),
+    // the HASH-GATED IVF twin: coarse quantizer = the oracle-able Lloyd
+    // loop (kmeansAssign contract), so cells, probe order, and rerank all
+    // reproduce in DuckDB — sim3 stays the MLlib-quantizer scale form
+    "sim8_ivf_portable" -> ((s, d) =>
+      Similarity.portableIvfTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L))),
     "sim6_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(t(s, d, "embeddings"), 1)
         .select("qid", "nid")),
@@ -2331,6 +2336,41 @@ object SparkEntry {
     "ml1_kmeans_assign" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cid AS cluster FROM a2""".stripMargin,
+    // IVF over the SAME Lloyd quantizer: rank cells by query-vs-c2
+    // squared-L2 ((d, cid) tie-break, nprobe=2), candidates = a2 members
+    // of the probed cells, exact-cosine rerank top-5 — every stage the
+    // Spark side runs, rebuilt from the shared CTE block
+    "sim8_ivf_portable" ->
+      s"""WITH $kmeansCtes,
+        |ivq(qid) AS (VALUES (0), (1), (2)),
+        |icd AS (SELECT e.vec_id AS qid, c.cid,
+        |          row_number() OVER (PARTITION BY e.vec_id
+        |            ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+        |              i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
+        |            AS cr
+        |        FROM emb e JOIN ivq ON e.vec_id = ivq.qid
+        |          CROSS JOIN c2 c),
+        |ipc AS (SELECT qid, cid FROM icd WHERE cr <= 2),
+        |icand AS (SELECT ipc.qid, a.vec_id AS nid
+        |          FROM ipc JOIN a2 a USING (cid)
+        |          WHERE a.vec_id <> ipc.qid),
+        |ipr AS (SELECT icand.qid, icand.nid,
+        |          SUM(CAST(q.embedding[ii.i] AS DOUBLE)
+        |              * CAST(n.embedding[ii.i] AS DOUBLE)) AS dot,
+        |          SUM(CAST(q.embedding[ii.i] AS DOUBLE)
+        |              * CAST(q.embedding[ii.i] AS DOUBLE)) AS qq,
+        |          SUM(CAST(n.embedding[ii.i] AS DOUBLE)
+        |              * CAST(n.embedding[ii.i] AS DOUBLE)) AS xx
+        |        FROM icand
+        |          JOIN embeddings q ON q.vec_id = icand.qid
+        |          JOIN embeddings n ON n.vec_id = icand.nid,
+        |          (SELECT unnest(range(1, 65)) AS i) ii
+        |        GROUP BY 1, 2),
+        |ir AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+        |       FROM ipr)
+        |SELECT qid, CAST(rn AS INTEGER) AS rn, nid
+        |FROM ir WHERE rn <= 5""".stripMargin,
     // SemDeDup: within-cluster cosine over the k-means assignment; dot and
     // norms in double over the same ordinal dim order as the Spark side
     "d15_semdedup_pairs" ->

@@ -73,7 +73,16 @@ object Clustering {
   def clearAssignments(): Unit = {
     assignCache.synchronized(assignCache.clear())
     pairCache.synchronized(pairCache.clear())
+    centsCache.synchronized(centsCache.clear())
   }
+
+  /** Final-round centroids memo, same key as `assignCache` — populated by
+    * the Lloyd loop so coarse-quantizer consumers (`Similarity.
+    * portableIvfTopK`) rank query-to-cell distances against EXACTLY the
+    * centroids the assignment used. */
+  private val centsCache = scala.collection.mutable.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
+    Seq[(Int, Seq[Double])]]()
 
   /** `iters` Lloyd rounds from the deterministic init, then the final
     * assignment against the last (rounded) centroids: (vec_id, cluster).
@@ -84,12 +93,32 @@ object Clustering {
     val cacheKey =
       (embeddings.queryExecution.analyzed.canonicalized, k, iters)
     assignCache.synchronized {
-      assignCache.getOrElseUpdate(cacheKey, lloydAssign(embeddings, k, iters))
+      assignCache.getOrElseUpdate(cacheKey, {
+        val (df, cents) = lloydAssign(embeddings, k, iters)
+        centsCache.synchronized(centsCache(cacheKey) = cents)
+        df
+      })
     }
   }
 
+  /** The final-round coarse-quantizer model as a (cid, i, m) frame — the
+    * same (rounded) centroids `kmeansAssign`'s last assignment used, so a
+    * consumer ranking query-to-cell distances sees a cell layout
+    * consistent with the corpus assignment (and with the oracle's `c2`
+    * CTE). */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val cacheKey =
+      (embeddings.queryExecution.analyzed.canonicalized, k, iters)
+    kmeansAssign(embeddings, k, iters) // ensure the Lloyd loop ran
+    val emb = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    centroidFrame(emb, centsCache.synchronized(centsCache(cacheKey)))
+  }
+
   private def lloydAssign(embeddings: DataFrame, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
     val emb = embeddings
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
@@ -126,7 +155,7 @@ object Clustering {
         }
         .toSeq.sortBy(_._1)
     }
-    assign(cents).localCheckpoint()
+    (assign(cents).localCheckpoint(), cents)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup as

@@ -406,6 +406,56 @@ object Similarity {
     rankTopK(pairs, 1).select(col("qid"), col("nid"))
   }
 
+  /** ENGINE-PORTABLE IVF top-k — the oracle-checkable twin of [[ivfTopK]],
+    * completing the pattern [[portableLshTop1]] set for LSH: the coarse
+    * quantizer is `Clustering.kmeansAssign`'s deterministic Lloyd loop
+    * (smallest-vec_id init, (d, cid) argmin tie-break, round-6 centroid
+    * snapping — the ml1/d15-proven oracle-able contract) instead of MLlib
+    * KMeans, so the DuckDB oracle rebuilds cells, probe order, and rerank
+    * bit-for-bit from the shared `kmeansCtes`.
+    *
+    * Search shape is real IVF: rank cells by squared-L2 of query vs the
+    * FINAL-round centroids (the same model the corpus assignment used —
+    * `kmeansCentroids`), scan the `nprobe` nearest cells' members only,
+    * exact-cosine rerank (shared `rankTopK`: NaN-excluded, cos desc / nid
+    * asc). Recall loss vs brute force is the standard IVF trade; the
+    * bench/oracle value is that the WHOLE approximate path is hash-gated,
+    * not rows-only.
+    *
+    * Scale: the quantizer is k×dim driver rows broadcast back; cell
+    * ranking is |Q|·cells tiny rows; the candidate join touches only the
+    * probed cells' assignment lists — same shape as `ivfTopK`. */
+  def portableIvfTopK(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int = 5, cells: Int = 8, iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
+    val assign = Clustering.kmeansAssign(embeddings, cells, iters)
+      .select(col("vec_id").as("nid"), col("cluster").as("cid"))
+    val cents = Clustering.kmeansCentroids(embeddings, cells, iters)
+    val qEx = embeddings
+      .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("vec_id").as("qid"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("i", "x")))
+    val qCell = qEx
+      .join(broadcast(cents), "i")
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum((col("x") - col("m")) * (col("x") - col("m"))).as("d"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))))
+      .where(col("cr") <= nprobe)
+      .select(col("qid"), col("cid"))
+    val cand = qCell.join(assign, "cid")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val base = withNorm(embeddings)
+    val pairs = cand
+      .join(base.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm")), "nid")
+    rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"))
+  }
+
   /** Product-quantization codebooks: split the embedding into `m`
     * subspaces and k-means each on a bounded driver-side sample (the same
     * sample-then-broadcast shape a 100 TB run uses — training never scans
