@@ -310,6 +310,11 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, d, "documents"), 3)),
     "d5_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(t(s, d, "embeddings"), 0.4, 6, 8)),
+    // the HASH-GATED near-dup twin: portable sign-LSH blocking + exact
+    // 6dp cosine, reproducible in DuckDB (d5 stays the multi-table
+    // recall-tuned scale form)
+    "d18_portable_neardup" -> ((s, d) =>
+      Similarity.portableNearDupPairs(t(s, d, "embeddings"))),
     "d6_deduped_corpus" -> ((s, d) =>
       Dedup.dedupedCorpus(t(s, d, "documents"))),
     "d8_edit_distance_pairs" -> ((s, d) =>
@@ -940,6 +945,27 @@ object SparkEntry {
       |          CAST(row_number() OVER (PARTITION BY query_id
       |                 ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
       |        FROM fu)""".stripMargin
+
+  /** Shared CTE block for the portable sign-LSH oracles (r4/d18):
+    * 1e-6-quantized components (`lz`), integer hyperplane dots (`ld`,
+    * weights ((2654435761*(p*64+i)) % 1000003) - 500001), packed sign
+    * bits — ends in `ls(vec_id, sig)`. Mirrors
+    * `Similarity.portableSigCol(bits = 6, dims = 64)` exactly. */
+  private val portableSigCtes: String =
+    """lz AS (SELECT vec_id, ii.i AS i,
+      |         CAST(ROUND(CAST(embedding[ii.i] AS DOUBLE) * 1000000)
+      |              AS BIGINT) AS qc
+      |       FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii),
+      |ld AS (SELECT lz.vec_id, pl.p, SUM(lz.qc *
+      |         (((2654435761 * (pl.p * 64 + lz.i)) % 1000003) - 500001))
+      |         AS dot
+      |       FROM lz, (SELECT unnest(range(0, 6)) AS p) pl
+      |       GROUP BY 1, 2),
+      |ls AS (SELECT vec_id,
+      |         CAST(SUM(CASE WHEN dot >= 0
+      |                  THEN CAST(POWER(2, p) AS BIGINT)
+      |                  ELSE 0 END) AS BIGINT) AS sig
+      |       FROM ld GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = ListMap(
     "p1_parse_validate" ->
@@ -2336,6 +2362,29 @@ object SparkEntry {
     "ml1_kmeans_assign" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cid AS cluster FROM a2""".stripMargin,
+    // portable sign-LSH near-dup pairs: bucketed candidates (a < b),
+    // exact cosine rounded to 6dp on both sides before the threshold
+    "d18_portable_neardup" ->
+      s"""WITH $portableSigCtes,
+        |nc AS (SELECT a.vec_id AS vid_a, b.vec_id AS vid_b
+        |       FROM ls a JOIN ls b
+        |         ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        |np AS (SELECT nc.vid_a, nc.vid_b,
+        |         SUM(CAST(ea.embedding[ii.i] AS DOUBLE)
+        |             * CAST(eb.embedding[ii.i] AS DOUBLE)) AS dot,
+        |         SUM(CAST(ea.embedding[ii.i] AS DOUBLE)
+        |             * CAST(ea.embedding[ii.i] AS DOUBLE)) AS qq,
+        |         SUM(CAST(eb.embedding[ii.i] AS DOUBLE)
+        |             * CAST(eb.embedding[ii.i] AS DOUBLE)) AS xx
+        |       FROM nc
+        |         JOIN embeddings ea ON ea.vec_id = nc.vid_a
+        |         JOIN embeddings eb ON eb.vec_id = nc.vid_b,
+        |         (SELECT unnest(range(1, 65)) AS i) ii
+        |       GROUP BY 1, 2)
+        |SELECT vid_a, vid_b,
+        |       ROUND(dot / (sqrt(qq) * sqrt(xx)), 6) AS cos_sim
+        |FROM np
+        |WHERE ROUND(dot / (sqrt(qq) * sqrt(xx)), 6) >= 0.4""".stripMargin,
     // IVF over the SAME Lloyd quantizer: rank cells by query-vs-c2
     // squared-L2 ((d, cid) tie-break, nprobe=2), candidates = a2 members
     // of the probed cells, exact-cosine rerank top-5 — every stage the
@@ -2717,20 +2766,7 @@ object SparkEntry {
     // bits=6); rerank + MRR mirror r3
     "r4_ann_qrels_mrr" ->
       s"""WITH $rrfFusedCtes,
-        |lz AS (SELECT vec_id, ii.i AS i,
-        |         CAST(ROUND(CAST(embedding[ii.i] AS DOUBLE) * 1000000)
-        |              AS BIGINT) AS qc
-        |       FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii),
-        |ld AS (SELECT lz.vec_id, pl.p, SUM(lz.qc *
-        |         (((2654435761 * (pl.p * 64 + lz.i)) % 1000003) - 500001))
-        |         AS dot
-        |       FROM lz, (SELECT unnest(range(0, 6)) AS p) pl
-        |       GROUP BY 1, 2),
-        |ls AS (SELECT vec_id,
-        |         CAST(SUM(CASE WHEN dot >= 0
-        |                  THEN CAST(POWER(2, p) AS BIGINT)
-        |                  ELSE 0 END) AS BIGINT) AS sig
-        |       FROM ld GROUP BY 1),
+        |$portableSigCtes,
         |lc AS (SELECT qv.query_id, qv.qid, ln.vec_id AS nid
         |       FROM qv
         |         JOIN ls lsq ON lsq.vec_id = qv.qid

@@ -374,12 +374,14 @@ object Similarity {
     * (bits×dims integer multiply-adds per row, no UDF boundary), a
     * broadcast of |Q| query signatures, bucket-join, rerank over bucket
     * occupancy only. */
-  def portableLshTop1(embeddings: DataFrame, queryIds: Seq[Long],
-      bits: Int = 6, dims: Int = 64): DataFrame = {
+  /** The engine-portable sign-LSH signature (see [[portableLshTop1]] doc
+    * for the integer-arithmetic determinism argument) — shared by the
+    * portable top-1 qrels path and [[portableNearDupPairs]]. */
+  private[ops] def portableSigCol(bits: Int, dims: Int): Column = {
     val A = 2654435761L // Knuth multiplicative constant
     val M = 1000003L    // prime modulus
     val HALF = 500001L  // (M - 1) / 2: centers the weight on zero
-    val sig: Column = (0 until bits).map { p =>
+    (0 until bits).map { p =>
       val dot = aggregate(
         sequence(lit(0), lit(dims - 1)),
         lit(0L),
@@ -389,7 +391,12 @@ object Similarity {
           ((lit(A) * (lit(p.toLong * dims) + i + 1)) % M - HALF))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sigs = embeddings.select(col("vec_id"), sig.as("sig"))
+  }
+
+  def portableLshTop1(embeddings: DataFrame, queryIds: Seq[Long],
+      bits: Int = 6, dims: Int = 64): DataFrame = {
+    val sigs = embeddings
+      .select(col("vec_id"), portableSigCol(bits, dims).as("sig"))
     val q = sigs
       .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
       .toDF("qid", "sig")
@@ -404,6 +411,38 @@ object Similarity {
       .join(base.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm")), "nid")
     rankTopK(pairs, 1).select(col("qid"), col("nid"))
+  }
+
+  /** ENGINE-PORTABLE embedding near-duplicate pairs — the oracle-checkable
+    * twin of the LSH-blocked near-dup scan (`Dedup.embeddingNearDups`,
+    * `d5`): candidate pairs share a [[portableSigCol]] bucket (a < b
+    * canonical order), exact cosine rounds to 6dp, pairs at or above
+    * `threshold` survive. Because blocking AND rerank reproduce in any
+    * engine, the whole approximate near-dup path is hash-gated, not
+    * rows-only. Recall is the standard sign-LSH trade (a near-dup pair
+    * split across buckets is missed — by design, exactly like d5).
+    *
+    * Scale: Σ bucket² pair space, never n²; signatures are one narrow
+    * codegen scan; embeddings re-attach to the bounded candidate set. */
+  def portableNearDupPairs(embeddings: DataFrame, bits: Int = 6,
+      dims: Int = 64, threshold: Double = 0.4): DataFrame = {
+    val sigs = embeddings
+      .select(col("vec_id"), portableSigCol(bits, dims).as("sig"))
+    val cand = sigs.toDF("vid_a", "sig")
+      .join(sigs.toDF("vid_b", "sig2"),
+        col("sig") === col("sig2") && col("vid_a") < col("vid_b"))
+      .select(col("vid_a"), col("vid_b"))
+    val base = withNorm(embeddings)
+    cand
+      .join(base.select(col("vec_id").as("vid_a"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm")), "vid_a")
+      .join(base.select(col("vec_id").as("vid_b"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm")), "vid_b")
+      .withColumn("cos_sim", round(
+        Vectors.cosineFast(col("q_emb"), col("n_emb"), col("q_nrm"),
+          col("n_nrm")), 6))
+      .where(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
+      .select(col("vid_a"), col("vid_b"), col("cos_sim"))
   }
 
   /** ENGINE-PORTABLE IVF top-k — the oracle-checkable twin of [[ivfTopK]],

@@ -457,6 +457,29 @@ class PipelineSpec extends GraftSuite {
     assert(inTop >= got.size / 2, s"blocking quality collapsed: $got")
   }
 
+  test("d18 portable near-dup: planted colinear pair found, orthogonal excluded") {
+    import spark.implicits._
+    // b = 1.1 * a: every hyperplane dot scales by 1.1, so the sign bits —
+    // and hence the bucket — are IDENTICAL by construction (no LSH luck
+    // involved), and the cosine is exactly 1.0. The orthogonal vector may
+    // or may not share a bucket; either way cos 0 < threshold excludes it.
+    val a = Array.tabulate(64)(i => (math.sin(i + 1) * 0.1).toFloat)
+    val b = a.map(x => x * 1.1f)
+    val c = Array.tabulate(64)(i => if (i % 2 == 0) a(i + 1) else -a(i - 1))
+    val emb3 = Seq((10L, a.toSeq), (20L, b.toSeq), (30L, c.toSeq))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.portableNearDupPairs(emb3, 6, 64, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists(p => p._1 == 10L && p._2 == 20L && p._3 >= 0.999999),
+      s"colinear pair missing: ${got.toSeq}")
+    assert(got.forall(p => p._3 >= 0.4))
+    assert(!got.exists(p => p._2 == 30L || p._1 == 30L), s"${got.toSeq}")
+    // driver data: every emitted pair is canonical (a < b) and >= threshold
+    val real = Similarity.portableNearDupPairs(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(real.forall(p => p._1 < p._2 && p._3 >= 0.4))
+  }
+
   test("sim8 portable IVF: candidates confined to the probed cells, exact rerank") {
     val qids = Seq(0L, 1L, 2L)
     val got = Similarity.portableIvfTopK(emb, qids)
