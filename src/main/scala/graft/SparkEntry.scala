@@ -299,6 +299,16 @@ object SparkEntry {
           .select(col("qid").as("src"), col("nid").as("dst")), 5)
         .select(col("id"), round(col("rank"), 9).as("rank"))
     }),
+    // PageRank over the PORTABLE blocked kNN edges — the hash-gated gr
+    // twin (gr1 = exact graph, gr2 = multi-table recall blocking, gr3 =
+    // cross-engine-verified blocking)
+    "gr3_portable_pagerank" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      Graph.pageRank(
+        Similarity.portableKnnEdges(t(s, d, "embeddings"))
+          .select(col("qid").as("src"), col("nid").as("dst")), 5)
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+    }),
     // ---- training-data pipeline: dedup ----
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactDuplicates(t(s, d, "documents"))),
@@ -966,6 +976,55 @@ object SparkEntry {
       |                  THEN CAST(POWER(2, p) AS BIGINT)
       |                  ELSE 0 END) AS BIGINT) AS sig
       |       FROM ld GROUP BY 1)""".stripMargin
+
+  /** Shared CTE block: 5 unrolled PageRank rounds (d = 0.85) over an
+    * `edges(src, dst)` CTE defined upstream — gr1 (exact kNN edges) and
+    * gr3 (portable-LSH edges) compose it; ends in `r5(id, rank)`. The
+    * (1 - 0.85) / n constant is written as the same double ops Spark's
+    * driver performs so both engines fold it to identical bits. */
+  private val pagerankCtes: String =
+    """nodes AS (SELECT DISTINCT id FROM
+      |          (SELECT src AS id FROM edges
+      |           UNION ALL SELECT dst FROM edges)),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges
+      |        GROUP BY 1),
+      |r0 AS (SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+      |i1 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
+      |       FROM edges e JOIN deg d ON e.src = d.src
+      |            JOIN r0 r ON r.id = e.src GROUP BY 1),
+      |r1 AS (SELECT nodes.id,
+      |         (1 - 0.85) / n + 0.85 * COALESCE(i1.s, 0.0) AS rank
+      |       FROM nodes CROSS JOIN nn
+      |            LEFT JOIN i1 ON nodes.id = i1.id),
+      |i2 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
+      |       FROM edges e JOIN deg d ON e.src = d.src
+      |            JOIN r1 r ON r.id = e.src GROUP BY 1),
+      |r2 AS (SELECT nodes.id,
+      |         (1 - 0.85) / n + 0.85 * COALESCE(i2.s, 0.0) AS rank
+      |       FROM nodes CROSS JOIN nn
+      |            LEFT JOIN i2 ON nodes.id = i2.id),
+      |i3 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
+      |       FROM edges e JOIN deg d ON e.src = d.src
+      |            JOIN r2 r ON r.id = e.src GROUP BY 1),
+      |r3 AS (SELECT nodes.id,
+      |         (1 - 0.85) / n + 0.85 * COALESCE(i3.s, 0.0) AS rank
+      |       FROM nodes CROSS JOIN nn
+      |            LEFT JOIN i3 ON nodes.id = i3.id),
+      |i4 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
+      |       FROM edges e JOIN deg d ON e.src = d.src
+      |            JOIN r3 r ON r.id = e.src GROUP BY 1),
+      |r4 AS (SELECT nodes.id,
+      |         (1 - 0.85) / n + 0.85 * COALESCE(i4.s, 0.0) AS rank
+      |       FROM nodes CROSS JOIN nn
+      |            LEFT JOIN i4 ON nodes.id = i4.id),
+      |i5 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
+      |       FROM edges e JOIN deg d ON e.src = d.src
+      |            JOIN r4 r ON r.id = e.src GROUP BY 1),
+      |r5 AS (SELECT nodes.id,
+      |         (1 - 0.85) / n + 0.85 * COALESCE(i5.s, 0.0) AS rank
+      |       FROM nodes CROSS JOIN nn
+      |            LEFT JOIN i5 ON nodes.id = i5.id)""".stripMargin
 
   def oracleSql: Map[String, String] = ListMap(
     "p1_parse_validate" ->
@@ -2519,7 +2578,7 @@ object SparkEntry {
     // the Graph.pageRank recurrence with (1 - 0.85) / n kept as the same
     // double ops Spark's driver constant performs
     "gr1_knn_pagerank" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings),
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings),
         |x AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
         |p AS (SELECT qid, nid,
         |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS dot,
@@ -2532,48 +2591,33 @@ object SparkEntry {
         |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
         |      FROM p),
         |edges AS (SELECT qid AS src, nid AS dst FROM r WHERE rn = 1),
-        |nodes AS (SELECT DISTINCT id FROM
-        |          (SELECT src AS id FROM edges
-        |           UNION ALL SELECT dst FROM edges)),
-        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-        |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges
-        |        GROUP BY 1),
-        |r0 AS (SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
-        |i1 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
-        |       FROM edges e JOIN deg d ON e.src = d.src
-        |            JOIN r0 r ON r.id = e.src GROUP BY 1),
-        |r1 AS (SELECT nodes.id,
-        |         (1 - 0.85) / n + 0.85 * COALESCE(i1.s, 0.0) AS rank
-        |       FROM nodes CROSS JOIN nn
-        |            LEFT JOIN i1 ON nodes.id = i1.id),
-        |i2 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
-        |       FROM edges e JOIN deg d ON e.src = d.src
-        |            JOIN r1 r ON r.id = e.src GROUP BY 1),
-        |r2 AS (SELECT nodes.id,
-        |         (1 - 0.85) / n + 0.85 * COALESCE(i2.s, 0.0) AS rank
-        |       FROM nodes CROSS JOIN nn
-        |            LEFT JOIN i2 ON nodes.id = i2.id),
-        |i3 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
-        |       FROM edges e JOIN deg d ON e.src = d.src
-        |            JOIN r2 r ON r.id = e.src GROUP BY 1),
-        |r3 AS (SELECT nodes.id,
-        |         (1 - 0.85) / n + 0.85 * COALESCE(i3.s, 0.0) AS rank
-        |       FROM nodes CROSS JOIN nn
-        |            LEFT JOIN i3 ON nodes.id = i3.id),
-        |i4 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
-        |       FROM edges e JOIN deg d ON e.src = d.src
-        |            JOIN r3 r ON r.id = e.src GROUP BY 1),
-        |r4 AS (SELECT nodes.id,
-        |         (1 - 0.85) / n + 0.85 * COALESCE(i4.s, 0.0) AS rank
-        |       FROM nodes CROSS JOIN nn
-        |            LEFT JOIN i4 ON nodes.id = i4.id),
-        |i5 AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
-        |       FROM edges e JOIN deg d ON e.src = d.src
-        |            JOIN r4 r ON r.id = e.src GROUP BY 1),
-        |r5 AS (SELECT nodes.id,
-        |         (1 - 0.85) / n + 0.85 * COALESCE(i5.s, 0.0) AS rank
-        |       FROM nodes CROSS JOIN nn
-        |            LEFT JOIN i5 ON nodes.id = i5.id)
+        |$pagerankCtes
+        |SELECT id, ROUND(rank, 9) AS rank FROM r5""".stripMargin,
+    // same 5 unrolled rounds over the PORTABLE-LSH in-bucket top-1 edges
+    // (shared sign-LSH CTEs + shared pagerank CTEs)
+    "gr3_portable_pagerank" ->
+      s"""WITH $portableSigCtes,
+        |nc AS (SELECT a.vec_id AS qid, b.vec_id AS nid
+        |       FROM ls a JOIN ls b
+        |         ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |np AS (SELECT nc.qid, nc.nid,
+        |         SUM(CAST(ea.embedding[ii.i] AS DOUBLE)
+        |             * CAST(eb.embedding[ii.i] AS DOUBLE)) AS dot,
+        |         SUM(CAST(ea.embedding[ii.i] AS DOUBLE)
+        |             * CAST(ea.embedding[ii.i] AS DOUBLE)) AS qq,
+        |         SUM(CAST(eb.embedding[ii.i] AS DOUBLE)
+        |             * CAST(eb.embedding[ii.i] AS DOUBLE)) AS xx
+        |       FROM nc
+        |         JOIN embeddings ea ON ea.vec_id = nc.qid
+        |         JOIN embeddings eb ON eb.vec_id = nc.nid,
+        |         (SELECT unnest(range(1, 65)) AS i) ii
+        |       GROUP BY 1, 2),
+        |nr AS (SELECT qid, nid, row_number() OVER
+        |         (PARTITION BY qid
+        |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+        |       FROM np),
+        |edges AS (SELECT qid AS src, nid AS dst FROM nr WHERE rn = 1),
+        |$pagerankCtes
         |SELECT id, ROUND(rank, 9) AS rank FROM r5""".stripMargin,
     "dq1_expectations" ->
       """WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)

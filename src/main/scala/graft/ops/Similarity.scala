@@ -413,6 +413,35 @@ object Similarity {
     rankTopK(pairs, 1).select(col("qid"), col("nid"))
   }
 
+  /** ENGINE-PORTABLE blocked kNN edges — each vector's exact-cosine top-1
+    * within its [[portableSigCol]] bucket: the reproducible twin of
+    * `knnGraphBlocked`'s edge substrate (`sim7`/`gr2`). Vectors alone in
+    * their bucket contribute no edge, exactly like any blocked graph.
+    * Feeding these edges to `Graph.pageRank` gives a fully hash-gated
+    * blocked-graph PageRank (`gr3`), closing the loop on the gr-family:
+    * gr1 anchors the exact graph, gr2 the recall-tuned multi-table
+    * blocking, gr3 the cross-engine-verified blocking.
+    *
+    * Scale: Σ bucket² candidate pairs, one signature scan, rerank via the
+    * shared map-side-partial TopKAgg — the `knnGraphBlocked` shape with a
+    * single table. */
+  def portableKnnEdges(embeddings: DataFrame, bits: Int = 6,
+      dims: Int = 64): DataFrame = {
+    val sigs = embeddings
+      .select(col("vec_id"), portableSigCol(bits, dims).as("sig"))
+    val cand = sigs.toDF("qid", "sig")
+      .join(sigs.toDF("nid", "sig2"),
+        col("sig") === col("sig2") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val base = withNorm(embeddings)
+    val pairs = cand
+      .join(base.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm")), "nid")
+    rankTopK(pairs, 1).select(col("qid"), col("nid"))
+  }
+
   /** ENGINE-PORTABLE embedding near-duplicate pairs — the oracle-checkable
     * twin of the LSH-blocked near-dup scan (`Dedup.embeddingNearDups`,
     * `d5`): candidate pairs share a [[portableSigCol]] bucket (a < b

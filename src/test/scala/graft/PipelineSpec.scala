@@ -480,6 +480,32 @@ class PipelineSpec extends GraftSuite {
     assert(real.forall(p => p._1 < p._2 && p._3 >= 0.4))
   }
 
+  test("gr3 portable kNN edges: one out-edge per node, in-bucket only, mutual colinear link") {
+    import spark.implicits._
+    val edges = Similarity.portableKnnEdges(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // top-1 graph: at most one out-edge per source, never a self-loop
+    assert(edges.map(_._1).distinct.length == edges.length)
+    assert(edges.forall(e => e._1 != e._2))
+    // every edge must be an in-bucket pair: the threshold=-1 near-dup scan
+    // enumerates ALL in-bucket pairs in canonical order
+    val inBucket = Similarity.portableNearDupPairs(emb, 6, 64, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.forall(e =>
+      inBucket.contains((e._1 min e._2, e._1 max e._2))), "edge out of bucket")
+    // colinear fixture: a and 1.1*a share a bucket BY CONSTRUCTION and are
+    // each other's top-1, so the edge is mutual
+    val a = Array.tabulate(64)(i => (math.sin(i + 1) * 0.1).toFloat)
+    val emb3 = Seq((10L, a.toSeq), (20L, a.map(x => x * 1.1f).toSeq),
+      (30L, Array.tabulate(64)(i =>
+        if (i % 2 == 0) a(i + 1) else -a(i - 1)).toSeq))
+      .toDF("vec_id", "embedding")
+    val tiny = Similarity.portableKnnEdges(emb3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny.contains((10L, 20L)) && tiny.contains((20L, 10L)), s"$tiny")
+  }
+
   test("sim8 portable IVF: candidates confined to the probed cells, exact rerank") {
     val qids = Seq(0L, 1L, 2L)
     val got = Similarity.portableIvfTopK(emb, qids)
