@@ -325,6 +325,12 @@ object SparkEntry {
     // recall-tuned scale form)
     "d18_portable_neardup" -> ((s, d) =>
       Similarity.portableNearDupPairs(t(s, d, "embeddings"))),
+    // the HASH-GATED SimHash twin: polynomial token hash + quadratic
+    // vote signs + 4x15 banding (pigeonhole => banded == brute force,
+    // which is what makes a banded algorithm oracle-able at all); d4
+    // stays the murmur-hashed form
+    "d19_portable_simhash" -> ((s, d) =>
+      Dedup.portableSimhashPairs(t(s, d, "documents"))),
     "d6_deduped_corpus" -> ((s, d) =>
       Dedup.dedupedCorpus(t(s, d, "documents"))),
     "d8_edit_distance_pairs" -> ((s, d) =>
@@ -956,10 +962,12 @@ object SparkEntry {
       |                 ORDER BY rrf DESC, doc_id) AS INTEGER) AS rn
       |        FROM fu)""".stripMargin
 
-  /** Shared CTE block for the portable sign-LSH oracles (r4/d18):
+  /** Shared CTE block for the portable sign-LSH oracles (r4/d18/gr3):
     * 1e-6-quantized components (`lz`), integer hyperplane dots (`ld`,
-    * weights ((2654435761*(p*64+i)) % 1000003) - 500001), packed sign
-    * bits — ends in `ls(vec_id, sig)`. Mirrors
+    * QUADRATIC weights ((1013·y² + 2654435761·y) mod 1000003) − 500001
+    * over y = p·64 + i — see `Similarity.portableWeight` for why the
+    * mixing must not be linear), packed sign bits — ends in
+    * `ls(vec_id, sig)`. Mirrors
     * `Similarity.portableSigCol(bits = 6, dims = 64)` exactly. */
   private val portableSigCtes: String =
     """lz AS (SELECT vec_id, ii.i AS i,
@@ -967,7 +975,10 @@ object SparkEntry {
       |              AS BIGINT) AS qc
       |       FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii),
       |ld AS (SELECT lz.vec_id, pl.p, SUM(lz.qc *
-      |         (((2654435761 * (pl.p * 64 + lz.i)) % 1000003) - 500001))
+      |         (((1013 * (((pl.p * 64 + lz.i) % 1000003)
+      |                    * ((pl.p * 64 + lz.i) % 1000003))
+      |            + 2654435761 * ((pl.p * 64 + lz.i) % 1000003))
+      |           % 1000003) - 500001))
       |         AS dot
       |       FROM lz, (SELECT unnest(range(0, 6)) AS p) pl
       |       GROUP BY 1, 2),
@@ -2886,6 +2897,44 @@ object SparkEntry {
         |                      THEN 1 ELSE 0 END) AS BIGINT) * 20
         |         <= CAST(COUNT(*) AS BIGINT)) AS keep
         |FROM tok GROUP BY doc_id""".stripMargin,
+    // portable SimHash: brute-force pair compare — EQUAL to the Spark
+    // side's banded candidates by pigeonhole (hamming <= 3 over 4 bands);
+    // every stage is exact integer arithmetic (poly-31 token hash,
+    // quadratic vote signs, majority bits, bit_count of xor)
+    "d19_portable_simhash" ->
+      """WITH ptok AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM (SELECT doc_id,
+        |               unnest(string_split(lower(text), ' ')) AS word
+        |             FROM documents)
+        |       WHERE word <> '' GROUP BY 1, 2),
+        |pwh AS (SELECT word,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(word) + 1),
+        |             i -> CAST(CASE WHEN
+        |                    unicode(substring(word, CAST(i AS INTEGER), 1))
+        |                      >= 55296 THEN 0
+        |                  ELSE
+        |                    unicode(substring(word, CAST(i AS INTEGER), 1))
+        |                  END AS BIGINT))),
+        |           (acc, c) -> (acc * 31 + c) % 1000003) AS h
+        |        FROM (SELECT DISTINCT word FROM ptok)),
+        |pcon AS (SELECT t.doc_id, pl.p,
+        |          SUM(t.cnt * CASE WHEN
+        |              ((1013 * (((w.h * 60 + pl.p + 1) % 1000003)
+        |                        * ((w.h * 60 + pl.p + 1) % 1000003))
+        |                + 2654435761 * ((w.h * 60 + pl.p + 1) % 1000003))
+        |               % 1000003) - 500001 >= 0 THEN 1 ELSE -1 END) AS s
+        |         FROM ptok t JOIN pwh w USING (word),
+        |              (SELECT unnest(range(0, 60)) AS p) pl
+        |         GROUP BY 1, 2),
+        |psig AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0
+        |            THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END)
+        |            AS BIGINT) AS sig
+        |         FROM pcon GROUP BY 1)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
     // NFC via DuckDB's nfc_normalize (UAX#15, agrees with
     // java.text.Normalizer); control-strip before \s+ collapse so the
     // Java-vs-RE2 \x0B class difference can never matter

@@ -374,13 +374,30 @@ object Similarity {
     * (bits×dims integer multiply-adds per row, no UDF boundary), a
     * broadcast of |Q| query signatures, bucket-join, rerank over bucket
     * occupancy only. */
+  /** The QUADRATIC integer weight shared by every portable signature:
+    * w(y) = ((1013·(y mod M)² + 2654435761·(y mod M)) mod M) − (M−1)/2,
+    * a pseudo-random integer in [−500001, 500001] computable wherever
+    * 64-bit integer arithmetic exists (max intermediate ≈ 3.7e15, far
+    * inside BIGINT on every engine — no overflow-wrapping semantics
+    * needed, which is what rules out splitmix-style mixers). Quadratic,
+    * not linear (Knuth-multiplicative), deliberately: a linear walk makes
+    * consecutive indices differ by a CONSTANT step mod M, so the sign
+    * vectors of adjacent planes/bits are rotations of one fixed pattern —
+    * measured on the test corpus that correlation collapsed a 60-bit
+    * simhash to thousands of hamming-0 pairs; the quadratic's
+    * varying difference (2ay + a + b) restores independence (23 pairs,
+    * matching the murmur-hashed d4). */
+  private[ops] def portableWeight(y: Column): Column = {
+    val M = 1000003L  // prime modulus
+    val HALF = 500001L
+    val ym = y % M
+    ((lit(1013L) * ym * ym + lit(2654435761L) * ym) % M) - HALF
+  }
+
   /** The engine-portable sign-LSH signature (see [[portableLshTop1]] doc
     * for the integer-arithmetic determinism argument) — shared by the
     * portable top-1 qrels path and [[portableNearDupPairs]]. */
-  private[ops] def portableSigCol(bits: Int, dims: Int): Column = {
-    val A = 2654435761L // Knuth multiplicative constant
-    val M = 1000003L    // prime modulus
-    val HALF = 500001L  // (M - 1) / 2: centers the weight on zero
+  private[ops] def portableSigCol(bits: Int, dims: Int): Column =
     (0 until bits).map { p =>
       val dot = aggregate(
         sequence(lit(0), lit(dims - 1)),
@@ -388,10 +405,9 @@ object Similarity {
         (acc, i) => acc +
           round(element_at(col("embedding"), i + 1).cast("double") * 1e6)
             .cast("long") *
-          ((lit(A) * (lit(p.toLong * dims) + i + 1)) % M - HALF))
+          portableWeight(lit(p.toLong * dims) + i + 1))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   def portableLshTop1(embeddings: DataFrame, queryIds: Seq[Long],
       bits: Int = 6, dims: Int = 64): DataFrame = {

@@ -480,6 +480,38 @@ class PipelineSpec extends GraftSuite {
     assert(real.forall(p => p._1 < p._2 && p._3 >= 0.4))
   }
 
+  test("d19 portable simhash: identical bags at hamming 0, disjoint vocab excluded") {
+    import spark.implicits._
+    val docs2 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      // same BAG, different order: simhash is order-blind by design
+      (2L, "zeta epsilon delta gamma beta alpha"),
+      // NOTE: tiny docs have many tied-vote bits, so even one added word
+      // can flip enough bits to break every band — only the bag-identical
+      // and disjoint cases are stable enough to pin here
+      (3L, "alpha beta gamma delta epsilon zeta eta"),
+      (4L, "totally different words everywhere here now then"))
+      .toDF("doc_id", "text")
+    val got = Dedup.portableSimhashPairs(docs2, 60).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((1L, 2L)) == 0, s"bag-identical docs must collide: $got")
+    // disjoint vocab: absent entirely (no shared band) or clearly far
+    assert(got.get((1L, 4L)).forall(_ > 10), s"disjoint vocab too close: $got")
+    assert(got.get((3L, 4L)).forall(_ > 10), s"disjoint vocab too close: $got")
+    // at the d4 threshold the disjoint doc drops out, the bag pair stays
+    val tight = Dedup.portableSimhashPairs(docs2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.contains((1L, 2L)))
+    assert(!tight.exists(p => p._1 == 4L || p._2 == 4L))
+    // driver corpus: canonical order, hamming bound respected, deterministic
+    val real = Dedup.portableSimhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(real.forall(p => p._1 < p._2 && p._3 <= 3))
+    val again = Dedup.portableSimhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(real.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("gr3 portable kNN edges: one out-edge per node, in-bucket only, mutual colinear link") {
     import spark.implicits._
     val edges = Similarity.portableKnnEdges(emb)
