@@ -15,6 +15,34 @@ class PropertySpec extends GraftSuite {
     (0 until n).flatMap(i =>
       gen(Gen.Parameters.default, Seed(42L + i)))
 
+  test("portable weight kernel: balanced signs, no adjacent-index correlation") {
+    // driver-side mirror of Similarity.portableWeight — the shared
+    // quadratic mix every portable signature (r4/sim8/d18/gr3/d19) uses
+    def w(y: Long): Long = {
+      val m = 1000003L; val ym = y % m
+      ((1013L * ym * ym + 2654435761L * ym) % m) - 500001L
+    }
+    val ys = 1L to 200000L
+    // (1) signs are balanced: a skewed kernel biases every majority vote
+    val posFrac = ys.count(w(_) >= 0).toDouble / ys.size
+    assert(posFrac > 0.47 && posFrac < 0.53, s"sign bias: $posFrac")
+    // (2) adjacent indices are sign-independent: the linear (Weyl) mix
+    // this replaced had constant step, making adjacent signs near-copies
+    // (measured corpus collapse); agreement must sit near 50%
+    val agree = ys.init.count(y =>
+      (w(y) >= 0) == (w(y + 1) >= 0)).toDouble / (ys.size - 1)
+    assert(agree > 0.45 && agree < 0.55, s"adjacent-sign correlation: $agree")
+    // (3) stride-64 (plane-to-plane at the same dim) independent too
+    val agree64 = ys.take(100000).count(y =>
+      (w(y) >= 0) == (w(y + 64) >= 0)).toDouble / 100000
+    assert(agree64 > 0.45 && agree64 < 0.55, s"stride-64 correlation: $agree64")
+    // (4) weight values spread across the range, not clustered
+    val buckets = ys.map(y => ((w(y) + 500001L) / 100001L).toInt)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(buckets.size == 10 &&
+      buckets.values.forall(n => n > 10000 && n < 30000), s"$buckets")
+  }
+
   test("P9 date formatting matches java.time for arbitrary instants") {
     import spark.implicits._
     val gen = Gen.chooseNum(0L, 4102444800000L) // 1970..2100 in ms
