@@ -348,6 +348,19 @@ object SparkEntry {
     // against a hand-computed example and round-trip/determinism laws
     "t12_bpe_subwords" -> ((s, d) =>
       Bpe.subwordStats(t(s, d, "documents"), 100, 2L)),
+    // the HASH-GATED encoder twin of t12: the greedy lowest-rank-first
+    // BPE encoder runs under a FIXED merge table (training stays
+    // spec-verified — it is an iterative argmax loop with no SQL form),
+    // and the DuckDB oracle replays the same one-merge-per-step recursion
+    // via a recursive CTE — so the encode half of the BPE surface gets an
+    // engine-external gate
+    "t18_bpe_encode" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, explode, lit}
+      val enc = Bpe.encodeUdf(s, bpeFixedMerges)
+      t(s, d, "documents")
+        .select(explode(enc(col("text"))).as("subtoken"))
+        .groupBy(col("subtoken")).agg(count(lit(1)).as("cnt"))
+    }),
     "d13_cluster_sizes" -> ((s, d) =>
       Dedup.clusterSizeHistogram(t(s, d, "documents"))),
     "d7_dup_clusters" -> ((s, d) =>
@@ -373,6 +386,12 @@ object SparkEntry {
     // reproduce in DuckDB — sim3 stays the MLlib-quantizer scale form
     "sim8_ivf_portable" -> ((s, d) =>
       Similarity.portableIvfTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L))),
+    // the HASH-GATED PQ/ADC twin: per-subspace codebooks from the same
+    // oracle-able Lloyd loop, encode = final assignment, ADC on 1e-6
+    // integer arithmetic — sim4/sim5 stay the float sampled-training
+    // scale forms
+    "sim9_pq_portable" -> ((s, d) =>
+      Similarity.portablePqTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L))),
     "sim6_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(t(s, d, "embeddings"), 1)
         .select("qid", "nid")),
@@ -702,6 +721,21 @@ object SparkEntry {
     ("q2", Seq("table", "join", "query"), 1L),
     ("q3", Seq("vector", "hash"), 2L))
 
+  /** The FIXED merge table for `t18_bpe_encode` (rank order; shared by
+    * the query and, inlined as a CASE ladder, by its recursive-CTE
+    * oracle). Chosen to exercise chained merges on the corpus vocabulary:
+    * (o,r) then (or,t) composes in `sort`; rank precedence makes
+    * `customer` merge (e,r) before (s,t) despite position. */
+  private val bpeFixedMerges: Seq[(String, String)] = Seq(
+    "a" -> "t", "t" -> "h", "th" -> "e", "a" -> "n", "o" -> "r",
+    "e" -> "r", "or" -> "t", "s" -> "t", "q" -> "u", "e" -> "y")
+
+  /** The t18 oracle's rank lookup, generated from [[bpeFixedMerges]] so
+    * query and oracle share one source of truth. */
+  private def bpeRankCase: String = bpeFixedMerges.zipWithIndex.map {
+    case ((a, b), r) => s"WHEN '$a|$b' THEN $r"
+  }.mkString(" ")
+
   /** The dq1 check suite (shared by query + oracle doc): a representative
     * mix of passing and violated expectations over `events`. */
   private val dqChecks: Seq[DataQuality.Check] = Seq(
@@ -755,6 +789,62 @@ object SparkEntry {
       |               i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
       |           AS rn
       |         FROM emb e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+
+  /** Shared CTE block for the sim9 oracle: the kmeansCtes Lloyd contract
+    * run independently PER SUBSPACE (m=4 slices of 16 dims, k=8, two
+    * unrolled rounds) — mirrors `Similarity.portablePqTopK`'s per-slice
+    * `Clustering.kmeansAssign` calls. Ends in `pa2(s, vec_id, cid)` (the
+    * PQ codes) and `pc2(s, cid, cen)` (the final round-6 centroids). */
+  private val pqKmeansCtes: String =
+    """pemb AS (SELECT vec_id,
+      |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |         FROM embeddings),
+      |sgrid AS (SELECT unnest(range(0, 4)) AS s),
+      |sdims AS (SELECT unnest(range(1, 17)) AS i),
+      |semb AS (SELECT g.s, e.vec_id,
+      |           e.v[g.s*16+1 : g.s*16+16] AS sv
+      |         FROM pemb e CROSS JOIN sgrid g),
+      |pc0 AS (SELECT s, cid, cen FROM (
+      |          SELECT s, row_number() OVER (
+      |              PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+      |            sv AS cen
+      |          FROM semb) WHERE cid < 8),
+      |pa0 AS (SELECT s, vec_id, cid FROM (
+      |          SELECT se.s, se.vec_id, c.cid, row_number() OVER (
+      |              PARTITION BY se.s, se.vec_id
+      |              ORDER BY list_sum(list_transform(range(1, 17),
+      |                i -> (se.sv[i]-c.cen[i])*(se.sv[i]-c.cen[i]))),
+      |                c.cid) AS rn
+      |          FROM semb se JOIN pc0 c ON c.s = se.s) WHERE rn = 1),
+      |pc1 AS (SELECT s, cid, list(m ORDER BY i) AS cen FROM (
+      |          SELECT a.s, a.cid, d.i,
+      |            ROUND(SUM(se.sv[d.i]) / COUNT(*), 6) AS m
+      |          FROM pa0 a
+      |            JOIN semb se ON se.s = a.s AND se.vec_id = a.vec_id
+      |            CROSS JOIN sdims d
+      |          GROUP BY 1, 2, 3) GROUP BY 1, 2),
+      |pa1 AS (SELECT s, vec_id, cid FROM (
+      |          SELECT se.s, se.vec_id, c.cid, row_number() OVER (
+      |              PARTITION BY se.s, se.vec_id
+      |              ORDER BY list_sum(list_transform(range(1, 17),
+      |                i -> (se.sv[i]-c.cen[i])*(se.sv[i]-c.cen[i]))),
+      |                c.cid) AS rn
+      |          FROM semb se JOIN pc1 c ON c.s = se.s) WHERE rn = 1),
+      |pc2 AS (SELECT s, cid, list(m ORDER BY i) AS cen FROM (
+      |          SELECT a.s, a.cid, d.i,
+      |            ROUND(SUM(se.sv[d.i]) / COUNT(*), 6) AS m
+      |          FROM pa1 a
+      |            JOIN semb se ON se.s = a.s AND se.vec_id = a.vec_id
+      |            CROSS JOIN sdims d
+      |          GROUP BY 1, 2, 3) GROUP BY 1, 2),
+      |pa2 AS (SELECT s, vec_id, cid FROM (
+      |          SELECT se.s, se.vec_id, c.cid, row_number() OVER (
+      |              PARTITION BY se.s, se.vec_id
+      |              ORDER BY list_sum(list_transform(range(1, 17),
+      |                i -> (se.sv[i]-c.cen[i])*(se.sv[i]-c.cen[i]))),
+      |                c.cid) AS rn
+      |          FROM semb se JOIN pc2 c ON c.s = se.s) WHERE rn = 1)"""
+    .stripMargin
 
   /** Shared CTE block for the q1/e5 oracles, ending in
     * `qsc(doc_id, n_toks, score)` — mirrors
@@ -945,7 +1035,7 @@ object SparkEntry {
       |dr AS (SELECT qid, nid, row_number() OVER
       |         (PARTITION BY qid
       |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-      |       FROM p),
+      |       FROM p WHERE qq > 0 AND xx > 0),
       |den AS (SELECT qv.query_id, dr.nid AS doc_id, dr.rn AS rn_dense
       |        FROM dr JOIN qv USING (qid) WHERE dr.rn <= 50),
       |fu AS (SELECT COALESCE(lex.query_id, den.query_id) AS query_id,
@@ -1542,7 +1632,7 @@ object SparkEntry {
         |r AS (SELECT qid, nid, row_number() OVER
         |        (PARTITION BY qid
         |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-        |      FROM p)
+        |      FROM p WHERE qq > 0 AND xx > 0)
         |SELECT qid, nid FROM r WHERE rn = 1""".stripMargin,
     "sim6_knn_graph" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings),
@@ -1556,7 +1646,7 @@ object SparkEntry {
         |r AS (SELECT qid, nid, row_number() OVER
         |        (PARTITION BY qid
         |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-        |      FROM p)
+        |      FROM p WHERE qq > 0 AND xx > 0)
         |SELECT qid, nid FROM r WHERE rn = 1""".stripMargin,
     "a11_session_windows" ->
       """WITH x AS (
@@ -1918,6 +2008,47 @@ object SparkEntry {
         |       array_to_string(toks[k*48+1 : least(k*48+64, len(toks))],
         |         ' ') AS passage
         |FROM idx""".stripMargin,
+    // greedy lowest-rank-first BPE encode under the FIXED merge table:
+    // the recursive CTE replays encodeWord's exact recurrence — one merge
+    // per step, at the LEFTMOST occurrence (list_position = first index)
+    // of the LOWEST-rank adjacent pair — per distinct word, then final
+    // states (no applicable pair) fan back out by word frequency
+    "t18_bpe_encode" ->
+      s"""WITH RECURSIVE
+        |tokd AS (SELECT unnest(string_split_regex(lower(text),
+        |           '[^a-z0-9]+')) AS word
+        |         FROM documents),
+        |wrd AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tokd
+        |        WHERE word <> '' GROUP BY 1),
+        |enc AS (
+        |  SELECT word, list_transform(range(1, length(word)+1),
+        |           i -> word[i:i]) AS toks
+        |  FROM wrd
+        |  UNION ALL
+        |  SELECT word,
+        |    toks[1:bi-1] || [toks[bi] || toks[bi+1]]
+        |      || toks[bi+2:len(toks)]
+        |  FROM (
+        |    SELECT word, toks, list_position(rks, list_min(rks)) AS bi,
+        |           list_min(rks) AS mn
+        |    FROM (SELECT word, toks,
+        |            list_transform(range(1, len(toks)), j ->
+        |              CASE toks[j] || '|' || toks[j+1] $bpeRankCase
+        |                ELSE 999 END) AS rks
+        |          FROM enc))
+        |  WHERE mn < 999),
+        |fin AS (
+        |  SELECT word, toks FROM (
+        |    SELECT word, toks,
+        |      list_min(list_transform(range(1, len(toks)), j ->
+        |        CASE toks[j] || '|' || toks[j+1] $bpeRankCase
+        |          ELSE 999 END)) AS mn
+        |    FROM enc)
+        |  WHERE mn IS NULL OR mn = 999),
+        |ex AS (SELECT word, unnest(toks) AS subtoken FROM fin)
+        |SELECT e.subtoken, CAST(SUM(w.n) AS BIGINT) AS cnt
+        |FROM ex e JOIN wrd w USING (word)
+        |GROUP BY 1""".stripMargin,
     "d13_cluster_sizes" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
@@ -2244,7 +2375,7 @@ object SparkEntry {
         |r AS (SELECT qid, nid, row_number() OVER
         |        (PARTITION BY qid
         |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-        |      FROM p)
+        |      FROM p WHERE qq > 0 AND xx > 0)
         |SELECT qid, CAST(rn AS INTEGER) AS rn, nid FROM r
         |WHERE rn <= 5""".stripMargin,
     // kNN majority vote over the vec_id >= 100 train slice; vote ties
@@ -2263,7 +2394,7 @@ object SparkEntry {
         |r AS (SELECT qid, nid, row_number() OVER
         |        (PARTITION BY qid
         |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-        |      FROM p),
+        |      FROM p WHERE qq > 0 AND xx > 0),
         |v AS (SELECT r.qid, x.label, COUNT(*) AS votes
         |      FROM r JOIN x ON r.nid = x.nid WHERE r.rn <= 5
         |      GROUP BY r.qid, x.label),
@@ -2454,7 +2585,8 @@ object SparkEntry {
         |SELECT vid_a, vid_b,
         |       ROUND(dot / (sqrt(qq) * sqrt(xx)), 6) AS cos_sim
         |FROM np
-        |WHERE ROUND(dot / (sqrt(qq) * sqrt(xx)), 6) >= 0.4""".stripMargin,
+        |WHERE qq > 0 AND xx > 0
+        |  AND ROUND(dot / (sqrt(qq) * sqrt(xx)), 6) >= 0.4""".stripMargin,
     // IVF over the SAME Lloyd quantizer: rank cells by query-vs-c2
     // squared-L2 ((d, cid) tie-break, nprobe=2), candidates = a2 members
     // of the probed cells, exact-cosine rerank top-5 — every stage the
@@ -2487,9 +2619,36 @@ object SparkEntry {
         |        GROUP BY 1, 2),
         |ir AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
         |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-        |       FROM ipr)
+        |       FROM ipr WHERE qq > 0 AND xx > 0)
         |SELECT qid, CAST(rn AS INTEGER) AS rn, nid
         |FROM ir WHERE rn <= 5""".stripMargin,
+    // PQ/ADC over the per-subspace Lloyd codebooks: codes = pa2, ADC
+    // tables and scores in exact 1e-6-quantized integer arithmetic —
+    // mirrors Similarity.portablePqTopK stage for stage
+    "sim9_pq_portable" ->
+      s"""WITH $pqKmeansCtes,
+        |pcen AS (SELECT s, cid, d.i,
+        |           CAST(ROUND(cen[d.i] * 1e6) AS BIGINT) AS mi
+        |         FROM pc2 CROSS JOIN sdims d),
+        |pqv AS (SELECT vec_id AS qid, v FROM pemb
+        |        WHERE vec_id IN (0, 1, 2)),
+        |pqs AS (SELECT qid, g.s, d.i,
+        |          CAST(ROUND(v[g.s*16 + d.i] * 1e6) AS BIGINT) AS qi
+        |        FROM pqv CROSS JOIN sgrid g CROSS JOIN sdims d),
+        |ptab AS (SELECT q.qid, q.s, c.cid,
+        |           CAST(SUM(q.qi * c.mi) AS BIGINT) AS t
+        |         FROM pqs q JOIN pcen c ON c.s = q.s AND c.i = q.i
+        |         GROUP BY 1, 2, 3),
+        |psc AS (SELECT t.qid, a.vec_id AS nid,
+        |          CAST(SUM(t.t) AS BIGINT) AS adc
+        |        FROM pa2 a JOIN ptab t ON t.s = a.s AND t.cid = a.cid
+        |        WHERE a.vec_id <> t.qid
+        |        GROUP BY 1, 2),
+        |prk AS (SELECT qid, nid, adc, row_number() OVER
+        |          (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+        |        FROM psc)
+        |SELECT qid, CAST(rn AS INTEGER) AS rn, nid, adc
+        |FROM prk WHERE rn <= 5""".stripMargin,
     // SemDeDup: within-cluster cosine over the k-means assignment; dot and
     // norms in double over the same ordinal dim order as the Spark side
     "d15_semdedup_pairs" ->
@@ -2600,7 +2759,7 @@ object SparkEntry {
         |r AS (SELECT qid, nid, row_number() OVER
         |        (PARTITION BY qid
         |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-        |      FROM p),
+        |      FROM p WHERE qq > 0 AND xx > 0),
         |edges AS (SELECT qid AS src, nid AS dst FROM r WHERE rn = 1),
         |$pagerankCtes
         |SELECT id, ROUND(rank, 9) AS rank FROM r5""".stripMargin,
@@ -2626,7 +2785,7 @@ object SparkEntry {
         |nr AS (SELECT qid, nid, row_number() OVER
         |         (PARTITION BY qid
         |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-        |       FROM np),
+        |       FROM np WHERE qq > 0 AND xx > 0),
         |edges AS (SELECT qid AS src, nid AS dst FROM nr WHERE rn = 1),
         |$pagerankCtes
         |SELECT id, ROUND(rank, 9) AS rank FROM r5""".stripMargin,
@@ -2776,7 +2935,7 @@ object SparkEntry {
         |rf AS (SELECT qid, nid, row_number() OVER
         |         (PARTITION BY qid
         |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-        |       FROM pf),
+        |       FROM pf WHERE qq > 0 AND xx > 0),
         |pt AS (SELECT qid, nid,
         |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS dot,
         |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS qq,
@@ -2786,7 +2945,7 @@ object SparkEntry {
         |rt AS (SELECT qid, nid, row_number() OVER
         |         (PARTITION BY qid
         |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-        |       FROM pt)
+        |       FROM pt WHERE qq > 0 AND xx > 0)
         |SELECT f.qid, f.nid AS nid_full, t.nid AS nid_trunc,
         |       f.nid = t.nid AS agree
         |FROM rf f JOIN rt t ON f.qid = t.qid
@@ -2815,7 +2974,8 @@ object SparkEntry {
         |       first_hit IS NOT NULL AS hit
         |FROM hits""".stripMargin,
     // qrels from the ENGINE-PORTABLE sign-LSH: integer hyperplane weights
-    // ((2654435761*(p*64+i)) % 1000003) - 500001 over 1e-6-quantized
+    // from the shared quadratic mix (Similarity.portableWeight — the
+    // single source of truth for the formula) over 1e-6-quantized
     // components make every sign bit an exact integer comparison, so the
     // blocking reproduces bit-for-bit (Similarity.portableLshTop1,
     // bits=6); rerank + MRR mirror r3
@@ -2841,7 +3001,7 @@ object SparkEntry {
         |lr AS (SELECT query_id, nid, row_number() OVER
         |         (PARTITION BY query_id
         |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-        |       FROM lp),
+        |       FROM lp WHERE qq > 0 AND xx > 0),
         |lqrel AS (SELECT query_id, nid AS doc_id FROM lr WHERE rn = 1),
         |lhits AS (SELECT lqrel.query_id, MIN(h.rn) AS first_hit
         |          FROM lqrel LEFT JOIN

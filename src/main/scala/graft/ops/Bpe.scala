@@ -76,14 +76,33 @@ object Bpe {
     merges.toSeq
   }
 
-  /** End-to-end training: word-count pass + driver-side merge loop. */
+  /** End-to-end training: word-count pass + driver-side merge loop.
+    *
+    * The collected word table is HARD-BOUNDED by `maxVocab` (the
+    * `minCount` threshold alone is a weak bound on a 100 TB CJK-scale
+    * corpus): a `maxVocab+1` probe decides, and a corpus whose vocabulary
+    * exceeds the cap degrades gracefully to training on the `maxVocab`
+    * MOST FREQUENT words (cnt desc, word asc ties — a deterministic
+    * distributed TakeOrdered, nothing unbounded driver-side). Training on
+    * the frequency head is exactly what production tokenizers do with a
+    * vocab bound; the tail words it drops are the ones too rare to win a
+    * merge anyway. Same probe-then-branch shape as
+    * `TextAnalysis.lmScoreAgainst`. */
   def train(documents: DataFrame, numMerges: Int,
-      minCount: Long = 1L): Seq[(String, String)] =
+      minCount: Long = 1L, maxVocab: Int = 1000000): Seq[(String, String)] = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    // materialize once: the probe and the over-cap TakeOrdered both read
+    // it, and the corpus tokenize+agg subtree should not run twice
+    val wc = wordCounts(documents, minCount).localCheckpoint()
+    val probe = wc.limit(maxVocab + 1).collect()
+    val rows =
+      if (probe.length <= maxVocab) probe
+      else wc.orderBy(col("cnt").desc, col("word")).limit(maxVocab).collect()
     trainMerges(
-      wordCounts(documents, minCount).collect()
-        .map(r => r.getString(0) -> r.getLong(1))
+      rows.map(r => r.getString(0) -> r.getLong(1))
         .sortBy(_._1), // stable input order for deterministic training
       numMerges)
+  }
 
   /** Apply trained merges to one word: replay merges in rank order
     * (greedy BPE application — equivalent to lowest-rank-first pairs). */
@@ -137,9 +156,10 @@ object Bpe {
     * and the compression ratio vs characters — the "how many tokens is my
     * corpus" question every training run asks. */
   def subwordStats(documents: DataFrame, numMerges: Int = 200,
-      minCount: Long = 1L): DataFrame = {
+      minCount: Long = 1L, maxVocab: Int = 1000000): DataFrame = {
     val spark = documents.sparkSession
-    val enc = encodeUdf(spark, train(documents, numMerges, minCount))
+    val enc = encodeUdf(spark,
+      train(documents, numMerges, minCount, maxVocab))
     documents.select(col("doc_id"),
       size(enc(col("text"))).as("n_subtokens"),
       length(col("text")).as("n_chars"))

@@ -929,10 +929,18 @@ object Dedup {
     *     see that doc);
     *  3. doc signature: 60 majority-vote bits (votes > 0, matching d4's
     *     strict rule; 60 not 64 so 2^p stays inside signed BIGINT);
-    *  4. candidates via 4×15-bit bands — pigeonhole: hamming <= 3 cannot
-    *     touch all 4 bands, so banded candidates + the hamming filter
-    *     EQUAL the brute-force pair set exactly, which is what makes a
-    *     hash-equality oracle possible for a banded algorithm.
+    *  4. candidates via (maxHamming+1) bands over the 60 bits —
+    *     pigeonhole: hamming <= maxHamming cannot touch all maxHamming+1
+    *     bands, so banded candidates + the hamming filter EQUAL the
+    *     brute-force pair set exactly for ANY maxHamming < 60, which is
+    *     what makes a hash-equality oracle possible for a banded
+    *     algorithm. The d19 oracle is pinned at the default 3 (4×15-bit
+    *     bands). Narrower bands admit more candidates — a large
+    *     maxHamming is a diagnostic setting, not a scale path (at
+    *     maxHamming >= 59 every band is 1 bit and the candidate set
+    *     approaches all pairs, the honest cost of that ask; only
+    *     hamming == 60 pairs, i.e. exact complements, can ever be
+    *     missed, when maxHamming >= 60 clamps to 60 bands).
     *
     * Tokenization is lower + split on single spaces (the oracle-shared
     * convention of t1/t16), unlike d4's regex split — the two signatures
@@ -984,12 +992,21 @@ object Dedup {
       // pow(2, p) is a power of two — exact in double for every p < 63
       .agg(sum(when(col("s") > 0, pow(lit(2.0), col("p")).cast("long"))
         .otherwise(lit(0L))).as("simhash"))
-    val bandBits = bits / 4
-    val mask = (1L << bandBits) - 1
+    // pigeonhole band count derived from the asked distance: hamming <=
+    // maxHamming cannot differ in all maxHamming+1 bands, so blocking is
+    // exact for any maxHamming < bits (uneven widths are fine — only
+    // band COUNT matters for the pigeonhole)
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val bands = math.min(maxHamming + 1, bits)
+    val base = bits / bands
+    val extra = bits % bands // first `extra` bands are one bit wider
+    val widths = Array.tabulate(bands)(c => base + (if (c < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val chunks = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
+      explode(array((0 until bands).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * bandBits).bitwiseAND(mask)
+          shiftright(col("simhash"), offsets(c))
+            .bitwiseAND((1L << widths(c)) - 1)
             .as("chunk_val"))): _*)).as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))

@@ -309,6 +309,7 @@ object Stateful {
             val pool = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
             pool ++= pending
             var lateDropped = 0
+            var staleIgnored = 0
             it.foreach { e =>
               stageIdx.get(e.event_type) match {
                 case Some(s) if s >= done =>
@@ -319,7 +320,13 @@ object Stateful {
                   // stage time (lowering the threshold for later stages);
                   // Append mode can't retract, so count-and-log
                   lateDropped += 1
-                case _ => () // earlier stages: can no longer affect the chain
+                case Some(_) =>
+                  // stage already two-or-more behind the frontier (or at
+                  // done-1 but not older than the committed time): cannot
+                  // change the emitted chain, but keep the watched-not-
+                  // silent contract — count it
+                  staleIgnored += 1
+                case None => () // not a funnel stage at all
               }
             }
             val out = scala.collection.mutable.ArrayBuffer[StageEmit]()
@@ -337,18 +344,25 @@ object Stateful {
                 done += 1
               }
             }
-            if (lateDropped > 0)
-              org.slf4j.LoggerFactory.getLogger("graft.streaming.Stateful")
-                .warn(s"streamingFunnel: $lateDropped late event(s) for user " +
-                  s"$user older than an already-emitted stage time; the batch " +
-                  "funnel would have used them (Append mode cannot retract)")
             // retain only still-reachable future-stage events, bounded to
-            // the smallest candidates per stage
-            val kept = pool.filter(p => p._1 >= done &&
-                (p._1 > done || done == 0 || p._2 > lastTs))
+            // the smallest candidates per stage; count what the cap evicts
+            // (the cap trades completeness on disorder-heavy streams for
+            // bounded state — the trade must be visible, not silent)
+            val reachable = pool.filter(p => p._1 >= done &&
+              (p._1 > done || done == 0 || p._2 > lastTs))
+            val kept = reachable
               .groupBy(_._1).valuesIterator
               .flatMap(_.sortBy(p => (p._2, p._3)).take(maxPendingPerStage))
               .toSeq
+            val evicted = reachable.size - kept.size
+            if (lateDropped > 0 || staleIgnored > 0 || evicted > 0)
+              org.slf4j.LoggerFactory.getLogger("graft.streaming.Stateful")
+                .warn(s"streamingFunnel user $user: $lateDropped late " +
+                  "event(s) older than an already-emitted stage time (batch " +
+                  s"would have used them; Append cannot retract), " +
+                  s"$staleIgnored stale event(s) behind the stage frontier, " +
+                  s"$evicted pending event(s) evicted by the " +
+                  s"maxPendingPerStage=$maxPendingPerStage cap")
             state.update((done, lastTs, kept))
             ttl.foreach(state.setTimeoutDuration)
             out.iterator

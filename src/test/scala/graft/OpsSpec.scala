@@ -423,6 +423,42 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("BPE fixed-merge encode: rank precedence and chained merges (the t18 table)") {
+    // the t18 fixed table: chained (o,r)->(or,t) in `sort`; rank
+    // precedence merges (e,r) before (s,t) in `customer` despite position
+    val fixed = Seq("a" -> "t", "t" -> "h", "th" -> "e", "a" -> "n",
+      "o" -> "r", "e" -> "r", "or" -> "t", "s" -> "t", "q" -> "u",
+      "e" -> "y")
+    val rank = fixed.zipWithIndex.toMap
+    assert(Bpe.encodeWord("sort", rank).toSeq == Seq("s", "ort"))
+    assert(Bpe.encodeWord("the", rank).toSeq == Seq("the"))
+    assert(Bpe.encodeWord("customer", rank).toSeq ==
+      Seq("c", "u", "st", "o", "m", "er"))
+    assert(Bpe.encodeWord("query", rank).toSeq == Seq("qu", "er", "y"))
+    assert(Bpe.encodeWord("key", rank).toSeq == Seq("k", "ey"))
+    assert(Bpe.encodeWord("data", rank).toSeq == Seq("d", "at", "a"))
+  }
+
+  test("BPE train: vocabulary above maxVocab degrades to the frequency head") {
+    import spark.implicits._
+    // 6 distinct words; cap at 3 -> training sees only the 3 most
+    // frequent (aaaa x5, bbbb x4, cccc x3); merges must never touch the
+    // dropped tail's characters (x/y/z)
+    val docs = Seq(
+      (1L, "aaaa aaaa aaaa aaaa aaaa bbbb bbbb bbbb bbbb"),
+      (2L, "cccc cccc cccc xx yy zz"))
+      .toDF("doc_id", "text")
+    val capped = Bpe.train(docs, 10, 1L, maxVocab = 3)
+    assert(capped.nonEmpty)
+    val syms = capped.flatMap(p => Seq(p._1, p._2)).mkString
+    assert(!syms.exists(c => c == 'x' || c == 'y' || c == 'z'),
+      s"tail words leaked into capped training: $capped")
+    // and the cap is a no-op when the vocabulary fits
+    val full = Bpe.train(docs, 10, 1L)
+    val fullCapped = Bpe.train(docs, 10, 1L, maxVocab = 6)
+    assert(full == fullCapped)
+  }
+
   test("smp deterministic sampling: reproducible, composable, ~uniform") {
     val docs = Tables.load(spark, sf, "documents")
     val total = docs.count().toDouble

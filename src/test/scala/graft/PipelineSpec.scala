@@ -573,6 +573,64 @@ class PipelineSpec extends GraftSuite {
     assert(got.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("sim9 portable PQ: ADC ranking equals the driver-side integer re-derivation") {
+    val qids = Seq(0L, 1L, 2L)
+    val (m, k, iters, dims) = (4, 8, 2, 64)
+    val subDim = dims / m
+    val got = Similarity.portablePqTopK(emb, qids)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.nonEmpty)
+    assert(got.forall(r => qids.contains(r._1) && r._1 != r._3))
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"ranks for $q")
+      assert(rs.length <= 5)
+    }
+    // independent ADC + ranking re-derivation: collect the per-subspace
+    // codes and round-6 centroids (the same Lloyd artifacts the operator
+    // consumes), quantize to the 1e-6 integer grid, score and rank in
+    // plain Scala integer arithmetic
+    val subs = (0 until m).map(s => emb.select(col("vec_id"),
+      slice(col("embedding"), s * subDim + 1, subDim).as("embedding")))
+    val codes: Map[(Int, Long), Int] = subs.zipWithIndex.flatMap {
+      case (df, s) => Clustering.kmeansAssign(df, k, iters).collect()
+        .map(r => (s, r.getLong(0)) -> r.getInt(1))
+    }.toMap
+    val cents: Map[(Int, Int), Array[Long]] = subs.zipWithIndex.flatMap {
+      case (df, s) => Clustering.kmeansCentroids(df, k, iters).collect()
+        .map(r => (s, r.getInt(0), r.getInt(1),
+          math.round(r.getDouble(2) * 1e6)))
+        .groupBy(t => (t._1, t._2)).map { case (key, rows) =>
+          key -> rows.sortBy(_._3).map(_._4)
+        }
+    }.toMap
+    val qvecs: Map[Long, Array[Long]] = emb
+      .where(col("vec_id").isin(qids.map(x => x: Any): _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray)
+      .toMap
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0))
+    val expected = qids.flatMap { q =>
+      val qv = qvecs(q)
+      allIds.filter(_ != q).map { n =>
+        val adc = (0 until m).map { s =>
+          val cen = cents((s, codes((s, n))))
+          (0 until subDim).map(i => qv(s * subDim + i) * cen(i)).sum
+        }.sum
+        (q, n, adc)
+      }.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+        .map { case ((qq, n, adc), idx) => (qq, idx + 1, n, adc) }
+    }.toSet
+    assert(got.toSet == expected,
+      s"ADC mismatch: extra=${got.toSet -- expected} missing=${expected -- got.toSet}")
+    // deterministic on re-invocation
+    val again = Similarity.portablePqTopK(emb, qids)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("d7 propagation collapses long chains and stars (multi-iteration + bounded plan)") {
     import spark.implicits._
     // chain 0-1-2-...-9 (diameter 9 forces ~5 propagation rounds under the

@@ -280,6 +280,46 @@ class StreamingSpec extends GraftSuite {
     assert(!new java.io.File(s"$out/err_topic").exists())
   }
 
+  test("S2: config CDC snapshot + incremental change applies at batch granularity") {
+    import spark.implicits._
+    // the S2 semantic under test: routedSink re-reads the config snapshot
+    // per micro-batch (the stand-in for a MySQL-CDC config stream), so a
+    // config change lands on the NEXT batch, never retroactively
+    val out = Files.createTempDirectory("graft_cdc_route").toString
+    val cfgDir = Files.createTempDirectory("graft_cdc_cfg").toString + "/cfg"
+    Seq(("purchase", "dwd_trade_order"), ("click", "dwd_traffic_click"))
+      .toDF("event_type", "sink_topic")
+      .write.mode("overwrite").parquet(cfgDir)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, typ: String) = Event(id, t0, id, typ, 1.0)
+    val ms = MemoryStream[Event](21, spark, None)
+    val q = Streams.routedSink(ms.toDF(),
+      () => sources.Sources.configSnapshot(spark, cfgDir), out).start()
+    ms.addData(Seq(ev(1, "purchase"), ev(2, "click"), ev(3, "view")))
+    q.processAllAvailable()
+    // CDC delta arrives between batches: click re-routes to a v2 topic,
+    // view becomes routable, purchase is dropped from the config
+    Seq(("click", "dwd_traffic_click_v2"), ("view", "dwd_traffic_page"))
+      .toDF("event_type", "sink_topic")
+      .write.mode("overwrite").parquet(cfgDir)
+    ms.addData(Seq(ev(4, "purchase"), ev(5, "click"), ev(6, "view")))
+    q.processAllAvailable(); q.stop()
+    def ids(topic: String): Set[Long] = {
+      val dir = new java.io.File(s"$out/$topic")
+      if (!dir.exists()) Set.empty
+      else spark.read.parquet(s"$out/$topic")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    }
+    // batch 1 routed under v1: purchase+click in, view dropped
+    assert(ids("dwd_trade_order") == Set(1L),
+      "batch-2 purchase must NOT appear — it left the config before its batch")
+    assert(ids("dwd_traffic_click") == Set(2L))
+    // batch 2 routed under v2: no retroactive re-route of event 2/3
+    assert(ids("dwd_traffic_click_v2") == Set(5L))
+    assert(ids("dwd_traffic_page") == Set(6L),
+      "view became routable only from batch 2 on")
+  }
+
   test("T4: late data beyond watermark is dropped in append mode") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
