@@ -463,6 +463,31 @@ object SparkEntry {
           .as("merged_uu"))
         .orderBy(col("event_type"))
     }),
+    // portable KMV twin of a10 — the hash-verifiable approx-distinct:
+    // k smallest distinct portable hashes per type, (k-1)·M/h_(k) estimator
+    // (exact when a group has < k distinct hashes). HLL stays the scale
+    // form (a10/a15); this is its externally-verified sibling.
+    "a22_kmv_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Sketches.kmvEstimate(
+          Sketches.kmvSketch(events(s, d), Seq("event_type"), "user_id", 64),
+          Seq("event_type"), 64)
+        .orderBy(col("event_type"))
+    }),
+    // portable KMV twin of a15's sketch rollup — daily k-min sets merged
+    // per type; KMV merge is EXACT (the k smallest of the unioned daily
+    // k-min sets equal the global k-min set), so the rollup answer hashes
+    // identically to the direct sketch and DuckDB replays both
+    "a23_kmv_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Sketches.kmvSketch(
+        events(s, d).withColumn("event_date", to_date(col("ts"))),
+        Seq("event_date", "event_type"), "user_id", 64)
+      Sketches.kmvEstimate(
+          Sketches.kmvMerge(daily, Seq("event_type"), 64),
+          Seq("event_type"), 64)
+        .orderBy(col("event_type"))
+    }),
     // exact-verified heavy hitters: Misra-Gries candidates + count-min
     // prune + exact count of the survivors — the output is the EXACT
     // top-20 words (hash-oracled), produced without ever shuffling the
@@ -1878,6 +1903,43 @@ object SparkEntry {
         |       quantile_disc(value, 0.5) AS p50,
         |       quantile_disc(value, 0.95) AS p95
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // KMV: h = the shared portable quadratic mix (Similarity.portableWeight
+    // shifted to [0, M)); estimator numerator 63000189.0 = (k-1)·M pinned
+    // as a literal so both engines divide the identical double
+    "a22_kmv_distinct" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT event_type,
+        |    ((1013*(user_id%1000003)*(user_id%1000003)
+        |      + 2654435761*(user_id%1000003)) % 1000003) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rk AS (SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |       FROM hs)
+        |SELECT event_type, max(h) AS kth_min,
+        |       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |            ELSE 63000189.0 / CAST(max(h)+1 AS DOUBLE) END AS kmv_uu
+        |FROM rk WHERE rn <= 64 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a23_kmv_rollup" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS event_date,
+        |    event_type,
+        |    ((1013*(user_id%1000003)*(user_id%1000003)
+        |      + 2654435761*(user_id%1000003)) % 1000003) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |daily AS (
+        |  SELECT event_date, event_type, h FROM (
+        |    SELECT event_date, event_type, h,
+        |      row_number() OVER (PARTITION BY event_date, event_type
+        |                         ORDER BY h) AS rn
+        |    FROM hs) WHERE rn <= 64),
+        |mg AS (SELECT DISTINCT event_type, h FROM daily),
+        |rk AS (SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |       FROM mg)
+        |SELECT event_type, max(h) AS kth_min,
+        |       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |            ELSE 63000189.0 / CAST(max(h)+1 AS DOUBLE) END AS kmv_uu
+        |FROM rk WHERE rn <= 64 GROUP BY 1 ORDER BY 1""".stripMargin,
     "t7_pii_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

@@ -120,6 +120,74 @@ object Sketches {
       .limit(k)
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch — the engine-portable
+    * twin of the HLL queries (a10/a15): same mergeable-sketch rollup
+    * shape, but every step is exact integer/IEEE arithmetic another
+    * engine can replay, so the result is hash-verifiable (HLL internals
+    * are implementation-defined; KMV's are not).
+    *
+    * Keys are hashed with the shared portable quadratic mix
+    * ([[Similarity.portableWeight]], shifted to [0, M)); the sketch is
+    * the k smallest DISTINCT hash values per group. Bounded at scale
+    * without a bounded aggregator: the modulus caps distinct hashes at
+    * M = 1,000,003 per group, so the per-group window sorts at most ~1M
+    * rows no matter how many billions of raw keys flowed in — the
+    * distinct-shuffle before it is the same shuffle an exact
+    * count-distinct would pay, over an already-hash-compressed domain.
+    *
+    * Estimator: with hashes ~ uniform on [0, M), E[(k-1)·M / h_(k)] = D
+    * (the distinct count). When the group has fewer than k distinct
+    * hashes the sketch IS the whole hash set and the count is exact.
+    * Mergeable: the k smallest of a union of per-partition k-min sets
+    * equals the global k-min set (any globally-top-k hash is top-k
+    * within its own partition) — [[kmvMerge]] + the rollup query
+    * exercise exactly that property. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int): DataFrame = {
+    val HALF = 500001L
+    val h = (Similarity.portableWeight(col(keyCol)) + HALF).as("h")
+    val grp = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grp: _*).orderBy(col("h"))
+    df.where(col(keyCol).isNotNull)
+      .select(grp :+ h: _*)
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Merge per-subgroup KMV sketches down to coarser groups: distinct the
+    * unioned hash sets, keep the k smallest per output group. Exact — see
+    * [[kmvSketch]] mergeability note. */
+  def kmvMerge(sketch: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val grp = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grp: _*).orderBy(col("h"))
+    sketch.select(grp :+ col("h"): _*)
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Collapse a KMV sketch to `(group..., kth_min, kmv_uu)`. The estimate
+    * is plain IEEE double arithmetic ((k-1)·M / (h_(k)+1), +1 guarding
+    * h=0) evaluated in the same expression shape the oracle uses, so the
+    * doubles agree bit-for-bit across engines. */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val M = 1000003L
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("sk_n"), max(col("h")).as("kth_min"))
+      .withColumn("kmv_uu",
+        when(col("sk_n") < k, col("sk_n").cast("double"))
+          .otherwise(lit((k - 1).toDouble * M) / (col("kth_min") + 1)
+            .cast("double")))
+      .drop("sk_n")
+  }
+
   /** The bounded candidate pass of `cmsTopKeys`: per-partition Misra-Gries
     * summaries (m counters each), unioned and deduped — at most
     * partitions x m rows. Exposed for the candidate-bound spec. */

@@ -256,6 +256,49 @@ class OpsSpec extends GraftSuite {
     assert(got == exact)
   }
 
+  test("kmv sketch: exact below k, unbiased-ish above k, bounded size") {
+    import spark.implicits._
+    val k = 64
+    // estimator regime: events has ~150 distinct users per type at test SF
+    val ev = events
+    val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(ev, Seq("event_type"), "user_id", k),
+        Seq("event_type"), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = ev.where(col("user_id").isNotNull)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("uu"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, uu) =>
+      val rel = math.abs(est(t) - uu) / uu
+      assert(rel < 0.4, s"$t: kmv=${est(t)} exact=$uu rel=$rel " +
+        "(k=64 std err ~12.7%; 40% is a ~3-sigma gate)")
+    }
+    // exact regime: fewer than k distinct keys => the sketch IS the set
+    val tiny = (1 to 100).map(i => ("a", (i % 10).toLong)).toDF("g", "uid")
+    val tinyEst = Sketches.kmvEstimate(
+        Sketches.kmvSketch(tiny, Seq("g"), "uid", k), Seq("g"), k)
+      .collect().head.getDouble(2)
+    assert(tinyEst == 10.0, s"below-k estimate must be the exact count")
+    // sketch size bound
+    val sk = Sketches.kmvSketch(ev, Seq("event_type"), "user_id", k)
+    val perGroup = sk.groupBy("event_type").count()
+      .collect().map(_.getLong(1))
+    assert(perGroup.forall(_ <= k))
+  }
+
+  test("kmv merge of daily sketches equals the direct global sketch") {
+    val k = 64
+    val ev = events.withColumn("event_date", to_date(col("ts")))
+    val daily = Sketches.kmvSketch(
+      ev, Seq("event_date", "event_type"), "user_id", k)
+    val merged = Sketches.kmvMerge(daily, Seq("event_type"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = Sketches.kmvSketch(ev, Seq("event_type"), "user_id", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // mergeability is EXACT: any global top-k hash is top-k within its day
+    assert(merged == direct && merged.nonEmpty)
+  }
+
   test("smp4 stratified sample honors per-stratum fractions and stays composable") {
     val docs = Tables.load(spark, sf, "documents")
     val frs = Map("en" -> 0.8, "zh" -> 0.2)
