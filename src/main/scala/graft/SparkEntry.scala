@@ -488,6 +488,17 @@ object SparkEntry {
           Seq("event_type"), 64)
         .orderBy(col("event_type"))
     }),
+    // sampled-quantile sketch: bottom-k content-hash sample (mergeable,
+    // bounded, deterministic) + nearest-rank selection — the hash-gated
+    // sibling of a14's percentile_approx (t-digest internals can't be
+    // oracled; a uniform-sample nearest-rank estimator can). est values
+    // are input values, so the compare is exact.
+    "a24_sampled_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Sketches.sampledQuantiles(events(s, d), Seq("event_type"), "value",
+          "event_id", 256, Seq(0.5, 0.9, 0.99))
+        .orderBy(col("event_type"), col("q"))
+    }),
     // exact-verified heavy hitters: Misra-Gries candidates + count-min
     // prune + exact count of the survivors — the output is the EXACT
     // top-20 words (hash-oracled), produced without ever shuffling the
@@ -593,6 +604,11 @@ object SparkEntry {
     // reads (docs spanned, slots filled) over the doc_id-ordered corpus
     "pack1_packed_sequences" -> ((s, d) =>
       Sampling.packedSequences(t(s, d, "documents"), 2048)),
+    // length-bucketed batching manifest: pack1's padding-based sibling —
+    // per (length-bucket, batch) filled/padded slot accounting; all-integer
+    // so the compare is exact
+    "pack2_length_buckets" -> ((s, d) =>
+      Sampling.lengthBuckets(t(s, d, "documents"), 64, 16)),
     // per-doc n-gram novelty of the 20% hash-held-out slice vs the 80%
     // reference slice — shares the d-family shingle substrate
     "nov1_ngram_novelty" -> ((s, d) =>
@@ -1940,6 +1956,28 @@ object SparkEntry {
         |       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
         |            ELSE 63000189.0 / CAST(max(h)+1 AS DOUBLE) END AS kmv_uu
         |FROM rk WHERE rn <= 64 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sampled quantiles: bottom-256 md5-prefix sample per type, nearest
+    // rank (ceil(q*m), floor 1) — selection only, est values are input
+    // values so the hash compare is exact
+    "a24_sampled_quantiles" ->
+      """WITH s AS (
+        |  SELECT event_type, value, event_id FROM (
+        |    SELECT event_type, value, event_id,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+        |                 event_id) AS rn
+        |    FROM events WHERE value IS NOT NULL) WHERE rn <= 256),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY value, event_id) AS vr,
+        |        count(*) OVER (PARTITION BY event_type) AS m
+        |      FROM s),
+        |q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |                     CAST(0.99 AS DOUBLE)]) AS q)
+        |SELECT event_type, q.q AS q, value AS est
+        |FROM r CROSS JOIN q
+        |WHERE vr = greatest(1, CAST(ceil(q.q * m) AS BIGINT))
+        |ORDER BY 1, 2""".stripMargin,
     "t7_pii_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
@@ -2310,6 +2348,31 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
         |FROM documents""".stripMargin,
+    // length buckets: floor((n_tok-1)/64) buckets, md5-prefix order,
+    // batches of 16 — the oracle's plain per-bucket window equals the
+    // engine's two-phase (cell + offset) rank because the cell is a
+    // prefix of the ordering hash
+    "pack2_length_buckets" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tok,
+        |        CAST(floor((n_tok - 1) / 64) AS BIGINT) AS bucket, h
+        |      FROM n),
+        |r AS (SELECT bucket, n_tok,
+        |        row_number() OVER (PARTITION BY bucket
+        |                           ORDER BY h, doc_id) AS rn
+        |      FROM b)
+        |SELECT bucket,
+        |       CAST(floor((rn - 1) / 16) AS BIGINT) AS batch_id,
+        |       count(*) AS n_docs,
+        |       max(n_tok) AS max_tok,
+        |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |       count(*) * max(n_tok) - CAST(sum(n_tok) AS BIGINT)
+        |         AS pad_waste
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // per-sequence packing manifest over the doc_id-ordered token stream;
     // overlap arithmetic is all-integer so the hash compare is exact
     "pack1_packed_sequences" ->

@@ -293,6 +293,55 @@ object Sampling {
     * overlaps — the fan-out is ceil(n_tok/L)+1 per doc, i.e. ~1 unless a
     * document is longer than a whole sequence — and one groupBy(seq_id)
     * shuffle aggregates the manifest. Overlap arithmetic stays in longs. */
+  /** Length-bucketed batching manifest — the OTHER dataloader strategy
+    * next to `packedSequences`: instead of concatenating docs into fixed
+    * windows, group docs of similar token length and pad each batch to its
+    * own max, trading the packer's cross-doc attention leakage for bounded
+    * padding waste. The manifest quantifies that trade: per (bucket,
+    * batch) it reports the filled and padded slot counts a training run
+    * budgets with.
+    *
+    * Mechanics: bucket = floor((n_tok-1)/bucketWidth) (pure integer
+    * arithmetic); within a bucket docs are ordered by the content-stable
+    * hash (unbiased, reproducible batch composition) and cut into batches
+    * of `batchSize`. The within-bucket global rank uses the same two-phase
+    * pattern as `shufflePositions` — a (bucket, cell) window over the 256
+    * uniform hash-prefix cells plus broadcast per-cell offsets — so no
+    * single-partition window exists at any bucket size; since the cell is
+    * a PREFIX of the ordering hash, the two-phase rank equals the plain
+    * per-bucket rank ordered by (hash, doc_id). Everything emitted is
+    * integer, so the oracle compare is exact. */
+  def lengthBuckets(documents: DataFrame, bucketWidth: Int = 64,
+      batchSize: Int = 16): DataFrame = {
+    val n = documents.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tok"),
+      hashPrefix("doc_id").as("h"))
+      .withColumn("bucket", floor((col("n_tok") - 1) / bucketWidth))
+      .withColumn("cell", substring(col("h"), 1, 2))
+      .localCheckpoint() // tokenize once before the rank + totals fan-out
+    val wIn = Window.partitionBy(col("bucket"), col("cell"))
+      .orderBy(col("h"), col("doc_id"))
+    val local = n.withColumn("rn_in", row_number().over(wIn))
+    val totals = n.groupBy(col("bucket"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // <= buckets x 256 rows — materialized for join
+    val offs = totals.as("a")
+      .join(broadcast(totals.as("b")),
+        col("a.bucket") === col("b.bucket") && col("b.cell") < col("a.cell"),
+        "left")
+      .groupBy(col("a.bucket").as("bucket"), col("a.cell").as("cell"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+    local.join(broadcast(offs), Seq("bucket", "cell"))
+      .withColumn("batch_id",
+        floor((col("rn_in") + col("off") - 1) / batchSize))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .withColumn("pad_waste",
+        col("n_docs") * col("max_tok") - col("sum_tok"))
+  }
+
   def packedSequences(documents: DataFrame, seqLen: Int): DataFrame = {
     val off = tokenOffsets(documents, seqLen)
     val end = col("start_offset") + col("n_tok") // exclusive token end

@@ -188,6 +188,68 @@ object Sketches {
       .drop("sk_n")
   }
 
+  /** Bottom-k uniform sample per group — the k rows with the SMALLEST
+    * content-stable hash of `keyCol` ([[graft.ops.Sampling.contentHash]]:
+    * 8-hex md5 prefix, ties broken by the key). Like the KMV hash set this
+    * is a mergeable bounded sketch: the k smallest of a union of
+    * per-partition/per-day bottom-k sets equal the global bottom-k set, so
+    * per-shard samples roll up EXACTLY — and unlike RNG sampling the
+    * result is content-stable across runs, repartitioning, and engines.
+    * Per-group state is <= k rows; the window sorts only rows that survive
+    * per-partition top-k pushdown of the rank filter. */
+  def bottomKSample(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int): DataFrame = {
+    val grp = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grp: _*)
+      .orderBy(col("bk_h"), col(keyCol))
+    df.withColumn("bk_h", Sampling.contentHash(keyCol))
+      .withColumn("bk_rn", row_number().over(w))
+      .where(col("bk_rn") <= k)
+      .drop("bk_rn")
+  }
+
+  /** Sampled-quantile sketch — the engine-portable, mergeable quantile
+    * estimator that completes the sketch family (KMV = distinct counts,
+    * CMS = heavy hitters, bottom-k sample = quantiles). `percentile_approx`
+    * (a14) is Spark's t-digest-style built-in; its internals are
+    * implementation-defined, so like HLL it can never be hash-gated. This
+    * twin can: the sketch is [[bottomKSample]] (deterministic, mergeable,
+    * bounded at k rows per group) and the estimate is the NEAREST-RANK
+    * quantile of the sample — pure selection, no interpolation, so the
+    * output values are input values and hash identically in any engine.
+    *
+    * Estimator: est_q = sample value at rank max(1, ceil(q*m)) (m = sample
+    * size). When the group has <= k rows the sample IS the group and the
+    * nearest-rank quantile is exact. Above k, the rank error of a uniform
+    * k-sample is ~ sqrt(q(1-q)/k) (Dvoretzky-Kiefer-Wolfowitz) — the
+    * bound the estimator spec asserts at 3 sigma.
+    *
+    * Scale shape: one hash-partitioned exchange on the group key shared by
+    * both windows (selection and value-rank sort reuse the exchange); the
+    * rank filter caps every group at k rows before the cheap qs fan-out.
+    * Output: (group..., q, est) with est drawn from `valueCol`. */
+  def sampledQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, keyCol: String, k: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val grp = groupCols.map(col)
+    val smp = bottomKSample(
+      df.where(col(valueCol).isNotNull), groupCols, keyCol, k)
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(grp: _*).orderBy(col(valueCol), col(keyCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(grp: _*)
+    smp
+      .withColumn("vr", row_number().over(wVal).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .select(grp ++ Seq(col(valueCol),
+        explode(array(qs.map(lit): _*)).as("q"), col("vr"), col("m")): _*)
+      .where(col("vr") === greatest(lit(1L), ceil(col("q") * col("m"))))
+      .select(grp ++ Seq(col("q"), col(valueCol).as("est")): _*)
+  }
+
   /** The bounded candidate pass of `cmsTopKeys`: per-partition Misra-Gries
     * summaries (m counters each), unioned and deduped — at most
     * partitions x m rows. Exposed for the candidate-bound spec. */

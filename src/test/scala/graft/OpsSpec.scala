@@ -299,6 +299,53 @@ class OpsSpec extends GraftSuite {
     assert(merged == direct && merged.nonEmpty)
   }
 
+  test("sampled quantiles: exact below k, DKW-bounded above k") {
+    import spark.implicits._
+    val qs = Seq(0.5, 0.9, 0.99)
+    // exact regime: group smaller than k => sample is the group and the
+    // nearest-rank quantile is the true nearest-rank quantile
+    val tiny = (1 to 100).map(i => ("a", i.toLong, i.toDouble))
+      .toDF("g", "id", "v")
+    val tinyEst = Sketches.sampledQuantiles(tiny, Seq("g"), "v", "id",
+        256, qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(tinyEst == Map(0.5 -> 50.0, 0.9 -> 90.0, 0.99 -> 99.0))
+    // estimator regime on real data: the sampled quantile's true CDF
+    // position must sit within the 3-sigma DKW band sqrt(q(1-q)/k)
+    val k = 256
+    val ev = events.where(col("value").isNotNull)
+    val est = Sketches.sampledQuantiles(ev, Seq("event_type"), "value",
+        "event_id", k, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val totals = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case ((t, q), v) =>
+      val below = ev.where(col("event_type") === t && col("value") <= v)
+        .count().toDouble / totals(t)
+      val tol = 3 * math.sqrt(q * (1 - q) / k) + 1.0 / k
+      assert(math.abs(below - q) <= tol,
+        s"$t q=$q est=$v cdf=$below tol=$tol")
+    }
+  }
+
+  test("bottom-k sample merges exactly across a day split") {
+    val k = 64
+    val ev = events.withColumn("event_date", to_date(col("ts")))
+    // bottom-k of the union of daily bottom-k sets == direct bottom-k:
+    // the same k-min mergeability the KMV sketch relies on
+    val daily = Sketches.bottomKSample(ev, Seq("event_date", "event_type"),
+      "event_id", k)
+    val remerged = Sketches.bottomKSample(daily, Seq("event_type"),
+        "event_id", k)
+      .select("event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = Sketches.bottomKSample(ev, Seq("event_type"), "event_id", k)
+      .select("event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(remerged == direct && direct.nonEmpty)
+  }
+
   test("smp4 stratified sample honors per-stratum fractions and stays composable") {
     val docs = Tables.load(spark, sf, "documents")
     val frs = Map("en" -> 0.8, "zh" -> 0.2)
@@ -565,6 +612,51 @@ class OpsSpec extends GraftSuite {
     seqs.foreach { case (sid, n) =>
       if (sid != tail) assert(n == 2048L) else assert(n <= 2048L)
     }
+  }
+
+  test("pack2 length buckets: conservation, batch caps, window parity") {
+    val docs = Tables.load(spark, sf, "documents")
+    val got = Sampling.lengthBuckets(docs, 64, 16)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // token + doc conservation: every doc lands in exactly one batch
+    assert(rows.map(_._3).sum == docs.count())
+    val totalTok = docs
+      .select(sum(size(split(col("text"), "\\s+"))).cast("long"))
+      .head.getLong(0)
+    assert(rows.map(_._5).sum == totalTok)
+    // batch caps and padding law: n_docs <= batchSize, pad_waste is the
+    // exact pad-to-max slot count, max_tok sits inside its bucket's range
+    rows.foreach { case (bkt, _, nd, mx, sm, pad) =>
+      assert(nd <= 16L && pad == nd * mx - sm && pad >= 0L)
+      assert(mx >= bkt * 64 + 1 && mx <= (bkt + 1) * 64)
+    }
+    // all batches but the per-bucket last are full
+    rows.groupBy(_._1).foreach { case (_, bs) =>
+      val lastBatch = bs.map(_._2).max
+      bs.foreach { case (_, bid, nd, _, _, _) =>
+        if (bid != lastBatch) assert(nd == 16L)
+      }
+    }
+    // the two-phase (cell + broadcast offset) rank must equal the plain
+    // per-bucket window the oracle uses
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(Sampling.contentHash("doc_id"), col("doc_id"))
+    val ref = docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("bucket", floor((col("n_tok") - 1) / 64))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / 16))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .withColumn("pad_waste",
+        col("n_docs") * col("max_tok") - col("sum_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(rows.toSet == ref)
   }
 
   test("smp8/cur1 per-group cap: exact size, order, rank semantics") {
