@@ -691,6 +691,11 @@ object SparkEntry {
     // catches dead dims and collapsed encoders
     "emb2_dim_stats" -> ((s, d) =>
       Similarity.dimStats(t(s, d, "embeddings"))),
+    // portable power-iteration top principal component + anisotropy
+    // (ev_ratio): all row-spanning sums are exact int64, so the 4-round
+    // recursion replays bit-for-bit in the oracle's unrolled CTEs
+    "emb3_top_pc" -> ((s, d) =>
+      Similarity.topPrincipalComponent(t(s, d, "embeddings"), 4)),
     // MRR/hit@10 of the hybrid retriever, ground truth = each query
     // vector's exact full-dim top-1 neighbor
     "r3_mrr_eval" -> ((s, d) => {
@@ -830,6 +835,66 @@ object SparkEntry {
       |               i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
       |           AS rn
       |         FROM emb e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+
+  /** The emb3 oracle, generated per round count so query and oracle share
+    * one recursion: mirrors `Similarity.topPrincipalComponent` — 1e-6
+    * integer quantize + center, v0 = 0.125·1e6, then per round the exact
+    * int64 projection/accumulation with the same ROUND points (dq at
+    * 1e-9, v at 6dp, v_int at 1e-6). Every row-spanning SUM is integer,
+    * so the engines cannot diverge; the few 64-element double ops (norm,
+    * ratio) run on identical integer inputs. */
+  private def powerIterSql(iters: Int): String = {
+    val head =
+      """WITH emb AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+        |      AS xi
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(range(1, 65)) AS i),
+        |mu AS (SELECT d.i,
+        |         CAST(ROUND(CAST(SUM(e.xi[d.i]) AS DOUBLE) / COUNT(*), 0)
+        |           AS BIGINT) AS m
+        |       FROM emb e CROSS JOIN dims d GROUP BY 1),
+        |mul AS (SELECT list(m ORDER BY i) AS ml FROM mu),
+        |y AS (SELECT vec_id,
+        |        list_transform(range(1, 65), i -> emb.xi[i] - mul.ml[i])
+        |          AS y
+        |      FROM emb CROSS JOIN mul),
+        |vi0 AS (SELECT list_transform(range(1, 65),
+        |          i -> CAST(125000 AS BIGINT)) AS vl)""".stripMargin
+    def dq(vSrc: String) =
+      s"""CAST(ROUND(CAST(list_sum(list_transform(range(1, 65),
+         |      i -> y.y[i] * $vSrc.vl[i])) AS DOUBLE) / 1000000000, 0)
+         |    AS BIGINT)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""d$r AS (SELECT vec_id, ${dq(s"vi${r - 1}")} AS dq
+         |       FROM y CROSS JOIN vi${r - 1}),
+         |w$r AS (SELECT d.i, CAST(SUM(dd.dq * yy.y[d.i]) AS BIGINT) AS w
+         |       FROM d$r dd JOIN y yy USING (vec_id)
+         |       CROSS JOIN dims d GROUP BY 1),
+         |n$r AS (SELECT sqrt(SUM(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)))
+         |         AS nn FROM w$r),
+         |vr$r AS (SELECT list(ROUND(CAST(w.w AS DOUBLE) / n$r.nn, 6)
+         |           ORDER BY w.i) AS vl FROM w$r w CROSS JOIN n$r),
+         |vi$r AS (SELECT list_transform(vl,
+         |          x -> CAST(ROUND(x * 1000000, 0) AS BIGINT)) AS vl
+         |        FROM vr$r)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""df AS (SELECT vec_id, ${dq(s"vi$iters")} AS dq
+         |      FROM y CROSS JOIN vi$iters),
+         |num AS (SELECT CAST(SUM(dq * dq) AS BIGINT) AS num FROM df),
+         |den AS (SELECT CAST(SUM(list_sum(list_transform(y,
+         |          a -> CAST(ROUND(CAST(a AS DOUBLE) / 1000, 0) AS BIGINT)
+         |             * CAST(ROUND(CAST(a AS DOUBLE) / 1000, 0) AS BIGINT))))
+         |          AS BIGINT) AS den FROM y)
+         |SELECT CAST(d.i AS INTEGER) AS i, vr$iters.vl[d.i] AS pc,
+         |       ROUND(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+         |         AS ev_ratio
+         |FROM dims d CROSS JOIN vr$iters CROSS JOIN num CROSS JOIN den
+         |ORDER BY 1""".stripMargin
+    s"$head,\n$rounds,\n$tail"
+  }
 
   /** Shared CTE block for the sim9 oracle: the kmeansCtes Lloyd contract
     * run independently PER SUBSPACE (m=4 slices of 16 dims, k=8, two
@@ -3156,6 +3221,7 @@ object SparkEntry {
         |             - POWER(CAST(SUM(qx) AS DOUBLE) / COUNT(*)
         |                       / 1000000, 2), 6) AS variance
         |FROM q GROUP BY dim""".stripMargin,
+    "emb3_top_pc" -> powerIterSql(4),
     // QUALIFY (not WHERE) so position-1 rows stay visible to the
     // string_agg frame while emitting no example themselves
     "seq2_next_event_pairs" ->

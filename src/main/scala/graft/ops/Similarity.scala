@@ -236,6 +236,101 @@ object Similarity {
           .as("variance"))
   }
 
+  /** ENGINE-PORTABLE top principal component via power iteration — the
+    * third member of the embedding-health family: [[dimStats]] catches
+    * dead/collapsed DIMENSIONS, this catches a collapsed DIRECTION
+    * (anisotropy): `ev_ratio` is the fraction of total centered variance
+    * explained by the dominant eigenvector of the covariance, the
+    * "rogue dimension" statistic of embedding-geometry analyses (an
+    * encoder whose vectors crowd a line scores near 1; a healthy
+    * isotropic one near 1/dims).
+    *
+    * Portability follows the twin rule: every SUM THAT SPANS ROWS is
+    * exact int64 arithmetic, so no engine can disagree on it; the only
+    * float ops (normalize, final ratio) run on identical integer inputs
+    * in both engines and are rounded to 6dp. Concretely, per iteration
+    * with v quantized to 1e-6 ints and centered data y likewise:
+    * dot = Σ_j y_j·v_j (exact), dq = round(dot/1e9) (~1e-3-quantized
+    * projection), w_j = Σ_rows dq·y_j (exact; |w| ≤ N·9.2e10, safe to
+    * N ~ 1e8 rows — beyond that, shard the sum or widen dq's scale),
+    * v' = round(w/‖w‖, 6). Start v₀ = (0.125,…) (exact in binary),
+    * `iters` fixed rounds — deterministic by construction, no RNG, no
+    * convergence test. The 1e-3 projection quantization means this is
+    * the exact PC of a deterministically perturbed operator; the spec
+    * pins cosine ≈ 1 against an unquantized reference.
+    *
+    * Scale shape: the mean and each iteration are one narrow pass plus a
+    * 64-key groupBy (map-side partials collapse every partition to ≤ dims
+    * rows); the per-round driver state is 64 longs — the same bounded
+    * collect posture as the Lloyd centroids. The centered integer frame
+    * is localCheckpoint'ed once; `iters`+2 jobs total.
+    *
+    * Output: one row per 1-based dim — (i, pc, ev_ratio), pc the 6dp
+    * unit eigenvector component, ev_ratio constant across rows. */
+  def topPrincipalComponent(embeddings: DataFrame,
+      iters: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dims = embeddings.select(size(col("embedding"))).head.getInt(0)
+    def rnd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-dim integer mean: mu_j = round(Σ x_int / N)  (x_int = x·1e6)
+    val xi = embeddings
+      .select(posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("i0"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xi"))
+    val mu: Array[Long] = {
+      val rows = xi.groupBy(col("i0"))
+        .agg(sum(col("xi")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val a = new Array[Long](dims)
+      // HALF_UP (away from zero), matching SQL ROUND — math.round would
+      // pull a negative x.5 tie toward +inf and diverge from the oracle
+      rows.foreach(r => a(r.getInt(0)) =
+        BigDecimal(r.getLong(1).toDouble / r.getLong(2))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      a
+    }
+    val muLit = array(mu.map(lit): _*)
+    val y = embeddings
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> " +
+          "CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))").as("xq"))
+      .withColumn("y", zip_with(col("xq"), muLit, (a, b) => a - b))
+      .select(col("vec_id"), col("y"))
+      .localCheckpoint() // quantize + center once; barrier vs re-inline
+    def dqCol(vInt: Array[Long]) = {
+      val vLit = array(vInt.map(lit): _*)
+      round(aggregate(zip_with(col("y"), vLit, (a, b) => a * b),
+        lit(0L), (acc, t) => acc + t).cast("double") / 1e9, 0)
+        .cast("long").as("dq")
+    }
+    var v = Array.fill(dims)(0.125)
+    var vInt = v.map(d => math.round(d * 1e6))
+    for (_ <- 1 to iters) {
+      val w = new Array[Long](dims)
+      y.select(dqCol(vInt), posexplode(col("y")).as(Seq("i0", "yj")))
+        .groupBy(col("i0")).agg(sum(col("dq") * col("yj")).as("w"))
+        .collect()
+        .foreach(r => w(r.getInt(0)) = r.getLong(1))
+      val norm = math.sqrt(w.map(x => x.toDouble * x.toDouble).sum)
+      v = w.map(x => rnd6(x / norm))
+      vInt = v.map(d => math.round(d * 1e6))
+    }
+    // explained-variance ratio from the FINAL direction: num = Σ dq²
+    // (projection² at 1e-3 scale), den = Σ ‖y/1e3‖² — both exact int64
+    val fin = y.select(dqCol(vInt),
+        aggregate(transform(col("y"), a => {
+          val q = round(a.cast("double") / 1e3, 0).cast("long")
+          q * q
+        }), lit(0L), (acc, t) => acc + t).as("yy"))
+      .agg(sum(col("dq") * col("dq")).as("num"), sum(col("yy")).as("den"))
+      .head
+    val ev = rnd6(fin.getLong(0).toDouble / fin.getLong(1).toDouble)
+    import spark.implicits._
+    v.zipWithIndex.map { case (p, i) => (i + 1, p, ev) }
+      .toSeq.toDF("i", "pc", "ev_ratio")
+  }
+
   /** Matryoshka-style truncation fidelity: for each query (`vec_id <
     * numQueries`), the exact full-dimension top-1 neighbor next to the
     * top-1 computed on only the first `prefixDims` components

@@ -193,6 +193,67 @@ class PipelineSpec extends GraftSuite {
     assert(out.count() == 30)
   }
 
+  test("emb3 top PC: recovers a planted dominant direction") {
+    import spark.implicits._
+    // points spread along u = (0.6, 0.8) with small orthogonal jitter:
+    // the top PC must align with u and claim almost all the variance
+    val u = Array(0.6, 0.8)
+    val vecs = (1 to 40).map { i =>
+      val tPar = (i % 21 - 10) / 10.0
+      val tPerp = (i % 7 - 3) / 100.0
+      (i.toLong, Array((tPar * u(0) - tPerp * u(1)).toFloat,
+        (tPar * u(1) + tPerp * u(0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.topPrincipalComponent(vecs, 4).collect()
+    val pc = out.sortBy(_.getInt(0)).map(_.getDouble(1))
+    val cos = math.abs(pc(0) * u(0) + pc(1) * u(1)) /
+      math.sqrt(pc.map(x => x * x).sum)
+    assert(cos > 0.999, s"pc=${pc.toSeq} not aligned with planted u")
+    assert(out.head.getDouble(2) > 0.95, "planted anisotropy missed")
+    // 6dp-rounded unit vector
+    assert(math.abs(pc.map(x => x * x).sum - 1.0) < 1e-4)
+  }
+
+  test("emb3 on the corpus: quantization-faithful, isotropy diagnosed") {
+    val out = Similarity.topPrincipalComponent(emb, 4).collect()
+      .sortBy(_.getInt(0))
+    val pc = out.map(_.getDouble(1))
+    val ev = out.head.getDouble(2)
+    // the corpus is deliberately near-isotropic (lambda2/lambda1 ~ 0.99),
+    // so no small round count converges the DIRECTION — and the
+    // diagnostic doesn't need it to: ev_ratio ~ 1/dims is the healthy
+    // reading. The differential that matters is quantized-vs-unquantized
+    // at EQUAL rounds and the same v0 — it isolates exactly what the
+    // portable form changes (1e-6/1e-3 quantization), not convergence.
+    val data = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dims = data.head.length
+    val n = data.length
+    val mean = Array.tabulate(dims)(j => data.map(_(j)).sum / n)
+    val y = data.map(row => Array.tabulate(dims)(j => row(j) - mean(j)))
+    var v = Array.fill(dims)(0.125)
+    for (_ <- 1 to 4) {
+      val w = new Array[Double](dims)
+      y.foreach { r =>
+        val d = (0 until dims).map(j => r(j) * v(j)).sum
+        (0 until dims).foreach(j => w(j) += d * r(j))
+      }
+      val nn = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nn)
+    }
+    val cos = math.abs((0 until dims).map(j => pc(j) * v(j)).sum) /
+      math.sqrt(pc.map(x => x * x).sum)
+    assert(cos > 0.995, s"quantization drifted the iterate (cos=$cos)")
+    val num = y.map { r =>
+      val d = (0 until dims).map(j => r(j) * v(j)).sum; d * d
+    }.sum
+    val den = y.map(r => r.map(x => x * x).sum).sum
+    assert(math.abs(ev - num / den) < 0.005,
+      s"ev_ratio $ev vs unquantized ${num / den}")
+    // isotropic corpus: the top direction explains ~1/dims of variance
+    assert(ev > 0 && ev < 3.0 / dims, s"expected isotropic reading, got $ev")
+  }
+
   test("emb2 dim stats: hand-computed mean/variance, dead dim flagged") {
     import spark.implicits._
     val vecs = Seq(
