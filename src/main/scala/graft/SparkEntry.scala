@@ -488,6 +488,16 @@ object SparkEntry {
           Seq("event_type"), 64)
         .orderBy(col("event_type"))
     }),
+    // Z-order layout stats: per-Morton-bucket bounding boxes of
+    // (user_id, value) at 8 bits per dimension — the all-integer
+    // queryable form of the space-filling-curve layout's two-dimensional
+    // pruning promise
+    "z1_zorder_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Layout.zOrderStats(events(s, d), col("user_id"),
+          col("value").cast("long"), 8, 8)
+        .orderBy(col("bucket"))
+    }),
     // sampled-quantile sketch: bottom-k content-hash sample (mergeable,
     // bounded, deterministic) + nearest-rank selection — the hash-gated
     // sibling of a14's percentile_approx (t-digest internals can't be
@@ -2021,6 +2031,29 @@ object SparkEntry {
         |       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
         |            ELSE 63000189.0 / CAST(max(h)+1 AS DOUBLE) END AS kmv_uu
         |FROM rk WHERE rn <= 64 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Morton z-value via the 4-step mask-doubling spread, mirrored as
+    // chained CTEs; all-integer so the compare is exact. floor-then-cast
+    // (NOT a bare CAST, which rounds in DuckDB but truncates in Spark)
+    "z1_zorder_stats" ->
+      """WITH b AS (
+        |  SELECT (user_id & 255) AS x,
+        |    (CAST(floor(value) AS BIGINT) & 255) AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |s0 AS (SELECT x, y, x AS sx, y AS sy FROM b),
+        |s1 AS (SELECT x, y, ((sx | (sx << 8)) & 16711935) AS sx,
+        |              ((sy | (sy << 8)) & 16711935) AS sy FROM s0),
+        |s2 AS (SELECT x, y, ((sx | (sx << 4)) & 252645135) AS sx,
+        |              ((sy | (sy << 4)) & 252645135) AS sy FROM s1),
+        |s3 AS (SELECT x, y, ((sx | (sx << 2)) & 858993459) AS sx,
+        |              ((sy | (sy << 2)) & 858993459) AS sy FROM s2),
+        |s4 AS (SELECT x, y, ((sx | (sx << 1)) & 1431655765) AS sx,
+        |              ((sy | (sy << 1)) & 1431655765) AS sy FROM s3),
+        |z AS (SELECT x, y, ((sx << 1) | sy) AS z FROM s4)
+        |SELECT (z >> 8) AS bucket, count(*) AS n,
+        |       min(x) AS x_min, max(x) AS x_max,
+        |       min(y) AS y_min, max(y) AS y_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     // sampled quantiles: bottom-256 md5-prefix sample per type, nearest
     // rank (ceil(q*m), floor 1) — selection only, est values are input
     // values so the hash compare is exact

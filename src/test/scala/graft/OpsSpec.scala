@@ -299,6 +299,48 @@ class OpsSpec extends GraftSuite {
     assert(merged == direct && merged.nonEmpty)
   }
 
+  test("z-order: column formula matches the bit-loop reference") {
+    import spark.implicits._
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
+      (65535L, 65535L), (70000L, 123L), (123456789L, 987654321L)) ++
+      (0 until 500).map(i => ((i * 2654435761L) % 100000,
+        (i * 40503L + 7) % 100000))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    cases.foreach { case (x, y) =>
+      assert(got((x, y)) == Layout.zValueRef(x & 65535L, y & 65535L),
+        s"z($x, $y)")
+    }
+  }
+
+  test("z-order layout: rectangles tight in BOTH dims, x-sort in one") {
+    import spark.implicits._
+    // deterministic pseudo-uniform 16-bit pairs
+    val rows = (0 until 20000).map { i =>
+      ((i * 2654435761L) % 65536, (i * 40503L + 12345) % 65536)
+    }.toDF("x", "y")
+    def meanExtents(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val parts = df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max(col("x")) - min(col("x"))).as("ex"),
+          (max(col("y")) - min(col("y"))).as("ey"))
+        .collect()
+      (parts.map(_.getAs[Long]("ex")).sum.toDouble / parts.length / 65536.0,
+        parts.map(_.getAs[Long]("ey")).sum.toDouble / parts.length / 65536.0)
+    }
+    val (zx, zy) = meanExtents(
+      Layout.zOrderRepartition(rows, col("x"), col("y"), 64))
+    val (_, sy) = meanExtents(rows.repartitionByRange(64, col("x")))
+    // single-column range sort: every partition spans ~the full y range —
+    // a y predicate prunes nothing
+    assert(sy > 0.9, s"x-sorted mean y-extent $sy")
+    // z-order: every partition is a small rectangle (ideal 1/8 = 0.125
+    // per dim at 64 partitions) — predicates on EITHER column prune
+    assert(zx < 0.3 && zy < 0.3, s"z-order extents ($zx, $zy)")
+  }
+
   test("sampled quantiles: exact below k, DKW-bounded above k") {
     import spark.implicits._
     val qs = Seq(0.5, 0.9, 0.99)
