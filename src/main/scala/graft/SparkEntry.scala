@@ -361,6 +361,11 @@ object SparkEntry {
         .select(explode(enc(col("text"))).as("subtoken"))
         .groupBy(col("subtoken")).agg(count(lit(1)).as("cnt"))
     }),
+    // tokenizer fertility per predicted language: t3's language vote x
+    // t18's fixed-merge encoder — subtokens/word + chars/subtoken, the
+    // multilingual token-budget report; oracle composes both CTE blocks
+    "t19_tokenizer_fertility" -> ((s, d) =>
+      TextAnalysis.tokenizerFertility(t(s, d, "documents"), bpeFixedMerges)),
     "d13_cluster_sizes" -> ((s, d) =>
       Dedup.clusterSizeHistogram(t(s, d, "documents"))),
     "d7_dup_clusters" -> ((s, d) =>
@@ -791,6 +796,33 @@ object SparkEntry {
   private def bpeRankCase: String = bpeFixedMerges.zipWithIndex.map {
     case ((a, b), r) => s"WHEN '$a|$b' THEN $r"
   }.mkString(" ")
+
+  /** Shared CTE block for the t3/t19 oracles — the marker-vote language
+    * prediction, ending in `lp(doc_id, lang_true, lang_pred)`; the CASE
+    * ladder mirrors `TextAnalysis.languageId`'s strictly-greater fold
+    * order exactly. */
+  private val langPredCtes: String =
+    """lh AS (
+      |  SELECT doc_id, lang AS lang_true,
+      |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
+      |        ['the','and','of','to','a'])) AS hits_en,
+      |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
+      |        ['der','die','und','das','ist'])) AS hits_de,
+      |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
+      |        ['le','la','et','les','des'])) AS hits_fr,
+      |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
+      |        ['el','los','que','y','una'])) AS hits_es,
+      |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
+      |        ['de5','shi4','le5','zai4','he2'])) AS hits_zh
+      |  FROM documents),
+      |lp AS (SELECT doc_id, lang_true,
+      |  CASE WHEN hits_zh > greatest(hits_en, hits_de, hits_fr, hits_es)
+      |         THEN 'zh'
+      |       WHEN hits_es > greatest(hits_en, hits_de, hits_fr) THEN 'es'
+      |       WHEN hits_fr > greatest(hits_en, hits_de) THEN 'fr'
+      |       WHEN hits_de > hits_en THEN 'de'
+      |       ELSE 'en' END AS lang_pred
+      |  FROM lh)""".stripMargin
 
   /** The dq1 check suite (shared by query + oracle doc): a representative
     * mix of passing and violated expectations over `events`. */
@@ -1642,27 +1674,59 @@ object SparkEntry {
         |            AS INTEGER) AS n_digits
         |FROM documents""".stripMargin,
     "t3_language_id" ->
-      """WITH h AS (
-        |  SELECT doc_id, lang AS lang_true,
-        |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
-        |        ['the','and','of','to','a'])) AS hits_en,
-        |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
-        |        ['der','die','und','das','ist'])) AS hits_de,
-        |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
-        |        ['le','la','et','les','des'])) AS hits_fr,
-        |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
-        |        ['el','los','que','y','una'])) AS hits_es,
-        |    len(list_intersect(list_distinct(string_split(lower(text),' ')),
-        |        ['de5','shi4','le5','zai4','he2'])) AS hits_zh
-        |  FROM documents)
-        |SELECT doc_id, lang_true,
-        |  CASE WHEN hits_zh > greatest(hits_en, hits_de, hits_fr, hits_es)
-        |         THEN 'zh'
-        |       WHEN hits_es > greatest(hits_en, hits_de, hits_fr) THEN 'es'
-        |       WHEN hits_fr > greatest(hits_en, hits_de) THEN 'fr'
-        |       WHEN hits_de > hits_en THEN 'de'
-        |       ELSE 'en' END AS lang_pred
-        |FROM h""".stripMargin,
+      s"""WITH $langPredCtes
+        |SELECT doc_id, lang_true, lang_pred FROM lp""".stripMargin,
+    // fertility: the t18 recursive encoder over the DISTINCT vocabulary;
+    // per-doc counts rejoin word frequencies, ratios divide exact longs
+    // once; grouped on the corpus lang tag (see tokenizerFertility doc)
+    "t19_tokenizer_fertility" ->
+      s"""WITH RECURSIVE
+        |tokd AS (SELECT doc_id,
+        |           unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+        |             AS word
+        |         FROM documents),
+        |wpd AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM tokd WHERE word <> '' GROUP BY 1, 2),
+        |voc AS (SELECT DISTINCT word FROM wpd),
+        |enc AS (
+        |  SELECT word, list_transform(range(1, length(word)+1),
+        |           i -> word[i:i]) AS toks
+        |  FROM voc
+        |  UNION ALL
+        |  SELECT word,
+        |    toks[1:bi-1] || [toks[bi] || toks[bi+1]]
+        |      || toks[bi+2:len(toks)]
+        |  FROM (
+        |    SELECT word, toks, list_position(rks, list_min(rks)) AS bi,
+        |           list_min(rks) AS mn
+        |    FROM (SELECT word, toks,
+        |            list_transform(range(1, len(toks)), j ->
+        |              CASE toks[j] || '|' || toks[j+1] $bpeRankCase
+        |                ELSE 999 END) AS rks
+        |          FROM enc))
+        |  WHERE mn < 999),
+        |fin AS (
+        |  SELECT word, toks FROM (
+        |    SELECT word, toks,
+        |      list_min(list_transform(range(1, len(toks)), j ->
+        |        CASE toks[j] || '|' || toks[j+1] $bpeRankCase
+        |          ELSE 999 END)) AS mn
+        |    FROM enc)
+        |  WHERE mn IS NULL OR mn = 999),
+        |tl AS (SELECT word, CAST(len(toks) AS BIGINT) AS tl,
+        |         CAST(length(word) AS BIGINT) AS wl FROM fin),
+        |doc AS (SELECT w.doc_id, CAST(SUM(w.n * t.tl) AS BIGINT) AS n_sub,
+        |          CAST(SUM(w.n) AS BIGINT) AS n_words,
+        |          CAST(SUM(w.n * t.wl) AS BIGINT) AS n_chars
+        |        FROM wpd w JOIN tl t USING (word) GROUP BY 1)
+        |SELECT dl.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  ROUND(CAST(SUM(d.n_sub) AS DOUBLE)
+        |    / CAST(SUM(d.n_words) AS DOUBLE), 6) AS fertility,
+        |  ROUND(CAST(SUM(d.n_chars) AS DOUBLE)
+        |    / CAST(SUM(d.n_sub) AS DOUBLE), 6) AS chars_per_token
+        |FROM doc d JOIN (SELECT doc_id, lang FROM documents) dl
+        |  USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t4_doc_fingerprint" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))

@@ -158,6 +158,48 @@ object TextAnalysis {
       .select("doc_id", "lang_true", "lang_pred")
   }
 
+  /** Tokenizer fertility per predicted language — the multilingual-budget
+    * report a tokenizer choice is judged by: subtokens per word
+    * (`fertility`; a tokenizer that fragments one language trains that
+    * language on fewer effective tokens per byte) and characters per
+    * subtoken (compression). Composes two verified components: the t3
+    * marker-vote [[languageId]] and the t18 fixed-merge-table BPE encoder
+    * ([[Bpe.encodeUdf]]); word/char counts use the ENCODER's own split
+    * (`[^a-z0-9]+` on lowered text), so fertility is exactly
+    * |encode(doc)| / |words(doc)|. Zero-word docs are excluded (they have
+    * no fertility). `langCol` chooses the grouping language — the corpus
+    * tag by default; at crawl scale, where no trusted tag exists, join
+    * [[languageId]]'s `lang_pred` in first and group on that (the
+    * synthetic corpus's text is English-templated for every tag, so the
+    * marker vote degenerates to one group there).
+    *
+    * Scale shape: one narrow pass computes per-doc (n_sub, n_words,
+    * n_chars) in-row (the encoder memoizes per distinct word); the only
+    * shuffle is the final |langs|-row aggregate. Ratios are two exact
+    * longs divided once and rounded 6dp — engine-portable. */
+  def tokenizerFertility(documents: DataFrame,
+      merges: Seq[(String, String)], langCol: String = "lang"): DataFrame = {
+    val spark = documents.sparkSession
+    val enc = graft.ops.Bpe.encodeUdf(spark, merges)
+    val words = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      w => length(w) > 0)
+    documents
+      .select(col(langCol), size(enc(col("text"))).cast("long").as("n_sub"),
+        words.as("ws"))
+      .select(col(langCol), col("n_sub"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (a, b) => a + b).as("n_chars"))
+      .where(col("n_words") > 0)
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_sub")).as("ss"),
+        sum(col("n_words")).as("sw"), sum(col("n_chars")).as("sc"))
+      .select(col(langCol), col("n_docs"),
+        round(col("ss").cast("double") / col("sw"), 6).as("fertility"),
+        round(col("sc").cast("double") / col("ss"), 6)
+          .as("chars_per_token"))
+  }
+
   /** Char-trigram language-model quality score: phase 1 aggregates corpus
     * trigram frequencies (one groupBy), phase 2 scores each doc by the mean
     * add-one-smoothed log-probability of its trigrams. The corpus is

@@ -571,6 +571,32 @@ class OpsSpec extends GraftSuite {
     assert(Bpe.encodeWord("data", rank).toSeq == Seq("d", "at", "a"))
   }
 
+  test("t19 tokenizer fertility: hand-computed per-language ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab ab cd", "aa"), // enc: ab=1 tok, ab=1, cd=2 -> 4 sub, 3 w, 6 ch
+      (2L, "ab", "bb"), // 1 sub, 1 w, 2 ch
+      (3L, "??? !!!", "aa")) // zero words -> excluded
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.tokenizerFertility(docs, Seq("a" -> "b"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      "aa" -> ((1L, 1.333333, 1.5)), // fertility 4/3 @6dp, chars/tok 6/4
+      "bb" -> ((1L, 1.0, 2.0))))
+    // fertility >= 1 everywhere on the corpus (a word is >= 1 subtoken)
+    // and every language group is present
+    val corpus = Tables.load(spark, sf, "documents")
+    val fixed = Seq("a" -> "t", "t" -> "h", "th" -> "e", "a" -> "n",
+      "o" -> "r", "e" -> "r", "or" -> "t", "s" -> "t", "q" -> "u",
+      "e" -> "y")
+    val full = TextAnalysis.tokenizerFertility(corpus, fixed).collect()
+    assert(full.length ==
+      corpus.select("lang").distinct().count().toInt)
+    full.foreach(r => assert(r.getDouble(2) >= 1.0 && r.getDouble(3) > 0))
+  }
+
   test("BPE train: vocabulary above maxVocab degrades to the frequency head") {
     import spark.implicits._
     // 6 distinct words; cap at 3 -> training sees only the 3 most
