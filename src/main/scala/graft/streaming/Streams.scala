@@ -364,6 +364,84 @@ object Streams {
       stateDir)
   }
 
+  /** Streaming quantiles with BOUNDED state — the stream twin of
+    * `Sketches.sampledQuantiles`, and the operational proof of the
+    * bottom-k sketch's mergeability: the state is the per-group bottom-k
+    * content-hash sample (≤ k rows per group — bounded by CONFIG however
+    * large the stream), each micro-batch's own bottom-k merges in by the
+    * k-min rule (the k smallest of a union of bottom-k sets IS the global
+    * bottom-k set), and the per-batch output is the nearest-rank estimate
+    * over the state — BY CONSTRUCTION equal to running the batch operator
+    * over everything streamed so far (the parity spec asserts exact
+    * equality, not tolerance). Content-hash selection also makes the
+    * sample stable under replays of the same keys.
+    *
+    * Replay-safe like the MG/drift sinks: the state stores the last
+    * applied batchId and a replayed batch is a no-op. Output is appended
+    * BEFORE the state swap — at-least-once output keyed by `bid`,
+    * exactly-once state; a crash inside the swap window recovers from
+    * `_old` (`readStateWithRecovery`). */
+  def quantileSink(rows: DataFrame, groupCols: Seq[String], valueCol: String,
+      keyCol: String, k: Int, qs: Seq[Double], stateDir: String,
+      outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        mergeQuantiles(batch, batchId, groupCols, valueCol, keyCol, k, qs,
+          stateDir, outDir)
+    }
+
+  /** The per-batch body of `quantileSink`, package-visible so replay,
+    * recovery, and batch-parity are directly testable. */
+  private[graft] def mergeQuantiles(batch: DataFrame, batchId: Long,
+      groupCols: Seq[String], valueCol: String, keyCol: String, k: Int,
+      qs: Seq[Double], stateDir: String, outDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val grp = groupCols.map(col)
+    val state = readStateWithRecovery(spark, stateDir)
+    val lastBid = state.map { df =>
+      val r = df.select(max(col("bid"))).head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
+    if (batchId <= lastBid) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"quantileSink: skipping batch $batchId (state at $lastBid)" +
+          " — replay no-op, or a reset checkpoint against old state")
+      return
+    }
+    val keep = groupCols ++ Seq(keyCol, valueCol)
+    val batchK = graft.ops.Sketches
+      .bottomKSample(batch.where(col(valueCol).isNotNull), groupCols,
+        keyCol, k)
+      .select(keep.map(col): _*)
+    val unioned = state match {
+      case Some(st) => st.select(keep.map(col): _*).unionByName(batchK)
+      case None     => batchK
+    }
+    // defensive key-dedup (keys are unique by contract — event ids — but
+    // a duplicate must not double-fill the sketch): deterministic keeper
+    val wKey = Window.partitionBy((groupCols :+ keyCol).map(col): _*)
+      .orderBy(col(valueCol))
+    val merged = unioned
+      .withColumn("_kr", row_number().over(wKey)).where(col("_kr") === 1)
+      .drop("_kr")
+    // k-min merge: re-apply bottom-k over the union — ≤ 2k rows per
+    // group enter this window
+    val kept = graft.ops.Sketches
+      .bottomKSample(merged, groupCols, keyCol, k)
+      .select(keep.map(col): _*)
+      .localCheckpoint() // materialize before the swap renames old state
+    // output first (at-least-once, bid-keyed): the estimate path is the
+    // BATCH OPERATOR itself, so stream == batch by construction
+    graft.ops.Sketches
+      .sampledQuantiles(kept, groupCols, valueCol, keyCol, k, qs)
+      .withColumn("bid", lit(batchId))
+      .write.mode("append").parquet(outDir)
+    swapIntoPlace(kept.withColumn("bid", lit(batchId)).repartition(1),
+      stateDir)
+  }
+
   /** S6/S8 — keyed upsert sink via foreachBatch merge: last-write-wins into
     * a keyed parquet table (the upsert-kafka / HBase-put analogue).
     * `deleteWhen` marks tombstones (the reference's CDC type=delete path,

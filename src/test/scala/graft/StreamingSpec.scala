@@ -519,6 +519,77 @@ class StreamingSpec extends GraftSuite {
       == Set("user_info", "order_info"))
   }
 
+  test("quantile sink: streamed estimates equal the batch sketch exactly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_quant").toString
+    val (state, out) = (dir + "/state", dir + "/out")
+    val qs = Seq(0.5, 0.9)
+    val k = 4
+    val rows = (1 to 40).map(i =>
+      (if (i % 2 == 0) "a" else "b", i.toLong, (i * 7 % 23).toDouble))
+    val ms = MemoryStream[(String, Long, Double)](77, spark, None)
+    val q = Streams.quantileSink(ms.toDS().toDF("g", "id", "v"), Seq("g"),
+      "v", "id", k, qs, state, out).start()
+    Seq(rows.take(15), rows.slice(15, 30), rows.drop(30)).foreach { b =>
+      ms.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    // state: bounded at k rows per group, and IS the global bottom-k
+    val st = spark.read.parquet(state)
+    val perGroup = st.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.values.forall(_ <= k))
+    val direct = ops.Sketches.bottomKSample(
+        rows.toDF("g", "id", "v"), Seq("g"), "id", k)
+      .select("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(st.select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == direct,
+      "state must equal the batch bottom-k of everything streamed")
+    // final-batch output == the batch operator over the full stream
+    val outRows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(3), r.getString(0), r.getDouble(1),
+        r.getDouble(2)))
+    val lastBid = outRows.map(_._1).max
+    val streamed = outRows.filter(_._1 == lastBid)
+      .map { case (_, g, qq, e) => (g, qq, e) }.toSet
+    val batch = ops.Sketches.sampledQuantiles(rows.toDF("g", "id", "v"),
+        Seq("g"), "v", "id", k, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == batch,
+      s"stream $streamed != batch $batch — mergeability broken")
+  }
+
+  test("quantile sink: replay no-op and swap-window recovery") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_quant2").toString
+    val (state, out) = (dir + "/state", dir + "/out")
+    val qs = Seq(0.5)
+    def b1 = Seq(("a", 1L, 5.0), ("a", 2L, 7.0)).toDF("g", "id", "v")
+    Streams.mergeQuantiles(b1, 0L, Seq("g"), "v", "id", 8, qs, state, out)
+    val after1 = spark.read.parquet(state).select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val out1 = spark.read.parquet(out).count()
+    // at-least-once replay of batch 0: state AND output unchanged
+    Streams.mergeQuantiles(b1, 0L, Seq("g"), "v", "id", 8, qs, state, out)
+    assert(spark.read.parquet(state).select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == after1)
+    assert(spark.read.parquet(out).count() == out1,
+      "replayed batch must not append output")
+    // crash inside the swap window: recover the sample from _old
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(state),
+      new org.apache.hadoop.fs.Path(state + "_old"))
+    Streams.mergeQuantiles(Seq(("a", 3L, 9.0)).toDF("g", "id", "v"), 1L,
+      Seq("g"), "v", "id", 8, qs, state, out)
+    val recovered = spark.read.parquet(state).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(recovered == Set(1L, 2L, 3L),
+      "swap-window crash must not lose the accumulated sample")
+  }
+
   test("J4 stream-static broadcast lookup enriches every record") {
     import spark.implicits._
     val ms = MemoryStream[Event](23, spark, None)
