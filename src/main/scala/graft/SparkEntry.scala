@@ -368,6 +368,20 @@ object SparkEntry {
       TextAnalysis.tokenizerFertility(t(s, d, "documents"), bpeFixedMerges)),
     "d13_cluster_sizes" -> ((s, d) =>
       Dedup.clusterSizeHistogram(t(s, d, "documents"))),
+    // snapshot diff: two hash-sliced corpus "versions" (10% removed, 10%
+    // added, the [0.4,0.5) band content-mutated) through the normalized-
+    // fingerprint full-outer diff — the recurring-ingest churn audit
+    "dd1_snapshot_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = t(s, d, "documents")
+      val h = Sampling.contentHash("doc_id")
+      val prev = docs.where(h < lit("e6666666"))
+      val next = docs.where(h >= lit("19999999"))
+        .withColumn("text",
+          when(h >= lit("66666666") && h < lit("80000000"),
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      Corpus.snapshotDiff(prev, next)
+    }),
     "d7_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
     // quality-aware dedup keepers: best q1 score per d7 cluster
@@ -2140,6 +2154,29 @@ object SparkEntry {
         |FROM r CROSS JOIN q
         |WHERE vr = greatest(1, CAST(ceil(q.q * m) AS BIGINT))
         |ORDER BY 1, 2""".stripMargin,
+    // snapshot diff: same hash slices + " rev2" mutation band; change
+    // detection through the d1 normalized fingerprint in both engines
+    "dd1_snapshot_diff" ->
+      """WITH h AS (SELECT doc_id, text,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+        |  FROM documents),
+        |o AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS fp_old
+        |  FROM h WHERE h8 < 'e6666666'),
+        |n AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(
+        |        CASE WHEN h8 >= '66666666' AND h8 < '80000000'
+        |          THEN text || ' rev2' ELSE text END),
+        |      '[^a-z0-9]+', ' ', 'g'))) AS fp_new
+        |  FROM h WHERE h8 >= '19999999')
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN fp_old IS NULL THEN 'added'
+        |       WHEN fp_new IS NULL THEN 'removed'
+        |       WHEN fp_old = fp_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY 1""".stripMargin,
     "t7_pii_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

@@ -224,4 +224,33 @@ object Corpus {
       .where(col("rn") <= topK)
       .select("query_id", "doc_id", "score", "rn")
   }
+
+  /** Snapshot diff between two corpus versions — the audit a recurring
+    * ingest (daily crawl, re-scraped sources) runs before retraining:
+    * which documents appeared, vanished, or changed CONTENT. Identity is
+    * `doc_id`; change detection is the same normalized content
+    * fingerprint the exact-dedup family uses ([[Dedup.normText]] md5), so
+    * formatting-only churn (case, punctuation, whitespace) does not count
+    * as change — the same equivalence d1 deduplicates under.
+    *
+    * Scale shape: two narrow (doc_id, fingerprint) projections into ONE
+    * doc_id-keyed full-outer shuffle join; status is a null/equality
+    * CASE on the joined row. Emits one row per doc in either version —
+    * feed to a groupBy("status") for the summary, or filter
+    * status != 'unchanged' for the incremental work-list that makes the
+    * downstream re-embed/re-dedup pass proportional to the CHURN, not
+    * the corpus. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"),
+      md5(Dedup.normText).as("fp_old"))
+    val n = newDocs.select(col("doc_id"),
+      md5(Dedup.normText).as("fp_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id"), col("status"))
+  }
 }

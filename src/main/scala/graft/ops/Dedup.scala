@@ -88,7 +88,7 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .unpersist()
 
-  private def normText = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+  private[ops] def normText = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
 
   /** Exact dedup by content hash of normalized text: one row per distinct
     * content with the kept (minimum) doc id and the duplicate count. */

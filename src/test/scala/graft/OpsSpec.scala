@@ -571,6 +571,38 @@ class OpsSpec extends GraftSuite {
     assert(Bpe.encodeWord("data", rank).toSeq == Seq("d", "at", "a"))
   }
 
+  test("dd1 snapshot diff: statuses, normalization-insensitive change") {
+    import spark.implicits._
+    val prev = Seq((1L, "gone"), (2L, "Same, text!"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val next = Seq((2L, "same text"), (3L, "x z"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(prev, next).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 2: case/punct churn only -> unchanged under the d1 fingerprint
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // corpus slices: every status present, counts conserve both versions
+    val docs = Tables.load(spark, sf, "documents")
+    val h = Sampling.contentHash("doc_id")
+    val prev2 = docs.where(h < lit("e6666666"))
+    val next2 = docs.where(h >= lit("19999999"))
+      .withColumn("text", when(h >= lit("66666666") && h < lit("80000000"),
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val diff = Corpus.snapshotDiff(prev2, next2)
+    val byStatus = diff.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.keySet ==
+      Set("added", "removed", "changed", "unchanged"))
+    assert(byStatus.values.sum ==
+      prev2.select("doc_id").union(next2.select("doc_id"))
+        .distinct().count())
+    assert(byStatus("removed") + byStatus("changed") +
+      byStatus("unchanged") == prev2.count())
+    assert(byStatus("added") + byStatus("changed") +
+      byStatus("unchanged") == next2.count())
+  }
+
   test("t19 tokenizer fertility: hand-computed per-language ratios") {
     import spark.implicits._
     val docs = Seq(
