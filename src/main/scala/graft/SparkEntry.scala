@@ -302,6 +302,15 @@ object SparkEntry {
     // PageRank over the PORTABLE blocked kNN edges — the hash-gated gr
     // twin (gr1 = exact graph, gr2 = multi-table recall blocking, gr3 =
     // cross-engine-verified blocking)
+    // triangle census + local clustering coefficient over the portable
+    // top-3 edge substrate (top-1 is functional: no 3-cycles) — the
+    // mirror-cluster density diagnostic next to gr3's centrality
+    "gr4_triangle_stats" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Graph.triangleStats(
+        Similarity.portableKnnEdges(t(s, d, "embeddings"), k = 3)
+          .select(col("qid").as("src"), col("nid").as("dst")))
+    }),
     "gr3_portable_pagerank" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
       Graph.pageRank(
@@ -1239,6 +1248,32 @@ object SparkEntry {
       |                  THEN CAST(POWER(2, p) AS BIGINT)
       |                  ELSE 0 END) AS BIGINT) AS sig
       |       FROM ld GROUP BY 1)""".stripMargin
+
+  /** Shared CTE block generator for the gr3/gr4 oracles: in-bucket
+    * exact-cosine top-`k` edges over the shared portable signature
+    * (compose after [[portableSigCtes]]), ending in `edges(src, dst)` —
+    * mirrors `Similarity.portableKnnEdges(bits = 6, k)`. */
+  private def portableKnnEdgeCtes(k: Int): String =
+    s"""nc AS (SELECT a.vec_id AS qid, b.vec_id AS nid
+      |       FROM ls a JOIN ls b
+      |         ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+      |np AS (SELECT nc.qid, nc.nid,
+      |         SUM(CAST(ea.embedding[ii.i] AS DOUBLE)
+      |             * CAST(eb.embedding[ii.i] AS DOUBLE)) AS dot,
+      |         SUM(CAST(ea.embedding[ii.i] AS DOUBLE)
+      |             * CAST(ea.embedding[ii.i] AS DOUBLE)) AS qq,
+      |         SUM(CAST(eb.embedding[ii.i] AS DOUBLE)
+      |             * CAST(eb.embedding[ii.i] AS DOUBLE)) AS xx
+      |       FROM nc
+      |         JOIN embeddings ea ON ea.vec_id = nc.qid
+      |         JOIN embeddings eb ON eb.vec_id = nc.nid,
+      |         (SELECT unnest(range(1, 65)) AS i) ii
+      |       GROUP BY 1, 2),
+      |nr AS (SELECT qid, nid, row_number() OVER
+      |         (PARTITION BY qid
+      |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+      |       FROM np WHERE qq > 0 AND xx > 0),
+      |edges AS (SELECT qid AS src, nid AS dst FROM nr WHERE rn <= $k)""".stripMargin
 
   /** Shared CTE block: 5 unrolled PageRank rounds (d = 0.85) over an
     * `edges(src, dst)` CTE defined upstream — gr1 (exact kNN edges) and
@@ -3091,28 +3126,35 @@ object SparkEntry {
     // (shared sign-LSH CTEs + shared pagerank CTEs)
     "gr3_portable_pagerank" ->
       s"""WITH $portableSigCtes,
-        |nc AS (SELECT a.vec_id AS qid, b.vec_id AS nid
-        |       FROM ls a JOIN ls b
-        |         ON a.sig = b.sig AND a.vec_id <> b.vec_id),
-        |np AS (SELECT nc.qid, nc.nid,
-        |         SUM(CAST(ea.embedding[ii.i] AS DOUBLE)
-        |             * CAST(eb.embedding[ii.i] AS DOUBLE)) AS dot,
-        |         SUM(CAST(ea.embedding[ii.i] AS DOUBLE)
-        |             * CAST(ea.embedding[ii.i] AS DOUBLE)) AS qq,
-        |         SUM(CAST(eb.embedding[ii.i] AS DOUBLE)
-        |             * CAST(eb.embedding[ii.i] AS DOUBLE)) AS xx
-        |       FROM nc
-        |         JOIN embeddings ea ON ea.vec_id = nc.qid
-        |         JOIN embeddings eb ON eb.vec_id = nc.nid,
-        |         (SELECT unnest(range(1, 65)) AS i) ii
-        |       GROUP BY 1, 2),
-        |nr AS (SELECT qid, nid, row_number() OVER
-        |         (PARTITION BY qid
-        |          ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
-        |       FROM np WHERE qq > 0 AND xx > 0),
-        |edges AS (SELECT qid AS src, nid AS dst FROM nr WHERE rn = 1),
+        |${portableKnnEdgeCtes(1)},
         |$pagerankCtes
         |SELECT id, ROUND(rank, 9) AS rank FROM r5""".stripMargin,
+    // triangle census over the SAME portable edge substrate at top-3
+    // (top-1 gives a functional graph with no 3-cycles): ordered-wedge
+    // join closed by the canonical (a, c) edge, once per triangle
+    "gr4_triangle_stats" ->
+      s"""WITH $portableSigCtes,
+        |${portableKnnEdgeCtes(3)},
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |          greatest(src, dst) AS b
+        |        FROM edges WHERE src <> dst),
+        |tri AS (SELECT e1.a, e1.b, e2.b AS c
+        |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        |         SELECT a AS id FROM tri
+        |         UNION ALL SELECT b FROM tri
+        |         UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |dg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |         SELECT a AS id FROM und
+        |         UNION ALL SELECT b FROM und) GROUP BY 1)
+        |SELECT dg.id, dg.degree,
+        |  COALESCE(pn.triangles, CAST(0 AS BIGINT)) AS triangles,
+        |  CASE WHEN dg.degree < 2 THEN 0.0
+        |       ELSE ROUND(COALESCE(pn.triangles, CAST(0 AS BIGINT)) * 2.0
+        |              / (dg.degree * (dg.degree - 1)), 6) END AS clustering
+        |FROM dg LEFT JOIN pn ON dg.id = pn.id
+        |ORDER BY 1""".stripMargin,
     "dq1_expectations" ->
       """WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
         |SELECT 'c1' AS check_id, 'event_id' AS col_name,

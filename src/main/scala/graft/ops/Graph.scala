@@ -55,4 +55,47 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts and local clustering coefficient over a
+    * directed edge frame — the density diagnostic of a near-dup/kNN
+    * graph (a node whose neighbors all know each other sits inside a
+    * mirror cluster; a hub whose neighbors are strangers bridges
+    * unrelated content). Edges are undirected and canonicalized
+    * (least, greatest, distinct) first; triangles enumerate once each as
+    * ordered wedges a<b<c closed by the (a, c) edge — the standard
+    * edge-join algorithm.
+    *
+    * Scale notes: the wedge join's fan-out is Σ_v deg(v)², bounded here
+    * by construction (a top-k kNN graph caps out-degree at k, so
+    * undirected degree ~ 2k); for power-law graphs orient wedges from
+    * the lower-degree endpoint before joining. Both the wedge and the
+    * closing probe are equi-joins on the canonical edge frame, which is
+    * `localCheckpoint`ed once and reused three times. Output: (id,
+    * degree, triangles, clustering = 2T/deg(deg−1), 6dp; degree < 2 ⇒
+    * 0.0). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val tri = und
+      .join(und.toDF("b", "c"), "b") // wedge a<b, b<c (canonical order)
+      .join(und.toDF("a", "c"), Seq("a", "c")) // closing edge
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(round(col("triangles") * lit(2.0) /
+            (col("degree") * (col("degree") - 1)), 6)))
+  }
 }

@@ -552,7 +552,7 @@ object Similarity {
     * shared map-side-partial TopKAgg — the `knnGraphBlocked` shape with a
     * single table. */
   def portableKnnEdges(embeddings: DataFrame, bits: Int = 6,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, k: Int = 1): DataFrame = {
     val sigs = embeddings
       .select(col("vec_id"), portableSigCol(bits, dims).as("sig"))
     val cand = sigs.toDF("qid", "sig")
@@ -565,7 +565,7 @@ object Similarity {
         col("nrm").as("q_nrm")), "qid")
       .join(base.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm")), "nid")
-    rankTopK(pairs, 1).select(col("qid"), col("nid"))
+    rankTopK(pairs, k).select(col("qid"), col("nid"))
   }
 
   /** ENGINE-PORTABLE embedding near-duplicate pairs — the oracle-checkable

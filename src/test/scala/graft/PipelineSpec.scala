@@ -193,6 +193,28 @@ class PipelineSpec extends GraftSuite {
     assert(out.count() == 30)
   }
 
+  test("gr4 triangle stats: hand-computed census, canonicalization") {
+    import spark.implicits._
+    // triangle {1,2,3}, pendant 3-4, detached pair 5-6; reversed and
+    // duplicated directed edges must collapse to one undirected edge
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 5L)).toDF("src", "dst")
+    val got = Graph.triangleStats(edges).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 0.333333)), 4L -> ((1L, 0L, 0.0)),
+      5L -> ((1L, 0L, 0.0)), 6L -> ((1L, 0L, 0.0))))
+    // corpus: the portable top-3 kNN graph has real mirror-cluster
+    // density (top-1 would be functional: zero 3-cycles)
+    val stats = Graph.triangleStats(
+      Similarity.portableKnnEdges(emb, k = 3)
+        .select(col("qid").as("src"), col("nid").as("dst"))).collect()
+    assert(stats.map(_.getLong(2)).sum > 0, "expected triangles at top-3")
+    stats.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("emb3 top PC: recovers a planted dominant direction") {
     import spark.implicits._
     // points spread along u = (0.6, 0.8) with small orthogonal jitter:
