@@ -253,4 +253,51 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the per-source threshold table must broadcast:\n${p.take(1500)}")
   }
+
+  test("a24 sampled quantiles: group-partitioned windows, no global window") {
+    val p = plan("a24_sampled_quantiles")
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"selection and rank windows must partition by the group key:\n${p.take(1200)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      "no single-partition exchange anywhere in the sketch")
+  }
+
+  test("pack2 length buckets: two-phase rank partitions by (bucket, cell)") {
+    val p = plan("pack2_length_buckets")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"within-bucket rank must partition by bucket (+ hash cell):\n${p.take(1200)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the rank must never collapse to one partition")
+  }
+
+  test("z1 z-order stats: one scan, codegen integer z, partial agg") {
+    val p = plan("z1_zorder_stats")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"one pass over events:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "bucket stats must partial-aggregate map-side")
+    assert(p.contains("shiftleft") && !p.contains("BatchEvalPython"),
+      "the Morton spread must stay a native integer expression")
+  }
+
+  test("t19 fertility: one scan of documents, partial aggregation") {
+    val p = plan("t19_tokenizer_fertility")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"per-doc counts + language tag in one pass:\n${p.take(800)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("dd1 snapshot diff: one shuffled full-outer join of two projections") {
+    val p = plan("dd1_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"diff must be a shuffled full-outer join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("gr4 triangle census: equi-joins only, no cartesian wedge") {
+    val p = plan("gr4_triangle_stats")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge + closing probes must stay equi-joins:\n${p.take(1200)}")
+  }
 }
