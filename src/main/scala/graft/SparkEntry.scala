@@ -537,6 +537,21 @@ object SparkEntry {
           "event_id", 256, Seq(0.5, 0.9, 0.99))
         .orderBy(col("event_type"), col("q"))
     }),
+    // quantile rollup: per-day bottom-k samples merged to per-type by the
+    // k-min rule (exact — the a23 shape for quantiles), then the same
+    // nearest-rank estimate; equals a24 bit-for-bit because the merged
+    // sample IS the global bottom-k, and the oracle derives it
+    // independently through the daily route
+    "a25_quantile_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val daily = Sketches.bottomKSample(
+        events(s, d).where(col("value").isNotNull)
+          .withColumn("event_date", to_date(col("ts"))),
+        Seq("event_date", "event_type"), "event_id", 256)
+      Sketches.sampledQuantiles(daily, Seq("event_type"), "value",
+          "event_id", 256, Seq(0.5, 0.9, 0.99))
+        .orderBy(col("event_type"), col("q"))
+    }),
     // exact-verified heavy hitters: Misra-Gries candidates + count-min
     // prune + exact count of the survivors — the output is the EXACT
     // top-20 words (hash-oracled), produced without ever shuffling the
@@ -2183,6 +2198,35 @@ object SparkEntry {
         |                           ORDER BY value, event_id) AS vr,
         |        count(*) OVER (PARTITION BY event_type) AS m
         |      FROM s),
+        |q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |                     CAST(0.99 AS DOUBLE)]) AS q)
+        |SELECT event_type, q.q AS q, value AS est
+        |FROM r CROSS JOIN q
+        |WHERE vr = greatest(1, CAST(ceil(q.q * m) AS BIGINT))
+        |ORDER BY 1, 2""".stripMargin,
+    // rollup route: daily bottom-256, re-min to per-type, same nearest
+    // rank — the k-min merge law makes this equal a24
+    "a25_quantile_rollup" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date,
+        |    event_type, value, event_id,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS h8
+        |  FROM events WHERE value IS NOT NULL),
+        |daily AS (SELECT event_type, value, event_id, h8 FROM (
+        |    SELECT *, row_number() OVER (
+        |        PARTITION BY event_date, event_type
+        |        ORDER BY h8, event_id) AS rn
+        |    FROM h) WHERE rn <= 256),
+        |mg AS (SELECT event_type, value, event_id FROM (
+        |    SELECT event_type, value, event_id,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY h8, event_id) AS rn
+        |    FROM daily) WHERE rn <= 256),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY value, event_id) AS vr,
+        |        count(*) OVER (PARTITION BY event_type) AS m
+        |      FROM mg),
         |q AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
         |                     CAST(0.99 AS DOUBLE)]) AS q)
         |SELECT event_type, q.q AS q, value AS est

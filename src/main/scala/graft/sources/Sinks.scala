@@ -38,6 +38,49 @@ object Sinks {
     }
   }
 
+  /** Small-file compaction — the maintenance pass every long-running
+    * micro-batch sink needs: a streaming job appending every trigger (or
+    * a dynamic-partition backfill) leaves hundreds of KB-sized parquet
+    * files whose per-file open/footer overhead eventually dominates scan
+    * cost at 100 TB. Rewrites the directory into ceil(bytes/targetBytes)
+    * files via `coalesce` — narrow, no shuffle: compaction only ever
+    * REDUCES file count, so partitions merge in place (a `repartition`
+    * would pay a full shuffle for identical output).
+    *
+    * Crash-safe like the streaming state sinks: the compacted copy is
+    * fully written to a `_tmp` dir first, then swapped in with the same
+    * two-rename discipline (`_old` backup, loud failure if a rename
+    * reports false, backup deleted only after the swap lands). Readers
+    * see the old or the new directory, never a half-written one.
+    * Returns (filesBefore, filesAfter). */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val dataFiles = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .toInt
+    // compaction only MERGES (coalesce cannot split): already at or
+    // below the target count -> leave the directory untouched
+    if (dataFiles.length <= nOut) return (dataFiles.length, dataFiles.length)
+    val df = spark.read.parquet(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir + "_old")
+    df.coalesce(nOut).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    require(fs.rename(target, bak), s"rename $target -> $bak failed")
+    require(fs.rename(tmp, target),
+      s"rename $tmp -> $target failed; previous data preserved at $bak")
+    fs.delete(bak, true)
+    val after = fs.listStatus(target)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, after)
+  }
+
   /** S4/S5 — Kafka record shape: per-row topic routing column + JSON value
     * (FlinkSinkUtil.java:38-52). Feed to `.writeStream.format("kafka")`
     * when the connector is on the classpath; the routing semantics are

@@ -71,4 +71,33 @@ class FormatsSpec extends GraftSuite {
     val back = spark.read.jdbc(url, "routed_out", props)
     assert(back.count() == 3)
   }
+
+  test("compaction: fewer files, identical content, sized output") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/t"
+    val ev = Tables.load(spark, sf, "events").limit(5000)
+    ev.repartition(32).write.parquet(dir) // the small-files pathology
+    // snapshot content from the WRITTEN files (limit() alone is not a
+    // deterministic row selection across separate evaluations)
+    val before = spark.read.parquet(dir).collect().map(_.toString)
+      .sorted.toSeq
+    // a mid-size target keeps several files: ceil(bytes/target) of them
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val tgt = math.max(1L, bytes / 3)
+    val (n0, n1) = sources.Sinks.compactParquet(spark, dir, tgt)
+    assert(n0 == 32 && n1 == ((bytes + tgt - 1) / tgt).toInt,
+      s"expected 32 -> ceil($bytes/$tgt), got $n0 -> $n1")
+    // full compaction to one file preserves content exactly
+    val (_, nAfter) = sources.Sinks.compactParquet(spark, dir, 1L << 30)
+    assert(nAfter == 1)
+    val after = spark.read.parquet(dir).collect().map(_.toString)
+      .sorted.toSeq
+    assert(after == before, "compaction must not change content")
+    // already compact -> untouched no-op
+    assert(sources.Sinks.compactParquet(spark, dir, 1L << 30) == ((1, 1)))
+  }
 }

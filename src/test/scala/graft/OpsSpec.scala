@@ -371,6 +371,16 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("a25 rollup equals a24 direct: the k-min merge law end to end") {
+    val direct = SparkEntry.queries("a24_sampled_quantiles")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val rolled = SparkEntry.queries("a25_quantile_rollup")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(direct == rolled && direct.nonEmpty)
+  }
+
   test("bottom-k sample merges exactly across a day split") {
     val k = 64
     val ev = events.withColumn("event_date", to_date(col("ts")))
