@@ -420,6 +420,11 @@ object SparkEntry {
     // scale forms
     "sim9_pq_portable" -> ((s, d) =>
       Similarity.portablePqTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L))),
+    // the composed ANN twin: sim8's oracle-able coarse probe restricting
+    // sim9's integer ADC — IVF+PQ hash-gated end to end (sim5 stays the
+    // float scale form)
+    "sim10_ivfpq_portable" -> ((s, d) =>
+      Similarity.portableIvfPqTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L))),
     "sim6_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(t(s, d, "embeddings"), 1)
         .select("qid", "nid")),
@@ -1263,6 +1268,42 @@ object SparkEntry {
       |                  THEN CAST(POWER(2, p) AS BIGINT)
       |                  ELSE 0 END) AS BIGINT) AS sig
       |       FROM ld GROUP BY 1)""".stripMargin
+
+  /** Shared CTE block for the sim8/sim10 oracles — the coarse IVF probe
+    * (compose after `kmeansCtes`): queries 0/1/2 ranked against the
+    * final-round centroids, nprobe=2 cells, fanned to members; ends in
+    * `icand(qid, nid)`. */
+  private val ivfProbeCtes: String =
+    """ivq(qid) AS (VALUES (0), (1), (2)),
+      |icd AS (SELECT e.vec_id AS qid, c.cid,
+      |          row_number() OVER (PARTITION BY e.vec_id
+      |            ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+      |              i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
+      |            AS cr
+      |        FROM emb e JOIN ivq ON e.vec_id = ivq.qid
+      |          CROSS JOIN c2 c),
+      |ipc AS (SELECT qid, cid FROM icd WHERE cr <= 2),
+      |icand AS (SELECT ipc.qid, a.vec_id AS nid
+      |          FROM ipc JOIN a2 a USING (cid)
+      |          WHERE a.vec_id <> ipc.qid)""".stripMargin
+
+  /** Shared CTE block for the sim9/sim10 oracles — the integer ADC
+    * tables (compose after `pqKmeansCtes`): 1e-6-grid centroids and
+    * query subvectors, per-(query, subspace, code) lookup sums; ends in
+    * `ptab(qid, s, cid, t)`. */
+  private val pqAdcCtes: String =
+    """pcen AS (SELECT s, cid, d.i,
+      |           CAST(ROUND(cen[d.i] * 1e6) AS BIGINT) AS mi
+      |         FROM pc2 CROSS JOIN sdims d),
+      |pqv AS (SELECT vec_id AS qid, v FROM pemb
+      |        WHERE vec_id IN (0, 1, 2)),
+      |pqs AS (SELECT qid, g.s, d.i,
+      |          CAST(ROUND(v[g.s*16 + d.i] * 1e6) AS BIGINT) AS qi
+      |        FROM pqv CROSS JOIN sgrid g CROSS JOIN sdims d),
+      |ptab AS (SELECT q.qid, q.s, c.cid,
+      |           CAST(SUM(q.qi * c.mi) AS BIGINT) AS t
+      |         FROM pqs q JOIN pcen c ON c.s = q.s AND c.i = q.i
+      |         GROUP BY 1, 2, 3)""".stripMargin
 
   /** Shared CTE block generator for the gr3/gr4 oracles: in-bucket
     * exact-cosine top-`k` edges over the shared portable signature
@@ -2996,18 +3037,7 @@ object SparkEntry {
     // Spark side runs, rebuilt from the shared CTE block
     "sim8_ivf_portable" ->
       s"""WITH $kmeansCtes,
-        |ivq(qid) AS (VALUES (0), (1), (2)),
-        |icd AS (SELECT e.vec_id AS qid, c.cid,
-        |          row_number() OVER (PARTITION BY e.vec_id
-        |            ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
-        |              i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
-        |            AS cr
-        |        FROM emb e JOIN ivq ON e.vec_id = ivq.qid
-        |          CROSS JOIN c2 c),
-        |ipc AS (SELECT qid, cid FROM icd WHERE cr <= 2),
-        |icand AS (SELECT ipc.qid, a.vec_id AS nid
-        |          FROM ipc JOIN a2 a USING (cid)
-        |          WHERE a.vec_id <> ipc.qid),
+        |$ivfProbeCtes,
         |ipr AS (SELECT icand.qid, icand.nid,
         |          SUM(CAST(q.embedding[ii.i] AS DOUBLE)
         |              * CAST(n.embedding[ii.i] AS DOUBLE)) AS dot,
@@ -3030,21 +3060,29 @@ object SparkEntry {
     // mirrors Similarity.portablePqTopK stage for stage
     "sim9_pq_portable" ->
       s"""WITH $pqKmeansCtes,
-        |pcen AS (SELECT s, cid, d.i,
-        |           CAST(ROUND(cen[d.i] * 1e6) AS BIGINT) AS mi
-        |         FROM pc2 CROSS JOIN sdims d),
-        |pqv AS (SELECT vec_id AS qid, v FROM pemb
-        |        WHERE vec_id IN (0, 1, 2)),
-        |pqs AS (SELECT qid, g.s, d.i,
-        |          CAST(ROUND(v[g.s*16 + d.i] * 1e6) AS BIGINT) AS qi
-        |        FROM pqv CROSS JOIN sgrid g CROSS JOIN sdims d),
-        |ptab AS (SELECT q.qid, q.s, c.cid,
-        |           CAST(SUM(q.qi * c.mi) AS BIGINT) AS t
-        |         FROM pqs q JOIN pcen c ON c.s = q.s AND c.i = q.i
-        |         GROUP BY 1, 2, 3),
+        |$pqAdcCtes,
         |psc AS (SELECT t.qid, a.vec_id AS nid,
         |          CAST(SUM(t.t) AS BIGINT) AS adc
         |        FROM pa2 a JOIN ptab t ON t.s = a.s AND t.cid = a.cid
+        |        WHERE a.vec_id <> t.qid
+        |        GROUP BY 1, 2),
+        |prk AS (SELECT qid, nid, adc, row_number() OVER
+        |          (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+        |        FROM psc)
+        |SELECT qid, CAST(rn AS INTEGER) AS rn, nid, adc
+        |FROM prk WHERE rn <= 5""".stripMargin,
+    // the composed twin: sim8's probe (kmeansCtes + ivfProbeCtes)
+    // restricts sim9's ADC scores (pqKmeansCtes + pqAdcCtes) — both CTE
+    // families compose in one WITH with disjoint names
+    "sim10_ivfpq_portable" ->
+      s"""WITH $kmeansCtes,
+        |$pqKmeansCtes,
+        |$ivfProbeCtes,
+        |$pqAdcCtes,
+        |psc AS (SELECT t.qid, a.vec_id AS nid,
+        |          CAST(SUM(t.t) AS BIGINT) AS adc
+        |        FROM pa2 a JOIN ptab t ON t.s = a.s AND t.cid = a.cid
+        |        JOIN icand ic ON ic.qid = t.qid AND ic.nid = a.vec_id
         |        WHERE a.vec_id <> t.qid
         |        GROUP BY 1, 2),
         |prk AS (SELECT qid, nid, adc, row_number() OVER

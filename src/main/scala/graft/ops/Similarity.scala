@@ -622,6 +622,24 @@ object Similarity {
   def portableIvfTopK(embeddings: DataFrame, queryIds: Seq[Long],
       k: Int = 5, cells: Int = 8, iters: Int = 2,
       nprobe: Int = 2): DataFrame = {
+    val cand = portableIvfCandidates(embeddings, queryIds, cells, iters,
+      nprobe)
+    val base = withNorm(embeddings)
+    val pairs = cand
+      .join(base.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm")), "nid")
+    rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"))
+  }
+
+  /** The coarse front end of [[portableIvfTopK]]/[[portableIvfPqTopK]]:
+    * probed-cell candidates (qid, nid) — each query's `nprobe` nearest
+    * Lloyd cells by squared-L2 against the final-round centroids, fanned
+    * out to those cells' members. */
+  private def portableIvfCandidates(embeddings: DataFrame,
+      queryIds: Seq[Long], cells: Int, iters: Int,
+      nprobe: Int): DataFrame = {
     val assign = Clustering.kmeansAssign(embeddings, cells, iters)
       .select(col("vec_id").as("nid"), col("cluster").as("cid"))
     val cents = Clustering.kmeansCentroids(embeddings, cells, iters)
@@ -638,16 +656,9 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))))
       .where(col("cr") <= nprobe)
       .select(col("qid"), col("cid"))
-    val cand = qCell.join(assign, "cid")
+    qCell.join(assign, "cid")
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
-    val base = withNorm(embeddings)
-    val pairs = cand
-      .join(base.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm")), "qid")
-      .join(base.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
-        col("nrm").as("n_nrm")), "nid")
-    rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"))
   }
 
   /** ENGINE-PORTABLE PQ/ADC top-k — the oracle-checkable twin of
@@ -684,7 +695,42 @@ object Similarity {
     * only |Q|·m·k table rows. */
   def portablePqTopK(embeddings: DataFrame, queryIds: Seq[Long],
       topK: Int = 5, m: Int = 4, k: Int = 8, iters: Int = 2,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64): DataFrame =
+    rankAdc(portablePqScores(embeddings, queryIds, m, k, iters, dims, None),
+      topK)
+
+  /** ENGINE-PORTABLE IVF+PQ top-k — the composed twin of [[ivfPqTopK]]
+    * (`sim5`), closing the ANN stack: sim8's oracle-able coarse quantizer
+    * restricts candidates to the `nprobe` probed Lloyd cells, and sim9's
+    * integer ADC scores exactly those candidates (the semi-join lands
+    * BEFORE the per-pair aggregation, so the fine stage's cost is
+    * proportional to the probed lists, the whole point of IVF). Both
+    * stages are the already-hash-gated contracts, so the composition is
+    * hash-gated end to end. */
+  def portableIvfPqTopK(embeddings: DataFrame, queryIds: Seq[Long],
+      topK: Int = 5, cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      m: Int = 4, k: Int = 8, dims: Int = 64): DataFrame = {
+    val cand = portableIvfCandidates(embeddings, queryIds, cells, iters,
+      nprobe)
+    rankAdc(
+      portablePqScores(embeddings, queryIds, m, k, iters, dims, Some(cand)),
+      topK)
+  }
+
+  private def rankAdc(scored: DataFrame, topK: Int): DataFrame =
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc").desc, col("nid"))))
+      .where(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("nid"), col("adc"))
+
+  /** The scoring stage of [[portablePqTopK]]/[[portableIvfPqTopK]]:
+    * (qid, nid, adc) over all pairs, or over `cand` only when given (the
+    * IVF-restricted form — the semi-join applies before the aggregation). */
+  private def portablePqScores(embeddings: DataFrame, queryIds: Seq[Long],
+      m: Int, k: Int, iters: Int, dims: Int,
+      cand: Option[DataFrame]): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
     val subs = (0 until m).map { s =>
@@ -717,19 +763,19 @@ object Similarity {
     val qtab = qSub.join(broadcast(cents), Seq("s", "i"))
       .groupBy(col("qid"), col("s"), col("cid"))
       .agg(sum(col("qi") * col("mi")).as("t"))
-    // score every code in m lookups; nsub guards a missing subspace row
+    // score codes in m lookups; nsub guards a missing subspace row
     // (cannot happen by construction — belt for the hash gate)
-    val scored = codes.join(broadcast(qtab), Seq("s", "cid"))
+    val joined = codes.join(broadcast(qtab), Seq("s", "cid"))
       .where(col("qid") =!= col("nid"))
+    val restricted = cand match {
+      case Some(c) => joined.join(c, Seq("qid", "nid"), "left_semi")
+      case None    => joined
+    }
+    restricted
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("t")).as("adc"), count(lit(1)).as("nsub"))
       .where(col("nsub") === m)
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("adc").desc, col("nid"))))
-      .where(col("rn") <= topK)
-      .select(col("qid"), col("rn"), col("nid"), col("adc"))
+      .select(col("qid"), col("nid"), col("adc"))
   }
 
   /** Product-quantization codebooks: split the embedding into `m`

@@ -193,6 +193,30 @@ class PipelineSpec extends GraftSuite {
     assert(out.count() == 30)
   }
 
+  test("sim10 composes sim8's probe with sim9's ADC exactly") {
+    val qids = Seq(0L, 1L, 2L)
+    val got = Similarity.portableIvfPqTopK(emb, qids).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // expected = sim9's full ADC scores restricted to sim8's candidate
+    // set (both via the public ops at exhaustive k), re-ranked
+    val cand = Similarity.portableIvfTopK(emb, qids, k = 100000)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scores = Similarity.portablePqTopK(emb, qids, topK = 100000)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    val expected = cand.toSeq
+      .map { case (q, n) => (q, n, scores((q, n))) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).zipWithIndex.take(5)
+          .map { case ((q, n, a), i) => (q, i + 1, n, a) }
+      }.toSet
+    assert(got == expected, "sim10 must equal probe-restricted ADC rank")
+    // confinement: every sim10 neighbor came from a probed cell
+    assert(got.forall { case (q, _, n, _) => cand((q, n)) })
+  }
+
   test("gr4 triangle stats: hand-computed census, canonicalization") {
     import spark.implicits._
     // triangle {1,2,3}, pendant 3-4, detached pair 5-6; reversed and
