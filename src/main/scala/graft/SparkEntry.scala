@@ -632,6 +632,14 @@ object SparkEntry {
       val kept = Pipeline.curatedCorpus(docs).select("doc_id")
       Sampling.packedSequences(docs.join(kept, "doc_id"), 2048)
     }),
+    // e6's padding-variant sibling: the curated keep-set fed through the
+    // pack2 length-bucketed batching manifest — the pipeline ends in
+    // whichever dataloader contract the training run uses
+    "e7_bucketed_corpus" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = Pipeline.curatedCorpus(docs).select("doc_id")
+      Sampling.lengthBuckets(docs.join(kept, "doc_id"), 64, 16)
+    }),
     // embedding outlier score: cosine to the label centroid (6dp-rounded
     // centroid components, kmeansAssign determinism contract)
     "out1_centroid_outliers" -> ((s, d) =>
@@ -2984,6 +2992,31 @@ object SparkEntry {
          |              - GREATEST(2048 * seq_id, s)) AS BIGINT)
          |         AS n_tokens
          |FROM pe GROUP BY seq_id""".stripMargin,
+    // the same curated keep-set through the pack2 bucket/batch window
+    "e7_bucketed_corpus" ->
+      s"""WITH $modelScoreCtes,
+         |$dupSpanCtes,
+         |$curationKeepCtes,
+         |bn AS (SELECT d.doc_id,
+         |         CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT)
+         |           AS n_tok,
+         |         substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS h
+         |       FROM documents d JOIN kept USING (doc_id)),
+         |bb AS (SELECT doc_id, n_tok,
+         |         CAST(floor((n_tok - 1) / 64) AS BIGINT) AS bucket, h
+         |       FROM bn),
+         |br AS (SELECT bucket, n_tok,
+         |         row_number() OVER (PARTITION BY bucket
+         |                            ORDER BY h, doc_id) AS rn
+         |       FROM bb)
+         |SELECT bucket,
+         |       CAST(floor((rn - 1) / 16) AS BIGINT) AS batch_id,
+         |       count(*) AS n_docs,
+         |       max(n_tok) AS max_tok,
+         |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |       count(*) * max(n_tok) - CAST(sum(n_tok) AS BIGINT)
+         |         AS pad_waste
+         |FROM br GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // label centroids ROUND(avg, 6) before the cosine so parallel-mean
     // summation order cannot reach the 6dp-rounded score
     "out1_centroid_outliers" ->

@@ -581,6 +581,16 @@ class OpsSpec extends GraftSuite {
     assert(Bpe.encodeWord("data", rank).toSeq == Seq("d", "at", "a"))
   }
 
+  test("e7 bucketed corpus: manifests exactly the curated keep-set") {
+    val docs = Tables.load(spark, sf, "documents")
+    val kept = Pipeline.curatedCorpus(docs).select("doc_id")
+    val manifest = SparkEntry.queries("e7_bucketed_corpus")(spark, sf)
+      .collect()
+    // every kept doc lands in exactly one batch; nothing else does
+    assert(manifest.map(_.getLong(2)).sum == kept.count())
+    assert(manifest.forall(_.getLong(2) <= 16L))
+  }
+
   test("dd1 snapshot diff: statuses, normalization-insensitive change") {
     import spark.implicits._
     val prev = Seq((1L, "gone"), (2L, "Same, text!"), (3L, "x y"))
