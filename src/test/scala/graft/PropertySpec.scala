@@ -43,6 +43,77 @@ class PropertySpec extends GraftSuite {
       buckets.values.forall(n => n > 10000 && n < 30000), s"$buckets")
   }
 
+  test("z-value is a bijection on 16-bit pairs (round-trips both keys)") {
+    // driver-side deinterleave inverts Layout.zValueRef — together they
+    // prove the Morton code loses nothing (the layout can always recover
+    // the original keys, and distinct pairs never collide)
+    def unspread(z: Long): Long = {
+      var x = z & 0x55555555L
+      x = (x | (x >> 1)) & 0x33333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FFL
+      (x | (x >> 8)) & 0x0000FFFFL
+    }
+    val gen = for {
+      x <- Gen.chooseNum(0L, 65535L)
+      y <- Gen.chooseNum(0L, 65535L)
+    } yield (x, y)
+    val pairs = samples(gen, 2000)
+    pairs.foreach { case (x, y) =>
+      val z = ops.Layout.zValueRef(x, y)
+      assert(unspread(z >> 1) == x && unspread(z) == y,
+        s"z($x, $y) = $z did not round-trip")
+    }
+    assert(pairs.distinct.map { case (x, y) =>
+      ops.Layout.zValueRef(x, y)
+    }.distinct.size == pairs.distinct.size, "collision found")
+  }
+
+  test("bottom-k merge law holds under arbitrary group splits") {
+    import spark.implicits._
+    // for ANY partition of the rows into shards, bottom-k of the unioned
+    // per-shard bottom-k sets == direct bottom-k — the exact mergeability
+    // a22-a25 and the streaming quantile sink all lean on
+    val gen = for {
+      id <- Gen.chooseNum(1L, 100000L)
+      shard <- Gen.chooseNum(0, 4)
+      g <- Gen.oneOf("a", "b", "c")
+    } yield (g, id, shard)
+    val rows = samples(gen, 600).distinct
+      .toDF("g", "id", "shard")
+    val k = 16
+    val direct = ops.Sketches.bottomKSample(rows, Seq("g"), "id", k)
+      .select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val sharded = ops.Sketches.bottomKSample(
+        ops.Sketches.bottomKSample(rows, Seq("g", "shard"), "id", k),
+        Seq("g"), "id", k)
+      .select("g", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sharded == direct && direct.nonEmpty)
+  }
+
+  test("length buckets conserve docs/tokens for arbitrary corpora") {
+    import spark.implicits._
+    val gen = for {
+      id <- Gen.chooseNum(1L, 1000000L)
+      words <- Gen.chooseNum(1, 300)
+    } yield (id, Seq.fill(words)("w").mkString(" "))
+    val docs = samples(gen, 400).distinctBy(_._1).toDF("doc_id", "text")
+    val manifest = ops.Sampling.lengthBuckets(docs, 64, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(manifest.map(_._2).sum == docs.count())
+    val total = docs
+      .select(sum(size(split(col("text"), "\\s+"))).cast("long"))
+      .head.getLong(0)
+    assert(manifest.map(_._4).sum == total)
+    manifest.foreach { case (bkt, nd, mx, sm, pad) =>
+      assert(pad == nd * mx - sm && pad >= 0 && nd <= 16)
+      assert(mx >= bkt * 64 + 1 && mx <= (bkt + 1) * 64)
+    }
+  }
+
   test("P9 date formatting matches java.time for arbitrary instants") {
     import spark.implicits._
     val gen = Gen.chooseNum(0L, 4102444800000L) // 1970..2100 in ms
