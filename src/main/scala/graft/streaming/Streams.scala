@@ -442,6 +442,76 @@ object Streams {
       stateDir)
   }
 
+  /** Streaming corpus ingestion with incremental dedup — the ops the
+    * LLM-pipeline families run OFFLINE (d1 exact, d2 Jaccard, d10
+    * incremental), run ONLINE as a crawl feed arrives: each micro-batch
+    * is classified against the ACCEPTED corpus so far plus lower-id batch
+    * peers via `Dedup.incrementalDedup` (exact fingerprint + one-sided
+    * PPJoin prefix probe — the batch side alone is fully processed, the
+    * corpus contributes its index), keepers append to the corpus state,
+    * and every decision (keep / exact_dup / near_dup, with the partner)
+    * lands in the audit output keyed by `bid`.
+    *
+    * Semantics are GREEDY-ONLINE, not d6's global transitive closure:
+    * with monotone doc ids the first arrival of a dup family is kept and
+    * later members drop against it, but a chain A~B, B~C, A≁C admits C
+    * (its partner B was never admitted) where global closure would drop
+    * it — the honest contract of ingestion that never re-deduplicates
+    * the corpus, and exactly the loop the parity spec replays with the
+    * batch operator.
+    *
+    * State is the accepted CORPUS — corpus-proportional by definition
+    * (it IS the output dataset), not operator state; the per-batch work
+    * is proportional to the batch. Replay guard + at-least-once bid-keyed
+    * audit output + swap recovery as in the other merge sinks. The
+    * dedup substrate caches are cleared per batch (each batch re-reads
+    * state under a fresh plan; leaving them pinned would accumulate one
+    * persisted index per batch). */
+  def dedupIngestSink(docs: DataFrame, stateDir: String, outDir: String,
+      n: Int = 3, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        mergeDedupIngest(batch, batchId, stateDir, outDir, n, threshold)
+    }
+
+  /** The per-batch body of `dedupIngestSink`, package-visible for the
+    * parity/replay/recovery specs. */
+  private[graft] def mergeDedupIngest(batch: DataFrame, batchId: Long,
+      stateDir: String, outDir: String, n: Int, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val state = readStateWithRecovery(spark, stateDir)
+    val lastBid = state.map { df =>
+      val r = df.select(max(col("bid"))).head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
+    if (batchId <= lastBid) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupIngestSink: skipping batch $batchId (state at $lastBid)" +
+          " — replay no-op, or a reset checkpoint against old state")
+      return
+    }
+    val docCols = Seq("doc_id", "text")
+    val corpus = state match {
+      case Some(st) => st.select(docCols.map(col): _*)
+      case None     => batch.select(docCols.map(col): _*).where(lit(false))
+    }
+    try {
+      val decisions = graft.ops.Dedup
+        .incrementalDedup(corpus, batch.select(docCols.map(col): _*),
+          n, threshold)
+        .localCheckpoint() // materialize before state dirs move
+      decisions.withColumn("bid", lit(batchId))
+        .write.mode("append").parquet(outDir)
+      val accepted = batch.select(docCols.map(col): _*)
+        .join(decisions.where(col("decision") === "keep")
+          .select(col("doc_id")), "doc_id")
+      val newState = corpus.unionByName(accepted)
+        .withColumn("bid", lit(batchId))
+      swapIntoPlace(newState.repartition(1), stateDir)
+    } finally graft.ops.Dedup.clearSubstrates()
+  }
+
   /** S6/S8 — keyed upsert sink via foreachBatch merge: last-write-wins into
     * a keyed parquet table (the upsert-kafka / HBase-put analogue).
     * `deleteWhen` marks tombstones (the reference's CDC type=delete path,

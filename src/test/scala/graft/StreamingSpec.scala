@@ -561,6 +561,87 @@ class StreamingSpec extends GraftSuite {
       s"stream $streamed != batch $batch — mergeability broken")
   }
 
+  test("dedup ingest sink: greedy-online decisions, hand-computed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val (state, out) = (dir + "/state", dir + "/out")
+    def run(bid: Long, rows: Seq[(Long, String)]): Unit =
+      Streams.mergeDedupIngest(rows.toDF("doc_id", "text"), bid, state,
+        out, 3, 0.5)
+    run(0L, Seq(1L -> "alpha beta gamma delta epsilon"))
+    run(1L, Seq(
+      2L -> "alpha beta gamma delta epsilon", // exact dup of 1
+      3L -> "alpha beta gamma delta zeta", // jaccard 0.5 with 1 -> near
+      4L -> "one two three four five")) // keep
+    // d5 is near d3 (0.5) but NOT near d1 (0.2); d3 was never admitted,
+    // so greedy-online ADMITS d5 where global closure would drop it
+    run(2L, Seq(5L -> "beta gamma delta zeta eta"))
+    val decisions = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2))))
+      .toMap
+    assert(decisions(1L)._1 == "keep")
+    assert(decisions(2L) == (("exact_dup", Some(1L))))
+    assert(decisions(3L) == (("near_dup", Some(1L))))
+    assert(decisions(4L)._1 == "keep")
+    assert(decisions(5L)._1 == "keep", "greedy-online must admit the " +
+      "chain end whose partner was never accepted")
+    val corpus = spark.read.parquet(state).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(corpus == Set(1L, 4L, 5L))
+  }
+
+  test("dedup ingest sink: MemoryStream run, replay no-op, recovery") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ingest2").toString
+    val (state, out) = (dir + "/state", dir + "/out")
+    // 54 real docs + 6 planted cross-batch duplicates of earlier texts
+    val base = Tables.load(spark, sf, "documents")
+      .orderBy(col("doc_id")).limit(54)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val docs = base ++ base.take(6).zipWithIndex.map { case ((_, t), i) =>
+      (800000L + i, t)
+    }
+    val ms = MemoryStream[(Long, String)](91, spark, None)
+    val q = Streams.dedupIngestSink(ms.toDS().toDF("doc_id", "text"),
+      state, out).start()
+    Seq(docs.take(20), docs.slice(20, 40), docs.drop(40)).foreach { b =>
+      ms.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    // parity: the sink's corpus == the driver loop of the batch operator
+    // over the same batch boundaries
+    var corpus = Seq.empty[(Long, String)]
+    Seq(docs.take(20), docs.slice(20, 40), docs.drop(40)).foreach { b =>
+      val kept = ops.Dedup.incrementalDedup(
+          corpus.toDF("doc_id", "text"), b.toDF("doc_id", "text"), 3, 0.5)
+        .where(col("decision") === "keep")
+        .collect().map(_.getLong(0)).toSet
+      corpus = corpus ++ b.filter(r => kept(r._1))
+    }
+    val got = spark.read.parquet(state).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == corpus.map(_._1).toSet && got.nonEmpty)
+    assert(got.size < docs.size, "planted dups must be dropped")
+    // replay of the last batch: state and audit output unchanged
+    val outRows = spark.read.parquet(out).count()
+    Streams.mergeDedupIngest(docs.drop(40).toDF("doc_id", "text"), 2L,
+      state, out, 3, 0.5)
+    assert(spark.read.parquet(state).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == got)
+    assert(spark.read.parquet(out).count() == outRows)
+    // crash inside the swap window: corpus recovers from _old
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(state),
+      new org.apache.hadoop.fs.Path(state + "_old"))
+    Streams.mergeDedupIngest(
+      Seq((900001L, "a fresh never seen document body"))
+        .toDF("doc_id", "text"), 3L, state, out, 3, 0.5)
+    assert(spark.read.parquet(state).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == got + 900001L)
+  }
+
   test("quantile sink: replay no-op and swap-window recovery") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_quant2").toString
