@@ -581,6 +581,40 @@ class OpsSpec extends GraftSuite {
     assert(Bpe.encodeWord("data", rank).toSeq == Seq("d", "at", "a"))
   }
 
+  test("round-8 ops degrade cleanly on empty and degenerate inputs") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Sampling.lengthBuckets(noDocs, 64, 16).count() == 0)
+    val noRows = Seq.empty[(String, Long, Double)].toDF("g", "id", "v")
+    assert(Sketches.sampledQuantiles(noRows, Seq("g"), "v", "id", 8,
+      Seq(0.5)).count() == 0)
+    // single-row group: every quantile is that row's value
+    val one = Seq(("a", 1L, 42.0)).toDF("g", "id", "v")
+    val oneQ = Sketches.sampledQuantiles(one, Seq("g"), "v", "id", 8,
+      Seq(0.01, 0.5, 0.99)).collect()
+    assert(oneQ.length == 3 && oneQ.forall(_.getDouble(2) == 42.0))
+    // all-null keys: zOrderStats emits nothing rather than a null bucket
+    val nulls = Seq((Option.empty[Long], Option.empty[Long]),
+      (Some(3L), None), (None, Some(5L))).toDF("x", "y")
+    assert(ops.Layout.zOrderStats(nulls, col("x"), col("y"), 4, 8)
+      .count() == 0)
+    // self-loops and an empty edge frame: no triangles, no crash
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(Graph.triangleStats(loops).count() == 0)
+    assert(Graph.triangleStats(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+    // one-sided snapshots: everything added / everything removed
+    val some = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Corpus.snapshotDiff(noDocs, some).collect()
+      .map(_.getString(1)).toSeq == Seq("added"))
+    assert(Corpus.snapshotDiff(some, noDocs).collect()
+      .map(_.getString(1)).toSeq == Seq("removed"))
+    // fertility over only zero-word docs: empty report, no divide-by-zero
+    val punct = Seq((1L, "??? !!!", "xx")).toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.tokenizerFertility(punct, Seq("a" -> "b"))
+      .count() == 0)
+  }
+
   test("e7 bucketed corpus: manifests exactly the curated keep-set") {
     val docs = Tables.load(spark, sf, "documents")
     val kept = Pipeline.curatedCorpus(docs).select("doc_id")
