@@ -364,6 +364,22 @@ object Streams {
       stateDir)
   }
 
+  /** T3 — streaming session windows: per-user sessions with an
+    * inactivity gap, the native `session_window` run in streaming mode
+    * (state = open sessions per user, merged as late-but-in-watermark
+    * events extend them; closed by watermark passage). Column shape
+    * matches `Aggs.userSessions` so the batch twin is a direct compare. */
+  def sessionizedCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "15 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("user_id"), col("n_events"))
+
   /** Streaming quantiles with BOUNDED state — the stream twin of
     * `Sketches.sampledQuantiles`, and the operational proof of the
     * bottom-k sketch's mergeability: the state is the per-group bottom-k

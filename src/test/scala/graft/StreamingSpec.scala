@@ -49,6 +49,34 @@ class StreamingSpec extends GraftSuite {
     assert(got == exp)
   }
 
+  test("streaming session windows merge across batches") {
+    import spark.implicits._
+    // the cross-batch case the single-batch parity spec can't see: a
+    // later batch's event EXTENDS an open session (original start kept)
+    // while a gap-separated event opens a new one. Complete mode: the
+    // memory table is replaced per trigger, so it holds the final state.
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ms = MemoryStream[(java.sql.Timestamp, Long)](94, spark, None)
+    val q = Streams.sessionizedCounts(
+        ms.toDS().toDF("ts", "user_id"), "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_merge").start()
+    ms.addData(Seq((at(0), 7L), (at(10), 7L)))
+    q.processAllAvailable()
+    val mid = spark.table("sess_merge").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mid == Set(("2026-01-01 10:00:00", 7L, 2L)))
+    ms.addData(Seq((at(20), 7L), (at(120), 7L))) // extends + new session
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("sess_merge").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fin == Set(
+      ("2026-01-01 10:00:00", 7L, 3L),
+      ("2026-01-01 12:00:00", 7L, 1L)))
+  }
+
   test("streaming first-event-of-day matches batch dedup-first") {
     import spark.implicits._
     val ms = MemoryStream[Event](2, spark, None)
