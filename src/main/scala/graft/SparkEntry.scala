@@ -375,6 +375,15 @@ object SparkEntry {
     // multilingual token-budget report; oracle composes both CTE blocks
     "t19_tokenizer_fertility" -> ((s, d) =>
       TextAnalysis.tokenizerFertility(t(s, d, "documents"), bpeFixedMerges)),
+    // BPE TRAINING hash-gated (the last spec-only family): the first 6
+    // learned merges — the oracle unrolls the rounds, re-tokenizing the
+    // vocabulary under merges-so-far with the t18 recursion driven by a
+    // DATA rank list; t12 stays the 100-merge scale form
+    "t20_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      Bpe.train(t(s, d, "documents"), 6, 2L).zipWithIndex
+        .map { case ((a, b), r) => (r, a, b) }.toDF("rk", "lhs", "rhs")
+    }),
     "d13_cluster_sizes" -> ((s, d) =>
       Dedup.clusterSizeHistogram(t(s, d, "documents"))),
     // snapshot diff: two hash-sliced corpus "versions" (10% removed, 10%
@@ -847,6 +856,80 @@ object SparkEntry {
   private def bpeRankCase: String = bpeFixedMerges.zipWithIndex.map {
     case ((a, b), r) => s"WHEN '$a|$b' THEN $r"
   }.mkString(" ")
+
+  /** The t20 oracle, generated per round count: BPE TRAINING unrolled —
+    * round r re-tokenizes the vocabulary under merges 1..r-1 with the
+    * t18 greedy recursion (rank lookup = `list_position` over the
+    * learned-merges list, a DATA table, instead of t18's literal CASE),
+    * counts adjacent pairs weighted by word frequency (overlapping
+    * occurrences counted, like the trainer's position loop), and picks
+    * argmax with the trainer's exact tie-break — count desc, then the
+    * PAIR tuple (pa, pb) ascending as two columns (comparing the joined
+    * 'a|b' string would order 'a|b' after 'ab|c' and diverge). */
+  private def bpeTrainSql(rounds: Int): String = {
+    val head =
+      """WITH RECURSIVE
+        |tokd AS (SELECT unnest(string_split_regex(lower(text),
+        |           '[^a-z0-9]+')) AS word
+        |         FROM documents),
+        |wrd AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tokd
+        |        WHERE word <> '' GROUP BY 1 HAVING COUNT(*) >= 2),
+        |fin0 AS (SELECT word, list_transform(range(1, length(word)+1),
+        |           i -> word[i:i]) AS toks
+        |         FROM wrd)""".stripMargin
+    def pairRound(r: Int) =
+      s"""px$r AS (SELECT word, toks,
+         |          unnest(range(1, len(toks))) AS j
+         |        FROM fin${r - 1}),
+         |pc$r AS (SELECT p.toks[p.j] AS pa, p.toks[p.j+1] AS pb,
+         |          CAST(SUM(w.n) AS BIGINT) AS c
+         |        FROM px$r p JOIN wrd w USING (word) GROUP BY 1, 2),
+         |b$r AS (SELECT pa, pb FROM pc$r
+         |       ORDER BY c DESC, pa, pb LIMIT 1)""".stripMargin
+    def lookup(ml: String) =
+      s"""CASE WHEN list_position($ml.rl,
+         |       e.toks[j] || '|' || e.toks[j+1]) = 0 THEN 999
+         |     ELSE list_position($ml.rl,
+         |       e.toks[j] || '|' || e.toks[j+1]) END""".stripMargin
+    def encRound(r: Int) = {
+      val pab = (1 to r).map(i => s"b$i.pa || '|' || b$i.pb").mkString(", ")
+      val from = (1 to r).map(i => s"b$i").mkString(", ")
+      s"""ml$r AS (SELECT [$pab] AS rl FROM $from),
+         |enc$r AS (
+         |  SELECT word, list_transform(range(1, length(word)+1),
+         |           i -> word[i:i]) AS toks
+         |  FROM wrd
+         |  UNION ALL
+         |  SELECT word,
+         |    toks[1:bi-1] || [toks[bi] || toks[bi+1]]
+         |      || toks[bi+2:len(toks)]
+         |  FROM (
+         |    SELECT word, toks, list_position(rks, list_min(rks)) AS bi,
+         |           list_min(rks) AS mn
+         |    FROM (SELECT e.word, e.toks,
+         |            list_transform(range(1, len(e.toks)), j ->
+         |              ${lookup(s"ml$r")}) AS rks
+         |          FROM enc$r e CROSS JOIN ml$r))
+         |  WHERE mn < 999),
+         |fin$r AS (
+         |  SELECT word, toks FROM (
+         |    SELECT e.word, e.toks,
+         |      list_min(list_transform(range(1, len(e.toks)), j ->
+         |        ${lookup(s"ml$r")})) AS mn
+         |    FROM enc$r e CROSS JOIN ml$r)
+         |  WHERE mn IS NULL OR mn = 999)""".stripMargin
+    }
+    // round r needs fin{r-1} (tokenization under merges 1..r-1), so
+    // encoder CTEs unroll for rounds 1..rounds-1 only
+    val body = (1 to rounds).map { r =>
+      if (r < rounds) s"${pairRound(r)},\n${encRound(r)}"
+      else pairRound(r)
+    }.mkString(",\n")
+    val out = (1 to rounds).map(r =>
+      s"SELECT CAST(${r - 1} AS INTEGER) AS rk, pa AS lhs, pb AS rhs " +
+        s"FROM b$r").mkString("\nUNION ALL ")
+    s"$head,\n$body\n$out\nORDER BY 1"
+  }
 
   /** Shared CTE block for the t3/t19 oracles — the marker-vote language
     * prediction, ending in `lp(doc_id, lang_true, lang_pred)`; the CASE
@@ -2305,6 +2388,7 @@ object SparkEntry {
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY 1""".stripMargin,
+    "t20_bpe_train" -> bpeTrainSql(6),
     "t7_pii_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

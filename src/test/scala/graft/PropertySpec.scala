@@ -114,6 +114,41 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("BPE train: scratch re-encode reproduces every chosen merge") {
+    // the t20 oracle re-tokenizes the vocabulary FROM SCRATCH under
+    // merges 1..r-1 each round, while the trainer mutates sequences in
+    // place — this property pins their equivalence (greedy lowest-rank
+    // leftmost encode == sequential merge application) over random word
+    // tables, including overlap cases like 'aaa'
+    val wordGen = for {
+      len <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      n <- Gen.chooseNum(1L, 9L)
+    } yield (cs.mkString, n)
+    (0 until 25).foreach { trial =>
+      val words = (0 until 12).flatMap(i =>
+        wordGen(Gen.Parameters.default, Seed(1000L * trial + i)))
+        .distinctBy(_._1).toArray
+      val merges = ops.Bpe.trainMerges(words, 6)
+      merges.indices.foreach { r =>
+        val rank = merges.take(r).zipWithIndex.toMap
+        val counts =
+          scala.collection.mutable.HashMap[(String, String), Long]()
+        words.foreach { case (w, c) =>
+          val toks = ops.Bpe.encodeWord(w, rank)
+          (0 until toks.length - 1).foreach { j =>
+            val p = (toks(j), toks(j + 1))
+            counts.update(p, counts.getOrElse(p, 0L) + c)
+          }
+        }
+        val best = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        assert(best == merges(r),
+          s"trial $trial round $r: scratch best $best != ${merges(r)}")
+      }
+    }
+  }
+
   test("P9 date formatting matches java.time for arbitrary instants") {
     import spark.implicits._
     val gen = Gen.chooseNum(0L, 4102444800000L) // 1970..2100 in ms
