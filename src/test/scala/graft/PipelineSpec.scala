@@ -784,6 +784,26 @@ class PipelineSpec extends GraftSuite {
     assert(iSplit == iTwo && iSplit.nonEmpty)
   }
 
+  test("d10 against the durable index equals d10 against the live corpus") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs.where(col("doc_id") >= 100)
+    val batch = docs.where(col("doc_id") < 100)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_idx").toString
+    Dedup.writeDedupIndex(corpus, dir)
+    val live = Dedup.incrementalDedup(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val indexed = Dedup.incrementalDedupIndexed(spark, dir, batch)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // decision-for-decision identical: the index carries exactly what
+    // the corpus side contributes (fingerprints + shingle postings), so
+    // a daily batch can dedup against 100 TB reading only the artifact
+    assert(indexed == live && indexed.nonEmpty)
+    assert(indexed.exists(_._2 != "keep"), "planted dups must be found")
+  }
+
   test("sim5 IVF-PQ ANN: probed-cell code scan, recall@5 vs brute force") {
     val truth = Similarity.bruteForceTopK(emb, 50, 1)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
