@@ -433,13 +433,38 @@ object Dedup {
     * both forms. */
   def incrementalDedupIndexed(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, newDocs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val cSh = spark.read.parquet(s"$indexDir/shingles")
-    val corpusFp = spark.read.parquet(s"$indexDir/fp")
-      .select(col("doc_id").as("partner"), col("fp"))
+      threshold: Double = 0.5): DataFrame =
+    incrementalDedupAgainst(
+      spark.read.parquet(s"$indexDir/fp")
+        .select(col("doc_id").as("partner"), col("fp")),
+      spark.read.parquet(s"$indexDir/shingles")
+        .select(col("doc_id"), col("shingle")),
+      newDocs, n, threshold)
+
+  /** The index-frame form: classify `newDocs` against corpus fingerprints
+    * (`partner`, `fp`) and shingle postings (`doc_id`, `shingle` —
+    * xxhash64 of the word n-gram, the `writeDedupIndex` layout) supplied
+    * as DataFrames from any source — the live corpus, the durable
+    * artifact, or a streaming sink's accumulated index. */
+  def incrementalDedupAgainst(corpusFp: DataFrame, corpusSh: DataFrame,
+      newDocs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val bSets = cachedSets(newDocs, n, threshold)
-    incrementalCore(corpusFp, newDocs, cSh, bSets,
+    incrementalCore(corpusFp, newDocs, corpusSh, bSets,
       jaccardPairs(newDocs, n, threshold), threshold)
+  }
+
+  /** Append one batch's slice to the durable index (both tables gain a
+    * `bid` column — the streaming ingest sink filters reads to the
+    * committed frontier; see `Streams.dedupIngestSink`). */
+  def appendDedupIndex(docs: DataFrame, fpDir: String, shDir: String,
+      bid: Long, n: Int = 3): Unit = {
+    docs.select(col("doc_id"), md5(normText).as("fp"),
+        lit(bid).as("bid"))
+      .write.mode("append").parquet(fpDir)
+    shingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"),
+        lit(bid).as("bid"))
+      .write.mode("append").parquet(shDir)
   }
 
   /** `incrementalDedup` where the batch is the `doc_id < batchMaxId` slice

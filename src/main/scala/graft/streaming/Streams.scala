@@ -461,28 +461,37 @@ object Streams {
   /** Streaming corpus ingestion with incremental dedup — the ops the
     * LLM-pipeline families run OFFLINE (d1 exact, d2 Jaccard, d10
     * incremental), run ONLINE as a crawl feed arrives: each micro-batch
-    * is classified against the ACCEPTED corpus so far plus lower-id batch
-    * peers via `Dedup.incrementalDedup` (exact fingerprint + one-sided
-    * PPJoin prefix probe — the batch side alone is fully processed, the
-    * corpus contributes its index), keepers append to the corpus state,
-    * and every decision (keep / exact_dup / near_dup, with the partner)
-    * lands in the audit output keyed by `bid`.
+    * is classified against the accepted corpus so far plus lower-id batch
+    * peers, keepers append to the corpus, and every decision (keep /
+    * exact_dup / near_dup, with the partner) lands in the audit output
+    * keyed by `bid`.
+    *
+    * PER-BATCH COST IS BATCH-PROPORTIONAL: the corpus side is never
+    * re-read as text — classification runs against the DURABLE dedup
+    * index (`Dedup.writeDedupIndex` layout: fingerprints + hashed
+    * shingle postings under `stateDir/index`), and each batch appends
+    * only its own accepted docs' postings. The corpus text itself
+    * (`stateDir/corpus`) is append-only too; nothing is rewritten.
+    * (The first version of this sink re-shingled the whole corpus per
+    * batch — O(corpus); this is the form that survives 100 TB.)
+    *
+    * Crash/replay contract, all append-only: the COMMIT POINT is the
+    * corpus append (it carries `bid`; the replay guard reads
+    * max(corpus.bid)). Index appends happen BEFORE the commit, so a
+    * crash in between leaves orphan index rows with bid > committed —
+    * reads filter the index to `bid <= committed frontier`, and the
+    * replay re-appends that batch (duplicate postings for one bid are
+    * harmless: candidates are `distinct`ed and partner aggregation takes
+    * min). Audit output is at-least-once, bid-keyed, like every merge
+    * sink here. At scale, swap the max(bid) column scans for a manifest
+    * file.
     *
     * Semantics are GREEDY-ONLINE, not d6's global transitive closure:
-    * with monotone doc ids the first arrival of a dup family is kept and
-    * later members drop against it, but a chain A~B, B~C, A≁C admits C
-    * (its partner B was never admitted) where global closure would drop
-    * it — the honest contract of ingestion that never re-deduplicates
-    * the corpus, and exactly the loop the parity spec replays with the
-    * batch operator.
-    *
-    * State is the accepted CORPUS — corpus-proportional by definition
-    * (it IS the output dataset), not operator state; the per-batch work
-    * is proportional to the batch. Replay guard + at-least-once bid-keyed
-    * audit output + swap recovery as in the other merge sinks. The
-    * dedup substrate caches are cleared per batch (each batch re-reads
-    * state under a fresh plan; leaving them pinned would accumulate one
-    * persisted index per batch). */
+    * the first arrival of a dup family is kept and later members drop
+    * against it, but a chain A~B, B~C, A≁C admits C (its partner B was
+    * never admitted) — the honest contract of ingestion that never
+    * re-deduplicates the corpus, and exactly the loop the parity spec
+    * replays with the batch operator. */
   def dedupIngestSink(docs: DataFrame, stateDir: String, outDir: String,
       n: Int = 3, threshold: Double = 0.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -496,35 +505,55 @@ object Streams {
   private[graft] def mergeDedupIngest(batch: DataFrame, batchId: Long,
       stateDir: String, outDir: String, n: Int, threshold: Double): Unit = {
     val spark = batch.sparkSession
-    val state = readStateWithRecovery(spark, stateDir)
-    val lastBid = state.map { df =>
-      val r = df.select(max(col("bid"))).head
-      if (r.isNullAt(0)) -1L else r.getLong(0)
-    }.getOrElse(-1L)
+    val corpusDir = s"$stateDir/corpus"
+    val fpDir = s"$stateDir/index/fp"
+    val shDir = s"$stateDir/index/shingles"
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
+    val lastBid =
+      if (!exists(corpusDir)) -1L
+      else {
+        val r = spark.read.parquet(corpusDir).select(max(col("bid"))).head
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
     if (batchId <= lastBid) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dedupIngestSink: skipping batch $batchId (state at $lastBid)" +
+        s"dedupIngestSink: skipping batch $batchId (corpus at $lastBid)" +
           " — replay no-op, or a reset checkpoint against old state")
       return
     }
     val docCols = Seq("doc_id", "text")
-    val corpus = state match {
-      case Some(st) => st.select(docCols.map(col): _*)
-      case None     => batch.select(docCols.map(col): _*).where(lit(false))
-    }
+    val batchDocs = batch.select(docCols.map(col): _*)
     try {
+      // index slices at the COMMITTED frontier: orphan rows from a crash
+      // between index append and corpus append carry bid > lastBid and
+      // are invisible here
+      val (corpusFp, corpusSh) =
+        if (lastBid < 0L)
+          (batchDocs.select(col("doc_id").as("partner"),
+            lit("").as("fp")).where(lit(false)),
+            batchDocs.select(col("doc_id"), lit(0L).as("shingle"))
+              .where(lit(false)))
+        else
+          (spark.read.parquet(fpDir).where(col("bid") <= lastBid)
+            .select(col("doc_id").as("partner"), col("fp")),
+            spark.read.parquet(shDir).where(col("bid") <= lastBid)
+              .select(col("doc_id"), col("shingle")))
       val decisions = graft.ops.Dedup
-        .incrementalDedup(corpus, batch.select(docCols.map(col): _*),
-          n, threshold)
-        .localCheckpoint() // materialize before state dirs move
+        .incrementalDedupAgainst(corpusFp, corpusSh, batchDocs, n,
+          threshold)
+        .localCheckpoint() // one computation feeds audit + accept + index
       decisions.withColumn("bid", lit(batchId))
         .write.mode("append").parquet(outDir)
-      val accepted = batch.select(docCols.map(col): _*)
+      val accepted = batchDocs
         .join(decisions.where(col("decision") === "keep")
           .select(col("doc_id")), "doc_id")
-      val newState = corpus.unionByName(accepted)
-        .withColumn("bid", lit(batchId))
-      swapIntoPlace(newState.repartition(1), stateDir)
+        .localCheckpoint() // reused by two index appends + the commit
+      graft.ops.Dedup.appendDedupIndex(accepted, fpDir, shDir, batchId, n)
+      // COMMIT: the corpus append carries the bid the replay guard reads
+      accepted.withColumn("bid", lit(batchId))
+        .write.mode("append").parquet(corpusDir)
     } finally graft.ops.Dedup.clearSubstrates()
   }
 

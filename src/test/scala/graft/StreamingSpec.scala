@@ -613,9 +613,12 @@ class StreamingSpec extends GraftSuite {
     assert(decisions(4L)._1 == "keep")
     assert(decisions(5L)._1 == "keep", "greedy-online must admit the " +
       "chain end whose partner was never accepted")
-    val corpus = spark.read.parquet(state).select("doc_id").collect()
-      .map(_.getLong(0)).toSet
+    val corpus = spark.read.parquet(state + "/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(corpus == Set(1L, 4L, 5L))
+    // the durable index holds exactly the accepted docs' postings
+    assert(spark.read.parquet(state + "/index/fp").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
   }
 
   test("dedup ingest sink: MemoryStream run, replay no-op, recovery") {
@@ -647,27 +650,32 @@ class StreamingSpec extends GraftSuite {
         .collect().map(_.getLong(0)).toSet
       corpus = corpus ++ b.filter(r => kept(r._1))
     }
-    val got = spark.read.parquet(state).select("doc_id").collect()
-      .map(_.getLong(0)).toSet
+    def corpusIds = spark.read.parquet(state + "/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = corpusIds
     assert(got == corpus.map(_._1).toSet && got.nonEmpty)
     assert(got.size < docs.size, "planted dups must be dropped")
-    // replay of the last batch: state and audit output unchanged
+    // replay of the last batch: corpus, index, and audit unchanged
     val outRows = spark.read.parquet(out).count()
     Streams.mergeDedupIngest(docs.drop(40).toDF("doc_id", "text"), 2L,
       state, out, 3, 0.5)
-    assert(spark.read.parquet(state).select("doc_id").collect()
-      .map(_.getLong(0)).toSet == got)
+    assert(corpusIds == got)
     assert(spark.read.parquet(out).count() == outRows)
-    // crash inside the swap window: corpus recovers from _old
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.rename(new org.apache.hadoop.fs.Path(state),
-      new org.apache.hadoop.fs.Path(state + "_old"))
-    Streams.mergeDedupIngest(
-      Seq((900001L, "a fresh never seen document body"))
-        .toDF("doc_id", "text"), 3L, state, out, 3, 0.5)
-    assert(spark.read.parquet(state).select("doc_id").collect()
-      .map(_.getLong(0)).toSet == got + 900001L)
+    // crash between the index append and the corpus commit: orphan index
+    // rows carry bid > committed frontier — the replayed batch must see
+    // the same corpus slice and reach the same decisions (duplicate
+    // postings for the replayed bid are tolerated by construction)
+    val fresh = Seq((900001L, "a fresh never seen document body"),
+      (900002L, "a fresh never seen document body")) // exact dup within
+    ops.Dedup.appendDedupIndex(fresh.toDF("doc_id", "text"),
+      state + "/index/fp", state + "/index/shingles", 3L)
+    Streams.mergeDedupIngest(fresh.toDF("doc_id", "text"), 3L,
+      state, out, 3, 0.5)
+    assert(corpusIds == got + 900001L,
+      "orphan index rows must not poison the replayed batch")
+    val last = spark.read.parquet(out).where(col("bid") === 3L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(last == Map(900001L -> "keep", 900002L -> "exact_dup"))
   }
 
   test("quantile sink: replay no-op and swap-window recovery") {
