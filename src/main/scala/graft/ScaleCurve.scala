@@ -81,7 +81,19 @@ object ScaleCurve {
       ("portable_neardup", 8, (e, r) =>
         graft.ops.Similarity.portableNearDupPairs(e, bits = 6 + log2(r))),
       ("semdedup_pairs", 8, (e, r) =>
-        graft.ops.Clustering.semdedupPairs(e, 8 * r, 2, 0.4))
+        graft.ops.Clustering.semdedupPairs(e, 8 * r, 2, 0.4)),
+      // round-8 families: triangle census over top-3 portable edges
+      // (bits += log2 R keeps bucket occupancy constant -> edge count
+      // ~N, wedge fan-out bounded by the capped degree) and the composed
+      // IVF+PQ (cells proportional to N keeps probed-list size constant)
+      ("triangle_census", 8, (e, r) =>
+        graft.ops.Graph.triangleStats(
+          graft.ops.Similarity.portableKnnEdges(e, bits = 6 + log2(r),
+              k = 3)
+            .select(col("qid").as("src"), col("nid").as("dst")))),
+      ("ivfpq_portable", 8, (e, r) =>
+        graft.ops.Similarity.portableIvfPqTopK(e, Seq(0L, 1L, 2L),
+          cells = 8 * r))
     )
 
     val reps = Seq(1, 2, 4, 8)

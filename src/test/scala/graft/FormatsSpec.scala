@@ -72,6 +72,27 @@ class FormatsSpec extends GraftSuite {
     assert(back.count() == 3)
   }
 
+  test("OLAP sink tolerates schema evolution across day partitions") {
+    import spark.implicits._
+    // day 1 lands with the v1 schema; a later deploy adds a column and
+    // backfills only its own day — the standard additive-evolution path.
+    // Readers opt in with mergeSchema and old rows surface NULLs.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString + "/t"
+    sources.Sinks.writeDatePartitioned(
+      Seq((1L, "2026-01-01", 10.0)).toDF("id", "d", "v"), "d", dir)
+    sources.Sinks.overwriteDatePartitions(
+      Seq((2L, "2026-01-02", 20.0, "mobile"))
+        .toDF("id", "d", "v", "channel"), "d", dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "d", "v", "channel", "_date"))
+    val rows = merged.select("id", "channel").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some("mobile")))
+    // the v2 backfill touched ONLY its own partition
+    assert(merged.where(col("_date") === "2026-01-01").count() == 1)
+  }
+
   test("compaction: fewer files, identical content, sized output") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_compact").toString + "/t"
