@@ -239,6 +239,21 @@ class PipelineSpec extends GraftSuite {
     stats.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("portable twins are partition-layout invariant") {
+    // the integer-exactness contract, tested directly: reshuffling the
+    // input must not move a single output bit (float-sum orders would)
+    val a = Similarity.topPrincipalComponent(emb.repartition(7), 4)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val b = Similarity.topPrincipalComponent(emb.repartition(3), 4)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(a == b, "emb3 drifted under repartitioning")
+    val m1 = Bpe.train(docs.repartition(5), 6, 2L)
+    val m2 = Bpe.train(docs.repartition(2), 6, 2L)
+    assert(m1 == m2 && m1.size == 6, "t20 drifted under repartitioning")
+  }
+
   test("emb3 top PC: recovers a planted dominant direction") {
     import spark.implicits._
     // points spread along u = (0.6, 0.8) with small orthogonal jitter:
