@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[FloatVecNorm].getName, "vec_norm"),
       exprs => FloatVecNorm(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("zvalue"),
+      new ExpressionInfo(graft.functions.ZValueExpr.getClass.getName,
+        "zvalue"),
+      exprs => graft.functions.ZValueExpr(exprs.head, exprs(1))))
   }
 }

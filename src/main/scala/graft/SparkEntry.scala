@@ -463,6 +463,11 @@ object SparkEntry {
       graft.sql.SqlJobs.keywordCounts(s, d)),
     "e2_sql_corr_scalar" -> ((s, d) =>
       graft.sql.SqlJobs.maxSpendPerCustomer(s, d)),
+    // SQL text through the registered native zvalue expression — the
+    // function-registry path of the Layout family (z1 gates the Column
+    // form; this gates the registry + SQL parse route)
+    "e2_sql_zorder_counts" -> ((s, d) =>
+      graft.sql.SqlJobs.zorderBucketCounts(s, d)),
     // ---- window-family extensions ----
     "a11_session_windows" -> ((s, d) =>
       Aggs.userSessions(events(s, d))),
@@ -2313,6 +2318,25 @@ object SparkEntry {
         |SELECT (z >> 8) AS bucket, count(*) AS n,
         |       min(x) AS x_min, max(x) AS x_max,
         |       min(y) AS y_min, max(y) AS y_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the z1 spread chain reduced to bucket counts (the SQL-path twin)
+    "e2_sql_zorder_counts" ->
+      """WITH b AS (
+        |  SELECT (user_id & 255) AS x,
+        |    (CAST(floor(value) AS BIGINT) & 255) AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |s0 AS (SELECT x, y, x AS sx, y AS sy FROM b),
+        |s1 AS (SELECT x, y, ((sx | (sx << 8)) & 16711935) AS sx,
+        |              ((sy | (sy << 8)) & 16711935) AS sy FROM s0),
+        |s2 AS (SELECT x, y, ((sx | (sx << 4)) & 252645135) AS sx,
+        |              ((sy | (sy << 4)) & 252645135) AS sy FROM s1),
+        |s3 AS (SELECT x, y, ((sx | (sx << 2)) & 858993459) AS sx,
+        |              ((sy | (sy << 2)) & 858993459) AS sy FROM s2),
+        |s4 AS (SELECT x, y, ((sx | (sx << 1)) & 1431655765) AS sx,
+        |              ((sy | (sy << 1)) & 1431655765) AS sy FROM s3),
+        |z AS (SELECT ((sx << 1) | sy) AS z FROM s4)
+        |SELECT (z >> 8) AS bucket, count(*) AS n
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     // sampled quantiles: bottom-256 md5-prefix sample per type, nearest
     // rank (ceil(q*m), floor 1) — selection only, est values are input

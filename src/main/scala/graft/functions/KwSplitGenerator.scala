@@ -48,5 +48,7 @@ object GraftFunctions {
       "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "vec_norm", exprs => FloatVecNorm(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "zvalue", exprs => ZValueExpr(exprs.head, exprs(1)), "internal")
   }
 }

@@ -90,3 +90,22 @@ object VecExpressions {
     column(FloatVecDot(expression(a), expression(b)))
   def vecNorm(a: Column): Column = column(FloatVecNorm(expression(a)))
 }
+
+/** The Morton z-value as a catalyst expression tree, so `zvalue(x, y)`
+  * registers as a SQL function (the `graft.ops.Layout.zValue` Column
+  * form built from the same mask-doubling steps — pure BitwiseAnd/Or +
+  * Shift nodes, fully inside whole-stage codegen; analyzer type coercion
+  * handles integer inputs). */
+object ZValueExpr {
+  import org.apache.spark.sql.catalyst.expressions._
+  private def spread(c: Expression): Expression = {
+    var x: Expression = BitwiseAnd(c, Literal(65535L))
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+      (1, 0x55555555L)).foreach { case (sh, m) =>
+      x = BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(sh))), Literal(m))
+    }
+    x
+  }
+  def apply(x: Expression, y: Expression): Expression =
+    BitwiseOr(ShiftLeft(spread(x), Literal(1)), spread(y))
+}

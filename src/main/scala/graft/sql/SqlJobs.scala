@@ -59,4 +59,18 @@ object SqlJobs {
         |FROM documents LATERAL VIEW kwsplit(text) kw AS keyword, kw_len
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
+
+  /** SQL text using the registered native `zvalue` function — z1's
+    * Morton bucket counts through the SQL entry path (SQL CAST of a
+    * non-negative double truncates like the Column form's cast). */
+  def zorderBucketCounts(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(
+      """SELECT shiftright(zvalue(user_id & 255,
+        |         CAST(value AS BIGINT) & 255), 8) AS bucket,
+        |       COUNT(*) AS n
+        |FROM events
+        |WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
 }

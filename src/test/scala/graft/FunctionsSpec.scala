@@ -128,10 +128,28 @@ class FunctionsSpec extends GraftSuite {
   test("GraftExtensions injects functions at builder time") {
     val ext = new GraftExtensions
     // smoke: applying to a fresh extensions object does not throw and
-    // registers 3 functions
+    // registers 4 functions
     val e = new org.apache.spark.sql.SparkSessionExtensions
     ext.apply(e) // would be picked up by a builder using withExtensions
     succeed
+  }
+
+  test("zvalue SQL function equals the Column form and the bit loop") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = (0 until 300).map(i =>
+      ((i * 2654435761L) % 100000, (i * 40503L + 7) % 100000))
+      .toDF("x", "y")
+    val rows = pairs
+      .selectExpr("x", "y", "zvalue(x, y) AS zs")
+      .withColumn("zc", graft.ops.Layout.zValue(col("x"), col("y")))
+      .collect()
+    rows.foreach { r =>
+      val (x, y, zs, zc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(zs == zc && zs ==
+        graft.ops.Layout.zValueRef(x & 65535L, y & 65535L), s"($x, $y)")
+    }
   }
 
   test("dictionary FMM segmentation: longest match wins, bigram fallback for OOV") {
