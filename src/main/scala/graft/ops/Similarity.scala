@@ -633,6 +633,41 @@ object Similarity {
     rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"))
   }
 
+  /** Persist the IVF coarse structure as a DURABLE artifact — the sibling
+    * of `Dedup.writeDedupIndex` for the vector side, and what a serving
+    * deployment actually ships: the final-round centroids (cells × dims
+    * rows) and the corpus cell assignment (one row per vector). A search
+    * then ranks cells and scans probed lists READING ONLY THE INDEX plus
+    * the probed vectors — the quantizer never retrains per query session. */
+  def writeIvfIndex(embeddings: DataFrame, dir: String, cells: Int = 8,
+      iters: Int = 2): Unit = {
+    Clustering.kmeansCentroids(embeddings, cells, iters)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Clustering.kmeansAssign(embeddings, cells, iters)
+      .select(col("vec_id"), col("cluster").as("cid"))
+      .write.mode("overwrite").parquet(s"$dir/assign")
+  }
+
+  /** [[portableIvfTopK]] against the durable index instead of a live
+    * training pass — result-identical (parity spec): the search reads
+    * cells, probe order, and members from the artifact. */
+  def portableIvfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val cand = ivfCandidatesFrom(
+      spark.read.parquet(s"$indexDir/assign")
+        .select(col("vec_id").as("nid"), col("cid")),
+      spark.read.parquet(s"$indexDir/centroids"),
+      embeddings, queryIds, nprobe)
+    val base = withNorm(embeddings)
+    val pairs = cand
+      .join(base.select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm")), "nid")
+    rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"))
+  }
+
   /** The coarse front end of [[portableIvfTopK]]/[[portableIvfPqTopK]]:
     * probed-cell candidates (qid, nid) — each query's `nprobe` nearest
     * Lloyd cells by squared-L2 against the final-round centroids, fanned
@@ -643,6 +678,14 @@ object Similarity {
     val assign = Clustering.kmeansAssign(embeddings, cells, iters)
       .select(col("vec_id").as("nid"), col("cluster").as("cid"))
     val cents = Clustering.kmeansCentroids(embeddings, cells, iters)
+    ivfCandidatesFrom(assign, cents, embeddings, queryIds, nprobe)
+  }
+
+  /** Candidate generation from supplied (assign, centroids) frames —
+    * live-trained or read from `writeIvfIndex`'s artifact. */
+  private def ivfCandidatesFrom(assign: DataFrame, cents: DataFrame,
+      embeddings: DataFrame, queryIds: Seq[Long],
+      nprobe: Int): DataFrame = {
     val qEx = embeddings
       .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
       .select(col("vec_id").as("qid"),

@@ -193,6 +193,20 @@ class PipelineSpec extends GraftSuite {
     assert(out.count() == 30)
   }
 
+  test("sim8 against the durable IVF index equals live-trained search") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString
+    Similarity.writeIvfIndex(emb, dir)
+    val live = Similarity.portableIvfTopK(emb, Seq(0L, 1L, 2L)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val indexed = Similarity
+      .portableIvfTopKIndexed(spark, dir, emb, Seq(0L, 1L, 2L)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // the artifact carries cells + assignments; search against it must
+    // reproduce the live-trained ranking result-for-result
+    assert(indexed == live && indexed.nonEmpty)
+  }
+
   test("sim10 composes sim8's probe with sim9's ADC exactly") {
     val qids = Seq(0L, 1L, 2L)
     val got = Similarity.portableIvfPqTopK(emb, qids).collect()
