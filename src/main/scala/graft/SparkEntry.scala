@@ -83,6 +83,28 @@ object SparkEntry {
       Splits.explodeWords(t(s, d, "documents"), 200L)),
     "x3_route_counts" -> ((s, d) =>
       Splits.routeCounts(events(s, d), Splits.defaultRouteConfig(s))),
+    // CDC config event log -> CURRENT routing table: keep-last per key
+    // with op='d' tombstones removing the route (the reference's
+    // config-delete path, DimApp.java:85-140). The log is derived
+    // deterministically from `nation` (3 generations: create all,
+    // update evens, delete every third) so the oracle rebuilds it
+    // verbatim
+    "x4_config_cdc_routes" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val nation = t(s, d, "nation")
+      val gen1 = nation.select(lit("c").as("op"),
+        col("n_name").as("event_type"),
+        concat(lit("t_"), col("n_name")).as("sink_topic"), lit(1L).as("ts"))
+      val gen2 = nation.where(col("n_nationkey") % 2 === 0)
+        .select(lit("u").as("op"), col("n_name").as("event_type"),
+          concat(lit("t2_"), col("n_name")).as("sink_topic"),
+          lit(2L).as("ts"))
+      val gen3 = nation.where(col("n_nationkey") % 3 === 0)
+        .select(lit("d").as("op"), col("n_name").as("event_type"),
+          lit("").as("sink_topic"), lit(3L).as("ts"))
+      Splits.routeConfigFromCdc(gen1.unionByName(gen2).unionByName(gen3))
+        .orderBy(col("event_type"))
+    }),
     // ---- §2d joins ----
     "j1_order_revenue_by_priority" -> ((s, d) =>
       Joins.orderRevenueByPriority(t(s, d, "orders"), t(s, d, "lineitem"))),
@@ -318,6 +340,20 @@ object SparkEntry {
           .select(col("qid").as("src"), col("nid").as("dst")), 5)
         .select(col("id"), round(col("rank"), 9).as("rank"))
     }),
+    // PageRank WITH per-round dangling-mass redistribution (true
+    // stochastic normalization): the exact kNN edge set with every
+    // third node's out-edges dropped, so genuine dangling nodes exist
+    // and the d·S/N term is exercised, not trivially zero — closes the
+    // documented mass-leak caveat of gr1/gr3 behind a hash-gated flag
+    "gr5_pagerank_dangling" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      Graph.pageRank(
+        Similarity.knnGraph(t(s, d, "embeddings"), 1)
+          .select(col("qid").as("src"), col("nid").as("dst"))
+          .where(col("src") % 3 =!= 0),
+        5, redistributeDangling = true)
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+    }),
     // ---- training-data pipeline: dedup ----
     "d1_exact_dedup" -> ((s, d) =>
       Dedup.exactDuplicates(t(s, d, "documents"))),
@@ -434,6 +470,20 @@ object SparkEntry {
     // float scale form)
     "sim10_ivfpq_portable" -> ((s, d) =>
       Similarity.portableIvfPqTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L))),
+    // FROZEN-QUANTIZER assignment — the index-freshness op between
+    // retrains: held-out vectors (vec_id < 100) assigned to the nearest
+    // FINAL centroid of a quantizer trained ONLY on the base slice
+    // (vec_id >= 100), no retraining — the cross-engine gate for
+    // `appendIvfIndex`'s assignment step
+    "sim11_frozen_assign" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val embAll = t(s, d, "embeddings")
+      Similarity.assignAtCentroids(
+          embAll.where(col("vec_id") < 100),
+          Clustering.kmeansCentroids(embAll.where(col("vec_id") >= 100)))
+        .select(col("vec_id"), col("cid"))
+        .orderBy(col("vec_id"))
+    }),
     "sim6_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(t(s, d, "embeddings"), 1)
         .select("qid", "nid")),
@@ -541,8 +591,12 @@ object SparkEntry {
     // pruning promise
     "z1_zorder_stats" -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      // floor-then-long, matching the oracle's CAST(floor(value) AS
+      // BIGINT): a bare .cast("long") truncates toward zero in Spark
+      // while the oracle floors, and the twins would split on negative
+      // non-integer values
       Layout.zOrderStats(events(s, d), col("user_id"),
-          col("value").cast("long"), 8, 8)
+          floor(col("value")), 8, 8)
         .orderBy(col("bucket"))
     }),
     // sampled-quantile sketch: bottom-k content-hash sample (mergeable,
@@ -1017,6 +1071,14 @@ object SparkEntry {
       |           AS rn
       |         FROM emb e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
 
+  /** [[kmeansCtes]] with the training corpus restricted by `pred` — the
+    * frozen-quantizer oracle (sim11) trains the Lloyd loop on a SLICE
+    * and assigns held-out rows at the final centroids. Only the `emb`
+    * source CTE changes; every downstream CTE (c0 init, rounds,
+    * assignments) then operates on the filtered corpus verbatim. */
+  private def kmeansCtesOn(pred: String): String =
+    kmeansCtes.replace("FROM embeddings)", s"FROM embeddings WHERE $pred)")
+
   /** The emb3 oracle, generated per round count so query and oracle share
     * one recursion: mirrors `Similarity.topPrincipalComponent` — 1e-6
     * integer quantize + center, v0 = 0.125·1e6, then per round the exact
@@ -1476,6 +1538,44 @@ object SparkEntry {
       |       FROM nodes CROSS JOIN nn
       |            LEFT JOIN i5 ON nodes.id = i5.id)""".stripMargin
 
+  /** [[pagerankCtes]] with the per-round dangling-mass term (gr5):
+    * each round first folds the total rank parked on nodes with NO
+    * out-edges to dt = S/N, then adds it inside the damped sum —
+    * mirrors `Graph.pageRank(redistributeDangling = true)`'s driver
+    * double round for round. Generated, so query and oracle share one
+    * recursion. */
+  private val pagerankDanglingCtes: String = {
+    // every r_k is MATERIALIZED: unlike the leak-variant chain (one
+    // consumer per round), each round here is read TWICE (dangling sum
+    // + in-sum), and an inlining planner would re-evaluate the entire
+    // upstream — including the O(N²) edge derivation — 2^5 times (the
+    // round-9 postmortem: DuckDB spilled its temp disk to death)
+    val rounds = (1 to 5).map { k =>
+      s"""dk$k AS MATERIALIZED (
+         |        SELECT COALESCE(SUM(rank), 0.0) / (SELECT n FROM nn)
+         |          AS dt
+         |        FROM r${k - 1} WHERE id NOT IN (SELECT src FROM edges)),
+         |i$k AS (SELECT e.dst AS id, SUM(r.rank / d.deg) AS s
+         |       FROM edges e JOIN deg d ON e.src = d.src
+         |            JOIN r${k - 1} r ON r.id = e.src GROUP BY 1),
+         |r$k AS MATERIALIZED (SELECT nodes.id,
+         |         (1 - 0.85) / n + 0.85 * (COALESCE(i$k.s, 0.0)
+         |            + (SELECT dt FROM dk$k)) AS rank
+         |       FROM nodes CROSS JOIN nn
+         |            LEFT JOIN i$k ON nodes.id = i$k.id)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+       |          (SELECT src AS id FROM edges
+       |           UNION ALL SELECT dst FROM edges)),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS MATERIALIZED (
+       |        SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges
+       |        GROUP BY 1),
+       |r0 AS MATERIALIZED (
+       |        SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+       |$rounds""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = ListMap(
     "p1_parse_validate" ->
       """SELECT event_id, user_id, event_type,
@@ -1594,6 +1694,26 @@ object SparkEntry {
         |       COUNT(*) AS cnt
         |FROM events WHERE event_type <> 'error'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // keep-last per key over the generated 3-generation CDC log, final
+    // op='d' removes the key — same (ts, op, sink_topic) total order
+    "x4_config_cdc_routes" ->
+      """WITH log AS (
+        |  SELECT 'c' AS op, n_name AS event_type,
+        |         't_' || n_name AS sink_topic, 1 AS ts FROM nation
+        |  UNION ALL
+        |  SELECT 'u', n_name, 't2_' || n_name, 2 FROM nation
+        |  WHERE n_nationkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'd', n_name, '', 3 FROM nation
+        |  WHERE n_nationkey % 3 = 0),
+        |rk AS (
+        |  SELECT op, event_type, sink_topic,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY ts DESC, op DESC, sink_topic DESC) AS rn
+        |  FROM log)
+        |SELECT event_type, sink_topic FROM rk
+        |WHERE rn = 1 AND op <> 'd'
+        |ORDER BY 1""".stripMargin,
     "j1_order_revenue_by_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -3231,6 +3351,23 @@ object SparkEntry {
         |        FROM psc)
         |SELECT qid, CAST(rn AS INTEGER) AS rn, nid, adc
         |FROM prk WHERE rn <= 5""".stripMargin,
+    // frozen-quantizer assignment: Lloyd trained on the base slice only
+    // (vec_id >= 100), held-out vectors assigned at the FINAL (c2)
+    // centroids by the same (d, cid) argmin — mirrors
+    // Similarity.assignAtCentroids over Clustering.kmeansCentroids(base)
+    "sim11_frozen_assign" ->
+      s"""WITH ${kmeansCtesOn("vec_id >= 100")},
+        |held AS (SELECT vec_id,
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |         FROM embeddings WHERE vec_id < 100),
+        |asg AS (SELECT vec_id, cid FROM (
+        |          SELECT h.vec_id, c.cid, row_number() OVER (
+        |              PARTITION BY h.vec_id
+        |              ORDER BY list_sum(list_transform(range(1, len(h.v)+1),
+        |                i -> (h.v[i]-c.cen[i])*(h.v[i]-c.cen[i]))), c.cid)
+        |            AS rn
+        |          FROM held h CROSS JOIN c2 c) WHERE rn = 1)
+        |SELECT vec_id, cid FROM asg ORDER BY 1""".stripMargin,
     // SemDeDup: within-cluster cosine over the k-means assignment; dot and
     // norms in double over the same ordinal dim order as the Spark side
     "d15_semdedup_pairs" ->
@@ -3344,6 +3481,25 @@ object SparkEntry {
         |      FROM p WHERE qq > 0 AND xx > 0),
         |edges AS (SELECT qid AS src, nid AS dst FROM r WHERE rn = 1),
         |$pagerankCtes
+        |SELECT id, ROUND(rank, 9) AS rank FROM r5""".stripMargin,
+    // gr1's exact edge set minus every third node's out-edges (genuine
+    // dangling nodes) + the per-round dangling-redistribution rounds
+    "gr5_pagerank_dangling" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings),
+        |x AS (SELECT vec_id AS nid, embedding AS e FROM embeddings),
+        |p AS (SELECT qid, nid,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS dot,
+        |        SUM(CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE)) AS qq,
+        |        SUM(CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE)) AS xx
+        |      FROM q, x, (SELECT unnest(range(1, 65)) AS i)
+        |      WHERE qid <> nid GROUP BY qid, nid),
+        |r AS (SELECT qid, nid, row_number() OVER
+        |        (PARTITION BY qid
+        |         ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid) AS rn
+        |      FROM p WHERE qq > 0 AND xx > 0),
+        |edges AS MATERIALIZED (SELECT qid AS src, nid AS dst FROM r
+        |          WHERE rn = 1 AND qid % 3 <> 0),
+        |$pagerankDanglingCtes
         |SELECT id, ROUND(rank, 9) AS rank FROM r5""".stripMargin,
     // same 5 unrolled rounds over the PORTABLE-LSH in-bucket top-1 edges
     // (shared sign-LSH CTEs + shared pagerank CTEs)

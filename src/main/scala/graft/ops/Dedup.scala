@@ -453,18 +453,20 @@ object Dedup {
       jaccardPairs(newDocs, n, threshold), threshold)
   }
 
-  /** Append one batch's slice to the durable index (both tables gain a
-    * `bid` column — the streaming ingest sink filters reads to the
-    * committed frontier; see `Streams.dedupIngestSink`). */
+  /** Append one batch's slice to the durable index. Each batch writes
+    * its OWN hive partition (`bid=N`) with overwrite — IDEMPOTENT per
+    * bid, so an at-least-once replay (or a crash between the index
+    * append and the corpus commit) simply rewrites the same directory
+    * instead of leaving duplicate postings that would understate Jaccard
+    * downstream. Readers (`Streams.dedupIngestSink`) filter to the
+    * committed frontier, which is a partition-pruning predicate here. */
   def appendDedupIndex(docs: DataFrame, fpDir: String, shDir: String,
       bid: Long, n: Int = 3): Unit = {
-    docs.select(col("doc_id"), md5(normText).as("fp"),
-        lit(bid).as("bid"))
-      .write.mode("append").parquet(fpDir)
+    docs.select(col("doc_id"), md5(normText).as("fp"))
+      .write.mode("overwrite").parquet(s"$fpDir/bid=$bid")
     shingles(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"),
-        lit(bid).as("bid"))
-      .write.mode("append").parquet(shDir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .write.mode("overwrite").parquet(s"$shDir/bid=$bid")
   }
 
   /** `incrementalDedup` where the batch is the `doc_id < batchMaxId` slice
@@ -511,9 +513,15 @@ object Dedup {
       .where(col("in_corpus") || col("partner") < col("doc_id"))
       .select(col("doc_id"), col("partner"), lit(true).as("is_exact"))
 
-    // near partners, batch x corpus: batch prefix probes the corpus index
+    // near partners, batch x corpus: batch prefix probes the corpus index.
+    // collect_set + size (not collect_list + count): shingles are per-doc
+    // distinct at the source (array_distinct before the explode), so for a
+    // clean index this is identical — but an index carrying duplicated
+    // postings (e.g. a crash-replayed append before the per-bid writes
+    // became idempotent) must not double `csz` and silently halve Jaccard
     val cSets = cSh.groupBy(col("doc_id"))
-      .agg(collect_list(col("shingle")).as("set"), count(lit(1)).as("sz"))
+      .agg(collect_set(col("shingle")).as("set"))
+      .withColumn("sz", size(col("set")).cast("long"))
     val probe = bSets.select(col("doc_id"),
       explode(col("prefix")).as("shingle"))
     val candCross = probe

@@ -15,10 +15,15 @@ object Graph {
     * r_t(u)/outdeg(u), starting from the uniform vector. A fixed
     * iteration budget (not a convergence test) keeps the result exactly
     * reproducible — the form an offline corpus-audit ranking wants.
-    * Dangling nodes (no out-edges) leak their mass instead of
-    * redistributing it: relative ranking is unaffected and the oracle
-    * stays a pure join chain; add a dangling-sum term per iteration if
-    * stochastic normalization ever matters.
+    * Dangling nodes (no out-edges) leak their mass by default: relative
+    * ranking is unaffected and the oracle stays a pure join chain.
+    * `redistributeDangling = true` adds the standard per-round
+    * dangling-sum term (each round's rank gains d·S/N where S is the
+    * total rank parked on dangling nodes), restoring true stochastic
+    * normalization (ranks sum to 1) for consumers that need calibrated
+    * mass — one extra bounded aggregation per round (an anti-join of
+    * the ≤N-row rank frame against the out-degree keys reduced to ONE
+    * driver double), hash-gated by gr5's oracle.
     *
     * Scale notes: the node and degree frames are `localCheckpoint`ed once
     * (same discipline as clustersFromPairs — the ContextCleaner frees
@@ -27,8 +32,8 @@ object Graph {
     * checkpointed per round so the plan stays one iteration deep instead
     * of nesting. At cluster scale, pre-partition `edges` by src once and
     * every iteration's join reuses that partitioning. */
-  def pageRank(edges: DataFrame, iters: Int = 5,
-      d: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 5, d: Double = 0.85,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "iters >= 1")
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
@@ -39,17 +44,33 @@ object Graph {
       .join(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")),
         "src")
       .localCheckpoint() // (src, dst, deg) — static across iterations
+    val outNodes =
+      if (redistributeDangling)
+        e.select(col("src").as("id")).distinct().localCheckpoint()
+      else null
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
       .localCheckpoint()
     var it = 0
     while (it < iters) {
+      // total rank parked on dangling nodes this round: one bounded agg
+      // (<= N rank rows anti-joined against the out-degree keys) folded
+      // to a single driver double — the same bounded-collect posture as
+      // the Lloyd centroids
+      val dangTerm =
+        if (!redistributeDangling) 0.0
+        else {
+          val r = ranks.join(outNodes, Seq("id"), "left_anti")
+            .agg(sum(col("rank"))).head
+          (if (r.isNullAt(0)) 0.0 else r.getDouble(0)) / n
+        }
       val in = withDeg
         .join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("in_sum"))
       ranks = nodes.join(in, Seq("id"), "left")
         .select(col("id"), (lit((1 - d) / n) +
-          lit(d) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+          lit(d) * (coalesce(col("in_sum"), lit(0.0)) + lit(dangTerm)))
+          .as("rank"))
         .localCheckpoint()
       it += 1
     }

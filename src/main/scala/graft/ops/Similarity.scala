@@ -313,7 +313,11 @@ object Similarity {
         .collect()
         .foreach(r => w(r.getInt(0)) = r.getLong(1))
       val norm = math.sqrt(w.map(x => x.toDouble * x.toDouble).sum)
-      v = w.map(x => rnd6(x / norm))
+      // all-identical embeddings center to y = 0, so w = 0 and the
+      // normalize would emit NaN (and rnd6 would then throw on it) —
+      // a degenerate but valid corpus: report the zero direction
+      v = if (norm == 0.0) Array.fill(dims)(0.0)
+          else w.map(x => rnd6(x / norm))
       vInt = v.map(d => math.round(d * 1e6))
     }
     // explained-variance ratio from the FINAL direction: num = Σ dq²
@@ -325,7 +329,11 @@ object Similarity {
         }), lit(0L), (acc, t) => acc + t).as("yy"))
       .agg(sum(col("dq") * col("dq")).as("num"), sum(col("yy")).as("den"))
       .head
-    val ev = rnd6(fin.getLong(0).toDouble / fin.getLong(1).toDouble)
+    // den = 0 iff every centered vector is 0 (same degenerate corpus as
+    // the norm guard above): no variance to explain -> ratio 0, not NaN
+    val ev =
+      if (fin.getLong(1) == 0L) 0.0
+      else rnd6(fin.getLong(0).toDouble / fin.getLong(1).toDouble)
     import spark.implicits._
     v.zipWithIndex.map { case (p, i) => (i + 1, p, ev) }
       .toSeq.toDF("i", "pc", "ev_ratio")
@@ -641,11 +649,74 @@ object Similarity {
     * the probed vectors — the quantizer never retrains per query session. */
   def writeIvfIndex(embeddings: DataFrame, dir: String, cells: Int = 8,
       iters: Int = 2): Unit = {
-    Clustering.kmeansCentroids(embeddings, cells, iters)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    Clustering.kmeansAssign(embeddings, cells, iters)
-      .select(col("vec_id"), col("cluster").as("cid"))
-      .write.mode("overwrite").parquet(s"$dir/assign")
+    val cents = Clustering.kmeansCentroids(embeddings, cells, iters)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    // assignment at the FINAL centroids — identical to kmeansAssign's
+    // last round (same centroid frame, same (d, cid) argmin), but keeps
+    // the assign distance `d`: the per-generation freshness signal
+    // `ivfIndexStaleness` reads. gen=0 is the training generation;
+    // appends land in gen=N partitions (see `appendIvfIndex`).
+    assignAtCentroids(embeddings, cents)
+      .write.mode("overwrite").parquet(s"$dir/assign/gen=0")
+  }
+
+  /** Nearest-centroid assignment of vectors against a FIXED (cid, i, m)
+    * coarse-quantizer frame — the Lloyd final-round argmin ((d, cid)
+    * tie-break, so it reproduces `Clustering.kmeansAssign`'s assignment
+    * when given that loop's final centroids) WITHOUT any retraining.
+    * Returns (vec_id, cid, d) with d the squared-L2 assign distance.
+    * This is the frozen-quantizer step an ingest pipeline runs on new
+    * vectors between retrains (the sim11 oracle gates it cross-engine). */
+  def assignAtCentroids(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("i", "x")))
+      .join(broadcast(cents), "i")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("x") - col("m")) * (col("x") - col("m"))).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"))).as("s"))
+      .select(col("vec_id"), col("s.cid").as("cid"), col("s.d").as("d"))
+
+  /** Append new vectors to `writeIvfIndex`'s artifact WITHOUT
+    * retraining — the serving-side freshness path, the sibling of the
+    * dedup ingest sink's append-only index: each vector is assigned to
+    * its nearest EXISTING centroid and lands in the generation's own
+    * `gen=N` hive partition (overwrite — idempotent under at-least-once
+    * replay, the same per-batch discipline as `appendDedupIndex`).
+    * Search (`portableIvfTopKIndexed`) picks the new vectors up
+    * transparently: it reads the whole assign table, and the centroids
+    * are unchanged by construction. The recall cost of a stale
+    * quantizer is what [[ivfIndexStaleness]] watches. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, newEmbeddings: DataFrame, gen: Long): Unit = {
+    require(gen >= 1, "gen 0 is the training generation")
+    assignAtCentroids(newEmbeddings,
+      spark.read.parquet(s"$indexDir/centroids"))
+      .write.mode("overwrite").parquet(s"$indexDir/assign/gen=$gen")
+  }
+
+  /** Staleness report of an IVF index artifact: per generation, the
+    * vector count and mean nearest-centroid squared distance, plus
+    * `drift` = that mean over the TRAINING generation's mean. A drift
+    * near 1 means appended traffic still matches the distribution the
+    * quantizer was trained on; a climbing drift is the retrain alarm —
+    * appended vectors land ever farther from every centroid, so probed
+    * cells cover them worse and recall decays. One narrow scan of the
+    * assign table (never the vectors), `dims`-free, O(generations)
+    * output rows. */
+  def ivfIndexStaleness(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val perGen = spark.read.parquet(s"$indexDir/assign")
+      .groupBy(col("gen").cast("long").as("gen"))
+      .agg(count(lit(1)).as("n_vecs"), avg(col("d")).as("mean_d"))
+    val base = perGen.where(col("gen") === 0L)
+      .select(col("mean_d").as("base_d"))
+    perGen.crossJoin(broadcast(base))
+      .select(col("gen"), col("n_vecs"),
+        round(col("mean_d"), 6).as("mean_d"),
+        round(col("mean_d") / col("base_d"), 6).as("drift"))
   }
 
   /** [[portableIvfTopK]] against the durable index instead of a live

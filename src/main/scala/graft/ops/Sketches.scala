@@ -28,13 +28,16 @@ object Sketches {
     val bloom = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
     val spark = big.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+    // native codegen probe (no ScalaUDF boundary on the 100 TB side —
+    // the scan stays one fused loop; PlanSpec-asserted)
+    def mightContain(c: org.apache.spark.sql.Column) =
+      graft.functions.SketchExpressions.bloomMightContain(bloomBc, c)
     // rows failing the bloom test are definitely not in `keys` — emit
     // directly; only the maybe-set (true matches + fpp false positives)
     // pays the exact anti-join. NULL keys never match an anti-join key,
-    // so they go straight to the clean branch (the primitive-typed UDF
-    // would return NULL for them and silently drop the row from BOTH
-    // branches otherwise).
+    // so they go straight to the clean branch (the null-intolerant
+    // probe expression would return NULL for them and silently drop the
+    // row from BOTH branches otherwise).
     val maybe = big
       .where(col(keyCol).isNotNull && mightContain(col(keyCol)))
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
@@ -71,7 +74,9 @@ object Sketches {
       seed = 42)
     val spark = df.sparkSession
     val cmsBc = spark.sparkContext.broadcast(cms)
-    val estimate = udf((s: String) => cmsBc.value.estimateCount(s))
+    // native codegen probe over the candidate frame (no ScalaUDF)
+    def estimate(c: org.apache.spark.sql.Column) =
+      graft.functions.SketchExpressions.cmsEstimate(cmsBc, c)
     // candidates flow through strings (the sketch is string-keyed); cast
     // back to the input column's native type so the output schema matches
     // the input regardless of key type. Lossless: every candidate value
@@ -110,7 +115,8 @@ object Sketches {
     val floor = cms.totalCount() / (m + 1L) // MG guarantee threshold
     val spark = df.sparkSession
     val cmsBc = spark.sparkContext.broadcast(cms)
-    val estimate = udf((s: String) => cmsBc.value.estimateCount(s))
+    def estimate(c: org.apache.spark.sql.Column) =
+      graft.functions.SketchExpressions.cmsEstimate(cmsBc, c)
     val survivors = mgCandidates(df, keyCol, m)
       .where(estimate(col(keyCol)) >= floor)
     keyed.join(broadcast(survivors), Seq(keyCol), "left_semi")

@@ -73,6 +73,30 @@ object Splits {
   def routeByConfig(events: DataFrame, config: DataFrame): DataFrame =
     events.join(broadcast(config), Seq("event_type"))
 
+  /** S2/X3 — CURRENT routing table from a CDC config EVENT LOG: rows
+    * (op, event_type, sink_topic, ts) with op in c/u/d, the Debezium-ish
+    * shape of the reference's `table_process_dwd` MySQL-CDC stream.
+    * Keep-last per key ((ts, op, sink_topic) total order, so equal
+    * timestamps cannot flip the result across engines), and a key whose
+    * LAST event is a delete disappears from the table entirely — the
+    * reference's config-delete path, where removing a route also retires
+    * the downstream dim table (DimApp.java:85-140 drops the HBase table;
+    * the parquet analogue is deleting/ignoring the topic's output dir —
+    * a side effect the OWNER of the sink runs on the routes that left
+    * the table, not something the router does implicitly, so a replayed
+    * batch can never destroy data). Feed the result to [[routeByConfig]]
+    * or `Streams.routedSink`'s per-batch config thunk: a delete lands at
+    * batch granularity like every other config change (SURVEY §7). */
+  def routeConfigFromCdc(cdcLog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("op").desc, col("sink_topic").desc)
+    cdcLog
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("op") =!= "d")
+      .select(col("event_type"), col("sink_topic"))
+  }
+
   /** The default routing config used by queries (driver-side literal —
     * the batch stand-in for the MySQL `table_process_dwd` CDC table). */
   def defaultRouteConfig(spark: SparkSession): DataFrame = {

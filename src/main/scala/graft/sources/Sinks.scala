@@ -52,6 +52,13 @@ object Sinks {
     * two-rename discipline (`_old` backup, loud failure if a rename
     * reports false, backup deleted only after the swap lands). Readers
     * see the old or the new directory, never a half-written one.
+    *
+    * CONCURRENT WRITERS ARE NOT SUPPORTED: stop the appending query
+    * before compacting. A file appended after the initial listing would
+    * be silently dropped by the directory swap, so the listing is
+    * re-taken just before the swap and the whole pass ABORTS (throws,
+    * directory untouched) if it changed — the maintenance job retries
+    * after quiescing the writer rather than losing committed data.
     * Returns (filesBefore, filesAfter). */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -71,6 +78,21 @@ object Sinks {
     val tmp = new org.apache.hadoop.fs.Path(dir + "_tmp")
     val bak = new org.apache.hadoop.fs.Path(dir + "_old")
     df.coalesce(nOut).write.mode("overwrite").parquet(tmp.toString)
+    // abort-if-changed guard: the compacted copy was built from the
+    // initial listing; any file that appeared (or was rewritten) since
+    // would be lost by the swap — fail loudly with the target untouched
+    val nowFiles = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen)).sortBy(_._1).toSeq
+    val thenFiles = dataFiles.map(s => (s.getPath.getName, s.getLen))
+      .sortBy(_._1).toSeq
+    if (nowFiles != thenFiles) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compactParquet: $dir changed during compaction (a writer is " +
+          "live?) — aborting without touching the directory; stop the " +
+          "appending query and retry")
+    }
     if (fs.exists(bak)) fs.delete(bak, true)
     require(fs.rename(target, bak), s"rename $target -> $bak failed")
     require(fs.rename(tmp, target),

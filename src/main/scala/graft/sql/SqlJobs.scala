@@ -61,13 +61,15 @@ object SqlJobs {
   }
 
   /** SQL text using the registered native `zvalue` function — z1's
-    * Morton bucket counts through the SQL entry path (SQL CAST of a
-    * non-negative double truncates like the Column form's cast). */
+    * Morton bucket counts through the SQL entry path. `floor(value)`
+    * (not a bare CAST, which truncates toward zero in Spark but the
+    * DuckDB oracle floors) so negative non-integer values cannot split
+    * the twins. */
   def zorderBucketCounts(spark: SparkSession, dir: String): DataFrame = {
     registerViews(spark, dir)
     spark.sql(
       """SELECT shiftright(zvalue(user_id & 255,
-        |         CAST(value AS BIGINT) & 255), 8) AS bucket,
+        |         floor(value) & 255), 8) AS bucket,
         |       COUNT(*) AS n
         |FROM events
         |WHERE user_id IS NOT NULL AND value IS NOT NULL

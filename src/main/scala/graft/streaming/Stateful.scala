@@ -259,6 +259,15 @@ object Stateful {
   case class StageEmit(user_id: Long, stage_idx: Int, stage: String,
       ts: java.sql.Timestamp)
 
+  /** The audited funnel's row type: `kind = "stage"` rows are the
+    * funnel advancement (counters all zero); a `kind = "disorder"` row
+    * (stage fields empty/null) carries the trigger's disorder counters
+    * for one user, so a pipeline can aggregate and ALERT on them as
+    * data instead of scraping warn-logs. */
+  case class FunnelEmit(user_id: Long, kind: String, stage_idx: Int,
+      stage: String, ts: java.sql.Timestamp, late_dropped: Int,
+      stale_ignored: Int, evicted: Int)
+
   /** A21 streaming twin — per-user funnel state machine: a user advances to
     * stage k+1 on the first stage-(k+1) event STRICTLY after their stage-k
     * time (same strict-order semantics as `Aggs.funnelStages`; each user
@@ -285,6 +294,26 @@ object Stateful {
       maxPendingPerStage: Int = 64): Dataset[StageEmit] = {
     val spark = events.sparkSession
     import spark.implicits._
+    streamingFunnelAudited(events, stages, ttl, maxPendingPerStage)
+      .filter(col("kind") === "stage")
+      .map(e => StageEmit(e.user_id, e.stage_idx, e.stage, e.ts))
+  }
+
+  /** [[streamingFunnel]] with the disorder counters surfaced AS DATA:
+    * alongside every `"stage"` advancement row, a trigger in which a
+    * user's events were late-dropped, stale-ignored, or cap-evicted
+    * emits one `"disorder"` row carrying those counts — the side output
+    * a pipeline aggregates into an alert (sum of `late_dropped` > 0 ⇒
+    * the append-mode funnel has diverged from the batch recurrence;
+    * rising `evicted` ⇒ `maxPendingPerStage` is sized too small for the
+    * stream's disorder). The warn-log stays for human eyes; this row is
+    * for machines. */
+  def streamingFunnelAudited(events: Dataset[Event],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      ttl: Option[String] = None,
+      maxPendingPerStage: Int = 64): Dataset[FunnelEmit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val stageIdx = stages.zipWithIndex.toMap
     def micros(t: java.sql.Timestamp): Long =
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
@@ -297,7 +326,7 @@ object Stateful {
       .groupByKey(_.user_id)
       // state: (completed stages, last stage micros, pending future-stage
       // events as (stageIdx, micros, event_id))
-      .flatMapGroupsWithState[(Int, Long, Seq[(Int, Long, Long)]), StageEmit](
+      .flatMapGroupsWithState[(Int, Long, Seq[(Int, Long, Long)]), FunnelEmit](
         OutputMode.Append,
         if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout) {
@@ -329,7 +358,7 @@ object Stateful {
                 case None => () // not a funnel stage at all
               }
             }
-            val out = scala.collection.mutable.ArrayBuffer[StageEmit]()
+            val out = scala.collection.mutable.ArrayBuffer[FunnelEmit]()
             // greedy chain over buffered + new events, exactly the batch
             // recurrence: t_k = min ts of stage-k events with ts > t_(k-1)
             var advanced = true
@@ -339,7 +368,8 @@ object Stateful {
               if (cand.isEmpty) advanced = false
               else {
                 val chosen = cand.minBy(p => (p._2, p._3))
-                out += StageEmit(user, done + 1, stages(done), toTs(chosen._2))
+                out += FunnelEmit(user, "stage", done + 1, stages(done),
+                  toTs(chosen._2), 0, 0, 0)
                 lastTs = chosen._2
                 done += 1
               }
@@ -355,7 +385,7 @@ object Stateful {
               .flatMap(_.sortBy(p => (p._2, p._3)).take(maxPendingPerStage))
               .toSeq
             val evicted = reachable.size - kept.size
-            if (lateDropped > 0 || staleIgnored > 0 || evicted > 0)
+            if (lateDropped > 0 || staleIgnored > 0 || evicted > 0) {
               org.slf4j.LoggerFactory.getLogger("graft.streaming.Stateful")
                 .warn(s"streamingFunnel user $user: $lateDropped late " +
                   "event(s) older than an already-emitted stage time (batch " +
@@ -363,6 +393,11 @@ object Stateful {
                   s"$staleIgnored stale event(s) behind the stage frontier, " +
                   s"$evicted pending event(s) evicted by the " +
                   s"maxPendingPerStage=$maxPendingPerStage cap")
+              // the same counts AS DATA: one disorder row per (user,
+              // trigger) — consumers alert on it (see scaladoc)
+              out += FunnelEmit(user, "disorder", done, "", null,
+                lateDropped, staleIgnored, evicted)
+            }
             state.update((done, lastTs, kept))
             ttl.foreach(state.setTimeoutDuration)
             out.iterator

@@ -475,16 +475,21 @@ object Streams {
     * (The first version of this sink re-shingled the whole corpus per
     * batch — O(corpus); this is the form that survives 100 TB.)
     *
-    * Crash/replay contract, all append-only: the COMMIT POINT is the
-    * corpus append (it carries `bid`; the replay guard reads
-    * max(corpus.bid)). Index appends happen BEFORE the commit, so a
-    * crash in between leaves orphan index rows with bid > committed —
-    * reads filter the index to `bid <= committed frontier`, and the
-    * replay re-appends that batch (duplicate postings for one bid are
-    * harmless: candidates are `distinct`ed and partner aggregation takes
-    * min). Audit output is at-least-once, bid-keyed, like every merge
-    * sink here. At scale, swap the max(bid) column scans for a manifest
-    * file.
+    * Crash/replay contract — every write is IDEMPOTENT PER BID (each
+    * batch owns a `bid=N` hive partition, overwritten on replay) and
+    * the COMMIT POINT is a one-row FRONTIER MARKER written last
+    * (`stateDir/frontier`, swap-managed): the replay guard reads that
+    * marker in O(1) — never a corpus scan, so the per-micro-batch
+    * metadata cost stays flat as the corpus grows to 100 TB (a corpus
+    * max(bid) scan runs only as a fallback when the marker is absent —
+    * first run or a pre-marker state dir). A crash ANYWHERE before the
+    * marker swap replays the batch and overwrites its own partitions
+    * bit-for-bit (classification is deterministic and reads the index
+    * at `bid <= frontier`, which partition-prunes orphans away); a
+    * crash inside the marker swap recovers via `readStateWithRecovery`.
+    * Audit output is exactly-once per bid for the same reason. Strict
+    * corpus readers should filter `bid <= frontier` to exclude the
+    * not-yet-committed partition a mid-crash leaves behind.
     *
     * Semantics are GREEDY-ONLINE, not d6's global transitive closure:
     * the first arrival of a dup family is kept and later members drop
@@ -508,27 +513,38 @@ object Streams {
     val corpusDir = s"$stateDir/corpus"
     val fpDir = s"$stateDir/index/fp"
     val shDir = s"$stateDir/index/shingles"
+    val frontierDir = s"$stateDir/frontier"
     val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     def exists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
-    val lastBid =
+    // O(1) committed frontier: the one-row marker the commit wrote. The
+    // full corpus max(bid) scan runs ONLY when the marker is absent
+    // (first run, or a state dir from before the marker existed) — at
+    // 100 TB of accumulated corpus the per-micro-batch guard must not
+    // pay a corpus-proportional file listing
+    val lastBid = readStateWithRecovery(spark, frontierDir).map { df =>
+      val r = df.select(max(col("bid"))).head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse {
       if (!exists(corpusDir)) -1L
       else {
-        val r = spark.read.parquet(corpusDir).select(max(col("bid"))).head
+        val r = spark.read.parquet(corpusDir)
+          .select(max(col("bid").cast("long"))).head
         if (r.isNullAt(0)) -1L else r.getLong(0)
       }
+    }
     if (batchId <= lastBid) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dedupIngestSink: skipping batch $batchId (corpus at $lastBid)" +
+        s"dedupIngestSink: skipping batch $batchId (frontier at $lastBid)" +
           " — replay no-op, or a reset checkpoint against old state")
       return
     }
     val docCols = Seq("doc_id", "text")
     val batchDocs = batch.select(docCols.map(col): _*)
     try {
-      // index slices at the COMMITTED frontier: orphan rows from a crash
-      // between index append and corpus append carry bid > lastBid and
-      // are invisible here
+      // index slices at the COMMITTED frontier: orphan partitions from a
+      // crash after the index write carry bid > lastBid and are pruned
+      // away here (bid is a hive partition column of the index layout)
       val (corpusFp, corpusSh) =
         if (lastBid < 0L)
           (batchDocs.select(col("doc_id").as("partner"),
@@ -536,24 +552,28 @@ object Streams {
             batchDocs.select(col("doc_id"), lit(0L).as("shingle"))
               .where(lit(false)))
         else
-          (spark.read.parquet(fpDir).where(col("bid") <= lastBid)
+          (spark.read.parquet(fpDir)
+            .where(col("bid").cast("long") <= lastBid)
             .select(col("doc_id").as("partner"), col("fp")),
-            spark.read.parquet(shDir).where(col("bid") <= lastBid)
+            spark.read.parquet(shDir)
+              .where(col("bid").cast("long") <= lastBid)
               .select(col("doc_id"), col("shingle")))
       val decisions = graft.ops.Dedup
         .incrementalDedupAgainst(corpusFp, corpusSh, batchDocs, n,
           threshold)
         .localCheckpoint() // one computation feeds audit + accept + index
-      decisions.withColumn("bid", lit(batchId))
-        .write.mode("append").parquet(outDir)
+      // every write below owns the batch's bid=N partition and overwrites
+      // it — deterministic classification makes the replay bit-identical
+      decisions.write.mode("overwrite").parquet(s"$outDir/bid=$batchId")
       val accepted = batchDocs
         .join(decisions.where(col("decision") === "keep")
           .select(col("doc_id")), "doc_id")
-        .localCheckpoint() // reused by two index appends + the commit
+        .localCheckpoint() // reused by two index writes + the corpus
       graft.ops.Dedup.appendDedupIndex(accepted, fpDir, shDir, batchId, n)
-      // COMMIT: the corpus append carries the bid the replay guard reads
-      accepted.withColumn("bid", lit(batchId))
-        .write.mode("append").parquet(corpusDir)
+      accepted.write.mode("overwrite").parquet(s"$corpusDir/bid=$batchId")
+      // COMMIT: the frontier marker makes everything above visible
+      import spark.implicits._
+      swapIntoPlace(Seq(batchId).toDF("bid").repartition(1), frontierDir)
     } finally graft.ops.Dedup.clearSubstrates()
   }
 

@@ -207,6 +207,60 @@ class PipelineSpec extends GraftSuite {
     assert(indexed == live && indexed.nonEmpty)
   }
 
+  test("appendIvfIndex: frozen assignment parity, findability, staleness") {
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_app").toString
+    val base = emb.where(col("vec_id") >= 40)
+    val newv = emb.where(col("vec_id") < 40)
+    Similarity.writeIvfIndex(base, dir)
+    // 1) frozen assignment == the Lloyd loop's own final assignment when
+    // fed the training corpus (assign-at-final-centroids IS the final
+    // round) — verifies assignAtCentroids against the ml1-gated code
+    val frozen = Similarity.assignAtCentroids(base,
+        Clustering.kmeansCentroids(base))
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lloyd = Clustering.kmeansAssign(base).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(frozen == lloyd && frozen.nonEmpty)
+    // 2) appended vectors are FINDABLE at unchanged centroids: append
+    // the held-out slice plus an exact copy of vector 50 under a new id;
+    // a query for 50 must now retrieve the copy at rank 1 (cos = 1,
+    // self excluded, nid asc tie-break picks the copy over any other)
+    Similarity.appendIvfIndex(spark, dir, newv, gen = 1L)
+    Similarity.appendIvfIndex(spark, dir,
+      emb.where(col("vec_id") === 50).withColumn("vec_id", lit(900000L)),
+      gen = 2L)
+    val union = emb.unionByName(
+      emb.where(col("vec_id") === 50).withColumn("vec_id", lit(900000L)))
+    val got = Similarity
+      .portableIvfTopKIndexed(spark, dir, union, Seq(50L), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((50L, 900000L)),
+      s"appended exact copy must be the top hit: ${got.toSeq}")
+    // idempotent replay: re-appending gen 1 must not duplicate entries
+    Similarity.appendIvfIndex(spark, dir, newv, gen = 1L)
+    val assignCount = spark.read.parquet(s"$dir/assign").count()
+    assert(assignCount == emb.count() + 1,
+      s"per-gen overwrite must keep one row per vector: $assignCount")
+    // 3) staleness: in-distribution appends drift ~1; a shifted batch
+    // (every component +10) lands far from every centroid -> drift >> 1
+    Similarity.appendIvfIndex(spark, dir,
+      newv.withColumn("vec_id", col("vec_id") + 910000L)
+        .withColumn("embedding",
+          org.apache.spark.sql.functions.expr(
+            "transform(embedding, x -> x + CAST(10.0 AS FLOAT))")),
+      gen = 3L)
+    val stale = Similarity.ivfIndexStaleness(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(stale(0L) == 1.0)
+    assert(stale(1L) < 3.0,
+      s"in-distribution append should not drift far: ${stale(1L)}")
+    assert(stale(3L) > 10.0,
+      s"shifted batch must raise the retrain alarm: ${stale(3L)}")
+  }
+
   test("sim10 composes sim8's probe with sim9's ADC exactly") {
     val qids = Seq(0L, 1L, 2L)
     val got = Similarity.portableIvfPqTopK(emb, qids).collect()
@@ -831,6 +885,19 @@ class PipelineSpec extends GraftSuite {
     // a daily batch can dedup against 100 TB reading only the artifact
     assert(indexed == live && indexed.nonEmpty)
     assert(indexed.exists(_._2 != "keep"), "planted dups must be found")
+    // robustness: DUPLICATED index postings (a damaged/legacy artifact)
+    // must not change decisions — csz comes from the distinct set, so a
+    // doubled posting list cannot halve Jaccard and admit near-dups
+    val fp = spark.read.parquet(s"$dir/fp")
+      .select(col("doc_id").as("partner"), col("fp"))
+    val sh = spark.read.parquet(s"$dir/shingles")
+      .select(col("doc_id"), col("shingle"))
+    val doubled = Dedup.incrementalDedupAgainst(
+        fp.unionAll(fp), sh.unionAll(sh), batch)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(doubled == live,
+      "duplicated postings changed incremental-dedup decisions")
   }
 
   test("sim5 IVF-PQ ANN: probed-cell code scan, recall@5 vs brute force") {
@@ -1122,6 +1189,28 @@ class PipelineSpec extends GraftSuite {
     val rho = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
     info(s"gr2 spearman rho over ${common.size} nodes: $rho")
     assert(rho >= 0.5, s"rank correlation $rho too low")
+  }
+
+  test("gr5 dangling redistribution restores stochastic normalization") {
+    import spark.implicits._
+    // 1 -> 2 -> 3, 3 dangling; 4 -> 1 keeps a second source
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    def total(redistribute: Boolean): Double =
+      Graph.pageRank(edges, 10, redistributeDangling = redistribute)
+        .agg(org.apache.spark.sql.functions.sum(col("rank"))).head
+        .getDouble(0)
+    // default leaks node 3's mass every round; the flag conserves it
+    assert(total(redistribute = false) < 0.9,
+      "leaky variant should lose dangling mass")
+    assert(math.abs(total(redistribute = true) - 1.0) < 1e-9,
+      "redistributed ranks must sum to 1")
+    // no dangling nodes -> the flag is a no-op (dangling sum is 0)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val a = Graph.pageRank(cyc, 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(cyc, 5, redistributeDangling = true).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
   }
 
   test("d14 span merge stays linear on a 50k-word document") {

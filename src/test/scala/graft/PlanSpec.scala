@@ -224,6 +224,30 @@ class PlanSpec extends GraftSuite {
       !p.contains("ScalaUDF"), s"vector path should not fall back to UDF")
   }
 
+  test("bloom/CMS probes run as native expressions (no ScalaUDF)") {
+    // the probes sit on the BIG side's scan — a UDF there reintroduces
+    // the codegen boundary the sketch was built to avoid
+    val ev = Tables.load(spark, sf, "events")
+    val drop = ev.where(col("user_id") % 13 === 0)
+      .select(col("user_id")).distinct()
+    val s3 = ops.Sketches.bloomAntiJoin(ev, drop, "user_id")
+    val cms1 = ops.Sketches.cmsTopKeys(ev, "event_type", 4, m = 64)
+    def exprs(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan
+        .collect { case p => p.expressions }.flatten
+        .flatMap(_.collect { case e => e })
+    Seq("s3" -> s3, "cms1" -> cms1).foreach { case (n, df) =>
+      val all = exprs(df)
+      assert(!all.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]),
+        s"$n probe fell back to a ScalaUDF")
+      assert(all.exists(e =>
+        e.isInstanceOf[functions.BloomMightContain] ||
+          e.isInstanceOf[functions.CmsEstimateCount]),
+        s"$n native probe missing from the optimized plan")
+    }
+  }
+
   test("es1 weighted sample is a distributed top-n (no sort, no window)") {
     val p = plan("es1_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),

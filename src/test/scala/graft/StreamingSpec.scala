@@ -132,6 +132,45 @@ class StreamingSpec extends GraftSuite {
     assert(dupes == 0)
   }
 
+  test("audited funnel surfaces disorder counters as data") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, tp: String, s: String) =
+      Event(id, java.sql.Timestamp.valueOf(s), u, tp, 0.0)
+    val ms = MemoryStream[Event](26, spark, None)
+    val q = Stateful
+      .streamingFunnelAudited(ms.toDS(), maxPendingPerStage = 2)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("funnel_audit").start()
+    // batch 1: user 1 advances view -> click cleanly
+    ms.addData(Seq(ev(1, 1, "view", "2024-01-01 00:00:01"),
+      ev(2, 1, "click", "2024-01-01 00:00:02")))
+    q.processAllAvailable()
+    // batch 2: user 1 gets a STALE view (two stages behind) and a LATE
+    // click (older than the committed click time); user 2 floods 4
+    // purchases with no view yet — cap 2 evicts 2
+    ms.addData(Seq(
+      ev(3, 1, "view", "2024-01-01 00:00:00"),
+      ev(4, 1, "click", "2024-01-01 00:00:01"),
+      ev(5, 2, "purchase", "2024-01-01 00:00:03"),
+      ev(6, 2, "purchase", "2024-01-01 00:00:04"),
+      ev(7, 2, "purchase", "2024-01-01 00:00:05"),
+      ev(8, 2, "purchase", "2024-01-01 00:00:06")))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("funnel_audit").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(5), r.getInt(6),
+        r.getInt(7)))
+    // stage rows: user 1's two advancements, counters all zero
+    val stageRows = rows.filter(_._2 == "stage")
+    assert(stageRows.length == 2 && stageRows.forall(x =>
+      x._1 == 1L && x._3 == 0 && x._4 == 0 && x._5 == 0), stageRows.toSeq)
+    val disorder = rows.filter(_._2 == "disorder")
+      .map(x => x._1 -> ((x._3, x._4, x._5))).toMap
+    assert(disorder(1L) == ((1, 1, 0)),
+      s"user 1 must report 1 late + 1 stale: $disorder")
+    assert(disorder(2L) == ((0, 0, 2)),
+      s"user 2 must report 2 cap evictions: $disorder")
+  }
+
   test("streaming funnel buffers out-of-order stages across batch boundaries") {
     import spark.implicits._
     // Two SEPARATE query incarnations against a file source guarantee the
@@ -308,6 +347,66 @@ class StreamingSpec extends GraftSuite {
     assert(!new java.io.File(s"$out/err_topic").exists())
   }
 
+  test("S3 wire-twin: the exact kafkaJsonTable decode path runs end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // no broker/connector exists in this container, so the spec drives
+    // THE SAME decode function `kafkaJsonTable` wraps
+    // (Sources.decodeKafkaWire) with a MemoryStream shaped EXACTLY like
+    // the kafka source's wire schema (binary key/value + topic/
+    // partition/offset/timestamp), through a real writeStream, then
+    // routes the decoded rows per-topic — the full S1/S3→S5 chain the
+    // reference executes against Kafka (FlinkSourceUtil.java:21-48,
+    // FlinkSinkUtil.java:38-52)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def payload(i: Int): String = {
+      val tp = if (i % 2 == 0) "click" else "view"
+      s"""{"event_id":$i,"ts":${base + i * 1000L},"user_id":${i % 7},""" +
+        s""""event_type":"$tp","value":1.5}"""
+    }
+    val recs = (0 until 100).map { i =>
+      (s"k$i".getBytes("UTF-8"), payload(i).getBytes("UTF-8"),
+        "topic_db", 0, i.toLong, new java.sql.Timestamp(base + i * 1000L))
+    }
+    val ms = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long,
+      java.sql.Timestamp)](27, spark, None)
+    ms.addData(recs)
+    val wire = ms.toDF()
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    val decoded = sources.Sources.decodeKafkaWire(wire, schema)
+    runToMemory(decoded.drop("proc_time"), "wire_rows")
+    val got = spark.table("wire_rows")
+    assert(got.count() == 100)
+    // every field survived the binary->string->json decode, and
+    // row_time is the millis-derived event time
+    val r7 = got.where(col("event_id") === 7).head
+    assert(r7.getLong(r7.fieldIndex("user_id")) == 0L)
+    assert(r7.getString(r7.fieldIndex("event_type")) == "view")
+    assert(r7.getTimestamp(r7.fieldIndex("row_time")).getTime
+      == base + 7000L)
+    // per-row-topic routed write (S5) off the decoded stream: one more
+    // real writeStream, reading back the per-topic dirs
+    val out = Files.createTempDirectory("graft_wire_route").toString
+    val ms2 = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long,
+      java.sql.Timestamp)](28, spark, None)
+    ms2.addData(recs)
+    val decoded2 = sources.Sources.decodeKafkaWire(ms2.toDF()
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp"),
+      schema)
+    val cfg = Seq(("click", "dwd_click"), ("view", "dwd_view"))
+      .toDF("event_type", "sink_topic")
+    val q2 = Streams.routedSink(decoded2.drop("proc_time", "row_time"),
+      () => cfg, out).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$out/dwd_click").count() == 50)
+    assert(spark.read.parquet(s"$out/dwd_view").count() == 50)
+  }
+
   test("S2: config CDC snapshot + incremental change applies at batch granularity") {
     import spark.implicits._
     // the S2 semantic under test: routedSink re-reads the config snapshot
@@ -346,6 +445,55 @@ class StreamingSpec extends GraftSuite {
     assert(ids("dwd_traffic_click_v2") == Set(5L))
     assert(ids("dwd_traffic_page") == Set(6L),
       "view became routable only from batch 2 on")
+  }
+
+  test("S2 config DELETE (op='d'): route removal lands on the next batch") {
+    import spark.implicits._
+    // the reference's config-delete path (DimApp.java:85-140): a CDC
+    // 'd' event removes the route from the live table; events of that
+    // type stop routing from the NEXT batch on (batch granularity), and
+    // already-written output is never destroyed by the router itself
+    val out = Files.createTempDirectory("graft_cdc_del").toString
+    val logDir = Files.createTempDirectory("graft_cdc_log").toString + "/log"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(("c", "purchase", "dwd_trade_order", t("2024-01-01 00:00:00")),
+      ("c", "click", "dwd_traffic_click", t("2024-01-01 00:00:00")))
+      .toDF("op", "event_type", "sink_topic", "ts")
+      .write.mode("overwrite").parquet(logDir)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, typ: String) = Event(id, t0, id, typ, 1.0)
+    val ms = MemoryStream[Event](24, spark, None)
+    val q = Streams.routedSink(ms.toDF(),
+      () => ops.Splits.routeConfigFromCdc(
+        sources.Sources.configSnapshot(spark, logDir)), out).start()
+    ms.addData(Seq(ev(1, "purchase"), ev(2, "click")))
+    q.processAllAvailable()
+    // the delete event APPENDS to the CDC log between batches
+    Seq(("d", "purchase", "dwd_trade_order", t("2024-01-01 00:01:00")))
+      .toDF("op", "event_type", "sink_topic", "ts")
+      .write.mode("append").parquet(logDir)
+    ms.addData(Seq(ev(3, "purchase"), ev(4, "click")))
+    q.processAllAvailable(); q.stop()
+    def ids(topic: String): Set[Long] = {
+      val dir = new java.io.File(s"$out/$topic")
+      if (!dir.exists()) Set.empty
+      else spark.read.parquet(s"$out/$topic")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(ids("dwd_trade_order") == Set(1L),
+      "purchase must stop routing after its op='d' — and batch-1 output " +
+        "must survive (the router never drops written dirs)")
+    assert(ids("dwd_traffic_click") == Set(2L, 4L),
+      "undeleted routes must keep flowing")
+    // re-create AFTER delete: a newer 'c' restores routing
+    Seq(("c", "purchase", "dwd_trade_order_v2", t("2024-01-01 00:02:00")))
+      .toDF("op", "event_type", "sink_topic", "ts")
+      .write.mode("append").parquet(logDir)
+    val current = ops.Splits.routeConfigFromCdc(
+        sources.Sources.configSnapshot(spark, logDir))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(current == Map("purchase" -> "dwd_trade_order_v2",
+      "click" -> "dwd_traffic_click"))
   }
 
   test("T4: late data beyond watermark is dropped in append mode") {
@@ -676,6 +824,74 @@ class StreamingSpec extends GraftSuite {
     val last = spark.read.parquet(out).where(col("bid") === 3L).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(last == Map(900001L -> "keep", 900002L -> "exact_dup"))
+    // SUBSEQUENT batch after the orphan-replay: the replayed bid=3
+    // partition was overwritten (not double-appended), so 900001's
+    // postings exist exactly once and a later near-dup of it must be
+    // caught with full-strength Jaccard (duplicate postings would halve
+    // the score and silently admit it)
+    Streams.mergeDedupIngest(
+      Seq((900003L, "a fresh never seen document text"))
+        .toDF("doc_id", "text"), 4L, state, out, 3, 0.5)
+    val b4 = spark.read.parquet(out).where(col("bid") === 4L).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+    assert(b4 == Map(900003L -> (("near_dup", Some(900001L)))),
+      s"post-replay batch misclassified: $b4")
+  }
+
+  test("dedup ingest sink: steady-state guard is O(1) — never a corpus read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ingest3").toString
+    val (state, out) = (dir + "/state", dir + "/out")
+    Streams.mergeDedupIngest(
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      0L, state, out, 3, 0.5)
+    Streams.mergeDedupIngest(
+      Seq((2L, "one two three four five")).toDF("doc_id", "text"),
+      1L, state, out, 3, 0.5)
+    // poison the corpus: replace every corpus data file with garbage
+    // bytes — ANY parquet read of the corpus now throws, so the batch
+    // below succeeding proves the steady-state guard + classification
+    // read only the frontier marker and the index
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val corpusPath = new org.apache.hadoop.fs.Path(state + "/corpus")
+    val it = fs.listFiles(corpusPath, true)
+    var poisoned = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val o = fs.create(f.getPath, true)
+        o.write("not a parquet file".getBytes("UTF-8")); o.close()
+        poisoned += 1
+      }
+    }
+    assert(poisoned > 0, "poisoning found no corpus files")
+    intercept[Exception] {
+      spark.read.parquet(state + "/corpus").count()
+    }
+    Streams.mergeDedupIngest(
+      Seq((3L, "alpha beta gamma delta epsilon"), // exact dup of 1
+        (4L, "six seven eight nine ten"))
+        .toDF("doc_id", "text"), 2L, state, out, 3, 0.5)
+    val b2 = spark.read.parquet(out).where(col("bid") === 2L).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+    assert(b2 == Map(3L -> (("exact_dup", Some(1L))), 4L -> (("keep", None))),
+      s"steady-state batch misclassified: $b2")
+    // frontier FALLBACK: marker deleted -> the guard scans corpus bids
+    // once (legacy/first-run path) — restore a readable corpus first
+    fs.delete(corpusPath, true)
+    fs.delete(new org.apache.hadoop.fs.Path(state + "/frontier"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(state + "/frontier_old"), true)
+    Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+      .write.parquet(state + "/corpus/bid=2")
+    val outBefore = spark.read.parquet(out).count()
+    // replay of bid 2 must be caught by the FALLBACK scan (marker absent)
+    Streams.mergeDedupIngest(
+      Seq((5L, "anything at all here")).toDF("doc_id", "text"), 2L,
+      state, out, 3, 0.5)
+    assert(spark.read.parquet(out).count() == outBefore,
+      "fallback corpus-scan guard failed to stop a replayed bid")
   }
 
   test("quantile sink: replay no-op and swap-window recovery") {
