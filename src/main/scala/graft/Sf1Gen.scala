@@ -47,9 +47,17 @@ object Sf1Gen {
     spark.sparkContext.setLogLevel("WARN")
 
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def write(df: DataFrame, name: String, parts: Int): Unit =
-      df.coalesce(parts).write.mode("overwrite")
+    // Big tables get >= one file per local core: at sf1 every file is far
+    // below the 128 MB split size, so file count IS scan parallelism —
+    // `coalesce(reps)` capped CPU-heavy linear queries (parse, quality
+    // stats) at 10 of 32 cores and read as a fake 17x in the first sf1
+    // run (BASELINE.md sf1 addendum). repartition, not coalesce: an even
+    // rebalance, and the shuffle is one-off generator cost.
+    def write(df: DataFrame, name: String, parts: Int): Unit = {
+      val n = if (parts <= 1) 1 else math.max(parts, 32)
+      df.repartition(n).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
+    }
 
     // fixed dims: straight copy
     Seq("region", "nation").foreach(n => write(t(n), n, 1))

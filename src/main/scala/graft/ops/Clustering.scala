@@ -223,6 +223,37 @@ object Clustering {
       .join(drops, Seq("vec_id"), "left_anti")
   }
 
+  /** The "k grows with the corpus" rule as code (the SemDeDup paper's
+    * scaling contract, and the measured ScaleCurve protocol — k = 8R
+    * held the family at 2.0x/doubling while pinned k=8 went quadratic
+    * at the sf1 bench point): k = ceil(n / targetClusterSize), floored
+    * at 1. One COUNT over the narrow vec_id projection — at 100 TB that
+    * is a metadata-cheap columnar count, paid once per corpus per
+    * session (the assign/pair memos key on the resolved k, so the
+    * training it gates is already single-flight). */
+  def scaledK(embeddings: DataFrame, targetClusterSize: Int = 512): Int = {
+    require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
+    val n = embeddings.select(col("vec_id")).count()
+    math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+  }
+
+  /** `semdedupPairs` at corpus-scaled k — the deployed form: cluster
+    * COUNT grows with n, cluster SIZE stays ~targetClusterSize, so the
+    * within-cluster pair space stays Σ n_c² ~ n · targetClusterSize
+    * (linear in the corpus) instead of n²/k. The fixed-k overload
+    * remains the hash-gated oracle form (d15/d16 pin k=8 because the
+    * generated Lloyd CTEs need a literal k). */
+  def semdedupPairsAuto(embeddings: DataFrame, iters: Int = 2,
+      threshold: Double = 0.95, targetClusterSize: Int = 512): DataFrame =
+    semdedupPairs(embeddings, scaledK(embeddings, targetClusterSize),
+      iters, threshold)
+
+  /** `semdedupKeep` at corpus-scaled k — see [[semdedupPairsAuto]]. */
+  def semdedupKeepAuto(embeddings: DataFrame, iters: Int = 2,
+      threshold: Double = 0.95, targetClusterSize: Int = 512): DataFrame =
+    semdedupKeep(embeddings, scaledK(embeddings, targetClusterSize),
+      iters, threshold)
+
   /** Cluster-balanced sampling — the diversity-sampling step cluster-based
     * curation runs after assignment (every semantic region contributes at
     * most `perCluster` items, so dominant modes cannot crowd out the

@@ -1334,6 +1334,27 @@ class PipelineSpec extends GraftSuite {
       cos(Array(10.0, 10.0), Array(10.0, 10.100000381469727)))
   }
 
+  test("semdedup auto-k: scaledK = ceil(n/target); auto == fixed at that k") {
+    val n = emb.count()
+    val k = Clustering.scaledK(emb, 512)
+    assert(k == ((n + 511) / 512).max(1L).toInt)
+    // tiny target -> k grows with the corpus (the 100 TB posture); the
+    // auto entry point must equal the fixed-k call it resolves to
+    val k40 = Clustering.scaledK(emb, 40)
+    assert(k40 == ((n + 39) / 40).max(1L).toInt && k40 > 8,
+      s"expected corpus-scaled k > default 8, got $k40 (n=$n)")
+    val auto = Clustering.semdedupPairsAuto(emb, 2, 0.4, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Clustering.semdedupPairs(emb, k40, 2, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed)
+    val autoKeep = Clustering.semdedupKeepAuto(emb, 2, 0.4, 40)
+      .collect().map(_.getLong(0)).toSet
+    val fixedKeep = Clustering.semdedupKeep(emb, k40, 2, 0.4)
+      .collect().map(_.getLong(0)).toSet
+    assert(autoKeep == fixedKeep)
+  }
+
   test("d16 keepers = all vectors minus higher-id pair sides") {
     val pairs = Clustering.semdedupPairs(emb, 8, 2, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -1299,4 +1299,41 @@ class StreamingSpec extends GraftSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(rows == Map(1L -> 9.0, 2L -> 7.0))
   }
+
+  test("txn sink: exactly-once-observable output through a stream run") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_txn1").toString + "/t"
+    val ms = MemoryStream[(Long, String)](93, spark, None)
+    val q = Streams.txnSink(ms.toDS().toDF("id", "payload"), out).start()
+    ms.addData(Seq((1L, "a"), (2L, "b"))); q.processAllAvailable()
+    ms.addData(Seq((3L, "c"))); q.processAllAvailable()
+    q.stop()
+    val got = Streams.readCommitted(spark, out).get
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L),
+      "read-committed must see every produced row exactly once")
+  }
+
+  test("txn sink: orphan partition invisible until commit; replay no-op") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_txn2").toString + "/t"
+    Streams.commitTxnBatch(Seq((1L, "a")).toDF("id", "payload"), 0L, out)
+    // crash between PREPARE and COMMIT: bid=1 staged, frontier still at 0
+    Seq((2L, "b")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(s"$out/data/bid=1")
+    val before = Streams.readCommitted(spark, out).get
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(before == Set(1L), "uncommitted orphan must be invisible")
+    // the replayed batch re-stages its partition and commits it
+    Streams.commitTxnBatch(Seq((2L, "b")).toDF("id", "payload"), 1L, out)
+    // a second replay of a COMMITTED bid is a no-op (no duplicate rows)
+    Streams.commitTxnBatch(Seq((2L, "b")).toDF("id", "payload"), 1L, out)
+    val after = Streams.readCommitted(spark, out).get
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(after == Seq(1L, 2L),
+      "replayed commit must surface exactly once")
+    // before any commit at all: no read-committed view exists
+    assert(Streams.readCommitted(spark,
+      Files.createTempDirectory("graft_txn3").toString + "/t").isEmpty)
+  }
 }
