@@ -309,6 +309,13 @@ object SparkEntry {
       Clustering.clusterBalancedSample(t(s, d, "embeddings"), 25, 8, 2)),
     "d16_semdedup_keep" -> ((s, d) =>
       Clustering.semdedupKeep(t(s, d, "embeddings"), 8, 2, 0.4)),
+    // auto-k: target cluster size 64 resolves to k=8 at the sf0.01
+    // verify corpus (500 vecs), so the oracle is d15's generated k=8
+    // Lloyd block verbatim — while at any larger corpus the SAME query
+    // scales k with n (sf0.1 -> 32, sf1 -> 313), the posture that keeps
+    // the within-cluster pair space linear in the corpus
+    "d20_semdedup_auto" -> ((s, d) =>
+      Clustering.semdedupPairsAuto(t(s, d, "embeddings"), 2, 0.4, 64)),
     // ---- training-data pipeline: graph analytics ----
     // rank rounded to 9dp on BOTH sides: pagerank over a k=1 graph yields
     // terminating decimals that can sit exactly on the compare's 6dp
@@ -3371,6 +3378,12 @@ object SparkEntry {
     // SemDeDup: within-cluster cosine over the k-means assignment; dot and
     // norms in double over the same ordinal dim order as the Spark side
     "d15_semdedup_pairs" ->
+      s"""WITH $kmeansCtes,
+         |$semdedupPairCtes
+         |SELECT vid_a, vid_b, cos_sim FROM prs""".stripMargin,
+    // auto-k resolves to ceil(500/64) = 8 on the verify corpus — the
+    // oracle is the k=8 Lloyd block verbatim (see the query entry note)
+    "d20_semdedup_auto" ->
       s"""WITH $kmeansCtes,
          |$semdedupPairCtes
          |SELECT vid_a, vid_b, cos_sim FROM prs""".stripMargin,

@@ -84,11 +84,98 @@ case class FloatVecNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Argmin centroid id for an `array<double>` point against a bounded
+  * centroid table — the Lloyd/IVF assignment step as ONE codegen loop.
+  *
+  * The explode-join formulation materializes n·k·dims ROWS per assign
+  * pass (the sf1 bench point measured it: corpus-scaled k turned the
+  * shuffle into the dominant cost); this expression keeps the same
+  * n·k·dims FLOPS but touches each input row once — centroids ride
+  * along as a flat codegen reference array (k·dims doubles, bounded by
+  * config: ~50 MB even at k=100k·64 dims). Per-centroid distance sums
+  * run in ascending-dim order (the oracle's `list_sum` order), and ties
+  * keep the SMALLEST cid — exactly `min(struct(d, cid))`, the contract
+  * every kmeans-family oracle pins. `cids` carries the (possibly
+  * non-contiguous after an emptied cluster) cluster labels positionally
+  * parallel to `flat`'s k rows. */
+case class NearestCentroid(child: Expression, flat: Array[Double],
+    cids: Array[Int], dims: Int) extends UnaryExpression {
+  require(dims > 0 && flat.length == cids.length * dims,
+    "flat centroid array must be cids.length x dims")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cids.length) {
+      var d = 0.0
+      var i = 0
+      val off = c * dims
+      while (i < dims) {
+        val diff = x.getDouble(i) - flat(off + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = cids(c) }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("cents", flat, "double[]")
+    val cRef = ctx.addReferenceObj("cids", cids, "int[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val off = ctx.freshName("off")
+      val bestD = ctx.freshName("bestD")
+      val best = ctx.freshName("best")
+      s"""
+         |int $best = -1;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $cRef.length; $c++) {
+         |  double $d = 0.0;
+         |  int $off = $c * $dims;
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    double $diff = $x.getDouble($i) - $fRef[$off + $i];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $cRef[$c]; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
   def vecDot(a: Column, b: Column): Column =
     column(FloatVecDot(expression(a), expression(b)))
   def vecNorm(a: Column): Column = column(FloatVecNorm(expression(a)))
+
+  /** Nearest-centroid assignment (see [[NearestCentroid]]): `cents` as
+    * (cid, coordinates) pairs; coordinate seqs must share one length. */
+  def nearestCentroid(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "centroid table must be non-empty")
+    val dims = cents.head._2.length
+    require(cents.forall(_._2.length == dims),
+      "all centroids must share one dimensionality")
+    val flat = cents.flatMap(_._2).toArray
+    val cids = cents.map(_._1).toArray
+    column(NearestCentroid(expression(v), flat, cids, dims))
+  }
 }
 
 /** The Morton z-value as a catalyst expression tree, so `zvalue(x, y)`

@@ -131,13 +131,17 @@ object Clustering {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
 
-    def assign(c: Seq[(Int, Seq[Double])]): DataFrame = ex
-      .join(broadcast(centroidFrame(emb, c)), "i")
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(sum((col("x") - col("m")) * (col("x") - col("m"))).as("d"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d"), col("cid"))).as("s"))
-      .select(col("vec_id"), col("s.cid").as("cluster"))
+    // One codegen pass per assign round (graft.functions.NearestCentroid):
+    // the previous explode-join shape materialized n·k·dims rows, which
+    // the sf1 bench point showed dominating once k scales with the corpus
+    // (scaledK); the expression keeps the flops but touches each vector
+    // row once, with the same ascending-dim summation order and
+    // smallest-cid tie-break the `min(struct(d, cid))` oracle contract
+    // pins (d15/ml1 CTEs re-verify equality externally).
+    def assign(c: Seq[(Int, Seq[Double])]): DataFrame = emb
+      .select(col("vec_id"),
+        graft.functions.VecExpressions.nearestCentroid(col("v"), c)
+          .as("cluster"))
 
     for (_ <- 1 to iters) {
       val a = assign(cents)

@@ -397,6 +397,41 @@ object Similarity {
     g
   }
 
+  /** The blocked family's "knob grows with the corpus" rule as code —
+    * sibling of `Clustering.scaledK`, and exactly the deployed-scaling
+    * protocol the ScaleCurve measurement used (bits += log2 R held
+    * blocked kNN at 1.66x/doubling and the portable near-dup at
+    * 1.26x/doubling while PINNED bits went quadratic at the sf1 bench
+    * point): bits = ceil(log2(n / targetBucketSize)), so expected bucket
+    * occupancy stays ~targetBucketSize and the Σ bucket² candidate space
+    * stays linear in the corpus. Floored at `floor` (too few planes
+    * makes one mega-bucket), capped at 62 (sign bits packed in a long).
+    * One narrow COUNT per corpus per session — the downstream memos key
+    * on the resolved bits. */
+  def scaledBits(embeddings: DataFrame, targetBucketSize: Int = 64,
+      floor: Int = 4): Int = {
+    require(targetBucketSize >= 1 && floor >= 1,
+      "targetBucketSize and floor must be >= 1")
+    val n = embeddings.select(col("vec_id")).count()
+    val need = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
+        math.log(2.0)).toInt
+    math.min(62, math.max(floor, need))
+  }
+
+  /** `knnGraphBlocked` at corpus-scaled bits — see [[scaledBits]]. */
+  def knnGraphBlockedAuto(embeddings: DataFrame, k: Int = 1,
+      tables: Int = 16, dims: Int = 64,
+      targetBucketSize: Int = 64): DataFrame =
+    knnGraphBlocked(embeddings, k,
+      scaledBits(embeddings, targetBucketSize), tables, dims)
+
+  /** `portableNearDupPairs` at corpus-scaled bits — see [[scaledBits]]. */
+  def portableNearDupPairsAuto(embeddings: DataFrame, dims: Int = 64,
+      threshold: Double = 0.4, targetBucketSize: Int = 64): DataFrame =
+    portableNearDupPairs(embeddings,
+      scaledBits(embeddings, targetBucketSize), dims, threshold)
+
   /** LSH-blocked kNN graph — the 100 TB form of `knnGraph`: vectors are
     * bucketed by `tables` hyperplane signatures and cosine is evaluated
     * only within buckets, so the pair count drops from |N|^2 to

@@ -1355,6 +1355,32 @@ class PipelineSpec extends GraftSuite {
     assert(autoKeep == fixedKeep)
   }
 
+  test("blocked auto-bits: scaledBits = clamp(ceil(log2(n/target))); " +
+      "auto == fixed at that bits") {
+    val n = emb.count()
+    def expect(target: Int, floor: Int): Int = {
+      val need = math.ceil(math.log(math.max(1.0, n.toDouble / target)) /
+        math.log(2.0)).toInt
+      math.min(62, math.max(floor, need))
+    }
+    assert(Similarity.scaledBits(emb, 64) == expect(64, 4))
+    // a huge target floors at the minimum plane count; a tiny one grows
+    assert(Similarity.scaledBits(emb, Int.MaxValue) == 4)
+    val bTiny = Similarity.scaledBits(emb, 8)
+    assert(bTiny == expect(8, 4) && bTiny > 4,
+      s"expected corpus-scaled bits > floor, got $bTiny (n=$n)")
+    val auto = Similarity.portableNearDupPairsAuto(emb, 64, 0.4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Similarity.portableNearDupPairs(emb, bTiny, 64, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed)
+    val autoG = Similarity.knnGraphBlockedAuto(emb, 1, 16, 64, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val fixedG = Similarity.knnGraphBlocked(emb, 1, bTiny, 16, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(autoG == fixedG)
+  }
+
   test("d16 keepers = all vectors minus higher-id pair sides") {
     val pairs = Clustering.semdedupPairs(emb, 8, 2, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
