@@ -14,18 +14,38 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * directly and generate a tight primitive loop under whole-stage codegen.
   * Preference order (b) from the build guide: custom Expression before UDF.
   */
+object VecElemType {
+  /** "getFloat" or "getDouble" for an array expression's element type —
+    * the float/double-agnostic read the vector expressions share (float
+    * widens to double exactly, so both input types sum identically). */
+  def getter(e: Expression): String = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => "getFloat"
+    case _ => "getDouble"
+  }
+}
+
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  private lazy val (getL, getR) =
+    (VecElemType.getter(left), VecElemType.getter(right))
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (fx, fy) = (getL == "getFloat", getR == "getFloat")
     var s = 0.0
     var i = 0
     val n = math.min(x.numElements(), y.numElements())
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
     s
   }
 
@@ -38,7 +58,7 @@ case class FloatVecDot(left: Expression, right: Expression)
          |double $s = 0.0;
          |int $n = Math.min($x.numElements(), $y.numElements());
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  $s += ((double) $x.$getL($i)) * ((double) $y.$getR($i));
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -49,17 +69,24 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Euclidean norm of an array<float> column. */
+/** Euclidean norm of an array<float> (or array<double>) column. */
 case class FloatVecNorm(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  private lazy val get = VecElemType.getter(child)
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val f = get == "getFloat"
     var s = 0.0
     var i = 0
     val n = x.numElements()
-    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    while (i < n) {
+      val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+      s += v * v
+      i += 1
+    }
     math.sqrt(s)
   }
 
@@ -73,7 +100,7 @@ case class FloatVecNorm(child: Expression) extends UnaryExpression {
          |double $s = 0.0;
          |int $n = $x.numElements();
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = (double) $x.getFloat($i);
+         |  double $v = (double) $x.$get($i);
          |  $s += $v * $v;
          |}
          |${ev.value} = Math.sqrt($s);
@@ -106,6 +133,17 @@ case class NearestCentroid(child: Expression, flat: Array[Double],
   override def dataType: DataType =
     org.apache.spark.sql.types.IntegerType
 
+  // array<float> is read natively (float->double widening is exact, so
+  // distances equal the transform(cast)-to-double formulation bit for
+  // bit) — routing the cast through a higher-order `transform` lambda
+  // would kick the WHOLE projection out of whole-stage codegen (HOFs are
+  // interpreted-only), which the PlanSpec one-pass test pins
+  private lazy val isFloat = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var best = -1
@@ -116,7 +154,8 @@ case class NearestCentroid(child: Expression, flat: Array[Double],
       var i = 0
       val off = c * dims
       while (i < dims) {
-        val diff = x.getDouble(i) - flat(off + i)
+        val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val diff = xi - flat(off + i)
         d += diff * diff
         i += 1
       }
@@ -130,6 +169,7 @@ case class NearestCentroid(child: Expression, flat: Array[Double],
       ev: ExprCode): ExprCode = {
     val fRef = ctx.addReferenceObj("cents", flat, "double[]")
     val cRef = ctx.addReferenceObj("cids", cids, "int[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, x => {
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
@@ -145,7 +185,7 @@ case class NearestCentroid(child: Expression, flat: Array[Double],
          |  double $d = 0.0;
          |  int $off = $c * $dims;
          |  for (int $i = 0; $i < $dims; $i++) {
-         |    double $diff = $x.getDouble($i) - $fRef[$off + $i];
+         |    double $diff = ((double) $x.$get($i)) - $fRef[$off + $i];
          |    $d += $diff * $diff;
          |  }
          |  if ($d < $bestD) { $bestD = $d; $best = $cRef[$c]; }

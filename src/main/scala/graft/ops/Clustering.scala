@@ -119,14 +119,9 @@ object Clustering {
 
   private def lloydAssign(embeddings: DataFrame, k: Int,
       iters: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
-    val emb = embeddings
+    var cents: Seq[(Int, Seq[Double])] = embeddings
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
-    // (vec_id, dim, x) — scanned by every round; materialize once
-    val ex = emb
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-      .localCheckpoint()
-    var cents: Seq[(Int, Seq[Double])] = emb
       .orderBy(col("vec_id")).limit(k).collect().toSeq
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
@@ -137,25 +132,46 @@ object Clustering {
     // (scaledK); the expression keeps the flops but touches each vector
     // row once, with the same ascending-dim summation order and
     // smallest-cid tie-break the `min(struct(d, cid))` oracle contract
-    // pins (d15/ml1 CTEs re-verify equality externally).
-    def assign(c: Seq[(Int, Seq[Double])]): DataFrame = emb
+    // pins (d15/ml1 CTEs re-verify equality externally). The RAW column
+    // (not a transform-to-double projection) keeps it inside whole-stage
+    // codegen — float widening is exact, HOF lambdas are not
+    // codegen-able (PlanSpec pins the scan->project one-pass shape).
+    def assign(c: Seq[(Int, Seq[Double])]): DataFrame = embeddings
       .select(col("vec_id"),
-        graft.functions.VecExpressions.nearestCentroid(col("v"), c)
+        graft.functions.VecExpressions.nearestCentroid(col("embedding"), c)
           .as("cluster"))
 
+    // Each training round is ONE scan: assign expression + VecSum partial
+    // aggregation, k·dims doubles of state per task, k rows to the
+    // driver. The earlier form joined a materialized (vec_id, dim, x)
+    // explode (n·dims rows localCheckpoint'ed across rounds) against each
+    // round's assignment — at corpus scale that checkpoint is the
+    // dominant training cost, and the join a needless shuffle. The
+    // round(6) here is BigDecimal.valueOf/HALF_UP — bit-identical to the
+    // SQL ROUND the previous in-query form and the DuckDB oracle apply,
+    // and both forms are arbitrary-order parallel double sums (the
+    // kmeans-family oracles re-verify equality externally).
+    def rnd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // input may be float (the parquet tables) or double (synthetic
+    // frames) — both sum in double either way
+    val sumCol = embeddings.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) =>
+        graft.functions.VecSumAgg.vecSum(col("embedding"))
+      case _ => graft.functions.VecSumAgg.vecSumD(col("embedding"))
+    }
     for (_ <- 1 to iters) {
-      val a = assign(cents)
-      // one aggregation pass: (cluster, dim) -> rounded mean; the round(6)
-      // happens IN the query so both engines apply their SQL ROUND to the
-      // same double
-      val means = ex.join(a, "vec_id")
-        .groupBy(col("cluster"), col("i"))
-        .agg(round(sum(col("x")) / count(lit(1)), 6).as("m"))
+      cents = embeddings
+        .select(graft.functions.VecExpressions
+            .nearestCentroid(col("embedding"), cents).as("cluster"),
+          col("embedding"))
+        .groupBy(col("cluster"))
+        .agg(sumCol.as("s"), count(lit(1)).as("n"))
         .collect()
-      cents = means
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        .map { r =>
+          val n = r.getLong(2).toDouble
+          (r.getInt(0), r.getSeq[Double](1).map(s => rnd6(s / n)))
         }
         .toSeq.sortBy(_._1)
     }
@@ -188,31 +204,28 @@ object Clustering {
 
   private def pairsFor(embeddings: DataFrame, k: Int, iters: Int,
       threshold: Double): DataFrame = {
+    // Within-cluster cosine through the codegen vector expressions: ONE
+    // cluster-keyed self-join producing Σ n_c² pair rows, the dot and
+    // both norms evaluated inline (FloatVecDot/FloatVecNorm, ascending
+    // dims — the oracle's list order). The earlier explode-join form
+    // shuffled Σ n_c²·dims scalar rows into a pair-keyed aggregation —
+    // dims× the rows plus a second shuffle the expression form never
+    // pays; the d15 oracle re-verifies value equality externally.
     val asg = kmeansAssign(embeddings, k, iters)
-    val exv = embeddings
-      .select(col("vec_id"),
-        posexplode(transform(col("embedding"), _.cast("double")))
-          .as(Seq("i", "x")))
+    import graft.functions.VecExpressions.{vecDot, vecNorm}
+    val v = embeddings.select(col("vec_id"), col("embedding"))
       .join(asg, "vec_id")
-      .localCheckpoint() // feeds norms AND both pair sides
-    val norms = exv.groupBy(col("vec_id"))
-      .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
-    val a = exv.select(col("cluster"), col("i"),
-      col("vec_id").as("vid_a"), col("x").as("xa"))
-    val b = exv.select(col("cluster"), col("i"),
-      col("vec_id").as("vid_b"), col("x").as("xb"))
-    val dots = a.join(b, Seq("cluster", "i"))
+      .select(col("cluster"), col("vec_id"), col("embedding"),
+        vecNorm(col("embedding")).as("nrm"))
+      .localCheckpoint() // both pair sides; one norm pass
+    v.toDF("cluster", "vid_a", "ea", "na")
+      .join(v.toDF("cluster", "vid_b", "eb", "nb"), "cluster")
       .where(col("vid_a") < col("vid_b"))
-      .groupBy(col("vid_a"), col("vid_b"))
-      .agg(sum(col("xa") * col("xb")).as("dot"))
-    val cos = dots
-      .join(norms.select(col("vec_id").as("vid_a"), col("nrm").as("na")),
-        "vid_a")
-      .join(norms.select(col("vec_id").as("vid_b"), col("nrm").as("nb")),
-        "vid_b")
       .select(col("vid_a"), col("vid_b"),
-        round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
-    cos.where(col("cos_sim") >= threshold).localCheckpoint()
+        round(vecDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .localCheckpoint()
   }
 
   /** SemDeDup keeper list: the lower-id side of every surviving pair

@@ -962,23 +962,64 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, candidates
     * via 4x16-bit chunk banding (pigeonhole: distance <=3 implies an equal
     * chunk). */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(documents)
-    val chunks = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(simhash(documents),
+      Array.fill(4)(16), Array.tabulate(4)(_ * 16), maxHamming)
+
+  /** Banded Hamming-pair join over DISTINCT signatures — the shared
+    * candidate engine of [[simhashPairs]] (d4) and
+    * [[portableSimhashPairs]] (d19).
+    *
+    * Running the band self-join directly on (doc_id, simhash) rows costs
+    * Σ bucket² over DOC occupancy — and exact/templated duplicates (the
+    * very thing a dedup corpus is full of; the sf1 bench point measured
+    * d19 at 65x a 10x data step on them) collapse whole dup families
+    * into one bucket, going quadratic in family size. Compressing to
+    * distinct signature VALUES first makes the banded join quadratic
+    * only in distinct-value occupancy; docs re-attach afterwards through
+    * two id-keyed joins that are OUTPUT-proportional (each doc owns
+    * exactly one signature, so the expansion join produces each
+    * cross-signature pair exactly once — no pair-level `.distinct()`
+    * over the n² candidate stream at all, the other half of the old
+    * cost). Identical-signature docs (hamming 0, invisible to a
+    * distinct-signature band join) come back as one equi-self-join on
+    * the signature — its output IS the dup-family pair list, inherent to
+    * the operator's contract. Output: (doc1 < doc2, hamming), exactly
+    * the row set of the direct formulation for any maxHamming the band
+    * layout's pigeonhole covers. */
+  private def bandedHammingPairs(sigById: DataFrame, widths: Array[Int],
+      offsets: Array[Int], maxHamming: Int): DataFrame = {
+    val sig = sigById.localCheckpoint() // read 4x below; sigs are one UDF/agg pass
+    val uniq = sig.select(col("simhash")).distinct()
+    val bands = widths.length
+    val chunks = uniq.select(col("simhash"),
+      explode(array((0 until bands).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL)
+          shiftright(col("simhash"), offsets(c))
+            .bitwiseAND((1L << widths(c)) - 1)
             .as("chunk_val"))): _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("simhash"),
         col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
-    chunks.toDF("doc1", "sim1", "chunk", "chunk_val")
-      .join(chunks.toDF("doc2", "sim2", "chunk", "chunk_val"),
+    // signature-level candidates: distinct over ≤ bands rows per sig pair
+    val sigPairs = chunks.toDF("sim1", "chunk", "chunk_val")
+      .join(chunks.toDF("sim2", "chunk", "chunk_val"),
         Seq("chunk", "chunk_val"))
+      .where(col("sim1") < col("sim2"))
+      .select(col("sim1"), col("sim2"),
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+    val cross = sigPairs
+      .join(sig.toDF("da", "sim1"), "sim1")
+      .join(sig.toDF("db", "sim2"), "sim2")
+      .select(least(col("da"), col("db")).as("doc1"),
+        greatest(col("da"), col("db")).as("doc2"), col("hamming"))
+    val intra = sig.toDF("doc1", "simhash")
+      .join(sig.toDF("doc2", "simhash"), "simhash")
       .where(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"),
-        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
-      .where(col("hamming") <= maxHamming) // filter BEFORE the pair dedup
-      .distinct()
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(intra)
   }
 
   /** ENGINE-PORTABLE SimHash near-dup pairs — the oracle-checkable twin
@@ -1068,22 +1109,7 @@ object Dedup {
     val extra = bits % bands // first `extra` bands are one bit wider
     val widths = Array.tabulate(bands)(c => base + (if (c < extra) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val chunks = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until bands).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), offsets(c))
-            .bitwiseAND((1L << widths(c)) - 1)
-            .as("chunk_val"))): _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"),
-        col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
-    chunks.toDF("doc1", "sim1", "chunk", "chunk_val")
-      .join(chunks.toDF("doc2", "sim2", "chunk", "chunk_val"),
-        Seq("chunk", "chunk_val"))
-      .where(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"),
-        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+    bandedHammingPairs(sig, widths, offsets, maxHamming)
   }
 
   /** Embedding-cosine near-dup pairs: hyperplane-LSH buckets (L tables of

@@ -324,4 +324,21 @@ class PlanSpec extends GraftSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"wedge + closing probes must stay equi-joins:\n${p.take(1200)}")
   }
+
+  test("kmeans assign is one codegen pass: no exchange, join, or explode") {
+    val cents = (0 until 8).map(c => (c, Seq.tabulate(64)(i =>
+      (c * 64 + i).toDouble / 512)))
+    val df = Tables.load(spark, sf, "embeddings").select(col("vec_id"),
+      graft.functions.VecExpressions.nearestCentroid(col("embedding"), cents)
+        .as("cluster"))
+    val p = df.queryExecution.executedPlan.toString
+    // the argmin must NOT re-introduce the n·k·dims explode-join shape:
+    // scan -> project inside one WholeStageCodegen, nothing else
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Generate"), s"assign must stay one pass:\n${p.take(1200)}")
+    // "*(1) Project" = the projection runs inside WholeStageCodegen stage
+    // 1 (the starred prefix is the codegen marker in the short plan form)
+    assert(p.contains("*(1) Project"),
+      s"NearestCentroid must participate in codegen:\n${p.take(1200)}")
+  }
 }
