@@ -92,6 +92,58 @@ class PipelineSpec extends GraftSuite {
     assert(recall >= 0.5)
   }
 
+  test("banded hamming pairs == brute force on a dup-heavy corpus") {
+    import spark.implicits._
+    // exact-dup families (identical texts -> identical signatures) are
+    // precisely the input that collapses band buckets; the engine's
+    // distinct-signature compression must still emit the exact
+    // brute-force pair set, intra-family hamming-0 pairs included
+    val base = docs.orderBy(col("doc_id")).limit(30)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val dupped = base ++ base.take(7).zipWithIndex.map { case ((_, t), i) =>
+      (900100L + i, t) // 7 clones of the first 7 docs
+    } ++ base.take(3).zipWithIndex.map { case ((_, t), i) =>
+      (900200L + i, t) // second clone generation: families of size 3
+    }
+    val df = dupped.toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Dedup.simhash(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ida, idb, h)).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.exists(_._3 == 0), "fixture must exercise dup families")
+  }
+
+  test("VecSum/VecSumD equal the explode-groupBy sum (merge law)") {
+    import spark.implicits._
+    val emb50 = emb.limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val viaAgg = emb50.repartition(7) // force multi-partition merges
+      .agg(graft.functions.VecSumAgg.vecSum(col("embedding")).as("s"))
+      .head.getSeq[Double](0)
+    val viaExplode = emb50
+      .select(posexplode(transform(col("embedding"), _.cast("double")))
+        .as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x")).as("s"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+    viaAgg.zip(viaExplode).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a != $b") }
+    // double-array variant agrees with the float one on widened input
+    val viaD = emb50
+      .select(transform(col("embedding"), _.cast("double")).as("ed"))
+      .repartition(5)
+      .agg(graft.functions.VecSumAgg.vecSumD(col("ed")).as("s"))
+      .head.getSeq[Double](0)
+    viaAgg.zip(viaD).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a != $b") }
+  }
+
   test("d5 embedding near-dup finds planted duplicate vectors") {
     val dup = emb.where(col("vec_id") < 20)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
