@@ -496,17 +496,22 @@ object SparkEntry {
         .select("qid", "nid")),
     // rows-only by design (like sim2–sim5): the LSH-blocked graph is the
     // 100 TB twin of sim6 — recall and rank-correlation vs the exact
-    // graph are gated in PipelineSpec, not by a hash oracle
+    // graph are gated in PipelineSpec, not by a hash oracle. AUTO bits:
+    // scaledBits resolves to the old pinned 4 at the sf0.01 verify
+    // corpus (unchanged gate) and grows with n elsewhere — the measured
+    // ScaleCurve protocol as the entry itself (pinned 4 bits went
+    // 15x at the sf1 bench point; auto holds the family ~linear)
     "sim7_blocked_knn" -> ((s, d) =>
-      Similarity.knnGraphBlocked(t(s, d, "embeddings"), 1)
+      Similarity.knnGraphBlockedAuto(t(s, d, "embeddings"), 1)
         .select("qid", "rn", "nid")),
     // rows-only by design: PageRank over the LSH-blocked graph — the
     // scale-path composition of gr1 (exact-graph PageRank is the oracle
-    // anchor; Spearman rho between the two rankings is spec-gated)
+    // anchor; Spearman rho between the two rankings is spec-gated).
+    // Same auto bits as sim7, so both share one memoized substrate
     "gr2_blocked_pagerank" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
       Graph.pageRank(
-        Similarity.knnGraphBlocked(t(s, d, "embeddings"), 1)
+        Similarity.knnGraphBlockedAuto(t(s, d, "embeddings"), 1)
           .select(col("qid").as("src"), col("nid").as("dst")), 5)
         .select(col("id"), round(col("rank"), 9).as("rank"))
     }),
