@@ -146,6 +146,11 @@ case class NearestCentroid(child: Expression, flat: Array[Double],
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    // a vector shorter than the centroid dimensionality contributes only
+    // its present dims (UnsafeArrayData getters past numElements are NOT
+    // bounds-checked — reading them would be silent garbage, and the old
+    // explode-join form summed only joined dims, i.e. this same min)
+    val lim = math.min(dims, x.numElements())
     var best = -1
     var bestD = Double.PositiveInfinity
     var c = 0
@@ -153,7 +158,7 @@ case class NearestCentroid(child: Expression, flat: Array[Double],
       var d = 0.0
       var i = 0
       val off = c * dims
-      while (i < dims) {
+      while (i < lim) {
         val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
         val diff = xi - flat(off + i)
         d += diff * diff
@@ -178,13 +183,15 @@ case class NearestCentroid(child: Expression, flat: Array[Double],
       val off = ctx.freshName("off")
       val bestD = ctx.freshName("bestD")
       val best = ctx.freshName("best")
+      val lim = ctx.freshName("lim")
       s"""
          |int $best = -1;
          |double $bestD = Double.POSITIVE_INFINITY;
+         |int $lim = Math.min($dims, $x.numElements());
          |for (int $c = 0; $c < $cRef.length; $c++) {
          |  double $d = 0.0;
          |  int $off = $c * $dims;
-         |  for (int $i = 0; $i < $dims; $i++) {
+         |  for (int $i = 0; $i < $lim; $i++) {
          |    double $diff = ((double) $x.$get($i)) - $fRef[$off + $i];
          |    $d += $diff * $diff;
          |  }

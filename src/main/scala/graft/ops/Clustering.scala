@@ -117,8 +117,14 @@ object Clustering {
     centroidFrame(emb, centsCache.synchronized(centsCache(cacheKey)))
   }
 
-  private def lloydAssign(embeddings: DataFrame, k: Int,
+  private def lloydAssign(embeddings0: DataFrame, k: Int,
       iters: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    // NearestCentroid is null-safe (null in -> null out), so a null
+    // embedding row would land in a NULL cluster group and crash the
+    // M-step's driver-side getInt; drop such rows up front — the same
+    // silent-skip the old posexplode form applied (explode of null emits
+    // nothing)
+    val embeddings = embeddings0.where(col("embedding").isNotNull)
     var cents: Seq[(Int, Seq[Double])] = embeddings
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))

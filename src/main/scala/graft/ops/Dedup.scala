@@ -1019,7 +1019,12 @@ object Dedup {
       .where(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"),
         lit(0).cast("int").as("hamming"))
-    cross.unionByName(intra)
+    // the expansion joins emit each pair exactly once only when every
+    // doc_id owns ONE signature row; an input with duplicated doc_ids
+    // would otherwise emit duplicate pair rows. This distinct runs over
+    // the OUTPUT-proportional pair frame (pair-count sized, not the n²
+    // candidate stream), so it is cheap insurance, not the old cost.
+    cross.unionByName(intra).distinct()
   }
 
   /** ENGINE-PORTABLE SimHash near-dup pairs — the oracle-checkable twin

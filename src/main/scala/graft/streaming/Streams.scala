@@ -631,16 +631,37 @@ object Streams {
   }
 
   /** Consumer side of `txnSink` (Kafka `read_committed`): only batches at
-    * or below the committed frontier are visible; an uncommitted orphan
-    * partition is pruned away by its `bid`. Returns None before the
-    * first commit (no marker and no data yet). */
+    * or below the committed frontier are visible. The read LISTS the
+    * committed `bid=N` directories and reads only those paths (with
+    * `basePath` so the `bid` partition column survives) — an uncommitted
+    * orphan a crash left behind is never listed, so even TRUNCATED
+    * parquet files in it cannot poison schema inference or the scan
+    * (filter-only pruning would still list and footer-read every
+    * partition). Returns None before the first commit (no marker and no
+    * data yet). */
   def readCommitted(spark: SparkSession, outDir: String)
       : Option[DataFrame] =
     readStateWithRecovery(spark, s"$outDir/_frontier").flatMap { df =>
       val r = df.select(max(col("bid"))).head
       if (r.isNullAt(0)) None
-      else Some(spark.read.parquet(s"$outDir/data")
-        .where(col("bid").cast("long") <= r.getLong(0)))
+      else {
+        val frontier = r.getLong(0)
+        val dataDir = new org.apache.hadoop.fs.Path(s"$outDir/data")
+        val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val committed = fs.listStatus(dataDir).toSeq
+          .filter(_.isDirectory)
+          .map(_.getPath)
+          .filter { p =>
+            p.getName.startsWith("bid=") &&
+              scala.util.Try(p.getName.stripPrefix("bid=").toLong)
+                .toOption.exists(_ <= frontier)
+          }
+          .sortBy(_.getName)
+          .map(_.toString)
+        if (committed.isEmpty) None
+        else Some(spark.read.option("basePath", s"$outDir/data")
+          .parquet(committed: _*))
+      }
     }
 
   /** S6/S8 — keyed upsert sink via foreachBatch merge: last-write-wins into

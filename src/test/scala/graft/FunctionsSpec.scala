@@ -184,6 +184,29 @@ class FunctionsSpec extends GraftSuite {
     }
   }
 
+  test("NearestCentroid bounds short vectors: only present dims contribute") {
+    import graft.functions.VecExpressions
+    import spark.implicits._
+    val cents = Seq((0, Seq(0.0, 0.0, 10.0)), (1, Seq(5.0, 5.0, 0.0)))
+    // vector shorter than the 3-dim centroids: distance must sum only the
+    // 2 present dims (c0: 0+0=0 vs c1: 25+25=50 -> cluster 0), never read
+    // past numElements
+    val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(5.0f, 5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        VecExpressions.nearestCentroid(col("embedding"), cents).as("c"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1))
+    // interpreted path agrees with codegen
+    val expr = graft.functions.NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.0f, 0.0f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      cents.flatMap(_._2).toArray, cents.map(_._1).toArray, 3)
+    assert(expr.eval(null) == 0)
+  }
+
   test("dictionary loads from a DataFrame and segments via the broadcast UDF") {
     import graft.functions.DictSegment
     import spark.implicits._

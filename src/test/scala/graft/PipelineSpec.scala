@@ -1006,6 +1006,14 @@ class PipelineSpec extends GraftSuite {
     val tiny = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
       .toDF("vec_id", "embedding")
     assert(Clustering.kmeansAssign(tiny, 8, 2).count() == 2)
+    // a NULL embedding row must not crash the Lloyd M-step (null-safe
+    // NearestCentroid would put it in a null cluster group); it silently
+    // drops, like the old posexplode form
+    val withNull = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)),
+      (3L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val asgN = Clustering.kmeansAssign(withNull, 2, 2).collect()
+    assert(asgN.length == 2 && asgN.forall(!_.isNullAt(1)),
+      "null-embedding rows drop; real rows keep non-null clusters")
     // funnel over an empty event frame: all stages report zero users
     val noEvents = Seq.empty[(Long, String, java.sql.Timestamp)]
       .toDF("user_id", "event_type", "ts")

@@ -1336,4 +1336,22 @@ class StreamingSpec extends GraftSuite {
     assert(Streams.readCommitted(spark,
       Files.createTempDirectory("graft_txn3").toString + "/t").isEmpty)
   }
+
+  test("txn sink: corrupt orphan files cannot poison the committed read") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_txn4").toString + "/t"
+    Streams.commitTxnBatch(Seq((1L, "a")).toDF("id", "payload"), 0L, out)
+    // crash mid-PREPARE: a TRUNCATED parquet file in a staged, never-
+    // committed bid dir — a naive parquet(outDir/data) read would list
+    // it and fail on the bad footer during schema inference
+    val orphan = new java.io.File(s"$out/data/bid=7")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "part-00000.snappy.parquet").toPath,
+      Array[Byte]('P', 'A', 'R', '1', 0x13, 0x37))
+    val got = Streams.readCommitted(spark, out).get
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L),
+      "committed view must never touch an uncommitted orphan's files")
+  }
 }
