@@ -206,11 +206,129 @@ case class NearestCentroid(child: Expression, flat: Array[Double],
     copy(child = newChild)
 }
 
+/** Random-hyperplane sign signatures for ALL hash tables in one pass —
+  * the codegen replacement for `Vectors.sigsUdf`, the last per-row Scala
+  * UDF on an ANN hot path (d5/sim2/sim7 signature computation). Element t
+  * of the `array<long>` result packs `bits` sign bits of pseudo-random
+  * ±1 hyperplane projections for table t; planes derive deterministically
+  * from (tableId, bit, dim) via the same splitmix index mix as the UDF
+  * (parity is spec-pinned), but here they are PRE-EVALUATED into a flat
+  * ±1 sign table riding along as a codegen reference array
+  * (tables·bits·dims doubles — config-bounded: 8 tables × 24 bits × 64
+  * dims ≈ 98 KB), so each row is one tight primitive loop with no
+  * boxing, no Seq materialization, and no codegen fence. A vector
+  * shorter than `dims` contributes only its present elements, exactly
+  * like the UDF's min(dims, a.length) bound. */
+case class SignBitsPack(child: Expression, dims: Int, bits: Int,
+    tables: Int) extends UnaryExpression {
+  require(dims > 0 && bits > 0 && bits <= 63 && tables > 0,
+    "need dims > 0, 0 < bits <= 63, tables > 0")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  private lazy val isFloat = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  // signs(((t*bits)+b)*dims + i) = the ±1 hyperplane component the UDF
+  // derives per element — evaluated once at plan construction
+  private lazy val signs: Array[Double] = {
+    val a = new Array[Double](tables * bits * dims)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      while (b < bits) {
+        var i = 0
+        while (i < dims) {
+          a((t * bits + b) * dims + i) =
+            if (Vectors.mix(t.toLong * 1000003L + b * 1009L + i) >= 0) 1.0
+            else -1.0
+          i += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    a
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val lim = math.min(dims, x.numElements())
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var proj = 0.0
+        var i = 0
+        val off = (t * bits + b) * dims
+        while (i < lim) {
+          val xi = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          proj += xi * signs(off + i)
+          i += 1
+        }
+        if (proj >= 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("signs", signs, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, x => {
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val lim = ctx.freshName("lim")
+      val proj = ctx.freshName("proj")
+      val sig = ctx.freshName("sig")
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $out = new long[$tables];
+         |int $lim = Math.min($dims, $x.numElements());
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    double $proj = 0.0;
+         |    int $off = ($t * $bits + $b) * $dims;
+         |    for (int $i = 0; $i < $lim; $i++) {
+         |      $proj += ((double) $x.$get($i)) * $sRef[$off + $i];
+         |    }
+         |    if ($proj >= 0) $sig |= (1L << $b);
+         |  }
+         |  $out[$t] = $sig;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
   def vecDot(a: Column, b: Column): Column =
     column(FloatVecDot(expression(a), expression(b)))
   def vecNorm(a: Column): Column = column(FloatVecNorm(expression(a)))
+
+  /** All-tables hyperplane signatures (see [[SignBitsPack]]). */
+  def signBits(v: Column, dims: Int, bits: Int, tables: Int): Column =
+    column(SignBitsPack(expression(v), dims, bits, tables))
 
   /** Nearest-centroid assignment (see [[NearestCentroid]]): `cents` as
     * (cid, coordinates) pairs; coordinate seqs must share one length. */

@@ -42,7 +42,7 @@ object Vectors {
       .otherwise(dotFast(aEmb, bEmb) / denom)
   }
 
-  private def mix(z0: Long): Long = {
+  private[functions] def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -54,6 +54,15 @@ object Vectors {
     * projections for table t. Planes derive deterministically from
     * (tableId, bit, dim) via a splitmix-style index mix — no training pass,
     * identical on every executor. */
+  /** Codegen form of [[sigsUdf]] — same signatures bit for bit
+    * (spec-pinned parity), evaluated as a native expression with a
+    * precomputed ±1 sign table instead of a per-row Scala UDF; the
+    * deployed path for every signature consumer. */
+  def sigsFast(a: Column, dims: Int, bits: Int, tables: Int): Column =
+    VecExpressions.signBits(a, dims, bits, tables)
+
+  /** Kept as [[sigsFast]]'s independent reference implementation (the
+    * parity spec compares the two) — not called on any query path. */
   def sigsUdf(dims: Int, bits: Int, tables: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (a: Seq[Float]) =>

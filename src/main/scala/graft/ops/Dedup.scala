@@ -1138,7 +1138,7 @@ object Dedup {
     // localCheckpoint: both sides of the bucket self-join read this frame —
     // one hyperplane-UDF pass, not two
     val sigs = embeddings.select(col("vec_id"),
-      posexplode(Vectors.sigsUdf(dims, bits, tables)(col("embedding")))
+      posexplode(Vectors.sigsFast(col("embedding"), dims, bits, tables))
         .as(Seq("tbl", "sig")))
       .localCheckpoint()
     val candIds = sigs.toDF("vec1", "tbl", "sig")

@@ -458,7 +458,7 @@ object Similarity {
       bits: Int, tables: Int, dims: Int): DataFrame = {
     val sigs = embeddings
       .select(col("vec_id"),
-        posexplode(Vectors.sigsUdf(dims, bits, tables)(col("embedding")))
+        posexplode(Vectors.sigsFast(col("embedding"), dims, bits, tables))
           .as(Seq("tbl", "sig")))
       .localCheckpoint() // one signature pass feeds both join sides
     val candIds = sigs.toDF("qid", "tbl", "sig")
@@ -484,7 +484,7 @@ object Similarity {
     // once instead of twice
     val sigs = embeddings
       .select(col("vec_id"),
-        posexplode(Vectors.sigsUdf(dims, bits, tables)(col("embedding")))
+        posexplode(Vectors.sigsFast(col("embedding"), dims, bits, tables))
           .as(Seq("tbl", "sig")))
       .localCheckpoint()
     val q = sigs.where(col("vec_id") < numQueries).toDF("qid", "tbl", "sig")

@@ -207,6 +207,29 @@ class FunctionsSpec extends GraftSuite {
     assert(expr.eval(null) == 0)
   }
 
+  test("SignBitsPack equals the reference sigsUdf bit for bit") {
+    import graft.functions.Vectors
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    for ((bits, tables) <- Seq((5, 12), (12, 4), (20, 8))) {
+      val fast = emb.select(col("vec_id"),
+        Vectors.sigsFast(col("embedding"), 64, bits, tables).as("s"))
+      val slow = emb.select(col("vec_id"),
+        Vectors.sigsUdf(64, bits, tables)(col("embedding")).as("s"))
+      val mism = fast.toDF("vec_id", "a").join(slow.toDF("vec_id", "b"), "vec_id")
+        .where(col("a") =!= col("b")).count()
+      assert(mism == 0, s"bits=$bits tables=$tables: $mism mismatching rows")
+    }
+    // short vector: only present dims project, like the UDF's min bound
+    val short = Seq((1L, Array(0.5f, -0.25f))).toDF("vec_id", "embedding")
+    val f = short.select(Vectors.sigsFast(col("embedding"), 64, 6, 3).as("s"))
+      .head.getSeq[Long](0)
+    val u = short.select(Vectors.sigsUdf(64, 6, 3)(col("embedding")).as("s"))
+      .head.getSeq[Long](0)
+    assert(f == u)
+  }
+
   test("dictionary loads from a DataFrame and segments via the broadcast UDF") {
     import graft.functions.DictSegment
     import spark.implicits._

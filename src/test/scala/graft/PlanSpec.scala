@@ -325,6 +325,20 @@ class PlanSpec extends GraftSuite {
       s"wedge + closing probes must stay equi-joins:\n${p.take(1200)}")
   }
 
+  test("ANN signature pass carries no Scala UDF: SignBitsPack is native") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val sigs = emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.posexplode(
+        graft.functions.Vectors.sigsFast(col("embedding"), 64, 12, 4))
+        .as(Seq("tbl", "sig")))
+    val p = sigs.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"signature computation must be a native expression:\n${p.take(1200)}")
+    assert(p.contains("signbitspack") || p.contains("SignBitsPack") ||
+      p.contains("*(1)"),
+      s"SignBitsPack should run inside whole-stage codegen:\n${p.take(1200)}")
+  }
+
   test("kmeans assign is one codegen pass: no exchange, join, or explode") {
     val cents = (0 until 8).map(c => (c, Seq.tabulate(64)(i =>
       (c * 64 + i).toDouble / 512)))
