@@ -93,7 +93,16 @@ object ScaleCurve {
             .select(col("qid").as("src"), col("nid").as("dst")))),
       ("ivfpq_portable", 8, (e, r) =>
         graft.ops.Similarity.portableIvfPqTopK(e, Seq(0L, 1L, 2L),
-          cells = 8 * r))
+          cells = 8 * r)),
+      // round-10: the CORPUS-INDEPENDENT-training auto-k form — thresholds
+      // forced low so every R exercises the sampled Lloyd + two-level
+      // assignment (k = n/125 grows with the corpus, training stays on a
+      // ~1024-vector sample, assignment is coarse-√k + broadcast-frame
+      // fine). The semdedup_pairs op above is the full-train anchor.
+      ("semdedup_auto_scalable", 8, (e, _) =>
+        graft.ops.Clustering.semdedupPairsAuto(e, 2, 0.4,
+          targetClusterSize = 125, trainCap = 1024L,
+          maxModelCentroids = 8))
     )
 
     val reps = Seq(1, 2, 4, 8)

@@ -316,6 +316,12 @@ object SparkEntry {
     // the within-cluster pair space linear in the corpus
     "d20_semdedup_auto" -> ((s, d) =>
       Clustering.semdedupPairsAuto(t(s, d, "embeddings"), 2, 0.4, 64)),
+    // the scalable two-level assignment forced on (maxModelCentroids=0)
+    // at coarseCentroids = k, where it equals the flat argmin exactly —
+    // hash-gates the broadcast-frame assign plan against the d15 oracle
+    "d22_semdedup_twolevel" -> ((s, d) =>
+      Clustering.semdedupPairsTwoLevel(t(s, d, "embeddings"), 8, 2, 0.4,
+        coarseCentroids = 8)),
     // ---- training-data pipeline: graph analytics ----
     // rank rounded to 9dp on BOTH sides: pagerank over a k=1 graph yields
     // terminating decimals that can sit exactly on the compare's 6dp
@@ -3389,6 +3395,14 @@ object SparkEntry {
     // auto-k resolves to ceil(500/64) = 8 on the verify corpus — the
     // oracle is the k=8 Lloyd block verbatim (see the query entry note)
     "d20_semdedup_auto" ->
+      s"""WITH $kmeansCtes,
+         |$semdedupPairCtes
+         |SELECT vid_a, vid_b, cos_sim FROM prs""".stripMargin,
+    // the two-level (coarse NearestCentroid + fine broadcast-frame join)
+    // assignment at coarseCentroids = k is EXACTLY the flat argmin (each
+    // fine centroid its own coarse cell), so the d15 oracle verifies the
+    // scalable-assign machinery end to end
+    "d22_semdedup_twolevel" ->
       s"""WITH $kmeansCtes,
          |$semdedupPairCtes
          |SELECT vid_a, vid_b, cos_sim FROM prs""".stripMargin,

@@ -69,6 +69,60 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between two vector columns (float or double
+  * arrays, mixed ok) — the pairwise form of [[NearestCentroid]]'s inner
+  * loop, for the two-level assignment's fine stage where the centroid is
+  * a JOINED COLUMN (a frame-resident model) rather than a codegen
+  * literal. Ascending-dim summation, only dims present in BOTH arrays
+  * contribute — identical accumulation order and bounds to
+  * NearestCentroid, so the two paths rank cells consistently. */
+case class FloatVecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private lazy val (getL, getR) =
+    (VecElemType.getter(left), VecElemType.getter(right))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (fx, fy) = (getL == "getFloat", getR == "getFloat")
+    var s = 0.0
+    var i = 0
+    val n = math.min(x.numElements(), y.numElements())
+    while (i < n) {
+      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |double $s = 0.0;
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ((double) $x.$getL($i)) - ((double) $y.$getR($i));
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Euclidean norm of an array<float> (or array<double>) column. */
 case class FloatVecNorm(child: Expression) extends UnaryExpression {
 
@@ -325,6 +379,10 @@ object VecExpressions {
   def vecDot(a: Column, b: Column): Column =
     column(FloatVecDot(expression(a), expression(b)))
   def vecNorm(a: Column): Column = column(FloatVecNorm(expression(a)))
+
+  /** Squared L2 between two vector columns (see [[FloatVecSqDist]]). */
+  def vecSqDist(a: Column, b: Column): Column =
+    column(FloatVecSqDist(expression(a), expression(b)))
 
   /** All-tables hyperplane signatures (see [[SignBitsPack]]). */
   def signBits(v: Column, dims: Int, bits: Int, tables: Int): Column =

@@ -74,6 +74,8 @@ object Clustering {
     assignCache.synchronized(assignCache.clear())
     pairCache.synchronized(pairCache.clear())
     centsCache.synchronized(centsCache.clear())
+    scalableCache.synchronized(scalableCache.clear())
+    scalablePairCache.synchronized(scalablePairCache.clear())
   }
 
   /** Final-round centroids memo, same key as `assignCache` — populated by
@@ -117,48 +119,38 @@ object Clustering {
     centroidFrame(emb, centsCache.synchronized(centsCache(cacheKey)))
   }
 
-  private def lloydAssign(embeddings0: DataFrame, k: Int,
-      iters: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
-    // NearestCentroid is null-safe (null in -> null out), so a null
-    // embedding row would land in a NULL cluster group and crash the
-    // M-step's driver-side getInt; drop such rows up front — the same
-    // silent-skip the old posexplode form applied (explode of null emits
-    // nothing)
-    val embeddings = embeddings0.where(col("embedding").isNotNull)
+  // round(6) as BigDecimal.valueOf/HALF_UP — bit-identical to the SQL
+  // ROUND both the previous in-query form and the DuckDB oracle apply
+  private def rnd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Flat assignment: one codegen pass (graft.functions.NearestCentroid)
+    * per row against a literal centroid table — same ascending-dim
+    * summation order and smallest-cid tie-break the `min(struct(d,
+    * cid))` oracle contract pins. The RAW column (not a
+    * transform-to-double projection) keeps it inside whole-stage
+    * codegen. */
+  private def assignFlat(embeddings: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = embeddings
+    .select(col("vec_id"),
+      graft.functions.VecExpressions.nearestCentroid(col("embedding"), cents)
+        .as("cluster"))
+
+  /** `iters` Lloyd training rounds from the deterministic smallest-vec_id
+    * init, each round ONE scan: assign expression + VecSum partial
+    * aggregation, k·dims doubles of state per task, k rows to the
+    * driver. (The earlier explode-join shape materialized n·k·dims
+    * rows — the sf1 bench point measured it dominating at corpus-scaled
+    * k.) Rounding each round snaps both engines to the same decimals;
+    * clusters that receive no points drop out. */
+  private def lloydTrain(embeddings: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Seq[Double])] = {
     var cents: Seq[(Int, Seq[Double])] = embeddings
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .orderBy(col("vec_id")).limit(k).collect().toSeq
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
-
-    // One codegen pass per assign round (graft.functions.NearestCentroid):
-    // the previous explode-join shape materialized n·k·dims rows, which
-    // the sf1 bench point showed dominating once k scales with the corpus
-    // (scaledK); the expression keeps the flops but touches each vector
-    // row once, with the same ascending-dim summation order and
-    // smallest-cid tie-break the `min(struct(d, cid))` oracle contract
-    // pins (d15/ml1 CTEs re-verify equality externally). The RAW column
-    // (not a transform-to-double projection) keeps it inside whole-stage
-    // codegen — float widening is exact, HOF lambdas are not
-    // codegen-able (PlanSpec pins the scan->project one-pass shape).
-    def assign(c: Seq[(Int, Seq[Double])]): DataFrame = embeddings
-      .select(col("vec_id"),
-        graft.functions.VecExpressions.nearestCentroid(col("embedding"), c)
-          .as("cluster"))
-
-    // Each training round is ONE scan: assign expression + VecSum partial
-    // aggregation, k·dims doubles of state per task, k rows to the
-    // driver. The earlier form joined a materialized (vec_id, dim, x)
-    // explode (n·dims rows localCheckpoint'ed across rounds) against each
-    // round's assignment — at corpus scale that checkpoint is the
-    // dominant training cost, and the join a needless shuffle. The
-    // round(6) here is BigDecimal.valueOf/HALF_UP — bit-identical to the
-    // SQL ROUND the previous in-query form and the DuckDB oracle apply,
-    // and both forms are arbitrary-order parallel double sums (the
-    // kmeans-family oracles re-verify equality externally).
-    def rnd6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // input may be float (the parquet tables) or double (synthetic
     // frames) — both sum in double either way
     val sumCol = embeddings.schema("embedding").dataType match {
@@ -181,7 +173,160 @@ object Clustering {
         }
         .toSeq.sortBy(_._1)
     }
-    (assign(cents).localCheckpoint(), cents)
+    cents
+  }
+
+  private def lloydAssign(embeddings0: DataFrame, k: Int,
+      iters: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    // NearestCentroid is null-safe (null in -> null out), so a null
+    // embedding row would land in a NULL cluster group and crash the
+    // M-step's driver-side getInt; drop such rows up front — the same
+    // silent-skip the old posexplode form applied (explode of null emits
+    // nothing)
+    val embeddings = embeddings0.where(col("embedding").isNotNull)
+    val cents = lloydTrain(embeddings, k, iters)
+    (assignFlat(embeddings, cents).localCheckpoint(), cents)
+  }
+
+  // ------------------------------------------------------------------
+  // Corpus-independent training + two-level assignment — the 100 TB
+  // posture of the auto-k family. Full-corpus Lloyd with k ∝ n is
+  // O(n²·dims) in the assign pass and carries the whole k·dims model as
+  // a codegen literal; here training runs on a FIXED-CAP deterministic
+  // sample (the SemDeDup paper's own protocol — arXiv:2303.09540 trains
+  // its quantizer on a subset) and assignment is two-level: a coarse
+  // NearestCentroid over ~√k group centroids (bounded literal), then the
+  // fine argmin as a broadcast-FRAME join within the coarse cell — the
+  // full model never rides in an expression literal and the per-row cost
+  // drops from O(k·dims) to O(√k·dims + (k/√k)·dims) = O(√k·dims).
+  // ------------------------------------------------------------------
+
+  /** Memo for [[kmeansAssignScalable]] (single-flight, like
+    * `assignCache`). */
+  private val scalableCache = scala.collection.mutable.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int,
+      Long, Int, Int), DataFrame]()
+
+  /** Driver-side mini-Lloyd over the FINE centroid table (bounded by the
+    * training-sample cap, so this is model-scale work, never data-scale):
+    * groups the k fine centroids into ≤ g coarse cells. Same determinism
+    * contract as the big loop — smallest-cid init, ascending-dim squared
+    * L2, smallest-gid tie-break, round-6 means, empty groups drop with
+    * LABELS KEPT STABLE (no renumbering, so gid order still follows fine
+    * cid order — the property the tie-break equality argument needs).
+    * Returns (coarse centroids, fine cid -> gid map). */
+  private[graft] def groupCentroids(cents: Seq[(Int, Seq[Double])], g: Int,
+      iters: Int = 2): (Seq[(Int, Seq[Double])], Map[Int, Int]) = {
+    require(g >= 1, "coarse group count must be >= 1")
+    val fine = cents.sortBy(_._1)
+    def sqDist(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def nearest(v: Seq[Double], cs: Seq[(Int, Seq[Double])]): Int = {
+      var best = -1; var bestD = Double.PositiveInfinity
+      cs.foreach { case (gid, cen) =>
+        val d = sqDist(v, cen)
+        if (d < bestD) { bestD = d; best = gid }
+      }
+      best
+    }
+    var coarse: Seq[(Int, Seq[Double])] =
+      fine.take(g).zipWithIndex.map { case ((_, cen), i) => (i, cen) }
+    for (_ <- 1 to iters) {
+      val byGroup = fine.groupBy { case (_, cen) => nearest(cen, coarse) }
+      coarse = coarse.flatMap { case (gid, _) =>
+        byGroup.get(gid).map { members =>
+          val dims = members.head._2.length
+          val mean = (0 until dims).map(i =>
+            rnd6(members.map(_._2(i)).sum / members.length))
+          (gid, mean: Seq[Double])
+        }
+      }
+    }
+    val mapping = fine.map { case (cid, cen) =>
+      cid -> nearest(cen, coarse)
+    }.toMap
+    (coarse, mapping)
+  }
+
+  /** The two-level data pass, pre-checkpoint (package-visible so PlanSpec
+    * can assert the broadcast-join shape): coarse codegen argmin over the
+    * group centroids, then the fine argmin as `min(struct(d, cid))` over
+    * a broadcast (gid, cid, cen) frame joined within the coarse cell —
+    * the same lexicographic smallest-cid tie-break as the flat path. */
+  private[graft] def twoLevelAssignFrame(embNN: DataFrame,
+      cents: Seq[(Int, Seq[Double])], g: Int): DataFrame = {
+    val spark = embNN.sparkSession
+    import spark.implicits._
+    val (coarse, fineToCoarse) = groupCentroids(cents, g)
+    val fineFrame = cents
+      .map { case (cid, cen) => (fineToCoarse(cid), cid, cen) }
+      .toDF("gid", "cid", "cen")
+    import graft.functions.VecExpressions.{nearestCentroid, vecSqDist}
+    embNN
+      .select(col("vec_id"), col("embedding"),
+        nearestCentroid(col("embedding"), coarse).as("gid"))
+      .join(broadcast(fineFrame), "gid")
+      .groupBy(col("vec_id"))
+      .agg(min(struct(vecSqDist(col("embedding"), col("cen")).as("d"),
+        col("cid").as("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster"))
+  }
+
+  /** [[kmeansAssign]] at 100 TB posture — identical semantics below the
+    * thresholds (it DELEGATES to the flat memoized path there, so every
+    * oracle-pinned consumer is unchanged), scale-safe above them:
+    *
+    *  - `trainCap`: Lloyd trains on a deterministic hash-threshold sample
+    *    of ~trainCap vectors once the corpus exceeds it (content-stable —
+    *    `Sampling.deterministicSample` — so retraining on the same corpus
+    *    is reproducible). Training cost and the collected model are then
+    *    CORPUS-INDEPENDENT: k is implicitly bounded by the sample size,
+    *    so the model tops out at ~trainCap·dims doubles regardless of n.
+    *  - `maxModelCentroids`: above this centroid count the assignment
+    *    switches to the two-level broadcast-frame plan — a user calling
+    *    the auto-k family on a huge corpus gets the O(√k·dims)-per-row
+    *    plan and a bounded expression literal, never a multi-GB codegen
+    *    reference object.
+    *  - `coarseCentroids`: coarse cell count for the two-level path
+    *    (0 = auto ceil(√k)). At `coarseCentroids = k` the two-level path
+    *    equals the flat path EXACTLY (each fine centroid is its own
+    *    coarse cell; spec-pinned) — the equality gate for the machinery.
+    *
+    * The two-level argmin is approximate in general (a point whose true
+    * nearest fine centroid sits in a different coarse cell mis-assigns —
+    * the standard IVF trade, recall-spec'd on separated data); the flat
+    * path stays the oracle form. */
+  def kmeansAssignScalable(embeddings: DataFrame, k: Int, iters: Int = 2,
+      trainCap: Long = 131072L, maxModelCentroids: Int = 2048,
+      coarseCentroids: Int = 0): DataFrame = {
+    require(k >= 1 && iters >= 0, "k must be >= 1 and iters >= 0")
+    require(trainCap >= 1, "trainCap must be >= 1")
+    val cacheKey = (embeddings.queryExecution.analyzed.canonicalized, k,
+      iters, trainCap, maxModelCentroids, coarseCentroids)
+    scalableCache.synchronized {
+      scalableCache.getOrElseUpdate(cacheKey, {
+        val embNN = embeddings.where(col("embedding").isNotNull)
+        val n = embNN.select(col("vec_id")).count()
+        if (n <= trainCap && k <= maxModelCentroids)
+          kmeansAssign(embeddings, k, iters) // memo-shared oracle path
+        else {
+          val sample =
+            if (n <= trainCap) embNN
+            else Sampling.deterministicSample(embNN, "vec_id",
+              trainCap.toDouble / n)
+          val cents = lloydTrain(sample, k, iters)
+          val asg =
+            if (cents.length <= maxModelCentroids) assignFlat(embNN, cents)
+            else twoLevelAssignFrame(embNN, cents,
+              if (coarseCentroids > 0) coarseCentroids
+              else math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+          asg.localCheckpoint()
+        }
+      })
+    }
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup as
@@ -209,15 +354,20 @@ object Clustering {
   }
 
   private def pairsFor(embeddings: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame =
+    pairsForAssign(embeddings, kmeansAssign(embeddings, k, iters), threshold)
+
+  /** Within-cluster cosine pairs over a SUPPLIED assignment frame — the
+    * shared pair engine of the fixed-k oracle form and the scalable
+    * auto-k form: ONE cluster-keyed self-join producing Σ n_c² pair
+    * rows, the dot and both norms evaluated inline
+    * (FloatVecDot/FloatVecNorm, ascending dims — the oracle's list
+    * order). The earlier explode-join form shuffled Σ n_c²·dims scalar
+    * rows into a pair-keyed aggregation — dims× the rows plus a second
+    * shuffle the expression form never pays; the d15 oracle re-verifies
+    * value equality externally. */
+  private[graft] def pairsForAssign(embeddings: DataFrame, asg: DataFrame,
       threshold: Double): DataFrame = {
-    // Within-cluster cosine through the codegen vector expressions: ONE
-    // cluster-keyed self-join producing Σ n_c² pair rows, the dot and
-    // both norms evaluated inline (FloatVecDot/FloatVecNorm, ascending
-    // dims — the oracle's list order). The earlier explode-join form
-    // shuffled Σ n_c²·dims scalar rows into a pair-keyed aggregation —
-    // dims× the rows plus a second shuffle the expression form never
-    // pays; the d15 oracle re-verifies value equality externally.
-    val asg = kmeansAssign(embeddings, k, iters)
     import graft.functions.VecExpressions.{vecDot, vecNorm}
     val v = embeddings.select(col("vec_id"), col("embedding"))
       .join(asg, "vec_id")
@@ -260,22 +410,72 @@ object Clustering {
     math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
   }
 
-  /** `semdedupPairs` at corpus-scaled k — the deployed form: cluster
-    * COUNT grows with n, cluster SIZE stays ~targetClusterSize, so the
-    * within-cluster pair space stays Σ n_c² ~ n · targetClusterSize
-    * (linear in the corpus) instead of n²/k. The fixed-k overload
-    * remains the hash-gated oracle form (d15/d16 pin k=8 because the
-    * generated Lloyd CTEs need a literal k). */
-  def semdedupPairsAuto(embeddings: DataFrame, iters: Int = 2,
-      threshold: Double = 0.95, targetClusterSize: Int = 512): DataFrame =
-    semdedupPairs(embeddings, scaledK(embeddings, targetClusterSize),
-      iters, threshold)
+  /** Pair-frame memo for the scalable auto-k path (single-flight, like
+    * `pairCache`). */
+  private val scalablePairCache = scala.collection.mutable.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int,
+      Long, Long, Int), DataFrame]()
 
-  /** `semdedupKeep` at corpus-scaled k — see [[semdedupPairsAuto]]. */
+  /** `semdedupPairs` at corpus-scaled k AND corpus-independent training —
+    * the deployed form: cluster COUNT grows with n, cluster SIZE stays
+    * ~targetClusterSize, so the within-cluster pair space stays Σ n_c² ~
+    * n · targetClusterSize (linear in the corpus) instead of n²/k; and
+    * via [[kmeansAssignScalable]] the Lloyd training runs on a
+    * fixed-cap sample with two-level assignment above the model
+    * threshold, so neither the training pass nor the assign pass is
+    * quadratic in the corpus. Below both thresholds (every oracle/bench
+    * scale) this is byte-identical to the previous formulation — it
+    * delegates to the memo-shared fixed-k path, which d20's oracle
+    * pins. The fixed-k overload remains the hash-gated oracle form
+    * (d15/d16 pin k=8 because the generated Lloyd CTEs need a literal
+    * k). */
+  def semdedupPairsAuto(embeddings: DataFrame, iters: Int = 2,
+      threshold: Double = 0.95, targetClusterSize: Int = 512,
+      trainCap: Long = 131072L, maxModelCentroids: Int = 2048): DataFrame = {
+    val embNN = embeddings.where(col("embedding").isNotNull)
+    val n = embNN.select(col("vec_id")).count()
+    val k = math.max(1L,
+      (n + targetClusterSize - 1) / targetClusterSize).toInt
+    if (n <= trainCap && k <= maxModelCentroids)
+      semdedupPairs(embeddings, k, iters, threshold)
+    else {
+      val key = (embeddings.queryExecution.analyzed.canonicalized, k, iters,
+        java.lang.Double.doubleToLongBits(threshold), trainCap,
+        maxModelCentroids)
+      scalablePairCache.synchronized {
+        scalablePairCache.getOrElseUpdate(key,
+          pairsForAssign(embeddings,
+            kmeansAssignScalable(embeddings, k, iters, trainCap,
+              maxModelCentroids), threshold))
+      }
+    }
+  }
+
+  /** `semdedupKeep` at corpus-scaled k + corpus-independent training —
+    * see [[semdedupPairsAuto]]. */
   def semdedupKeepAuto(embeddings: DataFrame, iters: Int = 2,
-      threshold: Double = 0.95, targetClusterSize: Int = 512): DataFrame =
-    semdedupKeep(embeddings, scaledK(embeddings, targetClusterSize),
-      iters, threshold)
+      threshold: Double = 0.95, targetClusterSize: Int = 512,
+      trainCap: Long = 131072L, maxModelCentroids: Int = 2048): DataFrame = {
+    val drops = semdedupPairsAuto(embeddings, iters, threshold,
+      targetClusterSize, trainCap, maxModelCentroids)
+      .select(col("vid_b").as("vec_id")).distinct()
+    embeddings.select(col("vec_id"))
+      .join(drops, Seq("vec_id"), "left_anti")
+  }
+
+  /** The SemDeDup pair set over a FORCED two-level assignment — the
+    * oracle gate for the two-level machinery: at `coarseCentroids = k`
+    * the two-level argmin equals the flat argmin exactly (each fine
+    * centroid is its own coarse cell), so this reproduces the d15 pair
+    * set through the broadcast-frame plan, which the d22 oracle
+    * hash-verifies. */
+  def semdedupPairsTwoLevel(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 2, threshold: Double = 0.95,
+      coarseCentroids: Int = 0): DataFrame =
+    pairsForAssign(embeddings,
+      kmeansAssignScalable(embeddings, k, iters, trainCap = Long.MaxValue,
+        maxModelCentroids = 0, coarseCentroids = coarseCentroids),
+      threshold)
 
   /** Cluster-balanced sampling — the diversity-sampling step cluster-based
     * curation runs after assignment (every semantic region contributes at

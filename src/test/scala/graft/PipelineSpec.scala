@@ -1023,6 +1023,62 @@ class PipelineSpec extends GraftSuite {
     Clustering.clearAssignments() // nor the tiny-frame kmeans memos
   }
 
+  test("scalable assign: two-level at coarse=k equals flat exactly") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val flat = toMap(Clustering.kmeansAssign(emb, 16, 2))
+    // maxModelCentroids=0 forces the two-level broadcast-frame plan;
+    // coarseCentroids=k makes each fine centroid its own coarse cell,
+    // where two-level argmin == flat argmin (the d22 oracle's premise)
+    val two = toMap(Clustering.kmeansAssignScalable(emb, 16, 2,
+      trainCap = Long.MaxValue, maxModelCentroids = 0,
+      coarseCentroids = 16))
+    assert(two == flat, "coarse=k two-level must equal the flat argmin")
+    Clustering.clearAssignments()
+  }
+
+  test("scalable assign: auto-coarse two-level agrees on separated clusters") {
+    import spark.implicits._
+    // 4 well-separated corners, tight deterministic jitter: the coarse
+    // grouping respects cluster geometry, so two-level == flat here
+    val pts = (0 until 100).map { i =>
+      val c = i % 4
+      val (bx, by) = (if (c % 2 == 0) 0.0f else 100.0f,
+        if (c < 2) 0.0f else 100.0f)
+      (i.toLong, Array(bx + (i % 7) * 0.01f, by + (i % 5) * 0.01f))
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val flat = toMap(Clustering.kmeansAssign(emb, 4, 2))
+    val two = toMap(Clustering.kmeansAssignScalable(emb, 4, 2,
+      trainCap = Long.MaxValue, maxModelCentroids = 0)) // auto g = 2
+    assert(two == flat,
+      "auto-coarse two-level must match flat on separated clusters")
+    Clustering.clearAssignments()
+  }
+
+  test("scalable assign: capped training sample still assigns every vector") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val n = emb.count()
+    // trainCap far below the corpus: Lloyd trains on a ~64-vector
+    // deterministic sample, assignment still covers the full corpus
+    val a1 = Clustering.kmeansAssignScalable(emb, 8, 2, trainCap = 64L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1.size == n, "every vector must receive an assignment")
+    Clustering.clearAssignments()
+    // content-stable sampling: a fresh run reproduces the assignment
+    val a2 = Clustering.kmeansAssignScalable(emb, 8, 2, trainCap = 64L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a2 == a1, "sample-trained assignment must be deterministic")
+    Clustering.clearAssignments()
+  }
+
   test("dedup substrate registry: clearSubstrates reclaims persisted frames") {
     val before = Dedup.jaccardPairs(docs, 3, 0.5)
     val pairsBefore = pairSet(before)

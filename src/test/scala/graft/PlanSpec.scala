@@ -339,6 +339,23 @@ class PlanSpec extends GraftSuite {
       s"SignBitsPack should run inside whole-stage codegen:\n${p.take(1200)}")
   }
 
+  test("two-level assign is a broadcast-frame join, not a giant literal") {
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = (0 until 64).map(c => (c, Seq.tabulate(64)(i =>
+      (c * 64 + i).toDouble / 4096)))
+    val p = graft.ops.Clustering.twoLevelAssignFrame(emb, cents, 8)
+      .queryExecution.executedPlan.toString
+    // the fine model must ride as a broadcast relation (off the codegen
+    // literal path), probed per coarse cell — the defensive shape a huge
+    // auto-k corpus gets instead of a multi-GB expression reference
+    assert(p.contains("BroadcastHashJoin"),
+      s"fine centroids must join as a broadcast frame:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"two-level assign must stay an equi-join:\n${p.take(1500)}")
+  }
+
   test("kmeans assign is one codegen pass: no exchange, join, or explode") {
     val cents = (0 until 8).map(c => (c, Seq.tabulate(64)(i =>
       (c * 64 + i).toDouble / 512)))
