@@ -524,6 +524,12 @@ object SparkEntry {
     // ---- training-data pipeline: multimodal ----
     "m1_media_features" -> ((s, d) =>
       Multimodal.mediaFeatureSummary(t(s, d, "documents"))),
+    // perceptual-hash near-dup image pairs: dHash over the parsed PNG
+    // payloads, banded through the d4/d19 distinct-signature Hamming
+    // engine (pigeonhole makes banded == brute force at maxHamming 3,
+    // which is what the DuckDB oracle recomputes)
+    "d21_phash_pairs" -> ((s, d) =>
+      Multimodal.phashPairs(t(s, d, "documents"), 3)),
     // ---- E2 SQL entry path ----
     "e2_sql_revenue_by_year" -> ((s, d) =>
       graft.sql.SqlJobs.revenueByYear(s, d)),
@@ -2250,6 +2256,39 @@ object SparkEntry {
         |            THEN octet_length(encode(text)) // 8
         |            ELSE 0 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+    // dHash image near-dups: the stub bitmap is the IDAT body's code
+    // points tiled into an 8×8 grid (cell = sum mod 256), bit (r,c) =
+    // [g(r,c) < g(r,c+1)] at position r·7+c — and the IDAT body IS the
+    // document text (identity UTF-8 round trip), so the oracle rebuilds
+    // the grid from `text` directly and brute-forces hamming <= 3 (the
+    // 4-band pigeonhole layout makes Spark's banded set equal it)
+    "d21_phash_pairs" ->
+      """WITH img AS (SELECT doc_id, text FROM documents
+        |             WHERE doc_id % 3 <> 1),
+        |ch AS (SELECT doc_id, unnest(range(1, length(text)+1)) AS i,
+        |         length(text) AS l, text FROM img),
+        |cv AS (SELECT doc_id, CAST(((i-1)*64) // l AS INTEGER) AS cell,
+        |         unicode(text[i]) AS v FROM ch),
+        |gsum AS (SELECT doc_id, cell, SUM(v) % 256 AS gv
+        |         FROM cv GROUP BY 1, 2),
+        |c64 AS (SELECT unnest(range(0, 64)) AS cell),
+        |grid AS (SELECT i.doc_id, c.cell, COALESCE(g.gv, 0) AS gv
+        |         FROM img i CROSS JOIN c64 c
+        |         LEFT JOIN gsum g ON g.doc_id = i.doc_id
+        |           AND g.cell = c.cell),
+        |sig AS (SELECT a.doc_id,
+        |          CAST(COALESCE(SUM(CASE WHEN a.gv < b.gv
+        |            THEN CAST(1 AS BIGINT) <<
+        |              CAST((a.cell // 8) * 7 + (a.cell % 8) AS INTEGER)
+        |            ELSE 0 END), 0) AS BIGINT) AS ph
+        |        FROM grid a JOIN grid b
+        |          ON b.doc_id = a.doc_id AND b.cell = a.cell + 1
+        |        WHERE a.cell % 8 < 7
+        |        GROUP BY 1)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin,
     // d3's verified output equals the exact-Jaccard pair set whenever LSH
     // recall is 1.0 — guaranteed here: planted near-dups sit at j≈0.99, so
     // a 4-row band misses with prob (1-0.99⁴)⁸ ≈ 4e-12 (PipelineSpec

@@ -987,7 +987,7 @@ object Dedup {
     * the operator's contract. Output: (doc1 < doc2, hamming), exactly
     * the row set of the direct formulation for any maxHamming the band
     * layout's pigeonhole covers. */
-  private def bandedHammingPairs(sigById: DataFrame, widths: Array[Int],
+  private[ops] def bandedHammingPairs(sigById: DataFrame, widths: Array[Int],
       offsets: Array[Int], maxHamming: Int): DataFrame = {
     val sig = sigById.localCheckpoint() // read 4x below; sigs are one UDF/agg pass
     val uniq = sig.select(col("simhash")).distinct()

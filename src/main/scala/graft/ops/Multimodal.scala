@@ -215,6 +215,109 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Concatenated IDAT body of a structurally valid PNG/APNG payload —
+    * the same signature + IHDR-CRC + chunk-walk validation as [[decode]],
+    * returning the compressed-stream bytes a real decoder would inflate.
+    * None for non-PNG or corrupt payloads (so WAV audio drops out of the
+    * image-hash path by construction, keyed on MAGIC BYTES, never the
+    * metadata columns). */
+  private[graft] def pngIdatBody(b: Array[Byte]): Option[Array[Byte]] = try {
+    if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
+    if (be32At(b, 8) != 13L || asciiAt(b, 12, 4) != "IHDR") return None
+    if (crc32(java.util.Arrays.copyOfRange(b, 12, 29)) != be32At(b, 29))
+      return None
+    val out = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    var i = 33
+    while (i + 8 <= b.length && !sawEnd) {
+      val len = be32At(b, i)
+      val typ = asciiAt(b, i + 4, 4)
+      if (i + 12 + len > b.length) return None
+      if (typ == "IDAT") out.write(b, i + 8, len.toInt)
+      if (typ == "IEND") sawEnd = true
+      i += 12 + len.toInt
+    }
+    if (!sawEnd) None else Some(out.toByteArray)
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** 56-bit difference hash (dHash) over the DETERMINISTIC stub bitmap:
+    * pixel decoding is out of scope in this container (no codec libs —
+    * the IDAT body carries the document text, see the object doc), so
+    * the "decoded bitmap" is a reproducible fake any engine can rebuild:
+    * the body's code points tile into an 8×8 grid of contiguous slices
+    * (code point i of L lands in cell i·64/L), cell value = sum of its
+    * code points mod 256, and bit (r, c) = [cell(r,c) < cell(r,c+1)]
+    * packed LSB-first at r·7+c — the classic horizontal-gradient dHash
+    * over an 8-column brightness grid, 8 rows × 7 comparisons = 56 bits
+    * (inside a signed 64-bit long, like d19's 60-bit posture). A REAL
+    * deployment swaps `gridOf` for inflate+resize-to-8×9-grayscale and
+    * keeps everything downstream — the banding, pairing, and oracle
+    * shapes don't change. ASCII contract like t1/t16: the fixture text
+    * is single-byte code points, so Spark's UTF-16 iteration and the
+    * oracle's per-character `unicode()` agree. */
+  private[graft] def dHash56(body: String): Long = {
+    val l = body.length
+    val g = new Array[Long](64)
+    var i = 0
+    while (i < l) {
+      val cell = ((i.toLong * 64) / l).toInt
+      g(cell) += body.codePointAt(i)
+      i += 1
+    }
+    var c = 0
+    while (c < 64) { g(c) = g(c) % 256; c += 1 }
+    var sig = 0L
+    var r = 0
+    while (r < 8) {
+      var cc = 0
+      while (cc < 7) {
+        if (g(r * 8 + cc) < g(r * 8 + cc + 1)) sig |= 1L << (r * 7 + cc)
+        cc += 1
+      }
+      r += 1
+    }
+    sig
+  }
+
+  /** Per-image perceptual hash over a media table: (doc_id, phash) for
+    * every payload that parses as PNG/APNG; audio and corrupt payloads
+    * drop. Same embarrassingly-parallel mapPartitions batch shape as
+    * [[extractFeatures]] — one task per split, no shuffle. */
+  def phash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(64).flatMap(_.flatMap { r =>
+        pngIdatBody(r.payload).map { body =>
+          (r.doc_id, dHash56(new String(body, "UTF-8")))
+        }
+      })
+    }.toDF("doc_id", "phash")
+  }
+
+  /** Perceptual near-dup image pairs — the multimodal bridge into the
+    * dedup family: dHash signatures banded through the SAME distinct-
+    * signature Hamming engine as d4/d19 (`Dedup.bandedHammingPairs`,
+    * maxHamming+1 near-equal bands over the 56 bits — pigeonhole makes
+    * banded == brute force for any maxHamming < 56, which is what makes
+    * the hash-equality oracle possible). Output (doc1 < doc2, hamming).
+    * Scale shape inherits the engine's: banding over distinct signature
+    * VALUES, output-proportional re-expansion — exact-duplicate images
+    * (the bulk of image dup mass) never inflate the candidate join. */
+  def phashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 56,
+      "maxHamming must sit inside the 56-bit signature")
+    val bands = maxHamming + 1
+    val base = 56 / bands
+    val extra = 56 % bands
+    val widths = Array.tabulate(bands)(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).take(bands)
+    Dedup.bandedHammingPairs(
+      phash(toMediaTable(documents)).select(col("doc_id"),
+        col("phash").as("simhash")),
+      widths, offsets, maxHamming)
+  }
+
   /** Feature extraction over the media table: typed mapPartitions, batched
     * 64 records at a time inside each partition (the batch shape a
     * vectorized decoder wants). Runs embarrassingly parallel — one task

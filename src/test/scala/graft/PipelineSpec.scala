@@ -1023,6 +1023,36 @@ class PipelineSpec extends GraftSuite {
     Clustering.clearAssignments() // nor the tiny-frame kmeans memos
   }
 
+  test("d21 phash: planted near-dup images pair up, audio never does") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val base = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    // ids 0/3/6 become PNG images (id % 3 == 0), id 1 WAV audio; 0 and 3
+    // carry identical text (hamming 0 via the intra leg), 6 perturbs ONE
+    // character (one grid cell shifts -> at most 2 gradient bits flip),
+    // 1 is the same text as an AUDIO payload and must stay invisible
+    val docs = Seq(
+      (0L, base), (3L, base),
+      (6L, base.updated(10, 'z')),
+      (1L, base))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    val pairs = Multimodal.phashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((0L, 3L)).contains(0),
+      s"identical images must pair at hamming 0: $pairs")
+    assert(pairs.contains((0L, 6L)) && pairs((0L, 6L)) <= 2,
+      s"one-character perturbation must stay within 2 bits: $pairs")
+    assert(pairs.contains((3L, 6L)))
+    assert(!pairs.keys.exists(p => p._1 == 1L || p._2 == 1L),
+      s"audio payloads must never enter the image-hash path: $pairs")
+    // dHash spot-check: grid of the empty string is all-zero -> sig 0
+    assert(Multimodal.dHash56("") == 0L)
+  }
+
   test("scalable assign: two-level at coarse=k equals flat exactly") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),
