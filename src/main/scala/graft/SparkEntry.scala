@@ -826,6 +826,16 @@ object SparkEntry {
     // near-dups that Jaccard's union term hides
     "d17_containment_pairs" -> ((s, d) =>
       Dedup.containmentPairs(t(s, d, "documents"), 3, 0.8)),
+    // the long-tailed-vocabulary twins: same operators, regenerated
+    // corpus where shingles are mostly rare — the fixture that lets the
+    // PPJoin prefix filter show its designed selectivity (d2/d17 on the
+    // 31-word driver corpus are the documented degenerate anchors)
+    "d2z_zipf_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(
+        Dedup.zipfVocabularyTwin(t(s, d, "documents")), 3, 0.5)),
+    "d17z_zipf_containment" -> ((s, d) =>
+      Dedup.containmentPairs(
+        Dedup.zipfVocabularyTwin(t(s, d, "documents")), 3, 0.8)),
     // PSI distribution drift between two corpus drops (even/odd event_id
     // slices), 10 equal-width value bins over [0, 400)
     "drift1_psi" -> ((s, d) => {
@@ -1094,6 +1104,32 @@ object SparkEntry {
       |               i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
       |           AS rn
       |         FROM emb e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+
+  /** The long-tailed-vocabulary twin corpus as a DuckDB CTE — mirrors
+    * `Dedup.zipfVocabularyTwin` integer for integer (same LCG word hash,
+    * two-tier vocabulary, and seed-deterministic planted roles), so the
+    * d2z/d17z oracles run the d2/d17 pair SQL over an identical
+    * regenerated corpus. */
+  private val zipfDocsCte: String = {
+    def w(s: String) = {
+      val h = s"((($s) * 48271 + ((j) + 1) * 16807) % 104729)"
+      s"concat('w', CAST(CASE WHEN $h % 4 < 2 THEN $h % 50" +
+        s" ELSE 50 + ($h % 50000) END AS VARCHAR))"
+    }
+    s"""zdocs AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 23 = 22 THEN
+       |    array_to_string(list_transform(range(0, 10),
+       |      j -> ${w("doc_id - 1")}), ' ')
+       |  WHEN doc_id % 17 = 16 THEN
+       |    array_to_string(list_transform(range(0, 20 + (doc_id - 1) % 13),
+       |      j -> CASE WHEN j % 13 = 5 THEN ${w("doc_id")}
+       |           ELSE ${w("doc_id - 1")} END), ' ')
+       |  ELSE
+       |    array_to_string(list_transform(range(0, 20 + doc_id % 13),
+       |      j -> ${w("doc_id")}), ' ')
+       |  END AS text
+       |FROM documents)""".stripMargin
+  }
 
   /** [[kmeansCtes]] with the training corpus restricted by `pred` — the
     * frozen-quantizer oracle (sim11) trains the Lloyd loop on a SLICE
@@ -2102,6 +2138,51 @@ object SparkEntry {
         |JOIN sz s1 ON doc1 = s1.doc_id
         |JOIN sz s2 ON doc2 = s2.doc_id
         |WHERE common / (s1.sz + s2.sz - common) >= 0.5""".stripMargin,
+    // d2/d17 over the regenerated long-tail corpus: identical pair SQL,
+    // zdocs CTE instead of the stored table
+    "d2z_zipf_jaccard" ->
+      s"""WITH $zipfDocsCte,
+         |tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+         |           '[^a-z0-9]+'), x -> x <> '') AS toks
+         |  FROM zdocs),
+         |idx AS (SELECT doc_id, toks,
+         |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |            COUNT(*) AS common
+         |          FROM sh a JOIN sh b USING (shingle)
+         |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc1, doc2,
+         |       common / (s1.sz + s2.sz - common) AS jaccard
+         |FROM pairs
+         |JOIN sz s1 ON doc1 = s1.doc_id
+         |JOIN sz s2 ON doc2 = s2.doc_id
+         |WHERE common / (s1.sz + s2.sz - common) >= 0.5""".stripMargin,
+    "d17z_zipf_containment" ->
+      s"""WITH $zipfDocsCte,
+         |tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+         |           '[^a-z0-9]+'), x -> x <> '') AS toks
+         |  FROM zdocs),
+         |idx AS (SELECT doc_id, toks,
+         |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx
+         |       WHERE array_to_string(toks[i:i+2], ' ') <> ''),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |            COUNT(*) AS common
+         |          FROM sh a JOIN sh b USING (shingle)
+         |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc1, doc2,
+         |       common / least(s1.sz, s2.sz) AS containment
+         |FROM pairs
+         |JOIN sz s1 ON doc1 = s1.doc_id
+         |JOIN sz s2 ON doc2 = s2.doc_id
+         |WHERE common / least(s1.sz, s2.sz) >= 0.8""".stripMargin,
     "d6_deduped_corpus" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),

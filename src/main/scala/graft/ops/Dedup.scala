@@ -178,6 +178,47 @@ object Dedup {
     ()
   }
 
+  /** Long-tailed-vocabulary twin of the documents fixture — the fixture
+    * for demonstrating PPJoin prefix selectivity. The driver's synthetic
+    * corpus has a 31-word vocabulary, so EVERY shingle is corpus-hot and
+    * prefix blocking degenerates to all-pairs (the documented d2/d17
+    * exact-anchor behavior — a FIXTURE artifact, not an operator one).
+    * This twin regenerates each doc_id's text from pure integer
+    * arithmetic (LCG-style word hash; a DuckDB oracle rebuilds it
+    * verbatim) over a two-tier long-tail vocabulary: half the word slots
+    * draw from 50 hot words, half from a 50 000-word tail — so most
+    * shingles are corpus-rare and the prefix filter prunes like it does
+    * on real text. Planted structure, all seed-deterministic:
+    *  - doc_id % 23 == 22 → the first 10 words of seed (doc_id-1): a
+    *    small doc quoted wholesale (containment 1.0, Jaccard ~0.3 — the
+    *    d17 case d2 misses);
+    *  - doc_id % 17 == 16 → seed (doc_id-1)'s words with positions
+    *    j % 13 == 5 re-drawn from seed doc_id: a near-dup at Jaccard
+    *    ~0.5-0.7;
+    *  - otherwise 20 + doc_id % 13 words from seed doc_id.
+    * Scales with the input table (sf1's offset doc_ids generate fresh
+    * replicas automatically). Output: (doc_id, text). */
+  def zipfVocabularyTwin(documents: DataFrame): DataFrame = {
+    def w(s: String) = {
+      val h = s"((($s) * 48271 + ((j) + 1) * 16807) % 104729)"
+      s"concat('w', CAST(CASE WHEN $h % 4 < 2 THEN $h % 50" +
+        s" ELSE 50 + ($h % 50000) END AS STRING))"
+    }
+    val contained =
+      s"array_join(transform(sequence(0, 9), j -> ${w("doc_id - 1")}), ' ')"
+    val near =
+      s"""array_join(transform(sequence(0, 19 + CAST((doc_id - 1) % 13 AS INT)),
+         |  j -> CASE WHEN j % 13 = 5 THEN ${w("doc_id")}
+         |       ELSE ${w("doc_id - 1")} END), ' ')""".stripMargin
+    val normal =
+      s"""array_join(transform(sequence(0, 19 + CAST(doc_id % 13 AS INT)),
+         |  j -> ${w("doc_id")}), ' ')""".stripMargin
+    documents.select(col("doc_id"),
+      expr(s"""CASE WHEN doc_id % 23 = 22 THEN $contained
+              |WHEN doc_id % 17 = 16 THEN $near
+              |ELSE $normal END""".stripMargin).as("text"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs, prefix-filtered (PPJoin): the
     * default, skew-safe path. Candidates = docs sharing >= 1 PREFIX
     * shingle; exact jaccard >= threshold verifies on full shingle arrays.
