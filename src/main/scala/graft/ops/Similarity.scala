@@ -754,6 +754,36 @@ object Similarity {
         round(col("mean_d") / col("base_d"), 6).as("drift"))
   }
 
+  /** The retrain decision as DATA — the policy op that closes the index
+    * freshness loop on top of [[ivfIndexStaleness]]: one row
+    * (staleness, threshold, retrain), where staleness is the WORST
+    * per-generation drift among appended generations (max, not latest:
+    * recall decays for every query that lands in a badly-covered batch,
+    * so one far-out generation is enough to warrant retraining even if
+    * newer traffic swung back). With no appends yet, staleness = 1
+    * (fresh by definition). Threshold rationale: drift is the mean
+    * nearest-centroid squared distance relative to the training
+    * generation, so `threshold = 1.5` triggers when appended vectors sit
+    * on average 50% farther (squared) from every centroid than the
+    * distribution the quantizer was trained on — the point where probed
+    * cells stop covering the new traffic's true neighborhoods and IVF
+    * recall measurably decays; 1.5 is deliberately conservative (well
+    * above in-distribution noise, spec-measured < 3 even on a small
+    * held-out slice, far below a genuine shift, spec-measured > 10).
+    * Downstream wiring is one `head()`: if retrain, call
+    * [[writeIvfIndex]] on the unioned corpus and restart appends at
+    * gen 1. */
+  def ivfRetrainPolicy(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, threshold: Double = 1.5): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    ivfIndexStaleness(spark, indexDir)
+      .where(col("gen") > 0L)
+      .agg(coalesce(max(col("drift")), lit(1.0)).as("staleness"))
+      .select(round(col("staleness"), 6).as("staleness"),
+        lit(threshold).as("threshold"),
+        (col("staleness") >= threshold).as("retrain"))
+  }
+
   /** [[portableIvfTopK]] against the durable index instead of a live
     * training pass — result-identical (parity spec): the search reads
     * cells, probe order, and members from the artifact. */

@@ -313,6 +313,40 @@ class PipelineSpec extends GraftSuite {
       s"shifted batch must raise the retrain alarm: ${stale(3L)}")
   }
 
+  test("ivfRetrainPolicy: stays fresh under in-distribution appends, flips on drift") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_pol").toString
+    Similarity.writeIvfIndex(emb.where(col("vec_id") >= 40), dir)
+    def policy() = Similarity.ivfRetrainPolicy(spark, dir).head
+    // no appends yet: staleness 1.0, no retrain
+    val p0 = policy()
+    assert(p0.getDouble(0) == 1.0 && !p0.getBoolean(2), s"fresh index: $p0")
+    // in-distribution append: drift near 1, still no retrain
+    Similarity.appendIvfIndex(spark, dir, emb.where(col("vec_id") < 40),
+      gen = 1L)
+    assert(!policy().getBoolean(2), "in-distribution append must not flip")
+    // append increasingly shifted batches until the policy flips — the
+    // freshness loop's contract is that sustained drift ALWAYS trips it
+    var gen = 2L
+    var flipped = policy().getBoolean(2)
+    while (!flipped && gen <= 8L) {
+      val shift = (gen - 1L).toDouble // +1, +2, ... component shift
+      Similarity.appendIvfIndex(spark, dir,
+        emb.where(col("vec_id") < 40)
+          .withColumn("vec_id", col("vec_id") + gen * 100000L)
+          .withColumn("embedding",
+            expr(s"transform(embedding, x -> x + CAST($shift AS FLOAT))")),
+        gen = gen)
+      flipped = policy().getBoolean(2)
+      gen += 1L
+    }
+    assert(flipped, "sustained drift must eventually trip the retrain flag")
+    val pf = policy()
+    assert(pf.getDouble(0) >= pf.getDouble(1),
+      s"flip must coincide with staleness >= threshold: $pf")
+  }
+
   test("sim10 composes sim8's probe with sim9's ADC exactly") {
     val qids = Seq(0L, 1L, 2L)
     val got = Similarity.portableIvfPqTopK(emb, qids).collect()
