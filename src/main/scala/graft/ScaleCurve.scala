@@ -105,11 +105,17 @@ object ScaleCurve {
           maxModelCentroids = 8))
     )
 
+    // SPARK_GRAFT_SCALE_ONLY=op1,op2 re-measures a subset (same contract
+    // as Bench's SPARK_GRAFT_ONLY) — the full curve is hours of exact
+    // anchors; a new blocked family only needs its own points
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ops = only.fold(curveOps)(sel => curveOps.filter(o => sel(o._1)))
     val reps = Seq(1, 2, 4, 8)
     reps.foreach(buildReplica)
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Int, Double, Long)]
-    for (r <- reps; (name, maxR, fn) <- curveOps if r <= maxR) {
+    for (r <- reps; (name, maxR, fn) <- ops if r <= maxR) {
       val e = spark.read.parquet(replicaPath(r))
       val t0 = System.nanoTime()
       val df = fn(e, r)
@@ -121,7 +127,7 @@ object ScaleCurve {
       System.gc()
     }
     // growth exponent per op: least-squares slope of log(t) on log(R)
-    val summary = curveOps.map { case (name, _, _) =>
+    val summary = ops.map { case (name, _, _) =>
       val pts = results.filter(_._1 == name)
         .map(p => (math.log(p._2.toDouble), math.log(p._3)))
       val n = pts.size
