@@ -300,6 +300,14 @@ object SparkEntry {
       Dedup.dupSpans(t(s, d, "documents"), 8, 2)),
     "ml1_kmeans_assign" -> ((s, d) =>
       Clustering.kmeansAssign(t(s, d, "embeddings"), 8, 2)),
+    // the SAMPLED-training path of the scalable quantizer, hash-gated:
+    // trainCap 256 < the 500-vector verify corpus forces Lloyd onto the
+    // deterministic md5-threshold sample (fraction 0.512 — the smp1
+    // predicate), final assignment covers the full corpus at the
+    // sample-trained centroids (the sim11 frozen-assign shape)
+    "ml2_kmeans_sampled" -> ((s, d) =>
+      Clustering.kmeansAssignScalable(t(s, d, "embeddings"), 8, 2,
+        trainCap = 256L)),
     // threshold 0.4 like d5: the synthetic embeddings carry no true
     // near-dups (max pairwise cosine ~0.51), so the demo threshold sits
     // where the data has pairs; the operator default stays the paper's
@@ -3406,6 +3414,25 @@ object SparkEntry {
     "ml1_kmeans_assign" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cid AS cluster FROM a2""".stripMargin,
+    // sampled-training Lloyd: the training CTEs run on the md5-threshold
+    // sample (the smp1 predicate at fraction 256/500), the assignment
+    // runs over the FULL corpus at the final sampled centroids — same
+    // held-out-assign shape as sim11's oracle
+    "ml2_kmeans_sampled" ->
+      s"""WITH ${kmeansCtesOn(
+             s"substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < " +
+               s"'${graft.ops.Sampling.fractionThreshold(256.0 / 500.0)}'")},
+         |emball AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |asg AS (SELECT vec_id, cid FROM (
+         |          SELECT e.vec_id, c.cid, row_number() OVER (
+         |              PARTITION BY e.vec_id
+         |              ORDER BY list_sum(list_transform(range(1, len(e.v)+1),
+         |                i -> (e.v[i]-c.cen[i])*(e.v[i]-c.cen[i]))), c.cid)
+         |            AS rn
+         |          FROM emball e CROSS JOIN c2 c) WHERE rn = 1)
+         |SELECT vec_id, cid AS cluster FROM asg""".stripMargin,
     // portable sign-LSH near-dup pairs: bucketed candidates (a < b),
     // exact cosine rounded to 6dp on both sides before the threshold
     "d18_portable_neardup" ->

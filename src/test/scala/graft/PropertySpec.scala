@@ -460,6 +460,34 @@ class PropertySpec extends GraftSuite {
     ops.Clustering.clearAssignments() // drop the random-frame memos
   }
 
+  test("two-level law: coarse=k assignment == flat on random corpora") {
+    import spark.implicits._
+    // random float frames across dims/k/sizes: the coarse=k configuration
+    // must reproduce the flat argmin EXACTLY on any input (the d22
+    // oracle's premise, here stressed beyond the fixture) — including
+    // duplicate vectors (coarse-group merges) and argmin ties
+    val vecGen = for {
+      dims <- Gen.chooseNum(2, 6)
+      n <- Gen.chooseNum(5, 40)
+      rows <- Gen.listOfN(n * dims,
+        Gen.chooseNum(-8, 8).map(_.toFloat / 4.0f))
+    } yield (dims, rows.grouped(dims).map(_.toArray).toSeq)
+    samples(vecGen, 6).zipWithIndex.foreach { case ((_, vecs), i) =>
+      val emb = vecs.zipWithIndex
+        .map { case (v, id) => (id.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val k = math.min(1 + i, vecs.size)
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val flat = toMap(ops.Clustering.kmeansAssign(emb, k, 2))
+      val two = toMap(ops.Clustering.kmeansAssignScalable(emb, k, 2,
+        trainCap = Long.MaxValue, maxModelCentroids = 0,
+        coarseCentroids = k))
+      assert(two == flat, s"sample $i (k=$k): two-level != flat")
+    }
+    ops.Clustering.clearAssignments()
+  }
+
   test("PPJoin law: prefix-filtered jaccard == direct join on skewed random corpora") {
     import spark.implicits._
     // tiny vocabulary + a stopword injected into most docs => hot shingles,
