@@ -339,6 +339,16 @@ class PlanSpec extends GraftSuite {
       s"SignBitsPack should run inside whole-stage codegen:\n${p.take(1200)}")
   }
 
+  test("zipf twin generation prunes the documents scan to doc_id") {
+    val z = graft.ops.Dedup.zipfVocabularyTwin(
+      Tables.load(spark, sf, "documents"))
+    val p = z.queryExecution.executedPlan.toString
+    // the regenerated corpus derives entirely from doc_id — reading any
+    // other column of the 5-column table would be wasted IO at 100 TB
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"generation must read only doc_id:\n${p.takeRight(600)}")
+  }
+
   test("two-level assign is a broadcast-frame join, not a giant literal") {
     val emb = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
