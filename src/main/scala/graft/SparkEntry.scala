@@ -538,6 +538,10 @@ object SparkEntry {
     // which is what the DuckDB oracle recomputes)
     "d21_phash_pairs" -> ((s, d) =>
       Multimodal.phashPairs(t(s, d, "documents"), 3)),
+    // curation composed across modalities: e5's keepers minus the
+    // higher-id side of every phash near-dup image pair
+    "e8_media_curated" -> ((s, d) =>
+      Pipeline.mediaCuratedCorpus(t(s, d, "documents"))),
     // ---- E2 SQL entry path ----
     "e2_sql_revenue_by_year" -> ((s, d) =>
       graft.sql.SqlJobs.revenueByYear(s, d)),
@@ -1138,6 +1142,34 @@ object SparkEntry {
        |  END AS text
        |FROM documents)""".stripMargin
   }
+
+  /** The d21 dHash signature derivation as a shared, prefix-namespaced
+    * CTE block (psig(doc_id, ph)) — the IDAT body is the document text
+    * (identity UTF-8 round trip), so the grid rebuilds from `text`
+    * directly; shared by the d21 pair oracle and e8's drop list. */
+  private val phashSigCtes: String =
+    """pimg AS (SELECT doc_id, text FROM documents
+      |             WHERE doc_id % 3 <> 1),
+      |pch AS (SELECT doc_id, unnest(range(1, length(text)+1)) AS i,
+      |         length(text) AS l, text FROM pimg),
+      |pcv AS (SELECT doc_id, CAST(((i-1)*64) // l AS INTEGER) AS cell,
+      |         unicode(text[i]) AS v FROM pch),
+      |pgs AS (SELECT doc_id, cell, SUM(v) % 256 AS gv
+      |         FROM pcv GROUP BY 1, 2),
+      |pc64 AS (SELECT unnest(range(0, 64)) AS cell),
+      |pgrid AS (SELECT i.doc_id, c.cell, COALESCE(g.gv, 0) AS gv
+      |         FROM pimg i CROSS JOIN pc64 c
+      |         LEFT JOIN pgs g ON g.doc_id = i.doc_id
+      |           AND g.cell = c.cell),
+      |psig AS (SELECT a.doc_id,
+      |          CAST(COALESCE(SUM(CASE WHEN a.gv < b.gv
+      |            THEN CAST(1 AS BIGINT) <<
+      |              CAST((a.cell // 8) * 7 + (a.cell % 8) AS INTEGER)
+      |            ELSE 0 END), 0) AS BIGINT) AS ph
+      |        FROM pgrid a JOIN pgrid b
+      |          ON b.doc_id = a.doc_id AND b.cell = a.cell + 1
+      |        WHERE a.cell % 8 < 7
+      |        GROUP BY 1)""".stripMargin
 
   /** [[kmeansCtes]] with the training corpus restricted by `pred` — the
     * frozen-quantizer oracle (sim11) trains the Lloyd loop on a SLICE
@@ -2352,32 +2384,11 @@ object SparkEntry {
     // the grid from `text` directly and brute-forces hamming <= 3 (the
     // 4-band pigeonhole layout makes Spark's banded set equal it)
     "d21_phash_pairs" ->
-      """WITH img AS (SELECT doc_id, text FROM documents
-        |             WHERE doc_id % 3 <> 1),
-        |ch AS (SELECT doc_id, unnest(range(1, length(text)+1)) AS i,
-        |         length(text) AS l, text FROM img),
-        |cv AS (SELECT doc_id, CAST(((i-1)*64) // l AS INTEGER) AS cell,
-        |         unicode(text[i]) AS v FROM ch),
-        |gsum AS (SELECT doc_id, cell, SUM(v) % 256 AS gv
-        |         FROM cv GROUP BY 1, 2),
-        |c64 AS (SELECT unnest(range(0, 64)) AS cell),
-        |grid AS (SELECT i.doc_id, c.cell, COALESCE(g.gv, 0) AS gv
-        |         FROM img i CROSS JOIN c64 c
-        |         LEFT JOIN gsum g ON g.doc_id = i.doc_id
-        |           AND g.cell = c.cell),
-        |sig AS (SELECT a.doc_id,
-        |          CAST(COALESCE(SUM(CASE WHEN a.gv < b.gv
-        |            THEN CAST(1 AS BIGINT) <<
-        |              CAST((a.cell // 8) * 7 + (a.cell % 8) AS INTEGER)
-        |            ELSE 0 END), 0) AS BIGINT) AS ph
-        |        FROM grid a JOIN grid b
-        |          ON b.doc_id = a.doc_id AND b.cell = a.cell + 1
-        |        WHERE a.cell % 8 < 7
-        |        GROUP BY 1)
-        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-        |       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin,
+      s"""WITH $phashSigCtes
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+         |FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin,
     // d3's verified output equals the exact-Jaccard pair set whenever LSH
     // recall is 1.0 — guaranteed here: planted near-dups sit at j≈0.99, so
     // a 4-row band misses with prob (1-0.99⁴)⁸ ≈ 4e-12 (PipelineSpec
@@ -3340,6 +3351,19 @@ object SparkEntry {
          |SELECT q.doc_id, q.n_toks, q.score, d.dup_frac
          |FROM qsc q JOIN dspan d USING (doc_id)
          |JOIN kept USING (doc_id)""".stripMargin,
+    // e5's keepers minus the phash image drop list (shared psig CTEs)
+    "e8_media_curated" ->
+      s"""WITH $modelScoreCtes,
+         |$dupSpanCtes,
+         |$curationKeepCtes,
+         |$phashSigCtes,
+         |pdrop AS (SELECT DISTINCT b.doc_id
+         |          FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.ph, b.ph)) <= 3)
+         |SELECT q.doc_id, q.n_toks, q.score, d.dup_frac
+         |FROM qsc q JOIN dspan d USING (doc_id)
+         |JOIN kept USING (doc_id)
+         |WHERE q.doc_id NOT IN (SELECT doc_id FROM pdrop)""".stripMargin,
     // e6: the e5 keep-set fed through the pack1 cumsum — the composed
     // filter compares 6dp values both engines hash-match, and the pack
     // arithmetic is all-integer, so the composition is oracle-exact

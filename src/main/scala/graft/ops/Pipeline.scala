@@ -108,6 +108,23 @@ object Pipeline {
       .select(col("doc_id"), col("n_toks"), col("score"), col("dup_frac"))
   }
 
+  /** [[curatedCorpus]] extended across modalities: the text-quality /
+    * dup-span / exact-dup keepers additionally drop the higher-id side
+    * of every perceptual-hash near-dup IMAGE pair
+    * (`Multimodal.phashPairs` — the d21 engine), so a near-duplicate
+    * image whose caption text passed every text filter still leaves the
+    * corpus once. Audio docs carry no image hash and are unaffected by
+    * the media leg (left-anti join misses them by construction). One
+    * extra doc_id-keyed anti-join on top of e5's three branches; the
+    * drop list is pair-output-sized. */
+  def mediaCuratedCorpus(documents: DataFrame, minScore: Double = 0.45,
+      maxDupFrac: Double = 0.5, maxHamming: Int = 3): DataFrame = {
+    val phashDrops = Multimodal.phashPairs(documents, maxHamming)
+      .select(col("doc2").as("doc_id")).distinct()
+    curatedCorpus(documents, minScore, maxDupFrac)
+      .join(phashDrops, Seq("doc_id"), "left_anti")
+  }
+
   /** Corpus datasheet: per (lang, source) stratum — document count, token
     * and character totals, and near-dup exposure. The report every corpus
     * release ships (and the input the mixing weights of

@@ -1057,6 +1057,19 @@ class PipelineSpec extends GraftSuite {
     Clustering.clearAssignments() // nor the tiny-frame kmeans memos
   }
 
+  test("e8 composition: mediaCuratedCorpus == curatedCorpus minus phash drops") {
+    val want = {
+      val drops = graft.ops.Multimodal.phashPairs(docs, 3)
+        .select(col("doc2")).collect().map(_.getLong(0)).toSet
+      Pipeline.curatedCorpus(docs).collect()
+        .map(_.getLong(0)).toSet -- drops
+    }
+    val got = Pipeline.mediaCuratedCorpus(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == want, "e8 must be exactly e5's keep-set minus the " +
+      s"phash doc2 side (${want.size} expected, ${got.size} got)")
+  }
+
   test("d21 phash: planted near-dup images pair up, audio never does") {
     import spark.implicits._
     import graft.ops.Multimodal
