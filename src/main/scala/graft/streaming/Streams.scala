@@ -577,6 +577,114 @@ object Streams {
     } finally graft.ops.Dedup.clearSubstrates()
   }
 
+  /** Streaming MEDIA ingestion with incremental perceptual dedup — the
+    * d21 image near-dup engine run ONLINE as media arrives, the
+    * multimodal sibling of [[dedupIngestSink]]: each micro-batch's
+    * payloads are dHashed (`Multimodal.phash` — audio and corrupt
+    * payloads carry no hash and always pass), classified against the
+    * DURABLE signature index plus lower-id batch peers, and every
+    * decision (keep / near_dup with partner + hamming) lands in the
+    * audit output keyed by `bid`; accepted images' signatures append to
+    * the index.
+    *
+    * PER-BATCH COST IS BATCH-PROPORTIONAL: the index is (doc_id, phash)
+    * rows only — payload bytes are never re-read — and the banded
+    * Hamming join (maxHamming+1 near-equal bands over the 56 bits, the
+    * d21 layout) probes it with batch-sized band keys. Same crash/replay
+    * contract as `dedupIngestSink`: every write is idempotent per bid
+    * (hive `bid=N` partitions, overwritten on replay), the commit point
+    * is the one-row frontier marker written last, the classification
+    * reads the index at `bid <= frontier` (orphans partition-prune
+    * away), and the replay guard is O(1). Greedy-online semantics, same
+    * documented contract as the text sink: the first arrival of a dup
+    * family keeps, later members drop against the earliest committed or
+    * lower-id in-batch partner; the corpus is never re-deduplicated. */
+  def phashIngestSink(media: DataFrame, stateDir: String, outDir: String,
+      maxHamming: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        mergePhashIngest(batch, batchId, stateDir, outDir, maxHamming)
+    }
+
+  /** The per-batch body of `phashIngestSink`, package-visible for the
+    * decision/replay/orphan specs. */
+  private[graft] def mergePhashIngest(batch: DataFrame, batchId: Long,
+      stateDir: String, outDir: String, maxHamming: Int): Unit = {
+    require(maxHamming >= 0 && maxHamming < 56,
+      "maxHamming must sit inside the 56-bit signature")
+    val spark = batch.sparkSession
+    val idxDir = s"$stateDir/index"
+    val frontierDir = s"$stateDir/frontier"
+    val lastBid = readStateWithRecovery(spark, frontierDir).map { df =>
+      val r = df.select(max(col("bid"))).head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
+    if (batchId <= lastBid) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"phashIngestSink: skipping batch $batchId (frontier at $lastBid)" +
+          " — replay of a committed batch is a no-op")
+      return
+    }
+    val sigs = graft.ops.Multimodal.phash(batch)
+      .localCheckpoint() // feeds band join, peers join, index append
+    // the d21 band layout: maxHamming+1 near-equal chunks of the 56 bits
+    val bands = maxHamming + 1
+    val base = 56 / bands
+    val extra = 56 % bands
+    val widths = Array.tabulate(bands)(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).take(bands)
+    def chunked(df: org.apache.spark.sql.DataFrame, idCol: String,
+        sigCol: String) = df.select(col(idCol), col(sigCol),
+      explode(array((0 until bands).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col(sigCol), offsets(c))
+            .bitwiseAND((1L << widths(c)) - 1).as("chunk_val"))): _*))
+        .as("ck"))
+      .select(col(idCol), col(sigCol),
+        col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
+    val committed = committedBidParquet(spark, idxDir, lastBid)
+      .map(_.select(col("doc_id").as("partner"), col("phash").as("psig")))
+      .getOrElse(sigs
+        .select(col("doc_id").as("partner"), col("phash").as("psig"))
+        .where(lit(false)))
+    val newCh = chunked(sigs, "doc_id", "phash")
+    // vs the committed index, plus vs LOWER-id batch peers (greedy-online)
+    val vsIndex = newCh
+      .join(chunked(committed, "partner", "psig"), Seq("chunk", "chunk_val"))
+    val vsPeers = newCh
+      .join(chunked(sigs.toDF("partner", "psig"), "partner", "psig"),
+        Seq("chunk", "chunk_val"))
+      .where(col("partner") < col("doc_id"))
+    val matches = vsIndex.unionByName(vsPeers)
+      .select(col("doc_id"),
+        struct(bit_count(col("phash").bitwiseXOR(col("psig"))).as("hamming"),
+          col("partner").as("partner")).as("m"))
+      .where(col("m.hamming") <= maxHamming)
+      .groupBy(col("doc_id"))
+      .agg(min(col("m")).as("m")) // earliest partner at the best hamming
+    val decisions = sigs.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("m").isNull, lit("keep")).otherwise(lit("near_dup"))
+          .as("decision"),
+        col("m.partner").as("partner"), col("m.hamming").as("hamming"))
+      // non-image payloads (no signature) pass through as keepers
+      .unionByName(batch.select(col("doc_id"))
+        .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("keep").as("decision"),
+          lit(null).cast("long").as("partner"),
+          lit(null).cast("int").as("hamming")))
+      .localCheckpoint() // one computation feeds audit + index append
+    decisions.write.mode("overwrite").parquet(s"$outDir/bid=$batchId")
+    sigs.join(decisions.where(col("decision") === "keep")
+        .select(col("doc_id")), "doc_id")
+      .write.mode("overwrite").parquet(s"$idxDir/bid=$batchId")
+    // COMMIT: the frontier marker makes the index append visible
+    import spark.implicits._
+    swapIntoPlace(Seq(batchId).toDF("bid").repartition(1), frontierDir)
+  }
+
   /** Transactional produce — the 2PC / read-committed twin of the
     * reference's EXACTLY_ONCE Kafka producer (FlinkSinkUtil.java:32-34:
     * `DeliveryGuarantee.EXACTLY_ONCE` + a transaction-id prefix, paired
@@ -644,25 +752,35 @@ object Streams {
     readStateWithRecovery(spark, s"$outDir/_frontier").flatMap { df =>
       val r = df.select(max(col("bid"))).head
       if (r.isNullAt(0)) None
-      else {
-        val frontier = r.getLong(0)
-        val dataDir = new org.apache.hadoop.fs.Path(s"$outDir/data")
-        val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val committed = fs.listStatus(dataDir).toSeq
-          .filter(_.isDirectory)
-          .map(_.getPath)
-          .filter { p =>
-            p.getName.startsWith("bid=") &&
-              scala.util.Try(p.getName.stripPrefix("bid=").toLong)
-                .toOption.exists(_ <= frontier)
-          }
-          .sortBy(_.getName)
-          .map(_.toString)
-        if (committed.isEmpty) None
-        else Some(spark.read.option("basePath", s"$outDir/data")
-          .parquet(committed: _*))
-      }
+      else committedBidParquet(spark, s"$outDir/data", r.getLong(0))
     }
+
+  /** Read ONLY the `bid=N` hive partitions of `dataDir` at or below
+    * `frontier`, by explicit path listing (`basePath` keeps the `bid`
+    * partition column) — an uncommitted orphan's files are never listed,
+    * so even a TRUNCATED parquet file a crash left in a staged partition
+    * cannot poison schema inference or the scan (a filter-only `bid <=`
+    * predicate would still list and footer-read every partition).
+    * Shared read discipline of `readCommitted` and the ingest sinks'
+    * index reads. None when no committed partition exists. */
+  private[graft] def committedBidParquet(spark: SparkSession,
+      dataDir: String, frontier: Long): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val committed = fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("bid=") &&
+          scala.util.Try(p.getName.stripPrefix("bid=").toLong)
+            .toOption.exists(_ <= frontier)
+      }
+      .sortBy(_.getName)
+      .map(_.toString)
+    if (committed.isEmpty) None
+    else Some(spark.read.option("basePath", dataDir).parquet(committed: _*))
+  }
 
   /** S6/S8 — keyed upsert sink via foreachBatch merge: last-write-wins into
     * a keyed parquet table (the upsert-kafka / HBase-put analogue).

@@ -1337,6 +1337,46 @@ class StreamingSpec extends GraftSuite {
       Files.createTempDirectory("graft_txn3").toString + "/t").isEmpty)
   }
 
+  test("phash ingest: greedy-online image dedup, durable index, replay no-op") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    import org.apache.spark.sql.functions.{col, length}
+    val state = Files.createTempDirectory("graft_pingest_s").toString
+    val out = Files.createTempDirectory("graft_pingest_o").toString
+    val base = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    def media(rows: Seq[(Long, String)]) = Multimodal.toMediaTable(
+      rows.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    def audit() = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // batch 0: image 0 (base), image 3 (one-char perturbation — lower-id
+    // peer dup), audio 1 (same text, no image hash -> passes)
+    Streams.mergePhashIngest(
+      media(Seq((0L, base), (3L, base.updated(10, 'z')), (1L, base))),
+      0L, state, out, 3)
+    assert(audit() == Set((0L, "keep", -1L), (3L, "near_dup", 0L),
+      (1L, "keep", -1L)), s"batch-0 decisions: ${audit()}")
+    // batch 1: image 6 carries the ORIGINAL text — dup vs the durable
+    // index (partner 0 was committed, 3 was not indexed)
+    Streams.mergePhashIngest(media(Seq((6L, base))), 1L, state, out, 3)
+    assert(audit().contains((6L, "near_dup", 0L)),
+      s"index lookup must find the committed partner: ${audit()}")
+    // replay of a committed bid is a no-op, even with different content
+    Streams.mergePhashIngest(media(Seq((9L, "unrelated words here"))),
+      1L, state, out, 3)
+    assert(!audit().exists(_._1 == 9L), "replay must not reclassify")
+    // a corrupt orphan index partition above the frontier is invisible
+    val orphan = new java.io.File(s"$state/index/bid=9")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "part-00000.snappy.parquet").toPath,
+      Array[Byte]('P', 'A', 'R', '1', 9, 9))
+    Streams.mergePhashIngest(media(Seq((12L, base))), 2L, state, out, 3)
+    assert(audit().contains((12L, "near_dup", 0L)),
+      s"classification must survive a corrupt orphan: ${audit()}")
+  }
+
   test("txn sink: corrupt orphan files cannot poison the committed read") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_txn4").toString + "/t"
