@@ -460,6 +460,27 @@ class PropertySpec extends GraftSuite {
     ops.Clustering.clearAssignments() // drop the random-frame memos
   }
 
+  test("dHash law: a same-length single-char edit flips at most 2 bits") {
+    // one substituted character changes exactly ONE grid cell's sum, and
+    // a cell participates in at most two horizontal-gradient comparisons
+    // — the locality property that makes dHash a NEAR-dup hash (and what
+    // the d21 planted-pair spec relies on). Length changes void it
+    // (every downstream cell shifts), hence same-length edits only.
+    val strGen = for {
+      n <- Gen.chooseNum(10, 300)
+      cs <- Gen.listOfN(n, Gen.alphaNumChar)
+      pos <- Gen.chooseNum(0, n - 1)
+      c <- Gen.alphaNumChar
+    } yield (cs.mkString, pos, c)
+    samples(strGen, 300).foreach { case (s, pos, c) =>
+      val edited = s.updated(pos, c)
+      val h = java.lang.Long.bitCount(
+        graft.ops.Multimodal.dHash56(s) ^
+          graft.ops.Multimodal.dHash56(edited))
+      assert(h <= 2, s"edit at $pos flipped $h bits: '$s' -> '$edited'")
+    }
+  }
+
   test("two-level law: coarse=k assignment == flat on random corpora") {
     import spark.implicits._
     // random float frames across dims/k/sizes: the coarse=k configuration
