@@ -91,9 +91,37 @@ object Pipeline {
     * wrong trade at 100 TB.
     *
     * Thresholds compare the same 6dp-rounded values both engines already
-    * hash-match per-operator, so the composed filter is oracle-exact. */
+    * hash-match per-operator, so the composed filter is oracle-exact.
+    *
+    * Session-memoized (plan-equality keyed, single-flight, the Dedup-
+    * substrate pattern): FOUR queries consume this keep-set (e5 itself,
+    * e6 packing, e7 bucketing, e8 media curation) — at scale a curation
+    * run materializes its keep-set once per corpus release, not once per
+    * downstream job, and the frame is keep-set-sized (4 narrow columns),
+    * cheap to pin. `clearCurated()` drops the memos. */
   def curatedCorpus(documents: DataFrame, minScore: Double = 0.45,
       maxDupFrac: Double = 0.5): DataFrame = {
+    val key = (documents.queryExecution.analyzed.canonicalized,
+      java.lang.Double.doubleToLongBits(minScore),
+      java.lang.Double.doubleToLongBits(maxDupFrac))
+    curatedCache.synchronized {
+      curatedCache.getOrElseUpdate(key,
+        curatedCompute(documents, minScore, maxDupFrac).localCheckpoint())
+    }
+  }
+
+  private val curatedCache = scala.collection.mutable.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Long),
+    DataFrame]()
+
+  /** Drop the memoized keep-set frames (test hygiene; long sessions
+    * curating many corpora — the same contract as
+    * `Dedup.clearSubstrates`). */
+  def clearCurated(): Unit =
+    curatedCache.synchronized(curatedCache.clear())
+
+  private def curatedCompute(documents: DataFrame, minScore: Double,
+      maxDupFrac: Double): DataFrame = {
     val scores = TextAnalysis.modelQualityScore(documents)
     val spans = Dedup.dupSpans(documents, 8, 2)
       .select(col("doc_id"), col("dup_frac"))

@@ -1055,6 +1055,7 @@ class PipelineSpec extends GraftSuite {
       .map(r => r.getLong(1)).toSeq == Seq(0L, 0L, 0L))
     Dedup.clearSubstrates() // don't leak the weird-corpus caches
     Clustering.clearAssignments() // nor the tiny-frame kmeans memos
+    Pipeline.clearCurated() // nor the weird-corpus keep-set memo
   }
 
   test("e8 composition: mediaCuratedCorpus == curatedCorpus minus phash drops") {
