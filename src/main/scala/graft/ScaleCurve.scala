@@ -119,9 +119,15 @@ object ScaleCurve {
     // 4.0 s cold vs 2.7 s warm on a flat family). Session memos are
     // cleared afterwards so the timed R=1 point is never a cache hit.
     ops.headOption.foreach { case (_, _, fn) =>
+      // NonFatal only: a warm-pass failure is logged but must not mask a
+      // genuinely broken op (and OOM/interrupt must propagate, not be
+      // swallowed here only to resurface cause-less in the timed run)
       try fn(spark.read.parquet(replicaPath(1)), 1)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"warm pass failed (timed run will show the op): $e")
+      }
       graft.ops.Clustering.clearAssignments()
       graft.ops.Dedup.clearSubstrates()
       graft.ops.Similarity.clearGraphCache()

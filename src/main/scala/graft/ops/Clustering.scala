@@ -76,6 +76,7 @@ object Clustering {
     centsCache.synchronized(centsCache.clear())
     scalableCache.synchronized(scalableCache.clear())
     scalablePairCache.synchronized(scalablePairCache.clear())
+    countCache.synchronized(countCache.clear())
   }
 
   /** Final-round centroids memo, same key as `assignCache` — populated by
@@ -207,6 +208,25 @@ object Clustering {
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int,
       Long, Int, Int), DataFrame]()
 
+  /** Assignable-row-count memo, keyed by canonicalized plan — ONE counting
+    * convention for the whole auto family (`scaledK`,
+    * `semdedupPairsAuto`, `kmeansAssignScalable` all derive scale from
+    * the NON-NULL-embedding count, since null-embedding rows are exactly
+    * the rows the Lloyd loop drops and the pair engine never sees), and
+    * one count JOB per corpus per session instead of one per call-site
+    * per call (the auto path previously re-counted on every invocation,
+    * even on memo hits, and again inside the scalable branch). */
+  private val countCache = scala.collection.mutable.Map[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]()
+
+  private def assignableCount(embeddings: DataFrame): Long = {
+    val embNN = embeddings.where(col("embedding").isNotNull)
+    val key = embNN.queryExecution.analyzed.canonicalized
+    countCache.synchronized {
+      countCache.getOrElseUpdate(key, embNN.select(col("vec_id")).count())
+    }
+  }
+
   /** Driver-side mini-Lloyd over the FINE centroid table (bounded by the
     * training-sample cap, so this is model-scale work, never data-scale):
     * groups the k fine centroids into ≤ g coarse cells. Same determinism
@@ -248,7 +268,16 @@ object Clustering {
     val mapping = fine.map { case (cid, cen) =>
       cid -> nearest(cen, coarse)
     }.toMap
-    (coarse, mapping)
+    // The mapping is recomputed against the POST-update means, so a
+    // coarse cell that had members mid-loop can end up with zero fine
+    // members (the classic Lloyd empty-cluster case) — and a data vector
+    // whose coarse argmin lands in such a cell would inner-join to
+    // nothing in twoLevelAssignFrame and silently vanish. Keep only the
+    // cells the final mapping actually uses: every surviving gid then
+    // has >= 1 fine member, so the fine join can never drop a row
+    // (spec-pinned on a geometry that empties a cell).
+    val used = mapping.values.toSet
+    (coarse.filter { case (gid, _) => used(gid) }, mapping)
   }
 
   /** The two-level data pass, pre-checkpoint (package-visible so PlanSpec
@@ -309,7 +338,7 @@ object Clustering {
     scalableCache.synchronized {
       scalableCache.getOrElseUpdate(cacheKey, {
         val embNN = embeddings.where(col("embedding").isNotNull)
-        val n = embNN.select(col("vec_id")).count()
+        val n = assignableCount(embeddings)
         if (n <= trainCap && k <= maxModelCentroids)
           kmeansAssign(embeddings, k, iters) // memo-shared oracle path
         else {
@@ -403,10 +432,14 @@ object Clustering {
     * at 1. One COUNT over the narrow vec_id projection — at 100 TB that
     * is a metadata-cheap columnar count, paid once per corpus per
     * session (the assign/pair memos key on the resolved k, so the
-    * training it gates is already single-flight). */
+    * training it gates is already single-flight; the count itself is
+    * memoized per corpus plan). `n` counts ASSIGNABLE vectors — rows
+    * with a non-null embedding, the same convention the whole auto
+    * family uses, since null-embedding rows are exactly what the Lloyd
+    * loop drops before clustering. */
   def scaledK(embeddings: DataFrame, targetClusterSize: Int = 512): Int = {
     require(targetClusterSize >= 1, "targetClusterSize must be >= 1")
-    val n = embeddings.select(col("vec_id")).count()
+    val n = assignableCount(embeddings)
     math.max(1L, (n + targetClusterSize - 1) / targetClusterSize).toInt
   }
 
@@ -432,8 +465,7 @@ object Clustering {
   def semdedupPairsAuto(embeddings: DataFrame, iters: Int = 2,
       threshold: Double = 0.95, targetClusterSize: Int = 512,
       trainCap: Long = 131072L, maxModelCentroids: Int = 2048): DataFrame = {
-    val embNN = embeddings.where(col("embedding").isNotNull)
-    val n = embNN.select(col("vec_id")).count()
+    val n = assignableCount(embeddings)
     val k = math.max(1L,
       (n + targetClusterSize - 1) / targetClusterSize).toInt
     if (n <= trainCap && k <= maxModelCentroids)

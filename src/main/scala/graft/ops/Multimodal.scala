@@ -252,17 +252,22 @@ object Multimodal {
     * (inside a signed 64-bit long, like d19's 60-bit posture). A REAL
     * deployment swaps `gridOf` for inflate+resize-to-8×9-grayscale and
     * keeps everything downstream — the banding, pairing, and oracle
-    * shapes don't change. ASCII contract like t1/t16: the fixture text
-    * is single-byte code points, so Spark's UTF-16 iteration and the
-    * oracle's per-character `unicode()` agree. */
+    * shapes don't change. Iteration is per CODE POINT (surrogate pairs
+    * contribute one code point to one cell, `i` advancing by
+    * `charCount`), matching the oracle's per-character `unicode()` walk —
+    * a per-UTF-16-unit walk would double-count supplementary characters
+    * and mis-stride the cell index on any non-BMP text reaching the
+    * public `phashIngestSink` path. */
   private[graft] def dHash56(body: String): Long = {
-    val l = body.length
+    val l = body.codePointCount(0, body.length)
     val g = new Array[Long](64)
-    var i = 0
-    while (i < l) {
-      val cell = ((i.toLong * 64) / l).toInt
-      g(cell) += body.codePointAt(i)
-      i += 1
+    var i = 0  // UTF-16 index
+    var ci = 0 // code-point index — the cell stride the oracle sees
+    while (i < body.length) {
+      val cp = body.codePointAt(i)
+      g(((ci.toLong * 64) / l).toInt) += cp
+      i += Character.charCount(cp)
+      ci += 1
     }
     var c = 0
     while (c < 64) { g(c) = g(c) % 256; c += 1 }

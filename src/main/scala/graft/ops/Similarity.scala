@@ -779,8 +779,13 @@ object Similarity {
     ivfIndexStaleness(spark, indexDir)
       .where(col("gen") > 0L)
       .agg(coalesce(max(col("drift")), lit(1.0)).as("staleness"))
-      .select(round(col("staleness"), 6).as("staleness"),
-        lit(threshold).as("threshold"),
+      // round FIRST, then gate on the rounded value — deciding on the
+      // raw staleness while reporting the rounded one could emit the
+      // internally inconsistent row (staleness >= threshold,
+      // retrain=false) when the raw value sits within 5e-7 of the
+      // threshold
+      .select(round(col("staleness"), 6).as("staleness"))
+      .select(col("staleness"), lit(threshold).as("threshold"),
         (col("staleness") >= threshold).as("retrain"))
   }
 

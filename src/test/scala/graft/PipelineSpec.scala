@@ -318,7 +318,15 @@ class PipelineSpec extends GraftSuite {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ivf_pol").toString
     Similarity.writeIvfIndex(emb.where(col("vec_id") >= 40), dir)
-    def policy() = Similarity.ivfRetrainPolicy(spark, dir).head
+    def policy() = {
+      val r = Similarity.ivfRetrainPolicy(spark, dir).head
+      // every emitted record must be self-consistent: the decision is
+      // made on the SAME rounded staleness it reports (deciding on the
+      // raw value could emit staleness >= threshold with retrain=false)
+      assert(r.getBoolean(2) == (r.getDouble(0) >= r.getDouble(1)),
+        s"policy row must be internally consistent: $r")
+      r
+    }
     // no appends yet: staleness 1.0, no retrain
     val p0 = policy()
     assert(p0.getDouble(0) == 1.0 && !p0.getBoolean(2), s"fresh index: $p0")
@@ -1154,6 +1162,32 @@ class PipelineSpec extends GraftSuite {
     val a2 = Clustering.kmeansAssignScalable(emb, 8, 2, trainCap = 64L)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a2 == a1, "sample-trained assignment must be deterministic")
+    Clustering.clearAssignments()
+  }
+
+  test("scalable assign: an emptied coarse cell can never drop rows") {
+    import spark.implicits._
+    // Adversarial geometry (found by randomized search): the driver
+    // mini-Lloyd recomputes the fine->coarse mapping against POST-update
+    // means, and here coarse cell 2 at (4.05, 4.55) ends with ZERO fine
+    // members — the classic Lloyd empty-cluster case. Before the fix, a
+    // data vector whose coarse argmin landed in that cell inner-joined
+    // to no fine rows and silently vanished from the assignment.
+    val fine: Seq[(Int, Seq[Double])] = Seq(
+      0 -> Seq(0.9, 9.1), 1 -> Seq(5.5, 8.7), 2 -> Seq(4.4, 8.9),
+      3 -> Seq(6.0, 0.2), 4 -> Seq(2.6, 0.4), 5 -> Seq(6.0, 3.3))
+    val (coarse, mapping) = Clustering.groupCentroids(fine, 3)
+    assert(coarse.map(_._1).toSet == mapping.values.toSet,
+      "every surviving coarse cell must have a fine member: " +
+        s"coarse=${coarse.map(_._1)} used=${mapping.values.toSet}")
+    // the data pass: the fine positions plus a vector AT the emptied
+    // cell's pre-filter mean — exactly the row the pre-fix join dropped
+    val emb2 = (fine.map { case (cid, cen) => (cid.toLong, cen.toArray) } :+
+      (6L, Array(4.05, 4.55))).toDF("vec_id", "embedding")
+    val asg = Clustering.twoLevelAssignFrame(emb2, fine, 3).collect()
+    assert(asg.length == 7,
+      s"all 7 vectors must be assigned, got ${asg.length}")
+    assert(asg.map(_.getLong(0)).toSet == (0L to 6L).toSet)
     Clustering.clearAssignments()
   }
 

@@ -481,6 +481,41 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("dHash law: iteration is per code point — surrogates count once") {
+    // reference implementation over the CODE-POINT array (a different
+    // iteration API than the operator's charCount walk): a per-UTF-16-
+    // unit walk would add the full code point at the high surrogate AND
+    // the low-surrogate value again, and mis-stride every later cell —
+    // exactly what non-BMP text on the public phashIngestSink path
+    // would hit. This also matches the oracle's per-character walk.
+    def ref(s: String): Long = {
+      val cps = s.codePoints().toArray
+      val g = new Array[Long](64)
+      cps.zipWithIndex.foreach { case (cp, i) =>
+        g(((i.toLong * 64) / cps.length).toInt) += cp
+      }
+      (0 until 64).foreach(i => g(i) %= 256)
+      var sig = 0L
+      for (r <- 0 until 8; c <- 0 until 7)
+        if (g(r * 8 + c) < g(r * 8 + c + 1)) sig |= 1L << (r * 7 + c)
+      sig
+    }
+    val gClef = new String(Character.toChars(0x1D11E)) // non-BMP
+    val cases = Seq(
+      "a" + gClef + "b", gClef * 70, ("mixed " + gClef) * 13,
+      "𝄞 tail", "head 𝄞",
+      "ascii only stays ascii only")
+    cases.foreach { s =>
+      assert(graft.ops.Multimodal.dHash56(s) == ref(s),
+        s"per-code-point contract violated on '${s.take(20)}'")
+    }
+    // the <=2-bit same-length edit law extends to code-point length
+    val e = (gClef + "abcdefg") * 9
+    val h = java.lang.Long.bitCount(graft.ops.Multimodal.dHash56(e) ^
+      graft.ops.Multimodal.dHash56(e.updated(e.length - 1, 'z')))
+    assert(h <= 2, s"same-code-point-length edit flipped $h bits")
+  }
+
   test("two-level law: coarse=k assignment == flat on random corpora") {
     import spark.implicits._
     // random float frames across dims/k/sizes: the coarse=k configuration
