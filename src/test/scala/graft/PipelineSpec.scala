@@ -1583,6 +1583,31 @@ class PipelineSpec extends GraftSuite {
     assert(autoKeep == fixedKeep)
   }
 
+  test("auto-k convention: null embeddings are invisible to k everywhere") {
+    import org.apache.spark.sql.functions.{col, when}
+    // 90 rows, every third embedding nulled: the whole auto family must
+    // derive k from the ASSIGNABLE (non-null) count — one convention,
+    // since null rows are exactly what the Lloyd loop drops — so the
+    // null rows change neither scaledK nor the resulting pair set
+    val dirty = emb.where(col("vec_id") < 90)
+      .select(col("vec_id"),
+        when(col("vec_id") % 3 =!= 0, col("embedding")).as("embedding"))
+    val nAssignable = dirty.where(col("embedding").isNotNull).count()
+    assert(nAssignable == 60)
+    val kDirty = Clustering.scaledK(dirty, 10)
+    assert(kDirty == 6,
+      s"scaledK must count assignable rows only: k=$kDirty n=$nAssignable")
+    // the auto pair path on the null-bearing corpus equals the fixed-k
+    // path at scaledK's k — both counting sites resolve identically
+    val auto = Clustering.semdedupPairsAuto(dirty, 2, 0.4, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Clustering.semdedupPairs(dirty, kDirty, 2, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed,
+      "auto and fixed must resolve to the same k on a null-bearing corpus")
+    Clustering.clearAssignments()
+  }
+
   test("blocked auto-bits: scaledBits = clamp(ceil(log2(n/target))); " +
       "auto == fixed at that bits") {
     val n = emb.count()
