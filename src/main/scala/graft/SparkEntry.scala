@@ -621,6 +621,11 @@ object SparkEntry {
           Seq("event_type"), 64)
         .orderBy(col("event_type"))
     }),
+    // KMV audience-overlap: intersection estimates for every unordered
+    // event-type pair from the same bounded k-min sketches — exact
+    // integer selection + one double multiply, so DuckDB replays it
+    "a26_kmv_overlap" -> ((s, d) =>
+      Sketches.kmvOverlapPairs(events(s, d), "event_type", "user_id", 64)),
     // Z-order layout stats: per-Morton-bucket bounding boxes of
     // (user_id, value) at 8 bits per dimension — the all-integer
     // queryable form of the space-filling-curve layout's two-dimensional
@@ -811,6 +816,14 @@ object SparkEntry {
     // window) — the reproducible epoch order a dataloader consumes
     "smp9_shuffle_positions" -> ((s, d) =>
       Sampling.shufflePositions(t(s, d, "documents"), "doc_id")),
+    // leakage-safe split: near-dup cluster members inherit the split of
+    // their cluster representative, so dups never straddle train/test
+    "smp10_leakage_split" -> ((s, d) =>
+      Sampling.leakageSafeSplit(t(s, d, "documents"))),
+    // corpus-release provenance funnel: every doc attributed to the
+    // first trainingCorpus stage that rejects it, with token mass
+    "audit1_filter_funnel" -> ((s, d) =>
+      Pipeline.filterFunnel(t(s, d, "documents"))),
     // Efraimidis-Spirakis weighted sample: 100 docs, char-count weights
     // (token-uniform coverage), pure-integer key hash
     "es1_weighted_sample" -> ((s, d) =>
@@ -871,6 +884,11 @@ object SparkEntry {
     // catches dead dims and collapsed encoders
     "emb2_dim_stats" -> ((s, d) =>
       Similarity.dimStats(t(s, d, "embeddings"))),
+    // per-dimension int8 quantization error report: exact min/max plus
+    // RMSE/max-abs reconstruction error in exact 1/(255e6) units — the
+    // float32->int8 storage-migration planning statistic
+    "emb4_int8_quant" -> ((s, d) =>
+      Similarity.int8QuantStats(t(s, d, "embeddings"))),
     // portable power-iteration top principal component + anisotropy
     // (ev_ratio): all row-spanning sums are exact int64, so the 4-round
     // recursion replays bit-for-bit in the oracle's unrolled CTEs
@@ -938,6 +956,10 @@ object SparkEntry {
         .union(DataQuality.refIntegrity(t(s, d, "lineitem"), "l_partkey",
           t(s, d, "part"), "p_partkey",
           "lineitem.l_partkey->part.p_partkey"))),
+    // winsorized per-type moments of events.value: exact p05/p95 clip
+    // bounds (integer-quantized), then exact-integer clipped mean/std
+    "dq4_winsorized_stats" -> ((s, d) =>
+      DataQuality.winsorizedStats(events(s, d), "event_type", "value")),
   )
 
   /** The rrf1 query set: BM25 terms from `Corpus.defaultQueries` plus
@@ -2416,6 +2438,18 @@ object SparkEntry {
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE $dupClusterCtes
          |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+    // leakage-safe split: the smp2 hash thresholds applied to the d7
+    // CLUSTER id, so every member of a near-dup component lands in its
+    // representative's split
+    "smp10_leakage_split" ->
+      s"""WITH RECURSIVE $dupClusterCtes
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+         |         < 'cccccccc' THEN 'train'
+         |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+         |         < 'e6666666' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cl""".stripMargin,
     // quality-aware keeper: argmax score per cluster (6dp score is the
     // value q1 already hash-matches, so the argmax cannot straddle
     // engines); CTE names of the two shared blocks are disjoint
@@ -2573,6 +2607,46 @@ object SparkEntry {
         |       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
         |            ELSE 63000189.0 / CAST(max(h)+1 AS DOUBLE) END AS kmv_uu
         |FROM rk WHERE rn <= 64 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // KMV pair overlap: the k smallest of each pair's unioned k-min sets
+    // (exact by mergeability), Jaccard = fraction present in both
+    // sketches, overlap = Jaccard x the a22 union estimator — every
+    // step integer selection plus one double multiply
+    "a26_kmv_overlap" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT event_type,
+        |    ((1013*(user_id%1000003)*(user_id%1000003)
+        |      + 2654435761*(user_id%1000003)) % 1000003) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rk AS (SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |       FROM hs),
+        |sk AS (SELECT event_type, h FROM rk WHERE rn <= 64),
+        |ty AS (SELECT DISTINCT event_type FROM sk),
+        |prs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |        FROM ty a JOIN ty b ON a.event_type < b.event_type),
+        |un AS (SELECT type_a, type_b, h,
+        |         MAX(CASE WHEN s.event_type = type_a THEN 1 ELSE 0 END)
+        |           AS in_a,
+        |         MAX(CASE WHEN s.event_type = type_b THEN 1 ELSE 0 END)
+        |           AS in_b
+        |       FROM prs JOIN sk s
+        |         ON s.event_type = type_a OR s.event_type = type_b
+        |       GROUP BY 1, 2, 3),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+        |                                    ORDER BY h) AS rn FROM un),
+        |ag AS (SELECT type_a, type_b, COUNT(*) AS ku, MAX(h) AS kth_min,
+        |         CAST(SUM(in_a * in_b) AS BIGINT) AS matches
+        |       FROM r2 WHERE rn <= 64 GROUP BY 1, 2)
+        |SELECT type_a, type_b, ku, kth_min, matches,
+        |       CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+        |            ELSE 63000189.0 / CAST(kth_min + 1 AS DOUBLE) END
+        |         AS est_union,
+        |       ROUND(CAST(matches AS DOUBLE) / ku, 6) AS est_jaccard,
+        |       ROUND(CAST(matches AS DOUBLE) / ku *
+        |         CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+        |              ELSE 63000189.0 / CAST(kth_min + 1 AS DOUBLE) END, 6)
+        |         AS est_overlap
+        |FROM ag""".stripMargin,
     // Morton z-value via the 4-step mask-doubling spread, mirrored as
     // chained CTEs; all-integer so the compare is exact. floor-then-cast
     // (NOT a bare CAST, which rounds in DuckDB but truncates in Spark)
@@ -3000,6 +3074,56 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
         |FROM survivors""".stripMargin,
+    // provenance funnel over e3's stages: first-rejecting-stage
+    // attribution in the documented order benchmark -> too_short ->
+    // exact_dup -> near_dup -> contaminated -> sampled_out -> kept;
+    // drop-list CTEs are e3's verbatim
+    "audit1_filter_funnel" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        |       FROM sh a JOIN sh b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
+        |             JOIN sz s1 ON doc1 = s1.doc_id
+        |             JOIN sz s2 ON doc2 = s2.doc_id
+        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+        |exactdups AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        |                                'g')))) AS keeper
+        |    FROM documents)
+        |  WHERE doc_id <> keeper),
+        |contam AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
+        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
+        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5)),
+        |staged AS (
+        |  SELECT d.text,
+        |    CASE WHEN d.doc_id < 25 THEN 'benchmark'
+        |         WHEN length(d.text) < 100 THEN 'too_short'
+        |         WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+        |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+        |         WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |           >= '80000000' THEN 'sampled_out'
+        |         ELSE 'kept' END AS stage
+        |  FROM documents d
+        |  LEFT JOIN exactdups e ON d.doc_id = e.doc_id
+        |  LEFT JOIN neardups nd ON d.doc_id = nd.doc_id
+        |  LEFT JOIN contam c ON d.doc_id = c.doc_id)
+        |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |         AS n_tokens
+        |FROM staged GROUP BY 1""".stripMargin,
     "smp1_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
@@ -3979,6 +4103,35 @@ object SparkEntry {
         |             - POWER(CAST(SUM(qx) AS DOUBLE) / COUNT(*)
         |                       / 1000000, 2), 6) AS variance
         |FROM q GROUP BY dim""".stripMargin,
+    // int8 quantization error: codes and errors in exact 1/(255e6)
+    // units (E = 255*(qx-mn) - code*(mx-mn), int); only the final
+    // rmse/max_abs_err divisions are float, on identical exact sums
+    "emb4_int8_quant" ->
+      """WITH e AS (SELECT CAST(i.i AS INTEGER) AS dim,
+        |             CAST(embedding[i.i] AS DOUBLE) AS x
+        |           FROM embeddings,
+        |                (SELECT unnest(range(1, 65)) AS i) i),
+        |q AS (SELECT dim, CAST(round(x * 1000000) AS BIGINT) AS qx
+        |      FROM e),
+        |b AS (SELECT dim, COUNT(*) AS n, MIN(qx) AS mn, MAX(qx) AS mx
+        |      FROM q GROUP BY 1),
+        |c AS (SELECT q.dim, n, mn, mx, qx,
+        |        CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |             ELSE CAST(round(CAST(qx - mn AS DOUBLE) * 255.0
+        |                    / CAST(mx - mn AS DOUBLE)) AS BIGINT)
+        |        END AS code
+        |      FROM q JOIN b USING (dim)),
+        |r AS (SELECT dim, n, mn, mx,
+        |        255 * (qx - mn) - code * (mx - mn) AS er
+        |      FROM c)
+        |SELECT dim, CAST(n AS BIGINT) AS n,
+        |       ROUND(CAST(mn AS DOUBLE) / 1e6, 6) AS min_v,
+        |       ROUND(CAST(mx AS DOUBLE) / 1e6, 6) AS max_v,
+        |       ROUND(sqrt(CAST(SUM(CAST(er AS HUGEINT) * er) AS DOUBLE)
+        |               / n) / 255e6, 6) AS rmse,
+        |       ROUND(CAST(MAX(abs(er)) AS DOUBLE) / 255e6, 6)
+        |         AS max_abs_err
+        |FROM r GROUP BY dim, n, mn, mx""".stripMargin,
     "emb3_top_pc" -> powerIterSql(4),
     // QUALIFY (not WHERE) so position-1 rows stay visible to the
     // string_agg frame while emitting no example themselves
@@ -4110,5 +4263,29 @@ object SparkEntry {
         |      WHERE l_partkey IS NOT NULL) c
         |LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p
         |  ON c.ck = p.pk""".stripMargin,
+    // winsorized moments: values quantized to 1e-6 ints, exact
+    // interpolated percentiles rounded back to integer clip bounds, so
+    // both row-spanning sums are exact integers (squared sum in int128);
+    // mean/std are single double ops on identical exact inputs
+    "dq4_winsorized_stats" ->
+      """WITH q AS (SELECT event_type,
+        |             CAST(round(value * 1e6) AS BIGINT) AS qv
+        |           FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |        CAST(round(quantile_cont(qv, 0.05)) AS BIGINT) AS lo_q,
+        |        CAST(round(quantile_cont(qv, 0.95)) AS BIGINT) AS hi_q
+        |      FROM q GROUP BY 1),
+        |c AS (SELECT q.event_type, lo_q, hi_q,
+        |        LEAST(GREATEST(qv, lo_q), hi_q) AS cq
+        |      FROM q JOIN b USING (event_type))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(CAST(MIN(lo_q) AS DOUBLE) / 1e6, 6) AS p_lo,
+        |       ROUND(CAST(MIN(hi_q) AS DOUBLE) / 1e6, 6) AS p_hi,
+        |       ROUND(CAST(SUM(cq) AS DOUBLE) / COUNT(*) / 1e6, 6)
+        |         AS win_mean,
+        |       ROUND(sqrt((CAST(SUM(CAST(cq AS HUGEINT) * cq) AS DOUBLE)
+        |           - CAST(SUM(cq) AS DOUBLE) * SUM(cq) / COUNT(*))
+        |           / (COUNT(*) - 1)) / 1e6, 6) AS win_std
+        |FROM c GROUP BY 1""".stripMargin,
   )
 }

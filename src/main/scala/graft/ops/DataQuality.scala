@@ -258,4 +258,56 @@ object DataQuality {
           + lit(0.5) * col("q") * log(col("q") / col("m")), 6)
           .as("js_term"))
   }
+
+  /** Winsorized (outlier-clipped) per-group moments — the robust
+    * normalization statistic feature pipelines use instead of raw
+    * mean/std (one corrupt 1e12 reading would otherwise poison the
+    * z-scores of a whole group). Values are clipped to the exact
+    * [loP, hiP] percentiles before the moments are taken.
+    *
+    * Engine-portable by the corpus twin rule: values are quantized to
+    * 1e-6 ints up front; the exact interpolated percentile runs on those
+    * ints (identical doubles in any engine) and is ROUNDED BACK to an
+    * integer clip bound, so the clipped column stays int64 and both
+    * row-spanning sums are exact integer arithmetic (the squared sum in
+    * decimal(38) — qv² alone reaches 3·10¹⁷ here, int64 would overflow
+    * within 30 rows). Mean/std then divide exact sums in double and
+    * round to 6dp.
+    *
+    * Scale shape: ONE groupCol exchange total — the clip bounds come
+    * from a window over the same partitioning the final groupBy needs,
+    * so the aggregation reuses the exchange instead of paying a
+    * bounds-join. `percentile` is Spark's exact aggregator (per-group
+    * sorted buffer — right for groups that fit an executor; swap
+    * `percentile_approx` in for billion-row groups, at the documented
+    * cost of oracle exactness). */
+  def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
+      loP: Double = 0.05, hiP: Double = 0.95): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val qv = round(col(valCol).cast("double") * 1e6).cast("long")
+    val cq = least(greatest(col("qv"), col("lo_q")), col("hi_q"))
+    df.where(col(valCol).isNotNull)
+      .select(col(groupCol), qv.as("qv"))
+      .withColumn("lo_q",
+        round(expr(s"percentile(qv, $loP)").over(w)).cast("long"))
+      .withColumn("hi_q",
+        round(expr(s"percentile(qv, $hiP)").over(w)).cast("long"))
+      .select(col(groupCol), col("lo_q"), col("hi_q"), cq.as("cq"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("lo_q")).as("lo_q"),
+        first(col("hi_q")).as("hi_q"),
+        sum(col("cq")).as("s"),
+        sum(col("cq").cast("decimal(38,0)") * col("cq")).as("ss"))
+      .select(col(groupCol), col("n"),
+        round(col("lo_q").cast("double") / 1e6, 6).as("p_lo"),
+        round(col("hi_q").cast("double") / 1e6, 6).as("p_hi"),
+        round(col("s").cast("double") / col("n") / 1e6, 6).as("win_mean"),
+        round(
+          sqrt((col("ss").cast("double")
+            - col("s").cast("double") * col("s") / col("n"))
+            / (col("n") - 1)) / 1e6, 6).as("win_std"))
+  }
 }

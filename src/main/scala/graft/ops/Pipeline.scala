@@ -319,4 +319,62 @@ object Pipeline {
           .as("context"),
         col("label"))
   }
+
+  /** Provenance funnel for the [[trainingCorpus]] pipeline: every input
+    * document attributed to the FIRST stage that rejects it (or `kept`),
+    * with per-stage document and token mass — the audit report a corpus
+    * release ships next to the data ("of 10 B docs: 1.2 B exact dups,
+    * 0.9 B near dups, 40 M contaminated, ..."). The stages are exactly
+    * trainingCorpus's drop rules; anti-join order there is commutative,
+    * so the ATTRIBUTION order here is a documented convention:
+    * benchmark → too_short → exact_dup → near_dup → contaminated →
+    * sampled_out → kept, cheapest-test-first (mirroring the order a
+    * short-circuiting scalar filter chain would charge them).
+    *
+    * The stage partition is exhaustive and disjoint by construction
+    * (one CASE over per-doc flags), so Σ n_docs = |documents| — pinned
+    * by a conservation spec. Token mass uses the corpus-wide whitespace
+    * convention (`t1_token_stats`).
+    *
+    * Scale shape: the three drop-lists are the same frames
+    * trainingCorpus builds (near/exact/contamination share the one
+    * persisted shingle substrate); attribution is three left joins on
+    * doc_id feeding one CASE, then a tiny stage-keyed groupBy — no new
+    * shuffle family beyond the pipeline's own. */
+  def filterFunnel(documents: DataFrame, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5): DataFrame = {
+    val nearDups = Dedup.jaccardPairs(documents, 3, 0.5)
+      .select(col("doc2").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    val exactDups = documents
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("fp"))
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+      .withColumn("is_exact", lit(true))
+    val contaminated = Dedup
+      .contaminationSplitCheck(documents, benchmarkMaxId, 3, 5)
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contam", lit(true))
+    val sampledIn = Sampling.contentHash("doc_id") <
+      lit(Sampling.fractionThreshold(sampleFrac))
+    documents
+      .join(nearDups, Seq("doc_id"), "left")
+      .join(exactDups, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("doc_id") < benchmarkMaxId, "benchmark")
+          .when(length(col("text")) < minChars, "too_short")
+          .when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .when(col("is_contam"), "contaminated")
+          .when(!sampledIn, "sampled_out")
+          .otherwise("kept"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"))
+  }
 }

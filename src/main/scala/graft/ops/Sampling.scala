@@ -358,4 +358,34 @@ object Sampling {
             greatest(lit(seqLen.toLong) * col("seq_id"),
               col("start_offset"))).as("n_tokens"))
   }
+
+  /** Leakage-safe train/val/test split: every member of a near-dup
+    * cluster receives the SPLIT OF ITS CLUSTER REPRESENTATIVE (the
+    * component-minimum doc_id), so two near-duplicate documents can
+    * never straddle train and test — the contamination mode a plain
+    * per-doc hash split cannot prevent (a doc and its mirror hash
+    * independently and land in different splits ~32% of the time at
+    * 80/10/10). The group-aware split is the standard fix in training
+    * pipelines (dedup-cluster–level splitting).
+    *
+    * Composition: [[graft.ops.Dedup.dupClusters]] supplies the
+    * (doc_id, cluster_id) assignment (cluster_id = component min,
+    * singletons map to themselves), then the same content-stable md5
+    * threshold rule as [[trainValTestSplit]] is applied to the CLUSTER
+    * id instead of the doc id. Per-cluster fractions still converge to
+    * trainFrac/valFrac over many clusters, weighted by cluster size.
+    *
+    * Scale shape: the cluster assignment is the d7 operator (bounded
+    * label-propagation rounds over the near-dup pair frame); the split
+    * itself adds one narrow projection — no extra shuffle. */
+  def leakageSafeSplit(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame = {
+    val cl = Dedup.dupClusters(documents, n, threshold)
+    val h = hashPrefix("cluster_id")
+    cl.select(col("doc_id"), col("cluster_id"),
+      when(h < lit(fractionThreshold(trainFrac)), "train")
+        .when(h < lit(fractionThreshold(trainFrac + valFrac)), "val")
+        .otherwise("test").as("split"))
+  }
 }

@@ -1213,4 +1213,56 @@ object Similarity {
       .where(col("qid") =!= col("nid"))
     rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"), col("cos"))
   }
+
+  /** Per-dimension int8 (256-level min-max) quantization error report —
+    * the storage-planning statistic for an embedding column at corpus
+    * scale (float32 → int8 is the 4× that turns a 100 TB vector store
+    * into 25 TB; this op says what that costs per dimension BEFORE the
+    * migration). For each dim: the exact min/max, and the RMSE /
+    * max-abs error of round-to-nearest-level reconstruction.
+    *
+    * Engine-portable by the twin rule ([[dimStats]]): inputs quantize to
+    * 1e-6 ints (qx), min/max are exact int selections, the level code
+    * c = round((qx−min)·255/(max−min)) is one double op on identical
+    * ints, and the reconstruction error lives EXACTLY in 1/(255·1e6)
+    * units: E = 255·(qx−min) − c·(max−min) (int64). Row-spanning sums
+    * are Σ E² in decimal(38) (|E| ≤ (max−min)/2 ≈ 1e6 here, so E² ≤
+    * 1e12 — int64 would hold to ~9e6 rows; decimal removes the cliff)
+    * and max|E| — both exact, so rmse/max_abs_err round 6dp identically
+    * in any engine. A constant dimension (max = min) has code 0 and
+    * zero error by definition.
+    *
+    * Scale shape: one posexplode pass + a dims-key groupBy whose
+    * map-side partials collapse every partition to ≤ dims rows, then a
+    * second identical pass joined to the broadcast-size per-dim bounds
+    * frame — same two-pass posture as [[topPrincipalComponent]]'s
+    * mean+center, no corpus-scale shuffle. */
+  def int8QuantStats(embeddings: DataFrame): DataFrame = {
+    val xi = embeddings
+      .select(posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).cast("int").as("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("qx"))
+    val bounds = xi.groupBy("dim")
+      .agg(count(lit(1)).as("n"), min(col("qx")).as("mn"),
+        max(col("qx")).as("mx"))
+    val rng = col("mx") - col("mn")
+    val code = when(rng === 0L, lit(0L))
+      .otherwise(round((col("qx") - col("mn")).cast("double") * 255.0
+        / rng.cast("double")).cast("long"))
+    val err = lit(255L) * (col("qx") - col("mn")) - col("code") * rng
+    xi.join(broadcast(bounds), "dim")
+      .withColumn("code", code)
+      .select(col("dim"), col("n"), col("mn"), col("mx"), err.as("e"))
+      .groupBy(col("dim"))
+      .agg(first(col("n")).as("n"), first(col("mn")).as("mn"),
+        first(col("mx")).as("mx"),
+        sum(col("e").cast("decimal(38,0)") * col("e")).as("sse"),
+        max(abs(col("e"))).as("max_e"))
+      .select(col("dim"), col("n"),
+        round(col("mn").cast("double") / 1e6, 6).as("min_v"),
+        round(col("mx").cast("double") / 1e6, 6).as("max_v"),
+        round(sqrt(col("sse").cast("double") / col("n")) / 255e6, 6)
+          .as("rmse"),
+        round(col("max_e").cast("double") / 255e6, 6).as("max_abs_err"))
+  }
 }

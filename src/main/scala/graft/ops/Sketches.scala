@@ -285,4 +285,59 @@ object Sketches {
         counters.keysIterator
       }.toDF(keyCol).distinct()
   }
+
+  /** KMV set-INTERSECTION estimates for every unordered pair of groups —
+    * the audience-overlap question ("how many users both click AND
+    * purchase?") answered from the same bounded sketches [[kmvSketch]]
+    * already maintains per group, without ever shuffling the raw key
+    * sets against each other.
+    *
+    * Estimator (Beyer et al., SIGMOD'07 k-min-value set operations): for
+    * groups A, B take the k smallest hashes of sA ∪ sB (exact — KMV
+    * mergeability), count how many of those lie in BOTH sketches:
+    * J_est = matches/k' (k' = |union top-k|, < k only when the union is
+    * exhausted, in which case everything is exact), then
+    * overlap_est = J_est · D_est(A ∪ B). Every step is integer selection
+    * plus one double multiply on identical inputs, so the result is
+    * engine-replayable and hash-gated.
+    *
+    * Scale shape: the only corpus-scale work is the one [[kmvSketch]]
+    * pass (distinct-shuffle over the hash-compressed domain); the pair
+    * expansion runs on ≤ |groups|·k sketch rows — config-scale however
+    * large the raw table is, so the groups² term costs nothing real.
+    * Output: (type_a, type_b, ku, kth_min, matches, est_union,
+    * est_jaccard, est_overlap), one row per unordered group pair. */
+  def kmvOverlapPairs(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    val M = 1000003L
+    val sk = kmvSketch(df, Seq(groupCol), keyCol, k).localCheckpoint()
+    val pairs = sk.select(col(groupCol).as("type_a")).distinct()
+      .join(sk.select(col(groupCol).as("type_b")).distinct(),
+        col("type_a") < col("type_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))
+    pairs
+      .join(sk.select(col(groupCol).as("t"), col("h")),
+        col("t") === col("type_a") || col("t") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("h"))
+      .agg(
+        max(when(col("t") === col("type_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("t") === col("type_b"), 1).otherwise(0)).as("in_b"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("ku"), max(col("h")).as("kth_min"),
+        sum(col("in_a") * col("in_b")).as("matches"))
+      .withColumn("est_union",
+        when(col("ku") < k, col("ku").cast("double"))
+          .otherwise(lit((k - 1).toDouble * M) / (col("kth_min") + 1)
+            .cast("double")))
+      .select(col("type_a"), col("type_b"), col("ku"), col("kth_min"),
+        col("matches"),
+        col("est_union"),
+        round(col("matches").cast("double") / col("ku"), 6)
+          .as("est_jaccard"),
+        round(col("matches").cast("double") / col("ku")
+          * col("est_union"), 6).as("est_overlap"))
+  }
 }
