@@ -462,6 +462,12 @@ object SparkEntry {
     // quality-aware dedup keepers: best q1 score per d7 cluster
     "cur2_best_of_cluster" -> ((s, d) =>
       Dedup.bestOfCluster(t(s, d, "documents"))),
+    // curriculum training order: q1-score decile bands consumed high
+    // band first, content-hash shuffled within band, global 1-based pos
+    // via the two-phase offset trick (no global-order window)
+    "cur3_curriculum_order" -> ((s, d) =>
+      Sampling.curriculumOrder(
+        TextAnalysis.modelQualityScore(t(s, d, "documents")))),
     // ---- training-data pipeline: similarity search ----
     "sim1_brute_top1" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), 100, 1)
@@ -922,6 +928,24 @@ object SparkEntry {
           "qid")
         .select($"query_id", $"nid".as("doc_id"))
       Pipeline.retrievalEval(
+        Pipeline.hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"),
+          rrfQueries),
+        qrels, 10)
+    }),
+    // nDCG@10 of the same hybrid run under graded qrels (exact cosine
+    // top-3 per query graded 3/2/1) — the whole-page companion to r3's
+    // first-hit MRR; terms quantized to 1e-6 ints so the DCG sums are
+    // exact and engine-portable
+    "r5_ndcg_eval" -> ((s, d) => {
+      import s.implicits._
+      val qrels = Similarity
+        .bruteForceTopKIds(t(s, d, "embeddings"), rrfQueries.map(_._3), 3)
+        .join(org.apache.spark.sql.functions.broadcast(
+          rrfQueries.map(q => (q._1, q._3)).toDF("query_id", "qid")),
+          "qid")
+        .select($"query_id", $"nid".as("doc_id"),
+          (org.apache.spark.sql.functions.lit(4) - $"rn").as("grade"))
+      Pipeline.retrievalNdcg(
         Pipeline.hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"),
           rrfQueries),
         qrels, 10)
@@ -2464,6 +2488,27 @@ object SparkEntry {
          |SELECT cluster_id, doc_id AS keeper_doc,
          |       CAST(nm AS BIGINT) AS n_members, score AS best_score
          |FROM jn WHERE rn = 1""".stripMargin,
+    // curriculum order: q1-score decile bands (floor on the SAME
+    // 6dp-rounded score both engines hash-match), high band first,
+    // md5-hash shuffle within band; global pos = higher-band mass + rank
+    "cur3_curriculum_order" ->
+      s"""WITH $modelScoreCtes,
+         |cb AS (SELECT doc_id,
+         |         CAST(LEAST(GREATEST(floor(score * 10), 0), 9)
+         |              AS BIGINT) AS band,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+         |       FROM qsc),
+         |cr AS (SELECT doc_id, band,
+         |         CAST(row_number() OVER (PARTITION BY band
+         |                ORDER BY h, doc_id) AS BIGINT) AS rk
+         |       FROM cb),
+         |cn AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM cb GROUP BY 1),
+         |co AS (SELECT a.band,
+         |         CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS off
+         |       FROM cn a LEFT JOIN cn b ON b.band > a.band GROUP BY 1)
+         |SELECT cr.doc_id, cr.band, off + rk AS pos
+         |FROM cr JOIN co USING (band)""".stripMargin,
     // n_fp = |distinct rolling-hash values| = |distinct token windows|
     // modulo 64-bit collisions (none on this corpus; the identity spec
     // covers the hash itself)
@@ -4086,6 +4131,38 @@ object SparkEntry {
         |                      CAST(0.0 AS DOUBLE)), 6) AS rr,
         |       first_hit IS NOT NULL AS hit
         |FROM lhits""".stripMargin,
+    // graded qrels = exact cosine top-3 (grade 4-rn); DCG/IDCG terms
+    // quantized to 1e-6 ints so the sums are exact — only the final
+    // ratio is float, mirrored op-for-op
+    "r5_ndcg_eval" ->
+      s"""WITH $rrfFusedCtes,
+        |gqrel AS (SELECT qv.query_id, dr.nid AS doc_id,
+        |            4 - dr.rn AS grade
+        |          FROM dr JOIN qv USING (qid) WHERE dr.rn <= 3),
+        |gdcg AS (SELECT g.query_id,
+        |           CAST(SUM(CAST(round((POWER(2, g.grade) - 1)
+        |                  / log2(h.rn + 1) * 1e6) AS BIGINT)) AS BIGINT)
+        |             AS dcg_q
+        |         FROM gqrel g JOIN
+        |           (SELECT * FROM hyb WHERE rn <= 10) h
+        |           ON g.query_id = h.query_id AND g.doc_id = h.doc_id
+        |         GROUP BY 1),
+        |gidcg AS (SELECT query_id,
+        |            CAST(SUM(CAST(round((POWER(2, grade) - 1)
+        |                   / log2(pos + 1) * 1e6) AS BIGINT)) AS BIGINT)
+        |              AS idcg_q
+        |          FROM (SELECT query_id, grade,
+        |                  row_number() OVER (PARTITION BY query_id
+        |                    ORDER BY grade DESC, doc_id) AS pos
+        |                FROM gqrel)
+        |          WHERE pos <= 10 GROUP BY 1)
+        |SELECT i.query_id,
+        |       ROUND(CAST(COALESCE(d.dcg_q, 0) AS DOUBLE) / 1e6, 6)
+        |         AS dcg,
+        |       ROUND(CAST(i.idcg_q AS DOUBLE) / 1e6, 6) AS idcg,
+        |       ROUND(CAST(COALESCE(d.dcg_q, 0) AS DOUBLE) / i.idcg_q, 6)
+        |         AS ndcg
+        |FROM gidcg i LEFT JOIN gdcg d USING (query_id)""".stripMargin,
     // quantized-integer sums (x·1e6 as BIGINT) make mean/variance exact
     // and engine-portable; arithmetic order mirrors Similarity.dimStats
     "emb2_dim_stats" ->

@@ -250,6 +250,50 @@ object Pipeline {
           .as("rr"),
         col("first_hit").isNotNull.as("hit"))
 
+  /** nDCG@k over GRADED qrels — the companion metric to [[retrievalEval]]
+    * (MRR sees only the first hit; nDCG scores the whole ranked page
+    * with graded relevance, the standard second axis of retrieval
+    * evals). qrels carry (query_id, doc_id, grade); DCG@k sums
+    * (2^grade − 1)/log2(pos+1) over run positions ≤ k, IDCG@k the same
+    * over the query's own grades ideally ordered, ndcg = DCG/IDCG.
+    *
+    * Engine-portable by the twin rule: each TERM is one double op on
+    * identical integer inputs quantized to 1e-6 ints, so the
+    * row-spanning DCG/IDCG sums are exact int64 and no engine can
+    * disagree on fp summation order; only the final ratio is float,
+    * rounded 6dp. Queries with no top-k hit emit dcg = ndcg = 0 (they
+    * stay visible, so averaging ndcg over the output is the eval).
+    *
+    * Scale: like [[retrievalEval]], both inputs are bounded (|Q|·grades
+    * and |Q|·k), so everything downstream of the run is driver-scale. */
+  def retrievalNdcg(ranked: DataFrame, qrels: DataFrame,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def termQ(pos: org.apache.spark.sql.Column) =
+      round((pow(lit(2.0), col("grade").cast("double")) - 1.0)
+        / log2(pos.cast("double") + 1.0) * 1e6).cast("long")
+    val dcg = qrels
+      .join(ranked.where(col("rn") <= k)
+        .select(col("query_id"), col("doc_id"), col("rn")),
+        Seq("query_id", "doc_id"))
+      .select(col("query_id"), termQ(col("rn")).as("tq"))
+      .groupBy("query_id").agg(sum(col("tq")).as("dcg_q"))
+    val iw = Window.partitionBy(col("query_id"))
+      .orderBy(col("grade").desc, col("doc_id"))
+    val idcg = qrels
+      .withColumn("pos", row_number().over(iw))
+      .where(col("pos") <= k)
+      .select(col("query_id"), termQ(col("pos")).as("tq"))
+      .groupBy("query_id").agg(sum(col("tq")).as("idcg_q"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("dcg_q").cast("double"), lit(0.0)) / 1e6, 6)
+          .as("dcg"),
+        round(col("idcg_q").cast("double") / 1e6, 6).as("idcg"),
+        round(coalesce(col("dcg_q").cast("double"), lit(0.0))
+          / col("idcg_q"), 6).as("ndcg"))
+  }
+
   /** Behavioral-pretraining sequence builder: each user's first `maxLen`
     * events as one ordered training example — (user_id, seq, n_events,
     * span_sec), where `seq` is the comma-joined event-type string in

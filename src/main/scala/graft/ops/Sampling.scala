@@ -380,12 +380,58 @@ object Sampling {
     * itself adds one narrow projection — no extra shuffle. */
   def leakageSafeSplit(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.5, trainFrac: Double = 0.8,
-      valFrac: Double = 0.1): DataFrame = {
-    val cl = Dedup.dupClusters(documents, n, threshold)
+      valFrac: Double = 0.1): DataFrame =
+    leakageSafeSplitFromPairs(documents,
+      Dedup.jaccardPairs(documents, n, threshold), trainFrac, valFrac)
+
+  /** [[leakageSafeSplit]] with a PLUGGABLE pair source — the deployed
+    * 100 TB form: feed `Dedup.minhashDuplicates` (LSH-blocked, linear)
+    * instead of the exact-Jaccard pair join, which on a corpus with a
+    * degenerate hot vocabulary degrades toward all-pairs (the d2 anchor
+    * note in BASELINE.md). Any (doc1, doc2) frame works — the split
+    * only needs the connectivity, and `clustersFromPairs` is
+    * pair-source-agnostic. Equality of the two forms when the pair
+    * frames agree is spec-pinned. */
+  def leakageSafeSplitFromPairs(documents: DataFrame, pairFrame: DataFrame,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val cl = Dedup.clustersFromPairs(
+      documents.select(col("doc_id")), pairFrame)
     val h = hashPrefix("cluster_id")
     cl.select(col("doc_id"), col("cluster_id"),
       when(h < lit(fractionThreshold(trainFrac)), "train")
         .when(h < lit(fractionThreshold(trainFrac + valFrac)), "val")
         .otherwise("test").as("split"))
+  }
+
+  /** Curriculum training order: documents banded by a quality score
+    * (band = floor(score·nBands), clamped), consumed HIGH band first,
+    * deterministically shuffled WITHIN each band by the content-stable
+    * hash — the easy/clean-first ordering curriculum-learning data
+    * loaders read, reproducible across runs and engines. Output is
+    * (doc_id, band, pos) with `pos` the global 1-based position in that
+    * order.
+    *
+    * Scale shape: one band-keyed exchange for the within-band rank
+    * window, then the global position comes from the two-phase
+    * `exclusiveOffsets` trick — band totals are ≤ nBands rows, so the
+    * offset join is broadcast and NO global-order window exists
+    * anywhere (the same no-`WindowExec: No Partition Defined` posture
+    * as `shufflePositions`). Bands have ~n/nBands rows each; the rank
+    * window sorts per band partition, which at 100 TB wants nBands
+    * sized so a band's (hash, id) pairs sort within executor spill
+    * budgets — raise nBands (finer curriculum) to shrink partitions. */
+  def curriculumOrder(scored: DataFrame, scoreCol: String = "score",
+      nBands: Int = 10): DataFrame = {
+    val band = least(greatest(floor(col(scoreCol) * nBands), lit(0.0)),
+      lit((nBands - 1).toDouble)).cast("long")
+    val b = scored.select(col("doc_id"), band.as("band"),
+      hashPrefix("doc_id").as("h"))
+    val w = Window.partitionBy(col("band")).orderBy(col("h"), col("doc_id"))
+    val ranked = b.withColumn("rk", row_number().over(w).cast("long"))
+    val totals = b.groupBy("band").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val offs = exclusiveOffsets(totals, "band", "n", "off", _ > _)
+    ranked.join(broadcast(offs), "band")
+      .select(col("doc_id"), col("band"), (col("off") + col("rk")).as("pos"))
   }
 }

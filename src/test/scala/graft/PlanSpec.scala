@@ -382,4 +382,28 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("*(1) Project"),
       s"NearestCentroid must participate in codegen:\n${p.take(1200)}")
   }
+
+  test("dq4 winsorize: bounds window and final agg share one group exchange") {
+    val p = plan("dq4_winsorized_stats")
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"clip bounds must come from a group-partitioned window:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning\\(event_type".r.findAllIn(p).size == 1,
+      s"window and aggregation must share ONE exchange:\n${p.take(1500)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      "no single-partition funnel anywhere")
+  }
+
+  test("cur3 curriculum: band-partitioned rank, no global-order window") {
+    val p = plan("cur3_curriculum_order")
+    assert(p.contains("hashpartitioning(band"),
+      s"the within-band rank must partition by band:\n${p.take(1200)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the global position must come from offsets, not a global window")
+  }
+
+  test("emb4 int8 report: per-dim bounds re-enter via a broadcast join") {
+    val p = plan("emb4_int8_quant")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dims-size bounds frame must broadcast:\n${p.take(1200)}")
+  }
 }

@@ -46,6 +46,18 @@ class ProvenanceSpec extends GraftSuite {
     } finally split.unpersist()
   }
 
+  test("smp10 scale path: the LSH-blocked pair source yields the same split") {
+    // minhashDuplicates is the deployed 100 TB pair source; on this
+    // corpus its pair set equals the exact join (the d3 oracle), so the
+    // leakage-safe split must be identical through either source
+    val exact = Sampling.leakageSafeSplit(docs)
+    val viaLsh = Sampling.leakageSafeSplitFromPairs(
+      docs, Dedup.minhashDuplicates(docs))
+    assert(exact.exceptAll(viaLsh).isEmpty &&
+      viaLsh.exceptAll(exact).isEmpty,
+      "LSH-sourced split diverged from the exact-pair split")
+  }
+
   test("audit1 law: stages conserve docs and tokens; kept == e3 survivors") {
     val funnel = Pipeline.filterFunnel(docs).collect()
     assert(funnel.map(_.getAs[Long]("n_docs")).sum == docs.count())
@@ -108,6 +120,55 @@ class ProvenanceSpec extends GraftSuite {
         s"pair ${r.getAs[String]("type_a")}/${r.getAs[String]("type_b")}: " +
           s"est $e vs exact $x")
     }
+  }
+
+  test("cur3 law: pos is a 1..n permutation consumed high-band-first") {
+    val ord = Sampling
+      .curriculumOrder(TextAnalysis.modelQualityScore(docs)).cache()
+    try {
+      val n = ord.count()
+      assert(ord.select("pos").distinct().count() == n,
+        "pos must be collision-free")
+      val mm = ord.agg(min(col("pos")), max(col("pos"))).head
+      assert(mm.getLong(0) == 1L && mm.getLong(1) == n,
+        "pos must cover exactly 1..n")
+      val bands = ord.groupBy("band")
+        .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+        .collect().sortBy(-_.getAs[Long]("band"))
+      assert(bands.length > 1, "fixture must populate multiple bands")
+      bands.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getAs[Long]("mx") < lo.getAs[Long]("mn"),
+            "a higher band must finish before a lower band starts")
+        case _ =>
+      }
+    } finally ord.unpersist()
+  }
+
+  test("r5 law: grade-ordered runs are perfect, total misses score zero") {
+    val qrels = Seq(("q1", 10L, 3), ("q1", 11L, 2), ("q1", 12L, 1),
+      ("q2", 20L, 3), ("q2", 21L, 2), ("q2", 22L, 1))
+      .toDF("query_id", "doc_id", "grade")
+    val perfect = Seq(("q1", 10L, 1), ("q1", 11L, 2), ("q1", 12L, 3),
+      ("q2", 20L, 1), ("q2", 21L, 2), ("q2", 22L, 3))
+      .toDF("query_id", "doc_id", "rn")
+    Pipeline.retrievalNdcg(perfect, qrels).collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("ndcg") - 1.0) < 1e-5,
+        "ideal-ordered run must score ndcg == 1")
+    }
+    val miss = Seq(("q1", 99L, 1), ("q2", 98L, 1))
+      .toDF("query_id", "doc_id", "rn")
+    Pipeline.retrievalNdcg(miss, qrels).collect().foreach { r =>
+      assert(r.getAs[Double]("ndcg") == 0.0 &&
+        r.getAs[Double]("dcg") == 0.0,
+        "a run with no relevant hit must score zero, visibly")
+    }
+    val rev = Seq(("q1", 12L, 1), ("q1", 11L, 2), ("q1", 10L, 3))
+      .toDF("query_id", "doc_id", "rn")
+    val rv = Pipeline
+      .retrievalNdcg(rev, qrels.where($"query_id" === "q1")).head
+    assert(rv.getAs[Double]("ndcg") > 0.0 && rv.getAs[Double]("ndcg") < 1.0,
+      "a reversed ranking must land strictly between miss and perfect")
   }
 
   test("emb4 law: errors bounded by half a level; constant dims are free") {
