@@ -296,6 +296,18 @@ object SparkEntry {
           sum(col("n_toks")).as("total_toks"),
           round(avg(col("score")), 6).as("mean_score"))
     }),
+    // keep-curve over candidate quality cutoffs: docs and token mass
+    // surviving each threshold — the report a threshold choice reads
+    "q2_threshold_sweep" -> ((s, d) =>
+      TextAnalysis.thresholdSweep(t(s, d, "documents"))),
+    // per-source percentile calibration of the q1 score: one cutoff
+    // means the same keep-rate in every source
+    "cal2_source_calibrated" -> ((s, d) =>
+      TextAnalysis.sourceCalibratedScore(t(s, d, "documents"))),
+    // behavior-sequence transition matrix over user timelines: counts +
+    // row-normalized probabilities (next-event training-set summary)
+    "seq3_transition_matrix" -> ((s, d) =>
+      Aggs.transitionCounts(events(s, d))),
     "d14_dup_spans" -> ((s, d) =>
       Dedup.dupSpans(t(s, d, "documents"), 8, 2)),
     "ml1_kmeans_assign" -> ((s, d) =>
@@ -497,6 +509,10 @@ object SparkEntry {
     // float scale form)
     "sim10_ivfpq_portable" -> ((s, d) =>
       Similarity.portableIvfPqTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L))),
+    // greedy k-center seeds (farthest-point-first): 4 maximally-spread
+    // vectors + the coverage radius at each selection — coreset seeding
+    "sel1_kcenter_seeds" -> ((s, d) =>
+      Similarity.kCenterSeeds(t(s, d, "embeddings"), 4)),
     // FROZEN-QUANTIZER assignment — the index-freshness op between
     // retrains: held-out vectors (vec_id < 100) assigned to the nearest
     // FINAL centroid of a quantizer trained ONLY on the base slice
@@ -544,6 +560,11 @@ object SparkEntry {
     // which is what the DuckDB oracle recomputes)
     "d21_phash_pairs" -> ((s, d) =>
       Multimodal.phashPairs(t(s, d, "documents"), 3)),
+    // audio near-dup pairs: 31-bit energy-envelope hash over the WAV
+    // payloads through the same banded Hamming engine — the audio leg
+    // of the multimodal dedup bridge
+    "d23_audio_pairs" -> ((s, d) =>
+      Multimodal.audioPairs(t(s, d, "documents"), 2)),
     // curation composed across modalities: e5's keepers minus the
     // higher-id side of every phash near-dup image pair
     "e8_media_curated" -> ((s, d) =>
@@ -803,6 +824,14 @@ object SparkEntry {
     "mix2_temperature_mix" -> ((s, d) =>
       Sampling.temperatureMix(t(s, d, "documents"), "doc_id", "source",
         0.7, 0.5).select("doc_id", "source")),
+    // uniform-token-budget mixture weights: the per-source sampling
+    // fractions (capped at 1) that hit an equal token share per source
+    "mix3_budget_weights" -> ((s, d) =>
+      Sampling.budgetWeights(t(s, d, "documents"), 100000L)),
+    // multi-epoch repeat plan for under-budget sources (repeats capped
+    // at 4), all-integer: epochs, planned tokens, unfillable shortfall
+    "mix4_epoch_plan" -> ((s, d) =>
+      Sampling.epochPlan(t(s, d, "documents"), 60000L, 4)),
     // fixed-size per-stratum sample: exactly 50 docs per language,
     // chosen by the content hash (unbiased eval-set construction)
     "smp8_fixed_stratum" -> ((s, d) => {
@@ -2435,6 +2464,34 @@ object SparkEntry {
          |       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
          |FROM psig a JOIN psig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin,
+    // audio envelope twin of d21: the WAV docs' code points tiled into
+    // 32 windows, gradient bits, brute-force hamming (banded == brute
+    // by pigeonhole at maxHamming 2 over 3 bands)
+    "d23_audio_pairs" ->
+      """WITH aaud AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id % 3 = 1),
+        |ach AS (SELECT doc_id, unnest(range(1, length(text)+1)) AS i,
+        |         length(text) AS l, text FROM aaud),
+        |acv AS (SELECT doc_id, CAST(((i-1)*32) // l AS INTEGER) AS w,
+        |         unicode(text[i]) AS v FROM ach),
+        |ags AS (SELECT doc_id, w, SUM(v) % 256 AS gv
+        |         FROM acv GROUP BY 1, 2),
+        |aw32 AS (SELECT unnest(range(0, 32)) AS w),
+        |agrid AS (SELECT i.doc_id, c.w, COALESCE(g.gv, 0) AS gv
+        |         FROM aaud i CROSS JOIN aw32 c
+        |         LEFT JOIN ags g ON g.doc_id = i.doc_id AND g.w = c.w),
+        |asig AS (SELECT a.doc_id,
+        |          CAST(COALESCE(SUM(CASE WHEN a.gv < b.gv
+        |            THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER)
+        |            ELSE 0 END), 0) AS BIGINT) AS ah
+        |        FROM agrid a JOIN agrid b
+        |          ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |        WHERE a.w < 31
+        |        GROUP BY 1)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |       CAST(bit_count(xor(a.ah, b.ah)) AS INTEGER) AS hamming
+        |FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ah, b.ah)) <= 2""".stripMargin,
     // d3's verified output equals the exact-Jaccard pair set whenever LSH
     // recall is 1.0 — guaranteed here: planted near-dups sit at j≈0.99, so
     // a 4-row band misses with prob (1-0.99⁴)⁸ ≈ 4e-12 (PipelineSpec
@@ -3337,6 +3394,39 @@ object SparkEntry {
         |FROM documents d JOIN t USING (source)
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
         |      < t.thr""".stripMargin,
+    // exact integer token totals; target = floor(budget/n_sources) on
+    // identical ints; frac is the one double op, rounded 6dp
+    "mix3_budget_weights" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |          AS n_toks
+        |      FROM documents GROUP BY 1),
+        |tw AS (SELECT *, COUNT(*) OVER () AS n_sources FROM per)
+        |SELECT source, n_docs, n_toks,
+        |       CAST(floor(100000 / n_sources) AS BIGINT) AS target_toks,
+        |       ROUND(LEAST(1.0,
+        |         CAST(CAST(floor(100000 / n_sources) AS BIGINT) AS DOUBLE)
+        |           / n_toks), 6) AS frac
+        |FROM tw""".stripMargin,
+    // all-integer epoch plan: target = mix3's floor(budget/n_sources)
+    // convention, ceildiv via (a + b - 1) // b, LEAST caps — no floats
+    "mix4_epoch_plan" ->
+      """WITH per AS (SELECT source,
+        |        CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |          AS n_toks
+        |      FROM documents GROUP BY 1),
+        |tw AS (SELECT *, COUNT(*) OVER () AS n_sources FROM per),
+        |pl AS (SELECT source, n_toks,
+        |         CAST(floor(60000 / n_sources) AS BIGINT) AS target_toks
+        |       FROM tw),
+        |ep AS (SELECT *, LEAST(CAST(4 AS BIGINT),
+        |         (target_toks + n_toks - 1) // n_toks) AS epochs FROM pl)
+        |SELECT source, n_toks, target_toks, CAST(epochs AS BIGINT) AS epochs,
+        |       CAST(LEAST(target_toks, epochs * n_toks) AS BIGINT)
+        |         AS planned_toks,
+        |       CAST(target_toks - LEAST(target_toks, epochs * n_toks)
+        |         AS BIGINT) AS shortfall
+        |FROM ep""".stripMargin,
     "smp8_fixed_stratum" ->
       """WITH r AS (SELECT doc_id, lang, row_number() OVER
         |    (PARTITION BY lang
@@ -3492,6 +3582,21 @@ object SparkEntry {
         |SELECT 'click', CAST(COUNT(*) AS BIGINT) FROM s2
         |UNION ALL
         |SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3""".stripMargin,
+    // consecutive-pair lead over (user, ts, event_id); counts are exact
+    // int64, p is the one double op rounded 6dp on identical ints
+    "seq3_transition_matrix" ->
+      """WITH sq AS (SELECT user_id, event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS to_type
+        |      FROM events),
+        |tc AS (SELECT event_type AS from_type, to_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM sq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       ROUND(CAST(n AS DOUBLE) /
+        |         CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+        |         AS p
+        |FROM tc""".stripMargin,
     // weights are INTEGER before the one double division + sigmoid, so the
     // 6dp round sits on exact inputs — same bit-stability trick as n3
     "q1_model_quality" ->
@@ -3506,6 +3611,28 @@ object SparkEntry {
          |       CAST(SUM(n_toks) AS BIGINT) AS total_toks,
          |       ROUND(AVG(score), 6) AS mean_score
          |FROM qsc GROUP BY 1""".stripMargin,
+    // thresholds are i/10 — exact IEEE division of identical integers —
+    // and the comparisons sit on the 6dp score q1 hash-matches
+    "q2_threshold_sweep" ->
+      s"""WITH $modelScoreCtes,
+         |thv AS (SELECT i / 10.0 AS thr
+         |        FROM (SELECT unnest(range(1, 10)) AS i))
+         |SELECT thr,
+         |       CAST(COUNT(CASE WHEN score >= thr THEN 1 END) AS BIGINT)
+         |         AS n_kept,
+         |       CAST(COALESCE(SUM(CASE WHEN score >= thr THEN n_toks END),
+         |                     0) AS BIGINT) AS toks_kept
+         |FROM qsc CROSS JOIN thv GROUP BY 1""".stripMargin,
+    // percent_rank = (rank-1)/(n-1) depends only on the 6dp score VALUES
+    // q1 hash-matches, so the calibration is tie-order-independent
+    "cal2_source_calibrated" ->
+      s"""WITH $modelScoreCtes,
+         |csrc AS (SELECT q.doc_id, d.source, q.score
+         |         FROM qsc q JOIN documents d USING (doc_id))
+         |SELECT doc_id, source, score,
+         |       ROUND(percent_rank() OVER
+         |         (PARTITION BY source ORDER BY score), 6) AS cal
+         |FROM csrc""".stripMargin,
     "d14_dup_spans" ->
       s"""WITH $dupSpanCtes
          |SELECT doc_id, n_words, n_spans, dup_words, dup_frac
@@ -3726,6 +3853,72 @@ object SparkEntry {
         |            AS rn
         |          FROM held h CROSS JOIN c2 c) WHERE rn = 1)
         |SELECT vec_id, cid FROM asg ORDER BY 1""".stripMargin,
+    // greedy farthest-point unrolled 3 rounds: every cosine ROUNDS to 6dp
+    // BEFORE the max/argmax (the d15 selection-replay discipline), dmin =
+    // 1 - max cos, argmax ties to the smallest vec_id
+    "sel1_kcenter_seeds" ->
+      """WITH nn AS (SELECT vec_id,
+        |        SUM(CAST(embedding[ii.i] AS DOUBLE)
+        |            * CAST(embedding[ii.i] AS DOUBLE)) AS qq
+        |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+        |      GROUP BY 1),
+        |pz AS (SELECT vec_id FROM nn WHERE qq > 0),
+        |s0 AS (SELECT MIN(vec_id) AS sid FROM pz),
+        |c1 AS (SELECT a.vec_id AS va, s.sid AS vb,
+        |         SUM(CAST(ea.embedding[ii.i] AS DOUBLE)
+        |             * CAST(eb.embedding[ii.i] AS DOUBLE)) AS dot
+        |       FROM pz a CROSS JOIN s0 s
+        |         JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |         JOIN embeddings eb ON eb.vec_id = s.sid,
+        |         (SELECT unnest(range(1, 65)) AS i) ii
+        |       WHERE a.vec_id NOT IN (SELECT sid FROM s0)
+        |       GROUP BY 1, 2),
+        |m1 AS (SELECT c.va, 1.0 - MAX(ROUND(c.dot /
+        |           (sqrt(na.qq) * sqrt(nb.qq)), 6)) AS dmin
+        |       FROM c1 c JOIN nn na ON na.vec_id = c.va
+        |         JOIN nn nb ON nb.vec_id = c.vb
+        |       GROUP BY 1),
+        |p1 AS (SELECT va AS sid, dmin FROM m1
+        |       ORDER BY dmin DESC, va LIMIT 1),
+        |s1 AS (SELECT sid FROM s0 UNION ALL SELECT sid FROM p1),
+        |c2 AS (SELECT a.vec_id AS va, s.sid AS vb,
+        |         SUM(CAST(ea.embedding[ii.i] AS DOUBLE)
+        |             * CAST(eb.embedding[ii.i] AS DOUBLE)) AS dot
+        |       FROM pz a CROSS JOIN s1 s
+        |         JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |         JOIN embeddings eb ON eb.vec_id = s.sid,
+        |         (SELECT unnest(range(1, 65)) AS i) ii
+        |       WHERE a.vec_id NOT IN (SELECT sid FROM s1)
+        |       GROUP BY 1, 2),
+        |m2 AS (SELECT c.va, 1.0 - MAX(ROUND(c.dot /
+        |           (sqrt(na.qq) * sqrt(nb.qq)), 6)) AS dmin
+        |       FROM c2 c JOIN nn na ON na.vec_id = c.va
+        |         JOIN nn nb ON nb.vec_id = c.vb
+        |       GROUP BY 1),
+        |p2 AS (SELECT va AS sid, dmin FROM m2
+        |       ORDER BY dmin DESC, va LIMIT 1),
+        |s2 AS (SELECT sid FROM s1 UNION ALL SELECT sid FROM p2),
+        |c3 AS (SELECT a.vec_id AS va, s.sid AS vb,
+        |         SUM(CAST(ea.embedding[ii.i] AS DOUBLE)
+        |             * CAST(eb.embedding[ii.i] AS DOUBLE)) AS dot
+        |       FROM pz a CROSS JOIN s2 s
+        |         JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |         JOIN embeddings eb ON eb.vec_id = s.sid,
+        |         (SELECT unnest(range(1, 65)) AS i) ii
+        |       WHERE a.vec_id NOT IN (SELECT sid FROM s2)
+        |       GROUP BY 1, 2),
+        |m3 AS (SELECT c.va, 1.0 - MAX(ROUND(c.dot /
+        |           (sqrt(na.qq) * sqrt(nb.qq)), 6)) AS dmin
+        |       FROM c3 c JOIN nn na ON na.vec_id = c.va
+        |         JOIN nn nb ON nb.vec_id = c.vb
+        |       GROUP BY 1),
+        |p3 AS (SELECT va AS sid, dmin FROM m3
+        |       ORDER BY dmin DESC, va LIMIT 1)
+        |SELECT CAST(0 AS INTEGER) AS rk, sid AS vec_id,
+        |       CAST(2.0 AS DOUBLE) AS dmin FROM s0
+        |UNION ALL SELECT CAST(1 AS INTEGER), sid, dmin FROM p1
+        |UNION ALL SELECT CAST(2 AS INTEGER), sid, dmin FROM p2
+        |UNION ALL SELECT CAST(3 AS INTEGER), sid, dmin FROM p3""".stripMargin,
     // SemDeDup: within-cluster cosine over the k-means assignment; dot and
     // norms in double over the same ordinal dim order as the Spark side
     "d15_semdedup_pairs" ->

@@ -245,6 +245,33 @@ object Aggs {
     }.reduce(_.unionAll(_))
   }
 
+  /** Behavior-sequence transition matrix: for every consecutive event
+    * pair within a user's timeline (ordered by ts, event_id), the
+    * (from_type, to_type) count and the row-normalized transition
+    * probability — the first-order Markov summary a next-event-prediction
+    * training set (and the a21 funnel's stage ordering) is built from.
+    * `p` is the one float op (two exact int64 counts divided, rounded
+    * 6dp), so the frame is engine-portable.
+    *
+    * Scale: the lead() window is partitioned by user_id — per-user
+    * timelines sort independently, no global order anywhere; the pair
+    * counts collapse map-side to ≤|types|² rows, and the normalizing
+    * sum window runs on THAT bounded frame, never on events. */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type")))
+          .cast("double"), 6))
+  }
+
   /** A4/U1 — keyword extraction + windowed count: tokenize, explode, then
     * tumbling daily window per keyword
     * (DwsTrafficSourceKeywordPageViewWindowStream.java:86-116 — the manual

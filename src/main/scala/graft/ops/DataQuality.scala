@@ -306,8 +306,9 @@ object DataQuality {
         round(col("hi_q").cast("double") / 1e6, 6).as("p_hi"),
         round(col("s").cast("double") / col("n") / 1e6, 6).as("win_mean"),
         round(
-          sqrt((col("ss").cast("double")
-            - col("s").cast("double") * col("s") / col("n"))
-            / (col("n") - 1)) / 1e6, 6).as("win_std"))
+          when(col("n") > 1,
+            sqrt((col("ss").cast("double")
+              - col("s").cast("double") * col("s") / col("n"))
+              / (col("n") - 1)) / 1e6), 6).as("win_std"))
   }
 }

@@ -323,6 +323,98 @@ object Multimodal {
       widths, offsets, maxHamming)
   }
 
+  /** Extract the PCM `data` chunk of a structurally valid WAV (RIFF
+    * walk mirroring `decode`'s audio branch); None for non-WAV, non-PCM,
+    * or truncated payloads — so PNG/APNG images drop out of the audio
+    * path the same way audio drops out of [[pngIdatBody]]. */
+  private[graft] def wavDataBody(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      if (b.length < 12 || asciiAt(b, 0, 4) != "RIFF" ||
+        asciiAt(b, 8, 4) != "WAVE") return None
+      var pcm = false
+      var out = Option.empty[Array[Byte]]
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = asciiAt(b, i, 4)
+        val len = le32At(b, i + 4)
+        if (i + 8 + len > b.length) return None // truncated chunk
+        if (id == "fmt ") {
+          if (len < 16 || le16At(b, i + 8) != 1) return None // PCM only
+          pcm = true
+        }
+        if (id == "data")
+          out = Some(java.util.Arrays.copyOfRange(b, i + 8,
+            i + 8 + len.toInt))
+        i += 8 + len.toInt
+      }
+      if (pcm) out else None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** 31-bit energy-envelope fingerprint over the DETERMINISTIC stub
+    * samples — the audio sibling of [[dHash56]] (chromaprint-lite): the
+    * PCM body's code points tile into 32 contiguous windows (point i of
+    * L lands in window i·32/L), window value = sum mod 256, bit w =
+    * [env(w) < env(w+1)] packed LSB-first — a temporal-gradient
+    * envelope hash, robust to level shifts the way dHash is robust to
+    * brightness. A REAL deployment swaps the stub envelope for
+    * mean-|PCM|-per-window over decoded samples and keeps the banding,
+    * pairing, and oracle shapes. Per-code-point iteration matches the
+    * oracle's per-character walk (the d21 surrogate lesson, pinned by
+    * the dHash code-point spec). */
+  private[graft] def envHash31(body: String): Long = {
+    val l = body.codePointCount(0, body.length)
+    if (l == 0) return 0L
+    val g = new Array[Long](32)
+    var i = 0
+    var ci = 0
+    while (i < body.length) {
+      val cp = body.codePointAt(i)
+      g(((ci.toLong * 32) / l).toInt) += cp
+      i += Character.charCount(cp)
+      ci += 1
+    }
+    var w = 0
+    while (w < 32) { g(w) = g(w) % 256; w += 1 }
+    var sig = 0L
+    var c = 0
+    while (c < 31) { if (g(c) < g(c + 1)) sig |= 1L << c; c += 1 }
+    sig
+  }
+
+  /** Per-clip envelope hash over a media table: (doc_id, ahash) for
+    * every payload that parses as PCM WAV; images and corrupt payloads
+    * drop. Same no-shuffle mapPartitions batch shape as [[phash]]. */
+  def audioHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(64).flatMap(_.flatMap { r =>
+        wavDataBody(r.payload).map { body =>
+          (r.doc_id, envHash31(new String(body, "UTF-8")))
+        }
+      })
+    }.toDF("doc_id", "ahash")
+  }
+
+  /** Near-dup AUDIO pairs — completes the multimodal dedup bridge
+    * (text d2-d19, images d21, audio here): envelope hashes banded
+    * through the same distinct-signature Hamming engine, maxHamming+1
+    * near-equal bands over the 31 bits (pigeonhole: banded == brute
+    * force). Output (doc1 < doc2, hamming). */
+  def audioPairs(documents: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 31,
+      "maxHamming must sit inside the 31-bit signature")
+    val bands = maxHamming + 1
+    val base = 31 / bands
+    val extra = 31 % bands
+    val widths = Array.tabulate(bands)(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).take(bands)
+    Dedup.bandedHammingPairs(
+      audioHash(toMediaTable(documents)).select(col("doc_id"),
+        col("ahash").as("simhash")),
+      widths, offsets, maxHamming)
+  }
+
   /** Feature extraction over the media table: typed mapPartitions, batched
     * 64 records at a time inside each partition (the batch shape a
     * vectorized decoder wants). Runs embarrassingly parallel — one task

@@ -434,4 +434,69 @@ object Sampling {
     ranked.join(broadcast(offs), "band")
       .select(col("doc_id"), col("band"), (col("off") + col("rk")).as("pos"))
   }
+
+  /** Uniform-token-budget mixture weights: given a total token budget,
+    * the per-source sampling fraction that hits an equal token share per
+    * source (capped at 1 — a small source contributes everything it
+    * has). This is the config a [[stratifiedSample]]/[[weightedMix]] run
+    * consumes: compute the weights ONCE from corpus stats, then apply
+    * them as scan-level predicates; the under-budget slack from capped
+    * sources is visible in the output for a second rebalancing pass if
+    * the run wants one.
+    *
+    * Engine-portable: token counts are exact integer sums; the target is
+    * floor(budget / n_sources) on identical ints; only `frac` divides —
+    * one double op rounded 6dp. The per-source stats frame is
+    * |sources|-row config-scale, so the unpartitioned count window runs
+    * on a bounded frame (never on corpus rows). */
+  /** Multi-epoch repeat plan under a uniform per-source token budget —
+    * the companion [[budgetWeights]] reads when a source is SMALLER than
+    * its share: how many epochs (repeats, capped at `maxEpochs` per the
+    * data-constrained-scaling practice of bounding repetition) each
+    * source contributes, the tokens actually planned, and the shortfall
+    * that even max repetition cannot fill (the slack a second
+    * rebalancing pass redistributes).
+    *
+    * Every column is exact integer arithmetic: target =
+    * floor(budget/n_sources) (the mix3 convention), epochs =
+    * min(maxEpochs, ceildiv(target, n_toks)) via integer `div`, planned =
+    * min(target, epochs·n_toks). Engine-portable with no float anywhere.
+    *
+    * Scale: same shape as [[budgetWeights]] — one groupBy(source) with
+    * map-side partials; the count window runs on the |sources|-row
+    * config frame only. */
+  def epochPlan(documents: DataFrame, totalBudget: Long,
+      maxEpochs: Int = 4): DataFrame = {
+    require(totalBudget > 0, "budget must be positive")
+    require(maxEpochs >= 1, "at least one epoch")
+    val per = documents.groupBy("source")
+      .agg(sum(size(split(col("text"), "\\s+")).cast("long")).as("n_toks"))
+    val target = floor(lit(totalBudget.toDouble) / col("n_sources"))
+      .cast("long")
+    per
+      .withColumn("n_sources", count(lit(1)).over(Window.partitionBy()))
+      .select(col("source"), col("n_toks"), target.as("target_toks"))
+      .withColumn("epochs",
+        least(lit(maxEpochs.toLong),
+          expr("(target_toks + n_toks - 1) div n_toks")))
+      .withColumn("planned_toks",
+        least(col("target_toks"), col("epochs") * col("n_toks")))
+      .withColumn("shortfall", col("target_toks") - col("planned_toks"))
+  }
+
+  def budgetWeights(documents: DataFrame, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, "budget must be positive")
+    val per = documents.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+")).cast("long")).as("n_toks"))
+    val target = floor(lit(totalBudget.toDouble) / col("n_sources"))
+      .cast("long")
+    per
+      .withColumn("n_sources",
+        count(lit(1)).over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"), col("n_toks"),
+        target.as("target_toks"),
+        round(least(lit(1.0),
+          target.cast("double") / col("n_toks")), 6).as("frac"))
+  }
 }

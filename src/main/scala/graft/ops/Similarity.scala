@@ -643,6 +643,62 @@ object Similarity {
       .select(col("vid_a"), col("vid_b"), col("cos_sim"))
   }
 
+  /** Greedy k-center seed selection (farthest-point-first traversal,
+    * Gonzalez 1985 — the 2-approximation every coreset/diverse-eval-set
+    * recipe starts from): seed with the smallest `vec_id`, then k-1 times
+    * pick the vector FARTHEST from the selected set (distance = 1 − max
+    * round-6 cosine, ties to the smallest id). Output one row per seed:
+    * `(rk, vec_id, dmin)` where `dmin` is the coverage radius at the
+    * moment of selection (2.0 — the maximum cosine distance, i.e. "the
+    * whole space is uncovered" — for the seed, keeping the column
+    * NULL-free for hash gates) — the monotone non-increasing sequence
+    * that tells you when adding seeds stops buying diversity.
+    *
+    * Engine-portable by the d15/ml1 discipline: every cosine is rounded
+    * to 6dp BEFORE the max/argmax, so selection decisions replay exactly
+    * in any engine; zero-norm vectors are excluded up front (no NaN in
+    * the argmax).
+    *
+    * Scale: k−1 rounds, each ONE corpus scan — a broadcast of the ≤k
+    * selected vectors, a map-side-partial max per vector, and a one-row
+    * global argmax (`max(struct)` — no sort, no collect of corpus rows).
+    * Total work O(k²·n·dims) flops with k config-bounded; driver state is
+    * k ids. At 100 TB you run this on a [[Sampling.deterministicSample]]
+    * slice like any coreset builder — the op itself never materializes a
+    * pair space. */
+  def kCenterSeeds(embeddings: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = withNorm(embeddings).where(col("nrm") > 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    var sel: List[Long] = List(base.agg(min(col("vec_id"))).head.getLong(0))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
+      (0, sel.head, 2.0))
+    var r = 1
+    while (r < k) {
+      val selFrame = base
+        .where(col("vec_id").isin(sel.map(x => x: Any): _*))
+        .select(col("vec_id").as("sid"), col("embedding").as("s_emb"),
+          col("nrm").as("s_nrm"))
+      val far = base
+        .where(!col("vec_id").isin(sel.map(x => x: Any): _*))
+        .crossJoin(broadcast(selFrame))
+        .select(col("vec_id"),
+          round(Vectors.cosineFast(col("embedding"), col("s_emb"),
+            col("nrm"), col("s_nrm")), 6).as("cos"))
+        .groupBy(col("vec_id"))
+        .agg((lit(1.0) - max(col("cos"))).as("dmin"))
+        .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"))).as("m"))
+        .head.getStruct(0)
+      val vid = -far.getLong(1)
+      out += ((r, vid, far.getDouble(0)))
+      sel = vid :: sel
+      r += 1
+    }
+    out.toSeq.toDF("rk", "vec_id", "dmin")
+  }
+
   /** ENGINE-PORTABLE IVF top-k — the oracle-checkable twin of [[ivfTopK]],
     * completing the pattern [[portableLshTop1]] set for LSH: the coarse
     * quantizer is `Clustering.kmeansAssign`'s deterministic Lloyd loop

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis ops for a large-scale training-data pipeline: language ID,
@@ -575,6 +576,56 @@ object TextAnalysis {
           .otherwise(0L)).as("n_blocked"))
       .withColumn("keep",
         col("n_blocked") * denom <= col("n_words"))
+  }
+
+  /** Quality-threshold sweep: for each candidate cutoff, the surviving
+    * document count and token mass — the keep-curve a curation run reads
+    * BEFORE committing to a threshold (q1 scores the docs; cal1 bins
+    * them; this answers "what does cutting at 0.4 vs 0.6 actually cost
+    * in tokens"). Thresholds are i/10 for i in 1..9 — exact IEEE
+    * divisions of the same integers in any engine, so the `score >= thr`
+    * comparisons (on the 6dp score q1 already hash-matches) are
+    * engine-portable.
+    *
+    * Scale shape: the per-doc score frame is |docs|·3 narrow columns;
+    * the 9-way threshold fan-out happens on THAT (not on tokens), and
+    * the final groupBy(thr) collapses map-side to ≤ 9 rows per
+    * partition. */
+  def thresholdSweep(documents: DataFrame,
+      nThresholds: Int = 9): DataFrame = {
+    val q = modelQualityScore(documents)
+    q.select(col("score"), col("n_toks"),
+        explode(array((1 to nThresholds).map(i =>
+          lit(i / (nThresholds + 1).toDouble)): _*)).as("thr"))
+      .groupBy("thr")
+      .agg(
+        count(when(col("score") >= col("thr"), 1)).as("n_kept"),
+        coalesce(sum(when(col("score") >= col("thr"), col("n_toks"))),
+          lit(0L)).as("toks_kept"))
+  }
+
+  /** Per-source percentile calibration of the q1 quality score: `cal` is
+    * each document's percent_rank WITHIN its source — the fix for the
+    * classic curation bug where one global cutoff silently keeps 90% of a
+    * clean source and 2% of a noisy one. A calibrated threshold ("keep
+    * the top 40% of every source") composes directly with
+    * [[thresholdSweep]]/`trainingCorpus`. percent_rank = (rank-1)/(n-1)
+    * depends only on the 6dp score VALUES (ties share a rank), so the
+    * result is deterministic under any within-tie ordering and matches
+    * any SQL engine's definition bit for bit.
+    *
+    * Scale: ONE exchange, partitioned by source (the natural shard key —
+    * each source's rank sort is independent); the score frame is
+    * |docs|·3 narrow columns, never token rows. A pathologically huge
+    * single source can switch to approx-quantile calibration
+    * (`DataQuality` percentiles) — same output contract, bounded sort. */
+  def sourceCalibratedScore(documents: DataFrame): DataFrame = {
+    val q = modelQualityScore(documents)
+    q.join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("cal",
+        round(percent_rank().over(
+          Window.partitionBy(col("source")).orderBy(col("score"))), 6))
+      .select(col("doc_id"), col("source"), col("score"), col("cal"))
   }
 
   def winnowingFingerprint(documents: DataFrame, w: Int): DataFrame =
