@@ -924,6 +924,10 @@ object SparkEntry {
     // float32->int8 storage-migration planning statistic
     "emb4_int8_quant" -> ((s, d) =>
       Similarity.int8QuantStats(t(s, d, "embeddings"))),
+    // whole-corpus mean pairwise cosine in ONE pass (sum-vector
+    // identity, no n^2 join): the isotropy diagnostic
+    "emb5_mean_cosine" -> ((s, d) =>
+      Similarity.meanCosine(t(s, d, "embeddings"))),
     // portable power-iteration top principal component + anisotropy
     // (ev_ratio): all row-spanning sums are exact int64, so the 4-round
     // recursion replays bit-for-bit in the oracle's unrolled CTEs
@@ -4403,6 +4407,30 @@ object SparkEntry {
         |         AS max_abs_err
         |FROM r GROUP BY dim, n, mn, mx""".stripMargin,
     "emb3_top_pc" -> powerIterSql(4),
+    // sum-vector identity twin: normalized components quantize to 1e-6
+    // ints (HALF_UP on identical doubles), both row-spanning sums exact
+    // integers (HUGEINT), one final float ratio rounded 6dp
+    "emb5_mean_cosine" ->
+      """WITH nn AS (SELECT vec_id,
+        |        sqrt(SUM(CAST(embedding[ii.i] AS DOUBLE)
+        |                 * CAST(embedding[ii.i] AS DOUBLE))) AS nrm
+        |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+        |      GROUP BY 1),
+        |vq AS (SELECT ii.i,
+        |         CAST(round(CAST(e.embedding[ii.i] AS DOUBLE) / n.nrm
+        |           * 1000000) AS BIGINT) AS qd
+        |       FROM embeddings e JOIN nn n USING (vec_id),
+        |         (SELECT unnest(range(1, 65)) AS i) ii
+        |       WHERE n.nrm > 0),
+        |per AS (SELECT i, CAST(SUM(qd) AS BIGINT) AS sd,
+        |          SUM(CAST(qd AS HUGEINT) * qd) AS dd,
+        |          CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM vq GROUP BY 1),
+        |tot AS (SELECT SUM(CAST(sd AS HUGEINT) * sd) AS crossv,
+        |          SUM(dd) AS diag, MAX(cnt) AS n FROM per)
+        |SELECT n, ROUND(CAST(crossv - diag AS DOUBLE)
+        |       / CAST(n * (n - 1) AS DOUBLE) / 1e12, 6) AS mean_cos
+        |FROM tot""".stripMargin,
     // QUALIFY (not WHERE) so position-1 rows stay visible to the
     // string_agg frame while emitting no example themselves
     "seq2_next_event_pairs" ->

@@ -236,6 +236,44 @@ object Similarity {
           .as("variance"))
   }
 
+  /** Mean pairwise cosine of the WHOLE corpus in ONE pass — the
+    * isotropy/anisotropy diagnostic (a healthy embedding space sits near
+    * 0; a collapsed "cone" near 1) computed WITHOUT the n² pair space:
+    * for unit vectors, Σ_{a≠b} cos(a,b) = ‖Σ v̂‖² − Σ‖v̂‖², so one
+    * narrow scan + a dims-row reduction replaces the quadratic join the
+    * naive estimator wants. This is the fourth member of the
+    * embedding-health family ([[dimStats]] dead dims,
+    * [[topPrincipalComponent]] rogue direction, [[int8QuantStats]]
+    * storage error) and the cheapest: at 100 TB it is exactly one
+    * shuffle of 64 partial rows per task.
+    *
+    * Portability follows the twin rule: normalized components quantize
+    * to 1e-6 ints (HALF_UP on identical doubles), so BOTH row-spanning
+    * sums (the per-dim sum vector and the diagonal) are exact integers —
+    * decimal(38) against overflow at corpus scale — and the single
+    * float op is the final ratio, rounded 6dp. Zero-norm vectors are
+    * excluded (no direction, no cosine). */
+  def meanCosine(embeddings: DataFrame): DataFrame = {
+    val vq = withNorm(embeddings).where(col("nrm") > 0)
+      .select(col("nrm"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("i0"),
+        round(col("x").cast("double") / col("nrm") * 1e6)
+          .cast("long").as("qd"))
+    val per = vq.groupBy(col("i0"))
+      .agg(sum(col("qd")).as("sd"),
+        sum((col("qd") * col("qd")).cast("decimal(38,0)")).as("dd"),
+        count(lit(1)).as("cnt"))
+    per
+      .select((col("sd").cast("decimal(38,0)") * col("sd")).as("s2"),
+        col("dd"), col("cnt"))
+      .agg(sum(col("s2")).as("crossv"), sum(col("dd")).as("diag"),
+        max(col("cnt")).as("n"))
+      .select(col("n"),
+        round((col("crossv") - col("diag")).cast("double") /
+          (col("n") * (col("n") - lit(1L))).cast("double") / 1e12, 6)
+          .as("mean_cos"))
+  }
+
   /** ENGINE-PORTABLE top principal component via power iteration — the
     * third member of the embedding-health family: [[dimStats]] catches
     * dead/collapsed DIMENSIONS, this catches a collapsed DIRECTION

@@ -76,6 +76,28 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("emb5 isotropy: one narrow pass, no join, no pair space") {
+    val p = plan("emb5_mean_cosine")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the sum-vector identity must not build the n^2 pair space:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"one dims-key exchange + the one-row final reduce, nothing else:\n$p")
+    assert(p.contains("partial_"),
+      s"the per-dim sums must partial-aggregate map-side:\n$p")
+  }
+
+  test("cal2/seq3 windows partition by their shard key (no global sort)") {
+    val pc = plan("cal2_source_calibrated")
+    assert(pc.contains("windowspecdefinition(source"),
+      s"calibration must rank within source partitions:\n$pc")
+    val ps = plan("seq3_transition_matrix")
+    assert(ps.contains("windowspecdefinition(user_id"),
+      s"the lead() must ride per-user partitions:\n$ps")
+    for ((n, p) <- Seq("cal2" -> pc, "seq3" -> ps))
+      assert(!p.contains("rangepartitioning"),
+        s"$n must not globally sort corpus rows:\n$p")
+  }
+
   test("j1 equi-join aggregates after a single shuffle of each side") {
     val p = plan("j1_order_revenue_by_priority")
     assert("Exchange".r.findAllIn(p).size <= 4,

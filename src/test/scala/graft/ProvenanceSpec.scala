@@ -327,6 +327,34 @@ class ProvenanceSpec extends GraftSuite {
     assert(viol.count() == 0L)
   }
 
+  test("emb5 law: the one-pass identity equals the brute-force mean cosine") {
+    val r = Similarity.meanCosine(embs).head
+    val a = embs.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = embs.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val brute = a.join(b, col("ida") =!= col("idb"))
+      .select(graft.functions.Vectors.cosine(col("ea"), col("eb")).as("c"))
+      .where(!isnan(col("c")))
+      .agg(avg(col("c"))).head.getDouble(0)
+    assert(math.abs(r.getDouble(1) - brute) < 1e-4,
+      s"identity ${r.getDouble(1)} vs brute $brute")
+    val nz = embs
+      .where(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")) > 0.0)
+      .count()
+    assert(r.getLong(0) == nz, "n must count non-degenerate vectors only")
+    // a collapsed space reads 1, an orthogonal one 0
+    val same = Seq((1L, Seq(1f, 2f, 0f)), (2L, Seq(1f, 2f, 0f)),
+      (3L, Seq(1f, 2f, 0f))).toDF("vec_id", "embedding")
+    assert(math.abs(Similarity.meanCosine(same).head.getDouble(1) - 1.0)
+      < 1e-5)
+    val orth = Seq((1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0f, 0f, 1f)), (4L, Seq(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val o = Similarity.meanCosine(orth).head
+    assert(o.getLong(0) == 3L, "the zero vector must be excluded")
+    assert(math.abs(o.getDouble(1)) < 1e-5)
+  }
+
   test("r5 law: grade-ordered runs are perfect, total misses score zero") {
     val qrels = Seq(("q1", 10L, 3), ("q1", 11L, 2), ("q1", 12L, 1),
       ("q2", 20L, 3), ("q2", 21L, 2), ("q2", 22L, 1))
