@@ -911,6 +911,10 @@ object SparkEntry {
     "rrf1_hybrid_topk" -> ((s, d) =>
       Pipeline.hybridRrf(t(s, d, "documents"), t(s, d, "embeddings"),
         rrfQueries)),
+    // MMR diverse rerank: greedy 0.7·(1/rank) − 0.3·max-cos over the
+    // bm25 top-8 candidates, 3 picks per query
+    "r6_mmr_rerank" -> ((s, d) =>
+      Pipeline.mmrRerank(t(s, d, "documents"), t(s, d, "embeddings"))),
     // supervised next-action pairs: every prefix of the first 10 events
     // per user becomes (context, label)
     "seq2_next_event_pairs" -> ((s, d) =>
@@ -4328,6 +4332,66 @@ object SparkEntry {
         |                      CAST(0.0 AS DOUBLE)), 6) AS rr,
         |       first_hit IS NOT NULL AS hit
         |FROM lhits""".stripMargin,
+    // MMR unrolled 3 greedy rounds over the bm25 top-8: candidate-pair
+    // cosines ROUND 6dp before any argmax; (1 - 0.7) is COMPUTED so the
+    // redundancy weight is the identical IEEE double both engines use;
+    // argmax ties to the smallest doc_id
+    "r6_mmr_rerank" ->
+      s"""WITH $bm25RankCtes,
+        |mcand AS (SELECT query_id, doc_id, rn FROM lexr WHERE rn <= 8),
+        |mnq AS (SELECT vec_id,
+        |         SUM(CAST(embedding[ii.i] AS DOUBLE)
+        |             * CAST(embedding[ii.i] AS DOUBLE)) AS qq
+        |       FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+        |       GROUP BY 1),
+        |ce AS (SELECT c.query_id, c.doc_id, c.rn, sqrt(n.qq) AS nrm
+        |       FROM mcand c JOIN mnq n ON n.vec_id = c.doc_id
+        |       WHERE n.qq > 0),
+        |ccp AS (SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+        |          ROUND(SUM(CAST(ea.embedding[ii.i] AS DOUBLE)
+        |              * CAST(eb.embedding[ii.i] AS DOUBLE))
+        |            / (a.nrm * b.nrm), 6) AS cos
+        |        FROM ce a JOIN ce b ON b.query_id = a.query_id
+        |          AND b.doc_id <> a.doc_id
+        |          JOIN embeddings ea ON ea.vec_id = a.doc_id
+        |          JOIN embeddings eb ON eb.vec_id = b.doc_id,
+        |          (SELECT unnest(range(1, 65)) AS i) ii
+        |        GROUP BY 1, 2, 3, a.nrm, b.nrm),
+        |mm1 AS (SELECT query_id, doc_id FROM (
+        |          SELECT query_id, doc_id, row_number() OVER (
+        |            PARTITION BY query_id ORDER BY rn) AS rk FROM ce)
+        |        WHERE rk = 1),
+        |mp2 AS (SELECT c.query_id, c.doc_id, c.rn, MAX(x.cos) AS pen
+        |        FROM ce c JOIN mm1 ON mm1.query_id = c.query_id
+        |          JOIN ccp x ON x.query_id = c.query_id
+        |            AND x.da = c.doc_id AND x.db = mm1.doc_id
+        |        WHERE c.doc_id <> mm1.doc_id
+        |        GROUP BY 1, 2, 3),
+        |mr2 AS (SELECT query_id, doc_id FROM (
+        |          SELECT query_id, doc_id, row_number() OVER (
+        |            PARTITION BY query_id
+        |            ORDER BY 0.7 / rn - (1 - 0.7) * pen DESC, doc_id)
+        |            AS rk FROM mp2) WHERE rk = 1),
+        |msel2 AS (SELECT query_id, doc_id FROM mm1
+        |          UNION ALL SELECT query_id, doc_id FROM mr2),
+        |mp3 AS (SELECT c.query_id, c.doc_id, c.rn, MAX(x.cos) AS pen
+        |        FROM ce c
+        |          JOIN msel2 s ON s.query_id = c.query_id
+        |          JOIN ccp x ON x.query_id = c.query_id
+        |            AND x.da = c.doc_id AND x.db = s.doc_id
+        |          LEFT JOIN msel2 me ON me.query_id = c.query_id
+        |            AND me.doc_id = c.doc_id
+        |        WHERE me.doc_id IS NULL
+        |        GROUP BY 1, 2, 3),
+        |mr3 AS (SELECT query_id, doc_id FROM (
+        |          SELECT query_id, doc_id, row_number() OVER (
+        |            PARTITION BY query_id
+        |            ORDER BY 0.7 / rn - (1 - 0.7) * pen DESC, doc_id)
+        |            AS rk FROM mp3) WHERE rk = 1)
+        |SELECT query_id, CAST(1 AS INTEGER) AS step, doc_id FROM mm1
+        |UNION ALL SELECT query_id, CAST(2 AS INTEGER), doc_id FROM mr2
+        |UNION ALL SELECT query_id, CAST(3 AS INTEGER), doc_id FROM mr3"""
+        .stripMargin,
     // graded qrels = exact cosine top-3 (grade 4-rn); DCG/IDCG terms
     // quantized to 1e-6 ints so the sums are exact — only the final
     // ratio is float, mirrored op-for-op

@@ -294,6 +294,74 @@ object Pipeline {
           / col("idcg_q"), 6).as("ndcg"))
   }
 
+  /** Maximal-marginal-relevance diverse rerank (Carbonell & Goldstein
+    * 1998) — the diversity-aware closer of the retrieval family (bm25 →
+    * RRF fusion → nDCG eval → MMR): greedily pick k of the top-candK
+    * BM25 candidates maximizing `lam·rel − (1−lam)·max-cos-to-selected`,
+    * with rank-reciprocal relevance `rel = 1/rn` (integer-derived, so
+    * the relevance term is the same double in any engine) and every
+    * cosine rounded 6dp BEFORE the argmax (the sel1 selection-replay
+    * discipline; ties to the smallest doc_id; the `1−lam` factor is
+    * COMPUTED, not a literal, so both engines evaluate the identical
+    * IEEE subtraction). Zero-norm candidates are excluded up front.
+    *
+    * Scale: the greedy runs downstream of the retriever on the
+    * |Q|·candK-row candidate frame — config-scale, the r5 posture — so
+    * driver state is ≤ |Q|·candK (id, rank, vector) tuples; the corpus
+    * is touched only by `Corpus.bm25TopK`'s own bounded-shuffle plan.
+    * Output (query_id, step, doc_id), step 1-based selection order. */
+  def mmrRerank(documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(String, Seq[String])] = Corpus.defaultQueries,
+      candK: Int = 8, k: Int = 3, lam: Double = 0.7): DataFrame = {
+    require(k >= 1 && candK >= k, "need at least k candidates")
+    require(lam >= 0.0 && lam <= 1.0, "lam is a convex mix")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val cand = Corpus.bm25TopK(documents, queries, candK)
+    val rows = cand
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+      .select(col("query_id"), col("doc_id"), col("rn"), col("embedding"))
+      .as[(String, Long, Int, Array[Float])]
+      .collect()
+    def nrm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    def cos6(a: Array[Float], b: Array[Float], na: Double,
+        nb: Double): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      BigDecimal(d / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (qid, cs0) =>
+        val cs = cs0.map { case (_, id, rn, e) => (id, rn, e, nrm(e)) }
+          .filter(_._4 > 0).sortBy(_._1)
+        val selected =
+          scala.collection.mutable.ArrayBuffer[(Long, Int, Array[Float], Double)]()
+        val steps = scala.collection.mutable.ArrayBuffer[(String, Int, Long)]()
+        var step = 1
+        while (step <= k && selected.length < cs.length) {
+          val best = cs.filterNot(c => selected.exists(_._1 == c._1))
+            .map { c =>
+              val pen =
+                if (selected.isEmpty) 0.0
+                else selected.map(s => cos6(c._3, s._3, c._4, s._4)).max
+              (lam / c._2 - (1 - lam) * pen, c)
+            }
+            .maxBy { case (m, c) => (m, -c._1) }._2
+          selected += best
+          steps += ((qid, step, best._1))
+          step += 1
+        }
+        steps
+    }
+    out.toDF("query_id", "step", "doc_id")
+  }
+
   /** Behavioral-pretraining sequence builder: each user's first `maxLen`
     * events as one ordered training example — (user_id, seq, n_events,
     * span_sec), where `seq` is the comma-joined event-type string in

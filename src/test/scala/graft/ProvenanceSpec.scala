@@ -355,6 +355,42 @@ class ProvenanceSpec extends GraftSuite {
     assert(math.abs(o.getDouble(1)) < 1e-5)
   }
 
+  test("r6 law: MMR skips the near-duplicate a pure relevance rank keeps") {
+    // same length -> identical bm25 length norm -> rank strictly by tf:
+    // ranks are 1:doc1, 2:doc2, 3:doc3, 4:doc4. doc2 duplicates doc1's
+    // embedding direction; doc3/doc4 are orthogonal.
+    def doc(tfx: Int): String =
+      (Seq.fill(tfx)("x") ++ Seq.fill(8 - tfx)("y")).mkString(" ")
+    val docsDf = Seq((1L, doc(8)), (2L, doc(4)), (3L, doc(2)), (4L, doc(1)))
+      .toDF("doc_id", "text")
+    val embsDf = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(1f, 0.001f, 0f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq("q" -> Seq("x"))
+    val picks = Pipeline.mmrRerank(docsDf, embsDf, q, 4, 3, 0.7)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(picks.toSeq == Seq(1L, 3L, 4L),
+      s"MMR must pick the diverse set over the near-dup: ${picks.toSeq}")
+    // lam = 1 degenerates to the pure bm25 order
+    val pure = Pipeline.mmrRerank(docsDf, embsDf, q, 4, 3, 1.0)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(pure.toSeq == Seq(1L, 2L, 3L),
+      s"lam=1 must reproduce the relevance ranking: ${pure.toSeq}")
+    // real corpus: 3 distinct picks per query, step 1 = bm25 rank 1
+    val real = Pipeline.mmrRerank(docs, embs).cache()
+    try {
+      val perQ = real.groupBy("query_id")
+        .agg(countDistinct("doc_id").as("k")).collect()
+      assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == 3L))
+      val top1 = Corpus.bm25TopK(docs).where(col("rn") === 1)
+        .select(col("query_id"), col("doc_id").as("lex1"))
+      val s1 = real.where(col("step") === 1).join(top1, "query_id")
+        .where(col("doc_id") =!= col("lex1"))
+      assert(s1.count() == 0L, "step 1 must be the bm25 top hit")
+    } finally real.unpersist()
+  }
+
   test("r5 law: grade-ordered runs are perfect, total misses score zero") {
     val qrels = Seq(("q1", 10L, 3), ("q1", 11L, 2), ("q1", 12L, 1),
       ("q2", 20L, 3), ("q2", 21L, 2), ("q2", 22L, 1))
