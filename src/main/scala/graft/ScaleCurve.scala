@@ -94,6 +94,13 @@ object ScaleCurve {
       ("ivfpq_portable", 8, (e, r) =>
         graft.ops.Similarity.portableIvfPqTopK(e, Seq(0L, 1L, 2L),
           cells = 8 * r)),
+      // round-11: the one-pass isotropy identity (linear by construction —
+      // one narrow scan + a dims-row reduce) and greedy k-center (k-1
+      // corpus scans, k fixed — linear per the Gonzalez bound)
+      ("mean_cosine", 8, (e, _) =>
+        graft.ops.Similarity.meanCosine(e)),
+      ("kcenter_seeds", 8, (e, _) =>
+        graft.ops.Similarity.kCenterSeeds(e, 4)),
       // round-10: the CORPUS-INDEPENDENT-training auto-k form — thresholds
       // forced low so every R exercises the sampled Lloyd + two-level
       // assignment (k = n/125 grows with the corpus, training stays on a
