@@ -607,12 +607,45 @@ object Streams {
         mergePhashIngest(batch, batchId, stateDir, outDir, maxHamming)
     }
 
+  /** The streaming AUDIO twin of [[phashIngestSink]]: the SAME durable
+    * index / frontier / replay machinery (one generic body below) over
+    * `Multimodal.audioHash`'s 31-bit energy-envelope signatures and the
+    * d23 band layout — WAV clips dedup greedily online, image and
+    * unparseable payloads pass through as keepers. One engine, pluggable
+    * per-modality signature: the batch twin relationship is d21/d23's. */
+  def audioIngestSink(media: DataFrame, stateDir: String, outDir: String,
+      maxHamming: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        mergeAudioIngest(batch, batchId, stateDir, outDir, maxHamming)
+    }
+
   /** The per-batch body of `phashIngestSink`, package-visible for the
     * decision/replay/orphan specs. */
   private[graft] def mergePhashIngest(batch: DataFrame, batchId: Long,
-      stateDir: String, outDir: String, maxHamming: Int): Unit = {
-    require(maxHamming >= 0 && maxHamming < 56,
-      "maxHamming must sit inside the 56-bit signature")
+      stateDir: String, outDir: String, maxHamming: Int): Unit =
+    mergeMediaIngest(batch, batchId, stateDir, outDir, maxHamming,
+      bits = 56, sigCol = "phash", sigOf = graft.ops.Multimodal.phash)
+
+  /** The per-batch body of `audioIngestSink` (spec entry point). */
+  private[graft] def mergeAudioIngest(batch: DataFrame, batchId: Long,
+      stateDir: String, outDir: String, maxHamming: Int): Unit =
+    mergeMediaIngest(batch, batchId, stateDir, outDir, maxHamming,
+      bits = 31, sigCol = "ahash", sigOf = graft.ops.Multimodal.audioHash)
+
+  /** The generic per-batch media-ingest body: `sigOf` maps a media batch
+    * to (doc_id, `sigCol`) signatures for ITS modality (records of other
+    * modalities drop out and pass through as keepers), `bits` is the
+    * signature width the maxHamming+1 near-equal bands split. Everything
+    * else — durable hive-partitioned index, O(1) frontier replay guard,
+    * greedy-online lower-id/committed-partner preference, idempotent
+    * per-bid writes — is modality-independent and shared. */
+  private[graft] def mergeMediaIngest(batch: DataFrame, batchId: Long,
+      stateDir: String, outDir: String, maxHamming: Int, bits: Int,
+      sigCol: String, sigOf: DataFrame => DataFrame): Unit = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must sit inside the $bits-bit signature")
     val spark = batch.sparkSession
     val idxDir = s"$stateDir/index"
     val frontierDir = s"$stateDir/frontier"
@@ -622,16 +655,16 @@ object Streams {
     }.getOrElse(-1L)
     if (batchId <= lastBid) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"phashIngestSink: skipping batch $batchId (frontier at $lastBid)" +
-          " — replay of a committed batch is a no-op")
+        s"media ingest ($sigCol): skipping batch $batchId (frontier at " +
+          s"$lastBid) — replay of a committed batch is a no-op")
       return
     }
-    val sigs = graft.ops.Multimodal.phash(batch)
+    val sigs = sigOf(batch)
       .localCheckpoint() // feeds band join, peers join, index append
-    // the d21 band layout: maxHamming+1 near-equal chunks of the 56 bits
+    // the d21/d23 band layout: maxHamming+1 near-equal chunks of the bits
     val bands = maxHamming + 1
-    val base = 56 / bands
-    val extra = 56 % bands
+    val base = bits / bands
+    val extra = bits % bands
     val widths = Array.tabulate(bands)(i => base + (if (i < extra) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).take(bands)
     def chunked(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -644,11 +677,11 @@ object Streams {
       .select(col(idCol), col(sigCol),
         col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
     val committed = committedBidParquet(spark, idxDir, lastBid)
-      .map(_.select(col("doc_id").as("partner"), col("phash").as("psig")))
+      .map(_.select(col("doc_id").as("partner"), col(sigCol).as("psig")))
       .getOrElse(sigs
-        .select(col("doc_id").as("partner"), col("phash").as("psig"))
+        .select(col("doc_id").as("partner"), col(sigCol).as("psig"))
         .where(lit(false)))
-    val newCh = chunked(sigs, "doc_id", "phash")
+    val newCh = chunked(sigs, "doc_id", sigCol)
     // vs the committed index, plus vs LOWER-id batch peers (greedy-online)
     val vsIndex = newCh
       .join(chunked(committed, "partner", "psig"), Seq("chunk", "chunk_val"))
@@ -658,7 +691,7 @@ object Streams {
       .where(col("partner") < col("doc_id"))
     val matches = vsIndex.unionByName(vsPeers)
       .select(col("doc_id"),
-        struct(bit_count(col("phash").bitwiseXOR(col("psig"))).as("hamming"),
+        struct(bit_count(col(sigCol).bitwiseXOR(col("psig"))).as("hamming"),
           col("partner").as("partner")).as("m"))
       .where(col("m.hamming") <= maxHamming)
       .groupBy(col("doc_id"))

@@ -1377,6 +1377,37 @@ class StreamingSpec extends GraftSuite {
       s"classification must survive a corrupt orphan: ${audit()}")
   }
 
+  test("audio ingest: the generalized media engine dedups WAV streams") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    import org.apache.spark.sql.functions.{col, length}
+    val state = Files.createTempDirectory("graft_aingest_s").toString
+    val out = Files.createTempDirectory("graft_aingest_o").toString
+    val base = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    def media(rows: Seq[(Long, String)]) = Multimodal.toMediaTable(
+      rows.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    def audit() = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // batch 0: audio 1 (base), audio 7 (one-char perturbation — dup vs
+    // lower-id peer), image 0 (same text, no WAV parse -> keeper)
+    Streams.mergeAudioIngest(
+      media(Seq((1L, base), (7L, base.updated(10, 'z')), (0L, base))),
+      0L, state, out, 2)
+    assert(audit() == Set((1L, "keep", -1L), (7L, "near_dup", 1L),
+      (0L, "keep", -1L)), s"batch-0 decisions: ${audit()}")
+    // batch 1: audio 4 carries the original clip — dup vs the durable
+    // index (partner 1 committed; 7 was never indexed)
+    Streams.mergeAudioIngest(media(Seq((4L, base))), 1L, state, out, 2)
+    assert(audit().contains((4L, "near_dup", 1L)),
+      s"index lookup must find the committed partner: ${audit()}")
+    // replay of a committed bid is a no-op
+    Streams.mergeAudioIngest(media(Seq((10L, "other words"))), 1L,
+      state, out, 2)
+    assert(!audit().exists(_._1 == 10L), "replay must not reclassify")
+  }
+
   test("txn sink: corrupt orphan files cannot poison the committed read") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_txn4").toString + "/t"
