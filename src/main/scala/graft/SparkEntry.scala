@@ -1021,6 +1021,11 @@ object SparkEntry {
     // bounds (integer-quantized), then exact-integer clipped mean/std
     "dq4_winsorized_stats" -> ((s, d) =>
       DataQuality.winsorizedStats(events(s, d), "event_type", "value")),
+    // deterministic Poisson-bootstrap CI for the corpus mean quality
+    // score: replicate weights from the shared quadratic-residue hash,
+    // exact int64 weighted sums, order-statistic interval
+    "boot1_score_ci" -> ((s, d) =>
+      DataQuality.bootstrapScoreCi(t(s, d, "documents"))),
   )
 
   /** The rrf1 query set: BM25 terms from `Corpus.defaultQueries` plus
@@ -4625,6 +4630,36 @@ object SparkEntry {
         |      WHERE l_partkey IS NOT NULL) c
         |LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p
         |  ON c.ck = p.pk""".stripMargin,
+    // Poisson-bootstrap replay: weights from the shared quadratic mix
+    // mod 1000003 (inverse-CDF thresholds at 1e-6 Poisson(1) cum.
+    // probabilities), weighted sums exact int64, order-stat CI on the
+    // 32-row replicate-mean frame
+    "boot1_score_ci" ->
+      s"""WITH $modelScoreCtes,
+        |bqs AS (SELECT doc_id,
+        |          CAST(round(score * 1000000) AS BIGINT) AS qs FROM qsc),
+        |bw AS (SELECT bb.b, qs,
+        |         (doc_id * 131 + bb.b) % 1000003 AS y
+        |       FROM bqs CROSS JOIN
+        |         (SELECT unnest(range(0, 32)) AS b) bb),
+        |bu AS (SELECT b, qs,
+        |         (1013 * y * y + 2654435761 * y) % 1000003 AS u FROM bw),
+        |bp AS (SELECT b, qs,
+        |         CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |              WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |              ELSE 4 END AS w FROM bu),
+        |br AS (SELECT b, CAST(SUM(w * qs) AS BIGINT) AS sws,
+        |         CAST(SUM(w) AS BIGINT) AS sw FROM bp GROUP BY 1),
+        |bm AS (SELECT b, CAST(sws AS DOUBLE) / sw / 1e6 AS m
+        |       FROM br WHERE sw > 0),
+        |brk AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM bm),
+        |btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |           CAST(SUM(qs) AS BIGINT) AS sqs FROM bqs)
+        |SELECT n_docs, CAST(32 AS BIGINT) AS n_reps,
+        |       ROUND(CAST(sqs AS DOUBLE) / n_docs / 1e6, 6) AS mean_score,
+        |       ROUND((SELECT m FROM brk WHERE rn = 2), 6) AS lo95,
+        |       ROUND((SELECT m FROM brk WHERE rn = 31), 6) AS hi95
+        |FROM btot""".stripMargin,
     // winsorized moments: values quantized to 1e-6 ints, exact
     // interpolated percentiles rounded back to integer clip bounds, so
     // both row-spanning sums are exact integers (squared sum in int128);

@@ -311,4 +311,56 @@ object DataQuality {
               - col("s").cast("double") * col("s") / col("n"))
               / (col("n") - 1)) / 1e6), 6).as("win_std"))
   }
+
+  /** Deterministic Poisson-bootstrap confidence interval for the corpus
+    * mean quality score — the uncertainty bar a "did this drop shift
+    * quality?" comparison needs next to the point estimate. Replicate
+    * weights are Poisson(1) drawn by inverse-CDF over the shared
+    * quadratic-residue hash (`Similarity.portableWeight`'s mix, mod the
+    * same prime), so the whole resampling procedure replays bit-for-bit
+    * in any engine AND in any future re-run: no RNG, no seed plumbing.
+    * Per replicate, the weighted score sum is exact int64 (scores
+    * quantized 1e-6); the per-replicate mean is the one float ratio; the
+    * CI is the 2nd/(reps−1)th order statistic of the `reps` means (a
+    * reps-row frame).
+    *
+    * Scale: ONE pass over the score frame fanned out `reps`× (narrow
+    * integer columns — at 100 TB this is the cheapest resampling there
+    * is: no shuffling of documents, just a reps-key aggregate with
+    * map-side partials), then an O(reps log reps) sort of a config-size
+    * frame. */
+  def bootstrapScoreCi(documents: DataFrame, reps: Int = 32): DataFrame = {
+    require(reps >= 4, "need enough replicates for an interval")
+    import org.apache.spark.sql.expressions.Window
+    val M = 1000003L
+    val q = TextAnalysis.modelQualityScore(documents)
+      .select(col("doc_id"), round(col("score") * 1e6).cast("long").as("qs"))
+    val y = (col("doc_id") * 131L + col("b")) % M
+    val u = (lit(1013L) * y * y + lit(2654435761L) * y) % M
+    // Poisson(1) inverse CDF at 1e-6 resolution over u in [0, M)
+    val w = when(u < 367879L, 0L).when(u < 735759L, 1L)
+      .when(u < 919699L, 2L).when(u < 981012L, 3L).otherwise(4L)
+    val perRep = q
+      .select(col("doc_id"), col("qs"),
+        explode(sequence(lit(0L), lit(reps - 1L))).as("b"))
+      .select(col("b"), w.as("w"), (w * col("qs")).as("ws"))
+      .groupBy(col("b"))
+      .agg(sum(col("ws")).as("sws"), sum(col("w")).as("sw"))
+      .where(col("sw") > 0)
+      .select(col("b"),
+        (col("sws").cast("double") / col("sw") / 1e6).as("m"))
+    // reps-row frame: the unpartitioned rank window is config-scale
+    val ranked = perRep
+      .withColumn("rn", row_number().over(Window.orderBy(col("m"))))
+    val base = q.agg(count(lit(1)).as("n_docs"), sum(col("qs")).as("sqs"))
+    base.crossJoin(
+        ranked.where(col("rn") === 2).select(col("m").as("lo_m")))
+      .crossJoin(ranked.where(col("rn") === reps - 1)
+        .select(col("m").as("hi_m")))
+      .select(col("n_docs"), lit(reps).cast("long").as("n_reps"),
+        round(col("sqs").cast("double") / col("n_docs") / 1e6, 6)
+          .as("mean_score"),
+        round(col("lo_m"), 6).as("lo95"),
+        round(col("hi_m"), 6).as("hi95"))
+  }
 }

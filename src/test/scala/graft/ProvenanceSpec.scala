@@ -391,6 +391,24 @@ class ProvenanceSpec extends GraftSuite {
     } finally real.unpersist()
   }
 
+  test("boot1 law: the CI brackets the mean; constant scores collapse it") {
+    val r = DataQuality.bootstrapScoreCi(docs).head
+    val (mean, lo, hi) = (r.getAs[Double]("mean_score"),
+      r.getAs[Double]("lo95"), r.getAs[Double]("hi95"))
+    assert(lo <= hi && lo > 0.0 && hi < 1.0)
+    assert(lo <= mean && mean <= hi,
+      s"the interval [$lo, $hi] must bracket the mean $mean")
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    // identical documents -> identical scores -> every replicate mean is
+    // the score itself -> a zero-width interval at the mean
+    val const = (1 to 50).map(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val c = DataQuality.bootstrapScoreCi(const).head
+    assert(c.getAs[Double]("lo95") == c.getAs[Double]("mean_score") &&
+      c.getAs[Double]("hi95") == c.getAs[Double]("mean_score"),
+      "a constant corpus must have a degenerate interval")
+  }
+
   test("r5 law: grade-ordered runs are perfect, total misses score zero") {
     val qrels = Seq(("q1", 10L, 3), ("q1", 11L, 2), ("q1", 12L, 1),
       ("q2", 20L, 3), ("q2", 21L, 2), ("q2", 22L, 1))
