@@ -516,6 +516,41 @@ class PropertySpec extends GraftSuite {
     assert(h <= 2, s"same-code-point-length edit flipped $h bits")
   }
 
+  test("media parsers never throw on arbitrary bytes; valid prefixes don't fool them") {
+    import graft.ops.Multimodal
+    val byteGen = Gen.chooseNum(-128, 127).map(_.toByte)
+    // raw fuzz: arbitrary buffers (including empty/tiny) parse to None
+    // rather than throwing — a corrupt object-store blob must degrade to
+    // "not this modality", never kill the ingest task
+    val bufGen = Gen.chooseNum(0, 64)
+      .flatMap(n => Gen.listOfN(n, byteGen).map(_.toArray))
+    samples(bufGen, 300).foreach { b =>
+      Multimodal.wavDataBody(b) // must not throw
+      ()
+    }
+    // structured fuzz: a correct RIFF/WAVE magic followed by garbage
+    // chunks must still reject (truncated declared lengths)
+    val riffGen = Gen.listOfN(24, byteGen).map { tail =>
+      "RIFF".getBytes ++ Array[Byte](1, 0, 0, 0) ++
+        "WAVE".getBytes ++ tail.toArray
+    }
+    samples(riffGen, 200).foreach { b =>
+      val r = Multimodal.wavDataBody(b)
+      // absent a well-formed PCM fmt + fully-contained data chunk the
+      // walk must return None; if it parsed, the body must be real bytes
+      r.foreach(body => assert(body.length <= b.length - 20))
+    }
+    // envHash31 is total on arbitrary strings and stays within 31 bits
+    val sGen = Gen.listOfN(50, Gen.chooseNum(1, 0xFFFF).map(_.toChar))
+      .map(_.mkString)
+    samples(sGen, 200).foreach { s =>
+      val h = Multimodal.envHash31(s)
+      assert((h & ~((1L << 31) - 1)) == 0L,
+        s"envelope hash must pack into 31 bits: $h")
+      assert(h == Multimodal.envHash31(s), "determinism")
+    }
+  }
+
   test("two-level law: coarse=k assignment == flat on random corpora") {
     import spark.implicits._
     // random float frames across dims/k/sizes: the coarse=k configuration
