@@ -137,6 +137,7 @@ object ScaleCurve {
       }
       graft.ops.Clustering.clearAssignments()
       graft.ops.Dedup.clearSubstrates()
+      graft.ops.TextAnalysis.clearScoreCache()
       graft.ops.Similarity.clearGraphCache()
       graft.ops.Similarity.clearQuantizers()
     }
