@@ -138,6 +138,7 @@ object ScaleCurve {
       graft.ops.Clustering.clearAssignments()
       graft.ops.Dedup.clearSubstrates()
       graft.ops.TextAnalysis.clearScoreCache()
+      graft.ops.Corpus.clearBm25Cache()
       graft.ops.Similarity.clearGraphCache()
       graft.ops.Similarity.clearQuantizers()
     }

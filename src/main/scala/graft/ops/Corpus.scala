@@ -175,7 +175,49 @@ object Corpus {
     * aggregate — at 100 TB those come from table statistics instead. */
   def bm25TopK(documents: DataFrame,
       queries: Seq[(String, Seq[String])] = defaultQueries,
-      topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(documents, queries, k1, b)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rn") <= topK)
+      .select("query_id", "doc_id", "score", "rn")
+
+  /** Memoized (query_id, doc_id, score) BM25 frame — the shared substrate
+    * of the whole retrieval family (r1 top-k, rrf1/r3/r5 fusion+eval, r6
+    * MMR), which previously rebuilt tf/df/dl from parquet per query. Same
+    * session-memo contract as `Dedup.shingleCache`/`TextAnalysis`'s score
+    * memo: canonicalized-plan key (+ the query set + exact k1/b bits),
+    * MEMORY_AND_DISK, immutable inputs assumed. The frame is
+    * |matching docs|·|queries| rows — bounded by the query-term postings,
+    * not the corpus. */
+  private val bm25Cache = scala.collection.mutable.Map[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Seq[(String, Seq[String])], Long, Long), DataFrame]()
+
+  /** Drop every memoized BM25 frame (same hygiene contract as
+    * `Dedup.clearSubstrates`). */
+  def clearBm25Cache(): Unit = bm25Cache.synchronized {
+    bm25Cache.values.foreach(_.unpersist())
+    bm25Cache.clear()
+  }
+
+  private def bm25Scores(documents: DataFrame,
+      queries: Seq[(String, Seq[String])], k1: Double,
+      b: Double): DataFrame = bm25Cache.synchronized {
+    bm25Cache.getOrElseUpdate(
+      (documents.queryExecution.analyzed.canonicalized, queries,
+        java.lang.Double.doubleToLongBits(k1),
+        java.lang.Double.doubleToLongBits(b)), {
+        val df = bm25ScoresUncached(documents, queries, k1, b)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df
+      })
+  }
+
+  private def bm25ScoresUncached(documents: DataFrame,
+      queries: Seq[(String, Seq[String])], k1: Double,
+      b: Double): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val docs = documents.select(col("doc_id"), words.as("w"))
@@ -191,9 +233,7 @@ object Corpus {
           org.apache.spark.sql.types.StructField("doc_id",
             documents.schema("doc_id").dataType),
           org.apache.spark.sql.types.StructField("score",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("rn",
-            org.apache.spark.sql.types.IntegerType))))
+            org.apache.spark.sql.types.DoubleType))))
     val avgdl = stats.getDouble(1)
     val terms = queries.flatMap(_._2).distinct
     val q = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
@@ -218,11 +258,6 @@ object Corpus {
         (col("tf") + (lit(1 - b) + col("dl") * lit(b / avgdl)) * k1))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("s")).as("score"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc_id"))))
-      .where(col("rn") <= topK)
-      .select("query_id", "doc_id", "score", "rn")
   }
 
   /** Snapshot diff between two corpus versions — the audit a recurring
