@@ -55,6 +55,46 @@ object Stateful {
       }
   }
 
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** seq3 streaming twin — per-user consecutive-event transitions:
+    * GroupState carries the user's LAST event (ts-millis, event_id,
+    * type) across micro-batches; each batch sorts its per-user slice by
+    * (ts, event_id), chains it onto the carried event, and emits one
+    * (from, to) row per adjacency — so a groupBy(from,to).count over the
+    * emits reproduces `Aggs.transitionCounts`' integer matrix exactly
+    * when events arrive time-ordered per user (the same in-order
+    * contract as every A-family twin; the funnel's disorder counters are
+    * the audit for streams that violate it). State is ONE event per
+    * user — bounded, TTL-expirable. */
+  def transitionEmits(events: Dataset[Event],
+      ttl: Option[String] = None): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[(Long, Long, String)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer[Transition]()
+            var prev = state.getOption
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              prev.foreach { case (_, _, pt) =>
+                out += Transition(uid, pt, e.event_type)
+              }
+              prev = Some((e.ts.getTime, e.event_id, e.event_type))
+            }
+            prev.foreach(state.update)
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   case class UuNew(user_id: Long, event_date: String, uu: Int, is_new: Int)
 
   /** DwsTradeOrderWindow / DwsTradePaymentSucWindow streaming core

@@ -111,6 +111,27 @@ class StreamingSpec extends GraftSuite {
     assert(gotNew == expNew)
   }
 
+  test("streaming transitions match the batch Markov matrix across batches") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](29, spark, None)
+    // two in-order batches: the carried last-event state must chain the
+    // cross-batch adjacency for every user spanning the split
+    val sorted = eventsData.sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = sorted.splitAt(sorted.length / 2)
+    ms.addData(first)
+    ms.addData(second)
+    runToMemory(Stateful.transitionEmits(ms.toDS()), "trans_out")
+    val got = spark.table("trans_out")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val exp = ops.Aggs.transitionCounts(Tables.load(spark, sf, "events"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == exp,
+      s"stream/batch transition matrices differ: ${got.size} vs ${exp.size}")
+  }
+
   test("streaming funnel state machine matches the batch funnel counts") {
     import spark.implicits._
     val ms = MemoryStream[Event](23, spark, None)
