@@ -710,16 +710,28 @@ object Similarity {
     import spark.implicits._
     val base = withNorm(embeddings).where(col("nrm") > 0)
       .select(col("vec_id"), col("embedding"), col("nrm"))
-    var sel: List[Long] = List(base.agg(min(col("vec_id"))).head.getLong(0))
+    val seedRow = base.agg(min(col("vec_id"))).head
+    if (seedRow.isNullAt(0)) // no non-degenerate vectors: nothing to seed
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dmin",
+            org.apache.spark.sql.types.DoubleType))))
+    var sel: List[Long] = List(seedRow.getLong(0))
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
       (0, sel.head, 2.0))
     var r = 1
-    while (r < k) {
+    var exhausted = false
+    while (r < k && !exhausted) {
       val selFrame = base
         .where(col("vec_id").isin(sel.map(x => x: Any): _*))
         .select(col("vec_id").as("sid"), col("embedding").as("s_emb"),
           col("nrm").as("s_nrm"))
-      val far = base
+      val farRow = base
         .where(!col("vec_id").isin(sel.map(x => x: Any): _*))
         .crossJoin(broadcast(selFrame))
         .select(col("vec_id"),
@@ -728,11 +740,15 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg((lit(1.0) - max(col("cos"))).as("dmin"))
         .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"))).as("m"))
-        .head.getStruct(0)
-      val vid = -far.getLong(1)
-      out += ((r, vid, far.getDouble(0)))
-      sel = vid :: sel
-      r += 1
+        .head
+      if (farRow.isNullAt(0)) exhausted = true // fewer points than k
+      else {
+        val far = farRow.getStruct(0)
+        val vid = -far.getLong(1)
+        out += ((r, vid, far.getDouble(0)))
+        sel = vid :: sel
+        r += 1
+      }
     }
     out.toSeq.toDF("rk", "vec_id", "dmin")
   }

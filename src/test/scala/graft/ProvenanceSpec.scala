@@ -271,6 +271,16 @@ class ProvenanceSpec extends GraftSuite {
       s"coverage radius must be non-increasing: ${radii.toSeq}")
     // orthogonal clusters sit at cosine 0 -> the first two radii are ~1
     assert(radii.head > 0.9)
+    // degenerate corpora: all-zero vectors seed nothing; k beyond the
+    // point count stops at the points (never throws, never repeats)
+    val zeros = Seq((1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.kCenterSeeds(zeros, 3).isEmpty)
+    val two = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSeeds(two, 5).collect().map(_.getLong(1))
+    assert(got.sorted.sameElements(Array(1L, 2L)),
+      s"k past the corpus must stop at the points: ${got.toSeq}")
   }
 
   test("seq3 law: probabilities sum to 1 per from_type; counts match a hand trace") {
