@@ -1030,7 +1030,18 @@ object Dedup {
     * layout's pigeonhole covers. */
   private[ops] def bandedHammingPairs(sigById: DataFrame, widths: Array[Int],
       offsets: Array[Int], maxHamming: Int): DataFrame = {
-    val sig = sigById.localCheckpoint() // read 4x below; sigs are one UDF/agg pass
+    // One signature row per doc_id, NORMALIZED AT THE INPUT (deterministic
+    // min-signature for a malformed duplicated id): with a unique doc→sig
+    // mapping every expansion pair is emitted exactly once by
+    // construction, so no distinct over the OUTPUT is ever needed. That
+    // matters at scale: on the dense sf1 fixture the pair output is
+    // 66M rows — round 10 guarded duplicated ids with an output-level
+    // distinct and the full-output shuffle cost 10-25x the whole
+    // operator (d4 248 s / d19 132 s at sf1, BASELINE addendum ak); this
+    // n-row groupBy buys the same guarantee for O(n).
+    val sig = sigById.groupBy(col("doc_id"))
+      .agg(min(col("simhash")).as("simhash"))
+      .localCheckpoint() // read 4x below; sigs are one UDF/agg pass
     val uniq = sig.select(col("simhash")).distinct()
     val bands = widths.length
     val chunks = uniq.select(col("simhash"),
@@ -1060,12 +1071,10 @@ object Dedup {
       .where(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"),
         lit(0).cast("int").as("hamming"))
-    // the expansion joins emit each pair exactly once only when every
-    // doc_id owns ONE signature row; an input with duplicated doc_ids
-    // would otherwise emit duplicate pair rows. This distinct runs over
-    // the OUTPUT-proportional pair frame (pair-count sized, not the n²
-    // candidate stream), so it is cheap insurance, not the old cost.
-    cross.unionByName(intra).distinct()
+    // cross (sim1 < sim2) and intra (equal sigs) are disjoint, and the
+    // input normalization above guarantees one signature per doc — the
+    // union is duplicate-free by construction.
+    cross.unionByName(intra)
   }
 
   /** ENGINE-PORTABLE SimHash near-dup pairs — the oracle-checkable twin
