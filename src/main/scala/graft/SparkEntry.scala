@@ -3416,9 +3416,9 @@ object SparkEntry {
         |      FROM documents GROUP BY 1),
         |tw AS (SELECT *, COUNT(*) OVER () AS n_sources FROM per)
         |SELECT source, n_docs, n_toks,
-        |       CAST(floor(100000 / n_sources) AS BIGINT) AS target_toks,
+        |       CAST(100000 // n_sources AS BIGINT) AS target_toks,
         |       ROUND(LEAST(1.0,
-        |         CAST(CAST(floor(100000 / n_sources) AS BIGINT) AS DOUBLE)
+        |         CAST(CAST(100000 // n_sources AS BIGINT) AS DOUBLE)
         |           / n_toks), 6) AS frac
         |FROM tw""".stripMargin,
     // all-integer epoch plan: target = mix3's floor(budget/n_sources)
@@ -3430,7 +3430,7 @@ object SparkEntry {
         |      FROM documents GROUP BY 1),
         |tw AS (SELECT *, COUNT(*) OVER () AS n_sources FROM per),
         |pl AS (SELECT source, n_toks,
-        |         CAST(floor(60000 / n_sources) AS BIGINT) AS target_toks
+        |         CAST(60000 // n_sources AS BIGINT) AS target_toks
         |       FROM tw),
         |ep AS (SELECT *, LEAST(CAST(4 AS BIGINT),
         |         (target_toks + n_toks - 1) // n_toks) AS epochs FROM pl)
@@ -4426,8 +4426,9 @@ object SparkEntry {
         |       ROUND(CAST(COALESCE(d.dcg_q, 0) AS DOUBLE) / 1e6, 6)
         |         AS dcg,
         |       ROUND(CAST(i.idcg_q AS DOUBLE) / 1e6, 6) AS idcg,
-        |       ROUND(CAST(COALESCE(d.dcg_q, 0) AS DOUBLE) / i.idcg_q, 6)
-        |         AS ndcg
+        |       CASE WHEN i.idcg_q > 0 THEN
+        |         ROUND(CAST(COALESCE(d.dcg_q, 0) AS DOUBLE) / i.idcg_q, 6)
+        |       ELSE 0.0 END AS ndcg
         |FROM gidcg i LEFT JOIN gdcg d USING (query_id)""".stripMargin,
     // quantized-integer sums (x·1e6 as BIGINT) make mean/variance exact
     // and engine-portable; arithmetic order mirrors Similarity.dimStats
@@ -4652,13 +4653,19 @@ object SparkEntry {
         |         CAST(SUM(w) AS BIGINT) AS sw FROM bp GROUP BY 1),
         |bm AS (SELECT b, CAST(sws AS DOUBLE) / sw / 1e6 AS m
         |       FROM br WHERE sw > 0),
-        |brk AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM bm),
+        |brk AS (SELECT m, row_number() OVER (ORDER BY m) AS rn,
+        |          COUNT(*) OVER () AS mm FROM bm),
+        |bnd AS (SELECT GREATEST(1, CAST(ceil(mm * 0.025) AS BIGINT)) AS lo,
+        |          LEAST(mm, GREATEST(
+        |            GREATEST(1, CAST(ceil(mm * 0.025) AS BIGINT)),
+        |            CAST(floor(mm * 0.975) AS BIGINT))) AS hi
+        |        FROM brk LIMIT 1),
         |btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |           CAST(SUM(qs) AS BIGINT) AS sqs FROM bqs)
         |SELECT n_docs, CAST(32 AS BIGINT) AS n_reps,
         |       ROUND(CAST(sqs AS DOUBLE) / n_docs / 1e6, 6) AS mean_score,
-        |       ROUND((SELECT m FROM brk WHERE rn = 2), 6) AS lo95,
-        |       ROUND((SELECT m FROM brk WHERE rn = 31), 6) AS hi95
+        |       ROUND((SELECT m FROM brk, bnd WHERE rn = lo), 6) AS lo95,
+        |       ROUND((SELECT m FROM brk, bnd WHERE rn = hi), 6) AS hi95
         |FROM btot""".stripMargin,
     // winsorized moments: values quantized to 1e-6 ints, exact
     // interpolated percentiles rounded back to integer clip bounds, so

@@ -321,8 +321,8 @@ object DataQuality {
     * in any engine AND in any future re-run: no RNG, no seed plumbing.
     * Per replicate, the weighted score sum is exact int64 (scores
     * quantized 1e-6); the per-replicate mean is the one float ratio; the
-    * CI is the 2nd/(reps−1)th order statistic of the `reps` means (a
-    * reps-row frame).
+    * CI is the ceil(0.025·m)/floor(0.975·m)-th order statistic of the
+    * m surviving replicate means (a reps-row frame).
     *
     * Scale: ONE pass over the score frame fanned out `reps`× (narrow
     * integer columns — at 100 TB this is the cheapest resampling there
@@ -349,13 +349,22 @@ object DataQuality {
       .where(col("sw") > 0)
       .select(col("b"),
         (col("sws").cast("double") / col("sw") / 1e6).as("m"))
-    // reps-row frame: the unpartitioned rank window is config-scale
+    // reps-row frame: the unpartitioned rank window is config-scale.
+    // Order-stat ranks come from the SURVIVING replicate count m (an
+    // all-zero-weight replicate drops at the sw > 0 guard): lo = the
+    // ceil(0.025·m)-th smallest mean, hi = the floor(0.975·m)-th — so a
+    // dropped replicate shifts the ranks instead of silently selecting
+    // the maximum (or no row at all), and the bounds actually track the
+    // nominal 95% as m grows.
     val ranked = perRep
       .withColumn("rn", row_number().over(Window.orderBy(col("m"))))
+      .withColumn("mm", count(lit(1)).over(Window.partitionBy()))
+    val loRn = greatest(lit(1L), ceil(col("mm") * 0.025))
+    val hiRn = least(col("mm"), greatest(loRn, floor(col("mm") * 0.975)))
     val base = q.agg(count(lit(1)).as("n_docs"), sum(col("qs")).as("sqs"))
     base.crossJoin(
-        ranked.where(col("rn") === 2).select(col("m").as("lo_m")))
-      .crossJoin(ranked.where(col("rn") === reps - 1)
+        ranked.where(col("rn") === loRn).select(col("m").as("lo_m")))
+      .crossJoin(ranked.where(col("rn") === hiRn)
         .select(col("m").as("hi_m")))
       .select(col("n_docs"), lit(reps).cast("long").as("n_reps"),
         round(col("sqs").cast("double") / col("n_docs") / 1e6, 6)

@@ -80,11 +80,16 @@ object Joins {
 
   /** J6/J7 — chained dim enrichment, the snowflake chain sku->spu->c3->c2->
     * c1->tm (DwsTradeSkuOrderWindow.java:151-192) re-expressed as successive
-    * broadcast joins: orders -> customer -> nation -> region. */
+    * broadcast joins: orders -> customer -> nation -> region. Only the
+    * FIXED-cardinality dims (nation 25, region 5 — constant with SF,
+    * TPC-H-style) carry an explicit broadcast hint; customer GROWS with
+    * scale factor, so its join is left to AQE: at sf0.1 AQE still picks
+    * broadcast (PlanSpec pins it), at 100x a forced hint would OOM the
+    * driver where AQE correctly falls back to shuffle. */
   def snowflakeEnrich(orders: DataFrame, customer: DataFrame,
       nation: DataFrame, region: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -251,12 +256,15 @@ object Joins {
   }
 
   /** Star join at fact scale: lineitem x orders (shuffle) then broadcast
-    * dims — revenue per region (J1+J6 composed, the DWS rollup shape). */
+    * dims — revenue per region (J1+J6 composed, the DWS rollup shape).
+    * Hints only on the fixed-cardinality dims (nation/region); customer
+    * scales with SF and is left to AQE's size probe — same rationale as
+    * [[snowflakeEnrich]]. */
   def revenueByRegion(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))

@@ -290,8 +290,12 @@ object Pipeline {
         round(coalesce(col("dcg_q").cast("double"), lit(0.0)) / 1e6, 6)
           .as("dcg"),
         round(col("idcg_q").cast("double") / 1e6, 6).as("idcg"),
-        round(coalesce(col("dcg_q").cast("double"), lit(0.0))
-          / col("idcg_q"), 6).as("ndcg"))
+        // a query whose qrels are all grade 0 has idcg_q = 0: the
+        // documented "queries stay visible with ndcg = 0" case, not a
+        // null from the division
+        when(col("idcg_q") > 0,
+          round(coalesce(col("dcg_q").cast("double"), lit(0.0))
+            / col("idcg_q"), 6)).otherwise(0.0).as("ndcg"))
   }
 
   /** Maximal-marginal-relevance diverse rerank (Carbonell & Goldstein

@@ -471,8 +471,10 @@ object Sampling {
     require(maxEpochs >= 1, "at least one epoch")
     val per = documents.groupBy("source")
       .agg(sum(size(split(col("text"), "\\s+")).cast("long")).as("n_toks"))
-    val target = floor(lit(totalBudget.toDouble) / col("n_sources"))
-      .cast("long")
+    // integer `div`, not a double round-trip: the documented convention
+    // is exact floor(budget/n_sources), and the double path diverges
+    // from it for budgets above 2^53
+    val target = expr(s"CAST($totalBudget AS BIGINT) div n_sources")
     per
       .withColumn("n_sources", count(lit(1)).over(Window.partitionBy()))
       .select(col("source"), col("n_toks"), target.as("target_toks"))
@@ -489,8 +491,8 @@ object Sampling {
     val per = documents.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), "\\s+")).cast("long")).as("n_toks"))
-    val target = floor(lit(totalBudget.toDouble) / col("n_sources"))
-      .cast("long")
+    // same integer-div convention as epochPlan (see the note there)
+    val target = expr(s"CAST($totalBudget AS BIGINT) div n_sources")
     per
       .withColumn("n_sources",
         count(lit(1)).over(Window.partitionBy()))

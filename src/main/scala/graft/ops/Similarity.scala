@@ -264,13 +264,20 @@ object Similarity {
         sum((col("qd") * col("qd")).cast("decimal(38,0)")).as("dd"),
         count(lit(1)).as("cnt"))
     per
-      .select((col("sd").cast("decimal(38,0)") * col("sd")).as("s2"),
+      .select(col("i0"),
+        (col("sd").cast("decimal(38,0)") * col("sd")).as("s2"),
         col("dd"), col("cnt"))
+      // n = the VECTOR count, read off the i0 = 0 group (every surviving
+      // vector has a first component) — NOT max(per-dim count), which a
+      // ragged embedding column would overstate; still one pass, no join
       .agg(sum(col("s2")).as("crossv"), sum(col("dd")).as("diag"),
-        max(col("cnt")).as("n"))
+        sum(when(col("i0") === 0, col("cnt"))).as("n"))
       .select(col("n"),
-        round((col("crossv") - col("diag")).cast("double") /
-          (col("n") * (col("n") - lit(1L))).cast("double") / 1e12, 6)
+        // a 0- or 1-vector corpus has no pairs: explicit null, not a
+        // silent divide-by-zero
+        when(col("n") > 1,
+          round((col("crossv") - col("diag")).cast("double") /
+            (col("n") * (col("n") - lit(1L))).cast("double") / 1e12, 6))
           .as("mean_cos"))
   }
 

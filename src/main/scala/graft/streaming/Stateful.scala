@@ -58,8 +58,8 @@ object Stateful {
   case class Transition(user_id: Long, from_type: String, to_type: String)
 
   /** seq3 streaming twin — per-user consecutive-event transitions:
-    * GroupState carries the user's LAST event (ts-millis, event_id,
-    * type) across micro-batches; each batch sorts its per-user slice by
+    * GroupState carries the user's LAST event (full-precision ts key,
+    * event_id, type) across micro-batches; each batch sorts its per-user slice by
     * (ts, event_id), chains it onto the carried event, and emits one
     * (from, to) row per adjacency — so a groupBy(from,to).count over the
     * emits reproduces `Aggs.transitionCounts`' integer matrix exactly
@@ -82,11 +82,17 @@ object Stateful {
           else {
             val out = scala.collection.mutable.ArrayBuffer[Transition]()
             var prev = state.getOption
-            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            // order by the FULL timestamp (nanos folded into a micro
+            // key), not ts.getTime: millisecond truncation could chain
+            // two sub-millisecond-apart events in a different order
+            // than Aggs.transitionCounts' full-precision ts ordering
+            def tk(e: Event): Long =
+              e.ts.getTime * 1000000L + e.ts.getNanos % 1000000L
+            it.toSeq.sortBy(e => (tk(e), e.event_id)).foreach { e =>
               prev.foreach { case (_, _, pt) =>
                 out += Transition(uid, pt, e.event_type)
               }
-              prev = Some((e.ts.getTime, e.event_id, e.event_type))
+              prev = Some((tk(e), e.event_id, e.event_type))
             }
             prev.foreach(state.update)
             ttl.foreach(state.setTimeoutDuration)
