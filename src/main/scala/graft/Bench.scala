@@ -19,6 +19,12 @@ import org.apache.spark.sql.SparkSession
   * 2000-char tail capture, so it carries the total, the query count, and
   * as many per-query entries as fit the budget — slowest first, since
   * those are the gate-relevant ones (everything elided is sub-second).
+  *
+  * Noise metadata: per-query times are the best of SPARK_GRAFT_BENCH_REPS
+  * runs (default 2), and the artifact carries `reps`, the before/after
+  * 1-minute system load averages, and the per-rep totals — so a number
+  * inflated by box load is distinguishable from a plan regression without
+  * re-running (round-11 postmortem).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -81,27 +87,47 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None        => SparkEntry.queries
     }
+    // Noise protocol (round-11 postmortem: two full-suite runs differed
+    // 16% with UNIFORM per-query inflation — box load, not plans — and
+    // the artifact couldn't tell): each query runs `reps` times (default
+    // best-of-2) and reports the per-query MINIMUM, and the system load
+    // average is recorded before and after so a loaded-box artifact is
+    // self-describing. The min is the right statistic here: the floor of
+    // repeated runs tracks the plan cost; the mean tracks the box.
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val load0 = loadAvg
+    val repTotals = new Array[Double](reps)
     val results = selected.toSeq.zipWithIndex.map { case ((name, fn), i) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val best = (0 until reps).map { r =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        repTotals(r) += dt
+        dt
+      }.min
       // untimed housekeeping: nudge the ContextCleaner so checkpoint /
       // broadcast blocks of finished queries are reclaimed instead of
       // accumulating GC pressure billed to later queries
       if (i % 8 == 7) System.gc()
-      name -> dt
+      name -> best
     }
+    val load1 = loadAvg
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + f(kv._2)
     val total = results.map(_._2).sum
     val allQs = results.map(entry).mkString("{", ",", "}")
+    val noise = s""""reps":$reps,"load_avg":[${f(load0)},${f(load1)}],""" +
+      s""""rep_totals":[${repTotals.map(f).mkString(",")}]"""
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup":"$warmup","queries":$allQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup":"$warmup",$noise,"queries":$allQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       fullLine.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // stdout line is the contract
@@ -109,7 +135,7 @@ object Bench {
     // until the byte budget is spent; `nq` + `full` point at the rest
     val budget = sys.env.getOrElse("SPARK_GRAFT_LINE_BUDGET", "1700").toInt
     val head =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"warmup":"$warmup","full":"bench_out.json","sf":"$sfDir","queries":{"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","nq":${results.size},"warmup":"$warmup",$noise,"full":"bench_out.json","sf":"$sfDir","queries":{"""
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = head.length + 2
     results.sortBy(-_._2).foreach { kv =>

@@ -604,23 +604,41 @@ object SparkEntry {
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))
         .orderBy(col("event_type"))
     }),
+    // HLL approx-distinct, made HASH-GATEABLE: the raw estimate differs
+    // across HLL implementations (DuckDB's internals are not Spark's),
+    // so the query emits the EXACT count plus a bound flag — estimate
+    // within 3x the configured 5% rsd — and the oracle asserts the flag
+    // is 1. A broken approx_count_distinct (or a broken exact leg)
+    // hash-mismatches; the estimate's own value is additionally
+    // tolerance-pinned in OpsSpec.
     "a10_approx_distinct" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       events(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_uu"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_uu"),
+          countDistinct(col("user_id")).as("exact_uu"))
+        .select(col("event_type"), col("exact_uu"),
+          (abs(col("approx_uu").cast("double") / col("exact_uu") - 1.0)
+            <= 0.15).cast("int").as("hll_in_bound"))
         .orderBy(col("event_type"))
     }),
     // mergeable-sketch rollup: daily HLL sketches unioned to a per-type
     // estimate — the OLAP pattern where day partitions keep sketches and
-    // period queries merge them without rescanning raw data
+    // period queries merge them without rescanning raw data; bound-gated
+    // against the exact rollup like a10
     "a15_hll_rollup" -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      events(s, d)
+      val merged = events(s, d)
         .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
         .agg(hll_sketch_agg(col("user_id")).as("daily_sketch"))
         .groupBy(col("event_type"))
         .agg(hll_sketch_estimate(hll_union_agg(col("daily_sketch")))
           .as("merged_uu"))
+      val exact = events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_uu"))
+      merged.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("exact_uu"),
+          (abs(col("merged_uu").cast("double") / col("exact_uu") - 1.0)
+            <= 0.15).cast("int").as("merged_in_bound"))
         .orderBy(col("event_type"))
     }),
     // portable KMV twin of a10 — the hash-verifiable approx-distinct:
@@ -1232,29 +1250,38 @@ object SparkEntry {
   }
 
   /** The d21 dHash signature derivation as a shared, prefix-namespaced
-    * CTE block (psig(doc_id, ph)) — the IDAT body is the document text
-    * (identity UTF-8 round trip), so the grid rebuilds from `text`
-    * directly; shared by the d21 pair oracle and e8's drop list. */
+    * CTE block (psig(doc_id, ph)). The SPARK side computes this from the
+    * payload bytes alone — inflate the IDAT zlib stream, reverse the
+    * per-row PNG filters, 8×8 integer-mean box-sample the bitmap; the
+    * oracle rebuilds the IDENTICAL grid from the encoder's deterministic
+    * pixel function (prefix render: pixel p of the w×h bitmap = code
+    * point p of `text` mod 256 while text lasts, 0 past the end; cell
+    * (r·8/h, c·8/w); cell value = floor-mean), so
+    * a wrong inflate/unfilter on the Spark side breaks the hash match.
+    * Every cell is populated (w, h ≥ 8 by construction), so the
+    * adjacency join needs no empty-cell padding. Shared by the d21 pair
+    * oracle and e8's drop list. */
   private val phashSigCtes: String =
-    """pimg AS (SELECT doc_id, text FROM documents
-      |             WHERE doc_id % 3 <> 1),
-      |pch AS (SELECT doc_id, unnest(range(1, length(text)+1)) AS i,
-      |         length(text) AS l, text FROM pimg),
-      |pcv AS (SELECT doc_id, CAST(((i-1)*64) // l AS INTEGER) AS cell,
-      |         unicode(text[i]) AS v FROM pch),
-      |pgs AS (SELECT doc_id, cell, SUM(v) % 256 AS gv
+    """pimg AS (SELECT doc_id, text, length(text) AS l,
+      |           CAST((n_chars // 100) * 3 + 12 AS BIGINT) AS w,
+      |           CAST((n_chars // 150) * 4 + 10 AS BIGINT) AS h
+      |         FROM documents WHERE doc_id % 3 <> 1),
+      |ppx AS (SELECT doc_id, w, h, l, text,
+      |         unnest(range(0, w * h)) AS p FROM pimg),
+      |pcv AS (SELECT doc_id,
+      |         ((p // w) * 8) // h * 8 + ((p % w) * 8) // w AS cell,
+      |         CASE WHEN p < l
+      |           THEN unicode(text[CAST(p AS INTEGER) + 1]) % 256
+      |           ELSE 0 END AS v
+      |        FROM ppx),
+      |pgs AS (SELECT doc_id, cell, SUM(v) // COUNT(*) AS gv
       |         FROM pcv GROUP BY 1, 2),
-      |pc64 AS (SELECT unnest(range(0, 64)) AS cell),
-      |pgrid AS (SELECT i.doc_id, c.cell, COALESCE(g.gv, 0) AS gv
-      |         FROM pimg i CROSS JOIN pc64 c
-      |         LEFT JOIN pgs g ON g.doc_id = i.doc_id
-      |           AND g.cell = c.cell),
       |psig AS (SELECT a.doc_id,
       |          CAST(COALESCE(SUM(CASE WHEN a.gv < b.gv
       |            THEN CAST(1 AS BIGINT) <<
       |              CAST((a.cell // 8) * 7 + (a.cell % 8) AS INTEGER)
       |            ELSE 0 END), 0) AS BIGINT) AS ph
-      |        FROM pgrid a JOIN pgrid b
+      |        FROM pgs a JOIN pgs b
       |          ON b.doc_id = a.doc_id AND b.cell = a.cell + 1
       |        WHERE a.cell % 8 < 7
       |        GROUP BY 1)""".stripMargin
@@ -2412,23 +2439,23 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
-    // the payload is a real PNG/WAV wrapper around the text bytes, so the
-    // oracle adds the per-format header overhead (57 PNG / 44 WAV /
-    // 77 APNG) and mirrors the audio kind's zero dims
+    // out_w/out_h mirror the aspect-preserving resize plan over the
+    // PARSED dims (w = n_chars%24+8, h = n_chars%16+8); n_sampled =
+    // max(1, min(maxFrames, header frame count)) — image 1 frame, audio
+    // one "frame" per PCM sample, video the acTL count n_chars//64+1
     "m2_frame_samples" ->
       """SELECT doc_id,
         |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |       224 AS out_w,
         |       CAST(CASE WHEN doc_id % 3 = 1 THEN 1
-        |            ELSE greatest(trunc((n_chars % 480 + 1) *
-        |              (224.0 / (n_chars % 640 + 1))), 1) END AS INTEGER)
-        |         AS out_h,
-        |       CAST(least(4,
-        |            (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 57
-        |                  WHEN 1 THEN 44 ELSE 77 END
-        |             + octet_length(encode(text))) // 1024 + 1)
-        |            AS INTEGER) AS n_sampled
+        |            ELSE greatest(trunc(((n_chars // 150) * 4 + 10) *
+        |              (224.0 / ((n_chars // 100) * 3 + 12))), 1)
+        |            END AS INTEGER) AS out_h,
+        |       CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1
+        |            WHEN 1 THEN greatest(1, least(4, length(text)))
+        |            ELSE greatest(1, least(4, n_chars // 64 + 1))
+        |            END AS INTEGER) AS n_sampled
         |FROM documents""".stripMargin,
     "e2_sql_revenue_by_year" -> graft.sql.SqlJobs.revenueByYearSql,
     "e2_sql_corr_scalar" -> graft.sql.SqlJobs.maxSpendPerCustomerSql,
@@ -2440,36 +2467,58 @@ object SparkEntry {
         |          x -> x <> ''))) AS kw
         |      FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // every non-id column below is, on the Spark side, parsed out of the
-    // payload BYTES (PNG IHDR/acTL, WAV fmt/data chunks); the oracle
-    // reconstructs the same values from the deterministic builder
-    // arithmetic (format overheads 57/44/77; PNG dims n_chars%640+1 x
-    // n_chars%480+1; WAV = 8-bit mono 8 kHz so frames = data bytes and
-    // duration_ms = bytes/8)
+    // every non-id column below is, on the Spark side, parsed/DECODED
+    // out of the payload BYTES (PNG IHDR/acTL + inflate + unfilter, WAV
+    // fmt/data chunks); the oracle reconstructs the same values from the
+    // deterministic encoder arithmetic. mean_px is the pixel-level gate:
+    // floor-mean brightness of the decoded bitmap (prefix render: pixel
+    // p = code point p mod 256, 0 past text end) for images/video,
+    // floor-mean |sample-128| of the decoded PCM for audio — a wrong
+    // inflate/unfilter/PCM walk on
+    // the Spark side cannot hash-match it. byte_len (deflate output
+    // size) and checksum (CRC-32) are spec-pinned, not SQL-expressible.
     "m1_media_features" ->
-      """SELECT doc_id,
-        |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      """WITH im AS (SELECT doc_id, text, length(text) AS l,
+        |        CAST((n_chars // 100) * 3 + 12 AS BIGINT) AS w,
+        |        CAST((n_chars // 150) * 4 + 10 AS BIGINT) AS h
+        |      FROM documents WHERE doc_id % 3 <> 1),
+        |imx AS (SELECT doc_id, l, text,
+        |         unnest(range(0, w * h)) AS p FROM im),
+        |imm AS (SELECT doc_id,
+        |          SUM(CASE WHEN p < l
+        |            THEN unicode(text[CAST(p AS INTEGER) + 1]) % 256
+        |            ELSE 0 END) // COUNT(*) AS mean_px
+        |        FROM imx GROUP BY 1),
+        |aum AS (SELECT doc_id,
+        |          SUM(abs(unicode(text[i]) % 256 - 128)) // COUNT(*)
+        |            AS mean_px
+        |        FROM (SELECT doc_id, text,
+        |                unnest(range(1, length(text)+1)) AS i
+        |              FROM documents WHERE doc_id % 3 = 1)
+        |        GROUP BY 1),
+        |mp AS (SELECT * FROM imm UNION ALL SELECT * FROM aum)
+        |SELECT d.doc_id,
+        |       CASE CAST(d.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |       CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 57
-        |            WHEN 1 THEN 44 ELSE 77 END
-        |            + octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |       CAST(CASE WHEN doc_id % 3 = 1 THEN 0
-        |            ELSE n_chars % 640 + 1 END AS INTEGER) AS width,
-        |       CAST(CASE WHEN doc_id % 3 = 1 THEN 0
-        |            ELSE n_chars % 480 + 1 END AS INTEGER) AS height,
-        |       CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1
-        |            WHEN 1 THEN octet_length(encode(text))
-        |            ELSE octet_length(encode(text)) // 1024 + 1
+        |       CAST(CASE WHEN d.doc_id % 3 = 1 THEN 0
+        |            ELSE (d.n_chars // 100) * 3 + 12 END AS INTEGER)
+        |         AS width,
+        |       CAST(CASE WHEN d.doc_id % 3 = 1 THEN 0
+        |            ELSE (d.n_chars // 150) * 4 + 10 END AS INTEGER)
+        |         AS height,
+        |       CAST(CASE CAST(d.doc_id % 3 AS INTEGER) WHEN 0 THEN 1
+        |            WHEN 1 THEN length(d.text)
+        |            ELSE d.n_chars // 64 + 1
         |            END AS BIGINT) AS n_frames,
-        |       CAST(CASE WHEN doc_id % 3 = 1
-        |            THEN octet_length(encode(text)) // 8
-        |            ELSE 0 END AS BIGINT) AS duration_ms
-        |FROM documents""".stripMargin,
-    // dHash image near-dups: the stub bitmap is the IDAT body's code
-    // points tiled into an 8×8 grid (cell = sum mod 256), bit (r,c) =
-    // [g(r,c) < g(r,c+1)] at position r·7+c — and the IDAT body IS the
-    // document text (identity UTF-8 round trip), so the oracle rebuilds
-    // the grid from `text` directly and brute-forces hamming <= 3 (the
+        |       CAST(CASE WHEN d.doc_id % 3 = 1
+        |            THEN (length(d.text) * 1000) // 8000
+        |            ELSE 0 END AS BIGINT) AS duration_ms,
+        |       CAST(m.mean_px AS BIGINT) AS mean_px
+        |FROM documents d JOIN mp m USING (doc_id)""".stripMargin,
+    // dHash image near-dups over the REAL pixel decode: Spark inflates
+    // the IDAT, reverses the PNG filters, and box-samples the bitmap;
+    // the oracle regenerates the same bitmap from the encoder's pixel
+    // function (see phashSigCtes) and brute-forces hamming <= 3 (the
     // 4-band pigeonhole layout makes Spark's banded set equal it)
     "d21_phash_pairs" ->
       s"""WITH $phashSigCtes
@@ -2477,16 +2526,19 @@ object SparkEntry {
          |       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
          |FROM psig a JOIN psig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin,
-    // audio envelope twin of d21: the WAV docs' code points tiled into
-    // 32 windows, gradient bits, brute-force hamming (banded == brute
-    // by pigeonhole at maxHamming 2 over 3 bands)
+    // audio envelope twin of d21 over the DECODED PCM samples: 32 FIXED
+    // 16-sample leading windows (prefix-aligned), 8-bit energy
+    // accumulator Σ|sample-128| mod 256 per window (samples = text code
+    // points mod 256 by the encoder), gradient bits, brute-force hamming
+    // (banded == brute by pigeonhole at maxHamming 2 over 3 bands)
     "d23_audio_pairs" ->
       """WITH aaud AS (SELECT doc_id, text FROM documents
         |              WHERE doc_id % 3 = 1),
-        |ach AS (SELECT doc_id, unnest(range(1, length(text)+1)) AS i,
-        |         length(text) AS l, text FROM aaud),
-        |acv AS (SELECT doc_id, CAST(((i-1)*32) // l AS INTEGER) AS w,
-        |         unicode(text[i]) AS v FROM ach),
+        |ach AS (SELECT doc_id,
+        |         unnest(range(1, least(length(text), 512)+1)) AS i,
+        |         text FROM aaud),
+        |acv AS (SELECT doc_id, CAST((i-1) // 16 AS INTEGER) AS w,
+        |         abs(unicode(text[i]) % 256 - 128) AS v FROM ach),
         |ags AS (SELECT doc_id, w, SUM(v) % 256 AS gv
         |         FROM acv GROUP BY 1, 2),
         |aw32 AS (SELECT unnest(range(0, 32)) AS w),
@@ -2684,6 +2736,20 @@ object SparkEntry {
       """SELECT event_type,
         |       quantile_disc(value, 0.5) AS p50,
         |       quantile_disc(value, 0.95) AS p95
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // a10/a15: the HLL ESTIMATE is engine-internal (DuckDB's HLL is not
+    // Spark's), so the oracle checks the exact leg value-for-value and
+    // asserts the bound flag is 1 — the strongest cross-engine gate an
+    // approximate sketch admits (estimate tolerance itself is OpsSpec's)
+    "a10_approx_distinct" ->
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_uu,
+        |       CAST(1 AS INTEGER) AS hll_in_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a15_hll_rollup" ->
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_uu,
+        |       CAST(1 AS INTEGER) AS merged_in_bound
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // KMV: h = the shared portable quadratic mix (Similarity.portableWeight
     // shifted to [0, M)); estimator numerator 63000189.0 = (k-1)·M pinned

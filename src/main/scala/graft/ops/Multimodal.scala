@@ -9,41 +9,54 @@ import org.apache.spark.sql.functions._
   * analogue of mapInPandas' batch iteration).
   *
   * The payloads are REAL public formats and the decoder is a REAL byte
-  * parser — no metadata shortcut anywhere in the feature path:
+  * parser AND pixel/sample decoder — JDK-only, no codec libraries:
   *
   *   - images are PNG (ISO/IEC 15948): signature, IHDR with CRC-32,
-  *     IDAT, IEND;
+  *     8-bit GRAYSCALE scanlines run through the spec's per-row filters
+  *     (all five types), zlib-deflated into (multiple) IDAT chunks, IEND;
   *   - videos are APNG: a PNG whose acTL chunk carries the frame count;
   *   - audio is WAV (RIFF): `fmt ` chunk (PCM, mono, 8 kHz, 8-bit) +
-  *     `data` chunk.
+  *     `data` chunk of raw unsigned samples.
   *
   * `decode` dispatches on the MAGIC BYTES (not the `kind` column), walks
   * the chunk structure, verifies the PNG IHDR CRC-32 and the RIFF/WAVE
-  * tags, and derives every feature column — kind, dimensions, frame
-  *  count, duration, checksum — from the parsed payload alone. A corrupted
-  * signature, a flipped CRC byte, or a truncated chunk makes the record
-  * undecodable (`None`), which the corruption specs in PipelineSpec pin.
-  * Pixel/sample DECODING (inflate the IDAT zlib stream, PCM DSP) is out of
-  * scope in this container — the payload carries the document text as the
-  * IDAT/data body — but every header field the features come from is real
-  * format structure parsed from real bytes.
+  * tags, INFLATES the IDAT stream (`java.util.zip.Inflater`), reverses
+  * the per-row PNG filters (None/Sub/Up/Average/Paeth), and derives every
+  * feature column — kind, dimensions, frame count, duration, checksum,
+  * mean brightness — from the parsed payload alone. A corrupted
+  * signature, a flipped CRC byte, a truncated chunk, or a broken deflate
+  * stream makes the record undecodable (`None`), which the corruption
+  * specs in PipelineSpec pin.
+  *
+  * The perceptual hashes are computed from DECODED CONTENT: dHash from an
+  * 8×8 integer-mean box-sample of the inflated+unfiltered grayscale
+  * bitmap, the audio envelope from per-window mean |PCM − 128| of the
+  * decoded samples. The ENCODER (the test-data builder) derives pixels
+  * and samples deterministically from the document text (pixel p = code
+  * point (p mod L), mod 256), which is what lets the DuckDB oracle
+  * rebuild the same grid from the stored text while the Spark side reads
+  * ONLY the payload bytes through the full real decode path.
   */
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int)
 
+  /** `mean_px` is the content-level feature: floor-mean pixel brightness
+    * for images/video (over the inflated+unfiltered bitmap), floor-mean
+    * |sample − 128| for audio (over the decoded PCM) — the column that
+    * makes the m1 oracle a gate on the pixel/sample decode itself, not
+    * just the header walk. */
   case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
       width: Int, height: Int, n_frames: Long, duration_ms: Long,
-      checksum: Long)
+      checksum: Long, mean_px: Long)
 
   /** Resized/sampled representation: target dims after aspect-preserving
-    * resize — the source dims come from the PARSED payload header, not
-    * the metadata columns (a real decoder resizes pixels; this computes
-    * the header-level plan for it) — plus up to `maxFrames`
-    * evenly-spaced frame byte-offsets (the frame-sample access pattern a
-    * video pipeline feeds the decoder). Undecodable payloads drop, like
-    * `extractFeatures`. */
+    * resize — the source dims come from the PARSED payload, never the
+    * metadata columns — plus min(n_frames, maxFrames) evenly-spaced
+    * byte offsets into the DECODED stream (bitmap for images/video, PCM
+    * for audio): the frame-sample access pattern a video pipeline feeds
+    * the decoder. Undecodable payloads drop, like `extractFeatures`. */
   case class MediaSample(doc_id: Long, kind: String, out_w: Int, out_h: Int,
       frame_offsets: Array[Long])
 
@@ -73,20 +86,157 @@ object Multimodal {
     be32(data.length.toLong) ++ t ++ data ++ be32(crc32(t, data))
   }
 
-  /** A real PNG: signature + IHDR(width, height, 8-bit, truecolor) +
-    * optional acTL(nFrames) [APNG] + one IDAT carrying `data` + IEND.
-    * Overhead over `data`: 57 bytes plain, 77 with acTL. */
-  private[graft] def pngBytes(w: Int, h: Int, data: Array[Byte],
+  // -------------------------------------------------- pixel/PCM synthesis
+  /** Deterministic content-derived bytes — a PREFIX RENDER: position j
+    * (0-based) carries code point j of `text` mod 256 while text lasts,
+    * 0 (black/silence) past the end — per CODE POINT (surrogate pairs
+    * contribute once), matching the oracle's per-character `unicode()`
+    * walk. With `n` = w·h this is the grayscale bitmap the PNG encoder
+    * compresses; with `n` = L it is the PCM sample stream. Prefix
+    * alignment (no cyclic wrap) is what makes the planted suffix-edit
+    * near-dups land at small Hamming: a "+k chars" edit perturbs only
+    * the pixels/samples at positions ≥ L, never re-phases the whole
+    * frame. */
+  private[graft] def textPixels(text: String, n: Int): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    val out = new Array[Byte](n)
+    var p = 0
+    val m = math.min(n, cps.length)
+    while (p < m) {
+      out(p) = (cps(p) % 256).toByte
+      p += 1
+    }
+    out
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** PNG per-row filtering of an 8-bit grayscale bitmap (bpp = 1): row r
+    * gets filter type r mod 5, so every encoded image exercises all five
+    * spec filters (None/Sub/Up/Average/Paeth) through the decoder's
+    * reversal paths. Output: h scanlines of (1 filter byte + w bytes). */
+  private[graft] def filterScanlines(px: Array[Byte], w: Int,
+      h: Int): Array[Byte] = {
+    require(px.length == w * h, "bitmap must be w*h bytes")
+    val out = new Array[Byte](h * (w + 1))
+    var r = 0
+    while (r < h) {
+      val f = r % 5
+      out(r * (w + 1)) = f.toByte
+      var c = 0
+      while (c < w) {
+        val x = px(r * w + c) & 0xff
+        val left = if (c > 0) px(r * w + c - 1) & 0xff else 0
+        val up = if (r > 0) px((r - 1) * w + c) & 0xff else 0
+        val ul = if (r > 0 && c > 0) px((r - 1) * w + c - 1) & 0xff else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x - left
+          case 2 => x - up
+          case 3 => x - ((left + up) >> 1)
+          case _ => x - paeth(left, up, ul)
+        }
+        out(r * (w + 1) + 1 + c) = (v & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Reverse the per-row PNG filters of a grayscale 8-bit scanline
+    * stream. None on a wrong-length stream or an undefined filter type —
+    * the "truncated/garbage deflate payload" rejection leg. */
+  private[graft] def unfilterScanlines(fs: Array[Byte], w: Int,
+      h: Int): Option[Array[Int]] = {
+    if (fs.length != h * (w + 1)) return None
+    val px = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      val f = fs(r * (w + 1)) & 0xff
+      if (f > 4) return None
+      var c = 0
+      while (c < w) {
+        val v = fs(r * (w + 1) + 1 + c) & 0xff
+        val left = if (c > 0) px(r * w + c - 1) else 0
+        val up = if (r > 0) px((r - 1) * w + c) else 0
+        val ul = if (r > 0 && c > 0) px((r - 1) * w + c - 1) else 0
+        px(r * w + c) = (f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + ((left + up) >> 1)
+          case _ => v + paeth(left, up, ul)
+        }) & 0xff
+        c += 1
+      }
+      r += 1
+    }
+    Some(px)
+  }
+
+  private[graft] def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Inflate a zlib stream into EXACTLY `expect` bytes. The output buffer
+    * is pre-sized from the IHDR-declared dimensions, so a zip bomb (tiny
+    * stream, huge expansion) cannot allocate past the declared bitmap —
+    * the bounded-decode posture a 100 TB ingest needs. None on a corrupt
+    * stream, or one that inflates to any other length. */
+  private[graft] def inflate(data: Array[Byte],
+      expect: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new Array[Byte](expect)
+      var off = 0
+      while (!inf.finished()) {
+        val n = inf.inflate(out, off, expect - off)
+        if (n == 0 && !inf.finished()) return None // truncated/needs-dict
+        off += n
+        if (off == expect && !inf.finished()) {
+          // would overflow the declared size: probe one more byte
+          val probe = new Array[Byte](1)
+          if (inf.inflate(probe, 0, 1) > 0) return None
+          if (!inf.finished()) return None
+        }
+      }
+      if (off == expect) Some(out) else None
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** A real PNG: signature + IHDR(width, height, 8-bit GRAYSCALE) +
+    * optional acTL(nFrames) [APNG] + the filtered-and-deflated bitmap
+    * split across 512-byte IDAT chunks (multi-IDAT is spec-legal and the
+    * decoder must concatenate) + IEND. `px` is the w·h bitmap. */
+  private[graft] def pngBytes(w: Int, h: Int, px: Array[Byte],
       nFrames: Option[Long]): Array[Byte] = {
     val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
-      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, deflate, none, none
+      Array[Byte](8, 0, 0, 0, 0) // depth 8, grayscale, deflate, none, none
     val actl = nFrames.map(n => chunk("acTL", be32(n) ++ be32(0L)))
+    val idat = deflate(filterScanlines(px, w, h))
+    val idats = idat.grouped(512)
+      .map(g => chunk("IDAT", g)).foldLeft(Array.empty[Byte])(_ ++ _)
     PngSig ++ chunk("IHDR", ihdr) ++ actl.getOrElse(Array.empty[Byte]) ++
-      chunk("IDAT", data) ++ chunk("IEND", Array.empty[Byte])
+      idats ++ chunk("IEND", Array.empty[Byte])
   }
 
   /** A real WAV: RIFF/WAVE + `fmt ` (PCM, 1 channel, `rate` Hz, 8-bit) +
-    * `data` carrying `data`. Overhead over `data`: 44 bytes. */
+    * `data` carrying the raw unsigned samples. Overhead: 44 bytes. */
   private[graft] def wavBytes(data: Array[Byte],
       rate: Int = 8000): Array[Byte] =
     "RIFF".getBytes("US-ASCII") ++ le32(36L + data.length) ++
@@ -111,116 +261,11 @@ object Multimodal {
     new String(b, i, n, "US-ASCII")
 
   // --------------------------------------------------------------- decode
-  /** Parse one payload. PNG: signature + chunk walk, IHDR CRC-32
-    * verified, dims from IHDR, frame count from acTL (absent -> 1 ->
-    * "image", present -> "video"). WAV: RIFF/WAVE tags + chunk walk,
-    * sample count = data length / block align, duration from byte rate.
-    * Returns None for anything that is not a structurally valid payload
-    * of either format — bad magic, truncated chunk, CRC mismatch,
-    * non-PCM fmt. The checksum is the CRC-32 of the whole payload. */
-  private[graft] def decode(r: MediaRecord): Option[MediaFeatures] = try {
-    val b = r.payload
-    if (b.length >= 8 && b.take(8).sameElements(PngSig)) {
-      // IHDR must be the first chunk (PNG spec) and its CRC must hold
-      if (be32At(b, 8) != 13L || asciiAt(b, 12, 4) != "IHDR") return None
-      if (crc32(java.util.Arrays.copyOfRange(b, 12, 29)) != be32At(b, 29))
-        return None
-      val w = be32At(b, 16).toInt
-      val h = be32At(b, 20).toInt
-      if (w <= 0 || h <= 0) return None
-      var frames = Option.empty[Long]
-      var sawEnd = false
-      var i = 33 // past IHDR
-      while (i + 8 <= b.length && !sawEnd) {
-        val len = be32At(b, i)
-        val typ = asciiAt(b, i + 4, 4)
-        if (i + 12 + len > b.length) return None // truncated chunk
-        if (typ == "acTL") frames = Some(be32At(b, i + 8))
-        if (typ == "IEND") sawEnd = true
-        i += 12 + len.toInt
-      }
-      if (!sawEnd) return None
-      Some(MediaFeatures(r.doc_id,
-        if (frames.isDefined) "video" else "image", b.length,
-        w, h, frames.getOrElse(1L), 0L, crc32(b)))
-    } else if (b.length >= 12 && asciiAt(b, 0, 4) == "RIFF" &&
-        asciiAt(b, 8, 4) == "WAVE") {
-      var rate = 0L; var byteRate = 0L; var blockAlign = 0
-      var dataLen = -1L
-      var i = 12
-      while (i + 8 <= b.length) {
-        val id = asciiAt(b, i, 4)
-        val len = le32At(b, i + 4)
-        if (i + 8 + len > b.length) return None // truncated chunk
-        if (id == "fmt ") {
-          if (len < 16 || le16At(b, i + 8) != 1) return None // PCM only
-          rate = le32At(b, i + 12)
-          byteRate = le32At(b, i + 16)
-          blockAlign = le16At(b, i + 20)
-        }
-        if (id == "data") dataLen = len
-        i += 8 + len.toInt
-      }
-      if (rate <= 0 || byteRate <= 0 || blockAlign <= 0 || dataLen < 0)
-        return None
-      Some(MediaFeatures(r.doc_id, "audio", b.length, 0, 0,
-        dataLen / blockAlign, dataLen * 1000L / byteRate, crc32(b)))
-    } else None
-  } catch { case _: ArrayIndexOutOfBoundsException => None }
-
-  /** Build a media table from documents: REAL format bytes with the
-    * document text as the IDAT/data body, kind cycling image/audio/video
-    * by doc_id, PNG dims derived from n_chars (+1: the PNG spec forbids
-    * zero dimensions). The width/height metadata columns mirror what the
-    * encoder wrote — `decode` never reads them (spec-pinned: it
-    * re-derives both from the IHDR bytes). */
-  def toMediaTable(documents: DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    documents.select(col("doc_id"), col("text"),
-      col("n_chars").cast("int").as("n_chars"))
-      .as[(Long, String, Int)]
-      .mapPartitions(_.map { case (id, text, nChars) =>
-        val data = text.getBytes("UTF-8")
-        val w = nChars % 640 + 1
-        val h = nChars % 480 + 1
-        (id % 3) match {
-          case 0 => MediaRecord(id, "image", pngBytes(w, h, data, None), w, h)
-          case 1 => MediaRecord(id, "audio", wavBytes(data), 0, 0)
-          case _ => MediaRecord(id, "video",
-            pngBytes(w, h, data, Some(data.length / 1024L + 1L)), w, h)
-        }
-      }).toDF()
-  }
-
-  def sampleFrames(media: DataFrame, targetW: Int = 224,
-      maxFrames: Int = 4): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
-      it.grouped(64).flatMap(_.flatMap { r =>
-        decode(r).map { f =>
-          val w = math.max(f.width, 1) // parsed audio dims are 0x0
-          val scale = targetW.toDouble / w
-          // scale the RAW height and clamp the RESULT (clamping height
-          // before scaling would turn a degenerate 0-height medium into
-          // out_h = scale instead of the 1-pixel floor)
-          val n = math.min(maxFrames, r.payload.length / 1024 + 1)
-          val stride = math.max(r.payload.length / math.max(n, 1), 1)
-          MediaSample(r.doc_id, f.kind, targetW,
-            math.max((f.height * scale).toInt, 1),
-            Array.tabulate(n)(i => i.toLong * stride))
-        }
-      })
-    }.toDF()
-  }
-
   /** Concatenated IDAT body of a structurally valid PNG/APNG payload —
-    * the same signature + IHDR-CRC + chunk-walk validation as [[decode]],
-    * returning the compressed-stream bytes a real decoder would inflate.
-    * None for non-PNG or corrupt payloads (so WAV audio drops out of the
-    * image-hash path by construction, keyed on MAGIC BYTES, never the
-    * metadata columns). */
+    * signature + IHDR-CRC + chunk-walk validation, returning the
+    * compressed-stream bytes for [[inflate]]. None for non-PNG or
+    * corrupt payloads (so WAV audio drops out of the image path by
+    * construction, keyed on MAGIC BYTES, never the metadata columns). */
   private[graft] def pngIdatBody(b: Array[Byte]): Option[Array[Byte]] = try {
     if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
     if (be32At(b, 8) != 13L || asciiAt(b, 12, 4) != "IHDR") return None
@@ -240,61 +285,276 @@ object Multimodal {
     if (!sawEnd) None else Some(out.toByteArray)
   } catch { case _: ArrayIndexOutOfBoundsException => None }
 
-  /** 56-bit difference hash (dHash) over the DETERMINISTIC stub bitmap:
-    * pixel decoding is out of scope in this container (no codec libs —
-    * the IDAT body carries the document text, see the object doc), so
-    * the "decoded bitmap" is a reproducible fake any engine can rebuild:
-    * the body's code points tile into an 8×8 grid of contiguous slices
-    * (code point i of L lands in cell i·64/L), cell value = sum of its
-    * code points mod 256, and bit (r, c) = [cell(r,c) < cell(r,c+1)]
-    * packed LSB-first at r·7+c — the classic horizontal-gradient dHash
-    * over an 8-column brightness grid, 8 rows × 7 comparisons = 56 bits
-    * (inside a signed 64-bit long, like d19's 60-bit posture). A REAL
-    * deployment swaps `gridOf` for inflate+resize-to-8×9-grayscale and
-    * keeps everything downstream — the banding, pairing, and oracle
-    * shapes don't change. Iteration is per CODE POINT (surrogate pairs
-    * contribute one code point to one cell, `i` advancing by
-    * `charCount`), matching the oracle's per-character `unicode()` walk —
-    * a per-UTF-16-unit walk would double-count supplementary characters
-    * and mis-stride the cell index on any non-BMP text reaching the
-    * public `phashIngestSink` path. */
-  private[graft] def dHash56(body: String): Long = {
-    val l = body.codePointCount(0, body.length)
-    val g = new Array[Long](64)
-    var i = 0  // UTF-16 index
-    var ci = 0 // code-point index — the cell stride the oracle sees
-    while (i < body.length) {
-      val cp = body.codePointAt(i)
-      g(((ci.toLong * 64) / l).toInt) += cp
-      i += Character.charCount(cp)
-      ci += 1
+  /** acTL frame count of a structurally complete PNG chunk stream:
+    * Some(Some(n)) for APNG, Some(None) for a plain PNG, None for a
+    * truncated walk (decode treats that as undecodable). */
+  private def pngFrames(b: Array[Byte]): Option[Option[Long]] = try {
+    var frames = Option.empty[Long]
+    var sawEnd = false
+    var bad = false
+    var i = 33
+    while (i + 8 <= b.length && !sawEnd && !bad) {
+      val len = be32At(b, i)
+      val typ = asciiAt(b, i + 4, 4)
+      if (i + 12 + len > b.length) bad = true
+      else {
+        if (typ == "acTL") frames = Some(be32At(b, i + 8))
+        if (typ == "IEND") sawEnd = true
+        i += 12 + len.toInt
+      }
     }
-    var c = 0
-    while (c < 64) { g(c) = g(c) % 256; c += 1 }
+    if (bad || !sawEnd) None else Some(frames)
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** REAL pixel decode of a grayscale-8 PNG/APNG payload: chunk-walk
+    * validation ([[pngIdatBody]]), zlib inflation bounded by the
+    * IHDR-declared size, per-row filter reversal. Returns (w, h, pixels
+    * row-major 0..255). None for non-PNG, corrupt, truncated, non-
+    * grayscale-8 (this decoder declares grayscale-8 support and rejects
+    * the rest rather than mis-decoding), or wrong-length streams. */
+  private[graft] def decodePixels(
+      b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    pngIdatBody(b).flatMap { body =>
+      val w = be32At(b, 16).toInt
+      val h = be32At(b, 20).toInt
+      if (w <= 0 || h <= 0) None
+      else if (b(24) != 8 || b(25) != 0) None // depth 8, grayscale only
+      else if (h.toLong * (w + 1) > Int.MaxValue) None
+      else
+        inflate(body, h * (w + 1)).flatMap(unfilterScanlines(_, w, h))
+          .map((w, h, _))
+    }
+
+  /** Extract the PCM `data` chunk of a structurally valid WAV (RIFF
+    * walk mirroring `decode`'s audio branch); None for non-WAV, non-PCM,
+    * or truncated payloads — so PNG/APNG images drop out of the audio
+    * path the same way audio drops out of [[decodePixels]]. */
+  private[graft] def wavDataBody(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      if (b.length < 12 || asciiAt(b, 0, 4) != "RIFF" ||
+        asciiAt(b, 8, 4) != "WAVE") return None
+      var pcm = false
+      var out = Option.empty[Array[Byte]]
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = asciiAt(b, i, 4)
+        val len = le32At(b, i + 4)
+        if (i + 8 + len > b.length) return None // truncated chunk
+        if (id == "fmt ") {
+          if (len < 16 || le16At(b, i + 8) != 1) return None // PCM only
+          pcm = true
+        }
+        if (id == "data")
+          out = Some(java.util.Arrays.copyOfRange(b, i + 8,
+            i + 8 + len.toInt))
+        i += 8 + len.toInt
+      }
+      if (pcm) out else None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** Parse one payload END TO END. PNG: chunk walk + IHDR CRC + full
+    * pixel decode (inflate + unfilter) — a payload whose headers parse
+    * but whose IDAT stream is corrupt is UNDECODABLE, exactly like a
+    * real decoder; frame count from acTL (absent -> 1 -> "image",
+    * present -> "video"); mean_px = floor-mean brightness of the decoded
+    * bitmap. WAV: RIFF walk; sample count = data length / block align,
+    * duration from byte rate, mean_px = floor-mean |sample − 128| of the
+    * decoded PCM (0 for an empty data chunk). The checksum is the CRC-32
+    * of the whole payload. */
+  private[graft] def decode(r: MediaRecord): Option[MediaFeatures] = try {
+    val b = r.payload
+    if (b.length >= 8 && b.take(8).sameElements(PngSig)) {
+      for {
+        wh <- decodePixels(b)
+        frames <- pngFrames(b)
+      } yield {
+        val (w, h, px) = wh
+        var s = 0L
+        px.foreach(s += _)
+        MediaFeatures(r.doc_id,
+          if (frames.isDefined) "video" else "image", b.length,
+          w, h, frames.getOrElse(1L), 0L, crc32(b), s / px.length)
+      }
+    } else if (b.length >= 12 && asciiAt(b, 0, 4) == "RIFF" &&
+        asciiAt(b, 8, 4) == "WAVE") {
+      var rate = 0L; var byteRate = 0L; var blockAlign = 0
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = asciiAt(b, i, 4)
+        val len = le32At(b, i + 4)
+        if (i + 8 + len > b.length) return None // truncated chunk
+        if (id == "fmt ") {
+          if (len < 16 || le16At(b, i + 8) != 1) return None // PCM only
+          rate = le32At(b, i + 12)
+          byteRate = le32At(b, i + 16)
+          blockAlign = le16At(b, i + 20)
+        }
+        i += 8 + len.toInt
+      }
+      if (rate <= 0 || byteRate <= 0 || blockAlign <= 0) return None
+      wavDataBody(b).map { pcm =>
+        var s = 0L
+        pcm.foreach(x => s += math.abs((x & 0xff) - 128))
+        MediaFeatures(r.doc_id, "audio", b.length, 0, 0,
+          pcm.length.toLong / blockAlign,
+          pcm.length * 1000L / byteRate, crc32(b),
+          if (pcm.length == 0) 0L else s / pcm.length)
+      }
+    } else None
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** Build a media table from documents: REAL format bytes whose pixel /
+    * sample content derives from the document text ([[textPixels]]),
+    * kind cycling image/audio/video by doc_id, PNG dims from COARSE
+    * n_chars buckets (w = n_chars/100·3 + 12, h = n_chars/150·4 + 10 —
+    * small enough that the per-pixel oracle expansion stays linear in
+    * the corpus, both ≥ 8 so the 8×8 box-sample has no empty cell, and
+    * bucketed so a few-character edit keeps the canvas: near-dup texts
+    * must render onto the SAME dims to hash near each other, exactly
+    * like a real camera/thumbnailer pipeline fixing the frame size),
+    * APNG frame count n_chars/64 + 1. The width/height metadata columns
+    * mirror what the encoder wrote — `decode` never reads them
+    * (spec-pinned: it re-derives both from the parsed payload). */
+  def toMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"),
+      col("n_chars").cast("int").as("n_chars"))
+      .as[(Long, String, Int)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val w = nChars / 100 * 3 + 12
+        val h = nChars / 150 * 4 + 10
+        (id % 3) match {
+          case 0 => MediaRecord(id, "image",
+            pngBytes(w, h, textPixels(text, w * h), None), w, h)
+          case 1 => MediaRecord(id, "audio",
+            wavBytes(textPixels(text, text.codePointCount(0, text.length))),
+            0, 0)
+          case _ => MediaRecord(id, "video",
+            pngBytes(w, h, textPixels(text, w * h),
+              Some(nChars / 64L + 1L)), w, h)
+        }
+      }).toDF()
+  }
+
+  def sampleFrames(media: DataFrame, targetW: Int = 224,
+      maxFrames: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(64).flatMap(_.flatMap { r =>
+        decode(r).map { f =>
+          val w = math.max(f.width, 1) // parsed audio dims are 0x0
+          val scale = targetW.toDouble / w
+          // scale the RAW height and clamp the RESULT (clamping height
+          // before scaling would turn a degenerate 0-height medium into
+          // out_h = scale instead of the 1-pixel floor)
+          val n = math.max(1L,
+            math.min(maxFrames.toLong, f.n_frames)).toInt
+          // offsets index the DECODED stream (bitmap bytes for
+          // images/video, PCM samples for audio), the thing a frame
+          // sampler actually seeks in — not the compressed payload
+          val decodedLen = f.kind match {
+            case "audio" => f.n_frames // 1 byte per sample
+            case _       => f.width.toLong * f.height
+          }
+          val stride = math.max(decodedLen / n, 1L)
+          MediaSample(r.doc_id, f.kind, targetW,
+            math.max((f.height * scale).toInt, 1),
+            Array.tabulate(n)(i => i.toLong * stride))
+        }
+      })
+    }.toDF()
+  }
+
+  // ------------------------------------------------------ content hashes
+  /** 8×8 integer-mean box-sample of a decoded grayscale bitmap: pixel
+    * (r, c) lands in cell (r·8/h, c·8/w); cell value = floor(sum/count).
+    * Encoder dims guarantee w, h ≥ 8 (no empty cell), but empty cells
+    * still read 0 defensively. */
+  private[graft] def grayGrid(w: Int, h: Int, px: Array[Int]): Array[Long] = {
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var r = 0
+    while (r < h) {
+      val gr = r * 8 / h
+      var c = 0
+      while (c < w) {
+        val cell = gr * 8 + c * 8 / w
+        sums(cell) += px(r * w + c)
+        cnts(cell) += 1
+        c += 1
+      }
+      r += 1
+    }
+    val g = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      g(i) = if (cnts(i) == 0) 0L else sums(i) / cnts(i)
+      i += 1
+    }
+    g
+  }
+
+  /** 56-bit difference hash (dHash) over an 8×8 brightness grid: bit
+    * (r, c) = [g(r,c) < g(r,c+1)] packed LSB-first at r·7+c — 8 rows ×
+    * 7 horizontal-gradient comparisons = 56 bits inside a signed 64-bit
+    * long (the d19 posture: banded-Hamming widths stay pigeonhole-exact
+    * for any maxHamming < 56). */
+  private[graft] def dHash56(grid: Array[Long]): Long = {
     var sig = 0L
     var r = 0
     while (r < 8) {
-      var cc = 0
-      while (cc < 7) {
-        if (g(r * 8 + cc) < g(r * 8 + cc + 1)) sig |= 1L << (r * 7 + cc)
-        cc += 1
+      var c = 0
+      while (c < 7) {
+        if (grid(r * 8 + c) < grid(r * 8 + c + 1)) sig |= 1L << (r * 7 + c)
+        c += 1
       }
       r += 1
     }
     sig
   }
 
+  /** 31-bit energy-envelope fingerprint over DECODED PCM samples — the
+    * audio sibling of the dHash (chromaprint-lite): 32 FIXED 16-sample
+    * windows over the leading 512 samples (prefix-aligned, like the
+    * bitmap render: a suffix edit perturbs at most the boundary window
+    * and its successor — ≤ 2 gradient bits — instead of re-phasing every
+    * window the way clip-relative windows would), window value = the low
+    * byte of the window's energy Σ|sample − 128| (8-bit unsigned PCM
+    * centered at 128; an 8-bit accumulator — a quantized fingerprint
+    * feature, deliberately chaotic across unrelated clips so the banded
+    * pair space stays sparse), bit w = [env(w) < env(w+1)] packed
+    * LSB-first. Windows a short clip leaves empty read 0. */
+  private[graft] def envHash31(samples: Array[Byte]): Long = {
+    val s = math.min(samples.length, 512)
+    if (s == 0) return 0L
+    val env = new Array[Long](32)
+    var j = 0
+    while (j < s) {
+      env(j >> 4) += math.abs((samples(j) & 0xff) - 128)
+      j += 1
+    }
+    var w = 0
+    while (w < 32) { env(w) = env(w) % 256; w += 1 }
+    var sig = 0L
+    var c = 0
+    while (c < 31) { if (env(c) < env(c + 1)) sig |= 1L << c; c += 1 }
+    sig
+  }
+
   /** Per-image perceptual hash over a media table: (doc_id, phash) for
-    * every payload that parses as PNG/APNG; audio and corrupt payloads
-    * drop. Same embarrassingly-parallel mapPartitions batch shape as
+    * every payload that FULLY decodes as grayscale-8 PNG/APNG (inflate +
+    * unfilter + box-sample); audio and corrupt payloads drop. Same
+    * embarrassingly-parallel mapPartitions batch shape as
     * [[extractFeatures]] — one task per split, no shuffle. */
   def phash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(64).flatMap(_.flatMap { r =>
-        pngIdatBody(r.payload).map { body =>
-          (r.doc_id, dHash56(new String(body, "UTF-8")))
+        decodePixels(r.payload).map { case (w, h, px) =>
+          (r.doc_id, dHash56(grayGrid(w, h, px)))
         }
       })
     }.toDF("doc_id", "phash")
@@ -323,64 +583,6 @@ object Multimodal {
       widths, offsets, maxHamming)
   }
 
-  /** Extract the PCM `data` chunk of a structurally valid WAV (RIFF
-    * walk mirroring `decode`'s audio branch); None for non-WAV, non-PCM,
-    * or truncated payloads — so PNG/APNG images drop out of the audio
-    * path the same way audio drops out of [[pngIdatBody]]. */
-  private[graft] def wavDataBody(b: Array[Byte]): Option[Array[Byte]] =
-    try {
-      if (b.length < 12 || asciiAt(b, 0, 4) != "RIFF" ||
-        asciiAt(b, 8, 4) != "WAVE") return None
-      var pcm = false
-      var out = Option.empty[Array[Byte]]
-      var i = 12
-      while (i + 8 <= b.length) {
-        val id = asciiAt(b, i, 4)
-        val len = le32At(b, i + 4)
-        if (i + 8 + len > b.length) return None // truncated chunk
-        if (id == "fmt ") {
-          if (len < 16 || le16At(b, i + 8) != 1) return None // PCM only
-          pcm = true
-        }
-        if (id == "data")
-          out = Some(java.util.Arrays.copyOfRange(b, i + 8,
-            i + 8 + len.toInt))
-        i += 8 + len.toInt
-      }
-      if (pcm) out else None
-    } catch { case _: ArrayIndexOutOfBoundsException => None }
-
-  /** 31-bit energy-envelope fingerprint over the DETERMINISTIC stub
-    * samples — the audio sibling of [[dHash56]] (chromaprint-lite): the
-    * PCM body's code points tile into 32 contiguous windows (point i of
-    * L lands in window i·32/L), window value = sum mod 256, bit w =
-    * [env(w) < env(w+1)] packed LSB-first — a temporal-gradient
-    * envelope hash, robust to level shifts the way dHash is robust to
-    * brightness. A REAL deployment swaps the stub envelope for
-    * mean-|PCM|-per-window over decoded samples and keeps the banding,
-    * pairing, and oracle shapes. Per-code-point iteration matches the
-    * oracle's per-character walk (the d21 surrogate lesson, pinned by
-    * the dHash code-point spec). */
-  private[graft] def envHash31(body: String): Long = {
-    val l = body.codePointCount(0, body.length)
-    if (l == 0) return 0L
-    val g = new Array[Long](32)
-    var i = 0
-    var ci = 0
-    while (i < body.length) {
-      val cp = body.codePointAt(i)
-      g(((ci.toLong * 32) / l).toInt) += cp
-      i += Character.charCount(cp)
-      ci += 1
-    }
-    var w = 0
-    while (w < 32) { g(w) = g(w) % 256; w += 1 }
-    var sig = 0L
-    var c = 0
-    while (c < 31) { if (g(c) < g(c + 1)) sig |= 1L << c; c += 1 }
-    sig
-  }
-
   /** Per-clip envelope hash over a media table: (doc_id, ahash) for
     * every payload that parses as PCM WAV; images and corrupt payloads
     * drop. Same no-shuffle mapPartitions batch shape as [[phash]]. */
@@ -390,7 +592,7 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(64).flatMap(_.flatMap { r =>
         wavDataBody(r.payload).map { body =>
-          (r.doc_id, envHash31(new String(body, "UTF-8")))
+          (r.doc_id, envHash31(body))
         }
       })
     }.toDF("doc_id", "ahash")
@@ -429,10 +631,13 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Oracle-checkable projection of the feature pass (checksum is covered
-    * by ScalaTest instead — CRC-32 isn't DuckDB SQL). */
+  /** Oracle-checkable projection of the feature pass. byte_len (deflate
+    * output size) and checksum (CRC-32) aren't DuckDB-SQL-expressible
+    * and are ScalaTest-pinned instead; mean_px IS oracle-checked — it is
+    * the column that proves the inflate+unfilter path recovered the
+    * encoder's exact bitmap. */
   def mediaFeatureSummary(documents: DataFrame): DataFrame =
     extractFeatures(toMediaTable(documents))
-      .select(col("doc_id"), col("kind"), col("byte_len"), col("width"),
-        col("height"), col("n_frames"), col("duration_ms"))
+      .select(col("doc_id"), col("kind"), col("width"),
+        col("height"), col("n_frames"), col("duration_ms"), col("mean_px"))
 }

@@ -854,4 +854,99 @@ object Streams {
         swapIntoPlace(merged, targetDir)
         ()
     }
+
+  /** Maintenance: compact ONE streaming-ingest index directory (hive
+    * `bid=N` partitions, one appended per micro-batch) back to a single
+    * `bid=frontier` partition sized to `targetBytes` files. Run with the
+    * appending query STOPPED (the same single-writer contract as
+    * `Sinks.compactParquet`).
+    *
+    * Semantics preserved by construction: every committed row keeps
+    * `bid <= frontier`, so the classification read (`bid <= frontier`
+    * with partition pruning) sees the identical row set before and
+    * after; the frontier marker itself is untouched, so the replay
+    * guard's answer doesn't change; and partner doc_ids live in the row
+    * data, so decisions replay bit-identically. Partitions ABOVE the
+    * frontier are uncommitted crash orphans — invisible to every reader
+    * — and compaction garbage-collects them.
+    *
+    * Crash safety: the compacted copy is fully written to `_tmp` first,
+    * then the directory swap runs the swapIntoPlace rename pair — a
+    * crash between the renames leaves `_old` intact and
+    * [[compactIngestIndex]] (like `readStateWithRecovery`) restores it
+    * on the next call.
+    *
+    * Returns (parquet files before, parquet files after). Without this,
+    * a long-lived ingest accumulates one file set per micro-batch and
+    * the per-batch index scan pays an ever-growing listing — the classic
+    * small-files failure at 100 TB. */
+  def compactIngestIndex(spark: SparkSession, indexDir: String,
+      frontierDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val target = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover a half-swapped previous compaction before anything else
+    val bak = new org.apache.hadoop.fs.Path(indexDir + "_old")
+    if (!fs.exists(target) && fs.exists(bak)) fs.rename(bak, target)
+    if (!fs.exists(target)) return (0L, 0L)
+    def countFiles(p: org.apache.hadoop.fs.Path): Long = {
+      var n = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = countFiles(target)
+    val frontier = readStateWithRecovery(spark, frontierDir).map { df =>
+      val r = df.select(max(col("bid"))).head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
+    if (frontier < 0L) return (before, before) // nothing committed yet
+    val committed = spark.read.parquet(indexDir)
+      .where(col("bid").cast("long") <= frontier)
+    val bytes = {
+      var b = 0L
+      val it = fs.listFiles(target, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) b += s.getLen
+      }
+      b
+    }
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    if (before <= nOut) return (before, before) // already compact
+    val tmp = new org.apache.hadoop.fs.Path(indexDir + "_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    committed.drop("bid").coalesce(nOut).write
+      .parquet(s"$indexDir" + s"_tmp/bid=$frontier")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    require(fs.rename(target, bak), s"rename $target -> $bak failed")
+    require(fs.rename(tmp, target),
+      s"rename $tmp -> $target failed; previous index preserved at $bak")
+    fs.delete(bak, true)
+    (before, countFiles(target))
+  }
+
+  /** [[compactIngestIndex]] over everything `dedupIngestSink` grows per
+    * batch: the fingerprint postings, the shingle postings, and the
+    * accepted-corpus partitions (whose `max(bid)` frontier-fallback scan
+    * stays correct because the merged partition keeps bid = frontier). */
+  def compactDedupIngestState(spark: SparkSession,
+      stateDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Long, Long)] =
+    Seq("index/fp", "index/shingles", "corpus").map { d =>
+      val (b, a) = compactIngestIndex(spark, s"$stateDir/$d",
+        s"$stateDir/frontier", targetBytes)
+      (d, b, a)
+    }
+
+  /** [[compactIngestIndex]] for the media ingest sinks' signature index
+    * (`phashIngestSink` / `audioIngestSink` share the layout). */
+  def compactMediaIngestState(spark: SparkSession,
+      stateDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Long) =
+    compactIngestIndex(spark, s"$stateDir/index", s"$stateDir/frontier",
+      targetBytes)
 }

@@ -145,15 +145,24 @@ class OpsSpec extends GraftSuite {
     }
   }
 
-  test("a10 approx distinct within 10% of exact") {
-    val approx = SparkEntry.queries("a10_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("a10 approx distinct within 10% of exact; bound flag green") {
+    // the raw HLL estimate (not exposed by the bound-gated query shape)
+    val approx = events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("uu")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = events.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("uu")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, e) =>
       assert(math.abs(approx(k) - e).toDouble / e < 0.1,
         s"$k: approx=${approx(k)} exact=$e")
+    }
+    // and the shipped query agrees on the exact leg with flag = 1
+    val q = SparkEntry.queries("a10_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    exact.foreach { case (k, e) =>
+      assert(q(k) == (e, 1), s"$k: ${q(k)} vs exact $e")
     }
   }
 

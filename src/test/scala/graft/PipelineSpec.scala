@@ -585,73 +585,138 @@ class PipelineSpec extends GraftSuite {
   test("m1 features are parsed from real PNG/APNG/WAV payload bytes") {
     val media = Multimodal.toMediaTable(docs)
     val feats = Multimodal.extractFeatures(media)
-    // every builder payload is structurally valid -> none drop
+    // every builder payload is structurally valid -> none drop (this now
+    // requires the full inflate+unfilter to succeed, not just headers)
     assert(feats.count() == media.count())
-    // byte_len = text bytes + the real format overhead the encoder wrote
-    // (PNG 57 / WAV 44 / APNG 77)
-    val bad = feats.join(docs, "doc_id")
-      .where(col("byte_len") =!= length(col("text")) +
-        when(pmod(col("doc_id"), lit(3)) === 0, 57)
-          .when(pmod(col("doc_id"), lit(3)) === 1, 44).otherwise(77))
-      .count()
-    assert(bad == 0, "byte_len must be data + format header overhead")
+    // byte_len = the actual payload size (deflate output isn't a closed
+    // form, so this is the spec-side pin the oracle can't express)
+    val bad = feats.join(media.select(col("doc_id"),
+        length(col("payload")).as("plen")), "doc_id")
+      .where(col("byte_len") =!= col("plen")).count()
+    assert(bad == 0, "byte_len must be the whole-payload size")
     // kind comes from the MAGIC BYTES, not the kind column (decode never
     // reads it) — and it lands on the same cycle the builder used
     val kinds = feats.join(media.select(col("doc_id"),
         col("kind").as("built_kind")), "doc_id")
       .where(col("kind") =!= col("built_kind")).count()
     assert(kinds == 0)
+    // mean_px comes from the DECODED content: images/video = floor-mean
+    // of the prefix-rendered bitmap, audio = floor-mean |sample - 128| —
+    // recompute both from the text with independent (driver-side) code
+    val got = feats.select(col("doc_id"), col("mean_px")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.select(col("doc_id"), col("text"),
+        col("n_chars").cast("int")).collect().foreach { r =>
+      val (id, text, nc) = (r.getLong(0), r.getString(1), r.getInt(2))
+      val cps = text.codePoints().toArray
+      val want =
+        if (id % 3 == 1) {
+          if (cps.isEmpty) 0L
+          else cps.map(cp => math.abs(cp % 256 - 128).toLong).sum /
+            cps.length
+        } else {
+          val n = (nc / 100 * 3 + 12) * (nc / 150 * 4 + 10)
+          cps.take(n).map(cp => (cp % 256).toLong).sum / n
+        }
+      assert(got(id) == want, s"mean_px mismatch for doc $id")
+    }
   }
 
   test("m1 decode is a function of the payload bytes: corruption kills the record") {
-    val data = "hello media payload".getBytes("UTF-8")
-    val png = Multimodal.pngBytes(3, 2, data, None)
-    val apng = Multimodal.pngBytes(3, 2, data, Some(5L))
-    val wav = Multimodal.wavBytes(data)
+    val px = Array.tabulate(6)(i => (i * 40 + 5).toByte) // 3x2 bitmap
+    val pcm = "hello media payload".getBytes("UTF-8")
+    val png = Multimodal.pngBytes(3, 2, px, None)
+    val apng = Multimodal.pngBytes(3, 2, px, Some(5L))
+    val wav = Multimodal.wavBytes(pcm)
     // metadata zeroed: decode must work from bytes alone
     def rec(p: Array[Byte]) = Multimodal.MediaRecord(1L, "unset", p, 0, 0)
     val fi = Multimodal.decode(rec(png)).get
     assert(fi.kind == "image" && fi.width == 3 && fi.height == 2 &&
-      fi.n_frames == 1L && fi.byte_len == 57 + data.length)
+      fi.n_frames == 1L && fi.byte_len == png.length &&
+      fi.mean_px == px.map(b => (b & 0xff).toLong).sum / 6)
     val fv = Multimodal.decode(rec(apng)).get
     assert(fv.kind == "video" && fv.n_frames == 5L &&
-      fv.byte_len == 77 + data.length)
+      fv.byte_len == apng.length)
     val fa = Multimodal.decode(rec(wav)).get
-    assert(fa.kind == "audio" && fa.n_frames == data.length.toLong &&
-      fa.duration_ms == data.length * 1000L / 8000 &&
-      fa.byte_len == 44 + data.length)
+    assert(fa.kind == "audio" && fa.n_frames == pcm.length.toLong &&
+      fa.duration_ms == pcm.length * 1000L / 8000 &&
+      fa.byte_len == wav.length &&
+      fa.mean_px == pcm.map(b => math.abs((b & 0xff) - 128).toLong).sum
+        / pcm.length)
     // flip a bit of the stored IHDR CRC -> undecodable
     val crcFlip = png.clone(); crcFlip(29) = (crcFlip(29) ^ 0x01).toByte
     assert(Multimodal.decode(rec(crcFlip)).isEmpty)
     // flip a bit of the stored width -> CRC mismatch -> undecodable
     val widFlip = png.clone(); widFlip(16) = (widFlip(16) ^ 0x01).toByte
     assert(Multimodal.decode(rec(widFlip)).isEmpty)
+    // garbage where the deflate stream should be -> headers parse, the
+    // INFLATE fails -> undecodable (the pixel path is load-bearing)
+    val idatGarbage = PngSig ++ pngChunk(png, "IHDR") ++
+      mkChunk("IDAT", Array[Byte](9, 9, 9, 9)) ++
+      mkChunk("IEND", Array.empty[Byte])
+    assert(Multimodal.decode(rec(idatGarbage)).isEmpty,
+      "a broken zlib stream must not decode")
     // corrupt the RIFF magic
     val magFlip = wav.clone(); magFlip(0) = 'X'.toByte
     assert(Multimodal.decode(rec(magFlip)).isEmpty)
     // truncate mid-chunk (both formats)
     assert(Multimodal.decode(rec(png.take(png.length - 3))).isEmpty)
     assert(Multimodal.decode(rec(wav.take(20))).isEmpty)
-    // the checksum digests the whole payload, not just headers
+    // the checksum AND mean_px track the decoded content
     val otherPng = Multimodal.pngBytes(3, 2,
-      "other body".getBytes("UTF-8"), None)
-    assert(Multimodal.decode(rec(otherPng)).get.checksum != fi.checksum)
+      Array.tabulate(6)(i => (200 - i).toByte), None)
+    val fo = Multimodal.decode(rec(otherPng)).get
+    assert(fo.checksum != fi.checksum && fo.mean_px != fi.mean_px)
+  }
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Copy a named chunk (len+type+data+crc) out of a built PNG. */
+  private def pngChunk(png: Array[Byte], typ: String): Array[Byte] = {
+    var i = 8
+    while (i + 8 <= png.length) {
+      val len = ((png(i) & 0xff) << 24) | ((png(i + 1) & 0xff) << 16) |
+        ((png(i + 2) & 0xff) << 8) | (png(i + 3) & 0xff)
+      val t = new String(png, i + 4, 4, "US-ASCII")
+      if (t == typ)
+        return java.util.Arrays.copyOfRange(png, i, i + 12 + len)
+      i += 12 + len
+    }
+    fail(s"chunk $typ not found")
+  }
+
+  /** Build a chunk with a VALID CRC around arbitrary (even garbage)
+    * data — for isolating deflate-level corruption from CRC failures. */
+  private def mkChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val c = new java.util.zip.CRC32
+    c.update(t); c.update(data)
+    val len = data.length
+    Array(((len >>> 24) & 0xff).toByte, ((len >>> 16) & 0xff).toByte,
+      ((len >>> 8) & 0xff).toByte, (len & 0xff).toByte) ++ t ++ data ++ {
+      val v = c.getValue
+      Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    }
   }
 
   test("m2 frame sampling: offsets in-bounds, strictly increasing, resized dims positive") {
-    import org.apache.spark.sql.Row
     val media = Multimodal.toMediaTable(docs)
+    // offsets index the DECODED stream: bitmap bytes (w*h) for
+    // images/video, PCM samples (payload - 44-byte header) for audio
     val rows = Multimodal.sampleFrames(media, 224, 4)
-      .join(media.select(col("doc_id"), length(col("payload")).as("plen")),
-        "doc_id")
+      .join(media.select(col("doc_id"),
+        when(col("kind") === "audio", length(col("payload")) - 44)
+          .otherwise(col("width") * col("height")).as("dlen")), "doc_id")
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val offs = r.getAs[scala.collection.Seq[Long]]("frame_offsets")
-      val plen = r.getAs[Int]("plen")
+      val dlen = r.getAs[Int]("dlen")
       assert(offs.nonEmpty && offs.head == 0L)
       assert(offs.zip(offs.tail).forall { case (a, b) => a < b })
-      assert(offs.forall(_ < math.max(plen, 1)))
+      assert(offs.forall(_ < math.max(dlen, 1)))
       assert(r.getAs[Int]("out_w") == 224 && r.getAs[Int]("out_h") > 0)
     }
   }
@@ -1084,9 +1149,10 @@ class PipelineSpec extends GraftSuite {
     import graft.ops.Multimodal
     val base = ("the quick brown fox jumps over the lazy dog " * 3).trim
     // ids 0/3/6 become PNG images (id % 3 == 0), id 1 WAV audio; 0 and 3
-    // carry identical text (hamming 0 via the intra leg), 6 perturbs ONE
-    // character (one grid cell shifts -> at most 2 gradient bits flip),
-    // 1 is the same text as an AUDIO payload and must stay invisible
+    // carry identical text (same length -> same canvas -> hamming 0 via
+    // the intra leg), 6 perturbs ONE character = ONE decoded pixel (one
+    // box-sample cell shifts -> at most 2 gradient bits flip), 1 is the
+    // same text as an AUDIO payload and must stay invisible
     val docs = Seq(
       (0L, base), (3L, base),
       (6L, base.updated(10, 'z')),
@@ -1105,8 +1171,10 @@ class PipelineSpec extends GraftSuite {
     assert(pairs.contains((3L, 6L)))
     assert(!pairs.keys.exists(p => p._1 == 1L || p._2 == 1L),
       s"audio payloads must never enter the image-hash path: $pairs")
-    // dHash spot-check: grid of the empty string is all-zero -> sig 0
-    assert(Multimodal.dHash56("") == 0L)
+    // dHash spot-check: the empty text renders all-black -> grid all
+    // zero -> no strict gradient anywhere -> sig 0
+    assert(Multimodal.dHash56(Multimodal.grayGrid(12, 10,
+      Multimodal.textPixels("", 120).map(_ & 0xff))) == 0L)
   }
 
   test("scalable assign: two-level at coarse=k equals flat exactly") {

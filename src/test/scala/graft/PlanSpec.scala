@@ -38,6 +38,29 @@ class PlanSpec extends GraftSuite {
     assert(plan("j4_lookup_region").contains("BroadcastHashJoin"))
   }
 
+  test("unpartitioned windows only ever run on post-aggregation frames") {
+    // the round-6 invariant, enforced: a global (partition-less) window
+    // serializes its whole input through one task, so it is only legal
+    // on a frame an Aggregate has already collapsed to group-cardinality
+    // (|sources| for mix3/mix4, reps for boot1) — never on corpus rows.
+    // This pins the LOGICAL plan shape, so a refactor that moves the
+    // window below the aggregation fails here before it ships.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    for (q <- Seq("mix3_budget_weights", "mix4_epoch_plan",
+        "boot1_score_ci")) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val wins = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(wins.nonEmpty, s"$q lost its unpartitioned window — this " +
+        "spec needs updating if the shape changed deliberately")
+      wins.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"$q: an unpartitioned window sits directly on a non-aggregated" +
+            s" frame — corpus-scale single-task serialization:\n$lp")
+      }
+    }
+  }
+
   test("s1 scan pushes filters into parquet") {
     val p = plan("s1_scan_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(event_type)") ||

@@ -460,60 +460,94 @@ class PropertySpec extends GraftSuite {
     ops.Clustering.clearAssignments() // drop the random-frame memos
   }
 
+  test("PNG law: encode -> inflate -> unfilter recovers the exact bitmap") {
+    // THE pixel-decode gate: for arbitrary bitmaps and dims, the full
+    // real round trip (per-row filtering with all 5 PNG filter types,
+    // zlib deflate, multi-IDAT chunking | chunk walk, CRC check, bounded
+    // Inflater, filter reversal) must return the identical pixels. A
+    // wrong Paeth predictor, a misapplied Up row, or an off-by-one in
+    // the scanline stride all break this on the first random bitmap.
+    import graft.ops.Multimodal
+    val bmpGen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(-128, 127).map(_.toByte))
+      fr <- Gen.option(Gen.chooseNum(1L, 9L))
+    } yield (w, h, px.toArray, fr)
+    samples(bmpGen, 200).foreach { case (w, h, px, fr) =>
+      val decoded = Multimodal.decodePixels(Multimodal.pngBytes(w, h, px, fr))
+      assert(decoded.isDefined, s"round trip failed at ${w}x$h")
+      val (dw, dh, dpx) = decoded.get
+      assert(dw == w && dh == h)
+      assert(dpx.sameElements(px.map(_ & 0xff)),
+        s"pixels diverged at ${w}x$h (frames=$fr)")
+    }
+    // and a corrupted DEFLATE byte (inside an IDAT body, not a header)
+    // must make the payload undecodable — headers alone can't vouch
+    val png = Multimodal.pngBytes(12, 10,
+      Array.tabulate(120)(i => (i * 7).toByte), None)
+    val off = 8 + 25 + 8 // sig + IHDR chunk + first IDAT len/type
+    val bad = png.clone(); bad(off) = (bad(off) ^ 0x55).toByte
+    assert(Multimodal.decodePixels(bad).isEmpty
+        || !Multimodal.decodePixels(bad).get._3
+          .sameElements(Array.tabulate(120)(i => (i * 7) & 0xff)),
+      "a corrupt IDAT byte must not decode to the original pixels")
+  }
+
   test("dHash law: a same-length single-char edit flips at most 2 bits") {
-    // one substituted character changes exactly ONE grid cell's sum, and
-    // a cell participates in at most two horizontal-gradient comparisons
-    // — the locality property that makes dHash a NEAR-dup hash (and what
-    // the d21 planted-pair spec relies on). Length changes void it
-    // (every downstream cell shifts), hence same-length edits only.
+    // the prefix render maps text position p to pixel p (no wrap), so a
+    // substituted character changes exactly ONE pixel -> ONE grid cell's
+    // mean, and a cell participates in at most two horizontal-gradient
+    // comparisons — the locality property that makes dHash a NEAR-dup
+    // hash (and what the d21 planted-pair spec relies on).
+    import graft.ops.Multimodal
+    def hash(s: String, w: Int, h: Int): Long =
+      Multimodal.dHash56(Multimodal.grayGrid(w, h,
+        Multimodal.textPixels(s, w * h).map(_ & 0xff)))
     val strGen = for {
-      n <- Gen.chooseNum(10, 300)
+      n <- Gen.chooseNum(10, 600)
       cs <- Gen.listOfN(n, Gen.alphaNumChar)
       pos <- Gen.chooseNum(0, n - 1)
       c <- Gen.alphaNumChar
-    } yield (cs.mkString, pos, c)
-    samples(strGen, 300).foreach { case (s, pos, c) =>
+      w <- Gen.chooseNum(8, 31)
+      h <- Gen.chooseNum(8, 23)
+    } yield (cs.mkString, pos, c, w, h)
+    samples(strGen, 300).foreach { case (s, pos, c, w, h) =>
       val edited = s.updated(pos, c)
-      val h = java.lang.Long.bitCount(
-        graft.ops.Multimodal.dHash56(s) ^
-          graft.ops.Multimodal.dHash56(edited))
-      assert(h <= 2, s"edit at $pos flipped $h bits: '$s' -> '$edited'")
+      val hm = java.lang.Long.bitCount(hash(s, w, h) ^ hash(edited, w, h))
+      assert(hm <= 2, s"edit at $pos flipped $hm bits (${w}x$h)")
     }
   }
 
-  test("dHash law: iteration is per code point — surrogates count once") {
+  test("render law: per code point, prefix-aligned, zero-padded") {
     // reference implementation over the CODE-POINT array (a different
-    // iteration API than the operator's charCount walk): a per-UTF-16-
-    // unit walk would add the full code point at the high surrogate AND
-    // the low-surrogate value again, and mis-stride every later cell —
-    // exactly what non-BMP text on the public phashIngestSink path
-    // would hit. This also matches the oracle's per-character walk.
-    def ref(s: String): Long = {
+    // iteration API than the operator's codePoints stream): a per-UTF-16
+    // -unit walk would emit the high and low surrogate as two pixels and
+    // shift every later position — exactly what non-BMP text on the
+    // public phashIngestSink path would hit. This also matches the
+    // oracle's per-character `unicode()` walk.
+    import graft.ops.Multimodal
+    def ref(s: String, n: Int): Array[Byte] = {
       val cps = s.codePoints().toArray
-      val g = new Array[Long](64)
-      cps.zipWithIndex.foreach { case (cp, i) =>
-        g(((i.toLong * 64) / cps.length).toInt) += cp
-      }
-      (0 until 64).foreach(i => g(i) %= 256)
-      var sig = 0L
-      for (r <- 0 until 8; c <- 0 until 7)
-        if (g(r * 8 + c) < g(r * 8 + c + 1)) sig |= 1L << (r * 7 + c)
-      sig
+      Array.tabulate(n)(p =>
+        if (p < cps.length) (cps(p) % 256).toByte else 0.toByte)
     }
     val gClef = new String(Character.toChars(0x1D11E)) // non-BMP
     val cases = Seq(
       "a" + gClef + "b", gClef * 70, ("mixed " + gClef) * 13,
-      "𝄞 tail", "head 𝄞",
+      "𝄞 tail", "head 𝄞", "",
       "ascii only stays ascii only")
-    cases.foreach { s =>
-      assert(graft.ops.Multimodal.dHash56(s) == ref(s),
-        s"per-code-point contract violated on '${s.take(20)}'")
-    }
-    // the <=2-bit same-length edit law extends to code-point length
-    val e = (gClef + "abcdefg") * 9
-    val h = java.lang.Long.bitCount(graft.ops.Multimodal.dHash56(e) ^
-      graft.ops.Multimodal.dHash56(e.updated(e.length - 1, 'z')))
-    assert(h <= 2, s"same-code-point-length edit flipped $h bits")
+    for (s <- cases; n <- Seq(0, 1, 64, 500))
+      assert(Multimodal.textPixels(s, n).sameElements(ref(s, n)),
+        s"render contract violated on '${s.take(20)}' n=$n")
+    // suffix-append locality: adding characters never changes pixels
+    // below the old length (the planted "+ dup" near-dup premise)
+    val base = "shared prefix body of the clip"
+    val grown = base + " dup"
+    val a = Multimodal.textPixels(base, 200)
+    val b = Multimodal.textPixels(grown, 200)
+    assert(a.take(base.length).sameElements(b.take(base.length)),
+      "prefix pixels must survive a suffix append")
   }
 
   test("media parsers never throw on arbitrary bytes; valid prefixes don't fool them") {
@@ -540,14 +574,22 @@ class PropertySpec extends GraftSuite {
       // walk must return None; if it parsed, the body must be real bytes
       r.foreach(body => assert(body.length <= b.length - 20))
     }
-    // envHash31 is total on arbitrary strings and stays within 31 bits
-    val sGen = Gen.listOfN(50, Gen.chooseNum(1, 0xFFFF).map(_.toChar))
-      .map(_.mkString)
-    samples(sGen, 200).foreach { s =>
+    // envHash31 is total on arbitrary PCM buffers (empty included) and
+    // stays within 31 bits
+    val pcmGen = Gen.chooseNum(0, 700)
+      .flatMap(n => Gen.listOfN(n, byteGen).map(_.toArray))
+    samples(pcmGen, 200).foreach { s =>
       val h = Multimodal.envHash31(s)
       assert((h & ~((1L << 31) - 1)) == 0L,
         s"envelope hash must pack into 31 bits: $h")
       assert(h == Multimodal.envHash31(s), "determinism")
+      // prefix alignment: a single appended sample flips at most the
+      // boundary window's two gradient bits
+      if (s.length < 512) {
+        val hm = java.lang.Long.bitCount(
+          h ^ Multimodal.envHash31(s :+ 42.toByte))
+        assert(hm <= 2, s"append flipped $hm bits at len ${s.length}")
+      }
     }
   }
 

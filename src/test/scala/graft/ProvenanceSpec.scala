@@ -184,9 +184,10 @@ class ProvenanceSpec extends GraftSuite {
   test("d23 law: identical audio at 0 bits, 1-char edit <= 2 bits, images invisible") {
     val base = ("the quick brown fox jumps over the lazy dog " * 3).trim
     // doc_id % 3 == 1 -> WAV audio: 1 and 4 identical; 7 perturbs ONE
-    // character (one envelope window shifts -> at most its two gradient
-    // bits flip); 0 is the SAME text as a PNG image and must stay
-    // invisible to the audio-hash path
+    // character = ONE decoded PCM sample (prefix-aligned fixed windows:
+    // one window's energy shifts -> at most its two gradient bits flip);
+    // 0 is the SAME text as a PNG image and must stay invisible to the
+    // audio-hash path
     val docsDf = Seq((1L, base), (4L, base),
       (7L, base.updated(10, 'z')), (0L, base))
       .toDF("doc_id", "text")
@@ -202,7 +203,7 @@ class ProvenanceSpec extends GraftSuite {
     assert(pairs.contains((4L, 7L)))
     assert(!pairs.keys.exists(p => p._1 == 0L || p._2 == 0L),
       s"image payloads must never enter the audio-hash path: $pairs")
-    assert(Multimodal.envHash31("") == 0L)
+    assert(Multimodal.envHash31(Array.empty[Byte]) == 0L)
   }
 
   test("edge: single-row groups, single-group sketches, wild scores") {

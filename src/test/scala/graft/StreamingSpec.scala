@@ -1398,6 +1398,61 @@ class StreamingSpec extends GraftSuite {
       s"classification must survive a corrupt orphan: ${audit()}")
   }
 
+  test("ingest index compaction: decisions and frontier survive, files shrink") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    import org.apache.spark.sql.functions.{col, length}
+    val state = Files.createTempDirectory("graft_cmp_s").toString
+    val out = Files.createTempDirectory("graft_cmp_o").toString
+    val base = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    def media(rows: Seq[(Long, String)]) = Multimodal.toMediaTable(
+      rows.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    def audit() = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // three committed batches -> three bid=N index partitions
+    Streams.mergePhashIngest(media(Seq((0L, base))), 0L, state, out, 3)
+    Streams.mergePhashIngest(media(Seq((3L, "totally different words"))),
+      1L, state, out, 3)
+    Streams.mergePhashIngest(media(Seq((6L, "third unrelated body"))),
+      2L, state, out, 3)
+    // plus an uncommitted crash orphan above the frontier
+    val orphan = new java.io.File(s"$state/index/bid=9")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "part-00000.snappy.parquet").toPath,
+      Array[Byte]('P', 'A', 'R', '1', 1, 2))
+    val (before, after) = Streams.compactMediaIngestState(spark, state)
+    assert(before >= 3, s"expected >= 3 pre-compaction files, got $before")
+    assert(after == 1, s"compaction must merge to 1 file, got $after")
+    assert(!new java.io.File(s"$state/index/bid=9").exists,
+      "orphans above the frontier are garbage-collected")
+    // frontier marker untouched -> replay of an old bid stays a no-op
+    Streams.mergePhashIngest(media(Seq((9L, "never seen"))), 1L, state,
+      out, 3)
+    assert(!audit().exists(_._1 == 9L), "replay guard must survive")
+    // and classification still finds the committed batch-0 partner
+    Streams.mergePhashIngest(media(Seq((12L, base))), 3L, state, out, 3)
+    assert(audit().contains((12L, "near_dup", 0L)),
+      s"compacted index must preserve decisions: ${audit()}")
+    // TEXT sink state: same contract across fp/shingles/corpus
+    val ts = Files.createTempDirectory("graft_cmpt_s").toString
+    val to = Files.createTempDirectory("graft_cmpt_o").toString
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    Streams.mergeDedupIngest(docs(Seq((1L, base))), 0L, ts, to, 3, 0.5)
+    Streams.mergeDedupIngest(docs(Seq((2L, "other body of words"))),
+      1L, ts, to, 3, 0.5)
+    val res = Streams.compactDedupIngestState(spark, ts)
+    assert(res.forall { case (_, _, a) => a == 1 },
+      s"every text-state dir must compact to 1 file: $res")
+    Streams.mergeDedupIngest(docs(Seq((5L, base))), 2L, ts, to, 3, 0.5)
+    val dec = spark.read.parquet(to).where(col("doc_id") === 5L)
+      .select(col("decision"), col("dup_of")).head
+    assert(dec.getString(0) != "keep" && dec.getLong(1) == 1L,
+      s"compacted text index must preserve dup detection: $dec")
+  }
+
   test("audio ingest: the generalized media engine dedups WAV streams") {
     import spark.implicits._
     import graft.ops.Multimodal
