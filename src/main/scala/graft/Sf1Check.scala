@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 cross-check harness (driver tooling, like [[ScaleCurve]] /
+  * [[Sf1Gen]]): the STANDING per-round scale-correctness gate for every
+  * query family with a pair/blocking stage. The sf0.01 DuckDB oracle
+  * proves small-scale correctness; this proves the BLOCKING stays exact
+  * one decade up, where bugs that are invisible at sf0.1 (the round-11
+  * banded-engine output-distinct, caught only by an sf1 run) actually
+  * live.
+  *
+  * Method: each check runs the same family through two INDEPENDENT
+  * formulations whose outputs are equal by a theorem, at sf1, and
+  * asserts row-identity via two-sided EXCEPT counts:
+  *
+  *  - LSH-banded MinHash (d3) vs exact prefix-filtered Jaccard (d2):
+  *    equal whenever LSH recall is 1.0 — the planted near-dups sit at
+  *    j≈0.99 where a miss has probability ~4e-12 per pair;
+  *  - the banded-Hamming engine (d4 / d21 / d23) under two DIFFERENT
+  *    band layouts: pigeonhole makes every legal layout produce the
+  *    identical pair set, so layout-vs-layout row-identity exercises
+  *    bucketing, distinct-signature compression, and re-expansion with
+  *    no second implementation;
+  *  - two-level (coarse √k + fine) k-means assignment vs the flat
+  *    argmin at coarse = k, where the two-level argmin is exactly the
+  *    flat one (the d22 oracle's premise, here at 10x the corpus).
+  *
+  * Output: one JSON line per check {name, ok, left, right, only_left,
+  * only_right, secs} plus a summary line, and the full artifact written
+  * to the path in arg 2 (default CORRECTNESS_SF1.json). Exit code 1 on
+  * any mismatch.
+  *
+  * Usage: runMain graft.Sf1Check [sf1Dir] [outFile]
+  */
+object Sf1Check {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("target/sf1")
+    val outFile = if (args.length > 1) args(1) else "CORRECTNESS_SF1.json"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    docs.count(); emb.count() // warm scans off the first check's clock
+
+    // Row-identity via two-sided EXCEPT on the full projected row (ids
+    // AND computed columns) — a sign-flip that keeps the pair but breaks
+    // its hamming/jaccard value still fails.
+    def compare(name: String, left: => DataFrame,
+        right: => DataFrame): (String, Boolean) = {
+      val t0 = System.nanoTime()
+      val (l, r) = (left, right)
+      val cols = l.columns.sorted.map(col).toSeq
+      val lp = l.select(cols: _*).localCheckpoint()
+      val rp = r.select(cols: _*).localCheckpoint()
+      val (ln, rn) = (lp.count(), rp.count())
+      val onlyL = lp.exceptAll(rp).count()
+      val onlyR = rp.exceptAll(lp).count()
+      val ok = onlyL == 0 && onlyR == 0 && ln == rn
+      val secs = (System.nanoTime() - t0) / 1e9
+      val line = f"""{"name":"$name","ok":$ok,"left":$ln,"right":$rn,""" +
+        f""""only_left":$onlyL,"only_right":$onlyR,"secs":$secs%.1f}"""
+      println(line)
+      (line, ok)
+    }
+
+    val checks = Seq[(String, () => DataFrame, () => DataFrame)](
+      // d2/d3: two independent near-dup algorithms, equal at recall 1.0
+      ("jaccard_lsh_vs_exact",
+        () => ops.Dedup.minhashDuplicates(docs)
+          .select(col("doc1"), col("doc2")),
+        () => ops.Dedup.jaccardPairs(docs, 3, 0.5)
+          .select(col("doc1"), col("doc2"))),
+      // banded-Hamming engine: 4x16 layout vs 7 near-equal bands
+      ("simhash_band_layouts",
+        () => ops.Dedup.simhashPairs(docs, 3),
+        () => ops.Dedup.simhashPairsBanded(docs, 3, 7)),
+      // the multimodal bridges through the same engine, image then audio
+      ("phash_band_layouts",
+        () => ops.Multimodal.phashPairs(docs, 3),
+        () => ops.Multimodal.phashPairs(docs, 3, bands = 6)),
+      ("audio_band_layouts",
+        () => ops.Multimodal.audioPairs(docs, 2),
+        () => ops.Multimodal.audioPairs(docs, 2, bands = 5)),
+      // clustering: two-level assign at coarse = k == flat argmin
+      ("kmeans_two_level_vs_flat",
+        () => ops.Clustering.kmeansAssign(emb, 16, 2),
+        () => ops.Clustering.kmeansAssignScalable(emb, 16, 2,
+          trainCap = Long.MaxValue, maxModelCentroids = 0,
+          coarseCentroids = 16)))
+
+    val results = checks.map { case (name, l, r) =>
+      try compare(name, l(), r())
+      catch {
+        case e: Throwable =>
+          val line = s"""{"name":"$name","ok":false,"error":"${
+            e.getMessage.take(160).replace('"', '\'')}"}"""
+          println(line)
+          (line, false)
+      } finally {
+        ops.Dedup.clearSubstrates()
+        ops.Clustering.clearAssignments()
+      }
+    }
+    val nOk = results.count(_._2)
+    val artifact = s"""{"sf_dir":"$sfDir","checks":[${
+      results.map(_._1).mkString(",")}],"passed":$nOk,""" +
+      s""""total":${results.size}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      artifact.getBytes("UTF-8"))
+    println(s"== sf1 cross-checks: $nOk/${results.size} ok -> $outFile ==")
+    spark.stop()
+    if (nOk != results.size) sys.exit(1)
+  }
+}

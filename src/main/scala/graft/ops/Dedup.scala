@@ -1007,6 +1007,23 @@ object Dedup {
     bandedHammingPairs(simhash(documents),
       Array.fill(4)(16), Array.tabulate(4)(_ * 16), maxHamming)
 
+  /** Audit hook (the sf1 cross-check harness): [[simhashPairs]] under an
+    * EXPLICIT band count. Pigeonhole makes every legal layout (bands >
+    * maxHamming) produce the identical pair set, so running two
+    * different layouts at scale and asserting row-identity cross-checks
+    * the whole banded engine — bucketing, distinct-signature
+    * compression, re-expansion — with no second implementation needed. */
+  def simhashPairsBanded(documents: DataFrame, maxHamming: Int,
+      bands: Int): DataFrame = {
+    require(bands > maxHamming && bands <= 64,
+      "pigeonhole needs more bands than maxHamming, within the 64 bits")
+    val base = 64 / bands
+    val extra = 64 % bands
+    val widths = Array.tabulate(bands)(i => base + (if (i < extra) 1 else 0))
+    bandedHammingPairs(simhash(documents), widths,
+      widths.scanLeft(0)(_ + _).take(bands), maxHamming)
+  }
+
   /** Banded Hamming-pair join over DISTINCT signatures — the shared
     * candidate engine of [[simhashPairs]] (d4) and
     * [[portableSimhashPairs]] (d19).

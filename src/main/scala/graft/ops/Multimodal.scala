@@ -569,14 +569,18 @@ object Multimodal {
     * Scale shape inherits the engine's: banding over distinct signature
     * VALUES, output-proportional re-expansion — exact-duplicate images
     * (the bulk of image dup mass) never inflate the candidate join. */
-  def phashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def phashPairs(documents: DataFrame, maxHamming: Int = 3,
+      bands: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 56,
       "maxHamming must sit inside the 56-bit signature")
-    val bands = maxHamming + 1
-    val base = 56 / bands
-    val extra = 56 % bands
-    val widths = Array.tabulate(bands)(i => base + (if (i < extra) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).take(bands)
+    // bands = 0 -> the tightest pigeonhole layout; an explicit larger
+    // count is the sf1 cross-check's independent layout (same pair set)
+    val nb = if (bands == 0) maxHamming + 1 else bands
+    require(nb > maxHamming && nb <= 56, "bands must cover the pigeonhole")
+    val base = 56 / nb
+    val extra = 56 % nb
+    val widths = Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).take(nb)
     Dedup.bandedHammingPairs(
       phash(toMediaTable(documents)).select(col("doc_id"),
         col("phash").as("simhash")),
@@ -603,14 +607,16 @@ object Multimodal {
     * through the same distinct-signature Hamming engine, maxHamming+1
     * near-equal bands over the 31 bits (pigeonhole: banded == brute
     * force). Output (doc1 < doc2, hamming). */
-  def audioPairs(documents: DataFrame, maxHamming: Int = 2): DataFrame = {
+  def audioPairs(documents: DataFrame, maxHamming: Int = 2,
+      bands: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 31,
       "maxHamming must sit inside the 31-bit signature")
-    val bands = maxHamming + 1
-    val base = 31 / bands
-    val extra = 31 % bands
-    val widths = Array.tabulate(bands)(i => base + (if (i < extra) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).take(bands)
+    val nb = if (bands == 0) maxHamming + 1 else bands
+    require(nb > maxHamming && nb <= 31, "bands must cover the pigeonhole")
+    val base = 31 / nb
+    val extra = 31 % nb
+    val widths = Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).take(nb)
     Dedup.bandedHammingPairs(
       audioHash(toMediaTable(documents)).select(col("doc_id"),
         col("ahash").as("simhash")),

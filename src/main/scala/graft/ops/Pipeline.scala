@@ -309,10 +309,13 @@ object Pipeline {
     * COMPUTED, not a literal, so both engines evaluate the identical
     * IEEE subtraction). Zero-norm candidates are excluded up front.
     *
-    * Scale: the greedy runs downstream of the retriever on the
-    * |Q|·candK-row candidate frame — config-scale, the r5 posture — so
-    * driver state is ≤ |Q|·candK (id, rank, vector) tuples; the corpus
-    * is touched only by `Corpus.bm25TopK`'s own bounded-shuffle plan.
+    * Scale: the greedy runs DISTRIBUTED — one flatMapGroups task per
+    * query over its ≤ candK candidate rows (bounded by config, never by
+    * corpus), downstream of `Corpus.bm25TopK`'s own bounded-shuffle
+    * plan. Nothing is collected to the driver: a million-query rerank
+    * parallelizes across executors while each group's state stays candK
+    * vectors. [[mmrRerankCollected]] keeps the driver-side formulation
+    * as the row-identity twin (PipelineSpec pins equality).
     * Output (query_id, step, doc_id), step 1-based selection order. */
   def mmrRerank(documents: DataFrame, embeddings: DataFrame,
       queries: Seq[(String, Seq[String])] = Corpus.defaultQueries,
@@ -321,13 +324,48 @@ object Pipeline {
     require(lam >= 0.0 && lam <= 1.0, "lam is a convex mix")
     val spark = documents.sparkSession
     import spark.implicits._
-    val cand = Corpus.bm25TopK(documents, queries, candK)
-    val rows = cand
+    mmrCandidates(documents, embeddings, queries, candK)
+      .groupByKey(_._1)
+      .flatMapGroups((qid, it) => mmrGreedy(qid, it.toSeq, k, lam))
+      .toDF("query_id", "step", "doc_id")
+  }
+
+  /** The driver-side formulation of [[mmrRerank]] — same candidates,
+    * same greedy (literally the same [[mmrGreedy]] code), materialized
+    * with one |Q|·candK-bounded collect. Kept as the cross-check twin:
+    * the grouped path must reproduce it row for row. */
+  def mmrRerankCollected(documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(String, Seq[String])] = Corpus.defaultQueries,
+      candK: Int = 8, k: Int = 3, lam: Double = 0.7): DataFrame = {
+    require(k >= 1 && candK >= k, "need at least k candidates")
+    require(lam >= 0.0 && lam <= 1.0, "lam is a convex mix")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val out = mmrCandidates(documents, embeddings, queries, candK)
+      .collect().toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (qid, cs) => mmrGreedy(qid, cs, k, lam) }
+    out.toDF("query_id", "step", "doc_id")
+  }
+
+  private def mmrCandidates(documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(String, Seq[String])],
+      candK: Int): org.apache.spark.sql.Dataset[
+        (String, Long, Int, Array[Float])] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    Corpus.bm25TopK(documents, queries, candK)
       .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
         "doc_id")
       .select(col("query_id"), col("doc_id"), col("rn"), col("embedding"))
       .as[(String, Long, Int, Array[Float])]
-      .collect()
+  }
+
+  /** One query's MMR greedy over its candidate rows — the shared body of
+    * the distributed and collected paths, so the two cannot drift. */
+  private def mmrGreedy(qid: String,
+      cs0: Seq[(String, Long, Int, Array[Float])], k: Int,
+      lam: Double): Seq[(String, Int, Long)] = {
     def nrm(v: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
@@ -340,30 +378,26 @@ object Pipeline {
       BigDecimal(d / (na * nb))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    val out = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
-      case (qid, cs0) =>
-        val cs = cs0.map { case (_, id, rn, e) => (id, rn, e, nrm(e)) }
-          .filter(_._4 > 0).sortBy(_._1)
-        val selected =
-          scala.collection.mutable.ArrayBuffer[(Long, Int, Array[Float], Double)]()
-        val steps = scala.collection.mutable.ArrayBuffer[(String, Int, Long)]()
-        var step = 1
-        while (step <= k && selected.length < cs.length) {
-          val best = cs.filterNot(c => selected.exists(_._1 == c._1))
-            .map { c =>
-              val pen =
-                if (selected.isEmpty) 0.0
-                else selected.map(s => cos6(c._3, s._3, c._4, s._4)).max
-              (lam / c._2 - (1 - lam) * pen, c)
-            }
-            .maxBy { case (m, c) => (m, -c._1) }._2
-          selected += best
-          steps += ((qid, step, best._1))
-          step += 1
+    val cs = cs0.map { case (_, id, rn, e) => (id, rn, e, nrm(e)) }
+      .filter(_._4 > 0).sortBy(_._1)
+    val selected =
+      scala.collection.mutable.ArrayBuffer[(Long, Int, Array[Float], Double)]()
+    val steps = scala.collection.mutable.ArrayBuffer[(String, Int, Long)]()
+    var step = 1
+    while (step <= k && selected.length < cs.length) {
+      val best = cs.filterNot(c => selected.exists(_._1 == c._1))
+        .map { c =>
+          val pen =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => cos6(c._3, s._3, c._4, s._4)).max
+          (lam / c._2 - (1 - lam) * pen, c)
         }
-        steps
+        .maxBy { case (m, c) => (m, -c._1) }._2
+      selected += best
+      steps += ((qid, step, best._1))
+      step += 1
     }
-    out.toDF("query_id", "step", "doc_id")
+    steps.toSeq
   }
 
   /** Behavioral-pretraining sequence builder: each user's first `maxLen`

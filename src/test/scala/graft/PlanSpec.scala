@@ -38,6 +38,19 @@ class PlanSpec extends GraftSuite {
     assert(plan("j4_lookup_region").contains("BroadcastHashJoin"))
   }
 
+  test("r6 MMR rerank is distributed: no driver-side materialization") {
+    // the collected formulation's plan is a bare LocalTableScan of the
+    // greedy's driver-computed output — NO parquet lineage at all; the
+    // shipped query must instead keep the corpus scans in the plan with
+    // the greedy as a per-query MapGroups. (A LocalTableScan of the
+    // literal query SET is fine — that's config data.)
+    val p = plan("r6_mmr_rerank")
+    assert(p.contains("MapGroups"),
+      s"r6's greedy should run as grouped tasks:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size >= 2,
+      s"r6 must keep the documents+embeddings scans distributed:\n$p")
+  }
+
   test("unpartitioned windows only ever run on post-aggregation frames") {
     // the round-6 invariant, enforced: a global (partition-less) window
     // serializes its whole input through one task, so it is only legal

@@ -366,6 +366,19 @@ class ProvenanceSpec extends GraftSuite {
     assert(math.abs(o.getDouble(1)) < 1e-5)
   }
 
+  test("r6 twin: distributed MMR == collected MMR row for row") {
+    // the grouped flatMapGroups path (no driver collect) must reproduce
+    // the |Q|-candK-bounded collected formulation exactly — both run the
+    // same mmrGreedy body, so a divergence means the grouping or the
+    // row transport broke, not the arithmetic
+    val dist = Pipeline.mmrRerank(docs, embs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val coll = Pipeline.mmrRerankCollected(docs, embs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(dist == coll, s"paths diverged: ${dist.diff(coll)} / " +
+      s"${coll.diff(dist)}")
+  }
+
   test("r6 law: MMR skips the near-duplicate a pure relevance rank keeps") {
     // same length -> identical bm25 length norm -> rank strictly by tf:
     // ranks are 1:doc1, 2:doc2, 3:doc3, 4:doc4. doc2 duplicates doc1's
