@@ -589,11 +589,14 @@ object SparkEntry {
     "a13_pricing_rollup" -> ((s, d) =>
       Aggs.pricingRollup(t(s, d, "lineitem"))),
     "m2_frame_samples" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, size}
+      import org.apache.spark.sql.functions.{col, element_at, size}
       Multimodal.sampleFrames(
           Multimodal.toMediaTable(t(s, d, "documents")), 224, 4)
         .select(col("doc_id"), col("kind"), col("out_w"), col("out_h"),
-          size(col("frame_offsets")).as("n_sampled"))
+          size(col("frame_offsets")).as("n_sampled"),
+          // the (n-1)·stride endpoint gates the decoded-length/stride
+          // arithmetic itself, not just the sample count
+          element_at(col("frame_offsets"), -1).as("last_off"))
     }),
     // ---- sketches ----
     "a14_approx_quantiles" -> ((s, d) => {
@@ -2455,7 +2458,18 @@ object SparkEntry {
         |       CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1
         |            WHEN 1 THEN greatest(1, least(4, length(text)))
         |            ELSE greatest(1, least(4, n_chars // 64 + 1))
-        |            END AS INTEGER) AS n_sampled
+        |            END AS INTEGER) AS n_sampled,
+        |       CAST((CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1
+        |            WHEN 1 THEN greatest(1, least(4, length(text)))
+        |            ELSE greatest(1, least(4, n_chars // 64 + 1)) END - 1)
+        |          * greatest(1,
+        |            (CASE WHEN doc_id % 3 = 1 THEN length(text)
+        |             ELSE ((n_chars // 100) * 3 + 12)
+        |                * ((n_chars // 150) * 4 + 10) END)
+        |            // (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1
+        |               WHEN 1 THEN greatest(1, least(4, length(text)))
+        |               ELSE greatest(1, least(4, n_chars // 64 + 1)) END))
+        |         AS BIGINT) AS last_off
         |FROM documents""".stripMargin,
     "e2_sql_revenue_by_year" -> graft.sql.SqlJobs.revenueByYearSql,
     "e2_sql_corr_scalar" -> graft.sql.SqlJobs.maxSpendPerCustomerSql,

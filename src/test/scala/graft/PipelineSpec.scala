@@ -717,6 +717,12 @@ class PipelineSpec extends GraftSuite {
       assert(offs.nonEmpty && offs.head == 0L)
       assert(offs.zip(offs.tail).forall { case (a, b) => a < b })
       assert(offs.forall(_ < math.max(dlen, 1)))
+      // exact access pattern: n evenly-strided offsets over the decoded
+      // stream (the last_off oracle column gates the endpoint; this
+      // pins every intermediate offset too)
+      val stride = math.max(dlen.toLong / offs.length, 1L)
+      assert(offs == (0 until offs.length).map(_ * stride),
+        s"offsets must be i*stride over dlen=$dlen: $offs")
       assert(r.getAs[Int]("out_w") == 224 && r.getAs[Int]("out_h") > 0)
     }
   }
