@@ -569,6 +569,11 @@ object SparkEntry {
     // higher-id side of every phash near-dup image pair
     "e8_media_curated" -> ((s, d) =>
       Pipeline.mediaCuratedCorpus(t(s, d, "documents"))),
+    // the ALL-MODALITY closer: e5's keepers minus BOTH the image dHash
+    // and the audio envelope near-dup higher-ids (disjoint drop lists —
+    // one doc_id is one modality — unioned into a single anti-join)
+    "e9_media_curated_all" -> ((s, d) =>
+      Pipeline.fullMediaCuratedCorpus(t(s, d, "documents"))),
     // ---- E2 SQL entry path ----
     "e2_sql_revenue_by_year" -> ((s, d) =>
       graft.sql.SqlJobs.revenueByYear(s, d)),
@@ -1288,6 +1293,34 @@ object SparkEntry {
       |          ON b.doc_id = a.doc_id AND b.cell = a.cell + 1
       |        WHERE a.cell % 8 < 7
       |        GROUP BY 1)""".stripMargin
+
+  /** The d23 audio envelope signature derivation as a shared CTE block
+    * (asig(doc_id, ah)) — fixed 16-sample windows over the leading 512
+    * samples, 8-bit energy accumulator, gradient bits (see the d23
+    * oracle note); shared by the d23 pair oracle and e9's drop list. */
+  private val audioSigCtes: String =
+    """aaud AS (SELECT doc_id, text FROM documents
+      |              WHERE doc_id % 3 = 1),
+      |ach AS (SELECT doc_id,
+      |         unnest(range(1, least(length(text), 512)+1)) AS i,
+      |         text FROM aaud),
+      |acv AS (SELECT doc_id, CAST((i-1) // 16 AS INTEGER) AS w,
+      |         abs(unicode(text[i]) % 256 - 128) AS v FROM ach),
+      |ags AS (SELECT doc_id, w, SUM(v) % 256 AS gv
+      |         FROM acv GROUP BY 1, 2),
+      |aw32 AS (SELECT unnest(range(0, 32)) AS w),
+      |agrid AS (SELECT i.doc_id, c.w, COALESCE(g.gv, 0) AS gv
+      |         FROM aaud i CROSS JOIN aw32 c
+      |         LEFT JOIN ags g ON g.doc_id = i.doc_id AND g.w = c.w),
+      |asig AS (SELECT a.doc_id,
+      |          CAST(COALESCE(SUM(CASE WHEN a.gv < b.gv
+      |            THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER)
+      |            ELSE 0 END), 0) AS BIGINT) AS ah
+      |        FROM agrid a JOIN agrid b
+      |          ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      |        WHERE a.w < 31
+      |        GROUP BY 1)""".stripMargin
+
 
   /** [[kmeansCtes]] with the training corpus restricted by `pred` — the
     * frozen-quantizer oracle (sim11) trains the Lloyd loop on a SLICE
@@ -2546,31 +2579,11 @@ object SparkEntry {
     // points mod 256 by the encoder), gradient bits, brute-force hamming
     // (banded == brute by pigeonhole at maxHamming 2 over 3 bands)
     "d23_audio_pairs" ->
-      """WITH aaud AS (SELECT doc_id, text FROM documents
-        |              WHERE doc_id % 3 = 1),
-        |ach AS (SELECT doc_id,
-        |         unnest(range(1, least(length(text), 512)+1)) AS i,
-        |         text FROM aaud),
-        |acv AS (SELECT doc_id, CAST((i-1) // 16 AS INTEGER) AS w,
-        |         abs(unicode(text[i]) % 256 - 128) AS v FROM ach),
-        |ags AS (SELECT doc_id, w, SUM(v) % 256 AS gv
-        |         FROM acv GROUP BY 1, 2),
-        |aw32 AS (SELECT unnest(range(0, 32)) AS w),
-        |agrid AS (SELECT i.doc_id, c.w, COALESCE(g.gv, 0) AS gv
-        |         FROM aaud i CROSS JOIN aw32 c
-        |         LEFT JOIN ags g ON g.doc_id = i.doc_id AND g.w = c.w),
-        |asig AS (SELECT a.doc_id,
-        |          CAST(COALESCE(SUM(CASE WHEN a.gv < b.gv
-        |            THEN CAST(1 AS BIGINT) << CAST(a.w AS INTEGER)
-        |            ELSE 0 END), 0) AS BIGINT) AS ah
-        |        FROM agrid a JOIN agrid b
-        |          ON b.doc_id = a.doc_id AND b.w = a.w + 1
-        |        WHERE a.w < 31
-        |        GROUP BY 1)
-        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-        |       CAST(bit_count(xor(a.ah, b.ah)) AS INTEGER) AS hamming
-        |FROM asig a JOIN asig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.ah, b.ah)) <= 2""".stripMargin,
+      s"""WITH $audioSigCtes
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |       CAST(bit_count(xor(a.ah, b.ah)) AS INTEGER) AS hamming
+         |FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ah, b.ah)) <= 2""".stripMargin,
     // d3's verified output equals the exact-Jaccard pair set whenever LSH
     // recall is 1.0 — guaranteed here: planted near-dups sit at j≈0.99, so
     // a 4-row band misses with prob (1-0.99⁴)⁸ ≈ 4e-12 (PipelineSpec
@@ -3753,6 +3766,25 @@ object SparkEntry {
          |FROM qsc q JOIN dspan d USING (doc_id)
          |JOIN kept USING (doc_id)
          |WHERE q.doc_id NOT IN (SELECT doc_id FROM pdrop)""".stripMargin,
+    // e9: e8 plus the audio drop leg (shared asig CTEs); the two drop
+    // lists cannot intersect (kind is keyed on doc_id % 3)
+    "e9_media_curated_all" ->
+      s"""WITH $modelScoreCtes,
+         |$dupSpanCtes,
+         |$curationKeepCtes,
+         |$phashSigCtes,
+         |$audioSigCtes,
+         |mdrop AS (SELECT DISTINCT b.doc_id
+         |          FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         |          UNION
+         |          SELECT b.doc_id
+         |          FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.ah, b.ah)) <= 2)
+         |SELECT q.doc_id, q.n_toks, q.score, d.dup_frac
+         |FROM qsc q JOIN dspan d USING (doc_id)
+         |JOIN kept USING (doc_id)
+         |WHERE q.doc_id NOT IN (SELECT doc_id FROM mdrop)""".stripMargin,
     // e6: the e5 keep-set fed through the pack1 cumsum — the composed
     // filter compares 6dp values both engines hash-match, and the pack
     // arithmetic is all-integer, so the composition is oracle-exact

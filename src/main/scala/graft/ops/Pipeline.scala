@@ -153,6 +153,27 @@ object Pipeline {
       .join(phashDrops, Seq("doc_id"), "left_anti")
   }
 
+  /** The ALL-MODALITY curation closer: [[mediaCuratedCorpus]]'s image
+    * drop list UNIONED with the audio near-dup drop list (d23's engine,
+    * same higher-id-drops greedy rule) before the single anti-join — so
+    * text quality, text dup spans, exact text dups, image perceptual
+    * dups, and audio envelope dups all gate one corpus with one pass
+    * over the keep-set. The two pair frames are disjoint by construction
+    * (a doc_id is one modality), so the union never double-drops; both
+    * drop lists stay pair-output-sized, and the anti-join is the only
+    * corpus-frame operation added. */
+  def fullMediaCuratedCorpus(documents: DataFrame, minScore: Double = 0.45,
+      maxDupFrac: Double = 0.5, maxHamming: Int = 3,
+      audioMaxHamming: Int = 2): DataFrame = {
+    val drops = Multimodal.phashPairs(documents, maxHamming)
+      .select(col("doc2").as("doc_id"))
+      .unionByName(Multimodal.audioPairs(documents, audioMaxHamming)
+        .select(col("doc2").as("doc_id")))
+      .distinct()
+    curatedCorpus(documents, minScore, maxDupFrac)
+      .join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** Corpus datasheet: per (lang, source) stratum — document count, token
     * and character totals, and near-dup exposure. The report every corpus
     * release ships (and the input the mixing weights of

@@ -1150,6 +1150,21 @@ class PipelineSpec extends GraftSuite {
       s"phash doc2 side (${want.size} expected, ${got.size} got)")
   }
 
+  test("e9 composition: fullMediaCuratedCorpus == e8 minus audio drops") {
+    val audioDrops = graft.ops.Multimodal.audioPairs(docs, 2)
+      .select(col("doc2")).collect().map(_.getLong(0)).toSet
+    val want = Pipeline.mediaCuratedCorpus(docs).collect()
+      .map(_.getLong(0)).toSet -- audioDrops
+    val got = Pipeline.fullMediaCuratedCorpus(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == want, "e9 must be exactly e8's keep-set minus the " +
+      s"audio doc2 side (${want.size} expected, ${got.size} got)")
+    // the two modality drop lists are disjoint by construction
+    val imageDrops = graft.ops.Multimodal.phashPairs(docs, 3)
+      .select(col("doc2")).collect().map(_.getLong(0)).toSet
+    assert(imageDrops.intersect(audioDrops).isEmpty)
+  }
+
   test("d21 phash: planted near-dup images pair up, audio never does") {
     import spark.implicits._
     import graft.ops.Multimodal
