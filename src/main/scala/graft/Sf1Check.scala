@@ -107,6 +107,7 @@ object Sf1Check {
       } finally {
         ops.Dedup.clearSubstrates()
         ops.Clustering.clearAssignments()
+        ops.Multimodal.clearMedia()
       }
     }
     val nOk = results.count(_._2)

@@ -416,6 +416,34 @@ object Multimodal {
     * mirror what the encoder wrote — `decode` never reads them
     * (spec-pinned: it re-derives both from the parsed payload). */
   def toMediaTable(documents: DataFrame): DataFrame = {
+    // session-memoized under the substrate contract (the Clustering
+    // pattern — keyed on the CANONICALIZED input plan because the typed
+    // mapPartitions closure defeats CacheManager plan-equality): six
+    // suite queries (m1/m2/d21/d23/e8/e9) plus compositions all start
+    // from the same encoded media frame, and the encode (filter +
+    // deflate per doc) is the expensive part
+    val key = documents.queryExecution.analyzed.canonicalized
+    mediaCache.synchronized {
+      mediaCache.getOrElseUpdate(key, {
+        val df = buildMediaTable(documents)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialization barrier: one encode pass, not one
+                   // per concurrent scan inside a single action
+        df
+      })
+    }
+  }
+
+  /** Unpersist every media frame this object has memoized. */
+  def clearMedia(): Unit = mediaCache.synchronized {
+    mediaCache.values.foreach(_.unpersist())
+    mediaCache.clear()
+  }
+
+  private val mediaCache = scala.collection.mutable.Map[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+
+  private def buildMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text"),

@@ -1133,6 +1133,7 @@ class PipelineSpec extends GraftSuite {
     assert(ops.Aggs.funnelStages(noEvents).collect()
       .map(r => r.getLong(1)).toSeq == Seq(0L, 0L, 0L))
     Dedup.clearSubstrates() // don't leak the weird-corpus caches
+    graft.ops.Multimodal.clearMedia() // nor the tiny media memos
     Clustering.clearAssignments() // nor the tiny-frame kmeans memos
     Pipeline.clearCurated() // nor the weird-corpus keep-set memo
   }
