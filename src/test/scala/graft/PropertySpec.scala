@@ -494,6 +494,66 @@ class PropertySpec extends GraftSuite {
       "a corrupt IDAT byte must not decode to the original pixels")
   }
 
+  test("PNG/WAV conformance: the JDK's own decoders agree byte-for-byte") {
+    // differential gate against INDEPENDENT reference implementations
+    // that ship in the JDK: javax.imageio's PNG plugin must decode our
+    // encoder's payloads to the same gray values our decoder returns,
+    // and javax.sound.sampled must parse our WAVs to the same format and
+    // sample bytes — so "real PNG/WAV" is certified by a codec we did
+    // not write, in both structure and content
+    import graft.ops.Multimodal
+    val bmpGen = for {
+      w <- Gen.chooseNum(1, 32)
+      h <- Gen.chooseNum(1, 32)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (w, h, px.toArray)
+    samples(bmpGen, 60).foreach { case (w, h, px) =>
+      val png = Multimodal.pngBytes(w, h, px, None)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"ImageIO rejected our PNG at ${w}x$h")
+      assert(img.getWidth == w && img.getHeight == h)
+      val ours = Multimodal.decodePixels(png).get._3
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == ours(y * w + x),
+          s"ImageIO and decodePixels disagree at ($x,$y) in ${w}x$h")
+    }
+    // and the reverse: a PNG ImageIO encoded (its own filter choices,
+    // its own IDAT chunking) must decode through OUR pipeline
+    val src = new java.awt.image.BufferedImage(9, 7,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 7; x <- 0 until 9)
+      src.getRaster.setSample(x, y, 0, (x * 29 + y * 57) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "png", bos))
+    Multimodal.decodePixels(bos.toByteArray) match {
+      case Some((w, h, ours)) =>
+        assert(w == 9 && h == 7)
+        for (y <- 0 until 7; x <- 0 until 9)
+          assert(ours(y * 9 + x) == src.getRaster.getSample(x, y, 0),
+            s"our decoder misread ImageIO's PNG at ($x,$y)")
+      case None =>
+        // acceptable only if ImageIO wrote a non-grayscale-8 variant our
+        // decoder declares out of scope — make that visible, not silent
+        val colorType = bos.toByteArray()(25)
+        assert(colorType != 0,
+          "our decoder rejected a grayscale-8 PNG ImageIO produced")
+    }
+    // WAV: format fields and PCM bytes through javax.sound.sampled
+    val pcm = Array.tabulate(300)(i => ((i * 37 + 11) % 256).toByte)
+    val wav = Multimodal.wavBytes(pcm)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 8,
+      s"AudioSystem parsed a different format: $fmt")
+    val heard = ais.readAllBytes()
+    assert(heard.sameElements(pcm),
+      "AudioSystem heard different samples than we wrote")
+    assert(Multimodal.wavDataBody(wav).get.sameElements(pcm))
+  }
+
   test("dHash law: a same-length single-char edit flips at most 2 bits") {
     // the prefix render maps text position p to pixel p (no wrap), so a
     // substituted character changes exactly ONE pixel -> ONE grid cell's
