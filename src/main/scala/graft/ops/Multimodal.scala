@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   *
   * The perceptual hashes are computed from DECODED CONTENT: dHash from an
   * 8×8 integer-mean box-sample of the inflated+unfiltered grayscale
-  * bitmap, the audio envelope from per-window mean |PCM − 128| of the
-  * decoded samples. The ENCODER (the test-data builder) derives pixels
+  * bitmap, the audio envelope from per-window |PCM − 128| energy
+  * accumulators over the decoded samples. The ENCODER (the test-data builder) derives pixels
   * and samples deterministically from the document text (pixel p = code
   * point (p mod L), mod 256), which is what lets the DuckDB oracle
   * rebuild the same grid from the stored text while the Spark side reads

@@ -1451,6 +1451,25 @@ class StreamingSpec extends GraftSuite {
       .select(col("decision"), col("dup_of")).head
     assert(dec.getString(0) != "keep" && dec.getLong(1) == 1L,
       s"compacted text index must preserve dup detection: $dec")
+    // mid-swap crash: the target rename landed but the tmp rename never
+    // did — simulate by moving the index aside as the `_old` backup; the
+    // next compaction call must restore it before doing anything else
+    val fpDir = new java.io.File(s"$ts/index/fp")
+    val bak = new java.io.File(s"$ts/index/fp_old")
+    assert(fpDir.renameTo(bak), "fixture rename failed")
+    val (rb, ra) = Streams.compactIngestIndex(spark, s"$ts/index/fp",
+      s"$ts/frontier")
+    // 2 files going in (the earlier compacted partition + batch 2's
+    // append), 1 coming out — and crucially the call SAW them, which
+    // means the backup was restored before counting
+    assert(rb == 2 && ra == 1, s"recovery pass saw ($rb, $ra)")
+    assert(fpDir.exists && !bak.exists,
+      "the _old backup must be restored into place")
+    Streams.mergeDedupIngest(docs(Seq((8L, base))), 3L, ts, to, 3, 0.5)
+    val dec8 = spark.read.parquet(to).where(col("doc_id") === 8L)
+      .select(col("decision"), col("dup_of")).head
+    assert(dec8.getString(0) != "keep" && dec8.getLong(1) == 1L,
+      s"recovered index must still detect dups: $dec8")
   }
 
   test("audio ingest: the generalized media engine dedups WAV streams") {
