@@ -38,6 +38,25 @@ class PlanSpec extends GraftSuite {
     assert(plan("j4_lookup_region").contains("BroadcastHashJoin"))
   }
 
+  test("a10/a15 bound gates: exact+sketch legs cost at most the scans they need") {
+    // a10 computes HLL and exact countDistinct in ONE grouped pass —
+    // adding the bound gate must not have doubled the events scan
+    val p10 = plan("a10_approx_distinct")
+    assert("Scan parquet".r.findAllIn(p10).size == 1,
+      s"a10's two aggregates must share one scan:\n$p10")
+    // a15's legs genuinely need different groupings (daily sketches vs
+    // global distinct), so two scans is the floor — pin it as a ceiling
+    val p15 = plan("a15_hll_rollup")
+    assert("Scan parquet".r.findAllIn(p15).size <= 2,
+      s"a15 must not scan events more than twice:\n$p15")
+  }
+
+  test("e9 composes with one anti-join over the shared keep-set") {
+    val p = plan("e9_media_curated_all")
+    assert("LeftAnti".r.findAllIn(p).size == 1,
+      s"both modality drop lists must merge into a single anti-join:\n$p")
+  }
+
   test("r6 MMR rerank is distributed: no driver-side materialization") {
     // the collected formulation's plan is a bare LocalTableScan of the
     // greedy's driver-computed output — NO parquet lineage at all; the
