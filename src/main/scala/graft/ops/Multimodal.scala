@@ -319,7 +319,10 @@ object Multimodal {
       val h = be32At(b, 20).toInt
       if (w <= 0 || h <= 0) None
       else if (b(24) != 8 || b(25) != 0) None // depth 8, grayscale only
-      else if (h.toLong * (w + 1) > Int.MaxValue) None
+      // ALL-long arithmetic: a declared width of Int.MaxValue would
+      // overflow (w + 1) in Int, slip past this guard negative, and
+      // crash the allocation below instead of returning None
+      else if (h.toLong * (w.toLong + 1L) > Int.MaxValue) None
       else
         inflate(body, h * (w + 1)).flatMap(unfilterScanlines(_, w, h))
           .map((w, h, _))

@@ -667,6 +667,24 @@ class PipelineSpec extends GraftSuite {
       Array.tabulate(6)(i => (200 - i).toByte), None)
     val fo = Multimodal.decode(rec(otherPng)).get
     assert(fo.checksum != fi.checksum && fo.mean_px != fi.mean_px)
+    // adversarial headers: a structurally VALID chunk stream whose IHDR
+    // declares absurd dimensions must be rejected cleanly — an Int
+    // overflow in the size guard would instead crash the allocation
+    // (decode-bomb posture: untrusted 100 TB media cannot kill tasks)
+    for ((aw, ah) <- Seq((Int.MaxValue, 2), (Int.MaxValue, Int.MaxValue),
+        (1 << 30, 4), (-1, 2))) {
+      val ihdr = Array[Byte](
+        ((aw >>> 24) & 0xff).toByte, ((aw >>> 16) & 0xff).toByte,
+        ((aw >>> 8) & 0xff).toByte, (aw & 0xff).toByte,
+        ((ah >>> 24) & 0xff).toByte, ((ah >>> 16) & 0xff).toByte,
+        ((ah >>> 8) & 0xff).toByte, (ah & 0xff).toByte,
+        8, 0, 0, 0, 0)
+      val bomb = PngSig ++ mkChunk("IHDR", ihdr) ++
+        mkChunk("IDAT", Array[Byte](1, 2, 3)) ++
+        mkChunk("IEND", Array.empty[Byte])
+      assert(Multimodal.decode(rec(bomb)).isEmpty,
+        s"dims ${aw}x$ah must reject, not allocate")
+    }
   }
 
   private val PngSig: Array[Byte] =
