@@ -267,7 +267,9 @@ object Multimodal {
     * corrupt payloads (so WAV audio drops out of the image path by
     * construction, keyed on MAGIC BYTES, never the metadata columns). */
   private[graft] def pngIdatBody(b: Array[Byte]): Option[Array[Byte]] = try {
-    if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
+    // 33 = signature + a complete IHDR chunk, the minimum any valid PNG
+    // carries; shorter buffers would hit the fixed-offset header reads
+    if (b.length < 33 || !b.take(8).sameElements(PngSig)) return None
     if (be32At(b, 8) != 13L || asciiAt(b, 12, 4) != "IHDR") return None
     if (crc32(java.util.Arrays.copyOfRange(b, 12, 29)) != be32At(b, 29))
       return None
@@ -283,7 +285,7 @@ object Multimodal {
       i += 12 + len.toInt
     }
     if (!sawEnd) None else Some(out.toByteArray)
-  } catch { case _: ArrayIndexOutOfBoundsException => None }
+  } catch { case _: IndexOutOfBoundsException => None }
 
   /** acTL frame count of a structurally complete PNG chunk stream:
     * Some(Some(n)) for APNG, Some(None) for a plain PNG, None for a
@@ -304,7 +306,7 @@ object Multimodal {
       }
     }
     if (bad || !sawEnd) None else Some(frames)
-  } catch { case _: ArrayIndexOutOfBoundsException => None }
+  } catch { case _: IndexOutOfBoundsException => None }
 
   /** REAL pixel decode of a grayscale-8 PNG/APNG payload: chunk-walk
     * validation ([[pngIdatBody]]), zlib inflation bounded by the
@@ -353,7 +355,7 @@ object Multimodal {
         i += 8 + len.toInt
       }
       if (pcm) out else None
-    } catch { case _: ArrayIndexOutOfBoundsException => None }
+    } catch { case _: IndexOutOfBoundsException => None }
 
   /** Parse one payload END TO END. PNG: chunk walk + IHDR CRC + full
     * pixel decode (inflate + unfilter) — a payload whose headers parse
@@ -404,7 +406,7 @@ object Multimodal {
           if (pcm.length == 0) 0L else s / pcm.length)
       }
     } else None
-  } catch { case _: ArrayIndexOutOfBoundsException => None }
+  } catch { case _: IndexOutOfBoundsException => None }
 
   /** Build a media table from documents: REAL format bytes whose pixel /
     * sample content derives from the document text ([[textPixels]]),

@@ -620,6 +620,20 @@ class PropertySpec extends GraftSuite {
       .flatMap(n => Gen.listOfN(n, byteGen).map(_.toArray))
     samples(bufGen, 300).foreach { b =>
       Multimodal.wavDataBody(b) // must not throw
+      Multimodal.decodePixels(b) // nor the full pixel path
+      Multimodal.decode(Multimodal.MediaRecord(0L, "x", b, 0, 0))
+      ()
+    }
+    // a REAL PNG truncated/garbled at every byte position: the whole
+    // decode stack (chunk walk, CRC, inflate, unfilter) must degrade to
+    // None, never throw — the per-byte sweep catches off-by-ones no
+    // random buffer ever hits
+    val goodPng = Multimodal.pngBytes(5, 4,
+      Array.tabulate(20)(i => (i * 13).toByte), Some(2L))
+    (0 until goodPng.length).foreach { i =>
+      Multimodal.decodePixels(goodPng.take(i)) // truncations
+      val flip = goodPng.clone(); flip(i) = (flip(i) ^ 0xff).toByte
+      Multimodal.decodePixels(flip) // single-byte corruption
       ()
     }
     // structured fuzz: a correct RIFF/WAVE magic followed by garbage
