@@ -636,6 +636,18 @@ class PropertySpec extends GraftSuite {
       Multimodal.decodePixels(flip) // single-byte corruption
       ()
     }
+    // the same sweep over a real WAV through the full audio stack
+    val goodWav = Multimodal.wavBytes(
+      Array.tabulate(40)(i => (i * 7).toByte))
+    (0 until goodWav.length).foreach { i =>
+      Multimodal.wavDataBody(goodWav.take(i))
+      Multimodal.decode(Multimodal.MediaRecord(0L, "x",
+        goodWav.take(i), 0, 0))
+      val flip = goodWav.clone(); flip(i) = (flip(i) ^ 0xff).toByte
+      Multimodal.wavDataBody(flip)
+      Multimodal.decode(Multimodal.MediaRecord(0L, "x", flip, 0, 0))
+      ()
+    }
     // structured fuzz: a correct RIFF/WAVE magic followed by garbage
     // chunks must still reject (truncated declared lengths)
     val riffGen = Gen.listOfN(24, byteGen).map { tail =>
