@@ -494,6 +494,29 @@ class PropertySpec extends GraftSuite {
       "a corrupt IDAT byte must not decode to the original pixels")
   }
 
+  test("text parsers are total on adversarial strings") {
+    // the tokenizer and dictionary segmenter sit on the UDTF path every
+    // raw document crosses — arbitrary UTF-16 (lone surrogates, control
+    // chars, astral pairs, empty) must tokenize, never throw, and both
+    // must agree on the total-coverage law (concatenated CJK output
+    // covers the CJK input; Latin tokens lowercase)
+    import graft.functions.{Text, DictSegment}
+    val dict = DictSegment.buildDict(Seq("数据", "仓库"))
+    val sGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(1, 0xFFFF).map(_.toChar),      // any BMP unit,
+        Gen.chooseNum(0xD800, 0xDFFF).map(_.toChar), // surrogates incl. lone
+        Gen.oneOf(' ', '\t', '\n', '数', '据', 'a', 'Z', '0')))
+        .map(_.mkString))
+    samples(sGen, 400).foreach { s =>
+      val toks = Text.tokenize(s)     // must not throw
+      val segs = DictSegment.segment(dict, s)
+      (toks ++ segs).foreach(t => assert(t.nonEmpty, "no empty tokens"))
+      assert(toks.sameElements(Text.tokenize(s)), "determinism")
+      assert(segs.sameElements(DictSegment.segment(dict, s)))
+    }
+  }
+
   test("PNG/WAV conformance: the JDK's own decoders agree byte-for-byte") {
     // differential gate against INDEPENDENT reference implementations
     // that ship in the JDK: javax.imageio's PNG plugin must decode our
