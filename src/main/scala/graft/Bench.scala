@@ -98,6 +98,24 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // LOAD GATE (round-12 postmortem: a bench started at load 6.67 shipped
+    // a 3.73x false breach that a 30-second wait would have avoided; the
+    // best-of-2 protocol made it diagnosable but not prevented): refuse to
+    // start timed reps while the 1-min load average exceeds the gate,
+    // sleeping in short slices until it drops or the bounded wait expires.
+    // The wait itself is recorded in the artifact so a run that started
+    // hot anyway (gate timeout) is self-describing.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
+    val gateMaxWait =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_WAIT", "300").toInt
+    var gateWait = 0
+    while (loadAvg > loadGate && gateWait < gateMaxWait) {
+      if (gateWait == 0) System.err.println(
+        f"[bench] load ${loadAvg}%.2f > gate $loadGate%.1f — waiting " +
+          s"(up to ${gateMaxWait}s) for the box to quiet down")
+      Thread.sleep(5000)
+      gateWait += 5
+    }
     val load0 = loadAvg
     val repTotals = new Array[Double](reps)
     val results = selected.toSeq.zipWithIndex.map { case ((name, fn), i) =>
@@ -125,6 +143,7 @@ object Bench {
     val total = results.map(_._2).sum
     val allQs = results.map(entry).mkString("{", ",", "}")
     val noise = s""""reps":$reps,"load_avg":[${f(load0)},${f(load1)}],""" +
+      s""""load_gate":$loadGate,"gate_wait_s":$gateWait,""" +
       s""""rep_totals":[${repTotals.map(f).mkString(",")}]"""
     val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup":"$warmup",$noise,"queries":$allQs,"sf":"$sfDir"}"""

@@ -100,8 +100,11 @@ object Sf1Check {
       try compare(name, l(), r())
       catch {
         case e: Throwable =>
+          // String.valueOf: getMessage is null for NPEs and many wrapped
+          // errors — a bare .take would NPE inside the handler and abort
+          // the harness without writing the artifact or later checks
           val line = s"""{"name":"$name","ok":false,"error":"${
-            e.getMessage.take(160).replace('"', '\'')}"}"""
+            String.valueOf(e.getMessage).take(160).replace('"', '\'')}"}"""
           println(line)
           (line, false)
       } finally {

@@ -86,31 +86,32 @@ object Graph {
     * ordered wedges a<b<c closed by the (a, c) edge — the standard
     * edge-join algorithm.
     *
-    * Scale notes: the wedge join's fan-out is Σ_v deg(v)², bounded here
-    * by construction (a top-k kNN graph caps out-degree at k, so
-    * undirected degree ~ 2k); for power-law graphs orient wedges from
-    * the lower-degree endpoint before joining. Both the wedge and the
-    * closing probe are equi-joins on the canonical edge frame, which is
-    * `localCheckpoint`ed once and reused three times. Output: (id,
-    * degree, triangles, clustering = 2T/deg(deg−1), 6dp; degree < 2 ⇒
-    * 0.0). */
+    * Scale notes: edges are oriented from the LOWER-(degree, id)
+    * endpoint before the wedge join (the compact-forward / node-iterator
+    * ordering), so the wedge fan-out is Σ_v C(outdeg(v), 2) with
+    * outdeg(v) = |{u ~ v : (deg(u), u) > (deg(v), v)}| ≤ O(√m) for ANY
+    * graph — a power-law hub of degree d contributes ~0 wedges at the
+    * hub instead of d², because every hub edge points INTO the hub.
+    * Each triangle {u, v, w} with u < v < w in the degree order is
+    * enumerated exactly once, as the wedge (u→v, u→w) closed by the
+    * oriented edge (v→w). Both the wedge and the closing probe are
+    * equi-joins on the oriented frame, which is `localCheckpoint`ed once
+    * and reused three times. Output: (id, degree, triangles,
+    * clustering = 2T/deg(deg−1), 6dp; degree < 2 ⇒ 0.0). */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
-    val tri = und
-      .join(und.toDF("b", "c"), "b") // wedge a<b, b<c (canonical order)
-      .join(und.toDF("a", "c"), Seq("a", "c")) // closing edge
-      .select(col("a"), col("b"), col("c"))
+    val (oriented, deg) = orientEdges(edges)
+    // wedge at the lowest-ordered apex, dst order keys disambiguate
+    val tri = oriented
+      .select(col("src"), col("dst").as("x"), col("dk").as("kx"))
+      .join(oriented.select(col("src"), col("dst").as("y"),
+        col("dk").as("ky")), "src")
+      .where(col("kx") < col("ky")) // each unordered wedge once
+      .join(oriented.select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y")) // closing edge, oriented x→y by transitivity
+      .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
     val perNode = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
-    val deg = und
-      .select(explode(array(col("a"), col("b"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
     deg.join(perNode, Seq("id"), "left")
       .select(col("id"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
@@ -118,5 +119,37 @@ object Graph {
         when(col("degree") < 2, lit(0.0))
           .otherwise(round(col("triangles") * lit(2.0) /
             (col("degree") * (col("degree") - 1)), 6)))
+  }
+
+  /** Canonicalize, dedup, and ORIENT an edge frame from the lower-
+    * (degree, id) endpoint; returns (oriented(src, dst, dk), degree).
+    * `dk` is the destination's (degree, id) order key, so the wedge join
+    * can order its two legs without re-joining degrees. Package-visible:
+    * ScaleSpec pins the planted-hub wedge bound on this frame. */
+  private[graft] def orientEdges(edges: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    // identical field names on both keys: struct comparison requires the
+    // same type, and StructType equality includes field names
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+      .select(
+        when(ka < kb, col("a")).otherwise(col("b")).as("src"),
+        when(ka < kb, col("b")).otherwise(col("a")).as("dst"),
+        when(ka < kb, kb).otherwise(ka).as("dk"))
+      .localCheckpoint()
+    (oriented, deg)
   }
 }

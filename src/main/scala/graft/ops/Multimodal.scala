@@ -427,8 +427,18 @@ object Multimodal {
     // suite queries (m1/m2/d21/d23/e8/e9) plus compositions all start
     // from the same encoded media frame, and the encode (filter +
     // deflate per doc) is the expensive part
-    val key = documents.queryExecution.analyzed.canonicalized
+    // keyed on (session, plan), not plan alone: equal parquet reads
+    // canonicalize equal ACROSS SparkSessions, so a plan-only key would
+    // hand a restarted driver a DataFrame bound to the dead session
+    // (fails at action time) — and entries of stopped sessions are
+    // evicted on every call so a long-lived process doesn't pin
+    // MEMORY_AND_DISK storage for sessions that no longer exist
+    val key = (documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized)
     mediaCache.synchronized {
+      mediaCache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped
+      }
       mediaCache.getOrElseUpdate(key, {
         val df = buildMediaTable(documents)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -441,12 +451,15 @@ object Multimodal {
 
   /** Unpersist every media frame this object has memoized. */
   def clearMedia(): Unit = mediaCache.synchronized {
-    mediaCache.values.foreach(_.unpersist())
+    mediaCache.values.foreach { df =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
     mediaCache.clear()
   }
 
   private val mediaCache = scala.collection.mutable.Map[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
 
   private def buildMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession

@@ -904,19 +904,40 @@ object Streams {
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }.getOrElse(-1L)
     if (frontier < 0L) return (before, before) // nothing committed yet
-    val committed = spark.read.parquet(indexDir)
-      .where(col("bid").cast("long") <= frontier)
-    val bytes = {
-      var b = 0L
-      val it = fs.listFiles(target, true)
+    // COMMITTED-ONLY read and walks: a bare spark.read.parquet(indexDir)
+    // with a bid <= frontier filter would still LIST and footer-read every
+    // partition — including uncommitted crash orphans, whose truncated
+    // files poison schema inference (the exact hazard committedBidParquet
+    // exists to avoid). So the read, the byte-sizing, and the "already
+    // compact" test all see only bid <= frontier directories; orphan
+    // partitions are garbage (never readable by anyone) and only ever
+    // touched by the whole-directory swap below.
+    val bidDirs = fs.listStatus(target).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bid="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("bid=").toLong).toOption
+        .map(b => (s.getPath, b)))
+    val orphanDirs = bidDirs.collect { case (p, b) if b > frontier => p }
+    val committedOpt = committedBidParquet(spark, indexDir, frontier)
+    if (committedOpt.isEmpty) return (before, before)
+    val committed = committedOpt.get
+    var committedFiles = 0L
+    var bytes = 0L
+    bidDirs.collect { case (p, b) if b <= frontier => p }.foreach { p =>
+      val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val s = it.next()
-        if (s.getPath.getName.endsWith(".parquet")) b += s.getLen
+        if (s.getPath.getName.endsWith(".parquet")) {
+          committedFiles += 1; bytes += s.getLen
+        }
       }
-      b
     }
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    if (before <= nOut) return (before, before) // already compact
+    // already compact — but only when there are no orphans to collect:
+    // compaction doubles as the orphan GC, so a compact index with a
+    // crash orphan still rewrites (the orphan dies in the swap)
+    if (committedFiles <= nOut && orphanDirs.isEmpty)
+      return (before, before)
     val tmp = new org.apache.hadoop.fs.Path(indexDir + "_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     committed.drop("bid").coalesce(nOut).write

@@ -401,6 +401,39 @@ class PipelineSpec extends GraftSuite {
     stats.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("gr4 power-law guard: hub wedges track min-degree orientation") {
+    import spark.implicits._
+    // planted hub: star 0—(1..200) plus a 5-clique among leaves 1..5
+    // (closing edges). Canonical-id orientation would fan C(200,2) =
+    // 19900 wedges out of the hub; the (degree, id) orientation points
+    // every star edge INTO the hub, so total wedges = Σ_v C(outdeg(v), 2)
+    // stays clique-sized.
+    val star = (1L to 200L).map(l => (0L, l))
+    val clique = for {
+      x <- 1L to 5L; y <- (x + 1) to 5L
+    } yield (x, y)
+    val edges = (star ++ clique).toDF("src", "dst")
+    val (oriented, _) = Graph.orientEdges(edges)
+    // hub degree 200 is the maximum, so zero wedges are apexed at it;
+    // leaves 1..5 have degree 5 (hub + 4 clique peers), leaves 6..200
+    // degree 1. Out-degrees: hub 0; clique leaves ≤ 4 (clique peers of
+    // higher order) + 1 (hub); plain leaves 1 (hub). Wedge total
+    // Σ C(outdeg, 2) ≤ 5·C(5,2) = 50 ≪ 19900.
+    val outdeg = oriented.groupBy("src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outdeg.getOrElse(0L, 0L) == 0L, s"hub must have no out-edges")
+    val wedges = outdeg.values.map(d => d * (d - 1) / 2).sum
+    assert(wedges <= 50, s"wedge space $wedges exceeds min-degree bound")
+    // the census itself is orientation-invariant: C(5,3) = 10 triangles
+    // inside the clique plus one {0, x, y} hub triangle per clique edge
+    // (10 more) — each clique node in 6 internal + 4 hub triangles
+    val got = Graph.triangleStats(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 5L).forall(got(_) == 10L))
+    assert(got(0L) == 10L && got(6L) == 0L)
+    assert(got.values.sum == 60L) // 20 triangles x 3 corners
+  }
+
   test("portable twins are partition-layout invariant") {
     // the integer-exactness contract, tested directly: reshuffling the
     // input must not move a single output bit (float-sum orders would)

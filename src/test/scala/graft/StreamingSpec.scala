@@ -1417,16 +1417,23 @@ class StreamingSpec extends GraftSuite {
       1L, state, out, 3)
     Streams.mergePhashIngest(media(Seq((6L, "third unrelated body"))),
       2L, state, out, 3)
-    // plus an uncommitted crash orphan above the frontier
-    val orphan = new java.io.File(s"$state/index/bid=9")
-    orphan.mkdirs()
-    java.nio.file.Files.write(
-      new java.io.File(orphan, "part-00000.snappy.parquet").toPath,
-      Array[Byte]('P', 'A', 'R', '1', 1, 2))
+    // plus TWO uncommitted crash orphans above the frontier, both holding
+    // TRUNCATED parquet files: bid=10 sorts lexicographically BEFORE
+    // bid=2, so a compaction that lists all partitions for schema
+    // inference (instead of reading committed dirs only) samples the
+    // poisoned footer first and throws — the regression this pins
+    for (ob <- Seq(9, 10)) {
+      val orphan = new java.io.File(s"$state/index/bid=$ob")
+      orphan.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(orphan, "part-00000.snappy.parquet").toPath,
+        Array[Byte]('P', 'A', 'R', '1', 1, 2))
+    }
     val (before, after) = Streams.compactMediaIngestState(spark, state)
     assert(before >= 3, s"expected >= 3 pre-compaction files, got $before")
     assert(after == 1, s"compaction must merge to 1 file, got $after")
-    assert(!new java.io.File(s"$state/index/bid=9").exists,
+    assert(!new java.io.File(s"$state/index/bid=9").exists &&
+      !new java.io.File(s"$state/index/bid=10").exists,
       "orphans above the frontier are garbage-collected")
     // frontier marker untouched -> replay of an old bid stays a no-op
     Streams.mergePhashIngest(media(Seq((9L, "never seen"))), 1L, state,

@@ -2,6 +2,11 @@
 """Bench gate check: compare a graft.Bench result against BASELINE.md.
 
 Usage: python3 tools/benchgate.py [bench_out.json]
+       python3 tools/benchgate.py --list-ungated [bench_out.json]
+
+--list-ungated prints only the queries that have NO baseline line in
+BASELINE.md (one per line) and exits 1 if any exist — the round-close
+check that no new query ships ungated.
 
 Baselines are the union of every ```json {"metric":"total",...} line in
 BASELINE.md, EARLIEST line winning per query (a query's gate is its first
@@ -30,9 +35,17 @@ def baselines(path="BASELINE.md"):
 
 
 def main():
-    bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench_out.json"
+    args = [a for a in sys.argv[1:] if a != "--list-ungated"]
+    list_ungated = "--list-ungated" in sys.argv[1:]
+    bench_path = args[0] if args else "bench_out.json"
     bench = json.load(open(bench_path))["queries"]
     base = baselines()
+    if list_ungated:
+        missing = sorted(q for q in bench if q not in base)
+        for q in missing:
+            print(q)
+        print(f"== {len(missing)} ungated of {len(bench)} benched ==")
+        sys.exit(1 if missing else 0)
     breaches, ungated = [], []
     for q, sec in sorted(bench.items()):
         if q not in base:
