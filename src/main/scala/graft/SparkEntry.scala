@@ -603,6 +603,12 @@ object SparkEntry {
           // arithmetic itself, not just the sample count
           element_at(col("frame_offsets"), -1).as("last_off"))
     }),
+    // the direct per-frame-pixel gate: one row per DECODED video frame,
+    // floor-mean brightness of that frame's inflated+unfiltered bitmap —
+    // a decoder that poster-framed frame k or mis-sequenced the fdAT
+    // streams cannot hash-match the oracle's per-frame render
+    "m3_video_frame_means" -> ((s, d) =>
+      Multimodal.videoFrameMeans(t(s, d, "documents"))),
     // ---- sketches ----
     "a14_approx_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1259,21 +1265,24 @@ object SparkEntry {
 
   /** The d21 dHash signature derivation as a shared, prefix-namespaced
     * CTE block (psig(doc_id, ph)). The SPARK side computes this from the
-    * payload bytes alone — inflate the IDAT zlib stream, reverse the
-    * per-row PNG filters, 8×8 integer-mean box-sample the bitmap; the
-    * oracle rebuilds the IDENTICAL grid from the encoder's deterministic
-    * pixel function (prefix render: pixel p of the w×h bitmap = code
-    * point p of `text` mod 256 while text lasts, 0 past the end; cell
-    * (r·8/h, c·8/w); cell value = floor-mean), so
-    * a wrong inflate/unfilter on the Spark side breaks the hash match.
-    * Every cell is populated (w, h ≥ 8 by construction), so the
+    * payload bytes alone — inflate the IDAT (and, for APNG video, every
+    * sequence-validated fdAT) zlib stream, reverse the per-row PNG
+    * filters, 8×8 integer-mean box-sample each frame's bitmap; a video's
+    * signature is the per-bit MAJORITY over its per-frame dHashes. The
+    * oracle rebuilds the IDENTICAL grids from the encoder's
+    * deterministic pixel function (prefix render: pixel p of frame k =
+    * code point k·w + p of `text` mod 256 while text lasts, 0 past the
+    * end — frame k is the still render scrolled k rows; cell
+    * (r·8/h, c·8/w); cell value = floor-mean), so a wrong
+    * inflate/unfilter/frame-sequencing on the Spark side breaks the hash
+    * match. Every cell is populated (w, h ≥ 8 by construction), so the
     * adjacency join needs no empty-cell padding. Shared by the d21 pair
-    * oracle and e8's drop list. */
+    * oracle and e8/e9's drop lists. */
   private val phashSigCtes: String =
     """pimg AS (SELECT doc_id, text, length(text) AS l,
       |           CAST((n_chars // 100) * 3 + 12 AS BIGINT) AS w,
       |           CAST((n_chars // 150) * 4 + 10 AS BIGINT) AS h
-      |         FROM documents WHERE doc_id % 3 <> 1),
+      |         FROM documents WHERE doc_id % 3 = 0),
       |ppx AS (SELECT doc_id, w, h, l, text,
       |         unnest(range(0, w * h)) AS p FROM pimg),
       |pcv AS (SELECT doc_id,
@@ -1284,7 +1293,7 @@ object SparkEntry {
       |        FROM ppx),
       |pgs AS (SELECT doc_id, cell, SUM(v) // COUNT(*) AS gv
       |         FROM pcv GROUP BY 1, 2),
-      |psig AS (SELECT a.doc_id,
+      |isig AS (SELECT a.doc_id,
       |          CAST(COALESCE(SUM(CASE WHEN a.gv < b.gv
       |            THEN CAST(1 AS BIGINT) <<
       |              CAST((a.cell // 8) * 7 + (a.cell % 8) AS INTEGER)
@@ -1292,7 +1301,45 @@ object SparkEntry {
       |        FROM pgs a JOIN pgs b
       |          ON b.doc_id = a.doc_id AND b.cell = a.cell + 1
       |        WHERE a.cell % 8 < 7
-      |        GROUP BY 1)""".stripMargin
+      |        GROUP BY 1),
+      |pvm AS (SELECT doc_id, text, length(text) AS l,
+      |           CAST((n_chars // 100) * 3 + 12 AS BIGINT) AS w,
+      |           CAST((n_chars // 150) * 4 + 10 AS BIGINT) AS h,
+      |           CAST(n_chars // 64 + 1 AS BIGINT) AS n
+      |         FROM documents WHERE doc_id % 3 = 2),
+      |pvq AS (SELECT doc_id, w, h, l, n, text,
+      |         unnest(range(0, n * w * h)) AS q FROM pvm),
+      |pvc AS (SELECT doc_id, q // (w*h) AS k,
+      |         (((q % (w*h)) // w) * 8) // h * 8
+      |           + (((q % (w*h)) % w) * 8) // w AS cell,
+      |         CASE WHEN (q // (w*h)) * w + (q % (w*h)) < l
+      |           THEN unicode(text[CAST((q // (w*h)) * w + (q % (w*h))
+      |             AS INTEGER) + 1]) % 256
+      |           ELSE 0 END AS v
+      |        FROM pvq),
+      |vgs AS (SELECT doc_id, k, cell, SUM(v) // COUNT(*) AS gv
+      |         FROM pvc GROUP BY 1, 2, 3),
+      |fsig AS (SELECT a.doc_id, a.k,
+      |          CAST(COALESCE(SUM(CASE WHEN a.gv < b.gv
+      |            THEN CAST(1 AS BIGINT) <<
+      |              CAST((a.cell // 8) * 7 + (a.cell % 8) AS INTEGER)
+      |            ELSE 0 END), 0) AS BIGINT) AS ph
+      |        FROM vgs a JOIN vgs b
+      |          ON b.doc_id = a.doc_id AND b.k = a.k
+      |          AND b.cell = a.cell + 1
+      |        WHERE a.cell % 8 < 7
+      |        GROUP BY 1, 2),
+      |vbit AS (SELECT doc_id, bb.bit,
+      |          SUM(CASE WHEN (ph >> CAST(bb.bit AS INTEGER)) & 1 = 1
+      |            THEN 1 ELSE 0 END) AS c,
+      |          COUNT(*) AS n
+      |        FROM fsig, (SELECT unnest(range(0, 56)) AS bit) bb
+      |        GROUP BY 1, 2),
+      |vsig AS (SELECT doc_id, CAST(SUM(CASE WHEN 2 * c > n
+      |            THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+      |            ELSE 0 END) AS BIGINT) AS ph
+      |         FROM vbit GROUP BY 1),
+      |psig AS (SELECT * FROM isig UNION ALL SELECT * FROM vsig)""".stripMargin
 
   /** The d23 audio envelope signature derivation as a shared CTE block
     * (asig(doc_id, ah)) — fixed 16-sample windows over the leading 512
@@ -2476,9 +2523,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
     // out_w/out_h mirror the aspect-preserving resize plan over the
-    // PARSED dims (w = n_chars%24+8, h = n_chars%16+8); n_sampled =
-    // max(1, min(maxFrames, header frame count)) — image 1 frame, audio
-    // one "frame" per PCM sample, video the acTL count n_chars//64+1
+    // PARSED dims; n_sampled = max(1, min(maxFrames, DECODED frame
+    // count)) — image 1 frame, audio one "frame" per PCM sample, video
+    // the fcTL/fdAT-validated count n_chars//64+1. Offsets are
+    // FRAME-ALIGNED for image/video: sampled frame i is frame
+    // i*floor(n_frames/n_sampled), at byte offset frame_idx*(w*h) in the
+    // concatenated decoded bitmap stream, so last_off gates the
+    // per-frame layout arithmetic; audio strides through the PCM
+    // samples as before
     "m2_frame_samples" ->
       """SELECT doc_id,
         |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
@@ -2492,18 +2544,35 @@ object SparkEntry {
         |            WHEN 1 THEN greatest(1, least(4, length(text)))
         |            ELSE greatest(1, least(4, n_chars // 64 + 1))
         |            END AS INTEGER) AS n_sampled,
-        |       CAST((CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1
-        |            WHEN 1 THEN greatest(1, least(4, length(text)))
-        |            ELSE greatest(1, least(4, n_chars // 64 + 1)) END - 1)
-        |          * greatest(1,
-        |            (CASE WHEN doc_id % 3 = 1 THEN length(text)
-        |             ELSE ((n_chars // 100) * 3 + 12)
-        |                * ((n_chars // 150) * 4 + 10) END)
-        |            // (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1
-        |               WHEN 1 THEN greatest(1, least(4, length(text)))
-        |               ELSE greatest(1, least(4, n_chars // 64 + 1)) END))
-        |         AS BIGINT) AS last_off
+        |       CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |            WHEN 0 THEN 0
+        |            WHEN 1 THEN (greatest(1, least(4, length(text))) - 1)
+        |              * greatest(1, length(text)
+        |                  // greatest(1, least(4, length(text))))
+        |            ELSE (greatest(1, least(4, n_chars // 64 + 1)) - 1)
+        |              * greatest(1, (n_chars // 64 + 1)
+        |                  // greatest(1, least(4, n_chars // 64 + 1)))
+        |              * ((n_chars // 100) * 3 + 12)
+        |              * ((n_chars // 150) * 4 + 10)
+        |            END AS BIGINT) AS last_off
         |FROM documents""".stripMargin,
+    // per-frame means from the encoder arithmetic: frame k of a video is
+    // the prefix render scrolled k rows (pixel p = code point k*w + p,
+    // 0 past text end), mean = floor over the w*h frame bitmap
+    "m3_video_frame_means" ->
+      """WITH vm AS (SELECT doc_id, text, length(text) AS l,
+        |        CAST((n_chars // 100) * 3 + 12 AS BIGINT) AS w,
+        |        CAST((n_chars // 150) * 4 + 10 AS BIGINT) AS h,
+        |        CAST(n_chars // 64 + 1 AS BIGINT) AS n
+        |      FROM documents WHERE doc_id % 3 = 2),
+        |vq AS (SELECT doc_id, w, h, l, n, text,
+        |        unnest(range(0, n * w * h)) AS q FROM vm)
+        |SELECT doc_id, CAST(q // (w*h) AS INTEGER) AS frame,
+        |       CAST(SUM(CASE WHEN (q // (w*h)) * w + (q % (w*h)) < l
+        |         THEN unicode(text[CAST((q // (w*h)) * w + (q % (w*h))
+        |           AS INTEGER) + 1]) % 256
+        |         ELSE 0 END) // MAX(w * h) AS BIGINT) AS mean_px
+        |FROM vq GROUP BY 1, 2""".stripMargin,
     "e2_sql_revenue_by_year" -> graft.sql.SqlJobs.revenueByYearSql,
     "e2_sql_corr_scalar" -> graft.sql.SqlJobs.maxSpendPerCustomerSql,
     "e2_sql_kwsplit_counts" ->
@@ -2515,20 +2584,24 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // every non-id column below is, on the Spark side, parsed/DECODED
-    // out of the payload BYTES (PNG IHDR/acTL + inflate + unfilter, WAV
-    // fmt/data chunks); the oracle reconstructs the same values from the
-    // deterministic encoder arithmetic. mean_px is the pixel-level gate:
-    // floor-mean brightness of the decoded bitmap (prefix render: pixel
-    // p = code point p mod 256, 0 past text end) for images/video,
-    // floor-mean |sample-128| of the decoded PCM for audio — a wrong
-    // inflate/unfilter/PCM walk on
-    // the Spark side cannot hash-match it. byte_len (deflate output
-    // size) and checksum (CRC-32) are spec-pinned, not SQL-expressible.
+    // out of the payload BYTES (PNG IHDR/acTL/fcTL/fdAT + per-frame
+    // inflate + unfilter, WAV fmt/data chunks); the oracle reconstructs
+    // the same values from the deterministic encoder arithmetic.
+    // mean_px is the pixel-level gate: floor-mean brightness of the
+    // decoded bitmap for images (prefix render: pixel p = code point p
+    // mod 256, 0 past text end), floor-mean over EVERY decoded frame's
+    // pixels for video (frame k = the render scrolled k rows — the
+    // oracle sums each text index weighted by how many frames cover it),
+    // floor-mean |sample-128| of the decoded PCM for audio; video
+    // duration_ms = the sum of the decoded fcTL delays (40 ms/frame).
+    // A wrong inflate/unfilter/frame-walk on the Spark side cannot
+    // hash-match. byte_len (deflate output size) and checksum (CRC-32)
+    // are spec-pinned, not SQL-expressible.
     "m1_media_features" ->
       """WITH im AS (SELECT doc_id, text, length(text) AS l,
         |        CAST((n_chars // 100) * 3 + 12 AS BIGINT) AS w,
         |        CAST((n_chars // 150) * 4 + 10 AS BIGINT) AS h
-        |      FROM documents WHERE doc_id % 3 <> 1),
+        |      FROM documents WHERE doc_id % 3 = 0),
         |imx AS (SELECT doc_id, l, text,
         |         unnest(range(0, w * h)) AS p FROM im),
         |imm AS (SELECT doc_id,
@@ -2536,6 +2609,20 @@ object SparkEntry {
         |            THEN unicode(text[CAST(p AS INTEGER) + 1]) % 256
         |            ELSE 0 END) // COUNT(*) AS mean_px
         |        FROM imx GROUP BY 1),
+        |vim AS (SELECT doc_id, text, length(text) AS l,
+        |        CAST((n_chars // 100) * 3 + 12 AS BIGINT) AS w,
+        |        CAST((n_chars // 150) * 4 + 10 AS BIGINT) AS h,
+        |        CAST(n_chars // 64 + 1 AS BIGINT) AS n
+        |      FROM documents WHERE doc_id % 3 = 2),
+        |vix AS (SELECT doc_id, l, text, w, h, n,
+        |         unnest(range(0, least(l, (n-1)*w + w*h))) AS j FROM vim),
+        |vmm AS (SELECT doc_id,
+        |          SUM((unicode(text[CAST(j AS INTEGER) + 1]) % 256) *
+        |              (least(n-1, j // w) -
+        |               (CASE WHEN j < w*h THEN 0
+        |                ELSE (j - w*h) // w + 1 END) + 1))
+        |            // MAX(n * w * h) AS mean_px
+        |        FROM vix GROUP BY 1),
         |aum AS (SELECT doc_id,
         |          SUM(abs(unicode(text[i]) % 256 - 128)) // COUNT(*)
         |            AS mean_px
@@ -2543,7 +2630,8 @@ object SparkEntry {
         |                unnest(range(1, length(text)+1)) AS i
         |              FROM documents WHERE doc_id % 3 = 1)
         |        GROUP BY 1),
-        |mp AS (SELECT * FROM imm UNION ALL SELECT * FROM aum)
+        |mp AS (SELECT * FROM imm UNION ALL SELECT * FROM vmm
+        |       UNION ALL SELECT * FROM aum)
         |SELECT d.doc_id,
         |       CASE CAST(d.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -2557,11 +2645,12 @@ object SparkEntry {
         |            WHEN 1 THEN length(d.text)
         |            ELSE d.n_chars // 64 + 1
         |            END AS BIGINT) AS n_frames,
-        |       CAST(CASE WHEN d.doc_id % 3 = 1
-        |            THEN (length(d.text) * 1000) // 8000
+        |       CAST(CASE CAST(d.doc_id % 3 AS INTEGER)
+        |            WHEN 1 THEN (length(d.text) * 1000) // 8000
+        |            WHEN 2 THEN 40 * (d.n_chars // 64 + 1)
         |            ELSE 0 END AS BIGINT) AS duration_ms,
-        |       CAST(m.mean_px AS BIGINT) AS mean_px
-        |FROM documents d JOIN mp m USING (doc_id)""".stripMargin,
+        |       CAST(COALESCE(m.mean_px, 0) AS BIGINT) AS mean_px
+        |FROM documents d LEFT JOIN mp m USING (doc_id)""".stripMargin,
     // dHash image near-dups over the REAL pixel decode: Spark inflates
     // the IDAT, reverses the PNG filters, and box-samples the bitmap;
     // the oracle regenerates the same bitmap from the encoder's pixel

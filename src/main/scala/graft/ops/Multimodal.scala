@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   *   - images are PNG (ISO/IEC 15948): signature, IHDR with CRC-32,
   *     8-bit GRAYSCALE scanlines run through the spec's per-row filters
   *     (all five types), zlib-deflated into (multiple) IDAT chunks, IEND;
-  *   - videos are APNG: a PNG whose acTL chunk carries the frame count;
+  *   - videos are APNG (the PNG animation extension): acTL declares the
+  *     frame count, frame 0's fcTL precedes the IDAT stream, and every
+  *     later frame is an fcTL + its own complete zlib stream in
+  *     sequence-numbered fdAT chunks — n REAL deflated bitmaps per clip,
+  *     each a one-row-scrolled prefix render of the document text;
   *   - audio is WAV (RIFF): `fmt ` chunk (PCM, mono, 8 kHz, 8-bit) +
   *     `data` chunk of raw unsigned samples.
   *
@@ -81,6 +85,9 @@ object Multimodal {
   private def le16(v: Int): Array[Byte] =
     Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
 
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
   private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
     val t = typ.getBytes("US-ASCII")
     be32(data.length.toLong) ++ t ++ data ++ be32(crc32(t, data))
@@ -107,6 +114,30 @@ object Multimodal {
       p += 1
     }
     out
+  }
+
+  /** The per-frame video render: frame k is the prefix render SCROLLED
+    * by one row per frame — pixel p of frame k carries code point
+    * k·w + p (0 past the text end), so the video "pans" down the
+    * document one scanline at a time. Frame 0 equals [[textPixels]],
+    * consecutive frames overlap in all but one row, and a "+ dup"
+    * SUFFIX append perturbs only the trailing render positions of every
+    * frame — the same prefix-alignment property the still-image and
+    * audio fingerprints rely on. */
+  private[graft] def textFrames(text: String, w: Int, h: Int,
+      nf: Int): Array[Array[Byte]] = {
+    val cps = text.codePoints().toArray
+    Array.tabulate(nf) { k =>
+      val out = new Array[Byte](w * h)
+      val off = k * w
+      var p = 0
+      val m = math.min(w * h, math.max(cps.length - off, 0))
+      while (p < m) {
+        out(p) = (cps(off + p) % 256).toByte
+        p += 1
+      }
+      out
+    }
   }
 
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -219,20 +250,60 @@ object Multimodal {
     } finally inf.end()
   }
 
-  /** A real PNG: signature + IHDR(width, height, 8-bit GRAYSCALE) +
-    * optional acTL(nFrames) [APNG] + the filtered-and-deflated bitmap
-    * split across 512-byte IDAT chunks (multi-IDAT is spec-legal and the
-    * decoder must concatenate) + IEND. `px` is the w·h bitmap. */
-  private[graft] def pngBytes(w: Int, h: Int, px: Array[Byte],
-      nFrames: Option[Long]): Array[Byte] = {
+  /** A real PNG: signature + IHDR(width, height, 8-bit GRAYSCALE) + the
+    * filtered-and-deflated bitmap split across 512-byte IDAT chunks
+    * (multi-IDAT is spec-legal and the decoder must concatenate) + IEND.
+    * `px` is the w·h bitmap. */
+  private[graft] def pngBytes(w: Int, h: Int,
+      px: Array[Byte]): Array[Byte] = {
     val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
       Array[Byte](8, 0, 0, 0, 0) // depth 8, grayscale, deflate, none, none
-    val actl = nFrames.map(n => chunk("acTL", be32(n) ++ be32(0L)))
     val idat = deflate(filterScanlines(px, w, h))
     val idats = idat.grouped(512)
       .map(g => chunk("IDAT", g)).foldLeft(Array.empty[Byte])(_ ++ _)
-    PngSig ++ chunk("IHDR", ihdr) ++ actl.getOrElse(Array.empty[Byte]) ++
-      idats ++ chunk("IEND", Array.empty[Byte])
+    PngSig ++ chunk("IHDR", ihdr) ++ idats ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** A real APNG (the PNG spec's animation extension, now folded into
+    * ISO/IEC 15948 third edition): IHDR + acTL(n, 0 plays) + per-frame
+    * control and data chunks. Frame 0 is the default image — its fcTL
+    * precedes the IDAT stream, making it part of the animation; frames
+    * 1..n−1 each carry an fcTL followed by that frame's OWN complete
+    * zlib stream split across 4-byte-sequence-prefixed fdAT chunks.
+    * fcTL and fdAT share one strictly-consecutive sequence counter
+    * starting at 0; every frame here is full-canvas (x = y = 0, dims =
+    * IHDR dims, dispose NONE, blend SOURCE) with a uniform
+    * delayNum/delayDen delay. */
+  private[graft] def apngBytes(w: Int, h: Int, frames: Seq[Array[Byte]],
+      delayNum: Int = 40, delayDen: Int = 1000): Array[Byte] = {
+    require(frames.nonEmpty, "an APNG needs at least one frame")
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, 0, 0, 0, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    var seq = 0L
+    def fctl(): Array[Byte] = {
+      val d = be32(seq) ++ be32(w.toLong) ++ be32(h.toLong) ++
+        be32(0L) ++ be32(0L) ++ be16(delayNum) ++ be16(delayDen) ++
+        Array[Byte](0, 0) // dispose APNG_DISPOSE_OP_NONE, blend SOURCE
+      seq += 1
+      chunk("fcTL", d)
+    }
+    out.write(PngSig)
+    out.write(chunk("IHDR", ihdr))
+    out.write(chunk("acTL", be32(frames.length.toLong) ++ be32(0L)))
+    out.write(fctl()) // frame 0 = the IDAT stream
+    deflate(filterScanlines(frames.head, w, h)).grouped(512)
+      .foreach(g => out.write(chunk("IDAT", g)))
+    frames.tail.foreach { f =>
+      out.write(fctl())
+      deflate(filterScanlines(f, w, h)).grouped(512).foreach { g =>
+        out.write(chunk("fdAT", be32(seq) ++ g))
+        seq += 1
+      }
+    }
+    out.write(chunk("IEND", Array.empty[Byte]))
+    out.toByteArray
   }
 
   /** A real WAV: RIFF/WAVE + `fmt ` (PCM, 1 channel, `rate` Hz, 8-bit) +
@@ -261,74 +332,142 @@ object Multimodal {
     new String(b, i, n, "US-ASCII")
 
   // --------------------------------------------------------------- decode
-  /** Concatenated IDAT body of a structurally valid PNG/APNG payload —
-    * signature + IHDR-CRC + chunk-walk validation, returning the
-    * compressed-stream bytes for [[inflate]]. None for non-PNG or
-    * corrupt payloads (so WAV audio drops out of the image path by
-    * construction, keyed on MAGIC BYTES, never the metadata columns). */
-  private[graft] def pngIdatBody(b: Array[Byte]): Option[Array[Byte]] = try {
+  private def be16At(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** A fully decoded PNG/APNG: dimensions, whether the payload declared
+    * animation (acTL present), every frame's unfiltered bitmap (frame 0
+    * = the IDAT stream; frames 1.. = their fdAT streams), and the
+    * per-frame fcTL delays in milliseconds (a single 0 for a plain
+    * PNG). */
+  private[graft] case class PngParsed(w: Int, h: Int, animated: Boolean,
+      frames: Vector[Array[Int]], delaysMs: Vector[Long])
+
+  /** REAL whole-payload decode of a grayscale-8 PNG/APNG: signature +
+    * IHDR CRC-32 + full chunk-walk validation, then EVERY frame's zlib
+    * stream inflated (bounded by the IHDR-declared size) and its per-row
+    * filters reversed. APNG structure is validated, not trusted: fcTL
+    * and fdAT sequence numbers must be strictly consecutive from 0, the
+    * fcTL count must equal the acTL-declared frame count, frame 0's fcTL
+    * must precede the IDAT stream (the default image IS the first
+    * animation frame — the only layout this decoder supports), every
+    * frame must be full-canvas (dims = IHDR, zero offsets, blend
+    * SOURCE), and fdAT before its fcTL, IDAT after fdAT, or acTL after
+    * IDAT all reject. None for non-PNG, corrupt, truncated,
+    * non-grayscale-8, or any stream that inflates to the wrong length —
+    * this decoder declares its supported profile and rejects the rest
+    * rather than mis-decoding (the untrusted-media posture: a malformed
+    * payload degrades to "undecodable", never to wrong pixels or a
+    * runaway allocation — every buffer here is bounded by the validated
+    * IHDR dims and the per-frame chunk bytes actually present). */
+  private[graft] def decodePng(b: Array[Byte]): Option[PngParsed] = try {
     // 33 = signature + a complete IHDR chunk, the minimum any valid PNG
     // carries; shorter buffers would hit the fixed-offset header reads
     if (b.length < 33 || !b.take(8).sameElements(PngSig)) return None
     if (be32At(b, 8) != 13L || asciiAt(b, 12, 4) != "IHDR") return None
     if (crc32(java.util.Arrays.copyOfRange(b, 12, 29)) != be32At(b, 29))
       return None
-    val out = new java.io.ByteArrayOutputStream()
+    val w = be32At(b, 16).toInt
+    val h = be32At(b, 20).toInt
+    if (w <= 0 || h <= 0) return None
+    if (b(24) != 8 || b(25) != 0) return None // depth 8, grayscale only
+    // ALL-long arithmetic: a declared width of Int.MaxValue would
+    // overflow (w + 1) in Int, slip past this guard negative, and
+    // crash the allocation below instead of returning None
+    if (h.toLong * (w.toLong + 1L) > Int.MaxValue) return None
+    val rowBytes = h * (w + 1)
+    var acTL = -1L     // declared animation frame count; -1 = plain PNG
+    var sawIdat = false
+    var sawFdat = false
     var sawEnd = false
+    var seqExpect = 0L // fcTL/fdAT shared strictly-consecutive counter
+    val idat = new java.io.ByteArrayOutputStream()
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fdat =
+      scala.collection.mutable.ArrayBuffer
+        .empty[java.io.ByteArrayOutputStream]
     var i = 33
     while (i + 8 <= b.length && !sawEnd) {
       val len = be32At(b, i)
       val typ = asciiAt(b, i + 4, 4)
-      if (i + 12 + len > b.length) return None
-      if (typ == "IDAT") out.write(b, i + 8, len.toInt)
-      if (typ == "IEND") sawEnd = true
+      if (i + 12 + len > b.length) return None // truncated chunk
+      typ match {
+        case "acTL" =>
+          // once, before IDAT, exactly 8 bytes, >= 1 declared frame
+          if (len != 8L || acTL >= 0L || sawIdat) return None
+          acTL = be32At(b, i + 8)
+          if (acTL <= 0L) return None
+        case "fcTL" =>
+          if (len != 26L || acTL < 0L) return None
+          // frames after the first need the default image already done
+          if (delays.nonEmpty && !sawIdat) return None
+          if (be32At(b, i + 8) != seqExpect) return None
+          seqExpect += 1
+          // full-canvas frames only: dims = IHDR, no offset, blend
+          // SOURCE — the profile this decoder supports
+          if (be32At(b, i + 12) != w.toLong ||
+            be32At(b, i + 16) != h.toLong) return None
+          if (be32At(b, i + 20) != 0L || be32At(b, i + 24) != 0L)
+            return None
+          if ((b(i + 32) & 0xff) > 2 || (b(i + 33) & 0xff) != 0)
+            return None
+          val num = be16At(b, i + 28)
+          val den = be16At(b, i + 30)
+          delays += num.toLong * 1000L / (if (den == 0) 100 else den)
+          if (delays.length >= 2)
+            fdat += new java.io.ByteArrayOutputStream()
+        case "IDAT" =>
+          if (sawFdat) return None // IDAT after frame data: malformed
+          // animated: the default image must be declared frame 0 (its
+          // fcTL precedes IDAT) — a hidden default image is out of
+          // profile
+          if (acTL >= 0L && delays.length != 1) return None
+          sawIdat = true
+          idat.write(b, i + 8, len.toInt)
+        case "fdAT" =>
+          // needs its own fcTL (frame >= 1) and the 4-byte seq prefix
+          if (len < 4L || fdat.isEmpty) return None
+          if (be32At(b, i + 8) != seqExpect) return None
+          seqExpect += 1
+          sawFdat = true
+          fdat.last.write(b, i + 12, len.toInt - 4)
+        case "IEND" => sawEnd = true
+        case _      => () // ancillary chunks skipped
+      }
       i += 12 + len.toInt
     }
-    if (!sawEnd) None else Some(out.toByteArray)
-  } catch { case _: IndexOutOfBoundsException => None }
-
-  /** acTL frame count of a structurally complete PNG chunk stream:
-    * Some(Some(n)) for APNG, Some(None) for a plain PNG, None for a
-    * truncated walk (decode treats that as undecodable). */
-  private def pngFrames(b: Array[Byte]): Option[Option[Long]] = try {
-    var frames = Option.empty[Long]
-    var sawEnd = false
-    var bad = false
-    var i = 33
-    while (i + 8 <= b.length && !sawEnd && !bad) {
-      val len = be32At(b, i)
-      val typ = asciiAt(b, i + 4, 4)
-      if (i + 12 + len > b.length) bad = true
-      else {
-        if (typ == "acTL") frames = Some(be32At(b, i + 8))
-        if (typ == "IEND") sawEnd = true
-        i += 12 + len.toInt
+    if (!sawEnd || !sawIdat) return None
+    if (acTL < 0L) {
+      if (delays.nonEmpty || sawFdat) return None // fdAT/fcTL need acTL
+      inflate(idat.toByteArray, rowBytes)
+        .flatMap(unfilterScanlines(_, w, h))
+        .map(px => PngParsed(w, h, animated = false, Vector(px),
+          Vector(0L)))
+    } else {
+      if (delays.length.toLong != acTL) return None // fcTL count = acTL
+      val streams = idat.toByteArray +: fdat.map(_.toByteArray).toVector
+      if (streams.exists(_.isEmpty)) return None // a frame with no data
+      val frames = Vector.newBuilder[Array[Int]]
+      var k = 0
+      while (k < streams.length) {
+        inflate(streams(k), rowBytes).flatMap(
+          unfilterScanlines(_, w, h)) match {
+          case Some(px) => frames += px
+          case None     => return None
+        }
+        k += 1
       }
+      Some(PngParsed(w, h, animated = true, frames.result(),
+        delays.toVector))
     }
-    if (bad || !sawEnd) None else Some(frames)
   } catch { case _: IndexOutOfBoundsException => None }
 
-  /** REAL pixel decode of a grayscale-8 PNG/APNG payload: chunk-walk
-    * validation ([[pngIdatBody]]), zlib inflation bounded by the
-    * IHDR-declared size, per-row filter reversal. Returns (w, h, pixels
-    * row-major 0..255). None for non-PNG, corrupt, truncated, non-
-    * grayscale-8 (this decoder declares grayscale-8 support and rejects
-    * the rest rather than mis-decoding), or wrong-length streams. */
+  /** First-frame pixel decode of a grayscale-8 PNG/APNG payload (the
+    * whole-payload validation and per-frame inflation of [[decodePng]],
+    * projected to frame 0). Returns (w, h, pixels row-major 0..255). */
   private[graft] def decodePixels(
       b: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    pngIdatBody(b).flatMap { body =>
-      val w = be32At(b, 16).toInt
-      val h = be32At(b, 20).toInt
-      if (w <= 0 || h <= 0) None
-      else if (b(24) != 8 || b(25) != 0) None // depth 8, grayscale only
-      // ALL-long arithmetic: a declared width of Int.MaxValue would
-      // overflow (w + 1) in Int, slip past this guard negative, and
-      // crash the allocation below instead of returning None
-      else if (h.toLong * (w.toLong + 1L) > Int.MaxValue) None
-      else
-        inflate(body, h * (w + 1)).flatMap(unfilterScanlines(_, w, h))
-          .map((w, h, _))
-    }
+    decodePng(b).map(p => (p.w, p.h, p.frames.head))
 
   /** Extract the PCM `data` chunk of a structurally valid WAV (RIFF
     * walk mirroring `decode`'s audio branch); None for non-WAV, non-PCM,
@@ -357,28 +496,28 @@ object Multimodal {
       if (pcm) out else None
     } catch { case _: IndexOutOfBoundsException => None }
 
-  /** Parse one payload END TO END. PNG: chunk walk + IHDR CRC + full
-    * pixel decode (inflate + unfilter) — a payload whose headers parse
-    * but whose IDAT stream is corrupt is UNDECODABLE, exactly like a
-    * real decoder; frame count from acTL (absent -> 1 -> "image",
-    * present -> "video"); mean_px = floor-mean brightness of the decoded
-    * bitmap. WAV: RIFF walk; sample count = data length / block align,
-    * duration from byte rate, mean_px = floor-mean |sample − 128| of the
-    * decoded PCM (0 for an empty data chunk). The checksum is the CRC-32
-    * of the whole payload. */
+  /** Parse one payload END TO END. PNG/APNG: chunk walk + IHDR CRC +
+    * full per-frame pixel decode (inflate + unfilter, [[decodePng]]) — a
+    * payload whose headers parse but whose IDAT/fdAT streams are corrupt
+    * is UNDECODABLE, exactly like a real decoder; kind and frame count
+    * come from the DECODED frames (validated against acTL, never trusted
+    * from it); duration_ms = Σ per-frame fcTL delays; mean_px =
+    * floor-mean brightness over EVERY decoded frame's pixels. WAV: RIFF
+    * walk; sample count = data length / block align, duration from byte
+    * rate, mean_px = floor-mean |sample − 128| of the decoded PCM (0 for
+    * an empty data chunk). The checksum is the CRC-32 of the whole
+    * payload. */
   private[graft] def decode(r: MediaRecord): Option[MediaFeatures] = try {
     val b = r.payload
     if (b.length >= 8 && b.take(8).sameElements(PngSig)) {
-      for {
-        wh <- decodePixels(b)
-        frames <- pngFrames(b)
-      } yield {
-        val (w, h, px) = wh
+      decodePng(b).map { p =>
         var s = 0L
-        px.foreach(s += _)
+        p.frames.foreach(_.foreach(s += _))
+        val total = p.frames.length.toLong * p.w * p.h
         MediaFeatures(r.doc_id,
-          if (frames.isDefined) "video" else "image", b.length,
-          w, h, frames.getOrElse(1L), 0L, crc32(b), s / px.length)
+          if (p.animated) "video" else "image", b.length,
+          p.w, p.h, p.frames.length.toLong,
+          if (p.animated) p.delaysMs.sum else 0L, crc32(b), s / total)
       }
     } else if (b.length >= 12 && asciiAt(b, 0, 4) == "RIFF" &&
         asciiAt(b, 8, 4) == "WAVE") {
@@ -472,13 +611,13 @@ object Multimodal {
         val h = nChars / 150 * 4 + 10
         (id % 3) match {
           case 0 => MediaRecord(id, "image",
-            pngBytes(w, h, textPixels(text, w * h), None), w, h)
+            pngBytes(w, h, textPixels(text, w * h)), w, h)
           case 1 => MediaRecord(id, "audio",
             wavBytes(textPixels(text, text.codePointCount(0, text.length))),
             0, 0)
           case _ => MediaRecord(id, "video",
-            pngBytes(w, h, textPixels(text, w * h),
-              Some(nChars / 64L + 1L)), w, h)
+            apngBytes(w, h,
+              textFrames(text, w, h, (nChars / 64 + 1))), w, h)
         }
       }).toDF()
   }
@@ -497,17 +636,24 @@ object Multimodal {
           // out_h = scale instead of the 1-pixel floor)
           val n = math.max(1L,
             math.min(maxFrames.toLong, f.n_frames)).toInt
-          // offsets index the DECODED stream (bitmap bytes for
-          // images/video, PCM samples for audio), the thing a frame
-          // sampler actually seeks in — not the compressed payload
-          val decodedLen = f.kind match {
-            case "audio" => f.n_frames // 1 byte per sample
-            case _       => f.width.toLong * f.height
+          // offsets index the DECODED stream — and for video they are
+          // FRAME-ALIGNED: sampled frame i is frame i·⌊n_frames/n⌋ and
+          // its offset is that frame's start in the concatenated
+          // decoded bitmap stream (n_frames of them, w·h bytes each;
+          // n_frames here is the DECODED count, validated against
+          // acTL). Audio strides through the decoded PCM samples; a
+          // still image is its own single frame at offset 0.
+          val offsets = f.kind match {
+            case "audio" =>
+              val stride = math.max(f.n_frames / n, 1L)
+              Array.tabulate(n)(i => i.toLong * stride)
+            case _ =>
+              val frameStride = math.max(f.n_frames / n, 1L)
+              val frameBytes = f.width.toLong * f.height
+              Array.tabulate(n)(i => i.toLong * frameStride * frameBytes)
           }
-          val stride = math.max(decodedLen / n, 1L)
           MediaSample(r.doc_id, f.kind, targetW,
-            math.max((f.height * scale).toInt, 1),
-            Array.tabulate(n)(i => i.toLong * stride))
+            math.max((f.height * scale).toInt, 1), offsets)
         }
       })
     }.toDF()
@@ -540,6 +686,27 @@ object Multimodal {
       i += 1
     }
     g
+  }
+
+  /** Per-bit MAJORITY over a stack of per-frame signatures: bit b of the
+    * result is set iff strictly more than half the frames set it. The
+    * robust clip fingerprint over per-frame dHashes — a near-dup clip
+    * whose every frame pair sits at small Hamming lands at small Hamming
+    * here too (a flipped bit must flip in >half the frames to move the
+    * vote), and an extra/missing trailing frame barely shifts the vote,
+    * unlike a temporal-mean grid, which blurs frames together before
+    * hashing. For one frame this IS that frame's signature. */
+  private[graft] def majorityHash(sigs: Seq[Long], bits: Int): Long = {
+    val n = sigs.length
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var c = 0
+      sigs.foreach(s => if (((s >> b) & 1L) == 1L) c += 1)
+      if (2 * c > n) out |= 1L << b
+      b += 1
+    }
+    out
   }
 
   /** 56-bit difference hash (dHash) over an 8×8 brightness grid: bit
@@ -589,21 +756,50 @@ object Multimodal {
     sig
   }
 
-  /** Per-image perceptual hash over a media table: (doc_id, phash) for
-    * every payload that FULLY decodes as grayscale-8 PNG/APNG (inflate +
-    * unfilter + box-sample); audio and corrupt payloads drop. Same
-    * embarrassingly-parallel mapPartitions batch shape as
-    * [[extractFeatures]] — one task per split, no shuffle. */
+  /** Per-image/clip perceptual hash over a media table: (doc_id, phash)
+    * for every payload that FULLY decodes as grayscale-8 PNG/APNG
+    * (inflate + unfilter EVERY frame + box-sample); audio and corrupt
+    * payloads drop. A still image hashes its bitmap's grid; a video
+    * dHashes EVERY decoded frame's grid and takes the per-bit MAJORITY
+    * ([[majorityHash]]) — the clip signature consumes every frame's
+    * pixels, and near-dup clips (small per-frame Hamming throughout)
+    * stay near. Same embarrassingly-parallel mapPartitions batch shape
+    * as [[extractFeatures]] — one task per split, no shuffle. */
   def phash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(64).flatMap(_.flatMap { r =>
-        decodePixels(r.payload).map { case (w, h, px) =>
-          (r.doc_id, dHash56(grayGrid(w, h, px)))
+        decodePng(r.payload).map { p =>
+          (r.doc_id, majorityHash(
+            p.frames.map(px => dHash56(grayGrid(p.w, p.h, px))), 56))
         }
       })
     }.toDF("doc_id", "phash")
+  }
+
+  /** Per-frame brightness profile of every VIDEO payload: (doc_id,
+    * frame, mean_px) — one row per DECODED frame, floor-mean over that
+    * frame's unfiltered bitmap. The direct per-frame-pixel gate (m3):
+    * a decoder that substituted the poster frame for frame k, or
+    * mis-sequenced the fdAT streams, produces different rows. Still
+    * images and audio drop (single-frame profiles carry no information
+    * the m1 mean doesn't). */
+  def videoFrameMeans(documents: DataFrame): DataFrame = {
+    val media = toMediaTable(documents)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(64).flatMap(_.flatMap { r =>
+        decodePng(r.payload).filter(_.animated).toSeq.flatMap { p =>
+          p.frames.zipWithIndex.map { case (px, k) =>
+            var s = 0L
+            px.foreach(s += _)
+            (r.doc_id, k, s / px.length)
+          }
+        }
+      })
+    }.toDF("doc_id", "frame", "mean_px")
   }
 
   /** Perceptual near-dup image pairs — the multimodal bridge into the

@@ -633,11 +633,14 @@ class PipelineSpec extends GraftSuite {
         col("kind").as("built_kind")), "doc_id")
       .where(col("kind") =!= col("built_kind")).count()
     assert(kinds == 0)
-    // mean_px comes from the DECODED content: images/video = floor-mean
-    // of the prefix-rendered bitmap, audio = floor-mean |sample - 128| —
-    // recompute both from the text with independent (driver-side) code
-    val got = feats.select(col("doc_id"), col("mean_px")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // mean_px comes from the DECODED content: image = floor-mean of the
+    // prefix-rendered bitmap, video = floor-mean over EVERY row-scrolled
+    // frame's pixels, audio = floor-mean |sample - 128| — recompute all
+    // three from the text with independent (driver-side) code
+    val got = feats.select(col("doc_id"), col("mean_px"),
+        col("duration_ms"), col("n_frames")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
     docs.select(col("doc_id"), col("text"),
         col("n_chars").cast("int")).collect().foreach { r =>
       val (id, text, nc) = (r.getLong(0), r.getString(1), r.getInt(2))
@@ -647,19 +650,38 @@ class PipelineSpec extends GraftSuite {
           if (cps.isEmpty) 0L
           else cps.map(cp => math.abs(cp % 256 - 128).toLong).sum /
             cps.length
-        } else {
+        } else if (id % 3 == 0) {
           val n = (nc / 100 * 3 + 12) * (nc / 150 * 4 + 10)
           cps.take(n).map(cp => (cp % 256).toLong).sum / n
+        } else {
+          val w = nc / 100 * 3 + 12
+          val h = nc / 150 * 4 + 10
+          val nf = nc / 64 + 1
+          var s = 0L
+          for (k <- 0 until nf; p <- 0 until w * h) {
+            val j = k * w + p
+            if (j < cps.length) s += (cps(j) % 256).toLong
+          }
+          s / (nf.toLong * w * h)
         }
-      assert(got(id) == want, s"mean_px mismatch for doc $id")
+      assert(got(id)._1 == want, s"mean_px mismatch for doc $id")
+      // video duration = n_frames x the encoder's 40 ms fcTL delay,
+      // summed from the DECODED frame controls
+      if (id % 3 == 2)
+        assert(got(id)._2 == 40L * (nc / 64 + 1) &&
+          got(id)._3 == (nc / 64 + 1).toLong,
+          s"video duration/frames mismatch for doc $id")
     }
   }
 
   test("m1 decode is a function of the payload bytes: corruption kills the record") {
     val px = Array.tabulate(6)(i => (i * 40 + 5).toByte) // 3x2 bitmap
     val pcm = "hello media payload".getBytes("UTF-8")
-    val png = Multimodal.pngBytes(3, 2, px, None)
-    val apng = Multimodal.pngBytes(3, 2, px, Some(5L))
+    val png = Multimodal.pngBytes(3, 2, px)
+    // 5 REAL frames, each its own deflated bitmap
+    val vframes = Array.tabulate(5)(k =>
+      px.map(b => (((b & 0xff) + k * 11) % 256).toByte))
+    val apng = Multimodal.apngBytes(3, 2, vframes)
     val wav = Multimodal.wavBytes(pcm)
     // metadata zeroed: decode must work from bytes alone
     def rec(p: Array[Byte]) = Multimodal.MediaRecord(1L, "unset", p, 0, 0)
@@ -669,7 +691,40 @@ class PipelineSpec extends GraftSuite {
       fi.mean_px == px.map(b => (b & 0xff).toLong).sum / 6)
     val fv = Multimodal.decode(rec(apng)).get
     assert(fv.kind == "video" && fv.n_frames == 5L &&
-      fv.byte_len == apng.length)
+      fv.byte_len == apng.length &&
+      // duration = Σ per-frame fcTL delays (40 ms each by the encoder)
+      fv.duration_ms == 200L &&
+      // mean over EVERY decoded frame's pixels, not a poster frame
+      fv.mean_px == vframes.flatMap(_.map(b => (b & 0xff).toLong)).sum
+        / 30)
+    // per-frame decode: each fdAT stream recovers its exact bitmap
+    val parsed = Multimodal.decodePng(apng).get
+    assert(parsed.animated && parsed.frames.length == 5)
+    vframes.zip(parsed.frames).foreach { case (in, out) =>
+      assert(out.sameElements(in.map(_ & 0xff))) }
+    // a SHUFFLED fdAT sequence number must reject, not mis-sequence:
+    // swap the first two fdAT seq fields and decode must fail on the
+    // strictly-consecutive counter (fdAT data = 4-byte seq + stream)
+    val fdatOffsets = {
+      var offs = List.empty[Int]; var i = 8
+      while (i + 8 <= apng.length) {
+        val len = ((apng(i) & 0xff) << 24) | ((apng(i + 1) & 0xff) << 16) |
+          ((apng(i + 2) & 0xff) << 8) | (apng(i + 3) & 0xff)
+        if (new String(apng, i + 4, 4, "US-ASCII") == "fdAT") offs ::= i
+        i += 12 + len
+      }
+      offs.reverse
+    }
+    assert(fdatOffsets.length >= 2, "fixture needs >= 2 fdAT chunks")
+    val swapped = apng.clone()
+    val (o1, o2) = (fdatOffsets(0), fdatOffsets(1))
+    for (j <- 0 until 4) {
+      val t = swapped(o1 + 8 + j)
+      swapped(o1 + 8 + j) = swapped(o2 + 8 + j)
+      swapped(o2 + 8 + j) = t
+    }
+    assert(Multimodal.decodePng(swapped).isEmpty,
+      "out-of-order fdAT sequence numbers must reject")
     val fa = Multimodal.decode(rec(wav)).get
     assert(fa.kind == "audio" && fa.n_frames == pcm.length.toLong &&
       fa.duration_ms == pcm.length * 1000L / 8000 &&
@@ -697,7 +752,7 @@ class PipelineSpec extends GraftSuite {
     assert(Multimodal.decode(rec(wav.take(20))).isEmpty)
     // the checksum AND mean_px track the decoded content
     val otherPng = Multimodal.pngBytes(3, 2,
-      Array.tabulate(6)(i => (200 - i).toByte), None)
+      Array.tabulate(6)(i => (200 - i).toByte))
     val fo = Multimodal.decode(rec(otherPng)).get
     assert(fo.checksum != fi.checksum && fo.mean_px != fi.mean_px)
     // adversarial headers: a structurally VALID chunk stream whose IHDR
@@ -754,26 +809,45 @@ class PipelineSpec extends GraftSuite {
 
   test("m2 frame sampling: offsets in-bounds, strictly increasing, resized dims positive") {
     val media = Multimodal.toMediaTable(docs)
-    // offsets index the DECODED stream: bitmap bytes (w*h) for
-    // images/video, PCM samples (payload - 44-byte header) for audio
+    // offsets index the DECODED stream: audio strides through the PCM
+    // samples (payload - 44-byte header); image/video offsets are
+    // FRAME-ALIGNED starts in the concatenated n_frames x (w*h) bitmap
+    // stream — sampled frame i is frame i*floor(n_frames/n)
     val rows = Multimodal.sampleFrames(media, 224, 4)
       .join(media.select(col("doc_id"),
         when(col("kind") === "audio", length(col("payload")) - 44)
-          .otherwise(col("width") * col("height")).as("dlen")), "doc_id")
+          .otherwise(col("width") * col("height")).as("fbytes")), "doc_id")
+      .join(docs.select(col("doc_id"),
+        (org.apache.spark.sql.functions.floor(col("n_chars") / 64) + 1)
+          .cast("long").as("nfv")), "doc_id")
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val offs = r.getAs[scala.collection.Seq[Long]]("frame_offsets")
-      val dlen = r.getAs[Int]("dlen")
+      val kind = r.getAs[String]("kind")
+      val fbytes = r.getAs[Int]("fbytes").toLong
+      val nFrames = kind match {
+        case "audio" => fbytes // one "frame" per PCM sample
+        case "image" => 1L
+        case _       => r.getAs[Long]("nfv")
+      }
       assert(offs.nonEmpty && offs.head == 0L)
       assert(offs.zip(offs.tail).forall { case (a, b) => a < b })
-      assert(offs.forall(_ < math.max(dlen, 1)))
-      // exact access pattern: n evenly-strided offsets over the decoded
-      // stream (the last_off oracle column gates the endpoint; this
-      // pins every intermediate offset too)
-      val stride = math.max(dlen.toLong / offs.length, 1L)
-      assert(offs == (0 until offs.length).map(_ * stride),
-        s"offsets must be i*stride over dlen=$dlen: $offs")
+      assert(offs.length == math.max(1L, math.min(4L, nFrames)),
+        s"$kind must sample min(4, n_frames) frames: $offs")
+      // exact access pattern per modality
+      val want = kind match {
+        case "audio" =>
+          val stride = math.max(nFrames / offs.length, 1L)
+          (0 until offs.length).map(_ * stride)
+        case _ =>
+          val fs = math.max(nFrames / offs.length, 1L)
+          (0 until offs.length).map(i => i * fs * fbytes)
+      }
+      assert(offs == want, s"$kind offsets must be frame-aligned: $offs")
+      // in-bounds in the full decoded stream (n_frames x frame bytes)
+      val streamLen = if (kind == "audio") fbytes else nFrames * fbytes
+      assert(offs.forall(_ < math.max(streamLen, 1L)))
       assert(r.getAs[Int]("out_w") == 224 && r.getAs[Int]("out_h") > 0)
     }
   }

@@ -471,21 +471,31 @@ class PropertySpec extends GraftSuite {
     val bmpGen = for {
       w <- Gen.chooseNum(1, 40)
       h <- Gen.chooseNum(1, 40)
-      px <- Gen.listOfN(w * h, Gen.chooseNum(-128, 127).map(_.toByte))
-      fr <- Gen.option(Gen.chooseNum(1L, 9L))
-    } yield (w, h, px.toArray, fr)
-    samples(bmpGen, 200).foreach { case (w, h, px, fr) =>
-      val decoded = Multimodal.decodePixels(Multimodal.pngBytes(w, h, px, fr))
-      assert(decoded.isDefined, s"round trip failed at ${w}x$h")
-      val (dw, dh, dpx) = decoded.get
-      assert(dw == w && dh == h)
-      assert(dpx.sameElements(px.map(_ & 0xff)),
-        s"pixels diverged at ${w}x$h (frames=$fr)")
+      nf <- Gen.chooseNum(0, 4) // 0 = plain PNG, else an nf-frame APNG
+      frames <- Gen.listOfN(math.max(nf, 1),
+        Gen.listOfN(w * h, Gen.chooseNum(-128, 127).map(_.toByte))
+          .map(_.toArray))
+    } yield (w, h, nf, frames)
+    samples(bmpGen, 200).foreach { case (w, h, nf, frames) =>
+      val bytes =
+        if (nf == 0) Multimodal.pngBytes(w, h, frames.head)
+        else Multimodal.apngBytes(w, h, frames)
+      val p = Multimodal.decodePng(bytes)
+        .getOrElse(fail(s"round trip failed at ${w}x$h frames=$nf"))
+      assert(p.w == w && p.h == h && p.animated == (nf > 0))
+      assert(p.frames.length == frames.length,
+        s"frame count diverged at ${w}x$h: ${p.frames.length}")
+      // EVERY frame's zlib stream must inflate+unfilter to its exact
+      // input bitmap — the per-frame sibling of the still-image law
+      frames.zip(p.frames).zipWithIndex.foreach { case ((in, out), k) =>
+        assert(out.sameElements(in.map(_ & 0xff)),
+          s"frame $k pixels diverged at ${w}x$h")
+      }
     }
     // and a corrupted DEFLATE byte (inside an IDAT body, not a header)
     // must make the payload undecodable — headers alone can't vouch
     val png = Multimodal.pngBytes(12, 10,
-      Array.tabulate(120)(i => (i * 7).toByte), None)
+      Array.tabulate(120)(i => (i * 7).toByte))
     val off = 8 + 25 + 8 // sig + IHDR chunk + first IDAT len/type
     val bad = png.clone(); bad(off) = (bad(off) ^ 0x55).toByte
     assert(Multimodal.decodePixels(bad).isEmpty
@@ -531,7 +541,7 @@ class PropertySpec extends GraftSuite {
       px <- Gen.listOfN(w * h, Gen.chooseNum(-128, 127).map(_.toByte))
     } yield (w, h, px.toArray)
     samples(bmpGen, 60).foreach { case (w, h, px) =>
-      val png = Multimodal.pngBytes(w, h, px, None)
+      val png = Multimodal.pngBytes(w, h, px)
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(png))
       assert(img != null, s"ImageIO rejected our PNG at ${w}x$h")
@@ -541,6 +551,23 @@ class PropertySpec extends GraftSuite {
         assert(img.getRaster.getSample(x, y, 0) == ours(y * w + x),
           s"ImageIO and decodePixels disagree at ($x,$y) in ${w}x$h")
     }
+    // APNG: ImageIO has no animation support, but acTL/fcTL/fdAT are
+    // ANCILLARY chunks — a conformant still-PNG reader must skip them
+    // and decode the default image, which our encoder makes frame 0.
+    // That certifies the APNG chunk layout against a codec we didn't
+    // write (a critical-chunk or length mistake would make ImageIO
+    // throw or misread).
+    val aframes = Array.tabulate(3)(k =>
+      Array.tabulate(80)(i => ((i * 7 + k * 31) % 256).toByte))
+    val apng = Multimodal.apngBytes(10, 8, aframes)
+    val aimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(apng))
+    assert(aimg != null && aimg.getWidth == 10 && aimg.getHeight == 8,
+      "ImageIO rejected our APNG")
+    for (y <- 0 until 8; x <- 0 until 10)
+      assert(aimg.getRaster.getSample(x, y, 0) ==
+        (aframes(0)(y * 10 + x) & 0xff),
+        s"ImageIO's APNG default image diverged from frame 0 at ($x,$y)")
     // and the reverse: a PNG ImageIO encoded (its own filter choices,
     // its own IDAT chunking) must decode through OUR pipeline
     val src = new java.awt.image.BufferedImage(9, 7,
@@ -631,6 +658,18 @@ class PropertySpec extends GraftSuite {
     val b = Multimodal.textPixels(grown, 200)
     assert(a.take(base.length).sameElements(b.take(base.length)),
       "prefix pixels must survive a suffix append")
+    // frame-scroll law: video frame k pixel p = the single-frame render
+    // at position k·w + p (one row advance per frame), frame 0 IS the
+    // still render — and the suffix-append locality carries over frames
+    for (s <- cases; (w, h) <- Seq((5, 4), (12, 10)); nf <- Seq(1, 3, 7)) {
+      val frames = Multimodal.textFrames(s, w, h, nf)
+      val flat = Multimodal.textPixels(s, (nf - 1) * w + w * h)
+      assert(frames.length == nf)
+      assert(frames(0).sameElements(Multimodal.textPixels(s, w * h)))
+      for (k <- 0 until nf; p <- 0 until w * h)
+        assert(frames(k)(p) == flat(k * w + p),
+          s"frame $k pixel $p broke the scroll law on '${s.take(12)}'")
+    }
   }
 
   test("media parsers never throw on arbitrary bytes; valid prefixes don't fool them") {
@@ -647,16 +686,22 @@ class PropertySpec extends GraftSuite {
       Multimodal.decode(Multimodal.MediaRecord(0L, "x", b, 0, 0))
       ()
     }
-    // a REAL PNG truncated/garbled at every byte position: the whole
-    // decode stack (chunk walk, CRC, inflate, unfilter) must degrade to
-    // None, never throw — the per-byte sweep catches off-by-ones no
-    // random buffer ever hits
-    val goodPng = Multimodal.pngBytes(5, 4,
-      Array.tabulate(20)(i => (i * 13).toByte), Some(2L))
+    // a REAL two-frame APNG truncated/garbled at every byte position:
+    // the whole decode stack (chunk walk, CRC, acTL/fcTL/fdAT sequence
+    // validation, per-frame inflate, unfilter) must degrade to None,
+    // never throw — the per-byte sweep covers every frame-control and
+    // frame-data byte, catching off-by-ones no random buffer ever hits
+    val goodPng = Multimodal.apngBytes(5, 4, Seq(
+      Array.tabulate(20)(i => (i * 13).toByte),
+      Array.tabulate(20)(i => (i * 29 + 7).toByte)))
+    assert(Multimodal.decodePng(goodPng).exists(_.frames.length == 2))
     (0 until goodPng.length).foreach { i =>
-      Multimodal.decodePixels(goodPng.take(i)) // truncations
+      // truncation can only lose structure, never decode
+      assert(Multimodal.decodePng(goodPng.take(i)).isEmpty,
+        s"a $i-byte truncation must not decode")
       val flip = goodPng.clone(); flip(i) = (flip(i) ^ 0xff).toByte
-      Multimodal.decodePixels(flip) // single-byte corruption
+      Multimodal.decodePng(flip) // single-byte corruption: no throw
+      Multimodal.decodePixels(flip) // and the frame-0 projection
       ()
     }
     // the same sweep over a real WAV through the full audio stack
