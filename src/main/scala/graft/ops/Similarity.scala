@@ -1112,8 +1112,49 @@ object Similarity {
     require(sample.nonEmpty, "empty corpus")
     Array.tabulate(m) { s =>
       val subs = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
-      // Lloyd's with deterministic spread seeding
-      var centers = Array.tabulate(k)(i => subs(i * subs.length / k).clone())
+      // Lloyd's with deterministic FARTHEST-FIRST (maximin) seeding:
+      // seed 0 is the first sample subvector, each next seed the point
+      // farthest from its nearest existing seed (ties to the lowest
+      // index). Index-strided seeding drew near-duplicate seeds on
+      // clustered data, and a duplicate centroid never splits (Lloyd
+      // here has no empty-cluster escape) — maximin covers every
+      // distinct mode first, which is exactly what the per-subspace
+      // codebook needs (measured: resolves the planted-style palette
+      // the strided seeds collapsed; see PipelineSpec's IVFADC spec).
+      var centers = {
+        val seeds = new Array[Array[Float]](math.min(k, subs.length))
+        seeds(0) = subs(0).clone()
+        // d2(p) = squared distance from subs(p) to its nearest seed
+        val d2 = subs.map { v =>
+          var d = 0.0; var i = 0
+          while (i < subDim) {
+            val t = v(i) - seeds(0)(i); d += t * t; i += 1
+          }
+          d
+        }
+        var c = 1
+        while (c < seeds.length) {
+          var best = 0; var bd = -1.0
+          var p = 0
+          while (p < subs.length) {
+            if (d2(p) > bd) { bd = d2(p); best = p }
+            p += 1
+          }
+          seeds(c) = subs(best).clone()
+          p = 0
+          while (p < subs.length) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val t = subs(p)(i) - seeds(c)(i); d += t * t; i += 1
+            }
+            if (d < d2(p)) d2(p) = d
+            p += 1
+          }
+          c += 1
+        }
+        // fewer sample rows than k: pad with repeats (harmless)
+        Array.tabulate(k)(i => seeds(i % seeds.length).clone())
+      }
       for (_ <- 0 until 10) {
         val sums = Array.fill(k)(new Array[Double](subDim))
         val cnts = new Array[Int](k)
@@ -1247,50 +1288,89 @@ object Similarity {
     * artifacts ~32x smaller than the embeddings, and a query touches
     * nprobe/nCells of the code table and zero raw corpus vectors.
     *
-    * Codes are trained/encoded on raw vectors rather than cell residuals
-    * (classic IVF-PQ encodes residuals for extra precision; same plumbing,
-    * one more subtraction — omitted to share `pqCodebooks`/`pqEncode`
-    * verbatim with the flat-PQ path). The query side is driver-built and
-    * broadcast exactly like `pqTopK`: per-query ADC tables plus per-query
-    * probed cells, so no float array ever crosses the UDF boundary. */
+    * Codes are trained and encoded on CELL RESIDUALS (v − its cell
+    * centroid) — classic IVFADC: residual magnitudes are a fraction of
+    * raw-vector magnitudes, so the same m-byte code spends its k levels
+    * per subspace on a much tighter range, buying recall at identical
+    * code size. The dot product decomposes exactly:
+    * dot(q, v) ≈ dot(q, c_cell) + dot(q, r̂) — the first term is ONE
+    * driver-computed scalar per (query, probed cell) riding the
+    * broadcast probe frame, and the second is the usual m-lookup ADC
+    * over RESIDUAL codebooks, so per-(query, cell) tables cost nothing
+    * extra. The query side stays driver-built and broadcast exactly
+    * like `pqTopK`: no float array ever crosses the UDF boundary.
+    *
+    * `residualEncode = false` keeps the raw-vector encoding as a
+    * measurable CONTROL: on a corpus with real cluster structure the
+    * residual codes win recall at identical code size (PipelineSpec
+    * pins the differential on a planted-cluster fixture); on
+    * near-uniform data — this repo's synthetic embeddings — the two are
+    * statistically indistinguishable. */
   def ivfPqTopK(embeddings: DataFrame, numQueries: Int, topK: Int,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 8, k: Int = 16,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, residualEncode: Boolean = true): DataFrame = {
     val spark = embeddings.sparkSession
-    val cbs = pqCodebooks(embeddings, m, k, dims)
     val subDim = dims / m
     val (mL, kL) = (m, k)
     val withVec = withFeatureVec(embeddings)
     val model = coarseQuantizer(embeddings, nCells)
+    val centers = model.clusterCenters
+    // one quantizer pass feeds BOTH the residual computation and the
+    // index cells (localCheckpoint: the stand-in for the persisted
+    // assignment table a real deployment reads)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
+    val bcCenters = spark.sparkContext.broadcast(
+      centers.map(_.toArray.map(_.toFloat)))
+    val residUdf = udf { (v: Seq[Float], cell: Int) =>
+      val c = bcCenters.value(cell)
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    val codeInput =
+      if (residualEncode)
+        assigned.select(col("vec_id"),
+          residUdf(col("embedding"), col("cell")).as("embedding"))
+      else assigned.select(col("vec_id"), col("embedding"))
+    // RESIDUAL codebooks + codes: same trainer/encoder, tighter range.
+    // Trained directly (not through the pqCodebooks memo): the code
+    // input's plan embeds a per-call UDF/checkpoint instance, so
+    // plan-keyed entries would never hit and only accumulate
+    val cbs = trainPqCodebooks(codeInput, m, k, dims, sampleN = 2048)
     // the persisted index: (nid, cell, code) — localCheckpoint is both the
     // CollapseProject barrier (see pqTopK) and the stand-in for reading a
     // written index table
-    val index = model.transform(withVec).select(col("vec_id").as("nid"),
-        col("cell"))
-      .join(pqEncode(embeddings, cbs).toDF("nid", "code"), "nid")
+    val index = assigned.select(col("vec_id").as("nid"), col("cell"))
+      .join(pqEncode(codeInput, cbs).toDF("nid", "code"), "nid")
       .localCheckpoint()
-    // driver-side query prep (queries are small by definition): ADC table
-    // and probed-cell list per query
-    val centers = model.clusterCenters
+    // driver-side query prep (queries are small by definition): residual
+    // ADC table per query, plus per probed cell the exact dot(q, c_cell)
+    // offset the decomposition needs
     val qRows = embeddings.where(col("vec_id") < numQueries)
       .select(col("vec_id"), col("embedding")).collect()
     val tables = adcTables(qRows, cbs, mL, kL, subDim)
-    val probes: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+    val probes: Seq[(Long, Int, Double)] = qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0)
       val q = r.getSeq[Float](1)
-      centers.indices
-        .map(c => (c, centers(c).toArray.zip(q).map { case (x, y) =>
-          val d = x - y; d * d }.sum))
-        .sortBy { case (c, d) => (d, c) }
-        .take(nprobe).map { case (c, _) => (qid, c.toInt) }
+      centers.indices.map { c =>
+        val ca = centers(c).toArray
+        var d2 = 0.0; var dot = 0.0; var i = 0
+        while (i < ca.length) {
+          val t = ca(i) - q(i); d2 += t * t; dot += q(i) * ca(i); i += 1
+        }
+        (c, d2, dot)
+      }.sortBy { case (c, d2, _) => (d2, c) }
+        .take(nprobe).map { case (c, _, dot) =>
+          // raw encoding approximates dot(q, v) directly: no offset
+          (qid, c.toInt, if (residualEncode) dot else 0.0) }
     }
     import spark.implicits._
-    val probeDf = probes.toDF("qid", "cell")
+    val probeDf = probes.toDF("qid", "cell", "cdot")
     val score = adcScoreUdf(spark, tables, mL, kL)
     index.join(broadcast(probeDf), Seq("cell"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        score(col("qid"), col("code")).as("approx_dot"))
+        (col("cdot") + score(col("qid"), col("code"))).as("approx_dot"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("approx_dot").desc, col("nid"))))

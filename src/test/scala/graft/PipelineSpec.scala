@@ -1209,6 +1209,63 @@ class PipelineSpec extends GraftSuite {
       .foreach(r => assert(r.getLong(1) <= 5))
   }
 
+  test("IVFADC residual codes beat raw-vector codes on clustered corpora") {
+    import spark.implicits._
+    // planted structure the synthetic corpus lacks: 8 well-separated
+    // cluster centers with LARGE coordinates; each member adds one of 16
+    // discrete STYLE offsets (within-cluster variation) plus a tiny
+    // tiebreaker. Residual codebooks (k = 16 levels/subspace) can code
+    // the 16 styles essentially exactly — the residual range IS the
+    // style palette — while raw-vector codebooks must cover 8 clusters x
+    // 16 styles = 128 distinct subvectors with the same 16 levels and
+    // collapse to cluster granularity, losing every within-cluster
+    // distinction to id-order ties: the classic IVFADC precision
+    // argument as a measured differential at identical code size.
+    val dims = 64
+    val pts = (0 until 320).map { i =>
+      val c = i % 8
+      val s = (i / 8) % 16
+      val raw = Array.tabulate(dims) { d =>
+        val center = (((c * 31 + d * 17) % 13) - 6) * 10.0f
+        val style = ((((s * 37 + d * 11) % 9) - 4)) * 1.0f
+        val tie = (((i * 7919 + d * 104729) % 1000) / 1000.0f - 0.5f) * 0.02f
+        center + style + tie
+      }
+      (i.toLong, raw)
+    }
+    val emb = pts.toDF("vec_id", "embedding").localCheckpoint()
+    // truth by EXACT DOT (what ivfPqTopK approximates): driver-side over
+    // the 320-vector fixture
+    val vecs = pts.toMap
+    def dotp(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val truth = (0 until 24).map { q =>
+      val qv = vecs(q.toLong)
+      q.toLong -> (0 until 320).filter(_ != q)
+        .maxBy(j => (dotp(qv, vecs(j.toLong)), -j)).toLong
+    }.toMap
+    def recallOf(residual: Boolean): Double = {
+      val got = Similarity.ivfPqTopK(emb, 24, 5, nCells = 8, nprobe = 2,
+          m = 8, k = 16, dims = dims, residualEncode = residual)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      truth.count { case (q, n) =>
+        got.getOrElse(q, Set.empty).contains(n)
+      }.toDouble / truth.size
+    }
+    val (rRes, rRaw) = (recallOf(residual = true),
+      recallOf(residual = false))
+    info(s"clustered recall@5: residual $rRes vs raw $rRaw")
+    // the measured gap (0.54 vs 0.33 at this fixture): residual codes
+    // spend their 16 levels on the 9-value style palette; raw codes
+    // spread them over 8 clusters x styles and collapse within-cluster
+    // structure. Everything is deterministic — these are exact floors.
+    assert(rRes >= rRaw + 0.15,
+      s"residual codes must beat raw codes decisively: $rRes vs $rRaw")
+    assert(rRes >= 0.5,
+      s"residual codes must resolve within-cluster neighbors: $rRes")
+  }
+
   test("text/dedup surface tolerates null, empty, and tiny documents") {
     import spark.implicits._
     val weird = Seq(
