@@ -600,7 +600,11 @@ object Multimodal {
     (org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
 
-  private def buildMediaTable(documents: DataFrame): DataFrame = {
+  /** The uncached per-call encode — the session memo above is for the
+    * repeated-query batch suite; streaming foreachBatch bodies call this
+    * directly (a per-batch plan would never re-hit the memo and would
+    * only pin persisted frames). */
+  private[graft] def buildMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text"),

@@ -498,17 +498,24 @@ object Streams {
     * re-deduplicates the corpus, and exactly the loop the parity spec
     * replays with the batch operator. */
   def dedupIngestSink(docs: DataFrame, stateDir: String, outDir: String,
-      n: Int = 3, threshold: Double = 0.5)
+      n: Int = 3, threshold: Double = 0.5, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        mergeDedupIngest(batch, batchId, stateDir, outDir, n, threshold)
+        mergeDedupIngest(batch, batchId, stateDir, outDir, n, threshold,
+          compactEvery)
     }
 
   /** The per-batch body of `dedupIngestSink`, package-visible for the
-    * parity/replay/recovery specs. */
+    * parity/replay/recovery specs. `compactEvery` > 0 runs
+    * [[compactDedupIngestState]] inline after every such-many committed
+    * batches — safe under the single-writer contract because
+    * foreachBatch IS the only writer and batches are serial, so a
+    * long-lived ingest stays under the small-files bound without an
+    * external maintenance job. */
   private[graft] def mergeDedupIngest(batch: DataFrame, batchId: Long,
-      stateDir: String, outDir: String, n: Int, threshold: Double): Unit = {
+      stateDir: String, outDir: String, n: Int, threshold: Double,
+      compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     val corpusDir = s"$stateDir/corpus"
     val fpDir = s"$stateDir/index/fp"
@@ -574,6 +581,10 @@ object Streams {
       // COMMIT: the frontier marker makes everything above visible
       import spark.implicits._
       swapIntoPlace(Seq(batchId).toDF("bid").repartition(1), frontierDir)
+      // post-commit maintenance: everything just written is committed,
+      // so compaction sees the full row set and replays stay no-ops
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        compactDedupIngestState(spark, stateDir)
     } finally graft.ops.Dedup.clearSubstrates()
   }
 
@@ -600,11 +611,12 @@ object Streams {
     * family keeps, later members drop against the earliest committed or
     * lower-id in-batch partner; the corpus is never re-deduplicated. */
   def phashIngestSink(media: DataFrame, stateDir: String, outDir: String,
-      maxHamming: Int = 3)
+      maxHamming: Int = 3, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     media.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        mergePhashIngest(batch, batchId, stateDir, outDir, maxHamming)
+        mergePhashIngest(batch, batchId, stateDir, outDir, maxHamming,
+          compactEvery)
     }
 
   /** The streaming AUDIO twin of [[phashIngestSink]]: the SAME durable
@@ -614,25 +626,30 @@ object Streams {
     * unparseable payloads pass through as keepers. One engine, pluggable
     * per-modality signature: the batch twin relationship is d21/d23's. */
   def audioIngestSink(media: DataFrame, stateDir: String, outDir: String,
-      maxHamming: Int = 2)
+      maxHamming: Int = 2, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     media.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        mergeAudioIngest(batch, batchId, stateDir, outDir, maxHamming)
+        mergeAudioIngest(batch, batchId, stateDir, outDir, maxHamming,
+          compactEvery)
     }
 
   /** The per-batch body of `phashIngestSink`, package-visible for the
     * decision/replay/orphan specs. */
   private[graft] def mergePhashIngest(batch: DataFrame, batchId: Long,
-      stateDir: String, outDir: String, maxHamming: Int): Unit =
+      stateDir: String, outDir: String, maxHamming: Int,
+      compactEvery: Int = 0): Unit =
     mergeMediaIngest(batch, batchId, stateDir, outDir, maxHamming,
-      bits = 56, sigCol = "phash", sigOf = graft.ops.Multimodal.phash)
+      bits = 56, sigCol = "phash", sigOf = graft.ops.Multimodal.phash,
+      compactEvery = compactEvery)
 
   /** The per-batch body of `audioIngestSink` (spec entry point). */
   private[graft] def mergeAudioIngest(batch: DataFrame, batchId: Long,
-      stateDir: String, outDir: String, maxHamming: Int): Unit =
+      stateDir: String, outDir: String, maxHamming: Int,
+      compactEvery: Int = 0): Unit =
     mergeMediaIngest(batch, batchId, stateDir, outDir, maxHamming,
-      bits = 31, sigCol = "ahash", sigOf = graft.ops.Multimodal.audioHash)
+      bits = 31, sigCol = "ahash", sigOf = graft.ops.Multimodal.audioHash,
+      compactEvery = compactEvery)
 
   /** The generic per-batch media-ingest body: `sigOf` maps a media batch
     * to (doc_id, `sigCol`) signatures for ITS modality (records of other
@@ -643,7 +660,8 @@ object Streams {
     * per-bid writes — is modality-independent and shared. */
   private[graft] def mergeMediaIngest(batch: DataFrame, batchId: Long,
       stateDir: String, outDir: String, maxHamming: Int, bits: Int,
-      sigCol: String, sigOf: DataFrame => DataFrame): Unit = {
+      sigCol: String, sigOf: DataFrame => DataFrame,
+      compactEvery: Int = 0): Unit = {
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must sit inside the $bits-bit signature")
     val spark = batch.sparkSession
@@ -716,6 +734,85 @@ object Streams {
     // COMMIT: the frontier marker makes the index append visible
     import spark.implicits._
     swapIntoPlace(Seq(batchId).toDF("bid").repartition(1), frontierDir)
+    // post-commit maintenance (see mergeDedupIngest): serial foreachBatch
+    // is the single writer, so inline compaction is safe and keeps a
+    // long-lived media ingest under the small-files bound automatically
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactIngestIndex(spark, idxDir, frontierDir)
+  }
+
+  /** Streaming ALL-MODALITY media dedup — the online half of the e9
+    * flagship: each micro-batch of raw DOCUMENTS is encoded to its media
+    * payloads and classified through BOTH durable media-dedup engines
+    * (image dHash via [[phashIngestSink]]'s body, audio envelope via
+    * [[audioIngestSink]]'s), under one sink. State/audit layout:
+    * `stateDir/{phash,audio}` and `outDir/{phash,audio}`, each leg with
+    * its own index, frontier, and per-bid idempotent decisions — the
+    * crash/replay contract is per-leg and unchanged. The media frame is
+    * encoded ONCE per batch and localCheckpointed into both legs.
+    *
+    * The batch half of the flagship is
+    * [[fullMediaCuratedFromIngest]]: a corpus-release curation job that
+    * composes e5's keep-set with the drop decisions this sink
+    * accumulated — media dedup runs online as payloads arrive, text
+    * curation stays a per-release batch pass (its quality vocabulary
+    * and dup-span postings are corpus-global by design). */
+  def fullMediaIngestSink(docs: DataFrame, stateDir: String,
+      outDir: String, maxHamming: Int = 3, audioMaxHamming: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        mergeFullMediaIngest(batch, batchId, stateDir, outDir,
+          maxHamming, audioMaxHamming)
+    }
+
+  /** The per-batch body of `fullMediaIngestSink` (spec entry point). */
+  private[graft] def mergeFullMediaIngest(batch: DataFrame, batchId: Long,
+      stateDir: String, outDir: String, maxHamming: Int,
+      audioMaxHamming: Int): Unit = {
+    val media = graft.ops.Multimodal.buildMediaTable(
+      batch.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars")))
+      .localCheckpoint() // one encode pass feeds both modality legs
+    mergePhashIngest(media, batchId, s"$stateDir/phash",
+      s"$outDir/phash", maxHamming)
+    mergeAudioIngest(media, batchId, s"$stateDir/audio",
+      s"$outDir/audio", audioMaxHamming)
+  }
+
+  /** The corpus-release half of the streaming e9 flagship: compose the
+    * batch keep-set (`Pipeline.curatedCorpus` — quality, dup spans,
+    * exact-dup keepers) with the near-dup drop decisions the
+    * [[fullMediaIngestSink]] legs have COMMITTED so far. Reads each
+    * leg's decisions at its own frontier through the committed-partition
+    * listing (orphans invisible), so a crash mid-batch never leaks a
+    * half-written decision set into curation. Equals the batch
+    * `Pipeline.fullMediaCuratedCorpus` whenever the streamed pair
+    * relation matches the batch one — id-ordered arrival and chain-free
+    * dup families, the same greedy-online caveat the text ingest sink
+    * documents (StreamingSpec pins parity across a kill/restart
+    * boundary). */
+  def fullMediaCuratedFromIngest(documents: DataFrame, stateDir: String,
+      outDir: String, minScore: Double = 0.45,
+      maxDupFrac: Double = 0.5): DataFrame = {
+    val spark = documents.sparkSession
+    def committedDrops(leg: String): Option[DataFrame] = {
+      val frontier =
+        readStateWithRecovery(spark, s"$stateDir/$leg/frontier").map { df =>
+          val r = df.select(max(col("bid"))).head
+          if (r.isNullAt(0)) -1L else r.getLong(0)
+        }.getOrElse(-1L)
+      if (frontier < 0L) None
+      else committedBidParquet(spark, s"$outDir/$leg", frontier)
+        .map(_.where(col("decision") === "near_dup")
+          .select(col("doc_id")))
+    }
+    val kept = graft.ops.Pipeline.curatedCorpus(documents, minScore,
+      maxDupFrac)
+    Seq(committedDrops("phash"), committedDrops("audio")).flatten
+      .reduceOption(_ unionByName _)
+      .map(d => kept.join(d.distinct(), Seq("doc_id"), "left_anti"))
+      .getOrElse(kept)
   }
 
   /** Transactional produce — the 2PC / read-committed twin of the

@@ -1479,6 +1479,60 @@ class StreamingSpec extends GraftSuite {
       s"recovered index must still detect dups: $dec8")
   }
 
+  test("ingest auto-compaction: a long run stays under the file bound " +
+      "with decisions and frontier intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_autocmp").toString
+    val (state, out) = (dir + "/state", dir + "/out")
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    def files(d: String): Long = {
+      import scala.jdk.CollectionConverters._
+      val f = new java.io.File(d)
+      if (!f.exists) 0L
+      else java.nio.file.Files.walk(f.toPath).iterator().asScala
+        .count(_.toString.endsWith(".parquet")).toLong
+    }
+    // 6 batches with compactEvery = 2: compaction runs inline after bids
+    // 1, 3, 5 — the postings dirs end at ONE file each even though six
+    // batches appended, with no external maintenance call
+    (0 until 6).foreach { b =>
+      Streams.mergeDedupIngest(
+        Seq((b * 10L, s"batch $b body nr ${b * 37} of words $base"))
+          .toDF("doc_id", "text"),
+        b.toLong, state, out, 3, 0.5, compactEvery = 2)
+    }
+    Seq("index/fp", "index/shingles", "corpus").foreach { d =>
+      assert(files(s"$state/$d") == 1L,
+        s"$d must auto-compact to one file, got ${files(s"$state/$d")}")
+    }
+    // frontier preserved: replay of an old bid is still a no-op
+    val outRows = spark.read.parquet(out).count()
+    Streams.mergeDedupIngest(Seq((999L, "replayed")).toDF("doc_id", "text"),
+      3L, state, out, 3, 0.5, compactEvery = 2)
+    assert(spark.read.parquet(out).count() == outRows, "replay guard")
+    // decisions preserved: a near-dup of batch 0's doc is still caught
+    // against the compacted index
+    Streams.mergeDedupIngest(
+      Seq((700L, s"batch 0 body nr 0 of words $base extra"))
+        .toDF("doc_id", "text"), 6L, state, out, 3, 0.5, compactEvery = 2)
+    val dec = spark.read.parquet(out).where(col("doc_id") === 700L)
+      .select(col("decision"), col("dup_of")).head
+    assert(dec.getString(0) == "near_dup" && dec.getLong(1) == 0L,
+      s"compacted index lost dup detection: $dec")
+    // the MEDIA engine's inline compaction: 4 batches, compactEvery 2
+    import graft.ops.Multimodal
+    def media(rows: Seq[(Long, String)]) = Multimodal.toMediaTable(
+      rows.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    val ms = dir + "/mstate"
+    (0 until 4).foreach { b =>
+      Streams.mergePhashIngest(media(Seq((b * 3L, s"img $b $base"))),
+        b.toLong, ms, dir + "/mout", 3, compactEvery = 2)
+    }
+    assert(files(s"$ms/index") == 1L,
+      s"media index must auto-compact, got ${files(s"$ms/index")}")
+  }
+
   test("audio ingest: the generalized media engine dedups WAV streams") {
     import spark.implicits._
     import graft.ops.Multimodal
@@ -1508,6 +1562,65 @@ class StreamingSpec extends GraftSuite {
     Streams.mergeAudioIngest(media(Seq((10L, "other words"))), 1L,
       state, out, 2)
     assert(!audit().exists(_._1 == 10L), "replay must not reclassify")
+  }
+
+  test("streaming e9: full-media ingest + curation equals the batch " +
+      "flagship across a kill/restart boundary") {
+    import spark.implicits._
+    import graft.ops.Pipeline
+    val dir = Files.createTempDirectory("graft_e9s").toString
+    val (state, out, ckpt) = (dir + "/state", dir + "/out", dir + "/ckpt")
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val fixture = docs.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .localCheckpoint()
+    // PARITY PRECONDITION (the greedy-online contract the text sink
+    // documents): drop-for-drop equality with the batch flagship needs
+    // chain-free pair families. Image/video dHash families here are
+    // chain-free at hamming 3 (measured, deterministic fixture); the
+    // 31-bit audio envelope's hamming<=2 background graph is NOT, so
+    // the audio legs run at hamming 0 — exact-signature equivalence
+    // classes, which are cliques by construction on ANY corpus, the
+    // always-safe online audio contract
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val want = rows(Pipeline.fullMediaCuratedCorpus(fixture,
+      audioMaxHamming = 0))
+    // stream the same docs in 3 id-ordered batches, KILLING the query
+    // after the first and restarting it from the checkpoint
+    val ms = MemoryStream[(Long, String)](92, spark, None)
+    def startQ() = Streams.fullMediaIngestSink(
+        ms.toDS().toDF("doc_id", "text"), state, out,
+        audioMaxHamming = 0)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = startQ()
+    ms.addData(docs.take(170)); q1.processAllAvailable()
+    q1.stop() // kill
+    val q2 = startQ() // resume from the checkpoint, same durable state
+    ms.addData(docs.slice(170, 340))
+    ms.addData(docs.drop(340))
+    q2.processAllAvailable(); q2.stop()
+    // the corpus-release composition over COMMITTED streamed decisions
+    val got = rows(Streams.fullMediaCuratedFromIngest(fixture, state, out))
+    assert(got == want,
+      s"streamed e9 diverged from batch: only_stream=${got -- want} " +
+        s"only_batch=${want -- got}")
+    // non-vacuous: the media legs actually dropped near-dups beyond the
+    // text-only keep-set, and the AUDIO leg specifically affected the
+    // composed corpus (not just the image/video legs)
+    val e5 = rows(Pipeline.curatedCorpus(fixture))
+    assert(got.size < e5.size, "media drop legs were never exercised")
+    val audioDrops = spark.read.parquet(s"$out/audio")
+      .where(col("decision") === "near_dup")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(audioDrops.nonEmpty, "no audio near-dup decisions streamed")
+    val audioEffect = audioDrops
+      .intersect(e5.map(_._1)) -- got.map(_._1)
+    assert(audioEffect.nonEmpty,
+      "an e5-kept audio doc must drop through the streamed audio leg")
   }
 
   test("txn sink: corrupt orphan files cannot poison the committed read") {
