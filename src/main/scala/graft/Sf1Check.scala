@@ -89,6 +89,12 @@ object Sf1Check {
       ("audio_band_layouts",
         () => ops.Multimodal.audioPairs(docs, 2),
         () => ops.Multimodal.audioPairs(docs, 2, bands = 5)),
+      // round-13's new pair family: frame-level clip containment — the
+      // frame-pair space under two band layouts rolls up to the same
+      // containment rows by pigeonhole
+      ("video_containment_layouts",
+        () => ops.Multimodal.videoContainmentPairs(docs, 3),
+        () => ops.Multimodal.videoContainmentPairs(docs, 3, bands = 6)),
       // clustering: two-level assign at coarse = k == flat argmin
       ("kmeans_two_level_vs_flat",
         () => ops.Clustering.kmeansAssign(emb, 16, 2),

@@ -609,6 +609,13 @@ object SparkEntry {
     // streams cannot hash-match the oracle's per-frame render
     "m3_video_frame_means" -> ((s, d) =>
       Multimodal.videoFrameMeans(t(s, d, "documents"))),
+    // clip containment via frame-level near-dup matching (the d17 shape
+    // for video): two clips pair when >= 80% of either clip's frames
+    // have a hamming<=3 partner frame in the other — sub-clip detection
+    // a whole-clip majority signature dilutes; banded == brute by the
+    // d21 pigeonhole, so the oracle recomputes the frame pairs exactly
+    "d24_video_containment" -> ((s, d) =>
+      Multimodal.videoContainmentPairs(t(s, d, "documents"), 3, 0.8)),
     // ---- sketches ----
     "a14_approx_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2573,6 +2580,24 @@ object SparkEntry {
         |           AS INTEGER) + 1]) % 256
         |         ELSE 0 END) // MAX(w * h) AS BIGINT) AS mean_px
         |FROM vq GROUP BY 1, 2""".stripMargin,
+    // frame-level brute-force hamming (== Spark's banded set by the
+    // pigeonhole at maxHamming 3 over 4 bands), rolled up to clip pairs:
+    // containment = max matched-frame fraction of either side. fsig (per
+    // video frame dHash signatures) comes from the shared phash CTEs.
+    "d24_video_containment" ->
+      s"""WITH $phashSigCtes,
+         |fpair AS (SELECT a.doc_id AS d1, a.k AS k1,
+         |            b.doc_id AS d2, b.k AS k2
+         |          FROM fsig a JOIN fsig b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+         |nf AS (SELECT doc_id, COUNT(*) AS n FROM fsig GROUP BY 1),
+         |mm AS (SELECT d1, d2, COUNT(DISTINCT k1) AS ma,
+         |          COUNT(DISTINCT k2) AS mb
+         |       FROM fpair GROUP BY 1, 2)
+         |SELECT d1 AS doc1, d2 AS doc2,
+         |       greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) AS containment
+         |FROM mm JOIN nf a ON d1 = a.doc_id JOIN nf b ON d2 = b.doc_id
+         |WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8""".stripMargin,
     "e2_sql_revenue_by_year" -> graft.sql.SqlJobs.revenueByYearSql,
     "e2_sql_corr_scalar" -> graft.sql.SqlJobs.maxSpendPerCustomerSql,
     "e2_sql_kwsplit_counts" ->

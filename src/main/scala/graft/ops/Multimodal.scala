@@ -869,6 +869,77 @@ object Multimodal {
       widths, offsets, maxHamming)
   }
 
+  /** Per-frame perceptual hashes of every VIDEO payload: (doc_id, frame,
+    * fhash) — one 56-bit dHash per DECODED frame, the fingerprint
+    * substrate of [[videoContainmentPairs]]. Same no-shuffle
+    * mapPartitions batch shape as [[phash]]. */
+  def videoFramePhashes(documents: DataFrame): DataFrame = {
+    val media = toMediaTable(documents)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(64).flatMap(_.flatMap { r =>
+        decodePng(r.payload).filter(_.animated).toSeq.flatMap { p =>
+          p.frames.zipWithIndex.map { case (px, k) =>
+            (r.doc_id, k, dHash56(grayGrid(p.w, p.h, px)))
+          }
+        }
+      })
+    }.toDF("doc_id", "frame", "fhash")
+  }
+
+  /** Clip-containment pairs via FRAME-LEVEL near-dup matching — the
+    * video sibling of the d17 text-containment operator: two clips pair
+    * when ≥ `threshold` of either clip's frames have a Hamming-≤
+    * `maxHamming` partner frame in the other (sub-clip / re-encode
+    * detection, where a whole-clip signature like d21's majority vote
+    * dilutes). Frame pairs come from the SAME distinct-signature banded
+    * Hamming engine as d21/d23 — frames keyed as doc_id·2²⁰ + frame (so
+    * the engine's per-key normalization is a no-op and cross-doc fid
+    * order IS doc order), maxHamming+1 near-equal bands over the 56
+    * bits: pigeonhole makes the banded frame-pair set equal brute force,
+    * which is what lets the DuckDB oracle recompute it. Output
+    * (doc1 < doc2, containment = max of the two matched-frame
+    * fractions). Scale shape inherits the engine's (banding over
+    * distinct signature values; a hash shared by many frames re-expands
+    * output-proportionally), and the per-pair aggregation is one groupBy
+    * over the frame-pair output. */
+  def videoContainmentPairs(documents: DataFrame, maxHamming: Int = 3,
+      threshold: Double = 0.8, bands: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 56,
+      "maxHamming must sit inside the 56-bit signature")
+    val nb = if (bands == 0) maxHamming + 1 else bands
+    require(nb > maxHamming && nb <= 56, "bands must cover the pigeonhole")
+    val base = 56 / nb
+    val extra = 56 % nb
+    val widths = Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).take(nb)
+    // fid packing: frame counts are bounded far below 2^20 by the
+    // encoder (n_chars/64 + 1); a general caller must keep frame < 2^20
+    val M = 1L << 20
+    val fh = videoFramePhashes(documents).localCheckpoint()
+    val framePairs = Dedup.bandedHammingPairs(
+      fh.select((col("doc_id") * M + col("frame")).as("doc_id"),
+        col("fhash").as("simhash")),
+      widths, offsets, maxHamming)
+    val cross = framePairs.select(
+        floor(col("doc1") / M).cast("long").as("doc1"),
+        (col("doc1") % M).cast("int").as("k1"),
+        floor(col("doc2") / M).cast("long").as("doc2"),
+        (col("doc2") % M).cast("int").as("k2"))
+      .where(col("doc1") =!= col("doc2"))
+    val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cross.groupBy(col("doc1"), col("doc2"))
+      .agg(countDistinct(col("k1")).as("ma"),
+        countDistinct(col("k2")).as("mb"))
+      .join(nf.select(col("doc_id").as("doc1"), col("n").as("na")), "doc1")
+      .join(nf.select(col("doc_id").as("doc2"), col("n").as("nb")), "doc2")
+      .withColumn("containment",
+        greatest(col("ma") / col("na"), col("mb") / col("nb")))
+      .where(col("containment") >= threshold)
+      .select(col("doc1"), col("doc2"), col("containment"))
+  }
+
   /** Feature extraction over the media table: typed mapPartitions, batched
     * 64 records at a time inside each partition (the batch shape a
     * vectorized decoder wants). Runs embarrassingly parallel — one task

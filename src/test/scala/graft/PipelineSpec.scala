@@ -1381,6 +1381,44 @@ class PipelineSpec extends GraftSuite {
       Multimodal.textPixels("", 120).map(_ & 0xff))) == 0L)
   }
 
+  test("d24 video containment: planted sub-clips pair, modalities isolate") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // corpus: output is video-only, canonical order, (0, 1]-bounded
+    val pairs = Multimodal.videoContainmentPairs(docs, 3, 0.8).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getLong(0) % 3 == 2 && r.getLong(1) % 3 == 2,
+        "only video docs carry frame hashes")
+    }
+    // hand fixture: a suffix-appended clip shares every frame at small
+    // hamming (the prefix-aligned scroll law) -> containment ~1; a
+    // different-length clip renders on another canvas and stays out
+    val base = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val hand = Seq(
+      (2L, base), (5L, base + " dup"),
+      (8L, "completely different words that render another bitmap"),
+      (1L, base)) // audio modality: must never enter
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    val got = Multimodal.videoContainmentPairs(hand, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.contains((2L, 5L)),
+      s"planted sub-clip must reach 0.8 containment: $got")
+    assert(!got.keys.exists(p => p._1 == 8L || p._2 == 8L))
+    assert(!got.keys.exists(p => p._1 == 1L || p._2 == 1L))
+    // layout invariance (the Sf1Check theorem at unit scale)
+    val alt = Multimodal.videoContainmentPairs(hand, 3, 0.8, bands = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(alt == got, "band layouts must produce identical containment")
+    Multimodal.clearMedia()
+  }
+
   test("scalable assign: two-level at coarse=k equals flat exactly") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),
