@@ -95,6 +95,12 @@ object Sf1Check {
       ("video_containment_layouts",
         () => ops.Multimodal.videoContainmentPairs(docs, 3),
         () => ops.Multimodal.videoContainmentPairs(docs, 3, bands = 6)),
+      // the bipartite (train vs eval-holdout) banding of d25 under two
+      // layouts — same pigeonhole, bipartite probe shape
+      ("media_contamination_layouts",
+        () => ops.Multimodal.mediaContaminationSplitCheck(docs, 2500),
+        () => ops.Multimodal.mediaContaminationSplitCheck(docs, 2500,
+          bands = 6)),
       // clustering: two-level assign at coarse = k == flat argmin
       ("kmeans_two_level_vs_flat",
         () => ops.Clustering.kmeansAssign(emb, 16, 2),

@@ -616,6 +616,12 @@ object SparkEntry {
     // d21 pigeonhole, so the oracle recomputes the frame pairs exactly
     "d24_video_containment" -> ((s, d) =>
       Multimodal.videoContainmentPairs(t(s, d, "documents"), 3, 0.8)),
+    // media decontamination (the d9 shape over perceptual fingerprints):
+    // eval-holdout media (doc_id < 25) flagged when a training doc of
+    // the same modality is within the d21/d23 Hamming budgets —
+    // bipartite banded blocking, benchmark side broadcast
+    "d25_media_contamination" -> ((s, d) =>
+      Multimodal.mediaContaminationSplitCheck(t(s, d, "documents"), 25)),
     // ---- sketches ----
     "a14_approx_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2598,6 +2604,20 @@ object SparkEntry {
          |       greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) AS containment
          |FROM mm JOIN nf a ON d1 = a.doc_id JOIN nf b ON d2 = b.doc_id
          |WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8""".stripMargin,
+    // bipartite brute-force hamming (== Spark's banded set by the same
+    // pigeonhole as d21/d23) over the shared psig/asig signature CTEs
+    "d25_media_contamination" ->
+      s"""WITH $phashSigCtes,
+         |$audioSigCtes
+         |SELECT t.doc_id, b.doc_id AS bench_id, 'visual' AS modality,
+         |       CAST(bit_count(xor(t.ph, b.ph)) AS INTEGER) AS hamming
+         |FROM psig t JOIN psig b ON t.doc_id >= 25 AND b.doc_id < 25
+         |WHERE bit_count(xor(t.ph, b.ph)) <= 3
+         |UNION ALL
+         |SELECT t.doc_id, b.doc_id AS bench_id, 'audio' AS modality,
+         |       CAST(bit_count(xor(t.ah, b.ah)) AS INTEGER) AS hamming
+         |FROM asig t JOIN asig b ON t.doc_id >= 25 AND b.doc_id < 25
+         |WHERE bit_count(xor(t.ah, b.ah)) <= 2""".stripMargin,
     "e2_sql_revenue_by_year" -> graft.sql.SqlJobs.revenueByYearSql,
     "e2_sql_corr_scalar" -> graft.sql.SqlJobs.maxSpendPerCustomerSql,
     "e2_sql_kwsplit_counts" ->

@@ -940,6 +940,66 @@ object Multimodal {
       .select(col("doc1"), col("doc2"), col("containment"))
   }
 
+  /** Media TRAIN/EVAL contamination check — the d9 decontamination shape
+    * over perceptual fingerprints: benchmark media (doc_id < benchMaxId,
+    * the eval-holdout id layout d9 uses) flagged when a TRAINING doc of
+    * the same modality carries a signature within the modality's Hamming
+    * budget (visual = the d21 image/video signature, audio = the d23
+    * envelope). An eval image leaking into training as a resize or
+    * re-encode is exactly what survives text decontamination and shows
+    * up here. Blocking is BIPARTITE banded Hamming (maxHamming+1
+    * near-equal bands, pigeonhole ⇒ banded == brute force — the oracle
+    * recomputes it exactly): the benchmark side is broadcast (eval sets
+    * are small by definition), the training side streams through the
+    * band probe, and the only aggregation is a groupBy over the
+    * match output — contamination-mass-proportional, never corpus-
+    * proportional. Output (doc_id [train], bench_id, modality,
+    * hamming). */
+  def mediaContaminationSplitCheck(documents: DataFrame, benchMaxId: Long,
+      maxHamming: Int = 3, audioMaxHamming: Int = 2,
+      bands: Int = 0): DataFrame = {
+    val media = toMediaTable(documents)
+    def leg(sigs: DataFrame, bits: Int, mh: Int,
+        modality: String): DataFrame = {
+      require(mh >= 0 && mh < bits, s"maxHamming inside the $bits bits")
+      val nb = if (bands == 0) mh + 1 else bands
+      require(nb > mh && nb <= bits, "bands must cover the pigeonhole")
+      val base = bits / nb
+      val extra = bits % nb
+      val widths =
+        Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
+      val offsets = widths.scanLeft(0)(_ + _).take(nb)
+      def chunked(df: DataFrame, idCol: String, sigCol: String) =
+        df.select(col(idCol), col(sigCol),
+          explode(array((0 until nb).map(c =>
+            struct(lit(c).as("chunk"),
+              shiftright(col(sigCol), offsets(c))
+                .bitwiseAND((1L << widths(c)) - 1).as("chunk_val"))): _*))
+            .as("ck"))
+          .select(col(idCol), col(sigCol),
+            col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
+      val train = sigs.where(col("doc_id") >= benchMaxId)
+      val bench = sigs.where(col("doc_id") < benchMaxId)
+        .select(col("doc_id").as("bench_id"), col("sig").as("bsig"))
+      chunked(train, "doc_id", "sig")
+        .join(broadcast(chunked(bench, "bench_id", "bsig")),
+          Seq("chunk", "chunk_val"))
+        .select(col("doc_id"), col("bench_id"),
+          bit_count(col("sig").bitwiseXOR(col("bsig"))).as("hamming"))
+        .where(col("hamming") <= mh)
+        // a pair can match in several bands; min == the single hamming
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(min(col("hamming")).as("hamming"))
+        .select(col("doc_id"), col("bench_id"),
+          lit(modality).as("modality"), col("hamming"))
+    }
+    leg(phash(media).select(col("doc_id"), col("phash").as("sig")),
+      56, maxHamming, "visual")
+      .unionByName(
+        leg(audioHash(media).select(col("doc_id"), col("ahash").as("sig")),
+          31, audioMaxHamming, "audio"))
+  }
+
   /** Feature extraction over the media table: typed mapPartitions, batched
     * 64 records at a time inside each partition (the batch shape a
     * vectorized decoder wants). Runs embarrassingly parallel — one task

@@ -1419,6 +1419,50 @@ class PipelineSpec extends GraftSuite {
     Multimodal.clearMedia()
   }
 
+  test("d25 media contamination: eval leaks flagged per modality, " +
+      "train-only pairs invisible") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val base = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    // bench ids < 10: image 0, audio 1, video 2. Train: 12 re-"encodes"
+    // bench-0's image (one char -> <=2 bits), 13 repeats bench-1's clip
+    // exactly, 30/33 are a TRAIN-ONLY image dup pair (must not appear),
+    // 27 is unrelated
+    val hand = Seq(
+      (0L, base), (1L, base), (2L, base),
+      (12L, base.updated(10, 'z')), (13L, base),
+      (30L, base + " xq"), (33L, base + " xq"),
+      (27L, "completely different content that renders another bitmap"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    val got = Multimodal.mediaContaminationSplitCheck(hand, 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))
+        -> r.getInt(3)).toMap
+    // the near-identical train image flags bench 0 (visual), the exact
+    // train clip flags bench 1 (audio); modalities never cross
+    assert(got.contains((12L, 0L, "visual")) && got((12L, 0L, "visual")) <= 2,
+      s"re-encoded eval image must flag: $got")
+    assert(got.get((13L, 1L, "audio")).contains(0),
+      s"exact eval clip in training must flag at hamming 0: $got")
+    assert(!got.keys.exists { case (t, b, _) => b >= 10L || t < 10L },
+      s"train-only/bench-only pairs must be invisible: $got")
+    // brute-force equality (pigeonhole): recompute driver-side
+    val sigs = Multimodal.phash(Multimodal.toMediaTable(hand)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bruteVis = for {
+      (t, ts) <- sigs.toSeq; (b, bs) <- sigs.toSeq
+      if t >= 10L && b < 10L &&
+        java.lang.Long.bitCount(ts ^ bs) <= 3
+    } yield (t, b, "visual") -> java.lang.Long.bitCount(ts ^ bs)
+    assert(got.view.filterKeys(_._3 == "visual").toMap == bruteVis.toMap,
+      "banded visual leg must equal brute force")
+    Multimodal.clearMedia()
+  }
+
   test("scalable assign: two-level at coarse=k equals flat exactly") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),
