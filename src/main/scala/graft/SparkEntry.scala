@@ -2599,10 +2599,17 @@ object SparkEntry {
          |nf AS (SELECT doc_id, COUNT(*) AS n FROM fsig GROUP BY 1),
          |mm AS (SELECT d1, d2, COUNT(DISTINCT k1) AS ma,
          |          COUNT(DISTINCT k2) AS mb
-         |       FROM fpair GROUP BY 1, 2)
-         |SELECT d1 AS doc1, d2 AS doc2,
-         |       greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) AS containment
-         |FROM mm JOIN nf a ON d1 = a.doc_id JOIN nf b ON d2 = b.doc_id
+         |       FROM fpair GROUP BY 1, 2),
+         |msh AS (SELECT d1, d2, shift FROM (
+         |        SELECT d1, d2, k2 - k1 AS shift,
+         |          row_number() OVER (PARTITION BY d1, d2
+         |            ORDER BY COUNT(*) DESC, k2 - k1) AS rn
+         |        FROM fpair GROUP BY d1, d2, k2 - k1) WHERE rn = 1)
+         |SELECT mm.d1 AS doc1, mm.d2 AS doc2,
+         |       greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) AS containment,
+         |       CAST(s.shift AS INTEGER) AS shift
+         |FROM mm JOIN nf a ON mm.d1 = a.doc_id JOIN nf b ON mm.d2 = b.doc_id
+         |JOIN msh s ON s.d1 = mm.d1 AND s.d2 = mm.d2
          |WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8""".stripMargin,
     // bipartite brute-force hamming (== Spark's banded set by the same
     // pigeonhole as d21/d23) over the shared psig/asig signature CTEs

@@ -929,6 +929,20 @@ object Multimodal {
         (col("doc2") % M).cast("int").as("k2"))
       .where(col("doc1") =!= col("doc2"))
     val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // dominant temporal offset among the matched frames (the shot-
+    // alignment statistic: a true sub-clip matches at ONE consistent
+    // frame shift; scattered coincidental matches spread across many) —
+    // most-frequent k2−k1, ties to the smallest shift
+    val shifts = cross
+      .groupBy(col("doc1"), col("doc2"),
+        (col("k2") - col("k1")).as("shift"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc1"), col("doc2"))
+          .orderBy(col("cnt").desc, col("shift"))))
+      .where(col("rn") === 1)
+      .select(col("doc1"), col("doc2"), col("shift"))
     cross.groupBy(col("doc1"), col("doc2"))
       .agg(countDistinct(col("k1")).as("ma"),
         countDistinct(col("k2")).as("mb"))
@@ -937,7 +951,8 @@ object Multimodal {
       .withColumn("containment",
         greatest(col("ma") / col("na"), col("mb") / col("nb")))
       .where(col("containment") >= threshold)
-      .select(col("doc1"), col("doc2"), col("containment"))
+      .join(shifts, Seq("doc1", "doc2"))
+      .select(col("doc1"), col("doc2"), col("containment"), col("shift"))
   }
 
   /** Media TRAIN/EVAL contamination check — the d9 decontamination shape

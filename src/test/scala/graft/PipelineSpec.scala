@@ -1405,16 +1405,21 @@ class PipelineSpec extends GraftSuite {
       .withColumn("source", org.apache.spark.sql.functions.lit("s"))
       .withColumn("n_chars",
         org.apache.spark.sql.functions.length(col("text")).cast("long"))
-    val got = Multimodal.videoContainmentPairs(hand, 3, 0.8).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getInt(3)))).toMap
+    val got = toMap(Multimodal.videoContainmentPairs(hand, 3, 0.8).collect())
     assert(got.contains((2L, 5L)),
       s"planted sub-clip must reach 0.8 containment: $got")
+    // same canvas, same frame indexing: the clips align at shift 0 (the
+    // shot-alignment statistic a scattered coincidence can't produce)
+    assert(got((2L, 5L))._2 == 0,
+      s"suffix-append clip must align at frame shift 0: $got")
     assert(!got.keys.exists(p => p._1 == 8L || p._2 == 8L))
     assert(!got.keys.exists(p => p._1 == 1L || p._2 == 1L))
     // layout invariance (the Sf1Check theorem at unit scale)
-    val alt = Multimodal.videoContainmentPairs(hand, 3, 0.8, bands = 6)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
-      .toMap
+    val alt = toMap(
+      Multimodal.videoContainmentPairs(hand, 3, 0.8, bands = 6).collect())
     assert(alt == got, "band layouts must produce identical containment")
     Multimodal.clearMedia()
   }
