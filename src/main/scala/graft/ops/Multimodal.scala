@@ -391,6 +391,13 @@ object Multimodal {
       val len = be32At(b, i)
       val typ = asciiAt(b, i + 4, 4)
       if (i + 12 + len > b.length) return None // truncated chunk
+      // EVERY chunk's CRC-32 (type + data) must verify, exactly like a
+      // conformant decoder — with the signature check this makes any
+      // single corrupted payload byte (data, CRC field, or a length
+      // field that misaligns the walk into garbage) reject rather than
+      // silently decode; PropertySpec sweeps every byte position
+      if (crc32(java.util.Arrays.copyOfRange(b, i + 4, i + 8 + len.toInt))
+          != be32At(b, i + 8 + len.toInt)) return None
       typ match {
         case "acTL" =>
           // once, before IDAT, exactly 8 bytes, >= 1 declared frame

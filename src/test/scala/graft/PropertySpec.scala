@@ -700,7 +700,12 @@ class PropertySpec extends GraftSuite {
       assert(Multimodal.decodePng(goodPng.take(i)).isEmpty,
         s"a $i-byte truncation must not decode")
       val flip = goodPng.clone(); flip(i) = (flip(i) ^ 0xff).toByte
-      Multimodal.decodePng(flip) // single-byte corruption: no throw
+      // EVERY byte of the payload is covered by the signature check, a
+      // chunk CRC, or a length field whose corruption misaligns the
+      // walk into CRC garbage — a single flipped byte anywhere must
+      // reject, never silently decode (and never throw)
+      assert(Multimodal.decodePng(flip).isEmpty,
+        s"a flipped byte at $i must make the payload undecodable")
       Multimodal.decodePixels(flip) // and the frame-0 projection
       ()
     }
