@@ -672,6 +672,36 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("majority-vote clip signature: algebraic laws on random stacks") {
+    import graft.ops.Multimodal
+    val stackGen = for {
+      bits <- Gen.oneOf(31, 56)
+      n <- Gen.chooseNum(1, 9)
+      sigs <- Gen.listOfN(n,
+        Gen.chooseNum(Long.MinValue, Long.MaxValue)
+          .map(_ & ((1L << bits) - 1)))
+    } yield (bits, sigs)
+    samples(stackGen, 300).foreach { case (bits, sigs) =>
+      val m = Multimodal.majorityHash(sigs, bits)
+      // stays inside the signature width
+      assert((m & ~((1L << bits) - 1)) == 0L)
+      // a single frame IS its own majority
+      assert(Multimodal.majorityHash(Seq(sigs.head), bits) == sigs.head)
+      // frame order never matters (fdAT sequencing is validated
+      // upstream; the vote itself is a multiset operation)
+      assert(Multimodal.majorityHash(sigs.reverse, bits) == m)
+      // duplicating the whole stack preserves every vote (2c>2n <=> c>n)
+      assert(Multimodal.majorityHash(sigs ++ sigs, bits) == m)
+      // appending the current majority as one more frame is absorbing:
+      // set bits gain a vote, unset bits gain an abstention
+      assert(Multimodal.majorityHash(sigs :+ m, bits) == m)
+      // strict-majority tie rule: on an even stack of s and its
+      // complement, no bit reaches a strict majority
+      val comp = ~sigs.head & ((1L << bits) - 1)
+      assert(Multimodal.majorityHash(Seq(sigs.head, comp), bits) == 0L)
+    }
+  }
+
   test("media parsers never throw on arbitrary bytes; valid prefixes don't fool them") {
     import graft.ops.Multimodal
     val byteGen = Gen.chooseNum(-128, 127).map(_.toByte)
