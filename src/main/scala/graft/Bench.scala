@@ -118,7 +118,18 @@ object Bench {
     }
     val load0 = loadAvg
     val repTotals = new Array[Double](reps)
+    // per-query 1-min load at the query's start (round-13 postmortem:
+    // the start gate passed at 1.88 but load climbed to 2.86 MID-run and
+    // manufactured two false breaches that needed a manual quiet-box
+    // re-run to adjudicate; with the per-query series in the artifact a
+    // breach whose recorded load is elevated self-adjudicates). NOTE the
+    // 1-min average includes the bench's own 32 busy threads, so a
+    // mid-run re-GATE would deadlock against self-load — record, don't
+    // block.
+    val queryLoad = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double)]
     val results = selected.toSeq.zipWithIndex.map { case ((name, fn), i) =>
+      queryLoad += name -> loadAvg
       val best = (0 until reps).map { r =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -145,8 +156,12 @@ object Bench {
     val noise = s""""reps":$reps,"load_avg":[${f(load0)},${f(load1)}],""" +
       s""""load_gate":$loadGate,"gate_wait_s":$gateWait,""" +
       s""""rep_totals":[${repTotals.map(f).mkString(",")}]"""
+    // full artifact only (too wide for the stdout budget): the per-query
+    // load series breach adjudication reads
+    val loadSeries = queryLoad
+      .map(kv => "\"" + kv._1 + "\":" + f(kv._2)).mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup":"$warmup",$noise,"queries":$allQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup":"$warmup",$noise,"queries":$allQs,"query_load":$loadSeries,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       fullLine.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // stdout line is the contract

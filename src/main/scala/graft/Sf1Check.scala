@@ -50,6 +50,28 @@ object Sf1Check {
     val emb = Tables.load(spark, sfDir, "embeddings")
     docs.count(); emb.count() // warm scans off the first check's clock
 
+    // BUDGET (round-13 postmortem: simhash_band_layouts re-proved the
+    // pigeonhole identity on the FULL 67.9M-row pair output every round
+    // — 518 s of the 737 s round-close, tempting enough to skip that it
+    // endangered the standing gate): the simhash check runs on a
+    // deterministic QUARTER stratum of the corpus, rotating by round
+    // number (parsed from the outFile's _rN suffix), so four consecutive
+    // rounds cover every document while each round's pair space shrinks
+    // ~16x. The layout-vs-layout theorem holds on ANY input subset, so a
+    // stratum exercises bucketing / distinct-signature compression /
+    // re-expansion identically. SPARK_GRAFT_SF1_FULL=1 restores the full
+    // identity (run it when the banded engine itself changes); the
+    // schedule is recorded in the artifact so coverage is auditable.
+    val round = "_r(\\d+)".r.findFirstMatchIn(outFile)
+      .map(_.group(1).toInt).getOrElse(0)
+    val fullSimhash = sys.env.get("SPARK_GRAFT_SF1_FULL").contains("1")
+    val stratum =
+      if (fullSimhash) "full"
+      else s"doc_id % 4 = ${round % 4} (rotating by round)"
+    val simhashDocs =
+      if (fullSimhash) docs
+      else docs.where(pmod(col("doc_id"), lit(4)) === lit(round % 4))
+
     // Row-identity via two-sided EXCEPT on the full projected row (ids
     // AND computed columns) — a sign-flip that keeps the pair but breaks
     // its hamming/jaccard value still fails.
@@ -78,10 +100,11 @@ object Sf1Check {
           .select(col("doc1"), col("doc2")),
         () => ops.Dedup.jaccardPairs(docs, 3, 0.5)
           .select(col("doc1"), col("doc2"))),
-      // banded-Hamming engine: 4x16 layout vs 7 near-equal bands
+      // banded-Hamming engine: 4x16 layout vs 7 near-equal bands — on
+      // the rotating quarter stratum (see the budget note above)
       ("simhash_band_layouts",
-        () => ops.Dedup.simhashPairs(docs, 3),
-        () => ops.Dedup.simhashPairsBanded(docs, 3, 7)),
+        () => ops.Dedup.simhashPairs(simhashDocs, 3),
+        () => ops.Dedup.simhashPairsBanded(simhashDocs, 3, 7)),
       // the multimodal bridges through the same engine, image then audio
       ("phash_band_layouts",
         () => ops.Multimodal.phashPairs(docs, 3),
@@ -114,9 +137,14 @@ object Sf1Check {
         case e: Throwable =>
           // String.valueOf: getMessage is null for NPEs and many wrapped
           // errors — a bare .take would NPE inside the handler and abort
-          // the harness without writing the artifact or later checks
-          val line = s"""{"name":"$name","ok":false,"error":"${
-            String.valueOf(e.getMessage).take(160).replace('"', '\'')}"}"""
+          // the harness without writing the artifact or later checks.
+          // Backslashes and control characters (newlines in Spark
+          // multi-line messages, tabs in plan dumps) must not reach the
+          // JSON literal either — one unescaped \ or \n writes an
+          // invalid artifact line
+          val msg = String.valueOf(e.getMessage).take(160)
+            .replaceAll("[\\\\\"\\p{Cntrl}]", " ")
+          val line = s"""{"name":"$name","ok":false,"error":"$msg"}"""
           println(line)
           (line, false)
       } finally {
@@ -126,8 +154,8 @@ object Sf1Check {
       }
     }
     val nOk = results.count(_._2)
-    val artifact = s"""{"sf_dir":"$sfDir","checks":[${
-      results.map(_._1).mkString(",")}],"passed":$nOk,""" +
+    val artifact = s"""{"sf_dir":"$sfDir","simhash_stratum":"$stratum",""" +
+      s""""checks":[${results.map(_._1).mkString(",")}],"passed":$nOk,""" +
       s""""total":${results.size}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       artifact.getBytes("UTF-8"))

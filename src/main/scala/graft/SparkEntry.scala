@@ -509,6 +509,13 @@ object SparkEntry {
     // float scale form)
     "sim10_ivfpq_portable" -> ((s, d) =>
       Similarity.portableIvfPqTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L))),
+    // IVFADC hash-gated: sim10's composition with the corpus side
+    // RESIDUAL-encoded (codes trained on v − c_cell, queries raw, the
+    // exact-integer dot(q, c_cell) offset fused into the ADC score) —
+    // the portable twin of ivfPqTopK's residualEncode=true default;
+    // sim10 stays the raw-encode control at identical code size
+    "sim12_ivfadc_portable" -> ((s, d) =>
+      Similarity.portableIvfAdcTopK(t(s, d, "embeddings"), Seq(0L, 1L, 2L))),
     // greedy k-center seeds (farthest-point-first): 4 maximally-spread
     // vectors + the coverage radius at each selection — coreset seeding
     "sel1_kcenter_seeds" -> ((s, d) =>
@@ -574,6 +581,22 @@ object SparkEntry {
     // one doc_id is one modality — unioned into a single anti-join)
     "e9_media_curated_all" -> ((s, d) =>
       Pipeline.fullMediaCuratedCorpus(t(s, d, "documents"))),
+    // the media DECONTAMINATION closer: e9 minus every training doc the
+    // d25 probe flags as carrying benchmark media — detection became
+    // enforcement (composition law: e10 == e9 − flagged train docs).
+    // Contamination runs at LOOSER budgets (5/3) than the dedup legs
+    // (3/2): at equal budgets the flags are subsumed by e9's near-dup
+    // anti-join (bench ids < train ids, so every flagged doc is a pair's
+    // higher-id side — the spec-pinned corollary); recall against eval
+    // leakage is the stage's whole value
+    "e10_decontaminated_media" -> ((s, d) =>
+      Pipeline.decontaminatedMediaCorpus(t(s, d, "documents"))),
+    // provenance funnel for the media pipeline: every doc attributed to
+    // the first rejecting e5/e9/e10 stage (exact_dup → low_score →
+    // high_dup_span → media_near_dup → media_contaminated → kept);
+    // Σ n_docs = |documents| by construction, kept == e10's keep-set
+    "audit2_media_funnel" -> ((s, d) =>
+      Pipeline.mediaFilterFunnel(t(s, d, "documents"))),
     // ---- E2 SQL entry path ----
     "e2_sql_revenue_by_year" -> ((s, d) =>
       graft.sql.SqlJobs.revenueByYear(s, d)),
@@ -611,9 +634,12 @@ object SparkEntry {
       Multimodal.videoFrameMeans(t(s, d, "documents"))),
     // clip containment via frame-level near-dup matching (the d17 shape
     // for video): two clips pair when >= 80% of either clip's frames
-    // have a hamming<=3 partner frame in the other — sub-clip detection
-    // a whole-clip majority signature dilutes; banded == brute by the
-    // d21 pigeonhole, so the oracle recomputes the frame pairs exactly
+    // have a hamming<=3 partner frame in the other AT THE PAIR'S
+    // DOMINANT TEMPORAL OFFSET (±1 frame) — sub-clip detection a
+    // whole-clip majority signature dilutes, and a shuffled bag of the
+    // same frames scatters across shifts and never pairs; the any-order
+    // fraction stays as the containment_any diagnostic; banded == brute
+    // by the d21 pigeonhole, so the oracle recomputes the frame pairs
     "d24_video_containment" -> ((s, d) =>
       Multimodal.videoContainmentPairs(t(s, d, "documents"), 3, 0.8)),
     // media decontamination (the d9 shape over perceptual fingerprints):
@@ -1455,10 +1481,17 @@ object SparkEntry {
     * unrolled rounds) — mirrors `Similarity.portablePqTopK`'s per-slice
     * `Clustering.kmeansAssign` calls. Ends in `pa2(s, vec_id, cid)` (the
     * PQ codes) and `pc2(s, cid, cen)` (the final round-6 centroids). */
-  private val pqKmeansCtes: String =
-    """pemb AS (SELECT vec_id,
+  private val pqKmeansCtes: String = pqKmeansCtesFrom(
+    """SELECT vec_id,
       |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |         FROM embeddings),
+      |         FROM embeddings""".stripMargin)
+
+  /** [[pqKmeansCtes]] with the corpus source parameterized — the sim12
+    * IVFADC oracle trains/encodes the PQ stage on the RESIDUAL frame
+    * (`pembBody` selects (vec_id, v) from `remb`) while sim9/sim10 keep
+    * the raw embeddings. */
+  private def pqKmeansCtesFrom(pembBody: String): String =
+    s"""pemb AS ($pembBody),
       |sgrid AS (SELECT unnest(range(0, 4)) AS s),
       |sdims AS (SELECT unnest(range(1, 17)) AS i),
       |semb AS (SELECT g.s, e.vec_id,
@@ -1760,14 +1793,20 @@ object SparkEntry {
     * tables (compose after `pqKmeansCtes`): 1e-6-grid centroids and
     * query subvectors, per-(query, subspace, code) lookup sums; ends in
     * `ptab(qid, s, cid, t)`. */
-  private val pqAdcCtes: String =
-    """pcen AS (SELECT s, cid, d.i,
-      |           CAST(ROUND(cen[d.i] * 1e6) AS BIGINT) AS mi
+  private val pqAdcCtes: String = pqAdcCtesFrom("pemb", "1e6")
+
+  /** [[pqAdcCtes]] with the QUERY vector source and the quantization
+    * scale parameterized — the sim12 IVFADC oracle keeps queries RAW
+    * (`emb`, the kmeansCtes doubles) on the dyadic 2^20 scale while
+    * sim9/sim10 read queries from the shared `pemb` at 1e6. */
+  private def pqAdcCtesFrom(querySrc: String, scale: String): String =
+    s"""pcen AS (SELECT s, cid, d.i,
+      |           CAST(ROUND(cen[d.i] * $scale) AS BIGINT) AS mi
       |         FROM pc2 CROSS JOIN sdims d),
-      |pqv AS (SELECT vec_id AS qid, v FROM pemb
+      |pqv AS (SELECT vec_id AS qid, v FROM $querySrc
       |        WHERE vec_id IN (0, 1, 2)),
       |pqs AS (SELECT qid, g.s, d.i,
-      |          CAST(ROUND(v[g.s*16 + d.i] * 1e6) AS BIGINT) AS qi
+      |          CAST(ROUND(v[g.s*16 + d.i] * $scale) AS BIGINT) AS qi
       |        FROM pqv CROSS JOIN sgrid g CROSS JOIN sdims d),
       |ptab AS (SELECT q.qid, q.s, c.cid,
       |           CAST(SUM(q.qi * c.mi) AS BIGINT) AS t
@@ -2588,8 +2627,11 @@ object SparkEntry {
         |FROM vq GROUP BY 1, 2""".stripMargin,
     // frame-level brute-force hamming (== Spark's banded set by the
     // pigeonhole at maxHamming 3 over 4 bands), rolled up to clip pairs:
-    // containment = max matched-frame fraction of either side. fsig (per
-    // video frame dHash signatures) comes from the shared phash CTEs.
+    // containment = max matched-frame fraction of either side counting
+    // ONLY matches within ±1 of the pair's dominant shift (temporal
+    // consistency — a shuffled bag of the same frames never pairs);
+    // containment_any keeps the any-order fraction as the diagnostic.
+    // fsig (per video frame dHash signatures) comes from the phash CTEs.
     "d24_video_containment" ->
       s"""WITH $phashSigCtes,
          |fpair AS (SELECT a.doc_id AS d1, a.k AS k1,
@@ -2597,19 +2639,26 @@ object SparkEntry {
          |          FROM fsig a JOIN fsig b ON a.doc_id < b.doc_id
          |          WHERE bit_count(xor(a.ph, b.ph)) <= 3),
          |nf AS (SELECT doc_id, COUNT(*) AS n FROM fsig GROUP BY 1),
-         |mm AS (SELECT d1, d2, COUNT(DISTINCT k1) AS ma,
-         |          COUNT(DISTINCT k2) AS mb
-         |       FROM fpair GROUP BY 1, 2),
          |msh AS (SELECT d1, d2, shift FROM (
          |        SELECT d1, d2, k2 - k1 AS shift,
          |          row_number() OVER (PARTITION BY d1, d2
          |            ORDER BY COUNT(*) DESC, k2 - k1) AS rn
-         |        FROM fpair GROUP BY d1, d2, k2 - k1) WHERE rn = 1)
+         |        FROM fpair GROUP BY d1, d2, k2 - k1) WHERE rn = 1),
+         |mm AS (SELECT f.d1, f.d2, s.shift,
+         |          COUNT(DISTINCT CASE WHEN abs(f.k2 - f.k1 - s.shift)
+         |            <= 1 THEN f.k1 END) AS ma,
+         |          COUNT(DISTINCT CASE WHEN abs(f.k2 - f.k1 - s.shift)
+         |            <= 1 THEN f.k2 END) AS mb,
+         |          COUNT(DISTINCT f.k1) AS ma_any,
+         |          COUNT(DISTINCT f.k2) AS mb_any
+         |       FROM fpair f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
+         |       GROUP BY 1, 2, 3)
          |SELECT mm.d1 AS doc1, mm.d2 AS doc2,
          |       greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) AS containment,
-         |       CAST(s.shift AS INTEGER) AS shift
+         |       greatest(ma_any * 1.0 / a.n, mb_any * 1.0 / b.n)
+         |         AS containment_any,
+         |       CAST(mm.shift AS INTEGER) AS shift
          |FROM mm JOIN nf a ON mm.d1 = a.doc_id JOIN nf b ON mm.d2 = b.doc_id
-         |JOIN msh s ON s.d1 = mm.d1 AND s.d2 = mm.d2
          |WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8""".stripMargin,
     // bipartite brute-force hamming (== Spark's banded set by the same
     // pigeonhole as d21/d23) over the shared psig/asig signature CTEs
@@ -3926,6 +3975,79 @@ object SparkEntry {
          |FROM qsc q JOIN dspan d USING (doc_id)
          |JOIN kept USING (doc_id)
          |WHERE q.doc_id NOT IN (SELECT doc_id FROM mdrop)""".stripMargin,
+    // e10: e9 minus the d25 contamination flags (train docs carrying a
+    // benchmark-media signature within the modality Hamming budget) —
+    // the composition law e10 == e9 − d25-flagged train docs in SQL
+    "e10_decontaminated_media" ->
+      s"""WITH $modelScoreCtes,
+         |$dupSpanCtes,
+         |$curationKeepCtes,
+         |$phashSigCtes,
+         |$audioSigCtes,
+         |mdrop AS (SELECT DISTINCT b.doc_id
+         |          FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         |          UNION
+         |          SELECT b.doc_id
+         |          FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.ah, b.ah)) <= 2),
+         |cflag AS (SELECT DISTINCT t.doc_id
+         |          FROM psig t JOIN psig b ON t.doc_id >= 25
+         |            AND b.doc_id < 25
+         |          WHERE bit_count(xor(t.ph, b.ph)) <= 5
+         |          UNION
+         |          SELECT t.doc_id
+         |          FROM asig t JOIN asig b ON t.doc_id >= 25
+         |            AND b.doc_id < 25
+         |          WHERE bit_count(xor(t.ah, b.ah)) <= 3)
+         |SELECT q.doc_id, q.n_toks, q.score, d.dup_frac
+         |FROM qsc q JOIN dspan d USING (doc_id)
+         |JOIN kept USING (doc_id)
+         |WHERE q.doc_id NOT IN (SELECT doc_id FROM mdrop)
+         |  AND q.doc_id NOT IN (SELECT doc_id FROM cflag)""".stripMargin,
+    // audit2: the media funnel — one CASE over the e5/e9/e10 drop flags
+    // in the documented attribution order; conservation (Σ n_docs =
+    // |documents|) holds because the CASE is exhaustive and disjoint
+    "audit2_media_funnel" ->
+      s"""WITH $modelScoreCtes,
+         |$dupSpanCtes,
+         |$curationKeepCtes,
+         |$phashSigCtes,
+         |$audioSigCtes,
+         |mdrop AS (SELECT DISTINCT b.doc_id
+         |          FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         |          UNION
+         |          SELECT b.doc_id
+         |          FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+         |          WHERE bit_count(xor(a.ah, b.ah)) <= 2),
+         |cflag AS (SELECT DISTINCT t.doc_id
+         |          FROM psig t JOIN psig b ON t.doc_id >= 25
+         |            AND b.doc_id < 25
+         |          WHERE bit_count(xor(t.ph, b.ph)) <= 5
+         |          UNION
+         |          SELECT t.doc_id
+         |          FROM asig t JOIN asig b ON t.doc_id >= 25
+         |            AND b.doc_id < 25
+         |          WHERE bit_count(xor(t.ah, b.ah)) <= 3),
+         |att AS (SELECT d.doc_id, d.text,
+         |          CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM exk)
+         |                 THEN 'exact_dup'
+         |               WHEN COALESCE(q.score, -1) < 0.45
+         |                 THEN 'low_score'
+         |               WHEN COALESCE(sp.dup_frac, 1) > 0.5
+         |                 THEN 'high_dup_span'
+         |               WHEN d.doc_id IN (SELECT doc_id FROM mdrop)
+         |                 THEN 'media_near_dup'
+         |               WHEN d.doc_id IN (SELECT doc_id FROM cflag)
+         |                 THEN 'media_contaminated'
+         |               ELSE 'kept' END AS stage
+         |        FROM documents d LEFT JOIN qsc q USING (doc_id)
+         |          LEFT JOIN dspan sp USING (doc_id))
+         |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+         |         AS n_tokens
+         |FROM att GROUP BY 1""".stripMargin,
     // e6: the e5 keep-set fed through the pack1 cumsum — the composed
     // filter compares 6dp values both engines hash-match, and the pack
     // arithmetic is all-integer, so the composition is oracle-exact
@@ -4097,6 +4219,53 @@ object SparkEntry {
         |        JOIN icand ic ON ic.qid = t.qid AND ic.nid = a.vec_id
         |        WHERE a.vec_id <> t.qid
         |        GROUP BY 1, 2),
+        |prk AS (SELECT qid, nid, adc, row_number() OVER
+        |          (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+        |        FROM psc)
+        |SELECT qid, CAST(rn AS INTEGER) AS rn, nid, adc
+        |FROM prk WHERE rn <= 5""".stripMargin,
+    // sim12 — IVFADC: sim10's composition with the PQ corpus side
+    // residual-encoded. Everything rides the DYADIC 2^-20 grid, not
+    // 1e-6: a residual int/1e6 is not exactly representable, so the PQ
+    // Lloyd cluster-mean sums would round at ulp level in engine-
+    // specific summation order and straddle the round-6 snap (measured);
+    // int/2^20 is exact, making every mean sum order-free. The PQ stage
+    // is the shared per-subspace Lloyd contract over the residual frame,
+    // queries stay RAW, and the decomposition offset dot(q, c_cell) is
+    // one exact int64 per (query, member cell) — same 2^-40 unit as the
+    // ADC sum it fuses with.
+    "sim12_ivfadc_portable" ->
+      s"""WITH $kmeansCtes,
+        |ccen AS (SELECT cid, d.i,
+        |           CAST(ROUND(cen[d.i] * 1048576) AS BIGINT) AS ci
+        |         FROM c2 CROSS JOIN dims d),
+        |remb AS (SELECT e.vec_id,
+        |           list(CAST(CAST(ROUND(e.v[d.i] * 1048576) AS BIGINT)
+        |                  - c.ci AS DOUBLE) / 1048576 ORDER BY d.i) AS v
+        |         FROM emb e JOIN a2 ON a2.vec_id = e.vec_id
+        |           CROSS JOIN dims d
+        |           JOIN ccen c ON c.cid = a2.cid AND c.i = d.i
+        |         GROUP BY 1),
+        |${pqKmeansCtesFrom("SELECT vec_id, v FROM remb")},
+        |$ivfProbeCtes,
+        |${pqAdcCtesFrom("emb", "1048576")},
+        |qf AS (SELECT e.vec_id AS qid, d.i,
+        |         CAST(ROUND(e.v[d.i] * 1048576) AS BIGINT) AS qi
+        |       FROM emb e CROSS JOIN dims d
+        |       WHERE e.vec_id IN (0, 1, 2)),
+        |qcd AS (SELECT qf.qid, c.cid,
+        |          CAST(SUM(qf.qi * c.ci) AS BIGINT) AS cdot
+        |        FROM qf JOIN ccen c ON c.i = qf.i GROUP BY 1, 2),
+        |prs AS (SELECT t.qid, a.vec_id AS nid,
+        |          CAST(SUM(t.t) AS BIGINT) AS adcres
+        |        FROM pa2 a JOIN ptab t ON t.s = a.s AND t.cid = a.cid
+        |        JOIN icand ic ON ic.qid = t.qid AND ic.nid = a.vec_id
+        |        WHERE a.vec_id <> t.qid
+        |        GROUP BY 1, 2),
+        |psc AS (SELECT p.qid, p.nid,
+        |          CAST(p.adcres + q.cdot AS BIGINT) AS adc
+        |        FROM prs p JOIN a2 ON a2.vec_id = p.nid
+        |          JOIN qcd q ON q.qid = p.qid AND q.cid = a2.cid),
         |prk AS (SELECT qid, nid, adc, row_number() OVER
         |          (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
         |        FROM psc)

@@ -898,21 +898,40 @@ object Multimodal {
   /** Clip-containment pairs via FRAME-LEVEL near-dup matching — the
     * video sibling of the d17 text-containment operator: two clips pair
     * when ≥ `threshold` of either clip's frames have a Hamming-≤
-    * `maxHamming` partner frame in the other (sub-clip / re-encode
-    * detection, where a whole-clip signature like d21's majority vote
-    * dilutes). Frame pairs come from the SAME distinct-signature banded
-    * Hamming engine as d21/d23 — frames keyed as doc_id·2²⁰ + frame (so
-    * the engine's per-key normalization is a no-op and cross-doc fid
-    * order IS doc order), maxHamming+1 near-equal bands over the 56
-    * bits: pigeonhole makes the banded frame-pair set equal brute force,
-    * which is what lets the DuckDB oracle recompute it. Output
-    * (doc1 < doc2, containment = max of the two matched-frame
-    * fractions). Scale shape inherits the engine's (banding over
-    * distinct signature values; a hash shared by many frames re-expands
-    * output-proportionally), and the per-pair aggregation is one groupBy
-    * over the frame-pair output. */
+    * `maxHamming` partner frame in the other AT A CONSISTENT TEMPORAL
+    * ALIGNMENT (sub-clip / re-encode detection, where a whole-clip
+    * signature like d21's majority vote dilutes). Frame pairs come from
+    * the SAME distinct-signature banded Hamming engine as d21/d23 —
+    * frames keyed as doc_id·2²⁰ + frame (so the engine's per-key
+    * normalization is a no-op and cross-doc fid order IS doc order),
+    * maxHamming+1 near-equal bands over the 56 bits: pigeonhole makes
+    * the banded frame-pair set equal brute force, which is what lets the
+    * DuckDB oracle recompute it.
+    *
+    * TEMPORAL CONSISTENCY: only matches within ±1 frame of the pair's
+    * DOMINANT offset (the most frequent k2−k1, ties to the smallest)
+    * count toward the containment fraction — a true sub-clip matches at
+    * one consistent shift, while a shuffled bag of the same frames
+    * scatters its matches across many shifts and never reaches the
+    * threshold (the ±1 tolerance admits a one-frame re-encode jitter).
+    * The any-order fraction stays as the `containment_any` DIAGNOSTIC
+    * column (containment ≤ containment_any always).
+    *
+    * Output (doc1 < doc2, containment, containment_any, shift). Scale
+    * shape inherits the engine's (banding over distinct signature
+    * values; a hash shared by many frames re-expands output-
+    * proportionally); the per-pair work is one groupBy + one window over
+    * the frame-pair output, never corpus-proportional. */
   def videoContainmentPairs(documents: DataFrame, maxHamming: Int = 3,
-      threshold: Double = 0.8, bands: Int = 0): DataFrame = {
+      threshold: Double = 0.8, bands: Int = 0): DataFrame =
+    videoContainmentFromFrames(videoFramePhashes(documents).localCheckpoint(),
+      maxHamming, threshold, bands)
+
+  /** [[videoContainmentPairs]] below the decode: containment over an
+    * already-computed (doc_id, frame, fhash) frame-hash table — the spec
+    * entry point for planted alignment fixtures. */
+  private[graft] def videoContainmentFromFrames(fh: DataFrame,
+      maxHamming: Int, threshold: Double, bands: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 56,
       "maxHamming must sit inside the 56-bit signature")
     val nb = if (bands == 0) maxHamming + 1 else bands
@@ -922,18 +941,30 @@ object Multimodal {
     val widths = Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).take(nb)
     // fid packing: frame counts are bounded far below 2^20 by the
-    // encoder (n_chars/64 + 1); a general caller must keep frame < 2^20
+    // encoder (n_chars/64 + 1), and doc_id must fit the remaining 43
+    // bits (2^43·2^20 = 2^63) — an out-of-range id on a general 64-bit
+    // id space would silently overflow into the sign bit and corrupt
+    // the banded join keys, so it raises instead
     val M = 1L << 20
-    val fh = videoFramePhashes(documents).localCheckpoint()
+    val fid = when(col("doc_id").between(0L, (1L << 43) - 1L)
+        && col("frame").between(0, (1 << 20) - 1),
+      col("doc_id") * M + col("frame"))
+      .otherwise(raise_error(concat(
+        lit("videoContainmentPairs: (doc_id, frame) outside the packable "
+          + "range [0, 2^43) x [0, 2^20): "),
+        col("doc_id").cast("string"), lit(","),
+        col("frame").cast("string"))))
     val framePairs = Dedup.bandedHammingPairs(
-      fh.select((col("doc_id") * M + col("frame")).as("doc_id"),
-        col("fhash").as("simhash")),
+      fh.select(fid.as("doc_id"), col("fhash").as("simhash")),
       widths, offsets, maxHamming)
+    // unpack with EXACT integer ops (shift/mask — M is a power of two
+    // and fids are non-negative): a double-promoting floor(x / M) would
+    // decode fids above 2^53 inexactly
     val cross = framePairs.select(
-        floor(col("doc1") / M).cast("long").as("doc1"),
-        (col("doc1") % M).cast("int").as("k1"),
-        floor(col("doc2") / M).cast("long").as("doc2"),
-        (col("doc2") % M).cast("int").as("k2"))
+        shiftright(col("doc1"), 20).as("doc1"),
+        col("doc1").bitwiseAND(M - 1L).cast("int").as("k1"),
+        shiftright(col("doc2"), 20).as("doc2"),
+        col("doc2").bitwiseAND(M - 1L).cast("int").as("k2"))
       .where(col("doc1") =!= col("doc2"))
     val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // dominant temporal offset among the matched frames (the shot-
@@ -950,16 +981,22 @@ object Multimodal {
           .orderBy(col("cnt").desc, col("shift"))))
       .where(col("rn") === 1)
       .select(col("doc1"), col("doc2"), col("shift"))
-    cross.groupBy(col("doc1"), col("doc2"))
-      .agg(countDistinct(col("k1")).as("ma"),
-        countDistinct(col("k2")).as("mb"))
+    val atShift = abs(col("k2") - col("k1") - col("shift")) <= 1
+    cross.join(shifts, Seq("doc1", "doc2"))
+      .groupBy(col("doc1"), col("doc2"), col("shift"))
+      .agg(countDistinct(when(atShift, col("k1"))).as("ma"),
+        countDistinct(when(atShift, col("k2"))).as("mb"),
+        countDistinct(col("k1")).as("ma_any"),
+        countDistinct(col("k2")).as("mb_any"))
       .join(nf.select(col("doc_id").as("doc1"), col("n").as("na")), "doc1")
       .join(nf.select(col("doc_id").as("doc2"), col("n").as("nb")), "doc2")
       .withColumn("containment",
         greatest(col("ma") / col("na"), col("mb") / col("nb")))
+      .withColumn("containment_any",
+        greatest(col("ma_any") / col("na"), col("mb_any") / col("nb")))
       .where(col("containment") >= threshold)
-      .join(shifts, Seq("doc1", "doc2"))
-      .select(col("doc1"), col("doc2"), col("containment"), col("shift"))
+      .select(col("doc1"), col("doc2"), col("containment"),
+        col("containment_any"), col("shift"))
   }
 
   /** Media TRAIN/EVAL contamination check — the d9 decontamination shape
@@ -980,46 +1017,84 @@ object Multimodal {
   def mediaContaminationSplitCheck(documents: DataFrame, benchMaxId: Long,
       maxHamming: Int = 3, audioMaxHamming: Int = 2,
       bands: Int = 0): DataFrame = {
+    // the ONE shared bands knob must satisfy BOTH legs' pigeonhole —
+    // validated up front so an invalid layout (e.g. bands in (31, 56],
+    // legal for the 56-bit visual leg but wider than the 31-bit audio
+    // signature) fails with one clear message before any Spark work runs
+    require(bands == 0 ||
+        (bands > math.max(maxHamming, audioMaxHamming) && bands <= 31),
+      s"shared bands=$bands must cover both pigeonholes: " +
+        s"max(maxHamming=$maxHamming, audioMaxHamming=$audioMaxHamming) " +
+        "< bands <= 31 (the audio signature width)")
     val media = toMediaTable(documents)
     def leg(sigs: DataFrame, bits: Int, mh: Int,
-        modality: String): DataFrame = {
-      require(mh >= 0 && mh < bits, s"maxHamming inside the $bits bits")
-      val nb = if (bands == 0) mh + 1 else bands
-      require(nb > mh && nb <= bits, "bands must cover the pigeonhole")
-      val base = bits / nb
-      val extra = bits % nb
-      val widths =
-        Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
-      val offsets = widths.scanLeft(0)(_ + _).take(nb)
-      def chunked(df: DataFrame, idCol: String, sigCol: String) =
-        df.select(col(idCol), col(sigCol),
-          explode(array((0 until nb).map(c =>
-            struct(lit(c).as("chunk"),
-              shiftright(col(sigCol), offsets(c))
-                .bitwiseAND((1L << widths(c)) - 1).as("chunk_val"))): _*))
-            .as("ck"))
-          .select(col(idCol), col(sigCol),
-            col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
-      val train = sigs.where(col("doc_id") >= benchMaxId)
-      val bench = sigs.where(col("doc_id") < benchMaxId)
-        .select(col("doc_id").as("bench_id"), col("sig").as("bsig"))
-      chunked(train, "doc_id", "sig")
-        .join(broadcast(chunked(bench, "bench_id", "bsig")),
-          Seq("chunk", "chunk_val"))
-        .select(col("doc_id"), col("bench_id"),
-          bit_count(col("sig").bitwiseXOR(col("bsig"))).as("hamming"))
-        .where(col("hamming") <= mh)
-        // a pair can match in several bands; min == the single hamming
-        .groupBy(col("doc_id"), col("bench_id"))
-        .agg(min(col("hamming")).as("hamming"))
-        .select(col("doc_id"), col("bench_id"),
-          lit(modality).as("modality"), col("hamming"))
-    }
+        modality: String): DataFrame =
+      contaminationProbe(sigs.where(col("doc_id") >= benchMaxId),
+        sigs.where(col("doc_id") < benchMaxId)
+          .select(col("doc_id").as("bench_id"), col("sig").as("bsig")),
+        bits, mh, bands, modality)
     leg(phash(media).select(col("doc_id"), col("phash").as("sig")),
       56, maxHamming, "visual")
       .unionByName(
         leg(audioHash(media).select(col("doc_id"), col("ahash").as("sig")),
           31, audioMaxHamming, "audio"))
+  }
+
+  /** The bipartite banded-Hamming probe one d25 modality leg runs:
+    * `train(doc_id, sig)` streamed through the band keys of a BROADCAST
+    * `bench(bench_id, bsig)` frame (eval sets are small by definition),
+    * maxHamming+1 near-equal bands (pigeonhole ⇒ banded == brute
+    * force). Shared by the batch [[mediaContaminationSplitCheck]] and
+    * the per-micro-batch probe of the streaming media ingest — the
+    * probe is STATELESS given the benchmark signatures, so the online
+    * form equals the batch form on any arrival order. Output (doc_id,
+    * bench_id, modality, hamming). */
+  private[graft] def contaminationProbe(train: DataFrame, bench: DataFrame,
+      bits: Int, mh: Int, bands: Int, modality: String): DataFrame = {
+    require(mh >= 0 && mh < bits, s"maxHamming inside the $bits bits")
+    val nb = if (bands == 0) mh + 1 else bands
+    require(nb > mh && nb <= bits, "bands must cover the pigeonhole")
+    val base = bits / nb
+    val extra = bits % nb
+    val widths =
+      Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).take(nb)
+    def chunked(df: DataFrame, idCol: String, sigCol: String) =
+      df.select(col(idCol), col(sigCol),
+        explode(array((0 until nb).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col(sigCol), offsets(c))
+              .bitwiseAND((1L << widths(c)) - 1).as("chunk_val"))): _*))
+          .as("ck"))
+        .select(col(idCol), col(sigCol),
+          col("ck.chunk").as("chunk"), col("ck.chunk_val").as("chunk_val"))
+    chunked(train, "doc_id", "sig")
+      .join(broadcast(chunked(bench, "bench_id", "bsig")),
+        Seq("chunk", "chunk_val"))
+      .select(col("doc_id"), col("bench_id"),
+        bit_count(col("sig").bitwiseXOR(col("bsig"))).as("hamming"))
+      .where(col("hamming") <= mh)
+      // a pair can match in several bands; min == the single hamming
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(min(col("hamming")).as("hamming"))
+      .select(col("doc_id"), col("bench_id"),
+        lit(modality).as("modality"), col("hamming"))
+  }
+
+  /** The benchmark side of the contamination probe, precomputed once per
+    * stream (or per corpus release): BOTH modality signature frames of
+    * the given benchmark documents, tagged (bench_id, bsig, modality,
+    * bits). Small by definition (it is the eval holdout), so the
+    * streaming sink localCheckpoints it at setup and broadcasts it into
+    * every micro-batch probe. */
+  def benchmarkMediaSignatures(benchDocs: DataFrame): DataFrame = {
+    val media = toMediaTable(benchDocs)
+    phash(media).select(col("doc_id").as("bench_id"),
+        col("phash").as("bsig"), lit("visual").as("modality"),
+        lit(56).as("bits"))
+      .unionByName(audioHash(media).select(col("doc_id").as("bench_id"),
+        col("ahash").as("bsig"), lit("audio").as("modality"),
+        lit(31).as("bits")))
   }
 
   /** Feature extraction over the media table: typed mapPartitions, batched

@@ -174,6 +174,110 @@ object Pipeline {
       .join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** E10 — the media DECONTAMINATION closer: [[fullMediaCuratedCorpus]]
+    * minus every training document `Multimodal.
+    * mediaContaminationSplitCheck` flags as carrying benchmark media (a
+    * re-encoded eval image or re-sampled eval clip that survives text
+    * decontamination). This converts d25 from a report into ENFORCEMENT,
+    * mirroring the d9 → [[trainingCorpus]] `contaminated` stage the text
+    * side has: detected contamination no longer ships.
+    *
+    * THE CONTAMINATION BUDGETS ARE DELIBERATELY LOOSER than the dedup
+    * legs' (default hamming ≤ 5 visual / ≤ 3 audio vs the 3/2 near-dup
+    * budgets), because at equal budgets the stage is a THEOREM-level
+    * no-op: bench ids sit below every train id, so a train doc within
+    * the dedup budget of a bench doc is the higher-id side of a d21/d23
+    * pair and e9's near-dup anti-join already dropped it (the
+    * subsumption corollary the spec pins). Decontamination wants RECALL
+    * against eval leakage — a resize/re-encode drifting 4-5 bits must
+    * still go — while dedup stays tight because its overdrop cost is
+    * corpus mass; the looser band is exactly the stage's value.
+    *
+    * Composition law (spec- and oracle-pinned): e10 == e9 − flagged
+    * train docs at the contamination budgets. The flags are train-side
+    * by construction (doc_id ≥ benchMaxId), the drop list is
+    * contamination-mass-sized, and the anti-join is the only
+    * corpus-frame operation added — benchmark docs themselves stay
+    * subject to e9's own rules (the benchmark HOLDOUT exclusion is the
+    * release step [[trainingCorpus]] owns). */
+  def decontaminatedMediaCorpus(documents: DataFrame,
+      benchMaxId: Long = 25L, minScore: Double = 0.45,
+      maxDupFrac: Double = 0.5, maxHamming: Int = 3,
+      audioMaxHamming: Int = 2, contamMaxHamming: Int = 5,
+      contamAudioMaxHamming: Int = 3): DataFrame = {
+    val flagged = Multimodal
+      .mediaContaminationSplitCheck(documents, benchMaxId,
+        contamMaxHamming, contamAudioMaxHamming)
+      .select(col("doc_id")).distinct()
+    fullMediaCuratedCorpus(documents, minScore, maxDupFrac, maxHamming,
+      audioMaxHamming)
+      .join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** Provenance funnel for the MEDIA curation pipeline ([[e10 ==
+    * decontaminatedMediaCorpus]]): every input document attributed to
+    * the FIRST stage that rejects it, with per-stage document and token
+    * mass — the media sibling of [[filterFunnel]]. Stages are exactly
+    * e5 + e9 + e10's drop rules; the rules are commutative, so the
+    * attribution order is a documented convention (cheapest-test-first):
+    *
+    *   exact_dup → low_score → high_dup_span → media_near_dup →
+    *   media_contaminated → kept
+    *
+    * The stage partition is exhaustive and disjoint (one CASE over
+    * per-doc flags), so Σ n_docs = |documents| — pinned by a
+    * conservation spec — and the `kept` stage is EXACTLY the e10
+    * keep-set (pinned by a composition spec). Token mass uses the
+    * corpus-wide whitespace convention.
+    *
+    * Scale shape: the flag frames are the same drop lists the pipeline
+    * builds (score/span frames are doc-keyed, the media lists pair- and
+    * contamination-mass-sized); attribution is five left joins on
+    * doc_id feeding one CASE, then a tiny stage-keyed groupBy. */
+  def mediaFilterFunnel(documents: DataFrame, benchMaxId: Long = 25L,
+      minScore: Double = 0.45, maxDupFrac: Double = 0.5,
+      maxHamming: Int = 3, audioMaxHamming: Int = 2,
+      contamMaxHamming: Int = 5,
+      contamAudioMaxHamming: Int = 3): DataFrame = {
+    val scores = TextAnalysis.modelQualityScore(documents)
+      .select(col("doc_id"), col("score"))
+    val spans = Dedup.dupSpans(documents, 8, 2)
+      .select(col("doc_id"), col("dup_frac"))
+    val keepers = Dedup.exactDuplicates(documents)
+      .select(col("keeper").as("doc_id")).distinct()
+      .withColumn("is_keeper", lit(true))
+    val mediaDups = Multimodal.phashPairs(documents, maxHamming)
+      .select(col("doc2").as("doc_id"))
+      .unionByName(Multimodal.audioPairs(documents, audioMaxHamming)
+        .select(col("doc2").as("doc_id")))
+      .distinct().withColumn("is_media_dup", lit(true))
+    val contaminated = Multimodal
+      .mediaContaminationSplitCheck(documents, benchMaxId,
+        contamMaxHamming, contamAudioMaxHamming)
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contam", lit(true))
+    // coalesce defaults mirror e5's inner joins: a doc MISSING from the
+    // score/span frames is not kept there, so it attributes to the
+    // corresponding reject stage rather than leaking into `kept`
+    documents
+      .join(scores, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .join(keepers, Seq("doc_id"), "left")
+      .join(mediaDups, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("is_keeper").isNull, "exact_dup")
+          .when(coalesce(col("score"), lit(-1.0)) < minScore, "low_score")
+          .when(coalesce(col("dup_frac"), lit(1.0)) > maxDupFrac,
+            "high_dup_span")
+          .when(col("is_media_dup"), "media_near_dup")
+          .when(col("is_contam"), "media_contaminated")
+          .otherwise("kept"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"))
+  }
+
   /** Corpus datasheet: per (lang, source) stratum — document count, token
     * and character totals, and near-dup exposure. The report every corpus
     * release ships (and the input the mixing weights of

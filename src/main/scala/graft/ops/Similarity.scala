@@ -926,10 +926,12 @@ object Similarity {
     rankTopK(pairs, k).select(col("qid"), col("rn"), col("nid"))
   }
 
-  /** The coarse front end of [[portableIvfTopK]]/[[portableIvfPqTopK]]:
-    * probed-cell candidates (qid, nid) — each query's `nprobe` nearest
-    * Lloyd cells by squared-L2 against the final-round centroids, fanned
-    * out to those cells' members. */
+  /** The coarse front end of [[portableIvfTopK]]/[[portableIvfPqTopK]]/
+    * [[portableIvfAdcTopK]]: probed-cell candidates (qid, nid, cid) —
+    * each query's `nprobe` nearest Lloyd cells by squared-L2 against the
+    * final-round centroids, fanned out to those cells' members (cid =
+    * the member's cell, which the IVFADC decomposition's per-cell offset
+    * keys on). */
   private def portableIvfCandidates(embeddings: DataFrame,
       queryIds: Seq[Long], cells: Int, iters: Int,
       nprobe: Int): DataFrame = {
@@ -959,7 +961,7 @@ object Similarity {
       .select(col("qid"), col("cid"))
     qCell.join(assign, "cid")
       .where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"))
+      .select(col("qid"), col("nid"), col("cid"))
   }
 
   /** ENGINE-PORTABLE PQ/ADC top-k — the oracle-checkable twin of
@@ -1018,6 +1020,86 @@ object Similarity {
       topK)
   }
 
+  /** ENGINE-PORTABLE IVFADC top-k — [[portableIvfPqTopK]] with the
+    * RESIDUAL encoding [[ivfPqTopK]]'s float scale form uses (classic
+    * IVFADC: codes are trained on v − c_cell, spending the per-subspace
+    * levels on a much tighter range), completing the portable-oracle
+    * program for the last spec-gated-only ANN path. The whole extension
+    * stays on one exact integer grid — DYADIC (2^-20), not the usual
+    * 1e-6, and the choice is load-bearing:
+    *
+    *  1. RESIDUALS are exact doubles: r_i = (round(x_i·2^20) −
+    *     round(c_i·2^20)) / 2^20 is an integer multiple of 2^-20 with a
+    *     ~22-bit significand, so it is exactly representable — whereas
+    *     int/1e6 is NOT, and the PQ Lloyd loop's cluster-mean sums over
+    *     inexact residuals round at ulp level in whatever order an
+    *     engine adds them (measured to straddle the round-6 centroid
+    *     snap between Spark's partial aggregation and a sequential
+    *     engine). On the dyadic grid every cluster-mean sum is an exact
+    *     integer multiple of 2^-20 (< 2^53 at any realistic cell
+    *     membership), so summation order stops existing;
+    *  2. the PQ stage is the sim9/sim10 contract run over the residual
+    *     frame ([[portablePqScoresSplit]] at scale 2^20 — queries stay
+    *     RAW);
+    *  3. the decomposition dot(q, v) ≈ dot(q, c_cell) + dot(q, r̂) adds
+    *     one per-(query, cell) offset Σ qi·ci — EXACT int64 like the ADC
+    *     tables and in the same 2^-40 unit, so the fused score admits no
+    *     float summation-order noise on any engine or partitioning.
+    *
+    * When every vector sits exactly AT its cell centroid the residuals
+    * are all zero and the returned adc IS the exact integer dot — the
+    * decomposition-exactness law the spec pins. `sim10` keeps the
+    * raw-encode control at identical code size. */
+  def portableIvfAdcTopK(embeddings: DataFrame, queryIds: Seq[Long],
+      topK: Int = 5, cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      m: Int = 4, k: Int = 8, dims: Int = 64): DataFrame = {
+    val S = 1048576.0 // 2^20 — see the dyadic-grid scaladoc note
+    val assign = Clustering.kmeansAssign(embeddings, cells, iters)
+      .select(col("vec_id"), col("cluster").as("cid"))
+    val cents = Clustering.kmeansCentroids(embeddings, cells, iters)
+    // coarse centroids as (cid, embedding-ordered array) for the
+    // residual zip — k·dims rows collapsed to k, broadcast
+    val centArr = cents.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        e => e.getField("m")).as("cen"))
+    // exact-dyadic residuals (see scaladoc), materialized once — the
+    // stand-in for the persisted residual frame a real IVFADC deployment
+    // encodes from (8+ downstream scans across subspace training/encode
+    // would otherwise re-run the assign join per scan)
+    val resid = embeddings
+      .join(assign, "vec_id")
+      .join(broadcast(centArr), "cid")
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("cen"), (x, c) =>
+          (round(x.cast("double") * S) - round(c * S))
+            .cast("double") / S).as("embedding"))
+      .localCheckpoint()
+    val cand = portableIvfCandidates(embeddings, queryIds, cells, iters,
+      nprobe)
+    // the per-(query, probed cell) offset: Σ qi·ci over the full vector,
+    // exact int64 (|qi|,|ci| ≤ ~2^22 ⇒ |Σ| ≤ 64·2^44, far inside range)
+    val qInts = embeddings
+      .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("vec_id").as("qid"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("i", "x")))
+      .select(col("qid"), col("i"),
+        round(col("x") * S).cast("long").as("qi"))
+    val cdot = qInts
+      .join(broadcast(cents.select(col("cid"), col("i"),
+        round(col("m") * S).cast("long").as("ci"))), "i")
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("qi") * col("ci")).as("cdot"))
+    val resScores = portablePqScoresSplit(resid, embeddings, queryIds,
+      m, k, iters, dims, Some(cand), scale = S)
+    rankAdc(resScores
+      .join(cand.select(col("qid"), col("nid"), col("cid")),
+        Seq("qid", "nid"))
+      .join(cdot, Seq("qid", "cid"))
+      .select(col("qid"), col("nid"),
+        (col("adc") + col("cdot")).as("adc")), topK)
+  }
+
   private def rankAdc(scored: DataFrame, topK: Int): DataFrame =
     scored
       .withColumn("rn", row_number().over(
@@ -1031,11 +1113,22 @@ object Similarity {
     * IVF-restricted form — the semi-join applies before the aggregation). */
   private def portablePqScores(embeddings: DataFrame, queryIds: Seq[Long],
       m: Int, k: Int, iters: Int, dims: Int,
-      cand: Option[DataFrame]): DataFrame = {
+      cand: Option[DataFrame]): DataFrame =
+    portablePqScoresSplit(embeddings, embeddings, queryIds, m, k, iters,
+      dims, cand)
+
+  /** [[portablePqScores]] with the CORPUS frame (codebook training +
+    * codes) decoupled from the QUERY frame (ADC tables) — the IVFADC
+    * form needs exactly this split: codes come from cell RESIDUALS
+    * while queries stay raw (the decomposition dot(q, v) = dot(q, c) +
+    * dot(q, v − c) residualizes only the corpus side). */
+  private def portablePqScoresSplit(corpus: DataFrame, queryVecs: DataFrame,
+      queryIds: Seq[Long], m: Int, k: Int, iters: Int, dims: Int,
+      cand: Option[DataFrame], scale: Double = 1e6): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
     val subs = (0 until m).map { s =>
-      embeddings.select(col("vec_id"),
+      corpus.select(col("vec_id"),
         slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
     }
     // codes: (s, nid, cid) — the final-round assignment per subspace
@@ -1044,14 +1137,16 @@ object Similarity {
         .select(lit(s).as("s"), col("vec_id").as("nid"),
           col("cluster").as("cid"))
     }.reduce(_ unionByName _)
-    // centroids on the exact 1e-6 integer grid: (s, cid, i, mi)
+    // centroids on the exact integer grid (1e-6 for the raw path; the
+    // IVFADC caller passes the dyadic 2^-20 — see its scaladoc):
+    // (s, cid, i, mi)
     val cents = subs.zipWithIndex.map { case (df, s) =>
       Clustering.kmeansCentroids(df, k, iters)
         .select(lit(s).as("s"), col("cid"), col("i"),
-          round(col("m") * 1e6).cast("long").as("mi"))
+          round(col("m") * scale).cast("long").as("mi"))
     }.reduce(_ unionByName _)
     // query subvector components on the same grid: (qid, s, i, qi)
-    val qSub = embeddings
+    val qSub = queryVecs
       .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
       .select(col("vec_id").as("qid"),
         posexplode(transform(col("embedding"), _.cast("double")))
@@ -1059,7 +1154,7 @@ object Similarity {
       .select(col("qid"),
         floor(col("gi") / subDim).cast("int").as("s"),
         (col("gi") % subDim).as("i"),
-        round(col("x") * 1e6).cast("long").as("qi"))
+        round(col("x") * scale).cast("long").as("qi"))
     // per-query ADC tables: t[qid, s, cid] = Σ_i qi·mi (exact integers)
     val qtab = qSub.join(broadcast(cents), Seq("s", "i"))
       .groupBy(col("qid"), col("s"), col("cid"))

@@ -758,27 +758,105 @@ object Streams {
     * curation stays a per-release batch pass (its quality vocabulary
     * and dup-span postings are corpus-global by design). */
   def fullMediaIngestSink(docs: DataFrame, stateDir: String,
-      outDir: String, maxHamming: Int = 3, audioMaxHamming: Int = 2)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      outDir: String, maxHamming: Int = 3, audioMaxHamming: Int = 2,
+      benchDocs: Option[DataFrame] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // benchmark signatures are precomputed ONCE per stream (the eval
+    // holdout is fixed for a release) and pinned — every micro-batch
+    // probe broadcasts this tiny frame, never re-decodes the benchmark
+    val benchSigs = benchDocs.map(b => graft.ops.Multimodal
+      .benchmarkMediaSignatures(b).localCheckpoint())
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         mergeFullMediaIngest(batch, batchId, stateDir, outDir,
-          maxHamming, audioMaxHamming)
+          maxHamming, audioMaxHamming, benchSigs)
     }
+  }
 
   /** The per-batch body of `fullMediaIngestSink` (spec entry point). */
   private[graft] def mergeFullMediaIngest(batch: DataFrame, batchId: Long,
       stateDir: String, outDir: String, maxHamming: Int,
-      audioMaxHamming: Int): Unit = {
+      audioMaxHamming: Int,
+      benchSigs: Option[DataFrame] = None): Unit = {
+    // carry the batch's own n_chars through when it has one — the batch
+    // flagship encodes from the documents table's n_chars column, and a
+    // corpus where n_chars != length(text) must encode IDENTICALLY here
+    // or the streamed-vs-batch parity contract breaks silently
+    val nChars =
+      if (batch.columns.contains("n_chars")) col("n_chars").cast("long")
+      else length(col("text")).cast("long")
     val media = graft.ops.Multimodal.buildMediaTable(
-      batch.select(col("doc_id"), col("text"),
-        length(col("text")).cast("long").as("n_chars")))
-      .localCheckpoint() // one encode pass feeds both modality legs
+      batch.select(col("doc_id"), col("text"), nChars.as("n_chars")))
+      .localCheckpoint() // one encode pass feeds every modality leg
     mergePhashIngest(media, batchId, s"$stateDir/phash",
       s"$outDir/phash", maxHamming)
     mergeAudioIngest(media, batchId, s"$stateDir/audio",
       s"$outDir/audio", audioMaxHamming)
+    benchSigs.foreach(bs => mergeMediaContamination(media, batchId, bs,
+      s"$stateDir/contam", s"$outDir/contam", maxHamming,
+      audioMaxHamming))
   }
+
+  /** The ONLINE d25: probe each micro-batch's media signatures against
+    * the broadcast benchmark signature frame (bipartite banded Hamming —
+    * `Multimodal.contaminationProbe`, the same leg the batch
+    * `mediaContaminationSplitCheck` runs) and commit the flagged
+    * arrivals as audit output. The probe is STATELESS given the
+    * benchmark frame — no index, no cross-batch state — so the union of
+    * committed batch outputs equals the batch operator on the arrived
+    * train docs for ANY arrival order (no greedy-online caveat; the
+    * parity spec pins it across a kill/restart boundary). Arriving docs
+    * that ARE benchmark members are excluded (the batch operator's
+    * train side), via one anti-join against the tiny bench-id list.
+    * Same per-bid idempotence + frontier commit + O(1) replay guard as
+    * every ingest leg. */
+  private[graft] def mergeMediaContamination(media: DataFrame,
+      batchId: Long, benchSigs: DataFrame, stateDir: String,
+      outDir: String, maxHamming: Int, audioMaxHamming: Int): Unit = {
+    val spark = media.sparkSession
+    val frontierDir = s"$stateDir/frontier"
+    val lastBid = readStateWithRecovery(spark, frontierDir).map { df =>
+      val r = df.select(max(col("bid"))).head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
+    if (batchId <= lastBid) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"media contamination probe: skipping batch $batchId (frontier " +
+          s"at $lastBid) — replay of a committed batch is a no-op")
+      return
+    }
+    val benchIds = benchSigs.select(col("bench_id").as("doc_id")).distinct()
+    def leg(sigs: DataFrame, modality: String, bits: Int,
+        mh: Int): DataFrame =
+      graft.ops.Multimodal.contaminationProbe(
+        sigs.join(benchIds, Seq("doc_id"), "left_anti"),
+        benchSigs.where(col("modality") === modality)
+          .select(col("bench_id"), col("bsig")),
+        bits, mh, 0, modality)
+    val flags = leg(graft.ops.Multimodal.phash(media)
+        .select(col("doc_id"), col("phash").as("sig")), "visual", 56,
+        maxHamming)
+      .unionByName(leg(graft.ops.Multimodal.audioHash(media)
+        .select(col("doc_id"), col("ahash").as("sig")), "audio", 31,
+        audioMaxHamming))
+    flags.write.mode("overwrite").parquet(s"$outDir/bid=$batchId")
+    import spark.implicits._
+    swapIntoPlace(Seq(batchId).toDF("bid").repartition(1), frontierDir)
+  }
+
+  /** Committed-only read of the online d25 audit output: the flagged
+    * (doc_id, bench_id, modality, hamming) rows across every batch the
+    * frontier has committed — orphan partitions a crash left behind are
+    * never listed (same read discipline as `readCommitted`). None before
+    * the first commit. */
+  def committedContamination(spark: SparkSession, stateDir: String,
+      outDir: String): Option[DataFrame] =
+    readStateWithRecovery(spark, s"$stateDir/contam/frontier").flatMap {
+      df =>
+        val r = df.select(max(col("bid"))).head
+        if (r.isNullAt(0)) None
+        else committedBidParquet(spark, s"$outDir/contam", r.getLong(0))
+    }
 
   /** The corpus-release half of the streaming e9 flagship: compose the
     * batch keep-set (`Pipeline.curatedCorpus` — quality, dup spans,

@@ -379,6 +379,41 @@ class PipelineSpec extends GraftSuite {
     assert(got.forall { case (q, _, n, _) => cand((q, n)) })
   }
 
+  test("sim12 decomposition exactness: zero residuals make IVFADC the " +
+      "exact integer-dot ranking") {
+    import spark.implicits._
+    // 48 vectors at 8 DISTINCT 2-decimal positions (vec i sits at
+    // position i % 8, so the first 8 ids ARE the 8 positions): Lloyd
+    // converges to the positions themselves (round-6 snaps the means
+    // back onto them), every residual quantizes to 0, the residual
+    // codebooks are all-zero, and the fused score collapses to the
+    // dot(q, c_cell) offset = the EXACT integer dot — so with all cells
+    // probed, sim12 must return the exact-dot top-5, copies tied by nid
+    val dims = 64
+    def pos(j: Int): Seq[Double] =
+      (0 until dims).map(i => ((j * 17 + i * 13) % 23 - 11) / 100.0)
+    val vecs = (0 until 48).map(v => (v.toLong, pos(v % 8)))
+    val emb48 = vecs.toDF("vec_id", "embedding").localCheckpoint()
+    val got = graft.ops.Similarity.portableIvfAdcTopK(emb48,
+        Seq(0L, 1L, 2L), topK = 5, cells = 8, iters = 2, nprobe = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // expected: exact int64 dots on the dyadic 2^20 grid, driver-side
+    def qi(x: Double): Long = math.round(x * 1048576.0)
+    val expected = (0 until 3).flatMap { q =>
+      vecs.filter(_._1 != q)
+        .map { case (n, v) =>
+          (n, pos(q).zip(v).map { case (a, b) => qi(a) * qi(b) }.sum) }
+        .sortBy { case (n, d) => (-d, n) }.take(5).zipWithIndex
+        .map { case ((n, d), i) => (q.toLong, i + 1, n, d) }
+    }.toSet
+    assert(got == expected,
+      s"zero-residual IVFADC must equal exact integer dot:\n got=$got\n " +
+        s"want=$expected")
+    graft.ops.Clustering.clearAssignments()
+  }
+
   test("gr4 triangle stats: hand-computed census, canonicalization") {
     import spark.implicits._
     // triangle {1,2,3}, pendant 3-4, detached pair 5-6; reversed and
@@ -1348,6 +1383,104 @@ class PipelineSpec extends GraftSuite {
     assert(imageDrops.intersect(audioDrops).isEmpty)
   }
 
+  test("e10 composition: decontaminatedMediaCorpus == e9 minus the " +
+      "loose-budget flags; audit2 conserves and kept == e10") {
+    import graft.ops.Multimodal
+    // the stage's own budgets (5/3 — looser than the 3/2 dedup legs)
+    val flagged = Multimodal.mediaContaminationSplitCheck(docs, 25L, 5, 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // the flags are train-side by construction
+    assert(flagged.forall(_ >= 25L), s"bench-side flag leaked: $flagged")
+    val e9 = Pipeline.fullMediaCuratedCorpus(docs).collect()
+      .map(_.getLong(0)).toSet
+    val got = Pipeline.decontaminatedMediaCorpus(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == e9 -- flagged,
+      "e10 must be exactly e9 minus the contamination flags " +
+        s"(only_got=${got -- (e9 -- flagged)} " +
+        s"missing=${(e9 -- flagged) -- got})")
+    // SUBSUMPTION COROLLARY (why the budgets must be looser): at the
+    // dedup budgets every flagged train doc is the higher-id side of a
+    // d21/d23 pair (bench ids < train ids), so e9's near-dup anti-join
+    // already dropped it — equal-budget decontamination is a no-op
+    val tightFlags = Multimodal
+      .mediaContaminationSplitCheck(docs, 25L, 3, 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(tightFlags.intersect(e9).isEmpty,
+      "equal-budget flags must be subsumed by the near-dup drop list: " +
+        s"${tightFlags.intersect(e9)}")
+    // audit2: exhaustive disjoint stages (doc AND token conservation),
+    // kept == the e10 keep-set, and the media_contaminated stage is the
+    // e9-kept contaminated docs exactly
+    val funnel = Pipeline.mediaFilterFunnel(docs).collect()
+    assert(funnel.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val totTok = docs
+      .select(sum(size(split(col("text"), "\\s+")).cast("long")))
+      .head.getLong(0)
+    assert(funnel.map(_.getAs[Long]("n_tokens")).sum == totTok)
+    def stageN(s: String) = funnel.find(_.getAs[String]("stage") == s)
+      .map(_.getAs[Long]("n_docs")).getOrElse(0L)
+    assert(stageN("kept") == got.size,
+      s"funnel kept ${stageN("kept")} but e10 emitted ${got.size}")
+    assert(stageN("media_contaminated") == flagged.intersect(e9).size,
+      "media_contaminated must count exactly the e9-kept flagged docs")
+  }
+
+  test("e10 enforcement is non-vacuous: a planted 4-bit re-encode " +
+      "passes dedup but drops through decontamination") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val base = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    // bench 0 and train 27 render near-identical images: the fixture
+    // SEARCHES (deterministically, via the same dHash pipeline the
+    // encoder runs) for the smallest set of evenly-spaced high-contrast
+    // edits whose signature lands in (3, 5] — OUTSIDE the 3-bit dedup
+    // budget, INSIDE the 5-bit contamination budget — so an encoder
+    // change re-plants the leak instead of silently un-planting it.
+    // 30 is an unrelated keeper; quality/span gates are neutralized
+    // (minScore 0, maxDupFrac 1) to isolate the contamination stage.
+    def sig(s: String): Long = {
+      val w = (s.length / 100) * 3 + 12
+      val h = (s.length / 150) * 4 + 10
+      Multimodal.dHash56(Multimodal.grayGrid(w, h,
+        Multimodal.textPixels(s, w * h).map(_ & 0xff)))
+    }
+    val b0 = sig(base)
+    val perturbed = (1 to base.length).view.flatMap { k =>
+      val t = (0 until k).map(j => (j * base.length) / k)
+        .foldLeft(base)((s, p) => s.updated(p, 'Z'))
+      val h = java.lang.Long.bitCount(b0 ^ sig(t))
+      if (h > 3 && h <= 5) Some(t) else None
+    }.headOption.getOrElse(
+      fail("no edit set lands between the budgets on this encoder"))
+    val hand = Seq((0L, base), (27L, perturbed),
+        (30L, "another corpus entirely with its own unrelated canvas"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val sigs = Multimodal.phash(Multimodal.toMediaTable(hand)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ham = java.lang.Long.bitCount(sigs(0L) ^ sigs(27L))
+    assert(ham > 3 && ham <= 5,
+      s"fixture must land between the budgets, got hamming $ham")
+    val e9 = Pipeline.fullMediaCuratedCorpus(hand, minScore = 0.0,
+      maxDupFrac = 1.0).collect().map(_.getLong(0)).toSet
+    assert(e9.contains(27L),
+      s"the re-encode must SURVIVE dedup (the leak e10 exists for): $e9")
+    val e10 = Pipeline.decontaminatedMediaCorpus(hand, 25L,
+      minScore = 0.0, maxDupFrac = 1.0).collect()
+      .map(_.getLong(0)).toSet
+    assert(!e10.contains(27L) && e10.contains(30L),
+      s"decontamination must drop exactly the planted leak: $e10")
+    // and the funnel attributes it to the new stage
+    val stages = Pipeline.mediaFilterFunnel(hand, 25L, minScore = 0.0,
+      maxDupFrac = 1.0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages.get("media_contaminated").contains(1L),
+      s"funnel must attribute the leak to media_contaminated: $stages")
+    Multimodal.clearMedia()
+  }
+
   test("d21 phash: planted near-dup images pair up, audio never does") {
     import spark.implicits._
     import graft.ops.Multimodal
@@ -1384,11 +1517,14 @@ class PipelineSpec extends GraftSuite {
   test("d24 video containment: planted sub-clips pair, modalities isolate") {
     import spark.implicits._
     import graft.ops.Multimodal
-    // corpus: output is video-only, canonical order, (0, 1]-bounded
+    // corpus: output is video-only, canonical order, (0, 1]-bounded,
+    // and the shift-consistent fraction never exceeds the any-order one
     val pairs = Multimodal.videoContainmentPairs(docs, 3, 0.8).collect()
     pairs.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(2) <= r.getDouble(3),
+        "containment (shift-consistent) must be <= containment_any")
       assert(r.getLong(0) % 3 == 2 && r.getLong(1) % 3 == 2,
         "only video docs carry frame hashes")
     }
@@ -1407,7 +1543,7 @@ class PipelineSpec extends GraftSuite {
         org.apache.spark.sql.functions.length(col("text")).cast("long"))
     def toMap(rows: Array[org.apache.spark.sql.Row]) = rows
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getDouble(2), r.getInt(3)))).toMap
+        ((r.getDouble(2), r.getInt(4)))).toMap
     val got = toMap(Multimodal.videoContainmentPairs(hand, 3, 0.8).collect())
     assert(got.contains((2L, 5L)),
       s"planted sub-clip must reach 0.8 containment: $got")
@@ -1422,6 +1558,126 @@ class PipelineSpec extends GraftSuite {
       Multimodal.videoContainmentPairs(hand, 3, 0.8, bands = 6).collect())
     assert(alt == got, "band layouts must produce identical containment")
     Multimodal.clearMedia()
+  }
+
+  test("d24 temporal consistency: a shuffled bag of the same frames " +
+      "never pairs; the true sub-clip still does") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // frame hashes planted directly (videoContainmentFromFrames — below
+    // the decode): 10 pairwise-distant 56-bit signatures
+    val rnd = new scala.util.Random(20260815L)
+    val hs = Iterator.continually(rnd.nextLong() & ((1L << 56) - 1))
+      .take(10).toVector
+    for (a <- hs.indices; b <- hs.indices if a < b)
+      assert(java.lang.Long.bitCount(hs(a) ^ hs(b)) > 7,
+        s"fixture hashes $a/$b too close — pick another seed")
+    // clip 1 = frames h0..h9 in order; clip 2 = the TRUE sub-clip
+    // h2..h5 in order; clip 3 = the SAME four frames shuffled
+    val fh = (hs.indices.map(k => (1L, k, hs(k))) ++
+        Seq(2, 3, 4, 5).zipWithIndex.map { case (src, k) =>
+          (2L, k, hs(src)) } ++
+        Seq(5, 2, 4, 3).zipWithIndex.map { case (src, k) =>
+          (3L, k, hs(src)) })
+      .toDF("doc_id", "frame", "fhash")
+    val got = Multimodal
+      .videoContainmentFromFrames(fh, 0, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    // the ordered sub-clip matches all 4 frames at one shift (-2)
+    assert(got.contains((1L, 2L)), s"true sub-clip must pair: $got")
+    assert(got((1L, 2L)) == ((1.0, 1.0, -2)),
+      s"sub-clip must be fully contained at shift -2: $got")
+    // the shuffled bag: every frame has an any-order partner
+    // (containment_any would be 1.0) but no consistent alignment —
+    // matches scatter across shifts {-1, 0, -2, -5}, the dominant one
+    // covers at most 2 of 4 frames, so the pair NEVER forms
+    assert(!got.contains((1L, 3L)),
+      s"shuffled-frames clip must not pair as a sub-clip: $got")
+    // clips 2 and 3 share all four signatures any-order; consistent
+    // matches at their dominant shift stay under the threshold too
+    assert(!got.contains((2L, 3L)),
+      s"ordered-vs-shuffled must not pair: $got")
+  }
+
+  test("APNG dispose/blend policy: every op value has a pinned outcome " +
+      "(dispose 0-2 decode identically; non-SOURCE blend rejects)") {
+    import graft.ops.Multimodal
+    val frames = Array.tabulate(3)(k =>
+      Array.tabulate(24)(i => ((i * 5 + k * 11) % 256).toByte))
+    val apng = Multimodal.apngBytes(6, 4, frames)
+    // patch byte `off` of the `which`-th fcTL's 26-byte data and re-CRC
+    // the chunk — a WELL-FORMED mutation (valid CRC), so any rejection
+    // below is the op-value POLICY firing, never the corruption guard
+    def patchFctl(src: Array[Byte], which: Int, off: Int,
+        v: Byte): Array[Byte] = {
+      val out = src.clone()
+      var i = 33
+      var seen = 0
+      while (i + 8 <= out.length) {
+        val len = (((out(i) & 0xff) << 24) | ((out(i + 1) & 0xff) << 16) |
+          ((out(i + 2) & 0xff) << 8) | (out(i + 3) & 0xff))
+        val t = new String(out, i + 4, 4, "US-ASCII")
+        if (t == "fcTL" && { val hit = seen == which; seen += 1; hit }) {
+          out(i + 8 + off) = v
+          val c = new java.util.zip.CRC32
+          c.update(out, i + 4, 4 + len)
+          val cv = c.getValue
+          out(i + 8 + len) = ((cv >>> 24) & 0xff).toByte
+          out(i + 9 + len) = ((cv >>> 16) & 0xff).toByte
+          out(i + 10 + len) = ((cv >>> 8) & 0xff).toByte
+          out(i + 11 + len) = (cv & 0xff).toByte
+          return out
+        }
+        i += 12 + len
+      }
+      fail(s"fcTL #$which not found")
+    }
+    val base = Multimodal.decodePng(apng).get
+    assert(base.animated && base.frames.length == 3)
+    val basePx = base.frames.map(_.toSeq)
+    for (which <- 0 to 2) {
+      // APNG_DISPOSE_OP NONE(0)/BACKGROUND(1)/PREVIOUS(2): ACCEPTED and
+      // pixel-identical — every frame here is full-canvas blend-SOURCE,
+      // so the canvas state a dispose op would leave behind is
+      // overwritten before any pixel could read it
+      for (d <- 0 to 2) {
+        val got = Multimodal.decodePng(patchFctl(apng, which, 24,
+          d.toByte))
+        assert(got.isDefined, s"dispose $d on fcTL #$which must decode")
+        assert(got.get.frames.map(_.toSeq) == basePx,
+          s"dispose $d must not change any decoded pixel")
+      }
+      // dispose >= 3: outside the spec's enum — reject as malformed
+      for (d <- 3 to 4)
+        assert(Multimodal.decodePng(patchFctl(apng, which, 24,
+          d.toByte)).isEmpty,
+          s"out-of-enum dispose $d on fcTL #$which must reject")
+      // APNG_BLEND_OP_OVER(1): spec-LEGAL but outside this decoder's
+      // validated profile (full-canvas SOURCE frames only) — the record
+      // degrades to undecodable BY POLICY rather than compositing as if
+      // SOURCE and emitting wrong pixels; >= 2 is out of the spec enum
+      for (b <- 1 to 2)
+        assert(Multimodal.decodePng(patchFctl(apng, which, 25,
+          b.toByte)).isEmpty,
+          s"non-SOURCE blend $b on fcTL #$which must reject")
+    }
+  }
+
+  test("d24 frame-key packing guard: an unpackable doc_id raises " +
+      "instead of silently corrupting pairs") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val fh = Seq((1L << 43, 0, 42L), (7L, 0, 42L))
+      .toDF("doc_id", "frame", "fhash")
+    val e = intercept[Exception] {
+      Multimodal.videoContainmentFromFrames(fh, 0, 0.8).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("packable range")),
+      s"guard must name the packing contract: ${msgs(e)}")
   }
 
   test("d25 media contamination: eval leaks flagged per modality, " +

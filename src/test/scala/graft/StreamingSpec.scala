@@ -1623,6 +1623,58 @@ class StreamingSpec extends GraftSuite {
       "an e5-kept audio doc must drop through the streamed audio leg")
   }
 
+  test("streaming d25: the per-batch contamination probe equals the " +
+      "batch operator across a kill/restart boundary") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val dir = Files.createTempDirectory("graft_d25s").toString
+    val (state, out, ckpt) = (dir + "/state", dir + "/out", dir + "/ckpt")
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val fixture = docs.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .localCheckpoint()
+    val benchDocs = fixture.where(col("doc_id") < 25).localCheckpoint()
+    // batch truth: the d25 operator on the full corpus. NO chain-free
+    // precondition here — the probe is STATELESS given the benchmark
+    // frame (bipartite vs a fixed eval set), so streamed == batch on
+    // any arrival order, unlike the greedy-online dedup legs
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "bench_id", "modality", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3))).toSet
+    val want = rows(Multimodal.mediaContaminationSplitCheck(fixture, 25L))
+    assert(want.nonEmpty, "fixture has no contamination — vacuous spec")
+    // stream EVERYTHING (benchmark docs too — the probe must exclude
+    // them itself), in NON-id-order batches, killing between them
+    val shuffled = new scala.util.Random(25L).shuffle(docs)
+    val ms = MemoryStream[(Long, String)](93, spark, None)
+    def startQ() = Streams.fullMediaIngestSink(
+        ms.toDS().toDF("doc_id", "text"), state, out,
+        benchDocs = Some(benchDocs))
+      .option("checkpointLocation", ckpt).start()
+    val q1 = startQ()
+    ms.addData(shuffled.take(200)); q1.processAllAvailable()
+    q1.stop() // kill
+    val q2 = startQ()
+    ms.addData(shuffled.drop(200))
+    q2.processAllAvailable(); q2.stop()
+    val got = rows(Streams.committedContamination(spark, state, out).get)
+    assert(got == want,
+      s"streamed d25 diverged: only_stream=${got -- want} " +
+        s"only_batch=${want -- got}")
+    // replay of a committed bid is a no-op (per-leg O(1) guard)
+    Streams.mergeMediaContamination(
+      Multimodal.buildMediaTable(Seq((9999L, "brand new arrival"))
+        .toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))),
+      0L, Multimodal.benchmarkMediaSignatures(benchDocs),
+      s"$state/contam", s"$out/contam", 3, 2)
+    assert(rows(Streams.committedContamination(spark, state, out).get)
+      == got, "replay must not re-probe or append")
+  }
+
   test("txn sink: corrupt orphan files cannot poison the committed read") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_txn4").toString + "/t"
