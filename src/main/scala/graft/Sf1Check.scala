@@ -124,6 +124,14 @@ object Sf1Check {
         () => ops.Multimodal.mediaContaminationSplitCheck(docs, 2500),
         () => ops.Multimodal.mediaContaminationSplitCheck(docs, 2500,
           bands = 6)),
+      // round-14's e10 runs the probe at the LOOSER decontamination
+      // budgets (5/3) — wider bands, bigger candidate fan-in, same
+      // pigeonhole; checked as its own layout pair
+      ("media_contamination_loose_layouts",
+        () => ops.Multimodal.mediaContaminationSplitCheck(docs, 2500,
+          maxHamming = 5, audioMaxHamming = 3),
+        () => ops.Multimodal.mediaContaminationSplitCheck(docs, 2500,
+          maxHamming = 5, audioMaxHamming = 3, bands = 7)),
       // clustering: two-level assign at coarse = k == flat argmin
       ("kmeans_two_level_vs_flat",
         () => ops.Clustering.kmeansAssign(emb, 16, 2),
