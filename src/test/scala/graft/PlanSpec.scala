@@ -57,6 +57,56 @@ class PlanSpec extends GraftSuite {
       s"both modality drop lists must merge into a single anti-join:\n$p")
   }
 
+  test("d25/e10 contamination probe: bench side broadcast even with the " +
+      "size probe off, never a cartesian") {
+    // the probe must broadcast BY HINT, not by lucky size probe — at
+    // 100 TB the training side is huge and only the eval side is small
+    // by definition, so the hint is the guarantee
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("d25_media_contamination")
+      assert(p.contains("BroadcastHashJoin"),
+        s"benchmark signature side must broadcast by hint:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"))
+    } finally spark.conf.set(key, old)
+  }
+
+  test("e10 composes as e9's single merged anti-join plus ONE " +
+      "contamination anti-join") {
+    val p = plan("e10_decontaminated_media")
+    assert("LeftAnti".r.findAllIn(p).size == 2,
+      "e10 must add exactly one anti-join on top of e9's merged drop " +
+        s"list:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sim12 portable IVFADC: relational all the way down — no " +
+      "ScalaUDF, broadcast ADC tables, no cartesian") {
+    val df = SparkEntry.queries("sim12_ivfadc_portable")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"),
+      s"the portable path must not fall back to a black-box UDF:\n" +
+        p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-query ADC tables / centroid frames must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    graft.ops.Clustering.clearAssignments()
+  }
+
+  test("audit2 funnel: flag frames left-join the corpus, one stage " +
+      "rollup, never a cartesian") {
+    val p = plan("audit2_media_funnel")
+    assert(!p.contains("CartesianProduct"))
+    // the final rollup partial-aggregates map-side before the tiny
+    // stage-keyed exchange (the same law as a5)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"stage rollup must be two-phase:\n${p.take(1200)}")
+    graft.ops.Multimodal.clearMedia()
+    graft.ops.Dedup.clearSubstrates()
+  }
+
   test("r6 MMR rerank is distributed: no driver-side materialization") {
     // the collected formulation's plan is a bare LocalTableScan of the
     // greedy's driver-computed output — NO parquet lineage at all; the
