@@ -648,6 +648,17 @@ object SparkEntry {
     // bipartite banded blocking, benchmark side broadcast
     "d25_media_contamination" -> ((s, d) =>
       Multimodal.mediaContaminationSplitCheck(t(s, d, "documents"), 25)),
+    // the benchmark BURN report: d25's flags at e10's loose enforcement
+    // budgets rolled up per eval item — which benchmark docs are
+    // compromised, by how many training docs, and how closely
+    "d26_benchmark_burn" -> ((s, d) =>
+      Multimodal.benchmarkBurnReport(t(s, d, "documents"), 25)),
+    // ALIGNED text containment (the d24 temporal law on token-shingle
+    // positions): quote/extraction detection — a reordered bag of the
+    // same shingles scores ~1.0 SET containment (d17) but never pairs
+    // here, because its matches scatter across offsets
+    "d27_aligned_containment" -> ((s, d) =>
+      Dedup.alignedContainmentPairs(t(s, d, "documents"), 3, 0.8)),
     // ---- sketches ----
     "a14_approx_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2674,6 +2685,64 @@ object SparkEntry {
          |       CAST(bit_count(xor(t.ah, b.ah)) AS INTEGER) AS hamming
          |FROM asig t JOIN asig b ON t.doc_id >= 25 AND b.doc_id < 25
          |WHERE bit_count(xor(t.ah, b.ah)) <= 2""".stripMargin,
+    // d26: the d25 bipartite flags at the loose (5/3) enforcement
+    // budgets, rolled up per benchmark item
+    "d26_benchmark_burn" ->
+      s"""WITH $phashSigCtes,
+         |$audioSigCtes,
+         |fl AS (
+         |  SELECT t.doc_id, b.doc_id AS bench_id, 'visual' AS modality,
+         |         CAST(bit_count(xor(t.ph, b.ph)) AS INTEGER) AS hamming
+         |  FROM psig t JOIN psig b ON t.doc_id >= 25 AND b.doc_id < 25
+         |  WHERE bit_count(xor(t.ph, b.ph)) <= 5
+         |  UNION ALL
+         |  SELECT t.doc_id, b.doc_id AS bench_id, 'audio' AS modality,
+         |         CAST(bit_count(xor(t.ah, b.ah)) AS INTEGER) AS hamming
+         |  FROM asig t JOIN asig b ON t.doc_id >= 25 AND b.doc_id < 25
+         |  WHERE bit_count(xor(t.ah, b.ah)) <= 3)
+         |SELECT bench_id, modality, CAST(COUNT(*) AS BIGINT) AS n_train,
+         |       MIN(hamming) AS min_hamming, MIN(doc_id) AS first_train
+         |FROM fl GROUP BY 1, 2""".stripMargin,
+    // d27: brute-force positional-shingle matching (the Spark side's
+    // positional-prefix blocking is exact by pigeonhole, so banded ==
+    // brute), dominant offset, ±1-consistent vs any-order fractions —
+    // the d24 rollup on token positions
+    "d27_aligned_containment" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+        |         AS shingle
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+        |             FROM tk)),
+        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ps GROUP BY 1),
+        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
+        |       FROM ps a JOIN ps b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id),
+        |msh AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, i2 - i1 AS shift,
+        |          row_number() OVER (PARTITION BY d1, d2
+        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
+        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
+        |mm AS (SELECT f.d1, f.d2, s.shift,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i1 END) AS ma,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i2 END) AS mb,
+        |          COUNT(DISTINCT f.i1) AS ma_any,
+        |          COUNT(DISTINCT f.i2) AS mb_any
+        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
+        |       GROUP BY 1, 2, 3)
+        |SELECT mm.d1 AS doc1, mm.d2 AS doc2,
+        |       greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) AS containment,
+        |       greatest(ma_any * 1.0 / a.n, mb_any * 1.0 / b.n)
+        |         AS containment_any,
+        |       CAST(mm.shift AS INTEGER) AS shift
+        |FROM mm JOIN np a ON mm.d1 = a.doc_id JOIN np b ON mm.d2 = b.doc_id
+        |WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8""".stripMargin,
     "e2_sql_revenue_by_year" -> graft.sql.SqlJobs.revenueByYearSql,
     "e2_sql_corr_scalar" -> graft.sql.SqlJobs.maxSpendPerCustomerSql,
     "e2_sql_kwsplit_counts" ->

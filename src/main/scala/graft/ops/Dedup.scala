@@ -295,6 +295,125 @@ object Dedup {
     * O(Σ df(s)²). Verification is exact over the per-doc arrays.
     * Ref behavior anchor: same role as the reference's keyword-overlap
     * dedup (gmall-realtime-dws/.../split analytics), generalized. */
+  /** The SHIFT-CONSISTENT containment rollup shared by d24 (video
+    * frames) and d27 (text shingle positions): given matched POSITION
+    * pairs `cross(doc1 < doc2, k1, k2)` and per-doc position counts
+    * `nf(doc_id, n)`, emit (doc1, doc2, containment, containment_any,
+    * shift) where `shift` is the pair's dominant offset (most frequent
+    * k2−k1, ties to the smallest), `containment` counts only matches
+    * within ±`tol` of it (a true sub-sequence aligns at ONE shift; a
+    * reordered bag scatters), and `containment_any` keeps the any-order
+    * fraction as the diagnostic. Cost: one groupBy + one window + one
+    * four-way distinct aggregate, all over the matched-pair frame —
+    * pair-output-proportional, never corpus-proportional. */
+  private[ops] def shiftConsistentRollup(cross: DataFrame, nf: DataFrame,
+      threshold: Double, tol: Int): DataFrame = {
+    require(tol >= 0, "tol must be non-negative")
+    val shifts = cross
+      .groupBy(col("doc1"), col("doc2"),
+        (col("k2") - col("k1")).as("shift"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc1"), col("doc2"))
+          .orderBy(col("cnt").desc, col("shift"))))
+      .where(col("rn") === 1)
+      .select(col("doc1"), col("doc2"), col("shift"))
+    val atShift = abs(col("k2") - col("k1") - col("shift")) <= tol
+    cross.join(shifts, Seq("doc1", "doc2"))
+      .groupBy(col("doc1"), col("doc2"), col("shift"))
+      .agg(countDistinct(when(atShift, col("k1"))).as("ma"),
+        countDistinct(when(atShift, col("k2"))).as("mb"),
+        countDistinct(col("k1")).as("ma_any"),
+        countDistinct(col("k2")).as("mb_any"))
+      .join(nf.select(col("doc_id").as("doc1"), col("n").as("na")), "doc1")
+      .join(nf.select(col("doc_id").as("doc2"), col("n").as("nb")), "doc2")
+      .withColumn("containment",
+        greatest(col("ma") / col("na"), col("mb") / col("nb")))
+      .withColumn("containment_any",
+        greatest(col("ma_any") / col("na"), col("mb_any") / col("nb")))
+      .where(col("containment") >= threshold)
+      .select(col("doc1"), col("doc2"), col("containment"),
+        col("containment_any"), col("shift"))
+  }
+
+  /** D27 — ALIGNED text containment: the d24 temporal-consistency law
+    * applied to token-shingle POSITIONS — two documents pair when ≥
+    * `threshold` of either side's n-gram positions match the other AT A
+    * CONSISTENT OFFSET (±`tol`). This is the quote/extraction detector
+    * the set-based d17 cannot be: d17 sees only the shingle SET, so a
+    * document whose two halves are swapped still scores ~1.0 set
+    * containment, while no consistent alignment exists — here its
+    * matches split across two shifts and the pair never forms (the
+    * spec pins that contrast directly).
+    *
+    * The scale shape is the d2 exact-verify shape, not a blocking
+    * scheme: ONE positional shingle self-join (O(Σ df²) rows, streaming
+    * — the same family as d2's pair-count join, sf1-proven), collapsed
+    * immediately by a PURE-COUNT pre-filter: a pair can only reach the
+    * threshold if its total match count m satisfies m ≥ t·min(na, nb)
+    * (distinct-matched ≤ m, so the bound is exact — no qualifying pair
+    * is lost). The count aggregate is map-side combinable with no
+    * Expand and no distinct, so the big join never feeds the expensive
+    * stages; the dominant-shift window and four-way distinct rollup
+    * ([[shiftConsistentRollup]]) run on a pair-bounded frame rebuilt
+    * for the (tiny) survivor set only. At web scale, compose: pass the
+    * survivor-generation corpus through LSH first and run this operator
+    * per candidate block (the documented d2/d3 composition); the
+    * operator itself stays exact.
+    *
+    * Output (doc1 < doc2, containment, containment_any, shift).
+    * `prefilter = false` disables the count bound (brute force) — the
+    * Sf1Check identity that proves the bound drops nothing. */
+  def alignedContainmentPairs(documents: DataFrame, n: Int = 3,
+      threshold: Double = 0.8, tol: Int = 1,
+      prefilter: Boolean = true): DataFrame = {
+    require(n >= 1, "shingle width must be positive")
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must sit in (0, 1]")
+    // positional shingles (doc_id, i, shingle-hash): FULL n-windows
+    // only (docs shorter than n tokens have no positions and never
+    // pair). The empty-window guard must not hit sequence(1, 0) — that
+    // DESCENDS to [1, 0] instead of emitting nothing.
+    val empty = slice(array(lit(1)), 1, 0)
+    val wins = when(size(col("toks")) >= n,
+      sequence(lit(1), size(col("toks")) - (n - 1))).otherwise(empty)
+    val pos = tokenCache(documents)
+      .select(col("doc_id"), col("toks"), explode(wins).as("i"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n))))
+          .as("shingle"))
+      .localCheckpoint() // feeds counts, the big join, the survivor legs
+    val np = pos.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    def leg(d: String, k: String) = pos.select(col("doc_id").as(d),
+      col("i").as(k), col("shingle"))
+    val surv =
+      if (!prefilter) null
+      else leg("doc1", "k1").join(leg("doc2", "k2"), "shingle")
+        .where(col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("m"))
+        .join(np.select(col("doc_id").as("doc1"), col("n").as("na")),
+          "doc1")
+        .join(np.select(col("doc_id").as("doc2"), col("n").as("nb")),
+          "doc2")
+        // the 1e-9 slack only ever ENLARGES the survivor set (fp
+        // rounding must not shrink the exact bound)
+        .where(col("m") >=
+          lit(threshold) * least(col("na"), col("nb")) - lit(1e-9))
+        .select(col("doc1"), col("doc2"))
+    // survivor cross rebuilt PAIR-BOUNDED (survivors × doc1 positions,
+    // probed into the (doc_id, shingle) index) — never a second pass
+    // over the Σ df² join
+    val cross = (if (prefilter)
+        surv.join(leg("doc1", "k1"), "doc1")
+          .join(leg("doc2", "k2"), Seq("doc2", "shingle"))
+      else leg("doc1", "k1").join(leg("doc2", "k2"), "shingle")
+        .where(col("doc1") < col("doc2")))
+      .select(col("doc1"), col("doc2"), col("k1"), col("k2"))
+    shiftConsistentRollup(cross, np, threshold, tol)
+  }
+
   def containmentPairs(documents: DataFrame, n: Int,
       threshold: Double): DataFrame = {
     val sets = cachedSets(documents, n, threshold)

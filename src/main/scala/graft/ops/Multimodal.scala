@@ -967,36 +967,9 @@ object Multimodal {
         col("doc2").bitwiseAND(M - 1L).cast("int").as("k2"))
       .where(col("doc1") =!= col("doc2"))
     val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // dominant temporal offset among the matched frames (the shot-
-    // alignment statistic: a true sub-clip matches at ONE consistent
-    // frame shift; scattered coincidental matches spread across many) —
-    // most-frequent k2−k1, ties to the smallest shift
-    val shifts = cross
-      .groupBy(col("doc1"), col("doc2"),
-        (col("k2") - col("k1")).as("shift"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc1"), col("doc2"))
-          .orderBy(col("cnt").desc, col("shift"))))
-      .where(col("rn") === 1)
-      .select(col("doc1"), col("doc2"), col("shift"))
-    val atShift = abs(col("k2") - col("k1") - col("shift")) <= 1
-    cross.join(shifts, Seq("doc1", "doc2"))
-      .groupBy(col("doc1"), col("doc2"), col("shift"))
-      .agg(countDistinct(when(atShift, col("k1"))).as("ma"),
-        countDistinct(when(atShift, col("k2"))).as("mb"),
-        countDistinct(col("k1")).as("ma_any"),
-        countDistinct(col("k2")).as("mb_any"))
-      .join(nf.select(col("doc_id").as("doc1"), col("n").as("na")), "doc1")
-      .join(nf.select(col("doc_id").as("doc2"), col("n").as("nb")), "doc2")
-      .withColumn("containment",
-        greatest(col("ma") / col("na"), col("mb") / col("nb")))
-      .withColumn("containment_any",
-        greatest(col("ma_any") / col("na"), col("mb_any") / col("nb")))
-      .where(col("containment") >= threshold)
-      .select(col("doc1"), col("doc2"), col("containment"),
-        col("containment_any"), col("shift"))
+    // dominant temporal offset + shift-consistent fractions: the rollup
+    // shared with d27's text alignment (Dedup.shiftConsistentRollup)
+    Dedup.shiftConsistentRollup(cross, nf, threshold, tol = 1)
   }
 
   /** Media TRAIN/EVAL contamination check — the d9 decontamination shape
@@ -1080,6 +1053,26 @@ object Multimodal {
       .select(col("doc_id"), col("bench_id"),
         lit(modality).as("modality"), col("hamming"))
   }
+
+  /** D26 — the BENCHMARK BURN report: [[mediaContaminationSplitCheck]]'s
+    * flags rolled up per eval item — for each contaminated benchmark
+    * doc, how many training docs carry its media (n_train), how close
+    * the closest is (min_hamming), and the earliest offender
+    * (first_train). This is the report an eval owner reads to decide
+    * which items to RETIRE: e10 already drops the training side, but an
+    * eval item whose content escaped into the wild stays compromised
+    * for any model trained elsewhere — the burn report is the
+    * evidence. Runs at e10's LOOSER budgets by default (the enforcement
+    * view, not the dedup view). One groupBy over the probe output —
+    * contamination-mass-proportional, never corpus-proportional. */
+  def benchmarkBurnReport(documents: DataFrame, benchMaxId: Long,
+      maxHamming: Int = 5, audioMaxHamming: Int = 3): DataFrame =
+    mediaContaminationSplitCheck(documents, benchMaxId, maxHamming,
+      audioMaxHamming)
+      .groupBy(col("bench_id"), col("modality"))
+      .agg(count(lit(1)).as("n_train"),
+        min(col("hamming")).as("min_hamming"),
+        min(col("doc_id")).as("first_train"))
 
   /** The benchmark side of the contamination probe, precomputed once per
     * stream (or per corpus release): BOTH modality signature frames of

@@ -1560,6 +1560,74 @@ class PipelineSpec extends GraftSuite {
     Multimodal.clearMedia()
   }
 
+  test("d27 aligned containment: a quote pairs at its offset; swapped " +
+      "halves fool d17's set containment but never d27") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val h1 = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet"
+    val h2 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val hand = Seq(
+      (1L, s"$h1 $h2"),  // the full document
+      (2L, s"$h2 $h1"),  // SAME halves, swapped — same shingle SET
+      (3L, h1),          // the extracted quote
+      (4L, "completely unrelated words that share no trigram at all"))
+      .toDF("doc_id", "text")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    val got = toMap(Dedup.alignedContainmentPairs(hand, 3, 0.8))
+    // the quote is FULLY contained: at shift 0 in doc 1, at shift -10
+    // in doc 2 (its halves swapped push h1 ten tokens right; doc1 < doc2
+    // ordering makes the shift k2 - k1 negative)
+    assert(got.get((1L, 3L)).map(v => (v._1, v._3)).contains((1.0, 0)),
+      s"quote must be fully contained in its source at shift 0: $got")
+    assert(got.get((2L, 3L)).map(v => (v._1, v._3)).contains((1.0, -10)),
+      s"the swapped doc still contains the quote, ten tokens later: $got")
+    // the swapped-halves pair: EVERY in-half shingle matches (set
+    // containment ~16/18), but the matches split across shifts ±10 —
+    // no consistent alignment, so d27 never pairs them...
+    assert(!got.contains((1L, 2L)),
+      s"swapped halves must not pair as an aligned quote: $got")
+    // ...while the set-based d17 does — the contrast that makes d27 a
+    // quote detector rather than a bag-overlap score
+    val d17 = Dedup.containmentPairs(hand, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d17.contains((1L, 2L)),
+      s"fixture must actually fool set containment: $d17")
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    Dedup.clearSubstrates()
+  }
+
+  test("d26 burn report: per-eval-item rollup equals the brute-force " +
+      "flag count at the loose budgets") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val base = ("the quick brown fox jumps over the lazy dog " * 3).trim
+    // bench 0 burned TWICE: train 33 repeats its image exactly (ham 0),
+    // train 27 re-encodes it within the loose budget; train 30 is clean
+    val hand = Seq((0L, base),
+        (27L, base.updated(10, 'Z').updated(60, 'Z')),
+        (33L, base),
+        (30L, "another corpus entirely with its own unrelated canvas"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val sigs = Multimodal.phash(Multimodal.toMediaTable(hand)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = Seq(27L, 30L, 33L)
+      .filter(t => java.lang.Long.bitCount(sigs(t) ^ sigs(0L)) <= 5)
+    assert(brute.contains(33L), "exact repeat must flag at hamming 0")
+    val got = Multimodal.benchmarkBurnReport(hand, 25L).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(got.get((0L, "visual"))
+        .contains((brute.size.toLong, 0, brute.min)),
+      s"burn rollup must match the brute flag set $brute: $got")
+    assert(got.size == 1, s"clean bench items must not appear: $got")
+    Multimodal.clearMedia()
+  }
+
   test("d24 temporal consistency: a shuffled bag of the same frames " +
       "never pairs; the true sub-clip still does") {
     import spark.implicits._

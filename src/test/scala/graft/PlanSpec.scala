@@ -107,6 +107,19 @@ class PlanSpec extends GraftSuite {
     graft.ops.Dedup.clearSubstrates()
   }
 
+  test("d27 aligned containment: count pre-filter aggregates map-side, " +
+      "no cartesian, rollup runs post-filter") {
+    val p = plan("d27_aligned_containment")
+    assert(!p.contains("CartesianProduct"))
+    // the Σ df² join must collapse through a two-phase COUNT aggregate
+    // (partial map-side) before any distinct/Expand stage sees it
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"count pre-filter must partial-aggregate:\n${p.take(1200)}")
+    assert(p.contains("Expand"),
+      "the four-way distinct rollup should appear (post-filter)")
+    graft.ops.Dedup.clearSubstrates()
+  }
+
   test("r6 MMR rerank is distributed: no driver-side materialization") {
     // the collected formulation's plan is a bare LocalTableScan of the
     // greedy's driver-computed output — NO parquet lineage at all; the
