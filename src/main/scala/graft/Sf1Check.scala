@@ -140,6 +140,12 @@ object Sf1Check {
         () => ops.Dedup.alignedContainmentPairs(simhashDocs, 3, 0.8),
         () => ops.Dedup.alignedContainmentPairs(simhashDocs, 3, 0.8,
           prefilter = false)),
+      // d28's bipartite form under the same count-bound identity (bench
+      // side broadcast; full corpus — the bench split bounds the join)
+      ("quote_contamination_prefilter",
+        () => ops.Dedup.quoteContaminationSplitCheck(docs, 2500),
+        () => ops.Dedup.quoteContaminationSplitCheck(docs, 2500,
+          prefilter = false)),
       // clustering: two-level assign at coarse = k == flat argmin
       ("kmeans_two_level_vs_flat",
         () => ops.Clustering.kmeansAssign(emb, 16, 2),

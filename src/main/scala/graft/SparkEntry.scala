@@ -659,6 +659,12 @@ object SparkEntry {
     // here, because its matches scatter across offsets
     "d27_aligned_containment" -> ((s, d) =>
       Dedup.alignedContainmentPairs(t(s, d, "documents"), 3, 0.8)),
+    // quote-level decontamination: d27's aligned-containment precision
+    // applied bipartitely against the eval holdout (bench side
+    // broadcast) — a train doc quoting a benchmark doc verbatim flags,
+    // where d9's set-overlap test also fires on topical shingle soup
+    "d28_quote_contamination" -> ((s, d) =>
+      Dedup.quoteContaminationSplitCheck(t(s, d, "documents"), 25)),
     // ---- sketches ----
     "a14_approx_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2737,6 +2743,44 @@ object SparkEntry {
         |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
         |       GROUP BY 1, 2, 3)
         |SELECT mm.d1 AS doc1, mm.d2 AS doc2,
+        |       greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) AS containment,
+        |       greatest(ma_any * 1.0 / a.n, mb_any * 1.0 / b.n)
+        |         AS containment_any,
+        |       CAST(mm.shift AS INTEGER) AS shift
+        |FROM mm JOIN np a ON mm.d1 = a.doc_id JOIN np b ON mm.d2 = b.doc_id
+        |WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8""".stripMargin,
+    // d28: the d27 brute rollup restricted bipartitely (train >= 25 vs
+    // bench < 25) — quote-level decontamination
+    "d28_quote_contamination" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+        |         AS shingle
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+        |             FROM tk)),
+        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ps GROUP BY 1),
+        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
+        |       FROM ps a JOIN ps b USING (shingle)
+        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
+        |msh AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, i2 - i1 AS shift,
+        |          row_number() OVER (PARTITION BY d1, d2
+        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
+        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
+        |mm AS (SELECT f.d1, f.d2, s.shift,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i1 END) AS ma,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i2 END) AS mb,
+        |          COUNT(DISTINCT f.i1) AS ma_any,
+        |          COUNT(DISTINCT f.i2) AS mb_any
+        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
+        |       GROUP BY 1, 2, 3)
+        |SELECT mm.d1 AS doc_id, mm.d2 AS bench_id,
         |       greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) AS containment,
         |       greatest(ma_any * 1.0 / a.n, mb_any * 1.0 / b.n)
         |         AS containment_any,

@@ -367,14 +367,104 @@ object Dedup {
     * Sf1Check identity that proves the bound drops nothing. */
   def alignedContainmentPairs(documents: DataFrame, n: Int = 3,
       threshold: Double = 0.8, tol: Int = 1,
-      prefilter: Boolean = true): DataFrame = {
+      prefilter: Boolean = true,
+      candidates: Option[DataFrame] = None): DataFrame = {
     require(n >= 1, "shingle width must be positive")
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must sit in (0, 1]")
-    // positional shingles (doc_id, i, shingle-hash): FULL n-windows
-    // only (docs shorter than n tokens have no positions and never
-    // pair). The empty-window guard must not hit sequence(1, 0) — that
-    // DESCENDS to [1, 0] instead of emitting nothing.
+    val pos = positionalShingles(documents, n)
+    val np = pos.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    def leg(d: String, k: String) = pos.select(col("doc_id").as(d),
+      col("i").as(k), col("shingle"))
+    // a supplied candidate frame (doc1, doc2) RESTRICTS the output to
+    // those pairs and skips the Σ df² join entirely — the web-scale
+    // composition (LSH/minhash candidates feed this), with recall owned
+    // by the candidate generator. Restriction-consistency is a law:
+    // d27(candidates = C) == d27(full) ∩ C (spec-pinned).
+    val surv = candidates match {
+      case Some(c) => c.select(col("doc1"), col("doc2"))
+      case None if !prefilter => null
+      case None =>
+        leg("doc1", "k1").join(leg("doc2", "k2"), "shingle")
+          .where(col("doc1") < col("doc2"))
+          .groupBy(col("doc1"), col("doc2"))
+          .agg(count(lit(1)).as("m"))
+          .join(np.select(col("doc_id").as("doc1"), col("n").as("na")),
+            "doc1")
+          .join(np.select(col("doc_id").as("doc2"), col("n").as("nb")),
+            "doc2")
+          // the 1e-9 slack only ever ENLARGES the survivor set (fp
+          // rounding must not shrink the exact bound)
+          .where(col("m") >=
+            lit(threshold) * least(col("na"), col("nb")) - lit(1e-9))
+          .select(col("doc1"), col("doc2"))
+    }
+    // survivor cross rebuilt PAIR-BOUNDED (survivors × doc1 positions,
+    // probed into the (doc_id, shingle) index) — never a second pass
+    // over the Σ df² join
+    val cross = (if (surv != null)
+        surv.join(leg("doc1", "k1"), "doc1")
+          .join(leg("doc2", "k2"), Seq("doc2", "shingle"))
+      else leg("doc1", "k1").join(leg("doc2", "k2"), "shingle")
+        .where(col("doc1") < col("doc2")))
+      .select(col("doc1"), col("doc2"), col("k1"), col("k2"))
+    shiftConsistentRollup(cross, np, threshold, tol)
+  }
+
+  /** D28 — QUOTE-LEVEL train/eval decontamination: the d9 shape at d27's
+    * precision — a training document is flagged when it shares an
+    * ALIGNED run of token shingles with a benchmark document (≥
+    * `threshold` of either side's positions matched within ±`tol` of
+    * the pair's dominant offset — a verbatim quote or wholesale
+    * inclusion, where d9's set-overlap test also fires on topical
+    * shingle soup). Bipartite by the d25 discipline: the benchmark side
+    * is BROADCAST (eval sets are small by definition), the training
+    * positions stream through the shingle probe, and the same
+    * pure-count bound pre-filters before the alignment rollup — output
+    * contamination-mass-proportional, never corpus-proportional.
+    * Output (doc_id [train], bench_id, containment, containment_any,
+    * shift). */
+  def quoteContaminationSplitCheck(documents: DataFrame, benchMaxId: Long,
+      n: Int = 3, threshold: Double = 0.8, tol: Int = 1,
+      prefilter: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must sit in (0, 1]")
+    val pos = positionalShingles(documents, n)
+    val np = pos.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val train = pos.where(col("doc_id") >= benchMaxId)
+      .select(col("doc_id").as("doc1"), col("i").as("k1"), col("shingle"))
+    def bench = pos.where(col("doc_id") < benchMaxId)
+      .select(col("doc_id").as("doc2"), col("i").as("k2"), col("shingle"))
+    // `prefilter = false` drops the exact count bound (brute force) —
+    // the Sf1Check identity, same contract as alignedContainmentPairs
+    val cross = (if (prefilter) {
+      val surv = train.join(broadcast(bench), "shingle")
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("m"))
+        .join(np.select(col("doc_id").as("doc1"), col("n").as("na")),
+          "doc1")
+        .join(np.select(col("doc_id").as("doc2"), col("n").as("nb")),
+          "doc2")
+        .where(col("m") >=
+          lit(threshold) * least(col("na"), col("nb")) - lit(1e-9))
+        .select(col("doc1"), col("doc2"))
+      surv.join(train, "doc1")
+        .join(broadcast(bench), Seq("doc2", "shingle"))
+    } else train.join(broadcast(bench), "shingle"))
+      .select(col("doc1"), col("doc2"), col("k1"), col("k2"))
+    shiftConsistentRollup(cross, np, threshold, tol)
+      .select(col("doc1").as("doc_id"), col("doc2").as("bench_id"),
+        col("containment"), col("containment_any"), col("shift"))
+  }
+
+  /** The memoized positional-shingle substrate of d27/d28:
+    * (doc_id, i, shingle-hash) over FULL n-windows only (docs shorter
+    * than n tokens have no positions and never pair) — persisted, so a
+    * session running both aligned ops (or one op twice) builds it once
+    * (Spark's CacheManager matches the canonical plan). The
+    * empty-window guard must not hit sequence(1, 0) — that DESCENDS to
+    * [1, 0] instead of emitting nothing. */
+  private def positionalShingles(documents: DataFrame, n: Int): DataFrame = {
     val empty = slice(array(lit(1)), 1, 0)
     val wins = when(size(col("toks")) >= n,
       sequence(lit(1), size(col("toks")) - (n - 1))).otherwise(empty)
@@ -383,35 +473,11 @@ object Dedup {
       .select(col("doc_id"), col("i"),
         xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n))))
           .as("shingle"))
-      .localCheckpoint() // feeds counts, the big join, the survivor legs
-    val np = pos.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    def leg(d: String, k: String) = pos.select(col("doc_id").as(d),
-      col("i").as(k), col("shingle"))
-    val surv =
-      if (!prefilter) null
-      else leg("doc1", "k1").join(leg("doc2", "k2"), "shingle")
-        .where(col("doc1") < col("doc2"))
-        .groupBy(col("doc1"), col("doc2"))
-        .agg(count(lit(1)).as("m"))
-        .join(np.select(col("doc_id").as("doc1"), col("n").as("na")),
-          "doc1")
-        .join(np.select(col("doc_id").as("doc2"), col("n").as("nb")),
-          "doc2")
-        // the 1e-9 slack only ever ENLARGES the survivor set (fp
-        // rounding must not shrink the exact bound)
-        .where(col("m") >=
-          lit(threshold) * least(col("na"), col("nb")) - lit(1e-9))
-        .select(col("doc1"), col("doc2"))
-    // survivor cross rebuilt PAIR-BOUNDED (survivors × doc1 positions,
-    // probed into the (doc_id, shingle) index) — never a second pass
-    // over the Σ df² join
-    val cross = (if (prefilter)
-        surv.join(leg("doc1", "k1"), "doc1")
-          .join(leg("doc2", "k2"), Seq("doc2", "shingle"))
-      else leg("doc1", "k1").join(leg("doc2", "k2"), "shingle")
-        .where(col("doc1") < col("doc2")))
-      .select(col("doc1"), col("doc2"), col("k1"), col("k2"))
-    shiftConsistentRollup(cross, np, threshold, tol)
+    if (pos.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      pos.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      registerPersist(pos)
+    }
+    pos
   }
 
   def containmentPairs(documents: DataFrame, n: Int,

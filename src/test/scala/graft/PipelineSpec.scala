@@ -1599,6 +1599,68 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates()
   }
 
+  test("d28 quote contamination: a verbatim quote flags; the topical " +
+      "soup that fools d9's set test does not") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val q = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima" // the 12-token benchmark item (10 positions)
+    val hand = Seq(
+      (3L, q), // benchmark doc
+      // train 27 QUOTES it verbatim inside a larger doc
+      (27L, s"intro words here $q closing words"),
+      // train 28 carries the SAME halves swapped: 8 of its 10 trigram
+      // positions match the benchmark — d9's >=5-shared-shingles test
+      // fires — but the matches split across shifts ±6
+      (28L, "golf hotel india juliet kilo lima alpha bravo charlie " +
+        "delta echo foxtrot"),
+      (30L, "completely unrelated training words sharing no trigram"))
+      .toDF("doc_id", "text")
+    val got = Dedup.quoteContaminationSplitCheck(hand, 25L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getInt(4)))).toMap
+    // the quote: every benchmark position matches at one offset (the
+    // quote starts at train position 4, so shift = 1 - 4 = -3)
+    assert(got.get((27L, 3L)).contains((1.0, -3)),
+      s"verbatim quote must flag fully contained at shift -3: $got")
+    // the swapped-halves doc never flags here...
+    assert(!got.contains((28L, 3L)),
+      s"reordered shingle soup must not flag as a quote: $got")
+    assert(got.size == 1, s"only the true quote flags: $got")
+    // ...but d9's set-overlap decontamination DOES flag it — the
+    // precision gap d28 exists for
+    val d9 = Dedup.contaminationSplitCheck(hand, 25L, 3, 5).collect()
+      .map(_.getLong(0)).toSet
+    assert(d9.contains(28L),
+      s"fixture must actually fire the set-overlap test: $d9")
+    Dedup.clearSubstrates()
+  }
+
+  test("d27 restriction law: a candidate frame restricts the output to " +
+      "exactly the intersection") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val full = Dedup.alignedContainmentPairs(docs, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(full.nonEmpty, "corpus has no aligned pairs — vacuous")
+    // C = every other true pair + noise pairs that must contribute rows
+    // for no one
+    val keep = full.keys.toSeq.sortBy(identity).zipWithIndex
+      .collect { case (p, i) if i % 2 == 0 => p }
+    val cand = (keep ++ Seq((1L, 2L), (0L, 499L)))
+      .toDF("doc1", "doc2")
+    val got = Dedup
+      .alignedContainmentPairs(docs, 3, 0.8, candidates = Some(cand))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got == keep.map(p => p -> full(p)).toMap,
+      "restricted run must equal full ∩ candidates " +
+        s"(got ${got.keySet} want ${keep.toSet})")
+    Dedup.clearSubstrates()
+  }
+
   test("d26 burn report: per-eval-item rollup equals the brute-force " +
       "flag count at the loose budgets") {
     import spark.implicits._
