@@ -22,9 +22,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Noise metadata: per-query times are the best of SPARK_GRAFT_BENCH_REPS
   * runs (default 2), and the artifact carries `reps`, the before/after
-  * 1-minute system load averages, and the per-rep totals — so a number
-  * inflated by box load is distinguishable from a plan regression without
-  * re-running (round-11 postmortem).
+  * 1-minute system load averages, the per-rep totals, and a per-query
+  * `query_load` series (1-min load at each query's start — round-13
+  * postmortem: a mid-run spike manufactured breaches the start/end pair
+  * couldn't localize) — so a number inflated by box load is
+  * distinguishable from a plan regression without re-running.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

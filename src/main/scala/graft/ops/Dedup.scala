@@ -306,7 +306,7 @@ object Dedup {
     * fraction as the diagnostic. Cost: one groupBy + one window + one
     * four-way distinct aggregate, all over the matched-pair frame —
     * pair-output-proportional, never corpus-proportional. */
-  private[ops] def shiftConsistentRollup(cross: DataFrame, nf: DataFrame,
+  private[graft] def shiftConsistentRollup(cross: DataFrame, nf: DataFrame,
       threshold: Double, tol: Int): DataFrame = {
     require(tol >= 0, "tol must be non-negative")
     val shifts = cross

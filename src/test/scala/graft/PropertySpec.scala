@@ -15,6 +15,69 @@ class PropertySpec extends GraftSuite {
     (0 until n).flatMap(i =>
       gen(Gen.Parameters.default, Seed(42L + i)))
 
+  test("shift-consistent rollup equals a driver-side reference model " +
+      "on arbitrary match sets") {
+    // the shared d24/d27/d28 core (Dedup.shiftConsistentRollup) against
+    // a plain-Scala re-derivation of its contract: dominant shift =
+    // most frequent k2−k1 with ties to the smallest; containment counts
+    // DISTINCT k1/k2 within ±tol of it; containment_any ignores the
+    // shift; both normalize by the per-doc position counts; pairs
+    // filter on the consistent fraction
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fixtureGen = for {
+      nDocs <- Gen.chooseNum(2, 4)
+      counts <- Gen.listOfN(nDocs, Gen.chooseNum(2, 8))
+      nMatch <- Gen.chooseNum(1, 25)
+      pairs <- Gen.listOfN(nMatch, for {
+        a <- Gen.chooseNum(0, nDocs - 1)
+        b <- Gen.chooseNum(0, nDocs - 1)
+        k1 <- Gen.chooseNum(1, 8)
+        k2 <- Gen.chooseNum(1, 8)
+      } yield (a, b, k1, k2))
+      tol <- Gen.chooseNum(0, 2)
+      thr <- Gen.oneOf(0.3, 0.5, 0.8)
+    } yield (counts, pairs, tol, thr)
+    samples(fixtureGen, 40).foreach { case (counts, rawPairs, tol, thr) =>
+      // normalize to the operators' input contract: doc1 < doc2, match
+      // positions within each doc's count, deduplicated
+      val cross = rawPairs.collect { case (a, b, k1, k2) if a != b =>
+        val (d1, d2, ka, kb) = if (a < b) (a, b, k1, k2) else (b, a, k2, k1)
+        (d1.toLong, d2.toLong,
+          1 + (ka - 1) % counts(d1), 1 + (kb - 1) % counts(d2))
+      }.distinct
+      if (cross.nonEmpty) {
+        val nf = counts.zipWithIndex
+          .map { case (n, d) => (d.toLong, n.toLong) }
+        val got = graft.ops.Dedup.shiftConsistentRollup(
+            cross.toDF("doc1", "doc2", "k1", "k2"),
+            nf.toDF("doc_id", "n"), thr, tol)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            ((r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+        // reference model
+        val want = cross.groupBy(p => (p._1, p._2)).flatMap {
+          case ((d1, d2), ms) =>
+            val byShift = ms.groupBy(m => m._4 - m._3)
+              .map { case (s, xs) => (s, xs.size) }
+            val dom = byShift.toSeq.minBy { case (s, c) => (-c, s) }._1
+            val at = ms.filter(m => math.abs(m._4 - m._3 - dom) <= tol)
+            val (na, nb) = (counts(d1.toInt), counts(d2.toInt))
+            val c = math.max(
+              at.map(_._3).distinct.size.toDouble / na,
+              at.map(_._4).distinct.size.toDouble / nb)
+            val cAny = math.max(
+              ms.map(_._3).distinct.size.toDouble / na,
+              ms.map(_._4).distinct.size.toDouble / nb)
+            if (c >= thr) Some((d1, d2) -> ((c, cAny, dom))) else None
+        }
+        assert(got == want,
+          s"rollup diverged from the model (tol=$tol thr=$thr):\n " +
+            s"cross=$cross\n got=$got\n want=$want")
+      }
+    }
+  }
+
   test("portable weight kernel: balanced signs, no adjacent-index correlation") {
     // driver-side mirror of Similarity.portableWeight — the shared
     // quadratic mix every portable signature (r4/sim8/d18/gr3/d19) uses
