@@ -759,7 +759,8 @@ object Streams {
     * and dup-span postings are corpus-global by design). */
   def fullMediaIngestSink(docs: DataFrame, stateDir: String,
       outDir: String, maxHamming: Int = 3, audioMaxHamming: Int = 2,
-      benchDocs: Option[DataFrame] = None)
+      benchDocs: Option[DataFrame] = None, contamMaxHamming: Int = 5,
+      contamAudioMaxHamming: Int = 3)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // benchmark signatures are precomputed ONCE per stream (the eval
     // holdout is fixed for a release) and pinned — every micro-batch
@@ -769,15 +770,20 @@ object Streams {
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         mergeFullMediaIngest(batch, batchId, stateDir, outDir,
-          maxHamming, audioMaxHamming, benchSigs)
+          maxHamming, audioMaxHamming, benchSigs, contamMaxHamming,
+          contamAudioMaxHamming)
     }
   }
 
-  /** The per-batch body of `fullMediaIngestSink` (spec entry point). */
+  /** The per-batch body of `fullMediaIngestSink` (spec entry point).
+    * The contamination probe runs at the LOOSER enforcement budgets
+    * (5/3 by default — e10's, not the dedup legs' 3/2): the streamed
+    * flags feed [[decontaminatedMediaFromIngest]], whose batch twin
+    * enforces at exactly those budgets. */
   private[graft] def mergeFullMediaIngest(batch: DataFrame, batchId: Long,
       stateDir: String, outDir: String, maxHamming: Int,
-      audioMaxHamming: Int,
-      benchSigs: Option[DataFrame] = None): Unit = {
+      audioMaxHamming: Int, benchSigs: Option[DataFrame] = None,
+      contamMaxHamming: Int = 5, contamAudioMaxHamming: Int = 3): Unit = {
     // carry the batch's own n_chars through when it has one — the batch
     // flagship encodes from the documents table's n_chars column, and a
     // corpus where n_chars != length(text) must encode IDENTICALLY here
@@ -793,8 +799,29 @@ object Streams {
     mergeAudioIngest(media, batchId, s"$stateDir/audio",
       s"$outDir/audio", audioMaxHamming)
     benchSigs.foreach(bs => mergeMediaContamination(media, batchId, bs,
-      s"$stateDir/contam", s"$outDir/contam", maxHamming,
-      audioMaxHamming))
+      s"$stateDir/contam", s"$outDir/contam", contamMaxHamming,
+      contamAudioMaxHamming))
+  }
+
+  /** The corpus-release half of the streaming E10 flagship:
+    * [[fullMediaCuratedFromIngest]] minus every training doc the online
+    * contamination probe has COMMITTED a flag for — the streamed twin
+    * of `Pipeline.decontaminatedMediaCorpus`. The dedup legs inherit
+    * the e9 greedy-online parity caveat; the contamination leg is
+    * stateless-exact on any arrival order, so the composed corpus
+    * equals the batch e10 exactly when the e9 half does (the parity
+    * spec pins the composition across a kill/restart). Reads the
+    * committed flags only (orphans invisible); with no committed
+    * contamination state yet, this IS the e9 composition. */
+  def decontaminatedMediaFromIngest(documents: DataFrame,
+      stateDir: String, outDir: String, minScore: Double = 0.45,
+      maxDupFrac: Double = 0.5): DataFrame = {
+    val kept = fullMediaCuratedFromIngest(documents, stateDir, outDir,
+      minScore, maxDupFrac)
+    committedContamination(documents.sparkSession, stateDir, outDir)
+      .map(f => kept.join(f.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti"))
+      .getOrElse(kept)
   }
 
   /** The ONLINE d25: probe each micro-batch's media signatures against

@@ -1590,11 +1590,14 @@ class StreamingSpec extends GraftSuite {
     val want = rows(Pipeline.fullMediaCuratedCorpus(fixture,
       audioMaxHamming = 0))
     // stream the same docs in 3 id-ordered batches, KILLING the query
-    // after the first and restarting it from the checkpoint
+    // after the first and restarting it from the checkpoint; the
+    // benchmark frame arms the online contamination probe so the e10
+    // composition can be checked at the end
+    val benchDocs = fixture.where(col("doc_id") < 25).localCheckpoint()
     val ms = MemoryStream[(Long, String)](92, spark, None)
     def startQ() = Streams.fullMediaIngestSink(
         ms.toDS().toDF("doc_id", "text"), state, out,
-        audioMaxHamming = 0)
+        audioMaxHamming = 0, benchDocs = Some(benchDocs))
       .option("checkpointLocation", ckpt).start()
     val q1 = startQ()
     ms.addData(docs.take(170)); q1.processAllAvailable()
@@ -1621,6 +1624,17 @@ class StreamingSpec extends GraftSuite {
       .intersect(e5.map(_._1)) -- got.map(_._1)
     assert(audioEffect.nonEmpty,
       "an e5-kept audio doc must drop through the streamed audio leg")
+    // the E10 composition over the same committed state: streamed
+    // keep-set minus committed contamination flags == batch
+    // decontaminatedMediaCorpus (contamination is stateless-exact, so
+    // the e9 parity conditions are the only caveat)
+    val want10 = rows(Pipeline.decontaminatedMediaCorpus(fixture,
+      audioMaxHamming = 0))
+    val got10 = rows(Streams.decontaminatedMediaFromIngest(fixture,
+      state, out))
+    assert(got10 == want10,
+      s"streamed e10 diverged from batch: only_stream=${got10 -- want10} " +
+        s"only_batch=${want10 -- got10}")
   }
 
   test("streaming d25: the per-batch contamination probe equals the " +
@@ -1644,7 +1658,10 @@ class StreamingSpec extends GraftSuite {
       .select("doc_id", "bench_id", "modality", "hamming").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         r.getInt(3))).toSet
-    val want = rows(Multimodal.mediaContaminationSplitCheck(fixture, 25L))
+    // the sink probes at the ENFORCEMENT budgets (5/3) by default —
+    // the batch side must compare at the same budgets
+    val want = rows(Multimodal.mediaContaminationSplitCheck(fixture, 25L,
+      5, 3))
     assert(want.nonEmpty, "fixture has no contamination — vacuous spec")
     // stream EVERYTHING (benchmark docs too — the probe must exclude
     // them itself), in NON-id-order batches, killing between them
