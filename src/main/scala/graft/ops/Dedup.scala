@@ -433,17 +433,28 @@ object Dedup {
     val np = pos.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val train = pos.where(col("doc_id") >= benchMaxId)
       .select(col("doc_id").as("doc1"), col("i").as("k1"), col("shingle"))
-    def bench = pos.where(col("doc_id") < benchMaxId)
+    val bench = pos.where(col("doc_id") < benchMaxId)
       .select(col("doc_id").as("doc2"), col("i").as("k2"), col("shingle"))
-    // `prefilter = false` drops the exact count bound (brute force) —
-    // the Sf1Check identity, same contract as alignedContainmentPairs
+    quoteProbeCore(train, bench, np, threshold, tol, prefilter)
+  }
+
+  /** Shared alignment core of [[quoteContaminationSplitCheck]] and the
+    * ONLINE probe [[quoteContaminationProbe]]: bipartite aligned
+    * containment of train positions (doc1, k1, shingle) against a
+    * BROADCAST benchmark position frame (doc2, k2, shingle). `nf` must
+    * carry (doc_id, n) for every id on either side. `prefilter = false`
+    * drops the exact count bound (brute force) — the Sf1Check identity,
+    * same contract as alignedContainmentPairs. */
+  private def quoteProbeCore(train: DataFrame, bench: DataFrame,
+      nf: DataFrame, threshold: Double, tol: Int,
+      prefilter: Boolean): DataFrame = {
     val cross = (if (prefilter) {
       val surv = train.join(broadcast(bench), "shingle")
         .groupBy(col("doc1"), col("doc2"))
         .agg(count(lit(1)).as("m"))
-        .join(np.select(col("doc_id").as("doc1"), col("n").as("na")),
+        .join(nf.select(col("doc_id").as("doc1"), col("n").as("na")),
           "doc1")
-        .join(np.select(col("doc_id").as("doc2"), col("n").as("nb")),
+        .join(nf.select(col("doc_id").as("doc2"), col("n").as("nb")),
           "doc2")
         .where(col("m") >=
           lit(threshold) * least(col("na"), col("nb")) - lit(1e-9))
@@ -452,9 +463,41 @@ object Dedup {
         .join(broadcast(bench), Seq("doc2", "shingle"))
     } else train.join(broadcast(bench), "shingle"))
       .select(col("doc1"), col("doc2"), col("k1"), col("k2"))
-    shiftConsistentRollup(cross, np, threshold, tol)
+    shiftConsistentRollup(cross, nf, threshold, tol)
       .select(col("doc1").as("doc_id"), col("doc2").as("bench_id"),
         col("containment"), col("containment_any"), col("shift"))
+  }
+
+  /** Benchmark positional-shingle frame for the ONLINE d28 probe: one
+    * (doc2 = bench_id, k2, shingle) row per n-gram position of the eval
+    * holdout. Compute ONCE per stream (eval sets are small by
+    * definition; the probe broadcasts this frame into every
+    * micro-batch), then feed [[quoteContaminationProbe]]. */
+  def benchmarkQuotePositions(benchDocs: DataFrame, n: Int = 3): DataFrame =
+    positionsOf(benchDocs, n, memo = false)
+      .select(col("doc_id").as("doc2"), col("i").as("k2"), col("shingle"))
+
+  /** The ONLINE d28 leg: aligned quote contamination of `trainDocs` (one
+    * micro-batch of arriving text) against a precomputed
+    * [[benchmarkQuotePositions]] frame. STATELESS given the benchmark
+    * frame — the containment denominators come from the arriving doc
+    * itself (na) and the benchmark side (nb), never from cross-batch
+    * state — so the union of committed per-batch outputs equals the
+    * batch operator on the arrived train docs for ANY arrival order.
+    * Positions are built WITHOUT the substrate memo: a long-lived ingest
+    * must not accrete one persisted frame per micro-batch. */
+  private[graft] def quoteContaminationProbe(trainDocs: DataFrame,
+      benchPos: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      tol: Int = 1): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must sit in (0, 1]")
+    val tpos = positionsOf(trainDocs, n, memo = false)
+    val train = tpos.select(col("doc_id").as("doc1"), col("i").as("k1"),
+      col("shingle"))
+    val nf = tpos.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .unionByName(benchPos.groupBy(col("doc2").as("doc_id"))
+        .agg(count(lit(1)).as("n")))
+    quoteProbeCore(train, benchPos, nf, threshold, tol, prefilter = true)
   }
 
   /** The memoized positional-shingle substrate of d27/d28:
@@ -464,16 +507,28 @@ object Dedup {
     * (Spark's CacheManager matches the canonical plan). The
     * empty-window guard must not hit sequence(1, 0) — that DESCENDS to
     * [1, 0] instead of emitting nothing. */
-  private def positionalShingles(documents: DataFrame, n: Int): DataFrame = {
+  private def positionalShingles(documents: DataFrame, n: Int): DataFrame =
+    positionsOf(documents, n, memo = true)
+
+  /** [[positionalShingles]] body with the memo switchable: `memo = false`
+    * tokenizes inline and skips the persist — the per-micro-batch form
+    * ([[quoteContaminationProbe]]) and the once-per-stream benchmark
+    * frame (which the caller checkpoints itself). */
+  private def positionsOf(documents: DataFrame, n: Int,
+      memo: Boolean): DataFrame = {
     val empty = slice(array(lit(1)), 1, 0)
     val wins = when(size(col("toks")) >= n,
       sequence(lit(1), size(col("toks")) - (n - 1))).otherwise(empty)
-    val pos = tokenCache(documents)
+    val base = if (memo) tokenCache(documents)
+      else documents.select(col("doc_id"),
+        graft.functions.Text.tokenizeUdf(col("text")).as("toks"))
+    val pos = base
       .select(col("doc_id"), col("toks"), explode(wins).as("i"))
       .select(col("doc_id"), col("i"),
         xxhash64(concat_ws(" ", slice(col("toks"), col("i"), lit(n))))
           .as("shingle"))
-    if (pos.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+    if (memo &&
+        pos.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       pos.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       registerPersist(pos)
     }

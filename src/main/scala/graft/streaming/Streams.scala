@@ -885,6 +885,75 @@ object Streams {
         else committedBidParquet(spark, s"$outDir/contam", r.getLong(0))
     }
 
+  /** ONLINE quote-level decontamination — the streaming d28, the TEXT
+    * twin of the media probe ([[mergeMediaContamination]]): each
+    * micro-batch of arriving text is probed for ALIGNED runs of token
+    * shingles shared with the benchmark holdout
+    * (`Dedup.quoteContaminationSplitCheck`'s formula, via the shared
+    * probe body) and the flagged (doc_id, bench_id, containment,
+    * containment_any, shift) rows are committed as audit output. The
+    * benchmark positional frame is precomputed ONCE per stream (the
+    * eval holdout is fixed for a release) and broadcast into every
+    * batch's probe; the probe is STATELESS given that frame — both
+    * containment denominators come from the arriving doc and the
+    * benchmark side — so the union of committed outputs equals the
+    * batch operator on the arrived train docs for ANY arrival order
+    * (the parity spec pins it across a kill/restart). Arriving docs
+    * that ARE benchmark members are excluded (the batch operator's
+    * train side), via one anti-join against the tiny bench-id list.
+    * Same per-bid idempotence + frontier commit + O(1) replay guard as
+    * every ingest leg. */
+  def quoteContaminationSink(docs: DataFrame, stateDir: String,
+      outDir: String, benchDocs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8, tol: Int = 1)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val benchPos = graft.ops.Dedup.benchmarkQuotePositions(benchDocs, n)
+      .localCheckpoint()
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        mergeQuoteContamination(batch, batchId, benchPos, stateDir,
+          outDir, n, threshold, tol)
+    }
+  }
+
+  /** The per-batch body of [[quoteContaminationSink]] (spec entry
+    * point). */
+  private[graft] def mergeQuoteContamination(batch: DataFrame,
+      batchId: Long, benchPos: DataFrame, stateDir: String,
+      outDir: String, n: Int, threshold: Double, tol: Int): Unit = {
+    val spark = batch.sparkSession
+    val frontierDir = s"$stateDir/frontier"
+    val lastBid = readStateWithRecovery(spark, frontierDir).map { df =>
+      val r = df.select(max(col("bid"))).head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
+    if (batchId <= lastBid) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"quote contamination probe: skipping batch $batchId (frontier " +
+          s"at $lastBid) — replay of a committed batch is a no-op")
+      return
+    }
+    val benchIds = benchPos.select(col("doc2").as("doc_id")).distinct()
+    val flags = graft.ops.Dedup.quoteContaminationProbe(
+      batch.join(benchIds, Seq("doc_id"), "left_anti"),
+      benchPos, n, threshold, tol)
+    flags.write.mode("overwrite").parquet(s"$outDir/bid=$batchId")
+    import spark.implicits._
+    swapIntoPlace(Seq(batchId).toDF("bid").repartition(1), frontierDir)
+  }
+
+  /** Committed-only read of the online d28 audit output: the flagged
+    * quote-contamination rows across every batch the frontier has
+    * committed (orphan partitions a crash left behind are never
+    * listed). None before the first commit. */
+  def committedQuoteContamination(spark: SparkSession, stateDir: String,
+      outDir: String): Option[DataFrame] =
+    readStateWithRecovery(spark, s"$stateDir/frontier").flatMap { df =>
+      val r = df.select(max(col("bid"))).head
+      if (r.isNullAt(0)) None
+      else committedBidParquet(spark, outDir, r.getLong(0))
+    }
+
   /** The corpus-release half of the streaming e9 flagship: compose the
     * batch keep-set (`Pipeline.curatedCorpus` — quality, dup spans,
     * exact-dup keepers) with the near-dup drop decisions the

@@ -1692,6 +1692,62 @@ class StreamingSpec extends GraftSuite {
       == got, "replay must not re-probe or append")
   }
 
+  test("streaming d28: the per-batch quote probe equals the batch " +
+      "operator across a kill/restart boundary") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val dir = Files.createTempDirectory("graft_d28s").toString
+    val (state, out, ckpt) = (dir + "/state", dir + "/out", dir + "/ckpt")
+    val natural = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // plant quote contamination so the spec cannot pass vacuously: 9001
+    // is a verbatim copy of bench doc 3 (shift 0), 9002 wholesale-
+    // includes bench doc 7 behind a preamble (shift = preamble tokens)
+    val byId = natural.toMap
+    val docs = natural ++ Seq(
+      (9001L, byId(3L)),
+      (9002L, "entirely unrelated preamble words " + byId(7L)))
+    val fixture = docs.toDF("doc_id", "text").localCheckpoint()
+    val benchDocs = fixture.where(col("doc_id") < 25).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "bench_id", "containment", "containment_any",
+        "shift")
+      .collect().map(_.toSeq.toList).toSet
+    // batch truth: the d28 operator on the full corpus — the probe is
+    // STATELESS given the benchmark frame (both containment
+    // denominators are per-doc), so streamed == batch on ANY arrival
+    // order, same as the media probe and unlike the greedy dedup legs
+    val want = rows(Dedup.quoteContaminationSplitCheck(fixture, 25L))
+    assert(want.exists(_.head == 9001L) && want.exists(_.head == 9002L),
+      "planted quotes must flag — fixture broke")
+    // stream EVERYTHING (benchmark docs too — the sink must exclude
+    // them itself), in NON-id-order batches, killing between them
+    val shuffled = new scala.util.Random(28L).shuffle(docs)
+    val ms = MemoryStream[(Long, String)](94, spark, None)
+    def startQ() = Streams.quoteContaminationSink(
+        ms.toDS().toDF("doc_id", "text"), state, out, benchDocs)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = startQ()
+    ms.addData(shuffled.take(200)); q1.processAllAvailable()
+    q1.stop() // kill
+    val q2 = startQ()
+    ms.addData(shuffled.drop(200))
+    q2.processAllAvailable(); q2.stop()
+    val got = rows(
+      Streams.committedQuoteContamination(spark, state, out).get)
+    assert(got == want,
+      s"streamed d28 diverged: only_stream=${got -- want} " +
+        s"only_batch=${want -- got}")
+    // replay of a committed bid is a no-op (O(1) frontier guard)
+    Streams.mergeQuoteContamination(
+      Seq((9999L, byId(3L))).toDF("doc_id", "text"), 0L,
+      Dedup.benchmarkQuotePositions(benchDocs), state, out, 3, 0.8, 1)
+    assert(rows(
+      Streams.committedQuoteContamination(spark, state, out).get) == got,
+      "replay must not re-probe or append")
+  }
+
   test("txn sink: corrupt orphan files cannot poison the committed read") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_txn4").toString + "/t"
