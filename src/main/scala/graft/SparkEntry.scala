@@ -991,6 +991,14 @@ object SparkEntry {
       DataQuality.psi(events(s, d), "value",
         col("event_id") % 2 === 0, 10, 0.0, 400.0)
     }),
+    // per-dimension Wasserstein-1 drift between two corpus drops'
+    // EMBEDDING distributions (even/odd vec_id slices) — the
+    // vector-space member of the drift family
+    "drift3_embedding_w1" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      DataQuality.embeddingW1(t(s, d, "embeddings"),
+        col("vec_id") % 2 === 0)
+    }),
     // Matryoshka truncation fidelity: does the exact top-1 neighbor
     // survive truncation to the first 16 of 64 dims?
     "emb1_matryoshka" -> ((s, d) =>
@@ -4750,6 +4758,38 @@ object SparkEntry {
         |JOIN sz s1 ON doc1 = s1.doc_id
         |JOIN sz s2 ON doc2 = s2.doc_id
         |WHERE common / least(s1.sz, s2.sz) >= 0.8""".stripMargin,
+    // per-dim W1 between even/odd vec_id slices over the merged 1e-6
+    // support: |cr·tc − cc·tr|·Δx summed exactly (HUGEINT == Spark's
+    // decimal(38)), two float divisions at the end in the same order
+    "drift3_embedding_w1" ->
+      """WITH e AS (SELECT vec_id, CAST(i.i AS INTEGER) AS dim,
+        |             CAST(embedding[i.i] AS DOUBLE) AS x
+        |           FROM embeddings,
+        |                (SELECT unnest(range(1, 65)) AS i) i),
+        |q AS (SELECT dim, (vec_id % 2 = 0) AS is_ref,
+        |        CAST(round(x * 1000000) AS BIGINT) AS qx FROM e),
+        |c AS (SELECT dim, qx,
+        |        CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_ref,
+        |        CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_cur
+        |      FROM q GROUP BY 1, 2),
+        |w AS (SELECT dim, qx, n_ref, n_cur,
+        |        SUM(n_ref) OVER (PARTITION BY dim ORDER BY qx) AS cr,
+        |        SUM(n_cur) OVER (PARTITION BY dim ORDER BY qx) AS cc,
+        |        SUM(n_ref) OVER (PARTITION BY dim) AS tr,
+        |        SUM(n_cur) OVER (PARTITION BY dim) AS tc,
+        |        LEAD(qx) OVER (PARTITION BY dim ORDER BY qx) AS nx
+        |      FROM c)
+        |SELECT dim, CAST(tr AS BIGINT) AS n_ref,
+        |       CAST(tc AS BIGINT) AS n_cur,
+        |       ROUND(CAST(SUM(ABS(CAST(cr AS HUGEINT) * tc
+        |                          - CAST(cc AS HUGEINT) * tr)
+        |                      * COALESCE(nx - qx, 0)) AS DOUBLE)
+        |             / (CAST(tr AS DOUBLE) * CAST(tc AS DOUBLE))
+        |             / 1000000, 6) AS w1
+        |FROM w GROUP BY dim, tr, tc
+        |HAVING tr > 0 AND tc > 0""".stripMargin,
     // Laplace-smoothed PSI over 10 equal-width bins of `value`, even vs
     // odd event_id as the reference/current drops; arithmetic mirrors
     // DataQuality.psi exactly (clamped floor bin, (n+1)/(N+10), ln)

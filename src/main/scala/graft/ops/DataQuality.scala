@@ -372,4 +372,61 @@ object DataQuality {
         round(col("lo_m"), 6).as("lo95"),
         round(col("hi_m"), 6).as("hi95"))
   }
+
+  /** Per-dimension 1-D Wasserstein-1 (earth-mover) distance between two
+    * slices' EMBEDDING distributions — the drift alarm for vector
+    * spaces, completing the family: [[psi]] watches a scalar feature,
+    * [[jsDivergence]] a categorical one, this one the representation a
+    * retrieval/semantic-dedup index is built on. A re-embedded or
+    * model-upgraded drop can pass every scalar gate while its vectors
+    * move; W1 per dimension localizes WHICH components moved and by how
+    * much (in embedding units — for a constant shift δ on one dim, W1 on
+    * that dim is exactly |δ|, unlike KL-family scores with no unit).
+    *
+    * Exact-integer portability: components quantize to 1e-6 ints, and
+    * over the merged support W1 = Σ_k |F_ref(x_k) − F_cur(x_k)| · Δx_k.
+    * Scaling both ECDFs by (t_ref · t_cur) keeps every term an exact
+    * integer — |cr·tc − cc·tr| · Δx, summed in decimal(38) against
+    * corpus-scale overflow — so the ONLY float ops are the final two
+    * divisions, identical IEEE on identical integers in any engine.
+    *
+    * Scale: one narrow scan; the groupBy(dim, qx) partial-aggregates
+    * map-side to ≤ dims · |support| rows (support ≤ 2e6 + 1 per dim for
+    * unit-range components at 1e-6 — config-bounded, never
+    * corpus-proportional); the cumulative windows are PARTITIONED by
+    * dim over that aggregated frame, so no task ever sees more than one
+    * dim's support. Dims where either slice is empty are dropped (W1
+    * undefined against an empty distribution). */
+  def embeddingW1(embeddings: DataFrame, isRef: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = embeddings
+      .select(isRef.as("is_ref"),
+        posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).cast("int").as("dim"), col("is_ref"),
+        round(col("x").cast("double") * 1e6).cast("long").as("qx"))
+    val counts = q.groupBy(col("dim"), col("qx"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val byDim = Window.partitionBy("dim")
+    val cum = byDim.orderBy("qx")
+    counts
+      .withColumn("cr", sum(col("n_ref")).over(cum))
+      .withColumn("cc", sum(col("n_cur")).over(cum))
+      .withColumn("tr", sum(col("n_ref")).over(byDim))
+      .withColumn("tc", sum(col("n_cur")).over(byDim))
+      .withColumn("nx", lead(col("qx"), 1).over(cum))
+      // decimal BEFORE the products: cr·tc is already past int64 at
+      // corpus scale (1e12 rows → 1e24)
+      .withColumn("term",
+        abs(col("cr").cast("decimal(38,0)") * col("tc")
+          - col("cc").cast("decimal(38,0)") * col("tr"))
+          * coalesce(col("nx") - col("qx"), lit(0L)).cast("decimal(38,0)"))
+      .groupBy(col("dim"), col("tr"), col("tc"))
+      .agg(sum(col("term")).as("num"))
+      .where(col("tr") > 0 && col("tc") > 0)
+      .select(col("dim"), col("tr").as("n_ref"), col("tc").as("n_cur"),
+        round(col("num").cast("double")
+          / (col("tr").cast("double") * col("tc").cast("double")) / 1e6, 6)
+          .as("w1"))
+  }
 }

@@ -196,6 +196,38 @@ class DataQualitySpec extends GraftSuite {
       .collect().forall(_.getDouble(3) == 0.0))
   }
 
+  test("embeddingW1: zero on identical slices, exactly |δ| under a " +
+      "constant shift, empty-slice dims dropped") {
+    import spark.implicits._
+    def w1Of(df: org.apache.spark.sql.DataFrame) =
+      DataQuality.embeddingW1(df, col("vec_id") % 2 === 0)
+        .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    // identical multisets in both slices -> W1 == 0 on every dim
+    val base = Seq(0.11f, -0.52f, 0.9f, 0.301f, -0.017f)
+    val same = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((2L * i, Array(v, v / 2)), (2L * i + 1, Array(v, v / 2)))
+    }.toDF("vec_id", "embedding")
+    assert(w1Of(same) == Map(1 -> 0.0, 2 -> 0.0))
+    // constant shift δ on dim 1 only: W1(X, X+δ) == δ exactly (the
+    // unit-carrying property KL-family scores lack); dim 2 untouched
+    val delta = 0.25f
+    val shifted = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((2L * i, Array(v, v / 2)), (2L * i + 1, Array(v + delta, v / 2)))
+    }.toDF("vec_id", "embedding")
+    assert(w1Of(shifted) == Map(1 -> 0.25, 2 -> 0.0))
+    // a dim is REPORTED only when both slices are non-empty: an
+    // all-even-id corpus has no current slice at all -> no rows
+    val oneSided = base.zipWithIndex
+      .map { case (v, i) => (2L * i, Array(v)) }
+      .toDF("vec_id", "embedding")
+    assert(w1Of(oneSided).isEmpty)
+    // non-negativity on an arbitrary asymmetric fixture
+    val ragged = Seq((0L, Array(0.9f, -0.3f)), (1L, Array(-0.4f, 0.8f)),
+      (2L, Array(0.05f, 0.05f)), (3L, Array(1.0f, -1.0f)),
+      (5L, Array(-0.2f, 0.6f))).toDF("vec_id", "embedding")
+    assert(w1Of(ragged).values.forall(_ >= 0.0))
+  }
+
   test("refIntegrity: orphans counted, parent dup keys don't multiply") {
     import spark.implicits._
     val child = Seq(Option(1L), Option(2L), Option(2L), Option(3L),
