@@ -665,6 +665,18 @@ object SparkEntry {
     // where d9's set-overlap test also fires on topical shingle soup
     "d28_quote_contamination" -> ((s, d) =>
       Dedup.quoteContaminationSplitCheck(t(s, d, "documents"), 25)),
+    // d28's flags rolled up per benchmark item — the text twin of the
+    // media burn report (d26): which eval items are quote-compromised,
+    // by how many training docs, and since which doc
+    "d29_quote_burn" -> ((s, d) =>
+      Dedup.quoteBurnReport(t(s, d, "documents"), 25)),
+    // e11: the text enforcement closer — e3's pipeline with the d28
+    // quote flags as an extra drop stage BEFORE sampling/packing (a
+    // short benchmark item quoted verbatim ships through d9's >= 5-
+    // shared-shingles stage; the aligned probe catches it)
+    "e11_quote_decontaminated" -> ((s, d) =>
+      Pipeline.trainingCorpus(t(s, d, "documents"),
+        quoteThreshold = Some(0.8))),
     // ---- sketches ----
     "a14_approx_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2795,6 +2807,44 @@ object SparkEntry {
         |       CAST(mm.shift AS INTEGER) AS shift
         |FROM mm JOIN np a ON mm.d1 = a.doc_id JOIN np b ON mm.d2 = b.doc_id
         |WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8""".stripMargin,
+    // d29: the d28 flag set rolled up per benchmark item (n_train,
+    // max_containment, first_train) — CTEs are d28's verbatim
+    "d29_quote_burn" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+        |         AS shingle
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+        |             FROM tk)),
+        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ps GROUP BY 1),
+        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
+        |       FROM ps a JOIN ps b USING (shingle)
+        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
+        |msh AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, i2 - i1 AS shift,
+        |          row_number() OVER (PARTITION BY d1, d2
+        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
+        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
+        |mm AS (SELECT f.d1, f.d2, s.shift,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i1 END) AS ma,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i2 END) AS mb
+        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
+        |       GROUP BY 1, 2, 3),
+        |fl AS (SELECT mm.d1 AS doc_id, mm.d2 AS bench_id,
+        |         greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) AS containment
+        |       FROM mm JOIN np a ON mm.d1 = a.doc_id
+        |                JOIN np b ON mm.d2 = b.doc_id
+        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8)
+        |SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_train,
+        |       MAX(containment) AS max_containment,
+        |       MIN(doc_id) AS first_train
+        |FROM fl GROUP BY 1""".stripMargin,
     "e2_sql_revenue_by_year" -> graft.sql.SqlJobs.revenueByYearSql,
     "e2_sql_corr_scalar" -> graft.sql.SqlJobs.maxSpendPerCustomerSql,
     "e2_sql_kwsplit_counts" ->
@@ -3580,6 +3630,84 @@ object SparkEntry {
         |    AND doc_id NOT IN (SELECT doc_id FROM neardups)
         |    AND doc_id NOT IN (SELECT doc_id FROM exactdups)
         |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+        |SELECT doc_id, lang,
+        |       CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+        |         AS n_tok,
+        |       CAST(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |           OVER (ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) AS BIGINT) AS start_offset,
+        |       CAST(floor(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |           OVER (ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) / 4096) AS BIGINT) AS chunk_id
+        |FROM survivors""".stripMargin,
+    // e11: e3's CTEs verbatim + the d28 quote-flag drop applied to the
+    // survivor set BEFORE the packing windows (offsets repack over the
+    // kept docs); the quote CTEs are d28's verbatim
+    "e11_quote_decontaminated" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        |       FROM sh a JOIN sh b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
+        |             JOIN sz s1 ON doc1 = s1.doc_id
+        |             JOIN sz s2 ON doc2 = s2.doc_id
+        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+        |exactdups AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        |                                'g')))) AS keeper
+        |    FROM documents)
+        |  WHERE doc_id <> keeper),
+        |contam AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
+        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
+        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5)),
+        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+        |         AS shingle
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+        |             FROM tk)),
+        |npq AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM ps GROUP BY 1),
+        |fpq AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2,
+        |          b.i AS i2
+        |        FROM ps a JOIN ps b USING (shingle)
+        |        WHERE a.doc_id >= 25 AND b.doc_id < 25),
+        |mshq AS (SELECT d1, d2, shift FROM (
+        |         SELECT d1, d2, i2 - i1 AS shift,
+        |           row_number() OVER (PARTITION BY d1, d2
+        |             ORDER BY COUNT(*) DESC, i2 - i1) AS rn
+        |         FROM fpq GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
+        |mmq AS (SELECT f.d1, f.d2,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i1 END) AS ma,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i2 END) AS mb
+        |        FROM fpq f JOIN mshq s ON s.d1 = f.d1 AND s.d2 = f.d2
+        |        GROUP BY 1, 2),
+        |qflags AS (SELECT DISTINCT mmq.d1 AS doc_id
+        |           FROM mmq JOIN npq a ON mmq.d1 = a.doc_id
+        |                    JOIN npq b ON mmq.d2 = b.doc_id
+        |           WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
+        |survivors AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id >= 25 AND length(text) >= 100
+        |    AND doc_id NOT IN (SELECT doc_id FROM neardups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM exactdups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND doc_id NOT IN (SELECT doc_id FROM qflags)
         |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
         |SELECT doc_id, lang,
         |       CAST(len(string_split_regex(text, '\s+')) AS INTEGER)

@@ -500,6 +500,22 @@ object Dedup {
     quoteProbeCore(train, benchPos, nf, threshold, tol, prefilter = true)
   }
 
+  /** D29 — the QUOTE burn report: [[quoteContaminationSplitCheck]]'s
+    * flags rolled up per benchmark item — which eval items are
+    * quote-compromised for ANY model trained elsewhere, by how many
+    * training docs, how completely, and since which doc. The text twin
+    * of the media burn report (`Multimodal.benchmarkBurnReport`): e11
+    * drops the TRAINING side; this is the retire-this-item evidence for
+    * the benchmark side. Output (bench_id, n_train, max_containment,
+    * first_train), contamination-mass-proportional. */
+  def quoteBurnReport(documents: DataFrame, benchMaxId: Long, n: Int = 3,
+      threshold: Double = 0.8, tol: Int = 1): DataFrame =
+    quoteContaminationSplitCheck(documents, benchMaxId, n, threshold, tol)
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_train"),
+        max(col("containment")).as("max_containment"),
+        min(col("doc_id")).as("first_train"))
+
   /** The memoized positional-shingle substrate of d27/d28:
     * (doc_id, i, shingle-hash) over FULL n-windows only (docs shorter
     * than n tokens have no positions and never pair) — persisted, so a

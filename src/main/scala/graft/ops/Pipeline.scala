@@ -25,10 +25,18 @@ object Pipeline {
     * @param benchmarkMaxId docs below this id form the held-out benchmark:
     *        they are excluded from the corpus and any doc overlapping them
     *        by >= 5 shingles is dropped as contaminated.
-    * @param sampleFrac reproducible hash-sample fraction applied last. */
+    * @param sampleFrac reproducible hash-sample fraction applied last.
+    * @param quoteThreshold when set, ALSO drop docs quote-contaminated at
+    *        this aligned-containment threshold (the d28 precision leg —
+    *        e11). The d9 set-overlap stage needs >= 5 distinct shared
+    *        shingles, so a SHORT benchmark item (< 5 + tol shingle
+    *        positions) can be quoted verbatim and still ship; the aligned
+    *        probe catches it (containment hits mb/nb = 1 regardless of
+    *        the quoting doc's size). The drop is applied BEFORE sampling
+    *        and packing, so surviving offsets repack contiguously. */
   def trainingCorpus(documents: DataFrame, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5,
-      seqLen: Int = 4096): DataFrame = {
+      seqLen: Int = 4096, quoteThreshold: Option[Double] = None): DataFrame = {
     val corpus = documents.where(col("doc_id") >= benchmarkMaxId)
     val benchmark = documents.where(col("doc_id") < benchmarkMaxId)
 
@@ -54,6 +62,11 @@ object Pipeline {
     val contaminated = Dedup
       .contaminationSplitCheck(documents, benchmarkMaxId, 3, 5)
       .select(col("doc_id")).distinct()
+    // e11's extra precision leg: the quote-level flags share the SAME
+    // persisted positional substrate as d27/d28 in-session
+    val quoteFlags = quoteThreshold.map(t => Dedup
+      .quoteContaminationSplitCheck(documents, benchmarkMaxId, 3, t)
+      .select(col("doc_id")).distinct())
 
     // deliberately NO broadcast hints on the drop-lists: near/exact-dup
     // lists grow with the corpus (a forced broadcast would break at
@@ -68,6 +81,8 @@ object Pipeline {
       .join(nearDups, Seq("doc_id"), "left_anti")
       .join(exactDups, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .transform(df => quoteFlags
+        .map(f => df.join(f, Seq("doc_id"), "left_anti")).getOrElse(df))
       .transform(Sampling.deterministicSample(_, "doc_id", sampleFrac))
       .localCheckpoint()
 

@@ -1636,6 +1636,71 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates()
   }
 
+  test("d29 burn rollup: two quoting docs roll up to one bench row; " +
+      "clean items never appear") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val q = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima"
+    val hand = Seq(
+      (3L, q), // the burned benchmark item
+      (8L, "a pristine benchmark item nothing ever quotes at all"),
+      (27L, s"intro words here $q closing words"),
+      (41L, s"$q and a different tail entirely"),
+      (30L, "completely unrelated training words sharing no trigram"))
+      .toDF("doc_id", "text")
+    val got = Dedup.quoteBurnReport(hand, 25L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // both quoting docs contain the item fully -> max_containment 1.0;
+    // first_train is the smaller id
+    assert(got == Map(3L -> ((2L, 1.0, 27L))),
+      s"double burn must roll up to (3 -> n_train=2, 1.0, 27): $got")
+    Dedup.clearSubstrates()
+  }
+
+  test("e11 closes the short-quote gap: a fully-quoted 4-shingle bench " +
+      "item ships through e3's set stage and drops here") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Pipeline}
+    // 6 tokens = 4 trigram positions: d9's >= 5-distinct-shared-shingles
+    // contamination stage CANNOT fire on it, however completely quoted
+    val q = "alpha bravo charlie delta echo foxtrot"
+    val pad = "every training document needs enough completely distinct " +
+      "filler prose to clear the hundred character floor"
+    val hand = Seq(
+      (3L, q),
+      // 27 quotes the whole item; its only shared trigrams are the 4
+      (27L, s"$pad $q trailing remark"),
+      // 29 is the clean control (passes the sampling hash like 27)
+      (29L, "an unrelated survivor whose words never touch the " +
+        "benchmark vocabulary but still run well past the length gate"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    def docsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tok", "start_offset").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val e3 = docsOf(Pipeline.trainingCorpus(hand))
+    val e11 = docsOf(Pipeline.trainingCorpus(hand,
+      quoteThreshold = Some(0.8)))
+    // the gap is real on this fixture: d9 misses, d28 flags
+    val d9 = Dedup.contaminationSplitCheck(hand, 25L, 3, 5).collect()
+      .map(_.getLong(0)).toSet
+    assert(!d9.contains(27L), s"fixture broke: d9 must miss the quote $d9")
+    val d28 = Dedup.quoteContaminationSplitCheck(hand, 25L).collect()
+      .map(_.getLong(0)).toSet
+    assert(d28 == Set(27L), s"fixture broke: d28 must flag 27 only $d28")
+    // e3 SHIPS the quoting doc; e11 drops it and keeps everything else
+    assert(e3.map(_._1).toSeq == Seq(27L, 29L),
+      s"e3 must ship the short quote: $e3")
+    assert(e11.map(_._1).toSeq == Seq(29L),
+      s"e11 must drop exactly the flagged doc: $e11")
+    // offsets REPACK over the kept docs (the drop runs before packing):
+    // the survivor starts at 0, not at the dropped doc's token mass
+    assert(e11.head._3 == 0L,
+      s"e11 offsets must repack contiguously: $e11")
+    Dedup.clearSubstrates()
+  }
+
   test("d27 restriction law: a candidate frame restricts the output to " +
       "exactly the intersection") {
     import spark.implicits._
