@@ -36,7 +36,27 @@ object Pipeline {
     *        and packing, so surviving offsets repack contiguously. */
   def trainingCorpus(documents: DataFrame, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5,
-      seqLen: Int = 4096, quoteThreshold: Option[Double] = None): DataFrame = {
+      seqLen: Int = 4096, quoteThreshold: Option[Double] = None): DataFrame =
+    trainingCorpusCore(documents, benchmarkMaxId, minChars, sampleFrac,
+      seqLen, quoteThreshold.map(t => Dedup
+        .quoteContaminationSplitCheck(documents, benchmarkMaxId, 3, t)
+        .select(col("doc_id")).distinct()))
+
+  /** [[trainingCorpus]] with a PRECOMPUTED quote drop-list — the
+    * streamed-e11 composition (`Streams.quoteDecontaminatedFromIngest`)
+    * feeds the COMMITTED online d28 flags here, so the drop still runs
+    * BEFORE sampling and packing and the streamed corpus repacks
+    * identically to the batch one. */
+  private[graft] def trainingCorpusWithQuoteDrops(documents: DataFrame,
+      quoteDrops: DataFrame, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5,
+      seqLen: Int = 4096): DataFrame =
+    trainingCorpusCore(documents, benchmarkMaxId, minChars, sampleFrac,
+      seqLen, Some(quoteDrops.select(col("doc_id")).distinct()))
+
+  private def trainingCorpusCore(documents: DataFrame,
+      benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
+      seqLen: Int, quoteFlags: Option[DataFrame]): DataFrame = {
     val corpus = documents.where(col("doc_id") >= benchmarkMaxId)
     val benchmark = documents.where(col("doc_id") < benchmarkMaxId)
 
@@ -62,11 +82,6 @@ object Pipeline {
     val contaminated = Dedup
       .contaminationSplitCheck(documents, benchmarkMaxId, 3, 5)
       .select(col("doc_id")).distinct()
-    // e11's extra precision leg: the quote-level flags share the SAME
-    // persisted positional substrate as d27/d28 in-session
-    val quoteFlags = quoteThreshold.map(t => Dedup
-      .quoteContaminationSplitCheck(documents, benchmarkMaxId, 3, t)
-      .select(col("doc_id")).distinct())
 
     // deliberately NO broadcast hints on the drop-lists: near/exact-dup
     // lists grow with the corpus (a forced broadcast would break at

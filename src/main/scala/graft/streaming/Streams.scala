@@ -954,6 +954,25 @@ object Streams {
       else committedBidParquet(spark, outDir, r.getLong(0))
     }
 
+  /** The corpus-release half of the streaming E11: the batch training-
+    * corpus pipeline with the quote drop-list read from the COMMITTED
+    * online d28 flags instead of recomputed — the streamed twin of
+    * `Pipeline.trainingCorpus(quoteThreshold = ...)`. The drops are
+    * injected BEFORE sampling and packing (via the shared pipeline
+    * core), so offsets repack exactly as the batch e11's do; the probe
+    * is stateless-exact on any arrival order, so once every training
+    * doc has arrived the composed corpus equals the batch e11 (pinned
+    * in the d28 parity spec). With no committed flags yet, this IS the
+    * batch e3. */
+  def quoteDecontaminatedFromIngest(documents: DataFrame,
+      stateDir: String, outDir: String,
+      benchmarkMaxId: Long = 25L): DataFrame =
+    committedQuoteContamination(documents.sparkSession, stateDir, outDir)
+      .map(f => graft.ops.Pipeline.trainingCorpusWithQuoteDrops(
+        documents, f, benchmarkMaxId))
+      .getOrElse(graft.ops.Pipeline.trainingCorpus(documents,
+        benchmarkMaxId))
+
   /** The corpus-release half of the streaming e9 flagship: compose the
     * batch keep-set (`Pipeline.curatedCorpus` — quality, dup spans,
     * exact-dup keepers) with the near-dup drop decisions the

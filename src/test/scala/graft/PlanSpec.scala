@@ -554,4 +554,30 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the dims-size bounds frame must broadcast:\n${p.take(1200)}")
   }
+
+  test("drift3 W1: one embeddings scan, dim-partitioned windows only") {
+    val p = plan("drift3_embedding_w1")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"one pass over embeddings:\n${p.take(800)}")
+    assert(p.contains("windowspecdefinition(dim"),
+      s"ECDF windows must partition by dim (support stays per-task " +
+        s"bounded):\n${p.take(1200)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      "no global-order window anywhere in the drift report")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the (dim, qx) counts must partial-aggregate map-side")
+  }
+
+  // (no plan law for e11's extra anti-join: trainingCorpus
+  // localCheckpoints its survivor set, so the drop joins are invisible
+  // in the final physical plan — the PipelineSpec doc-set law pins the
+  // composition semantically instead)
+
+  test("d29 burn rollup: bench side broadcast, rollup partial-aggregates") {
+    val p = plan("d29_quote_burn")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark position frame must broadcast:\n${p.take(1200)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the per-bench rollup must partial-aggregate map-side")
+  }
 }

@@ -1739,6 +1739,17 @@ class StreamingSpec extends GraftSuite {
     assert(got == want,
       s"streamed d28 diverged: only_stream=${got -- want} " +
         s"only_batch=${want -- got}")
+    // streamed e11: the committed flags compose into the training-
+    // corpus pipeline BEFORE sampling/packing — row-identical to the
+    // batch e11 (same drop set, same repacked offsets)
+    val corpusFixture = fixture.withColumn("lang", lit("en"))
+    def corpusRows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq.toList).toSet
+    assert(corpusRows(Streams.quoteDecontaminatedFromIngest(
+        corpusFixture, state, out))
+      == corpusRows(graft.ops.Pipeline.trainingCorpus(corpusFixture,
+        quoteThreshold = Some(0.8))),
+      "streamed e11 composition must equal the batch e11")
     // replay of a committed bid is a no-op (O(1) frontier guard)
     Streams.mergeQuoteContamination(
       Seq((9999L, byId(3L))).toDF("doc_id", "text"), 0L,
