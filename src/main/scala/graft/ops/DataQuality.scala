@@ -398,15 +398,30 @@ object DataQuality {
     * dim's support. Dims where either slice is empty are dropped (W1
     * undefined against an empty distribution). */
   def embeddingW1(embeddings: DataFrame, isRef: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val q = embeddings
-      .select(isRef.as("is_ref"),
-        posexplode(col("embedding")).as(Seq("i0", "x")))
-      .select((col("i0") + 1).cast("int").as("dim"), col("is_ref"),
-        round(col("x").cast("double") * 1e6).cast("long").as("qx"))
-    val counts = q.groupBy(col("dim"), col("qx"))
+    val q = quantizedComponents(embeddings)
+      .withColumn("is_ref", isRef)
+    w1FromCounts(q.groupBy(col("dim"), col("qx"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
-        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur")))
+  }
+
+  /** The shared 1e-6 component quantization of [[embeddingW1]] and the
+    * streaming monitor (`Streams.w1Sink`): (original columns…, dim, qx).
+    * Both sides of a drift comparison MUST bin on this one grid. */
+  private[graft] def quantizedComponents(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("*"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("*"), (col("i0") + 1).cast("int").as("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("qx"))
+      .drop("i0", "x", "embedding")
+
+  /** The ECDF-area core of [[embeddingW1]] over a prepared per-(dim, qx)
+    * count frame (n_ref, n_cur; zero-count support rows welcome) —
+    * shared with the streaming monitor, which feeds it the full-outer
+    * join of its static reference counts with the accumulated stream
+    * counts. */
+  private[graft] def w1FromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDim = Window.partitionBy("dim")
     val cum = byDim.orderBy("qx")
     counts

@@ -364,6 +364,75 @@ object Streams {
       stateDir)
   }
 
+  /** Per-dimension W1 drift monitor — the EMBEDDING twin of
+    * [[driftSink]]: vectors arrive on a stream, and every micro-batch
+    * emits (bid, dim, n_ref, n_cur, w1) scoring the ACCUMULATED stream
+    * against a static reference embedding set (precomputed once per
+    * stream into per-(dim, qx) counts on the same 1e-6 grid as
+    * `DataQuality.embeddingW1` — the monitor's batch twin, parity
+    * spec-pinned). Unlike the nBins-bounded scalar sink, nothing here
+    * collects to the driver: state is the accumulated (dim, qx, cnt)
+    * count frame, kept as a swap-managed parquet partition and merged
+    * DISTRIBUTEDLY each batch — its size is bounded by dims × the 1e-6
+    * support (≤ 2e6 + 1 rows per dim for unit-range components),
+    * config-scale at any corpus size.
+    *
+    * Replay/crash contract: the state rows carry the writing batch's
+    * bid, so guard and state swap ATOMICALLY (a crash between an output
+    * append and the state swap replays the batch — duplicating the
+    * (bid, dim) output rows, never double-counting state; consumers
+    * dedup on bid, the [[driftSink]] contract). */
+  def w1Sink(vectors: DataFrame, refEmbeddings: DataFrame,
+      stateDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val refCounts = graft.ops.DataQuality
+      .quantizedComponents(refEmbeddings.select(col("embedding")))
+      .groupBy(col("dim"), col("qx")).agg(count(lit(1)).as("n_ref"))
+      .localCheckpoint()
+    vectors.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        mergeW1(batch, batchId, refCounts, stateDir, outDir)
+    }
+  }
+
+  /** The per-batch body of [[w1Sink]] (spec entry point). */
+  private[graft] def mergeW1(batch: DataFrame, batchId: Long,
+      refCounts: DataFrame, stateDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val state = readStateWithRecovery(spark, stateDir)
+    val lastBid = state.map { df =>
+      val r = df.select(max(col("bid"))).head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
+    if (batchId <= lastBid) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"w1Sink: skipping batch $batchId (state at $lastBid) — " +
+          "replay of a committed batch is a no-op")
+      return
+    }
+    val bcounts = graft.ops.DataQuality
+      .quantizedComponents(batch.select(col("embedding")))
+      .groupBy(col("dim"), col("qx")).agg(count(lit(1)).as("cnt"))
+    // merge is a distributed groupBy over (old state ∪ batch counts);
+    // localCheckpoint materializes it BEFORE the swap overwrites the
+    // very directory the old-state leg is lazily reading
+    val merged = state.map(_.select(col("dim"), col("qx"), col("cnt"))
+        .unionByName(bcounts)).getOrElse(bcounts)
+      .groupBy(col("dim"), col("qx")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint()
+    val joined = refCounts
+      .join(merged, Seq("dim", "qx"), "full_outer")
+      .select(col("dim"), col("qx"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("cnt"), lit(0L)).as("n_cur"))
+    // output BEFORE the state swap: at-least-once output, exactly-once
+    // state (see scaladoc)
+    graft.ops.DataQuality.w1FromCounts(joined)
+      .withColumn("bid", lit(batchId))
+      .write.mode("append").parquet(outDir)
+    swapIntoPlace(merged.withColumn("bid", lit(batchId)), stateDir)
+  }
+
   /** T3 — streaming session windows: per-user sessions with an
     * inactivity gap, the native `session_window` run in streaming mode
     * (state = open sessions per user, merged as late-but-in-watermark

@@ -692,6 +692,47 @@ class StreamingSpec extends GraftSuite {
       "replayed output rows must carry identical psi values")
   }
 
+  test("w1 sink: streamed per-dim W1 equals the batch operator after " +
+      "a kill/restart; replay is a state no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_w1s").toString
+    val (state, out, ckpt) = (dir + "/state", dir + "/out", dir + "/ckpt")
+    val all = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    // reference = the admitted (even vec_id) drop; the stream carries
+    // the live (odd) feed in NON-id-order batches with a kill between
+    val ref = all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+      .localCheckpoint()
+    val live = new scala.util.Random(31L).shuffle(all.filter(_._1 % 2 == 1))
+    val ms = MemoryStream[(Long, Array[Float])](95, spark, None)
+    def startQ() = Streams.w1Sink(ms.toDS().toDF("vec_id", "embedding"),
+      ref, state, out).option("checkpointLocation", ckpt).start()
+    val q1 = startQ()
+    ms.addData(live.take(100)); q1.processAllAvailable()
+    q1.stop() // kill
+    val q2 = startQ()
+    ms.addData(live.drop(100)); q2.processAllAvailable(); q2.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("dim", "n_ref", "n_cur", "w1").collect()
+      .map(_.toSeq.toList).toSet
+    val outAll = spark.read.parquet(out)
+    val lastBid = outAll.select(max(col("bid"))).head.getLong(0)
+    val got = rows(outAll.where(col("bid") === lastBid))
+    // batch twin: embeddingW1 over the union with even ids as the ref
+    val want = rows(ops.DataQuality.embeddingW1(
+      all.toDF("vec_id", "embedding"), col("vec_id") % 2 === 0))
+    assert(got == want,
+      s"streamed W1 diverged: only_stream=${got -- want} " +
+        s"only_batch=${want -- got}")
+    // replay of a committed bid: state untouched, no output appended
+    val before = outAll.count()
+    Streams.mergeW1(Seq((9999L, Array(0.5f))).toDF("vec_id", "embedding"),
+      0L, ref.limit(0), state, out)
+    assert(spark.read.parquet(out).count() == before,
+      "replayed batch must neither re-merge state nor append output")
+  }
+
   test("E3 DimApp pipeline: CDC stream -> config prune -> keyed dim upsert") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_dim").toString + "/dim"
