@@ -491,7 +491,14 @@ object Dedup {
       tol: Int = 1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must sit in (0, 1]")
-    val tpos = positionsOf(trainDocs, n, memo = false)
+    // bench members are excluded HERE, not by the caller: an id on both
+    // sides would duplicate its nf row and corrupt every join through
+    // it (inflated prefilter counts, twin flag rows with two different
+    // denominators) — and anti-joining the raw docs also skips
+    // tokenizing them
+    val tpos = positionsOf(trainDocs.join(
+      benchPos.select(col("doc2").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti"), n, memo = false)
     val train = tpos.select(col("doc_id").as("doc1"), col("i").as("k1"),
       col("shingle"))
     val nf = tpos.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -400,9 +400,12 @@ object Streams {
       refCounts: DataFrame, stateDir: String, outDir: String): Unit = {
     val spark = batch.sparkSession
     val state = readStateWithRecovery(spark, stateDir)
-    val lastBid = state.map { df =>
-      val r = df.select(max(col("bid"))).head
-      if (r.isNullAt(0)) -1L else r.getLong(0)
+    // bid is CONSTANT across the state rows (swapIntoPlace stamps
+    // lit(batchId)), so one row answers the guard — never a max() over
+    // the full dims x support frame
+    val lastBid = state.map {
+      _.select(col("bid")).limit(1).collect()
+        .headOption.map(_.getLong(0)).getOrElse(-1L)
     }.getOrElse(-1L)
     if (batchId <= lastBid) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -1002,9 +1005,9 @@ object Streams {
           s"at $lastBid) — replay of a committed batch is a no-op")
       return
     }
-    val benchIds = benchPos.select(col("doc2").as("doc_id")).distinct()
-    val flags = graft.ops.Dedup.quoteContaminationProbe(
-      batch.join(benchIds, Seq("doc_id"), "left_anti"),
+    // bench-member exclusion lives inside the probe (it owns the nf
+    // one-row-per-id invariant); the batch passes through untouched
+    val flags = graft.ops.Dedup.quoteContaminationProbe(batch,
       benchPos, n, threshold, tol)
     flags.write.mode("overwrite").parquet(s"$outDir/bid=$batchId")
     import spark.implicits._
@@ -1025,22 +1028,26 @@ object Streams {
 
   /** The corpus-release half of the streaming E11: the batch training-
     * corpus pipeline with the quote drop-list read from the COMMITTED
-    * online d28 flags instead of recomputed — the streamed twin of
-    * `Pipeline.trainingCorpus(quoteThreshold = ...)`. The drops are
-    * injected BEFORE sampling and packing (via the shared pipeline
-    * core), so offsets repack exactly as the batch e11's do; the probe
-    * is stateless-exact on any arrival order, so once every training
-    * doc has arrived the composed corpus equals the batch e11 (pinned
-    * in the d28 parity spec). With no committed flags yet, this IS the
-    * batch e3. */
+    * online d28 flags instead of recomputed. The drops are injected
+    * BEFORE sampling and packing (via the shared pipeline core), so
+    * offsets repack exactly as the batch e11's do; the probe is
+    * stateless-exact on any arrival order, so once every training doc
+    * has arrived the composed corpus equals
+    * `Pipeline.trainingCorpus(quoteThreshold = Some(t))` at the
+    * THRESHOLD THE SINK RAN WITH — the flag semantics (n, threshold,
+    * tol) are owned by [[quoteContaminationSink]] at probe time, not
+    * re-stated here (pinned in the d28 parity spec). The remaining
+    * pipeline knobs pass through so a non-default batch twin stays
+    * expressible. With no committed flags yet, this IS the batch e3. */
   def quoteDecontaminatedFromIngest(documents: DataFrame,
-      stateDir: String, outDir: String,
-      benchmarkMaxId: Long = 25L): DataFrame =
+      stateDir: String, outDir: String, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5,
+      seqLen: Int = 4096): DataFrame =
     committedQuoteContamination(documents.sparkSession, stateDir, outDir)
       .map(f => graft.ops.Pipeline.trainingCorpusWithQuoteDrops(
-        documents, f, benchmarkMaxId))
+        documents, f, benchmarkMaxId, minChars, sampleFrac, seqLen))
       .getOrElse(graft.ops.Pipeline.trainingCorpus(documents,
-        benchmarkMaxId))
+        benchmarkMaxId, minChars, sampleFrac, seqLen))
 
   /** The corpus-release half of the streaming e9 flagship: compose the
     * batch keep-set (`Pipeline.curatedCorpus` — quality, dup spans,

@@ -1798,6 +1798,7 @@ class StreamingSpec extends GraftSuite {
     assert(rows(
       Streams.committedQuoteContamination(spark, state, out).get) == got,
       "replay must not re-probe or append")
+    Dedup.clearSubstrates()
   }
 
   test("txn sink: corrupt orphan files cannot poison the committed read") {
