@@ -364,6 +364,87 @@ object Streams {
       stateDir)
   }
 
+  /** Categorical drift monitor — the `DataQuality.jsDivergence` twin of
+    * [[driftSink]], completing the streamed drift family (scalar psi,
+    * categorical JSD, embedding W1): category values arrive on a
+    * stream, state accumulates per-category counts (bounded by the
+    * OBSERVED cardinality — the same config-scale contract the batch
+    * operator documents; profile first if it might not be), and every
+    * batch emits one (bid, js@6dp) row scoring the accumulated stream
+    * against a static reference histogram. Arithmetic mirrors the batch
+    * operator exactly — K = |ref support ∪ stream support|, Laplace
+    * (n+1)/(N+K), per-term 6dp rounding — so after N batches the
+    * monitor's value equals the batch JSD over (reference ∪ everything
+    * streamed), terms summed (spec-pinned). NULL categories are
+    * excluded like the batch op. Same replay/crash contract as
+    * [[driftSink]]: replayed bids are state no-ops, output is
+    * at-least-once keyed by bid. */
+  def jsSink(values: DataFrame, refCounts: Map[String, Long],
+      stateDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    values.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        mergeJs(batch, batchId, refCounts, stateDir, outDir)
+    }
+
+  /** The per-batch body of [[jsSink]] (spec entry point). */
+  private[graft] def mergeJs(batch: DataFrame, batchId: Long,
+      refCounts: Map[String, Long], stateDir: String,
+      outDir: String): Unit = {
+    // a zero-count reference key would inflate K (the batch operator's
+    // K counts only OBSERVED categories) and silently skew every term —
+    // fail loudly instead, the mergeDrift refCounts discipline
+    require(refCounts.values.forall(_ > 0L),
+      "refCounts must carry only observed (count > 0) categories: got " +
+        refCounts.filter(_._2 <= 0L).keys.mkString(","))
+    val spark = batch.sparkSession
+    val catCol = batch.columns.head
+    val stateRows: Array[(String, Long, Long)] =
+      readStateWithRecovery(spark, stateDir).map { df =>
+        df.select(col("cat"), col("cnt"), col("bid")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      }.getOrElse(Array.empty)
+    val lastBid = if (stateRows.isEmpty) -1L else stateRows.map(_._3).max
+    if (batchId <= lastBid) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"jsSink: skipping batch $batchId (state at $lastBid)" +
+          " — replay no-op, or a reset checkpoint against old state")
+      return
+    }
+    // the batch reduces to <= |categories| rows before the collect
+    val bcounts = batch
+      .where(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val merged = scala.collection.mutable.HashMap[String, Long]()
+    stateRows.foreach { case (c, n, _) => merged(c) = n }
+    bcounts.foreach { case (c, n) =>
+      merged(c) = merged.getOrElse(c, 0L) + n
+    }
+    // driver arithmetic over the observed categories — the same
+    // smoothed terms, 6dp-rounded each, that DataQuality.jsDivergence
+    // emits over the union frame
+    val cats = refCounts.keySet ++ merged.keySet
+    val k = cats.size.toDouble
+    val tRef = refCounts.values.sum.toDouble
+    val tCur = merged.values.sum.toDouble
+    val js = cats.toSeq.map { c =>
+      val p = (refCounts.getOrElse(c, 0L) + 1.0) / (tRef + k)
+      val q = (merged.getOrElse(c, 0L) + 1.0) / (tCur + k)
+      val m = (p + q) / 2
+      BigDecimal(0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sum
+    import spark.implicits._
+    // output first: at-least-once output, exactly-once state
+    Seq((batchId, js)).toDF("bid", "js")
+      .write.mode("append").parquet(outDir)
+    swapIntoPlace(
+      merged.toSeq.map { case (c, n) => (c, n, batchId) }
+        .toDF("cat", "cnt", "bid").repartition(1),
+      stateDir)
+  }
+
   /** Per-dimension W1 drift monitor — the EMBEDDING twin of
     * [[driftSink]]: vectors arrive on a stream, and every micro-batch
     * emits (bid, dim, n_ref, n_cur, w1) scoring the ACCUMULATED stream
@@ -381,7 +462,14 @@ object Streams {
     * bid, so guard and state swap ATOMICALLY (a crash between an output
     * append and the state swap replays the batch — duplicating the
     * (bid, dim) output rows, never double-counting state; consumers
-    * dedup on bid, the [[driftSink]] contract). */
+    * dedup on bid, the [[driftSink]] contract).
+    *
+    * Documented trade-off: each batch REWRITES the accumulated count
+    * frame (one swap of a config-bounded partition). That is the right
+    * shape while support × dims stays modest; a very-high-frequency
+    * ingest at the full 2e6-support ceiling would want the ingest-index
+    * posture instead (bid-partitioned deltas + `compactIngestIndex`),
+    * at the cost of a merge at scoring time. */
   def w1Sink(vectors: DataFrame, refEmbeddings: DataFrame,
       stateDir: String, outDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

@@ -660,6 +660,48 @@ class StreamingSpec extends GraftSuite {
       s"stream psi $lastPsi != batch psi $batchPsi")
   }
 
+  test("js sink: streamed categorical JSD equals the batch operator " +
+      "after N batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_js").toString
+    val (state, out) = (dir + "/state", dir + "/out")
+    // reference: the admitted drop's category mix; the live feed skews
+    // toward "zh" and introduces a NEW category the reference lacks
+    val refVals = Seq("en", "en", "en", "zh", "de")
+    val refCounts = refVals.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val batches = Seq(Seq("zh", "zh", "en"), Seq("zh", "fr", "fr"))
+    val ms = MemoryStream[String](43, spark, None)
+    val q = Streams.jsSink(ms.toDF(), refCounts, state, out).start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    // state: one row per observed streamed category
+    val st = spark.read.parquet(state).select("cat", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st == Map("zh" -> 3L, "en" -> 1L, "fr" -> 2L))
+    // parity: the monitor's last value == jsDivergence over
+    // (reference union everything-streamed), terms summed — including
+    // the fr category only the stream carries
+    val lastJs = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).maxBy(_._1)._2
+    val union = (refVals.map((true, _)) ++
+      batches.flatten.map((false, _))).toDF("is_ref", "cat")
+    val batchJs = ops.DataQuality.jsDivergence(union, "cat",
+      col("is_ref")).collect().map(_.getDouble(3)).sum
+    assert(math.abs(lastJs - batchJs) < 1e-9,
+      s"stream js $lastJs != batch js $batchJs")
+    // replay no-op: state untouched, nothing double-counted
+    Streams.mergeJs(Seq("zh").toDF("cat"), 0L, refCounts, state, out)
+    assert(spark.read.parquet(state).select("cat", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == st,
+      "replayed batch must not double-count")
+    // zero-count reference keys are rejected up front (K inflation)
+    intercept[IllegalArgumentException] {
+      Streams.mergeJs(Seq("zh").toDF("cat"), 9L,
+        Map("en" -> 0L), state, out)
+    }
+  }
+
   test("drift sink: replay no-op, at-least-once output, swap recovery") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_drift2").toString
