@@ -520,6 +520,13 @@ object SparkEntry {
     // vectors + the coverage radius at each selection — coreset seeding
     "sel1_kcenter_seeds" -> ((s, d) =>
       Similarity.kCenterSeeds(t(s, d, "embeddings"), 4)),
+    // DSIR hashed-bigram importance weights: every non-zh doc scored by
+    // how target-like (zh-slice-like) its bigram distribution is —
+    // the pretraining data-selection statistic (Xie et al. 2023)
+    "sel2_dsir_weights" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Sampling.dsirWeights(t(s, d, "documents"), col("lang") === "zh")
+    }),
     // FROZEN-QUANTIZER assignment — the index-freshness op between
     // retrains: held-out vectors (vec_id < 100) assigned to the nearest
     // FINAL centroid of a quantizer trained ONLY on the base slice
@@ -4537,6 +4544,36 @@ object SparkEntry {
         |            AS rn
         |          FROM held h CROSS JOIN c2 c) WHERE rn = 1)
         |SELECT vec_id, cid FROM asg ORDER BY 1""".stripMargin,
+    // DSIR: md5-prefix buckets (engine-identical strings, no hex->int),
+    // per-bucket Laplace log-ratio quantized to 1e-6 ints, per-doc sum
+    // exact int64, one final /1e6 — the portable-twin rule
+    "sel2_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, (lang = 'zh') AS is_t,
+        |       list_filter(string_split_regex(lower(text),
+        |         '[^a-z0-9]+'), x -> x <> '') AS toks
+        |     FROM documents),
+        |ng AS (SELECT doc_id, is_t,
+        |         substr(md5(array_to_string(toks[i:i+1], ' ')), 1, 2)
+        |           AS b
+        |       FROM (SELECT doc_id, is_t, toks,
+        |               unnest(range(1, greatest(len(toks)-1, 0)+1)) AS i
+        |             FROM tk)),
+        |c AS (SELECT b,
+        |        CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ct,
+        |        CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS cr
+        |      FROM ng GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+        |        CAST(SUM(cr) AS BIGINT) AS tr FROM c),
+        |w AS (SELECT b,
+        |        CAST(round(ln(((ct + 1.0) / (tt + 256.0))
+        |               / ((cr + 1.0) / (tr + 256.0))) * 1000000)
+        |          AS BIGINT) AS wq
+        |      FROM c CROSS JOIN t)
+        |SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |       ROUND(CAST(SUM(wq) AS DOUBLE) / 1000000, 6) AS weight
+        |FROM ng JOIN w USING (b) WHERE NOT is_t GROUP BY 1""".stripMargin,
     // greedy farthest-point unrolled 3 rounds: every cosine ROUNDS to 6dp
     // BEFORE the max/argmax (the d15 selection-replay discipline), dmin =
     // 1 - max cos, argmax ties to the smallest vec_id

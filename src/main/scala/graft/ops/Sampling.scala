@@ -486,6 +486,62 @@ object Sampling {
       .withColumn("shortfall", col("target_toks") - col("planned_toks"))
   }
 
+  /** DSIR-style hashed n-gram importance weights (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every RAW-side document by how much more
+    * likely its bigrams are under the TARGET slice's hashed-bigram
+    * distribution than under the raw slice's own — the standard
+    * pretraining-data-selection statistic for steering a crawl toward a
+    * curated reference corpus. weight(d) = Σ_{g ∈ bigrams(d)}
+    * ln(p̂_target(bucket(g)) / p̂_raw(bucket(g))), both sides Laplace
+    * (c+1)/(T+B) over B hash buckets; positive = more target-like.
+    *
+    * Portability: buckets are md5-PREFIX strings (hexChars chars, B =
+    * 16^hexChars) — engine-identical with no numeric hex conversion —
+    * and each bucket's log-ratio is one double op quantized to 1e-6
+    * ints, so the per-doc row-spanning sum is exact int64 and only the
+    * final /1e6 is float (the twin rule). Output (doc_id, n_ngrams,
+    * weight) for raw docs with ≥ 1 bigram.
+    *
+    * Scale: ONE token scan feeds the B-row bucket table (map-side
+    * combinable groupBy) and the per-doc rollup; the bucket weights
+    * re-enter via an explicit broadcast (B ≤ 65536 by construction).
+    * Nothing is corpus-proportional except the two narrow passes. */
+  def dsirWeights(documents: DataFrame, isTarget: Column,
+      hexChars: Int = 2): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 4,
+      "bucket key must be 1-4 hex chars (16..65536 buckets)")
+    val b = math.pow(16.0, hexChars) // exact for hexChars <= 4
+    val empty = slice(array(lit(1)), 1, 0)
+    val wins = when(size(col("toks")) >= 2,
+      sequence(lit(1), size(col("toks")) - 1)).otherwise(empty)
+    val ng = documents
+      .select(col("doc_id"), isTarget.as("is_t"),
+        graft.functions.Text.tokenizeUdf(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_t"), explode(wins).as("i"),
+        col("toks"))
+      .select(col("doc_id"), col("is_t"),
+        substring(md5(concat_ws(" ", slice(col("toks"), col("i"),
+          lit(2)))), 1, hexChars).as("b"))
+    val counts = ng.groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("tt"),
+      sum(col("cr")).as("tr"))
+    // per-bucket quantized log-ratio — the ONLY float op before the
+    // final division; same expression order as the oracle
+    val wq = counts.crossJoin(totals)
+      .select(col("b"),
+        round(log(((col("ct") + 1.0) / (col("tt") + lit(b)))
+          / ((col("cr") + 1.0) / (col("tr") + lit(b)))) * 1e6)
+          .cast("long").as("wq"))
+    ng.where(!col("is_t"))
+      .join(broadcast(wq), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(sum(col("wq")).cast("double") / 1e6, 6).as("weight"))
+  }
+
   def budgetWeights(documents: DataFrame, totalBudget: Long): DataFrame = {
     require(totalBudget > 0, "budget must be positive")
     val per = documents.groupBy("source")

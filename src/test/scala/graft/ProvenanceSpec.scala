@@ -459,6 +459,36 @@ class ProvenanceSpec extends GraftSuite {
       "a reversed ranking must land strictly between miss and perfect")
   }
 
+  test("sel2 DSIR laws: identical distributions weigh zero, target-like " +
+      "beats target-unlike, short docs are absent") {
+    import spark.implicits._
+    def weights(df: org.apache.spark.sql.DataFrame) = Sampling
+      .dsirWeights(df, col("doc_id") < 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // target and raw carry the SAME bigram multiset: every bucket's
+    // counts and totals match, every log-ratio is exactly 0, so every
+    // raw doc weighs exactly 0.0 (no tolerance — the integers agree)
+    val same = Seq((1L, "alpha bravo charlie delta"),
+      (11L, "alpha bravo charlie delta")).toDF("doc_id", "text")
+    assert(weights(same) == Map(11L -> 0.0))
+    // a raw doc speaking the target's vocabulary must outscore one that
+    // shares nothing with it (and land on opposite sides of zero: its
+    // buckets carry target mass, the stranger's carry only raw mass)
+    val planted = Seq(
+      (1L, "alpha bravo charlie delta alpha bravo"),
+      (2L, "alpha bravo charlie delta"),
+      (20L, "alpha bravo charlie delta"),
+      (21L, "zulu yankee xray whiskey victor")).toDF("doc_id", "text")
+    val w = weights(planted)
+    assert(w(20L) > 0.0 && w(21L) < 0.0 && w(20L) > w(21L),
+      s"target-like must sit above zero, stranger below: $w")
+    // docs with < 2 tokens have no bigrams and never appear
+    val short = Seq((1L, "alpha bravo"), (30L, "solo"), (31L, ""),
+      (32L, "alpha bravo")).toDF("doc_id", "text")
+    assert(weights(short).keySet == Set(32L),
+      "token-starved docs must be absent, not zero-weighted")
+  }
+
   test("emb4 law: errors bounded by half a level; constant dims are free") {
     val rows = Similarity.int8QuantStats(embs).collect()
     assert(rows.length == 64)
