@@ -580,4 +580,16 @@ class PlanSpec extends GraftSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "the per-bench rollup must partial-aggregate map-side")
   }
+
+  test("sel2 DSIR: the bucket-weight table re-enters via broadcast, " +
+      "no single-partition exchange") {
+    val p = plan("sel2_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <= 16^k-row bucket table must broadcast onto the ngram " +
+        s"frame:\n${p.take(1200)}")
+    assert(!p.contains("Exchange SinglePartition") ||
+        "Exchange SinglePartition".r.findAllIn(p).size <= 1,
+      "only the one-row totals aggregate may collapse to a single " +
+        "partition — never the corpus-side frames")
+  }
 }
