@@ -503,10 +503,13 @@ object Sampling {
     * final /1e6 is float (the twin rule). Output (doc_id, n_ngrams,
     * weight) for raw docs with ≥ 1 bigram.
     *
-    * Scale: ONE token scan feeds the B-row bucket table (map-side
-    * combinable groupBy) and the per-doc rollup; the bucket weights
-    * re-enter via an explicit broadcast (B ≤ 65536 by construction).
-    * Nothing is corpus-proportional except the two narrow passes. */
+    * Scale: TWO narrow token passes — one building the B-row bucket
+    * table (map-side combinable groupBy), one scoring docs against the
+    * broadcast weights (B ≤ 65536 by construction). Catalyst does not
+    * dedup the shared ngram subplan, and checkpointing a corpus-scale
+    * ngram frame to save one cheap columnar re-scan would be the wrong
+    * trade at 100 TB (the e5 posture). Nothing else is
+    * corpus-proportional. */
   def dsirWeights(documents: DataFrame, isTarget: Column,
       hexChars: Int = 2): DataFrame = {
     require(hexChars >= 1 && hexChars <= 4,
