@@ -503,6 +503,14 @@ object Sampling {
     * final /1e6 is float (the twin rule). Output (doc_id, n_ngrams,
     * weight) for raw docs with ≥ 1 bigram.
     *
+    * Oracle caveat: the DuckDB twin tokenizes with the corpus-wide
+    * `[^a-z0-9]+` convention, which agrees with `Text.tokenizeUdf` on
+    * Latin text only — the Spark side also emits CJK character bigrams
+    * the SQL regex drops. On a corpus with real CJK text the OPERATOR
+    * is fine (the tokenizer is the corpus-wide one) but the documented
+    * oracle under-counts those buckets; re-derive the twin with a
+    * CJK-aware SQL tokenizer before hash-gating such a corpus.
+    *
     * Scale: TWO narrow token passes — one building the B-row bucket
     * table (map-side combinable groupBy), one scoring docs against the
     * broadcast weights (B ≤ 65536 by construction). Catalyst does not

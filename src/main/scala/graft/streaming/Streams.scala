@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming shells (SURVEY.md §2h T1–T8): the same `graft.ops` functions
@@ -211,38 +211,51 @@ object Streams {
         mergeHeavyHitters(batch, batchId, stateDir, m)
     }
 
+  /** Shared scaffold of the bounded-state driver-merge sinks
+    * ([[mergeHeavyHitters]], [[mergeDrift]], [[mergeJs]]): ONE collect
+    * serves both the replay guard and the merge (every such state is
+    * config-bounded by construction). A missing `bid` column (a state
+    * dir written before the replay guard existed) or an empty state
+    * reads as lastBid = -1 rather than failing analysis. Skips are
+    * logged because a skip has two causes with very different meanings:
+    * a genuine at-least-once replay (batchId == lastBid, expected) vs a
+    * RESET CHECKPOINT pointed at an old state dir (batchId restarts at
+    * 0 << lastBid — every batch would be silently dropped; reset
+    * stateDir together with the checkpoint). An empty-state write
+    * forgets lastBid; the subsequent replay then re-merges one batch
+    * into empty state — undercount-only for MG, duplicate-output-only
+    * for the drift monitors (state itself had nothing to double-count).
+    * Returns None when `batchId` is already committed (the caller must
+    * skip), Some((key, cnt) rows) otherwise. */
+  private def guardedMergeState(spark: SparkSession, stateDir: String,
+      batchId: Long, keyCol: Column, sink: String)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    val rows = readStateWithRecovery(spark, stateDir).map { df =>
+      val hasBid = df.columns.contains("bid")
+      df.select(keyCol, col("cnt"),
+          if (hasBid) col("bid") else lit(-1L).as("bid"))
+        .collect()
+    }.getOrElse(Array.empty)
+    val lastBid = if (rows.isEmpty) -1L else rows.map(_.getLong(2)).max
+    if (batchId <= lastBid) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$sink: skipping batch $batchId (state at $lastBid)" +
+          " — replay no-op, or a reset checkpoint against old state")
+      None
+    } else Some(rows)
+  }
+
   /** The per-batch body of `heavyHittersSink`, package-visible so the
     * replay guard and swap-window recovery are directly testable. */
   private[graft] def mergeHeavyHitters(batch: DataFrame, batchId: Long,
       stateDir: String, m: Int): Unit = {
     val spark = batch.sparkSession
     val keyCol = batch.columns.head
-    // ONE collect serves both the replay guard and the merge (the state
-    // is <= m rows by construction); a missing `bid` column (a state dir
-    // written before the replay guard existed) reads as lastBid = -1
-    // rather than failing analysis, and an empty state file likewise
-    val stateRows: Array[(String, Long, Long)] =
-      readStateWithRecovery(spark, stateDir).map { df =>
-        val hasBid = df.columns.contains("bid")
-        df.select(col("key"), col("cnt"),
-            if (hasBid) col("bid") else lit(-1L).as("bid"))
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      }.getOrElse(Array.empty)
-    val lastBid = if (stateRows.isEmpty) -1L else stateRows.map(_._3).max
-    // Skips are logged because a skip has two causes with very different
-    // meanings: a genuine at-least-once replay (batchId == lastBid,
-    // expected) vs a RESET CHECKPOINT pointed at an old state dir
-    // (batchId restarts at 0 << lastBid — every batch would be silently
-    // dropped; reset stateDir together with the checkpoint). An
-    // all-residuals-cut merge can write an EMPTY state, which forgets
-    // lastBid; the subsequent replay then re-merges one batch into
-    // empty state, which stays undercount-only (still a lower bound).
-    if (batchId <= lastBid)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"heavyHittersSink: skipping batch $batchId (state at $lastBid)" +
-          " — replay no-op, or a reset checkpoint against old state")
-    if (batchId > lastBid) { // at-least-once replay -> no-op
+    val guarded = guardedMergeState(spark, stateDir, batchId,
+      col("key"), "heavyHittersSink")
+    val stateRows: Array[(String, Long)] = guarded.getOrElse(Array.empty)
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (guarded.nonEmpty) { // at-least-once replay -> no-op
       // bounded batch summary: exact batch counts of the batch's own
       // MG candidate union (semi-join against <= partitions x m keys)
       val cand = graft.ops.Sketches.mgCandidates(batch, keyCol, m)
@@ -251,11 +264,9 @@ object Streams {
         .join(broadcast(cand), Seq("key"), "left_semi")
         .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
         .collect().map(r => r.getString(0) -> r.getLong(1))
-      val existing: Array[(String, Long)] =
-        stateRows.map { case (k, c, _) => k -> c }
       // mergeable-MG combine over <= (partitions + 1) x m entries
       val summed = scala.collection.mutable.HashMap[String, Long]()
-      (existing ++ bcounts).foreach { case (k, c) =>
+      (stateRows ++ bcounts).foreach { case (k, c) =>
         summed(k) = summed.getOrElse(k, 0L) + c
       }
       val merged =
@@ -317,18 +328,11 @@ object Streams {
         refCounts.keys.filterNot(b => b >= 0L && b < nBins).mkString(","))
     val spark = batch.sparkSession
     val valueCol = batch.columns.head
-    val stateRows: Array[(Long, Long, Long)] =
-      readStateWithRecovery(spark, stateDir).map { df =>
-        df.select(col("bin"), col("cnt"), col("bid")).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      }.getOrElse(Array.empty)
-    val lastBid = if (stateRows.isEmpty) -1L else stateRows.map(_._3).max
-    if (batchId <= lastBid) {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"driftSink: skipping batch $batchId (state at $lastBid)" +
-          " — replay no-op, or a reset checkpoint against old state")
-      return
-    }
+    val guarded = guardedMergeState(spark, stateDir, batchId,
+      col("bin"), "driftSink")
+    if (guarded.isEmpty) return
+    val stateRows: Array[(Long, Long)] =
+      guarded.get.map(r => (r.getLong(0), r.getLong(1)))
     val width = (hi - lo) / nBins
     // the batch reduces to <= nBins rows before the collect — bounded
     // by CONFIG like the MG sink, however large the batch
@@ -339,7 +343,7 @@ object Streams {
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val merged = scala.collection.mutable.HashMap[Long, Long]()
-    stateRows.foreach { case (b, c, _) => merged(b) = c }
+    stateRows.foreach { case (b, c) => merged(b) = c }
     bcounts.foreach { case (b, c) =>
       merged(b) = merged.getOrElse(b, 0L) + c
     }
@@ -399,25 +403,22 @@ object Streams {
         refCounts.filter(_._2 <= 0L).keys.mkString(","))
     val spark = batch.sparkSession
     val catCol = batch.columns.head
-    val stateRows: Array[(String, Long, Long)] =
-      readStateWithRecovery(spark, stateDir).map { df =>
-        df.select(col("cat"), col("cnt"), col("bid")).collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      }.getOrElse(Array.empty)
-    val lastBid = if (stateRows.isEmpty) -1L else stateRows.map(_._3).max
-    if (batchId <= lastBid) {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"jsSink: skipping batch $batchId (state at $lastBid)" +
-          " — replay no-op, or a reset checkpoint against old state")
-      return
-    }
-    // the batch reduces to <= |categories| rows before the collect
+    val guarded = guardedMergeState(spark, stateDir, batchId,
+      col("cat"), "jsSink")
+    if (guarded.isEmpty) return
+    val stateRows: Array[(String, Long)] =
+      guarded.get.map(r => (r.getString(0), r.getLong(1)))
+    // the batch reduces to <= |categories| rows before the collect;
+    // cast to string like the MG sink so an int-coded categorical
+    // stream monitors instead of class-cast-crashing the query (the
+    // batch twin groups on the raw type — values map 1:1, JSD agrees)
     val bcounts = batch
       .where(col(catCol).isNotNull)
-      .groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(catCol).cast("string").as("cat"))
+      .agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val merged = scala.collection.mutable.HashMap[String, Long]()
-    stateRows.foreach { case (c, n, _) => merged(c) = n }
+    stateRows.foreach { case (c, n) => merged(c) = n }
     bcounts.foreach { case (c, n) =>
       merged(c) = merged.getOrElse(c, 0L) + n
     }

@@ -587,8 +587,7 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the <= 16^k-row bucket table must broadcast onto the ngram " +
         s"frame:\n${p.take(1200)}")
-    assert(!p.contains("Exchange SinglePartition") ||
-        "Exchange SinglePartition".r.findAllIn(p).size <= 1,
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1,
       "only the one-row totals aggregate may collapse to a single " +
         "partition — never the corpus-side frames")
   }

@@ -13,7 +13,7 @@ import json, re, sys
 rnd = int(sys.argv[1])
 sfdir = sys.argv[2]
 log = open(sys.argv[3]).read().splitlines()
-out = sys.argv[4] if len(sys.argv) > 4 else f"CORRECTNESS_LOCAL_r{rnd:02d}.json".replace("r0", "r")
+out = sys.argv[4] if len(sys.argv) > 4 else f"CORRECTNESS_LOCAL_r{rnd}.json"
 
 per = {}
 for l in log:
