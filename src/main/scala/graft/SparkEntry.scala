@@ -527,6 +527,14 @@ object SparkEntry {
       import org.apache.spark.sql.functions.col
       Sampling.dsirWeights(t(s, d, "documents"), col("lang") === "zh")
     }),
+    // DSIR resampling: 50 docs drawn without replacement proportional
+    // to exp(weight) via deterministic Gumbel-top-k (hash noise, no
+    // RNG) — the selection half of the sel2 statistic
+    "sel3_dsir_resample" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Sampling.dsirResample(t(s, d, "documents"), col("lang") === "zh",
+        50)
+    }),
     // FROZEN-QUANTIZER assignment — the index-freshness op between
     // retrains: held-out vectors (vec_id < 100) assigned to the nearest
     // FINAL centroid of a quantizer trained ONLY on the base slice
@@ -4574,6 +4582,44 @@ object SparkEntry {
         |SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
         |       ROUND(CAST(SUM(wq) AS DOUBLE) / 1000000, 6) AS weight
         |FROM ng JOIN w USING (b) WHERE NOT is_t GROUP BY 1""".stripMargin,
+    // sel2's CTEs + the deterministic Gumbel key: u from the quadratic-
+    // residue hash replay (b = 17 salt), key = weight/temp − ln(−ln u)
+    // rounded 6dp, top-k by (key DESC, doc_id) — same fp op order
+    "sel3_dsir_resample" ->
+      """WITH tk AS (SELECT doc_id, (lang = 'zh') AS is_t,
+        |       list_filter(string_split_regex(lower(text),
+        |         '[^a-z0-9]+'), x -> x <> '') AS toks
+        |     FROM documents),
+        |ng AS (SELECT doc_id, is_t,
+        |         substr(md5(array_to_string(toks[i:i+1], ' ')), 1, 2)
+        |           AS b
+        |       FROM (SELECT doc_id, is_t, toks,
+        |               unnest(range(1, greatest(len(toks)-1, 0)+1)) AS i
+        |             FROM tk)),
+        |c AS (SELECT b,
+        |        CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ct,
+        |        CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS cr
+        |      FROM ng GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+        |        CAST(SUM(cr) AS BIGINT) AS tr FROM c),
+        |w AS (SELECT b,
+        |        CAST(round(ln(((ct + 1.0) / (tt + 256.0))
+        |               / ((cr + 1.0) / (tr + 256.0))) * 1000000)
+        |          AS BIGINT) AS wq
+        |      FROM c CROSS JOIN t),
+        |dw AS (SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |         ROUND(CAST(SUM(wq) AS DOUBLE) / 1000000, 6) AS weight
+        |       FROM ng JOIN w USING (b) WHERE NOT is_t GROUP BY 1),
+        |g AS (SELECT doc_id, n_ngrams, weight,
+        |        ROUND(weight / 1.0 - ln(-ln(
+        |          (((1013 * y * y + 2654435761 * y) % 1000003) + 1.0)
+        |            / 1000005.0)), 6) AS key
+        |      FROM (SELECT *, (doc_id * 131 + 17) % 1000003 AS y
+        |            FROM dw))
+        |SELECT doc_id, n_ngrams, weight, key FROM g
+        |ORDER BY key DESC, doc_id LIMIT 50""".stripMargin,
     // greedy farthest-point unrolled 3 rounds: every cosine ROUNDS to 6dp
     // BEFORE the max/argmax (the d15 selection-replay discipline), dmin =
     // 1 - max cos, argmax ties to the smallest vec_id

@@ -553,6 +553,38 @@ object Sampling {
         round(sum(col("wq")).cast("double") / 1e6, 6).as("weight"))
   }
 
+  /** DSIR selection — the RESAMPLING half of [[dsirWeights]]: k raw-side
+    * docs drawn without replacement with probability proportional to
+    * exp(weight / temperature), via the Gumbel-top-k identity (the k
+    * largest perturbed keys equal k sequential proportional draws
+    * without replacement — Vieira 2014). The Gumbel noise is
+    * DETERMINISTIC, not RNG: u ∈ (0, 1) comes from the quadratic-
+    * residue hash of doc_id (the bootstrapScoreCi replay discipline),
+    * so a selection replays bit-for-bit in any engine and any re-run —
+    * the reproducibility contract every op in this file carries.
+    * `temperature` interpolates between proportional sampling (1.0) and
+    * hard top-k by weight (→ 0; the noise is dominated).
+    *
+    * Scale: [[dsirWeights]]' two narrow passes + a DISTRIBUTED top-k —
+    * k is config-scale, so the plan is TakeOrderedAndProject
+    * (per-partition heads merged on the driver, no global sort, no
+    * corpus-sized exchange; PlanSpec-pinned). Output (doc_id, n_ngrams,
+    * weight, key), the k selected docs. */
+  def dsirResample(documents: DataFrame, isTarget: Column, k: Int,
+      temperature: Double = 1.0, hexChars: Int = 2): DataFrame = {
+    require(k >= 1, "need a positive sample size")
+    require(temperature > 0.0, "temperature must be positive")
+    val M = 1000003L
+    val y = (col("doc_id") * 131L + 17L) % M
+    val h = (lit(1013L) * y * y + lit(2654435761L) * y) % M
+    val u = (h + 1.0) / (M + 2.0) // strictly inside (0, 1)
+    dsirWeights(documents, isTarget, hexChars)
+      .withColumn("key",
+        round(col("weight") / temperature - log(-log(u)), 6))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def budgetWeights(documents: DataFrame, totalBudget: Long): DataFrame = {
     require(totalBudget > 0, "budget must be positive")
     val per = documents.groupBy("source")

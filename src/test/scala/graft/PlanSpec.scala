@@ -591,4 +591,10 @@ class PlanSpec extends GraftSuite {
       "only the one-row totals aggregate may collapse to a single " +
         "partition — never the corpus-side frames")
   }
+
+  test("sel3 resample selects via distributed top-k, not a global sort") {
+    val p = plan("sel3_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"config-scale k must plan as TakeOrderedAndProject:\n${p.take(1200)}")
+  }
 }

@@ -489,6 +489,37 @@ class ProvenanceSpec extends GraftSuite {
       "token-starved docs must be absent, not zero-weighted")
   }
 
+  test("sel3 resample laws: bit-for-bit replay, temperature -> 0 " +
+      "degenerates to hard top-k by weight, k caps at the raw side") {
+    import spark.implicits._
+    // distinct vocab mixes give every raw doc a distinct weight
+    val fixture = Seq(
+      (1L, "alpha bravo charlie delta alpha bravo charlie"),
+      (20L, "alpha bravo charlie delta"),
+      (21L, "alpha bravo zulu yankee"),
+      (22L, "zulu yankee xray whiskey"),
+      (23L, "xray whiskey victor uniform tango")).toDF("doc_id", "text")
+    def run(k: Int, temp: Double) = Sampling
+      .dsirResample(fixture, col("doc_id") < 10, k, temp)
+      .collect().map(_.toSeq.toList)
+    // deterministic: hash noise, no RNG — two runs are row-identical
+    assert(run(2, 1.0).toSeq == run(2, 1.0).toSeq,
+      "a resample must replay bit-for-bit")
+    // temperature -> 0: weight gaps (>= 1e-6 at 6dp) blow past the
+    // bounded Gumbel noise, so the draw is exactly top-k by weight
+    val byWeight = Sampling.dsirWeights(fixture, col("doc_id") < 10)
+      .orderBy(col("weight").desc, col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(byWeight.distinct.length == 4, "fixture needs 4 raw docs")
+    val cold = run(2, 1e-9).map(_.head)
+    assert(cold.toSet == byWeight.take(2).toSet,
+      s"cold resample must pick the top weights: got $cold " +
+        s"want ${byWeight.take(2).toSet}")
+    // k beyond the raw side returns every raw doc, still ordered
+    assert(run(99, 1.0).map(_.head).toSet == byWeight.toSet,
+      "oversized k must return the whole raw side")
+  }
+
   test("emb4 law: errors bounded by half a level; constant dims are free") {
     val rows = Similarity.int8QuantStats(embs).collect()
     assert(rows.length == 64)
