@@ -4614,9 +4614,12 @@ object SparkEntry {
         |       FROM ng JOIN w USING (b) WHERE NOT is_t GROUP BY 1),
         |g AS (SELECT doc_id, n_ngrams, weight,
         |        ROUND(weight / 1.0 - ln(-ln(
-        |          (((1013 * y * y + 2654435761 * y) % 1000003) + 1.0)
+        |          ((((1013 * y * y + 2654435761 * y) % 1000003)
+        |              + 1000003) % 1000003 + 1.0)
         |            / 1000005.0)), 6) AS key
-        |      FROM (SELECT *, (doc_id * 131 + 17) % 1000003 AS y
+        |      FROM (SELECT *,
+        |              ((((doc_id % 1000003) + 1000003) % 1000003)
+        |                 * 131 + 17) % 1000003 AS y
         |            FROM dw))
         |SELECT doc_id, n_ngrams, weight, key FROM g
         |ORDER BY key DESC, doc_id LIMIT 50""".stripMargin,

@@ -575,14 +575,32 @@ object Sampling {
     require(k >= 1, "need a positive sample size")
     require(temperature > 0.0, "temperature must be positive")
     val M = 1000003L
-    val y = (col("doc_id") * 131L + 17L) % M
-    val h = (lit(1013L) * y * y + lit(2654435761L) * y) % M
-    val u = (h + 1.0) / (M + 2.0) // strictly inside (0, 1)
+    // pmod, not %, and the id reduced mod M BEFORE the multiplies (the
+    // weightedSample discipline above): a negative doc_id — routine
+    // when ids come from a 64-bit hash — would otherwise drive u <= 0,
+    // log() to NULL, and the doc silently out of every draw; reducing
+    // first also keeps every product far under 2^63 in engines with
+    // checked int64 math
+    val y = pmod(pmod(col("doc_id"), lit(M)) * 131L + 17L, lit(M))
+    val u = (quadResidue(y, M) + 1.0) / (M + 2.0) // strictly in (0, 1)
     dsirWeights(documents, isTarget, hexChars)
       .withColumn("key",
         round(col("weight") / temperature - log(-log(u)), 6))
       .orderBy(col("key").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** The quadratic-residue mixing step of the portable-hash family —
+    * (1013·y² + 2654435761·y) mod m for a pre-reduced y ∈ [0, m) with
+    * m ≤ ~1.9e6 (keeps 2654435761·y under 2^63). The same polynomial
+    * lives in `DataQuality.bootstrapScoreCi` (plain `%`, non-negative
+    * inputs by construction) and, over modulus 2^32, in
+    * `Similarity.portableWeight`; a constant change must be replicated
+    * there. */
+  private[ops] def quadResidue(y: Column, m: Long): Column = {
+    require(m > 0 && m <= 1900000L,
+      "modulus must keep 2654435761*y under 2^63")
+    pmod(lit(1013L) * y * y + lit(2654435761L) * y, lit(m))
   }
 
   def budgetWeights(documents: DataFrame, totalBudget: Long): DataFrame = {

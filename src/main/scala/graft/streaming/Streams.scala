@@ -253,9 +253,9 @@ object Streams {
     val keyCol = batch.columns.head
     val guarded = guardedMergeState(spark, stateDir, batchId,
       col("key"), "heavyHittersSink")
-    val stateRows: Array[(String, Long)] = guarded.getOrElse(Array.empty)
-      .map(r => (r.getString(0), r.getLong(1)))
     if (guarded.nonEmpty) { // at-least-once replay -> no-op
+      val stateRows: Array[(String, Long)] =
+        guarded.get.map(r => (r.getString(0), r.getLong(1)))
       // bounded batch summary: exact batch counts of the batch's own
       // MG candidate union (semi-join against <= partitions x m keys)
       val cand = graft.ops.Sketches.mgCandidates(batch, keyCol, m)

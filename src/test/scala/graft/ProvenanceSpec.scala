@@ -507,10 +507,15 @@ class ProvenanceSpec extends GraftSuite {
       "a resample must replay bit-for-bit")
     // temperature -> 0: weight gaps (>= 1e-6 at 6dp) blow past the
     // bounded Gumbel noise, so the draw is exactly top-k by weight
-    val byWeight = Sampling.dsirWeights(fixture, col("doc_id") < 10)
+    val ranked = Sampling.dsirWeights(fixture, col("doc_id") < 10)
       .orderBy(col("weight").desc, col("doc_id"))
-      .collect().map(_.getLong(0))
-    assert(byWeight.distinct.length == 4, "fixture needs 4 raw docs")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val byWeight = ranked.map(_._1)
+    // the law needs DISTINCT weights (a 6dp tie would hand the cold
+    // draw to the noise while this ordering tiebreaks by doc_id)
+    assert(ranked.length == 4 &&
+        ranked.map(_._2).distinct.length == 4,
+      s"fixture needs 4 raw docs with distinct weights: ${ranked.toSeq}")
     val cold = run(2, 1e-9).map(_.head)
     assert(cold.toSet == byWeight.take(2).toSet,
       s"cold resample must pick the top weights: got $cold " +
