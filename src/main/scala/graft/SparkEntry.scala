@@ -685,6 +685,11 @@ object SparkEntry {
     // by how many training docs, and since which doc
     "d29_quote_burn" -> ((s, d) =>
       Dedup.quoteBurnReport(t(s, d, "documents"), 25)),
+    // surgical decontamination: the exact token span of each quoted
+    // run inside the flagged training doc (cut the span, keep the
+    // prose — the alternative to e11's whole-doc drop)
+    "d30_redaction_spans" -> ((s, d) =>
+      Dedup.quoteRedactionSpans(t(s, d, "documents"), 25)),
     // e11: the text enforcement closer — e3's pipeline with the d28
     // quote flags as an extra drop stage BEFORE sampling/packing (a
     // short benchmark item quoted verbatim ships through d9's >= 5-
@@ -2822,6 +2827,47 @@ object SparkEntry {
         |       CAST(mm.shift AS INTEGER) AS shift
         |FROM mm JOIN np a ON mm.d1 = a.doc_id JOIN np b ON mm.d2 = b.doc_id
         |WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8""".stripMargin,
+    // d30: d28's flagged pairs joined back into the positional frame,
+    // span = [min matched k1, max matched k1 + n − 1] at the dominant
+    // shift (±tol) — CTEs are d28's verbatim plus the span rollup
+    "d30_redaction_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+        |         AS shingle
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+        |             FROM tk)),
+        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ps GROUP BY 1),
+        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
+        |       FROM ps a JOIN ps b USING (shingle)
+        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
+        |msh AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, i2 - i1 AS shift,
+        |          row_number() OVER (PARTITION BY d1, d2
+        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
+        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
+        |mm AS (SELECT f.d1, f.d2, s.shift,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i1 END) AS ma,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i2 END) AS mb
+        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
+        |       GROUP BY 1, 2, 3),
+        |fl AS (SELECT mm.d1, mm.d2, mm.shift
+        |       FROM mm JOIN np a ON mm.d1 = a.doc_id
+        |                JOIN np b ON mm.d2 = b.doc_id
+        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8)
+        |SELECT fl.d1 AS doc_id, fl.d2 AS bench_id,
+        |       MIN(f.i1) AS span_start,
+        |       MAX(f.i1) + 2 AS span_end,
+        |       CAST(COUNT(DISTINCT f.i1) AS BIGINT) AS n_positions
+        |FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2
+        |WHERE abs(f.i2 - f.i1 - fl.shift) <= 1
+        |GROUP BY 1, 2, fl.shift""".stripMargin,
     // d29: the d28 flag set rolled up per benchmark item (n_train,
     // max_containment, first_train) — CTEs are d28's verbatim
     "d29_quote_burn" ->

@@ -523,6 +523,43 @@ object Dedup {
         max(col("containment")).as("max_containment"),
         min(col("doc_id")).as("first_train"))
 
+  /** D30 — SURGICAL decontamination plan: for every d28-flagged
+    * (train, bench) pair, the exact 1-based token span of the quoted
+    * run inside the TRAINING doc — the alternative to e11's whole-doc
+    * drop when the doc is valuable and only its quotation must go
+    * (cut the span, keep the prose). span covers the matched shingle
+    * positions at the pair's dominant shift: [min k1, max k1 + n − 1]
+    * (the last matched window's final token). Emitted as a PLAN
+    * (doc_id, bench_id, span_start, span_end, n_positions), not
+    * re-rendered text: tokenization normalizes case/punctuation, so
+    * only the caller holding the original text can splice faithfully.
+    *
+    * Scale: the span rebuild is PAIR-BOUNDED — flagged pairs join back
+    * into the positional substrate (benchmark side broadcast), never a
+    * second Σ df² pass. */
+  def quoteRedactionSpans(documents: DataFrame, benchMaxId: Long,
+      n: Int = 3, threshold: Double = 0.8, tol: Int = 1): DataFrame = {
+    val flagged = quoteContaminationSplitCheck(documents, benchMaxId, n,
+      threshold, tol)
+      .select(col("doc_id").as("doc1"), col("bench_id").as("doc2"),
+        col("shift"))
+    val pos = positionalShingles(documents, n)
+    val train = pos.select(col("doc_id").as("doc1"), col("i").as("k1"),
+      col("shingle"))
+    val bench = pos.where(col("doc_id") < benchMaxId)
+      .select(col("doc_id").as("doc2"), col("i").as("k2"), col("shingle"))
+    flagged
+      .join(train, "doc1")
+      .join(broadcast(bench), Seq("doc2", "shingle"))
+      .where(abs(col("k2") - col("k1") - col("shift")) <= tol)
+      .groupBy(col("doc1"), col("doc2"), col("shift"))
+      .agg(min(col("k1")).as("span_start"),
+        (max(col("k1")) + (n - 1)).as("span_end"),
+        countDistinct(col("k1")).as("n_positions"))
+      .select(col("doc1").as("doc_id"), col("doc2").as("bench_id"),
+        col("span_start"), col("span_end"), col("n_positions"))
+  }
+
   /** The memoized positional-shingle substrate of d27/d28:
     * (doc_id, i, shingle-hash) over FULL n-windows only (docs shorter
     * than n tokens have no positions and never pair) — persisted, so a

@@ -1659,6 +1659,34 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates()
   }
 
+  test("d30 redaction span covers exactly the planted quote — cut the " +
+      "span, keep the prose") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val q = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima" // 12 tokens
+    val pre = "five distinct preamble tokens here" // positions 1..5
+    val hand = Seq(
+      (3L, q),
+      (27L, s"$pre $q closing words"), // quote at token positions 6..17
+      (30L, "completely unrelated training words sharing no trigram"))
+      .toDF("doc_id", "text")
+    val got = Dedup.quoteRedactionSpans(hand, 25L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    // matched windows are exactly those fully inside the quote
+    // (boundary windows mix preamble/tail tokens and exist in no bench
+    // doc): k1 = 6..15, so the span [6, 15+2] is the quote itself
+    assert(got == Map((27L, 3L) -> ((6, 17, 10L))),
+      s"span must cover exactly the quoted tokens: $got")
+    // the law the plan exists for: excising [span_start, span_end]
+    // removes every quoted token and nothing else
+    val toks = s"$pre $q closing words".split(" ")
+    assert(toks.slice(5, 17).mkString(" ") == q,
+      "excised slice must reproduce the benchmark item exactly")
+    Dedup.clearSubstrates()
+  }
+
   test("e11 closes the short-quote gap: a fully-quoted 4-shingle bench " +
       "item ships through e3's set stage and drops here") {
     import spark.implicits._
