@@ -535,6 +535,32 @@ object SparkEntry {
       Sampling.dsirResample(t(s, d, "documents"), col("lang") === "zh",
         50)
     }),
+    // DSIR select-then-pack: the 50 selected docs concatenated in
+    // doc_id order and cut into 4096-token training sequences — the
+    // deployment composition of the selection family (sel3 -> e6)
+    "sel4_dsir_pack" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Sampling.dsirSelectedPack(t(s, d, "documents"),
+        col("lang") === "zh", 50)
+    }),
+    // CJK-bearing DSIR gate (the seg1 inline-fixture pattern): the
+    // parquet corpus is ASCII-only, so the corpus-wide sel2 oracle's
+    // Latin-only SQL tokenizer never sees the CJK character bigrams
+    // Text.tokenize emits — this fixture runs the REAL operator over
+    // inline CJK text while the oracle carries the hand-tokenized
+    // arrays and replays the identical DSIR math over them, closing
+    // the tokenizer-domain gap in the hash gate
+    "sel2z_dsir_cjk" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val docs = Seq(
+        (1L, "zh", "中国人民热爱数据"),
+        (2L, "zh", "数据处理"),
+        (10L, "en", "数据处理引擎 spark"),
+        (11L, "en", "big data engine 大 rocks"),
+        (12L, "en", "中国人民")).toDF("doc_id", "lang", "text")
+      Sampling.dsirWeights(docs, col("lang") === "zh")
+    }),
     // FROZEN-QUANTIZER assignment — the index-freshness op between
     // retrains: held-out vectors (vec_id < 100) assigned to the nearest
     // FINAL centroid of a quantizer trained ONLY on the base slice
@@ -697,6 +723,12 @@ object SparkEntry {
     "e11_quote_decontaminated" -> ((s, d) =>
       Pipeline.trainingCorpus(t(s, d, "documents"),
         quoteThreshold = Some(0.8))),
+    // e12: the SURGICAL release path — d30's spans APPLIED: quoted
+    // runs cut from each flagged doc's token stream (interval-unioned
+    // per doc), survivors repacked over post-redaction counts; the
+    // alternative to e11's whole-doc drop when the prose is valuable
+    "e12_redacted_corpus" -> ((s, d) =>
+      Pipeline.redactedCorpus(t(s, d, "documents"))),
     // ---- sketches ----
     "a14_approx_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2827,9 +2859,11 @@ object SparkEntry {
         |       CAST(mm.shift AS INTEGER) AS shift
         |FROM mm JOIN np a ON mm.d1 = a.doc_id JOIN np b ON mm.d2 = b.doc_id
         |WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8""".stripMargin,
-    // d30: d28's flagged pairs joined back into the positional frame,
-    // span = [min matched k1, max matched k1 + n − 1] at the dominant
-    // shift (±tol) — CTEs are d28's verbatim plus the span rollup
+    // d30: d28's flagged pairs joined back into the positional frame;
+    // matched positions grouped per EXACT shift, every shift with >= 3
+    // distinct-matched positions qualifies (not just the dominant one),
+    // and within a shift the positions island-merge (new span when i1 >
+    // prev + n) — CTEs are d28's verbatim plus the surgical span rollup
     "d30_redaction_spans" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
@@ -2857,17 +2891,32 @@ object SparkEntry {
         |            <= 1 THEN f.i2 END) AS mb
         |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
         |       GROUP BY 1, 2, 3),
-        |fl AS (SELECT mm.d1, mm.d2, mm.shift
+        |fl AS (SELECT mm.d1, mm.d2
         |       FROM mm JOIN np a ON mm.d1 = a.doc_id
         |                JOIN np b ON mm.d2 = b.doc_id
-        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8)
-        |SELECT fl.d1 AS doc_id, fl.d2 AS bench_id,
-        |       MIN(f.i1) AS span_start,
-        |       MAX(f.i1) + 2 AS span_end,
-        |       CAST(COUNT(DISTINCT f.i1) AS BIGINT) AS n_positions
-        |FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2
-        |WHERE abs(f.i2 - f.i1 - fl.shift) <= 1
-        |GROUP BY 1, 2, fl.shift""".stripMargin,
+        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
+        |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
+        |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
+        |qs AS (SELECT d1, d2, shift FROM mt
+        |       GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3),
+        |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
+        |       FROM mt JOIN qs USING (d1, d2, shift)),
+        |gg AS (SELECT d1, d2, shift, i1,
+        |         CASE WHEN lag(i1) OVER w IS NULL
+        |                OR i1 > lag(i1) OVER w + 3 THEN 1 ELSE 0 END AS ns
+        |       FROM mk
+        |       WINDOW w AS (PARTITION BY d1, d2, shift ORDER BY i1)),
+        |gs AS (SELECT d1, d2, shift, i1,
+        |         SUM(ns) OVER (PARTITION BY d1, d2, shift ORDER BY i1
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS sid
+        |       FROM gg)
+        |SELECT d1 AS doc_id, d2 AS bench_id,
+        |       CAST(shift AS INTEGER) AS shift,
+        |       MIN(i1) AS span_start,
+        |       MAX(i1) + 2 AS span_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_positions
+        |FROM gs GROUP BY d1, d2, shift, sid""".stripMargin,
     // d29: the d28 flag set rolled up per benchmark item (n_train,
     // max_containment, first_train) — CTEs are d28's verbatim
     "d29_quote_burn" ->
@@ -3782,6 +3831,91 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
         |FROM survivors""".stripMargin,
+    // e12: d30's surgical spans APPLIED — span CTEs are d30's verbatim,
+    // then per-doc interval union (running-max lag merge), counts in
+    // the tokenize space the spans index, survivors (n_tok >= 1)
+    // repacked with the e3 offset windows over the REDACTED counts
+    "e12_redacted_corpus" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+        |         AS shingle
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+        |             FROM tk)),
+        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ps GROUP BY 1),
+        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
+        |       FROM ps a JOIN ps b USING (shingle)
+        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
+        |msh AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, i2 - i1 AS shift,
+        |          row_number() OVER (PARTITION BY d1, d2
+        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
+        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
+        |mm AS (SELECT f.d1, f.d2, s.shift,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i1 END) AS ma,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i2 END) AS mb
+        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
+        |       GROUP BY 1, 2, 3),
+        |fl AS (SELECT mm.d1, mm.d2
+        |       FROM mm JOIN np a ON mm.d1 = a.doc_id
+        |                JOIN np b ON mm.d2 = b.doc_id
+        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
+        |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
+        |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
+        |qs AS (SELECT d1, d2, shift FROM mt
+        |       GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3),
+        |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
+        |       FROM mt JOIN qs USING (d1, d2, shift)),
+        |gg AS (SELECT d1, d2, shift, i1,
+        |         CASE WHEN lag(i1) OVER w IS NULL
+        |                OR i1 > lag(i1) OVER w + 3 THEN 1 ELSE 0 END AS ns
+        |       FROM mk
+        |       WINDOW w AS (PARTITION BY d1, d2, shift ORDER BY i1)),
+        |gs AS (SELECT d1, d2, shift, i1,
+        |         SUM(ns) OVER (PARTITION BY d1, d2, shift ORDER BY i1
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS sid
+        |       FROM gg),
+        |sp AS (SELECT DISTINCT doc_id, s, e FROM (
+        |        SELECT d1 AS doc_id, MIN(i1) AS s, MAX(i1) + 2 AS e
+        |        FROM gs GROUP BY d1, d2, shift, sid)),
+        |u1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN MAX(e) OVER wp IS NULL
+        |                OR s > MAX(e) OVER wp + 1 THEN 1 ELSE 0 END AS ns
+        |       FROM sp
+        |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u2 AS (SELECT doc_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS gid
+        |       FROM u1),
+        |cov AS (SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT)
+        |          AS n_redacted
+        |        FROM (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+        |              FROM u2 GROUP BY 1, 2) GROUP BY 1),
+        |cnt AS (SELECT t.doc_id,
+        |          CAST(len(t.toks) AS BIGINT) AS n_tok_orig,
+        |          CAST(COALESCE(c.n_redacted, 0) AS BIGINT)
+        |            AS n_redacted,
+        |          CAST(len(t.toks) AS BIGINT)
+        |            - CAST(COALESCE(c.n_redacted, 0) AS BIGINT) AS n_tok
+        |        FROM tk t LEFT JOIN cov c ON c.doc_id = t.doc_id
+        |        WHERE t.doc_id >= 25)
+        |SELECT doc_id, n_tok_orig, n_redacted, n_tok,
+        |       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) AS BIGINT) AS start_offset,
+        |       CAST(floor(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) / 4096) AS BIGINT) AS chunk_id
+        |FROM cnt WHERE n_tok >= 1""".stripMargin,
     // provenance funnel over e3's stages: first-rejecting-stage
     // attribution in the documented order benchmark -> too_short ->
     // exact_dup -> near_dup -> contaminated -> sampled_out -> kept;
@@ -4629,8 +4763,10 @@ object SparkEntry {
         |       ROUND(CAST(SUM(wq) AS DOUBLE) / 1000000, 6) AS weight
         |FROM ng JOIN w USING (b) WHERE NOT is_t GROUP BY 1""".stripMargin,
     // sel2's CTEs + the deterministic Gumbel key: u from the quadratic-
-    // residue hash replay (b = 17 salt), key = weight/temp − ln(−ln u)
-    // rounded 6dp, top-k by (key DESC, doc_id) — same fp op order
+    // residue hash replay (two coprime residues of the 64-bit id feed
+    // the mix — noise collides only for ids ≈ 1e12 apart), key =
+    // weight/temp − ln(−ln u) rounded 6dp, top-k by (key DESC, doc_id)
+    // — same fp op order
     "sel3_dsir_resample" ->
       """WITH tk AS (SELECT doc_id, (lang = 'zh') AS is_t,
         |       list_filter(string_split_regex(lower(text),
@@ -4664,11 +4800,104 @@ object SparkEntry {
         |              + 1000003) % 1000003 + 1.0)
         |            / 1000005.0)), 6) AS key
         |      FROM (SELECT *,
-        |              ((((doc_id % 1000003) + 1000003) % 1000003)
-        |                 * 131 + 17) % 1000003 AS y
+        |              (((((doc_id % 1000003) + 1000003) % 1000003) * 131
+        |                + ((((doc_id % 999983) + 999983) % 999983)) * 31
+        |                + 17) % 1000003) AS y
         |            FROM dw))
         |SELECT doc_id, n_ngrams, weight, key FROM g
         |ORDER BY key DESC, doc_id LIMIT 50""".stripMargin,
+    // sel4: sel3's CTEs select the 50 docs, then the e3 pack windows
+    // run over the selected set in doc_id order (whitespace token
+    // counts — the corpus packing convention, not the DSIR scorer's)
+    "sel4_dsir_pack" ->
+      """WITH tk AS (SELECT doc_id, (lang = 'zh') AS is_t,
+        |       list_filter(string_split_regex(lower(text),
+        |         '[^a-z0-9]+'), x -> x <> '') AS toks
+        |     FROM documents),
+        |ng AS (SELECT doc_id, is_t,
+        |         substr(md5(array_to_string(toks[i:i+1], ' ')), 1, 2)
+        |           AS b
+        |       FROM (SELECT doc_id, is_t, toks,
+        |               unnest(range(1, greatest(len(toks)-1, 0)+1)) AS i
+        |             FROM tk)),
+        |c AS (SELECT b,
+        |        CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ct,
+        |        CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS cr
+        |      FROM ng GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+        |        CAST(SUM(cr) AS BIGINT) AS tr FROM c),
+        |w AS (SELECT b,
+        |        CAST(round(ln(((ct + 1.0) / (tt + 256.0))
+        |               / ((cr + 1.0) / (tr + 256.0))) * 1000000)
+        |          AS BIGINT) AS wq
+        |      FROM c CROSS JOIN t),
+        |dw AS (SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |         ROUND(CAST(SUM(wq) AS DOUBLE) / 1000000, 6) AS weight
+        |       FROM ng JOIN w USING (b) WHERE NOT is_t GROUP BY 1),
+        |g AS (SELECT doc_id, n_ngrams, weight,
+        |        ROUND(weight / 1.0 - ln(-ln(
+        |          ((((1013 * y * y + 2654435761 * y) % 1000003)
+        |              + 1000003) % 1000003 + 1.0)
+        |            / 1000005.0)), 6) AS key
+        |      FROM (SELECT *,
+        |              (((((doc_id % 1000003) + 1000003) % 1000003) * 131
+        |                + ((((doc_id % 999983) + 999983) % 999983)) * 31
+        |                + 17) % 1000003) AS y
+        |            FROM dw)),
+        |sel AS (SELECT doc_id, weight FROM g
+        |        ORDER BY key DESC, doc_id LIMIT 50),
+        |dt AS (SELECT d.doc_id, s.weight,
+        |         CAST(len(string_split_regex(d.text, '\s+')) AS INTEGER)
+        |           AS n_tok
+        |       FROM documents d JOIN sel s USING (doc_id))
+        |SELECT doc_id, weight, n_tok,
+        |       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) AS BIGINT) AS start_offset,
+        |       CAST(floor(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) / 4096) AS BIGINT) AS chunk_id
+        |FROM dt""".stripMargin,
+    // sel2z: the CJK tokenizer gate — toks are the HAND-COMPUTED
+    // Text.tokenize output of the inline fixture (latin runs lowercase;
+    // a CJK run of length L emits its L-1 overlapping character
+    // bigrams; an isolated CJK char emits itself), then sel2's DSIR
+    // math verbatim over them; a tokenizer or bucketing divergence on
+    // CJK input fails this hash loudly instead of hiding behind an
+    // ASCII-only corpus
+    "sel2z_dsir_cjk" ->
+      """WITH tk AS (SELECT * FROM (VALUES
+        |    (1, true,  ['中国','国人','人民','民热','热爱','爱数','数据']),
+        |    (2, true,  ['数据','据处','处理']),
+        |    (10, false, ['数据','据处','处理','理引','引擎','spark']),
+        |    (11, false, ['big','data','engine','大','rocks']),
+        |    (12, false, ['中国','国人','人民']))
+        |    AS t(doc_id, is_t, toks)),
+        |ng AS (SELECT doc_id, is_t,
+        |         substr(md5(array_to_string(toks[i:i+1], ' ')), 1, 2)
+        |           AS b
+        |       FROM (SELECT doc_id, is_t, toks,
+        |               unnest(range(1, greatest(len(toks)-1, 0)+1)) AS i
+        |             FROM tk)),
+        |c AS (SELECT b,
+        |        CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ct,
+        |        CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS cr
+        |      FROM ng GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+        |        CAST(SUM(cr) AS BIGINT) AS tr FROM c),
+        |w AS (SELECT b,
+        |        CAST(round(ln(((ct + 1.0) / (tt + 256.0))
+        |               / ((cr + 1.0) / (tr + 256.0))) * 1000000)
+        |          AS BIGINT) AS wq
+        |      FROM c CROSS JOIN t)
+        |SELECT CAST(ng.doc_id AS BIGINT) AS doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |       ROUND(CAST(SUM(wq) AS DOUBLE) / 1000000, 6) AS weight
+        |FROM ng JOIN w USING (b) WHERE NOT is_t GROUP BY 1""".stripMargin,
     // greedy farthest-point unrolled 3 rounds: every cosine ROUNDS to 6dp
     // BEFORE the max/argmax (the d15 selection-replay discipline), dmin =
     // 1 - max cos, argmax ties to the smallest vec_id

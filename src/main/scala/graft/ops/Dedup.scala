@@ -524,40 +524,109 @@ object Dedup {
         min(col("doc_id")).as("first_train"))
 
   /** D30 — SURGICAL decontamination plan: for every d28-flagged
-    * (train, bench) pair, the exact 1-based token span of the quoted
-    * run inside the TRAINING doc — the alternative to e11's whole-doc
+    * (train, bench) pair, the exact 1-based token spans of the quoted
+    * runs inside the TRAINING doc — the alternative to e11's whole-doc
     * drop when the doc is valuable and only its quotation must go
-    * (cut the span, keep the prose). span covers the matched shingle
-    * positions at the pair's dominant shift: [min k1, max k1 + n − 1]
-    * (the last matched window's final token). Emitted as a PLAN
-    * (doc_id, bench_id, span_start, span_end, n_positions), not
+    * (cut the spans, keep the prose). Emitted as a PLAN
+    * (doc_id, bench_id, shift, span_start, span_end, n_positions), not
     * re-rendered text: tokenization normalizes case/punctuation, so
     * only the caller holding the original text can splice faithfully.
     *
+    * Span semantics (the surgical contract):
+    *  - matched positions are grouped per (pair, EXACT shift k2 − k1),
+    *    and EVERY shift whose distinct-matched mass reaches
+    *    `minPositions` emits spans — not just the pair's dominant
+    *    shift, so a doc quoting the same benchmark item TWICE at two
+    *    different offsets has both quotes covered (the d28 flag only
+    *    records the dominant one);
+    *  - within a qualifying shift, matched k1 positions are
+    *    ISLAND-MERGED (the d14 lag + running-sum span machinery): a new
+    *    span starts when a position clears the previous window's
+    *    coverage (k1 > prev + n), so two disjoint runs at the SAME
+    *    alignment yield two spans and the innocent prose between them
+    *    is NOT redacted. Each span is [min k1, max k1 + n − 1].
+    *    `minPositions` keeps an incidental single-shingle collision at
+    *    some stray shift from redacting real prose.
+    *
     * Scale: the span rebuild is PAIR-BOUNDED — flagged pairs join back
     * into the positional substrate (benchmark side broadcast), never a
-    * second Σ df² pass. */
+    * second Σ df² pass; the island window partitions by
+    * (pair, shift), never unpartitioned. */
   def quoteRedactionSpans(documents: DataFrame, benchMaxId: Long,
-      n: Int = 3, threshold: Double = 0.8, tol: Int = 1): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8, tol: Int = 1,
+      minPositions: Int = 3): DataFrame = {
     val flagged = quoteContaminationSplitCheck(documents, benchMaxId, n,
       threshold, tol)
-      .select(col("doc_id").as("doc1"), col("bench_id").as("doc2"),
-        col("shift"))
+      .select(col("doc_id").as("doc1"), col("bench_id").as("doc2"))
     val pos = positionalShingles(documents, n)
     val train = pos.select(col("doc_id").as("doc1"), col("i").as("k1"),
       col("shingle"))
     val bench = pos.where(col("doc_id") < benchMaxId)
       .select(col("doc_id").as("doc2"), col("i").as("k2"), col("shingle"))
-    flagged
+    redactionSpansCore(flagged, train, bench, n, minPositions)
+  }
+
+  /** Shared span-rebuild core of [[quoteRedactionSpans]] and the
+    * streamed variant (`Streams.quoteRedactionFromIngest`): flagged
+    * (doc1 = train, doc2 = bench) pairs joined back into positional
+    * frames, grouped per exact shift, mass-floored, island-merged.
+    * `bench` is broadcast (eval sets are small by definition). */
+  private[graft] def redactionSpansCore(flagged: DataFrame,
+      train: DataFrame, bench: DataFrame, n: Int,
+      minPositions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minPositions >= 1, "minPositions must be positive")
+    // distinct (pair, shift, k1): one k1 matching several bench k2 at
+    // the same shift (a repeated shingle inside the bench item) counts
+    // once toward mass and once toward its island
+    val matched = flagged
       .join(train, "doc1")
       .join(broadcast(bench), Seq("doc2", "shingle"))
-      .where(abs(col("k2") - col("k1") - col("shift")) <= tol)
+      .select(col("doc1"), col("doc2"),
+        (col("k2") - col("k1")).as("shift"), col("k1"))
+      .distinct()
+    val qualifying = matched
       .groupBy(col("doc1"), col("doc2"), col("shift"))
+      .agg(count(lit(1)).as("mass"))
+      .where(col("mass") >= minPositions)
+      .select(col("doc1"), col("doc2"), col("shift"))
+    val byRun = Window.partitionBy(col("doc1"), col("doc2"), col("shift"))
+      .orderBy(col("k1"))
+    matched.join(qualifying, Seq("doc1", "doc2", "shift"))
+      .withColumn("ns",
+        when(lag(col("k1"), 1).over(byRun).isNull
+          || col("k1") > lag(col("k1"), 1).over(byRun) + n, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(
+        byRun.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc1"), col("doc2"), col("shift"), col("sid"))
       .agg(min(col("k1")).as("span_start"),
         (max(col("k1")) + (n - 1)).as("span_end"),
-        countDistinct(col("k1")).as("n_positions"))
+        count(lit(1)).as("n_positions"))
       .select(col("doc1").as("doc_id"), col("doc2").as("bench_id"),
+        col("shift").cast("int").as("shift"),
         col("span_start"), col("span_end"), col("n_positions"))
+  }
+
+  /** [[quoteRedactionSpans]] from PRECOMPUTED d28 flags — the streamed
+    * composition: `flags` carries (doc_id, bench_id) rows (the online
+    * probe's committed output), `trainDocs`/`benchDocs` supply the text.
+    * Positions are built without the substrate memo (the per-call
+    * form); only flagged training docs are tokenized — the rebuild is
+    * flag-bounded end to end. */
+  private[graft] def redactionSpansFromFlags(flags: DataFrame,
+      trainDocs: DataFrame, benchDocs: DataFrame, n: Int = 3,
+      minPositions: Int = 3): DataFrame = {
+    val flagged = flags
+      .select(col("doc_id").as("doc1"), col("bench_id").as("doc2"))
+      .distinct()
+    val tpos = positionsOf(
+      trainDocs.join(flagged.select(col("doc1").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"), n, memo = false)
+    val train = tpos.select(col("doc_id").as("doc1"), col("i").as("k1"),
+      col("shingle"))
+    val bench = benchmarkQuotePositions(benchDocs, n)
+    redactionSpansCore(flagged, train, bench, n, minPositions)
   }
 
   /** The memoized positional-shingle substrate of d27/d28:

@@ -107,6 +107,73 @@ object Pipeline {
         col("start_offset"), col("chunk_id"))
   }
 
+  /** E12 — the SURGICAL release path: e11 drops every quote-flagged doc
+    * wholesale; this one APPLIES `Dedup.quoteRedactionSpans` instead —
+    * cut the quoted spans out of each flagged doc's token stream, keep
+    * the prose, and repack the whole training side over the
+    * post-redaction token counts. The deployment shape of d30: the plan
+    * stops being a report and becomes a corpus.
+    *
+    * Mechanics:
+    *  - spans from [[graft.ops.Dedup.quoteRedactionSpans]] (per pair ×
+    *    shift × island) are INTERVAL-UNIONED per doc (two bench items
+    *    quoting overlapping ranges must not double-delete), the
+    *    running-max lag merge;
+    *  - counts live in the SPAN space — `Text.tokenize` positions, the
+    *    space the spans index — so n_tok = tokenized length − covered
+    *    mass, exactly (the conservation law the spec pins: Σ n_tok =
+    *    Σ n_tok_orig − Σ n_redacted);
+    *  - docs redacted to nothing (fully-quoted docs) drop out; the
+    *    survivors repack contiguously via the two-phase offset pass
+    *    ([[graft.ops.Sampling.offsetsFromCounts]]).
+    *
+    * Output (doc_id, n_tok_orig, n_redacted, n_tok, start_offset,
+    * chunk_id) over every training doc (doc_id >= benchmarkMaxId) with
+    * at least one surviving token.
+    *
+    * Scale: spans are flag-bounded; the interval union windows by
+    * doc_id (never unpartitioned); the corpus-wide work is ONE tokenize
+    * pass for the counts plus the d28 probe the span plan already
+    * needs. */
+  def redactedCorpus(documents: DataFrame, benchmarkMaxId: Long = 25L,
+      n: Int = 3, threshold: Double = 0.8, minPositions: Int = 3,
+      seqLen: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = Dedup.quoteRedactionSpans(documents, benchmarkMaxId, n,
+        threshold, tol = 1, minPositions = minPositions)
+      .select(col("doc_id"), col("span_start").as("s"),
+        col("span_end").as("e"))
+      .distinct() // two bench items can flag the identical span
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val covered = spans
+      .withColumn("ns",
+        when(prevMax.isNull || col("s") > prevMax + 1, 1).otherwise(0))
+      .withColumn("gid", sum(col("ns")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("me") - col("ms") + 1).as("n_redacted"))
+    val counts = documents.where(col("doc_id") >= benchmarkMaxId)
+      .select(col("doc_id"),
+        size(graft.functions.Text.tokenizeUdf(col("text")))
+          .cast("long").as("n_tok_orig"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok_orig"),
+        coalesce(col("n_redacted"), lit(0L)).as("n_redacted"))
+      .withColumn("n_tok", col("n_tok_orig") - col("n_redacted"))
+      .where(col("n_tok") >= 1)
+    Sampling.offsetsFromCounts(
+        counts.select(col("doc_id"), col("n_tok")), seqLen)
+      .join(counts.select(col("doc_id"), col("n_tok_orig"),
+        col("n_redacted")), "doc_id")
+      .select(col("doc_id"), col("n_tok_orig"), col("n_redacted"),
+        col("n_tok"), col("start_offset"), col("chunk_id"))
+  }
+
   /** E5 — the round-5 curation composition: model-based quality filter
     * (q1), exact-substring duplication cap (d14), and exact-dup keeper
     * selection (d1) in one pass over the corpus. This is the pipeline a

@@ -166,9 +166,19 @@ object Sampling {
     * window's hash partition, and the tokenize runs once (the narrow
     * per-doc projection is checkpointed before it fans out). */
   def tokenOffsets(documents: DataFrame, seqLen: Int,
+      bucketSize: Long = 4096L): DataFrame =
+    offsetsFromCounts(documents.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).as("n_tok")), seqLen, bucketSize)
+
+  /** [[tokenOffsets]] over a PRECOMPUTED (doc_id, n_tok) frame — the
+    * composition point for pipelines whose token counts are not the
+    * whitespace split of raw text (e.g. the post-redaction counts of
+    * `Pipeline.redactedCorpus`, where quoted spans were excised from
+    * the token stream first). Same two-phase offsets, same output
+    * columns. */
+  def offsetsFromCounts(counts: DataFrame, seqLen: Int,
       bucketSize: Long = 4096L): DataFrame = {
-    val n = documents.select(col("doc_id"),
-      size(split(col("text"), "\\s+")).as("n_tok"),
+    val n = counts.select(col("doc_id"), col("n_tok"),
       floor(col("doc_id") / bucketSize).as("bkt"))
       .localCheckpoint()
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
@@ -503,13 +513,16 @@ object Sampling {
     * final /1e6 is float (the twin rule). Output (doc_id, n_ngrams,
     * weight) for raw docs with ≥ 1 bigram.
     *
-    * Oracle caveat: the DuckDB twin tokenizes with the corpus-wide
-    * `[^a-z0-9]+` convention, which agrees with `Text.tokenizeUdf` on
-    * Latin text only — the Spark side also emits CJK character bigrams
-    * the SQL regex drops. On a corpus with real CJK text the OPERATOR
-    * is fine (the tokenizer is the corpus-wide one) but the documented
-    * oracle under-counts those buckets; re-derive the twin with a
-    * CJK-aware SQL tokenizer before hash-gating such a corpus.
+    * Oracle caveat: the corpus-wide DuckDB twin (sel2) tokenizes with
+    * the `[^a-z0-9]+` convention, which agrees with `Text.tokenizeUdf`
+    * on Latin text only — the Spark side also emits CJK character
+    * bigrams the SQL regex drops. On a corpus with real CJK text the
+    * OPERATOR is fine (the tokenizer is the corpus-wide one) but that
+    * twin under-counts those buckets; re-derive it with a CJK-aware SQL
+    * tokenizer before hash-gating such a corpus. The CJK domain itself
+    * IS hash-gated: `sel2z_dsir_cjk` runs this operator over inline CJK
+    * text against a hand-tokenized oracle (the seg1 fixture pattern),
+    * so a tokenizer/bucketing divergence on CJK fails loudly.
     *
     * Scale: TWO narrow token passes — one building the B-row bucket
     * table (map-side combinable groupBy), one scoring docs against the
@@ -575,19 +588,51 @@ object Sampling {
     require(k >= 1, "need a positive sample size")
     require(temperature > 0.0, "temperature must be positive")
     val M = 1000003L
-    // pmod, not %, and the id reduced mod M BEFORE the multiplies (the
+    // pmod, not %, and the id reduced BEFORE the multiplies (the
     // weightedSample discipline above): a negative doc_id — routine
     // when ids come from a 64-bit hash — would otherwise drive u <= 0,
     // log() to NULL, and the doc silently out of every draw; reducing
     // first also keeps every product far under 2^63 in engines with
-    // checked int64 math
-    val y = pmod(pmod(col("doc_id"), lit(M)) * 131L + 17L, lit(M))
+    // checked int64 math. TWO coprime residues of the full 64-bit id
+    // feed the mix (1000003 and 999983, both prime), so two docs share
+    // noise only when their ids are congruent mod BOTH — ids lcm ≈
+    // 1e12 apart — not every ~1e6 as a single-residue mix would give;
+    // at any realistic corpus the perturbations are pairwise distinct
+    val y = pmod(pmod(col("doc_id"), lit(M)) * 131L
+      + pmod(col("doc_id"), lit(999983L)) * 31L + 17L, lit(M))
     val u = (quadResidue(y, M) + 1.0) / (M + 2.0) // strictly in (0, 1)
     dsirWeights(documents, isTarget, hexChars)
       .withColumn("key",
         round(col("weight") / temperature - log(-log(u)), 6))
       .orderBy(col("key").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** SELECT-THEN-PACK — the deployment composition of the DSIR family
+    * (the shape a selection actually ships in): the k docs
+    * [[dsirResample]] draws, concatenated in doc_id order and cut into
+    * `seqLen`-token training sequences via [[tokenOffsets]] — exactly
+    * what e6 does for the curated keep-set, here for the selected set.
+    * Output (doc_id, weight, n_tok, start_offset, chunk_id): the
+    * selected doc, its importance weight (kept for mixture-audit
+    * provenance), and its packed position.
+    *
+    * Scale: the selected set is k rows (config-scale), so BOTH joins
+    * broadcast; the only corpus-proportional work is dsirWeights' two
+    * narrow token passes. Token counts use the corpus-wide whitespace
+    * convention (the e3/e6 packing space), not the DSIR scoring
+    * tokenizer — packing counts what the trainer loads. */
+  def dsirSelectedPack(documents: DataFrame, isTarget: Column, k: Int,
+      temperature: Double = 1.0, hexChars: Int = 2,
+      seqLen: Int = 4096): DataFrame = {
+    val sel = dsirResample(documents, isTarget, k, temperature, hexChars)
+      .select(col("doc_id"), col("weight"))
+    val picked = documents.join(broadcast(sel.select(col("doc_id"))),
+      Seq("doc_id"), "left_semi")
+    tokenOffsets(picked, seqLen)
+      .join(broadcast(sel), "doc_id")
+      .select(col("doc_id"), col("weight"), col("n_tok"),
+        col("start_offset"), col("chunk_id"))
   }
 
   /** The quadratic-residue mixing step of the portable-hash family —

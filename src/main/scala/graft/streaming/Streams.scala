@@ -371,9 +371,10 @@ object Streams {
   /** Categorical drift monitor — the `DataQuality.jsDivergence` twin of
     * [[driftSink]], completing the streamed drift family (scalar psi,
     * categorical JSD, embedding W1): category values arrive on a
-    * stream, state accumulates per-category counts (bounded by the
-    * OBSERVED cardinality — the same config-scale contract the batch
-    * operator documents; profile first if it might not be), and every
+    * stream, state accumulates per-category counts (bounded
+    * STRUCTURALLY: the merge refuses batches once the observed
+    * cardinality exceeds `maxCats` — the MG-sink discipline, a hard
+    * `require` instead of a documented hope), and every
     * batch emits one (bid, js@6dp) row scoring the accumulated stream
     * against a static reference histogram. Arithmetic mirrors the batch
     * operator exactly — K = |ref support ∪ stream support|, Laplace
@@ -384,17 +385,17 @@ object Streams {
     * [[driftSink]]: replayed bids are state no-ops, output is
     * at-least-once keyed by bid. */
   def jsSink(values: DataFrame, refCounts: Map[String, Long],
-      stateDir: String, outDir: String)
+      stateDir: String, outDir: String, maxCats: Int = 65536)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     values.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        mergeJs(batch, batchId, refCounts, stateDir, outDir)
+        mergeJs(batch, batchId, refCounts, stateDir, outDir, maxCats)
     }
 
   /** The per-batch body of [[jsSink]] (spec entry point). */
   private[graft] def mergeJs(batch: DataFrame, batchId: Long,
       refCounts: Map[String, Long], stateDir: String,
-      outDir: String): Unit = {
+      outDir: String, maxCats: Int = 65536): Unit = {
     // a zero-count reference key would inflate K (the batch operator's
     // K counts only OBSERVED categories) and silently skew every term —
     // fail loudly instead, the mergeDrift refCounts discipline
@@ -422,14 +423,27 @@ object Streams {
     bcounts.foreach { case (c, n) =>
       merged(c) = merged.getOrElse(c, 0L) + n
     }
+    // STRUCTURAL state bound (the MG-sink discipline): the driver-side
+    // merge is only legitimate while the observed cardinality stays
+    // config-scale — a high-cardinality column pointed at this sink
+    // (user ids, free text) must fail loudly at the cap, not OOM the
+    // driver batches later. A genuine >maxCats categorical wants a
+    // re-keyed stream (bucketed categories) or a bigger explicit cap.
+    require(merged.size <= maxCats,
+      s"jsSink state holds ${merged.size} categories > maxCats=$maxCats" +
+        " — this column is not config-cardinality; re-key the stream" +
+        " or raise maxCats explicitly")
     // driver arithmetic over the observed categories — the same
     // smoothed terms, 6dp-rounded each, that DataQuality.jsDivergence
-    // emits over the union frame
+    // emits over the union frame. Terms sum in SORTED category order:
+    // Set iteration order is runtime-dependent, and an at-least-once
+    // replay on a different JVM must append a bit-identical output row
+    // (the replayed-rows-identical convention the sink specs pin).
     val cats = refCounts.keySet ++ merged.keySet
     val k = cats.size.toDouble
     val tRef = refCounts.values.sum.toDouble
     val tCur = merged.values.sum.toDouble
-    val js = cats.toSeq.map { c =>
+    val js = cats.toSeq.sorted.map { c =>
       val p = (refCounts.getOrElse(c, 0L) + 1.0) / (tRef + k)
       val q = (merged.getOrElse(c, 0L) + 1.0) / (tCur + k)
       val m = (p + q) / 2
@@ -468,9 +482,10 @@ object Streams {
     * Documented trade-off: each batch REWRITES the accumulated count
     * frame (one swap of a config-bounded partition). That is the right
     * shape while support × dims stays modest; a very-high-frequency
-    * ingest at the full 2e6-support ceiling would want the ingest-index
-    * posture instead (bid-partitioned deltas + `compactIngestIndex`),
-    * at the cost of a merge at scoring time. */
+    * ingest at the full 2e6-support ceiling wants [[w1DeltaSink]]
+    * instead — bid-partitioned count deltas + `compactIngestIndex`,
+    * bounded per-batch writes at the cost of a merge at scoring time
+    * (parity between the two forms is spec-pinned). */
   def w1Sink(vectors: DataFrame, refEmbeddings: DataFrame,
       stateDir: String, outDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -523,6 +538,84 @@ object Streams {
       .withColumn("bid", lit(batchId))
       .write.mode("append").parquet(outDir)
     swapIntoPlace(merged.withColumn("bid", lit(batchId)), stateDir)
+  }
+
+  /** The INGEST-INDEX form of [[w1Sink]] — the documented escape hatch
+    * for a very-high-frequency ingest at full quantization support:
+    * instead of REWRITING the accumulated (dim, qx, cnt) frame every
+    * micro-batch, each batch writes only its OWN quantized counts as a
+    * bid-partitioned delta (`stateDir/delta/bid=N`, per-bid idempotent
+    * overwrite — the `dedupIngestSink` layout), and the scoring read
+    * merges the COMMITTED deltas at (dim, qx) grain. The per-batch
+    * WRITE is bounded by the batch's own support (spec-pinned), not the
+    * accumulated support; the merge moves to scoring time, and a
+    * long-lived ingest runs [[compactIngestIndex]] over the delta dir
+    * between batches to keep the listing flat (parity across compaction
+    * is spec-pinned too — committed rows are bid-stable).
+    *
+    * Output and replay contracts match [[w1Sink]] exactly: one
+    * (bid, dim, n_ref, n_cur, w1) row set per batch appended BEFORE the
+    * frontier commit — at-least-once output keyed by bid, exactly-once
+    * state; a replayed bid is a no-op; a crash mid-stage leaves an
+    * orphan delta partition no reader ever lists. Parity with the
+    * rewrite form after N batches is spec-pinned. */
+  def w1DeltaSink(vectors: DataFrame, refEmbeddings: DataFrame,
+      stateDir: String, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val refCounts = graft.ops.DataQuality
+      .quantizedComponents(refEmbeddings.select(col("embedding")))
+      .groupBy(col("dim"), col("qx")).agg(count(lit(1)).as("n_ref"))
+      .localCheckpoint()
+    vectors.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        mergeW1Delta(batch, batchId, refCounts, stateDir, outDir)
+    }
+  }
+
+  /** The per-batch body of [[w1DeltaSink]] (spec entry point). */
+  private[graft] def mergeW1Delta(batch: DataFrame, batchId: Long,
+      refCounts: DataFrame, stateDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val frontierDir = s"$stateDir/frontier"
+    val deltaDir = s"$stateDir/delta"
+    val lastBid = readStateWithRecovery(spark, frontierDir).map { df =>
+      val r = df.select(max(col("bid"))).head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
+    if (batchId <= lastBid) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"w1DeltaSink: skipping batch $batchId (frontier at $lastBid) — " +
+          "replay of a committed batch is a no-op")
+      return
+    }
+    // the batch's OWN support only — the bounded per-batch write; the
+    // localCheckpoint materializes it once for the delta write AND the
+    // scoring union below (and keeps the delta-dir read below from
+    // lazily racing the write)
+    val bcounts = graft.ops.DataQuality
+      .quantizedComponents(batch.select(col("embedding")))
+      .groupBy(col("dim"), col("qx")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    bcounts.write.mode("overwrite").parquet(s"$deltaDir/bid=$batchId")
+    // scoring merge: committed deltas (<= frontier; crash orphans
+    // invisible) + this batch — distributed groupBy, nothing driver-side
+    val merged = committedBidParquet(spark, deltaDir, lastBid)
+      .map(_.select(col("dim"), col("qx"), col("cnt"))
+        .unionByName(bcounts))
+      .getOrElse(bcounts)
+      .groupBy(col("dim"), col("qx")).agg(sum(col("cnt")).as("cnt"))
+    val joined = refCounts
+      .join(merged, Seq("dim", "qx"), "full_outer")
+      .select(col("dim"), col("qx"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("cnt"), lit(0L)).as("n_cur"))
+    // output BEFORE the frontier commit: at-least-once output keyed by
+    // bid, exactly-once state (the [[w1Sink]] contract)
+    graft.ops.DataQuality.w1FromCounts(joined)
+      .withColumn("bid", lit(batchId))
+      .write.mode("append").parquet(outDir)
+    import spark.implicits._
+    swapIntoPlace(Seq(batchId).toDF("bid").repartition(1), frontierDir)
   }
 
   /** T3 — streaming session windows: per-user sessions with an
@@ -1137,6 +1230,40 @@ object Streams {
         documents, f, benchmarkMaxId, minChars, sampleFrac, seqLen))
       .getOrElse(graft.ops.Pipeline.trainingCorpus(documents,
         benchmarkMaxId, minChars, sampleFrac, seqLen))
+
+  /** The STREAMED d29 — the quote burn report from the COMMITTED online
+    * d28 flags: which benchmark items are quote-compromised by the
+    * traffic that has arrived so far, by how many docs, how completely,
+    * and since which doc. The probe is stateless-exact, so this equals
+    * `Dedup.quoteBurnReport` over exactly the arrived training docs for
+    * ANY arrival order (kill/restart parity spec-pinned). Flag-bounded:
+    * one groupBy over the committed flag rows, nothing
+    * corpus-proportional. None before the first commit. */
+  def quoteBurnFromIngest(spark: SparkSession, stateDir: String,
+      outDir: String): Option[DataFrame] =
+    committedQuoteContamination(spark, stateDir, outDir).map(
+      _.groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("n_train"),
+          max(col("containment")).as("max_containment"),
+          min(col("doc_id")).as("first_train")))
+
+  /** The STREAMED d30 — the surgical redaction plan from the COMMITTED
+    * online d28 flags: exact token spans of every quoted run inside the
+    * flagged docs that have arrived so far, rebuilt pair-bounded
+    * against the arrived text (`arrivedDocs` — the caller's landing
+    * store; only FLAGGED docs are re-tokenized) and the benchmark
+    * holdout. Same span semantics as the batch operator (per-exact-
+    * shift mass floor + island merge), so once every training doc has
+    * arrived this equals `Dedup.quoteRedactionSpans` at the threshold
+    * the sink ran with — completing the quote family's streamed
+    * surface (d28 probe → e11 drop → d29 burn → d30 plan). None before
+    * the first commit. */
+  def quoteRedactionFromIngest(arrivedDocs: DataFrame, benchDocs: DataFrame,
+      stateDir: String, outDir: String, n: Int = 3,
+      minPositions: Int = 3): Option[DataFrame] =
+    committedQuoteContamination(arrivedDocs.sparkSession, stateDir, outDir)
+      .map(flags => graft.ops.Dedup.redactionSpansFromFlags(
+        flags, arrivedDocs, benchDocs, n, minPositions))
 
   /** The corpus-release half of the streaming e9 flagship: compose the
     * batch keep-set (`Pipeline.curatedCorpus` — quality, dup spans,

@@ -1673,17 +1673,118 @@ class PipelineSpec extends GraftSuite {
       .toDF("doc_id", "text")
     val got = Dedup.quoteRedactionSpans(hand, 25L).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
     // matched windows are exactly those fully inside the quote
     // (boundary windows mix preamble/tail tokens and exist in no bench
-    // doc): k1 = 6..15, so the span [6, 15+2] is the quote itself
-    assert(got == Map((27L, 3L) -> ((6, 17, 10L))),
+    // doc): k1 = 6..15 at the constant shift 1-6 = -5, so the span
+    // [6, 15+2] is the quote itself
+    assert(got == Map((27L, 3L) -> ((-5, 6, 17, 10L))),
       s"span must cover exactly the quoted tokens: $got")
     // the law the plan exists for: excising [span_start, span_end]
     // removes every quoted token and nothing else
     val toks = s"$pre $q closing words".split(" ")
     assert(toks.slice(5, 17).mkString(" ") == q,
       "excised slice must reproduce the benchmark item exactly")
+    Dedup.clearSubstrates()
+  }
+
+  test("d30 surgical: two disjoint runs at the SAME alignment yield two " +
+      "spans — the prose between is NOT redacted") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // benchmark item: 30 unique tokens b01..b30 (28 trigram windows)
+    val b = (1 to 30).map(i => f"b$i%02d")
+    val bench = b.mkString(" ")
+    // training doc: 3-token preamble, bench tokens 1..13, a 2-token
+    // replacement (same length as the replaced b14 b15 — alignment
+    // preserved), bench tokens 16..30, 2-token tail
+    val doc = (Seq("pre1", "pre2", "pre3") ++ b.slice(0, 13) ++
+      Seq("xx", "yy") ++ b.slice(15, 30) ++ Seq("tail1", "tail2"))
+      .mkString(" ")
+    val hand = Seq((3L, bench), (27L, doc)).toDF("doc_id", "text")
+    // flag sanity: 24 of 28 bench windows match at one shift -> 0.857
+    val d28 = Dedup.quoteContaminationSplitCheck(hand, 25L).collect()
+    assert(d28.map(_.getLong(0)).toSet == Set(27L),
+      s"fixture must flag the pair: ${d28.mkString(",")}")
+    val got = Dedup.quoteRedactionSpans(hand, 25L).collect()
+      .map(r => (r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))
+      .sortBy(_._2)
+    // run 1: doc positions 4..16 hold b1..b13 -> matched k1 = 4..14
+    // (11 windows); run 2: positions 19..33 hold b16..b30 -> k1 =
+    // 19..31 (13 windows); both at shift 1-4 = -3; gap 19 > 14+3 splits
+    // the islands, so xx/yy (positions 17..18) stay out of every span
+    assert(got.toSeq == Seq((-3, 4, 16, 11L), (-3, 19, 33, 13L)),
+      s"disjoint runs must island-merge into disjoint spans: " +
+        got.mkString(","))
+    val toks = doc.split(" ")
+    assert(got.forall { case (_, s, e, _) =>
+      !toks.slice(s - 1, e).exists(Set("xx", "yy")) },
+      "the innocent replacement prose must not be covered by any span")
+    Dedup.clearSubstrates()
+  }
+
+  test("d30 surgical: the same item quoted twice at TWO offsets gets " +
+      "both quotes covered, not just the dominant shift") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val q = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima" // 12 tokens, 10 trigram windows
+    val doc = s"pre1 pre2 pre3 $q mid1 mid2 mid3 mid4 $q tail1 tail2"
+    val hand = Seq((3L, q), (27L, doc)).toDF("doc_id", "text")
+    val got = Dedup.quoteRedactionSpans(hand, 25L).collect()
+      .map(r => (r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))
+      .sortBy(_._2)
+    // quote 1 at doc positions 4..15 (k1 = 4..13, shift 1-4 = -3);
+    // quote 2 at positions 20..31 (k1 = 20..29, shift 1-20 = -19) —
+    // the d28 flag records only one dominant shift, but BOTH clear the
+    // 3-position mass floor and both verbatim runs are covered
+    assert(got.toSeq == Seq((-3, 4, 15, 10L), (-19, 20, 31, 10L)),
+      s"both quote offsets must emit spans: ${got.mkString(",")}")
+    val toks = doc.split(" ")
+    got.foreach { case (_, s, e, _) =>
+      assert(toks.slice(s - 1, e).mkString(" ") == q,
+        s"excised slice [$s,$e] must reproduce the benchmark item")
+    }
+    Dedup.clearSubstrates()
+  }
+
+  test("e12 applies the redaction plan: spans cut, token mass conserved, " +
+      "overlapping flags never double-delete, empty docs drop") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Pipeline}
+    val q = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima" // 12 tokens
+    val sub = "delta echo foxtrot golf hotel india" // tokens 4..9 of q
+    val hand = Seq(
+      (3L, q),
+      (4L, sub), // a second bench item NESTED inside the first
+      (27L, s"pre1 pre2 pre3 $q tail1 tail2"), // quotes both items
+      (28L, q), // fully-quoted doc: redacts to nothing
+      (30L, "completely unrelated training words sharing no trigram"))
+      .toDF("doc_id", "text")
+    // both pairs flag, and their spans OVERLAP inside doc 27
+    val flags = Dedup.quoteContaminationSplitCheck(hand, 25L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags == Set((27L, 3L), (27L, 4L), (28L, 3L), (28L, 4L)),
+      s"fixture must flag both bench items: $flags")
+    val got = Pipeline.redactedCorpus(hand).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // doc 28 redacted to zero tokens -> dropped from the corpus
+    assert(got.keySet == Set(27L, 30L),
+      s"fully-quoted doc must drop, clean doc must survive: $got")
+    // doc 27: the (27,4) span nests inside the (27,3) span — the
+    // interval union counts the quote ONCE: 12 tokens, not 12 + 6
+    val (orig27, red27, tok27, off27) = got(27L)
+    assert(orig27 == 17L && red27 == 12L && tok27 == 5L,
+      s"overlapping spans must union, not sum: $got")
+    // conservation + contiguous repack: doc 27 packs first (offset 0),
+    // doc 30 starts exactly at 27's surviving mass
+    val (orig30, red30, tok30, off30) = got(30L)
+    assert(red30 == 0L && tok30 == orig30,
+      s"clean docs must pass through unredacted: $got")
+    assert(off27 == 0L && off30 == tok27,
+      s"offsets must repack over post-redaction counts: $got")
     Dedup.clearSubstrates()
   }
 

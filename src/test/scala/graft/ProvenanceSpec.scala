@@ -525,6 +525,40 @@ class ProvenanceSpec extends GraftSuite {
       "oversized k must return the whole raw side")
   }
 
+  test("sel4 select-then-pack: exactly the resampled docs, token mass " +
+      "conserved, offsets contiguous in doc_id order") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha bravo charlie delta alpha bravo charlie"),
+      (20L, "alpha bravo charlie delta"),
+      (21L, "alpha bravo zulu yankee"),
+      (22L, "zulu yankee xray whiskey"),
+      (23L, "xray whiskey victor uniform tango")).toDF("doc_id", "text")
+    val isT = col("doc_id") < 10
+    val sel = Sampling.dsirResample(fixture, isT, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val got = Sampling.dsirSelectedPack(fixture, isT, 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
+        r.getLong(3)))
+    // exactly the selected set, carrying the selection's weights
+    assert(got.map(_._1).toSet == sel.keySet,
+      s"pack must cover exactly the resampled docs: ${got.toSeq}")
+    got.foreach { case (id, w, _, _) =>
+      assert(w == sel(id), s"doc $id must carry its DSIR weight") }
+    // packing laws: whitespace token counts, contiguous offsets in
+    // doc_id order starting at zero (the e3/e6 convention)
+    val lens = fixture.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").length)
+      .toMap
+    var off = 0L
+    got.foreach { case (id, _, n, start) =>
+      assert(n == lens(id), s"doc $id token count must be whitespace")
+      assert(start == off, s"doc $id must start at the running offset")
+      off += n
+    }
+  }
+
   test("emb4 law: errors bounded by half a level; constant dims are free") {
     val rows = Similarity.int8QuantStats(embs).collect()
     assert(rows.length == 64)

@@ -700,6 +700,17 @@ class StreamingSpec extends GraftSuite {
       Streams.mergeJs(Seq("zh").toDF("cat"), 9L,
         Map("en" -> 0L), state, out)
     }
+    // STRUCTURAL state bound (the MG-sink discipline): a batch pushing
+    // the merged cardinality past maxCats refuses loudly instead of
+    // growing driver state; below the cap the exact parity above holds
+    intercept[IllegalArgumentException] {
+      Streams.mergeJs(Seq("aa", "bb", "cc").toDF("cat"), 9L,
+        refCounts, state, out, maxCats = 4)
+    }
+    // the refusal left state untouched (fail BEFORE any effect)
+    assert(spark.read.parquet(state).select("cat", "cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == st,
+      "an over-cap batch must not partially merge")
   }
 
   test("drift sink: replay no-op, at-least-once output, swap recovery") {
@@ -767,12 +778,77 @@ class StreamingSpec extends GraftSuite {
     assert(got == want,
       s"streamed W1 diverged: only_stream=${got -- want} " +
         s"only_batch=${want -- got}")
-    // replay of a committed bid: state untouched, no output appended
+    // replay of a committed bid: state untouched, no output appended.
+    // The refCounts frame is shaped like the real contract — (dim, qx,
+    // n_ref), empty — so a replay-guard regression fails on the "must
+    // not append" assertion below, not on join analysis of a
+    // wrong-schema frame
     val before = outAll.count()
+    val emptyRef = ops.DataQuality
+      .quantizedComponents(ref.select(col("embedding")))
+      .groupBy(col("dim"), col("qx")).agg(count(lit(1)).as("n_ref"))
+      .limit(0)
     Streams.mergeW1(Seq((9999L, Array(0.5f))).toDF("vec_id", "embedding"),
-      0L, ref.limit(0), state, out)
+      0L, emptyRef, state, out)
     assert(spark.read.parquet(out).count() == before,
       "replayed batch must neither re-merge state nor append output")
+  }
+
+  test("w1 delta sink: scores identically to the rewrite form, per-batch " +
+      "writes bounded by the batch's own support, compaction-stable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_w1d").toString
+    val (stateA, outA) = (dir + "/stateA", dir + "/outA") // rewrite form
+    val (stateB, outB) = (dir + "/stateB", dir + "/outB") // delta form
+    val all = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val ref = all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val refCounts = ops.DataQuality
+      .quantizedComponents(ref.select(col("embedding")))
+      .groupBy(col("dim"), col("qx")).agg(count(lit(1)).as("n_ref"))
+      .localCheckpoint()
+    val live = new scala.util.Random(47L)
+      .shuffle(all.filter(_._1 % 2 == 1))
+    val batches = live.grouped(60).toSeq
+    def df(i: Int) = batches(i).toDF("vec_id", "embedding")
+    batches.indices.foreach { i =>
+      Streams.mergeW1(df(i), i.toLong, refCounts, stateA, outA)
+      Streams.mergeW1Delta(df(i), i.toLong, refCounts, stateB, outB)
+    }
+    def rows(p: String, bid: Long) = spark.read.parquet(p)
+      .where(col("bid") === bid)
+      .select("dim", "n_ref", "n_cur", "w1").collect()
+      .map(_.toSeq.toList).toSet
+    batches.indices.foreach { i =>
+      assert(rows(outA, i) == rows(outB, i),
+        s"delta form diverged from rewrite form at batch $i") }
+    // bounded per-batch write: the bid=0 delta carries exactly batch
+    // 0's own (dim, qx) support — NOT the accumulated support the
+    // rewrite form re-persists every batch
+    val d0 = spark.read.parquet(s"$stateB/delta/bid=0").count()
+    val s0 = ops.DataQuality
+      .quantizedComponents(df(0).select(col("embedding")))
+      .groupBy(col("dim"), col("qx")).count().count()
+    assert(d0 == s0, s"delta partition must hold only the batch's own " +
+      s"support: wrote $d0, batch support $s0")
+    // replay of a committed bid: no state change, no output appended
+    val before = spark.read.parquet(outB).count()
+    Streams.mergeW1Delta(df(0), 0L, refCounts, stateB, outB)
+    assert(spark.read.parquet(outB).count() == before,
+      "replayed batch must be a no-op")
+    // compaction collapses the bid partitions; the NEXT batch still
+    // scores identically on both forms (committed rows are bid-stable)
+    Streams.compactIngestIndex(spark, s"$stateB/delta",
+      s"$stateB/frontier")
+    val extra = Seq((9001L, all.head._2), (9003L, all.last._2))
+    val nb = batches.length.toLong
+    Streams.mergeW1(extra.toDF("vec_id", "embedding"), nb, refCounts,
+      stateA, outA)
+    Streams.mergeW1Delta(extra.toDF("vec_id", "embedding"), nb, refCounts,
+      stateB, outB)
+    assert(rows(outA, nb) == rows(outB, nb),
+      "post-compaction batch must score identically on both forms")
   }
 
   test("E3 DimApp pipeline: CDC stream -> config prune -> keyed dim upsert") {
@@ -1833,6 +1909,18 @@ class StreamingSpec extends GraftSuite {
       == corpusRows(graft.ops.Pipeline.trainingCorpus(corpusFixture,
         quoteThreshold = Some(0.8))),
       "streamed e11 composition must equal the batch e11")
+    // streamed d29: the burn rollup over the committed flags equals the
+    // batch report — the flags crossed the kill/restart boundary above
+    assert(corpusRows(Streams.quoteBurnFromIngest(spark, state, out).get)
+      == corpusRows(Dedup.quoteBurnReport(fixture, 25L)),
+      "streamed d29 must equal the batch burn report")
+    // streamed d30: spans rebuilt pair-bounded from committed flags
+    // against the landing store equal the batch surgical plan (same
+    // per-shift mass floor, same island merge)
+    assert(corpusRows(Streams.quoteRedactionFromIngest(fixture,
+        benchDocs, state, out).get)
+      == corpusRows(Dedup.quoteRedactionSpans(fixture, 25L)),
+      "streamed d30 must equal the batch redaction plan")
     // replay of a committed bid is a no-op (O(1) frontier guard)
     Streams.mergeQuoteContamination(
       Seq((9999L, byId(3L))).toDF("doc_id", "text"), 0L,

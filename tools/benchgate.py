@@ -17,6 +17,11 @@ baseline are listed separately. Exit code 1 if any gate is breached.
 Box-variance caveat (BASELINE.md round-1 notes): identical code measured
 +-30% or worse run-to-run on this box — re-run before believing a small
 breach, especially sub-second absolute deltas.
+
+Self-adjudication (round 15): graft.Bench re-runs nominal breaches
+isolated after its load gate re-opens and records them in the artifact's
+"retries" map; a breach whose retry passes the gate reports as "ok-rtry"
+and does not fail the run. Both numbers stay in the artifact.
 """
 import json
 import sys
@@ -46,6 +51,7 @@ def main():
             print(q)
         print(f"== {len(missing)} ungated of {len(bench)} benched ==")
         sys.exit(1 if missing else 0)
+    retries = json.load(open(bench_path)).get("retries", {})
     breaches, ungated = [], []
     for q, sec in sorted(bench.items()):
         if q not in base:
@@ -53,11 +59,23 @@ def main():
             continue
         ratio = sec / base[q]
         flag = "BREACH" if ratio > GATE else "ok"
+        if ratio > GATE and q in retries:
+            # graft.Bench re-ran the nominal breach isolated after the
+            # load gate re-opened; the retry adjudicates (both numbers
+            # stay in the artifact)
+            rratio = retries[q] / base[q]
+            if rratio <= GATE:
+                flag = "ok-rtry"
+                print(f"{flag:7s} {q:32s} {sec:8.3f}s  baseline "
+                      f"{base[q]:8.3f}s  ratio {ratio:5.2f}x  "
+                      f"retry {retries[q]:.3f}s = {rratio:.2f}x")
+                continue
         if ratio > GATE:
             breaches.append(q)
         if ratio > GATE or ratio > 1.5:
             print(f"{flag:7s} {q:32s} {sec:8.3f}s  baseline {base[q]:8.3f}s"
-                  f"  ratio {ratio:5.2f}x")
+                  f"  ratio {ratio:5.2f}x"
+                  + (f"  retry {retries[q]:.3f}s" if q in retries else ""))
     covered = [q for q in bench if q in base]
     tot = sum(bench[q] for q in covered)
     tot_base = sum(base[q] for q in covered)
