@@ -146,6 +146,16 @@ object Sf1Check {
         () => ops.Dedup.quoteContaminationSplitCheck(docs, 2500),
         () => ops.Dedup.quoteContaminationSplitCheck(docs, 2500,
           prefilter = false)),
+      // round-15's surgical d30: the batch planner (memoized positional
+      // substrate) and the streamed rebuild (committed-flags path —
+      // per-call tokenization, flagged-docs-only semi-join) are two
+      // independent code paths to the same island spans
+      ("redaction_spans_batch_vs_flags",
+        () => ops.Dedup.quoteRedactionSpans(docs, 2500),
+        () => ops.Dedup.redactionSpansFromFlags(
+          ops.Dedup.quoteContaminationSplitCheck(docs, 2500),
+          docs.where(col("doc_id") >= 2500),
+          docs.where(col("doc_id") < 2500))),
       // clustering: two-level assign at coarse = k == flat argmin
       ("kmeans_two_level_vs_flat",
         () => ops.Clustering.kmeansAssign(emb, 16, 2),

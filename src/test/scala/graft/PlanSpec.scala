@@ -597,4 +597,26 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"config-scale k must plan as TakeOrderedAndProject:\n${p.take(1200)}")
   }
+
+  test("sel4 select-then-pack: top-k selection, selected set re-enters " +
+      "via broadcast") {
+    val p = plan("sel4_dsir_pack")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the selection half must stay a distributed top-k:\n${p.take(1200)}")
+    // both re-entries of the k-row selected frame (corpus semi-join and
+    // the weight carry) must broadcast — k is config-scale
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"the selected set must broadcast into both joins:\n${p.take(1200)}")
+  }
+
+  test("e12 redacted corpus: every window is partitioned (doc_id islands," +
+      " pair-bounded spans, bucketed offsets — no global serialization)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("e12_redacted_corpus")(spark, sf)
+      .queryExecution.optimizedPlan
+    val bad = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty,
+      s"e12 must never run an unpartitioned window over corpus rows:\n" +
+        bad.mkString("\n"))
+  }
 }
