@@ -137,10 +137,21 @@ object Pipeline {
     * needs. */
   def redactedCorpus(documents: DataFrame, benchmarkMaxId: Long = 25L,
       n: Int = 3, threshold: Double = 0.8, minPositions: Int = 3,
-      seqLen: Int = 4096): DataFrame = {
+      seqLen: Int = 4096): DataFrame =
+    redactedCorpusFromSpans(documents,
+      Dedup.quoteRedactionSpans(documents, benchmarkMaxId, n,
+        threshold, tol = 1, minPositions = minPositions),
+      benchmarkMaxId, seqLen)
+
+  /** [[redactedCorpus]] with a PRECOMPUTED span plan — the streamed-e12
+    * composition (`Streams.redactedCorpusFromIngest` feeds spans rebuilt
+    * from the COMMITTED online d28 flags), and the general splice point
+    * for any (doc_id, span_start, span_end) plan in tokenize space. */
+  private[graft] def redactedCorpusFromSpans(documents: DataFrame,
+      spanPlan: DataFrame, benchmarkMaxId: Long,
+      seqLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = Dedup.quoteRedactionSpans(documents, benchmarkMaxId, n,
-        threshold, tol = 1, minPositions = minPositions)
+    val spans = spanPlan
       .select(col("doc_id"), col("span_start").as("s"),
         col("span_end").as("e"))
       .distinct() // two bench items can flag the identical span

@@ -1265,6 +1265,27 @@ object Streams {
       .map(flags => graft.ops.Dedup.redactionSpansFromFlags(
         flags, arrivedDocs, benchDocs, n, minPositions))
 
+  /** The STREAMED e12 — the surgical corpus release from the COMMITTED
+    * online d28 flags: spans rebuilt flag-bounded against the landing
+    * store ([[quoteRedactionFromIngest]]) and APPLIED through the shared
+    * redaction core — quoted runs cut, survivors repacked. The probe is
+    * stateless-exact and the span/union/pack math is deterministic
+    * given the flags, so once every training doc has arrived this
+    * equals the batch `Pipeline.redactedCorpus` at the threshold the
+    * sink ran with (kill/restart parity spec-pinned). With no committed
+    * flags yet it is the unredacted pack of the training side — the
+    * same degenerate-start discipline as the streamed e11. */
+  def redactedCorpusFromIngest(documents: DataFrame, benchDocs: DataFrame,
+      stateDir: String, outDir: String, benchmarkMaxId: Long = 25L,
+      n: Int = 3, minPositions: Int = 3, seqLen: Int = 4096): DataFrame = {
+    val spans = quoteRedactionFromIngest(documents, benchDocs, stateDir,
+        outDir, n, minPositions)
+      .getOrElse(documents.select(col("doc_id"),
+        lit(0).as("span_start"), lit(0).as("span_end")).limit(0))
+    graft.ops.Pipeline.redactedCorpusFromSpans(documents, spans,
+      benchmarkMaxId, seqLen)
+  }
+
   /** The corpus-release half of the streaming e9 flagship: compose the
     * batch keep-set (`Pipeline.curatedCorpus` — quality, dup spans,
     * exact-dup keepers) with the near-dup drop decisions the

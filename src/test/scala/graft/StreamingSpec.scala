@@ -1921,6 +1921,12 @@ class StreamingSpec extends GraftSuite {
         benchDocs, state, out).get)
       == corpusRows(Dedup.quoteRedactionSpans(fixture, 25L)),
       "streamed d30 must equal the batch redaction plan")
+    // streamed e12: the spans APPLIED — the surgical corpus release
+    // from committed flags equals the batch redactedCorpus
+    assert(corpusRows(Streams.redactedCorpusFromIngest(fixture,
+        benchDocs, state, out))
+      == corpusRows(graft.ops.Pipeline.redactedCorpus(fixture)),
+      "streamed e12 must equal the batch surgical corpus")
     // replay of a committed bid is a no-op (O(1) frontier guard)
     Streams.mergeQuoteContamination(
       Seq((9999L, byId(3L))).toDF("doc_id", "text"), 0L,
