@@ -435,7 +435,18 @@ object Dedup {
       .select(col("doc_id").as("doc1"), col("i").as("k1"), col("shingle"))
     val bench = pos.where(col("doc_id") < benchMaxId)
       .select(col("doc_id").as("doc2"), col("i").as("k2"), col("shingle"))
-    quoteProbeCore(train, bench, np, threshold, tol, prefilter)
+    val flags = quoteProbeCore(train, bench, np, threshold, tol, prefilter)
+    // memoized like the substrates (plan-equality reuse): FIVE consumers
+    // share this frame in a release session (d28 audit, d29 burn, d30
+    // plan, e11 drop, e12 redact), and at scale flags are computed once
+    // per corpus release, not once per downstream job. The frame is
+    // contamination-mass-proportional — persisting it is config-scale
+    // storage however large the corpus.
+    if (flags.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      flags.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      registerPersist(flags)
+    }
+    flags
   }
 
   /** Shared alignment core of [[quoteContaminationSplitCheck]] and the

@@ -2143,6 +2143,24 @@ class PipelineSpec extends GraftSuite {
     assert(pairSet(Dedup.jaccardPairs(docs, 3, 0.5)) == pairsBefore)
   }
 
+  test("d28 flags memoize: the five-consumer release session computes " +
+      "the probe once (plan-equality cache reuse)") {
+    val flags = Dedup.quoteContaminationSplitCheck(docs, 25L)
+    flags.count() // first consumer materializes the memo
+    assert(flags.storageLevel.useMemory || flags.storageLevel.useDisk,
+      "the flag frame must be persisted (five consumers share it)")
+    // a second consumer with the same parameters (what d29/d30/e11/e12
+    // build internally) reads the cached frame, not a fresh Σ-join
+    // (string match: AQE wraps the scan until execution, hiding it from
+    // a plan collect)
+    val again = Dedup.quoteContaminationSplitCheck(docs, 25L)
+      .groupBy(col("bench_id")).count()
+    val p = again.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"the second consumer must hit the memo:\n${p.take(800)}")
+    Dedup.clearSubstrates()
+  }
+
   test("d11 segment-level dedup detects planted cross-doc boilerplate") {
     import spark.implicits._
     // segments are non-overlapping 8-word windows from doc start, so the
