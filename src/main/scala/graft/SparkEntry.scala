@@ -729,6 +729,12 @@ object SparkEntry {
     // alternative to e11's whole-doc drop when the prose is valuable
     "e12_redacted_corpus" -> ((s, d) =>
       Pipeline.redactedCorpus(t(s, d, "documents"))),
+    // e13: the FULL surgical release — e3's dedup/contamination/sample
+    // stages with the quote stage handled by redaction instead of
+    // e11's whole-doc drop: surviving flagged docs repack at their
+    // post-redaction counts (tokenize space — the space the spans cut)
+    "e13_surgical_corpus" -> ((s, d) =>
+      Pipeline.surgicalCorpus(t(s, d, "documents"))),
     // ---- sketches ----
     "a14_approx_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -3909,6 +3915,121 @@ object SparkEntry {
         |        FROM tk t LEFT JOIN cov c ON c.doc_id = t.doc_id
         |        WHERE t.doc_id >= 25)
         |SELECT doc_id, n_tok_orig, n_redacted, n_tok,
+        |       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) AS BIGINT) AS start_offset,
+        |       CAST(floor(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) / 4096) AS BIGINT) AS chunk_id
+        |FROM cnt WHERE n_tok >= 1""".stripMargin,
+    // e13: e3's drop-list CTEs verbatim (length floor, exact/near dups,
+    // d9 contamination, sampling hash) + d30's span CTEs + the e12
+    // interval union — survivors repack at tokenize-space counts minus
+    // their unioned span mass (the surgical alternative to e11's drop)
+    "e13_surgical_corpus" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        |       FROM sh a JOIN sh b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
+        |             JOIN sz s1 ON doc1 = s1.doc_id
+        |             JOIN sz s2 ON doc2 = s2.doc_id
+        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+        |exactdups AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        |                                'g')))) AS keeper
+        |    FROM documents)
+        |  WHERE doc_id <> keeper),
+        |contam AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
+        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
+        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5)),
+        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+        |         AS shingle
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+        |             FROM tk)),
+        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ps GROUP BY 1),
+        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
+        |       FROM ps a JOIN ps b USING (shingle)
+        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
+        |msh AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, i2 - i1 AS shift,
+        |          row_number() OVER (PARTITION BY d1, d2
+        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
+        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
+        |mm AS (SELECT f.d1, f.d2, s.shift,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i1 END) AS ma,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i2 END) AS mb
+        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
+        |       GROUP BY 1, 2, 3),
+        |fl AS (SELECT mm.d1, mm.d2
+        |       FROM mm JOIN np a ON mm.d1 = a.doc_id
+        |                JOIN np b ON mm.d2 = b.doc_id
+        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
+        |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
+        |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
+        |qs AS (SELECT d1, d2, shift FROM mt
+        |       GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3),
+        |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
+        |       FROM mt JOIN qs USING (d1, d2, shift)),
+        |gg AS (SELECT d1, d2, shift, i1,
+        |         CASE WHEN lag(i1) OVER w IS NULL
+        |                OR i1 > lag(i1) OVER w + 3 THEN 1 ELSE 0 END AS ns
+        |       FROM mk
+        |       WINDOW w AS (PARTITION BY d1, d2, shift ORDER BY i1)),
+        |gs AS (SELECT d1, d2, shift, i1,
+        |         SUM(ns) OVER (PARTITION BY d1, d2, shift ORDER BY i1
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS sid
+        |       FROM gg),
+        |sp AS (SELECT DISTINCT doc_id, s, e FROM (
+        |        SELECT d1 AS doc_id, MIN(i1) AS s, MAX(i1) + 2 AS e
+        |        FROM gs GROUP BY d1, d2, shift, sid)),
+        |u1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN MAX(e) OVER wp IS NULL
+        |                OR s > MAX(e) OVER wp + 1 THEN 1 ELSE 0 END AS ns
+        |       FROM sp
+        |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u2 AS (SELECT doc_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS gid
+        |       FROM u1),
+        |cov AS (SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT)
+        |          AS n_redacted
+        |        FROM (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+        |              FROM u2 GROUP BY 1, 2) GROUP BY 1),
+        |survivors AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE doc_id >= 25 AND length(text) >= 100
+        |    AND doc_id NOT IN (SELECT doc_id FROM neardups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM exactdups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'),
+        |cnt AS (SELECT s.doc_id, s.lang,
+        |          CAST(len(t.toks) AS BIGINT) AS n_tok_orig,
+        |          CAST(COALESCE(c.n_redacted, 0) AS BIGINT)
+        |            AS n_redacted,
+        |          CAST(len(t.toks) AS BIGINT)
+        |            - CAST(COALESCE(c.n_redacted, 0) AS BIGINT) AS n_tok
+        |        FROM survivors s JOIN tk t ON t.doc_id = s.doc_id
+        |        LEFT JOIN cov c ON c.doc_id = s.doc_id)
+        |SELECT doc_id, lang, n_tok_orig, n_redacted, n_tok,
         |       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) AS BIGINT) AS start_offset,

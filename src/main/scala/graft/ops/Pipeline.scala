@@ -149,6 +149,18 @@ object Pipeline {
     * for any (doc_id, span_start, span_end) plan in tokenize space. */
   private[graft] def redactedCorpusFromSpans(documents: DataFrame,
       spanPlan: DataFrame, benchmarkMaxId: Long,
+      seqLen: Int): DataFrame =
+    redactPack(documents.where(col("doc_id") >= benchmarkMaxId),
+      spanPlan, seqLen)
+
+  /** The shared redact-and-pack core of e12 ([[redactedCorpus]]) and
+    * e13 ([[surgicalCorpus]]): interval-union the span plan per doc,
+    * cut the covered mass from the tokenize-space counts of `docs`
+    * (any (doc_id, text) frame — the whole training side for e12, the
+    * e3 survivor set for e13), drop docs redacted to nothing, repack
+    * the rest contiguously. Spans for docs outside `docs` are inert
+    * (left join). */
+  private def redactPack(docs: DataFrame, spanPlan: DataFrame,
       seqLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spans = spanPlan
@@ -168,7 +180,7 @@ object Pipeline {
       .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
       .groupBy(col("doc_id"))
       .agg(sum(col("me") - col("ms") + 1).as("n_redacted"))
-    val counts = documents.where(col("doc_id") >= benchmarkMaxId)
+    val counts = docs
       .select(col("doc_id"),
         size(graft.functions.Text.tokenizeUdf(col("text")))
           .cast("long").as("n_tok_orig"))
@@ -183,6 +195,59 @@ object Pipeline {
         col("n_redacted")), "doc_id")
       .select(col("doc_id"), col("n_tok_orig"), col("n_redacted"),
         col("n_tok"), col("start_offset"), col("chunk_id"))
+  }
+
+  /** E13 — the FULL surgical release: e3's whole curation pipeline
+    * (benchmark exclusion, length floor, exact/near-dup drops, d9
+    * contamination drop, reproducible sampling) with the quote stage
+    * handled SURGICALLY — instead of e11's whole-doc drop, every
+    * surviving quote-flagged doc has its d30 spans cut and repacks at
+    * its post-redaction token count (a doc redacted to nothing still
+    * drops). This is the release shape when flagged docs are valuable:
+    * dedup + decontaminate + redact + pack in one composition.
+    *
+    * Token space: the packed counts are TOKENIZE-space (the space the
+    * spans index) for every survivor — the surgical corpus packs what
+    * the spans cut, where e3/e11 pack whitespace counts (documented
+    * divergence, oracle mirrors it). The length floor still reads raw
+    * chars like e3. Output (doc_id, lang, n_tok_orig, n_redacted,
+    * n_tok, start_offset, chunk_id).
+    *
+    * Scale: e3's drop-list joins (planner-chosen, AQE-broadcast when
+    * small) + the flag-bounded span plan + one tokenize pass — no new
+    * shuffle family beyond its parents. */
+  def surgicalCorpus(documents: DataFrame, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5,
+      seqLen: Int = 4096, threshold: Double = 0.8,
+      minPositions: Int = 3): DataFrame = {
+    val corpus = documents.where(col("doc_id") >= benchmarkMaxId)
+    val nearDups = Dedup.jaccardPairs(documents, 3, 0.5)
+      .select(col("doc2").as("doc_id")).distinct()
+    val exactDups = documents
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("fp"))
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    val contaminated = Dedup
+      .contaminationSplitCheck(documents, benchmarkMaxId, 3, 5)
+      .select(col("doc_id")).distinct()
+    val survivors = corpus
+      .where(length(col("text")) >= minChars)
+      .join(nearDups, Seq("doc_id"), "left_anti")
+      .join(exactDups, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .transform(Sampling.deterministicSample(_, "doc_id", sampleFrac))
+      .localCheckpoint() // read by the pack core + the lang join below
+    val spans = Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
+      threshold, tol = 1, minPositions = minPositions)
+    redactPack(survivors, spans, seqLen)
+      .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tok_orig"),
+        col("n_redacted"), col("n_tok"), col("start_offset"),
+        col("chunk_id"))
   }
 
   /** E5 — the round-5 curation composition: model-based quality filter

@@ -1788,6 +1788,49 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates()
   }
 
+  test("e13 surgical release: flagged docs survive REDACTED where e11 " +
+      "drops them whole; the dedup stages still apply") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Pipeline}
+    val q = "alpha bravo charlie delta echo foxtrot" // 6 tokens
+    val pad = "every training document needs enough completely distinct " +
+      "filler prose to clear the hundred character floor" // 16 tokens
+    val hand = Seq(
+      (3L, q), // benchmark item
+      // 27 quotes the item behind valuable prose (passes the sample)
+      (27L, s"$pad $q trailing remark"),
+      // 28 is an exact duplicate of 27 -> exact-dup stage drops it
+      (28L, s"$pad $q trailing remark"),
+      // 29 is the clean control
+      (29L, "an unrelated survivor whose words never touch the " +
+        "benchmark vocabulary but still run well past the length gate"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val e11 = Pipeline.trainingCorpus(hand, quoteThreshold = Some(0.8))
+      .collect().map(_.getLong(0)).toSet
+    val got = Pipeline.surgicalCorpus(hand).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // e11 drops the flagged doc whole; e13 keeps it redacted. The
+    // exact-dup copy drops in BOTH (the dedup stages still run)
+    assert(e11 == Set(29L), s"e11 must drop the flagged doc: $e11")
+    assert(got.keySet == Set(27L, 29L),
+      s"e13 must keep the flagged doc redacted, drop the dup: $got")
+    // doc 27: pad(15) + q(6) + 2 = 23 tokens; the quote's 4 trigram
+    // windows sit at k1 = 16..19 -> span [16, 21] = 6 tokens cut
+    val (orig27, red27, tok27, off27) = got(27L)
+    assert(orig27 == 23L && red27 == 6L && tok27 == 17L,
+      s"exactly the quoted tokens must be cut: $got")
+    // conservation + contiguous repack in doc_id order
+    val (_, red29, tok29, off29) = got(29L)
+    assert(red29 == 0L && off27 == 0L && off29 == tok27,
+      s"offsets must repack over post-redaction counts: $got")
+    // the excised slice reproduces the benchmark item verbatim
+    val toks = s"$pad $q trailing remark".split(" ")
+    assert(toks.slice(15, 21).mkString(" ") == q,
+      "excised slice must reproduce the benchmark item")
+    Dedup.clearSubstrates()
+  }
+
   test("e11 closes the short-quote gap: a fully-quoted 4-shingle bench " +
       "item ships through e3's set stage and drops here") {
     import spark.implicits._
