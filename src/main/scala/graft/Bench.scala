@@ -29,6 +29,36 @@ import org.apache.spark.sql.SparkSession
   * distinguishable from a plan regression without re-running.
   */
 object Bench {
+  /** Per-query gate baselines: the union of every ```json
+    * {"metric":...} line in the baseline file, EARLIEST line winning
+    * per query — the exact rule tools/benchgate.py applies, so the
+    * in-process retry pass and the offline gate adjudicate against the
+    * same numbers (divergence here would retry the wrong set). */
+  private[graft] def readBaselines(path: String): Map[String, Double] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // explicit UTF-8: the baseline prose carries non-ASCII (×, —) and a
+    // platform-charset read throws MalformedInputException under a
+    // POSIX-locale JVM — which the caller's catch would silently turn
+    // into "no baselines", disarming the whole retry pass (spec-pinned)
+    val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
+    try src.getLines().foreach { line =>
+      val l = line.trim
+      if (l.startsWith("{\"metric\"")) {
+        val qs = mapper.readTree(l).get("queries")
+        if (qs != null) {
+          val it = qs.fieldNames()
+          while (it.hasNext) {
+            val k = it.next()
+            if (!acc.contains(k))
+              acc(k) = qs.get(k).asDouble() // earliest wins
+          }
+        }
+      }
+    } finally src.close()
+    acc.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -161,26 +191,8 @@ object Bench {
     // repeat; they answer "is the plan slow or was the box busy", not
     // "what is the cold cost".
     val baselines: Map[String, Double] =
-      try {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-        val src = scala.io.Source.fromFile("BASELINE.md")
-        try src.getLines().foreach { line =>
-          val l = line.trim
-          if (l.startsWith("{\"metric\"")) {
-            val qs = mapper.readTree(l).get("queries")
-            if (qs != null) {
-              val it = qs.fieldNames()
-              while (it.hasNext) {
-                val k = it.next()
-                if (!acc.contains(k))
-                  acc(k) = qs.get(k).asDouble() // earliest wins
-              }
-            }
-          }
-        } finally src.close()
-        acc.toMap
-      } catch { case e: Throwable =>
+      try readBaselines("BASELINE.md")
+      catch { case e: Throwable =>
         System.err.println(s"[bench] no baselines for retry pass: " +
           s"${e.getMessage}")
         Map.empty

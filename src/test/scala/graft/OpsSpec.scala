@@ -1045,4 +1045,24 @@ class OpsSpec extends GraftSuite {
       case _ =>
     }
   }
+
+  test("bench gate baselines parse earliest-wins and cover every query") {
+    val f = java.nio.file.Files.createTempFile("graft_baseline", ".md")
+    java.nio.file.Files.writeString(f,
+      """# prose header the parser must skip
+        |{"metric":"total","value":1,"queries":{"q_a":1.5,"q_b":0.4}}
+        |interleaved prose, not a baseline line
+        |{"metric":"total","value":2,"queries":{"q_a":9.9,"q_c":2.0}}
+        |""".stripMargin)
+    // q_a keeps its FIRST recorded gate (the benchgate.py rule — the
+    // in-process retry pass must adjudicate against the same numbers)
+    assert(Bench.readBaselines(f.toString)
+      == Map("q_a" -> 1.5, "q_b" -> 0.4, "q_c" -> 2.0))
+    // the standing invariant behind `benchgate.py --list-ungated`: the
+    // real file gates EVERY declared query, so a new query without a
+    // seeded baseline fails here before the round-close script does
+    val real = Bench.readBaselines("BASELINE.md")
+    val missing = SparkEntry.queries.keySet -- real.keySet
+    assert(missing.isEmpty, s"queries without a bench baseline: $missing")
+  }
 }

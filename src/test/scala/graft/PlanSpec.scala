@@ -609,14 +609,17 @@ class PlanSpec extends GraftSuite {
       s"the selected set must broadcast into both joins:\n${p.take(1200)}")
   }
 
-  test("e12 redacted corpus: every window is partitioned (doc_id islands," +
-      " pair-bounded spans, bucketed offsets — no global serialization)") {
+  test("e12/e13 redaction releases: every window is partitioned (doc_id " +
+      "islands, pair-bounded spans, fp keepers, bucketed offsets)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val lp = SparkEntry.queries("e12_redacted_corpus")(spark, sf)
-      .queryExecution.optimizedPlan
-    val bad = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
-    assert(bad.isEmpty,
-      s"e12 must never run an unpartitioned window over corpus rows:\n" +
-        bad.mkString("\n"))
+    for (q <- Seq("e12_redacted_corpus", "e13_surgical_corpus")) {
+      val lp = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty,
+        s"$q must never run an unpartitioned window over corpus rows:\n" +
+          bad.mkString("\n"))
+    }
   }
 }
