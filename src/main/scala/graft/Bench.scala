@@ -190,8 +190,12 @@ object Bench {
     // loop. Retries reuse the session's warm memos like any in-suite
     // repeat; they answer "is the plan slow or was the box busy", not
     // "what is the cold cost".
+    // SPARK_GRAFT_BASELINE overrides the gate file — the end-to-end
+    // harness for the retry pass itself (point it at a file with a
+    // deliberately tiny gate and watch a retry fire)
     val baselines: Map[String, Double] =
-      try readBaselines("BASELINE.md")
+      try readBaselines(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] no baselines for retry pass: " +
           s"${e.getMessage}")
