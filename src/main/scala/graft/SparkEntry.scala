@@ -689,6 +689,13 @@ object SparkEntry {
     // bipartite banded blocking, benchmark side broadcast
     "d25_media_contamination" -> ((s, d) =>
       Multimodal.mediaContaminationSplitCheck(t(s, d, "documents"), 25)),
+    // EMBEDDING-space contamination (the modality the shingle/pixel
+    // probes can't see — a semantic paraphrase of an eval item): train
+    // vectors within cosine 0.4 of the eval holdout (vec_id < 100),
+    // eval side broadcast, one codegen cosine pass
+    "d31_embedding_contamination" -> ((s, d) =>
+      Similarity.embeddingContaminationSplitCheck(
+        t(s, d, "embeddings"), 100)),
     // the benchmark BURN report: d25's flags at e10's loose enforcement
     // budgets rolled up per eval item — which benchmark docs are
     // compromised, by how many training docs, and how closely
@@ -2923,6 +2930,28 @@ object SparkEntry {
         |       MAX(i1) + 2 AS span_end,
         |       CAST(COUNT(*) AS BIGINT) AS n_positions
         |FROM gs GROUP BY d1, d2, shift, sid""".stripMargin,
+    // d31: brute bipartite cosine (the sel1/emb-family SUM-then-round
+    // arithmetic), flag on the 6dp-rounded value — train >= 100 vs
+    // eval holdout < 100
+    "d31_embedding_contamination" ->
+      """WITH nn AS (SELECT vec_id,
+        |        sqrt(SUM(CAST(embedding[ii.i] AS DOUBLE)
+        |          * CAST(embedding[ii.i] AS DOUBLE))) AS nrm
+        |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+        |      GROUP BY 1),
+        |c AS (SELECT a.vec_id, b.vec_id AS bench_id,
+        |        SUM(CAST(a.embedding[ii.i] AS DOUBLE)
+        |          * CAST(b.embedding[ii.i] AS DOUBLE)) AS dot
+        |      FROM embeddings a, embeddings b,
+        |           (SELECT unnest(range(1, 65)) AS i) ii
+        |      WHERE a.vec_id >= 100 AND b.vec_id < 100
+        |      GROUP BY 1, 2)
+        |SELECT c.vec_id, c.bench_id,
+        |       ROUND(c.dot / (na.nrm * nb.nrm), 6) AS cos
+        |FROM c JOIN nn na ON na.vec_id = c.vec_id
+        |       JOIN nn nb ON nb.vec_id = c.bench_id
+        |WHERE na.nrm > 0 AND nb.nrm > 0
+        |  AND ROUND(c.dot / (na.nrm * nb.nrm), 6) >= 0.4""".stripMargin,
     // d29: the d28 flag set rolled up per benchmark item (n_train,
     // max_containment, first_train) — CTEs are d28's verbatim
     "d29_quote_burn" ->

@@ -253,6 +253,42 @@ object Similarity {
     * decimal(38) against overflow at corpus scale — and the single
     * float op is the final ratio, rounded 6dp. Zero-norm vectors are
     * excluded (no direction, no cosine). */
+  /** D31 — EMBEDDING-space train/eval contamination: every training
+    * vector whose cosine to an eval-holdout vector reaches `threshold`,
+    * completing the contamination family across all three modalities
+    * (text shingles d9/d28, perceptual media d25, embeddings here) —
+    * the probe a semantic paraphrase of a benchmark item trips when no
+    * shingle or pixel matches. Output (vec_id, bench_id, cos@6dp); the
+    * flag compares the ROUNDED cosine (both engines round identically,
+    * so the boundary is hash-stable).
+    *
+    * Scale: the d25 bipartite discipline — the eval side is BROADCAST
+    * (small by definition) and training vectors stream through one
+    * codegen cosine pass (`Vectors.cosineFast` native expressions), so
+    * cost is O(n·|bench|) with no shuffle. At web scale with a large
+    * eval union, compose with the IVF index (probe each bench vector's
+    * nprobe cells and run this check inside them — the documented sim4
+    * composition); the operator itself stays exact. Zero-norm vectors
+    * cosine to NaN and never flag (the ranker NaN contract). */
+  def embeddingContaminationSplitCheck(embeddings: DataFrame,
+      benchMaxId: Long, threshold: Double = 0.4): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must sit in (0, 1]")
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      graft.functions.Vectors.normFast(col("embedding")).as("nrm"))
+    val bench = base.where(col("vec_id") < benchMaxId)
+      .select(col("vec_id").as("bench_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    base.where(col("vec_id") >= benchMaxId)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        round(graft.functions.Vectors.cosineFast(col("embedding"),
+          col("b_emb"), col("nrm"), col("b_nrm")), 6).as("cos"))
+      // explicit NaN guard: Spark ORDERS NaN above every double, so a
+      // bare >= would flag every zero-norm pair as contaminated
+      .where(!isnan(col("cos")) && col("cos") >= threshold)
+  }
+
   def meanCosine(embeddings: DataFrame): DataFrame = {
     val vq = withNorm(embeddings).where(col("nrm") > 0)
       .select(col("nrm"), posexplode(col("embedding")).as(Seq("i0", "x")))

@@ -598,6 +598,16 @@ class PlanSpec extends GraftSuite {
       s"config-scale k must plan as TakeOrderedAndProject:\n${p.take(1200)}")
   }
 
+  test("d31 embedding contamination: eval side broadcast, one codegen " +
+      "cosine pass, no shuffle anywhere") {
+    val p = plan("d31_embedding_contamination")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the eval holdout must broadcast into the cosine pass:\n" +
+        p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the bipartite probe must not shuffle:\n${p.take(1200)}")
+  }
+
   test("sel4 select-then-pack: top-k selection, selected set re-enters " +
       "via broadcast") {
     val p = plan("sel4_dsir_pack")

@@ -559,6 +559,26 @@ class ProvenanceSpec extends GraftSuite {
     }
   }
 
+  test("d31 embedding contamination: a verbatim (scaled) copy flags at " +
+      "1.0; strangers, bench members, and zero-norm vectors never flag") {
+    import spark.implicits._
+    val hand = Seq(
+      (1L, Array(1f, 0f, 0f)),   // eval item
+      (2L, Array(0f, 1f, 0f)),   // second eval item, orthogonal
+      (100L, Array(2f, 0f, 0f)), // scaled copy of eval 1 -> cos 1.0
+      (101L, Array(0f, 0f, 1f)), // orthogonal to the whole holdout
+      (102L, Array(0f, 0f, 0f))  // zero-norm: cosine undefined
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingContaminationSplitCheck(hand, 100L, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // ONLY the semantic copy flags: direction matches regardless of
+    // scale; the orthogonal doc and the zero-norm vector stay out, and
+    // eval members never appear on the train side
+    assert(got == Set((100L, 1L, 1.0)),
+      s"exactly the scaled copy must flag: $got")
+  }
+
   test("emb4 law: errors bounded by half a level; constant dims are free") {
     val rows = Similarity.int8QuantStats(embs).collect()
     assert(rows.length == 64)
