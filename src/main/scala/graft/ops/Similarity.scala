@@ -272,15 +272,27 @@ object Similarity {
     * cosine to NaN and never flag (the ranker NaN contract). */
   def embeddingContaminationSplitCheck(embeddings: DataFrame,
       benchMaxId: Long, threshold: Double = 0.4): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    embeddingContaminationProbe(base.where(col("vec_id") >= benchMaxId),
+      base.where(col("vec_id") < benchMaxId), threshold)
+  }
+
+  /** The probe core of [[embeddingContaminationSplitCheck]] and the
+    * ONLINE leg (`Streams.embeddingContaminationSink`): bipartite cosine
+    * of `train` (vec_id, embedding) rows against the BROADCAST
+    * `bench` frame. STATELESS given the bench frame — cosine reads only
+    * the two rows — so the streamed union over micro-batches equals the
+    * batch operator on the arrived vectors for any arrival order. */
+  private[graft] def embeddingContaminationProbe(train: DataFrame,
+      bench: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must sit in (0, 1]")
-    val base = embeddings.select(col("vec_id"), col("embedding"),
+    def withN(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
       graft.functions.Vectors.normFast(col("embedding")).as("nrm"))
-    val bench = base.where(col("vec_id") < benchMaxId)
-      .select(col("vec_id").as("bench_id"),
-        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    base.where(col("vec_id") >= benchMaxId)
-      .crossJoin(broadcast(bench))
+    val b = withN(bench).select(col("vec_id").as("bench_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    withN(train)
+      .crossJoin(broadcast(b))
       .select(col("vec_id"), col("bench_id"),
         round(graft.functions.Vectors.cosineFast(col("embedding"),
           col("b_emb"), col("nrm"), col("b_nrm")), 6).as("cos"))

@@ -1231,6 +1231,67 @@ object Streams {
       .getOrElse(graft.ops.Pipeline.trainingCorpus(documents,
         benchmarkMaxId, minChars, sampleFrac, seqLen))
 
+  /** The ONLINE d31 — embedding-space contamination of an arriving
+    * vector stream against the broadcast eval-holdout embeddings
+    * (`Similarity.embeddingContaminationProbe`, the batch operator's
+    * own core). STATELESS given the bench frame — cosine reads only the
+    * two rows — so the union of committed per-batch outputs equals the
+    * batch d31 on the arrived vectors for ANY arrival order
+    * (kill/restart parity spec-pinned). Arriving vectors that ARE bench
+    * members are excluded, the batch operator's train-side split. Same
+    * per-bid idempotence + frontier commit + O(1) replay guard as every
+    * ingest leg. */
+  def embeddingContaminationSink(vectors: DataFrame,
+      benchEmbeddings: DataFrame, stateDir: String, outDir: String,
+      threshold: Double = 0.4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val bench = benchEmbeddings.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    vectors.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        mergeEmbeddingContamination(batch, batchId, bench, stateDir,
+          outDir, threshold)
+    }
+  }
+
+  /** The per-batch body of [[embeddingContaminationSink]] (spec entry
+    * point). */
+  private[graft] def mergeEmbeddingContamination(batch: DataFrame,
+      batchId: Long, bench: DataFrame, stateDir: String, outDir: String,
+      threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val frontierDir = s"$stateDir/frontier"
+    val lastBid = readStateWithRecovery(spark, frontierDir).map { df =>
+      val r = df.select(max(col("bid"))).head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }.getOrElse(-1L)
+    if (batchId <= lastBid) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"embedding contamination probe: skipping batch $batchId " +
+          s"(frontier at $lastBid) — replay of a committed batch is a " +
+          "no-op")
+      return
+    }
+    val arrivals = batch.join(
+      bench.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+    graft.ops.Similarity
+      .embeddingContaminationProbe(arrivals, bench, threshold)
+      .write.mode("overwrite").parquet(s"$outDir/bid=$batchId")
+    import spark.implicits._
+    swapIntoPlace(Seq(batchId).toDF("bid").repartition(1), frontierDir)
+  }
+
+  /** Committed-only read of the online d31 audit output (orphan
+    * partitions a crash left behind are never listed). None before the
+    * first commit. */
+  def committedEmbeddingContamination(spark: SparkSession,
+      stateDir: String, outDir: String): Option[DataFrame] =
+    readStateWithRecovery(spark, s"$stateDir/frontier").flatMap { df =>
+      val r = df.select(max(col("bid"))).head
+      if (r.isNullAt(0)) None
+      else committedBidParquet(spark, outDir, r.getLong(0))
+    }
+
   /** The STREAMED d29 — the quote burn report from the COMMITTED online
     * d28 flags: which benchmark items are quote-compromised by the
     * traffic that has arrived so far, by how many docs, how completely,

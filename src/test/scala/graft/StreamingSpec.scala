@@ -1937,6 +1937,49 @@ class StreamingSpec extends GraftSuite {
     Dedup.clearSubstrates()
   }
 
+  test("streaming d31: the per-batch embedding probe equals the batch " +
+      "operator across a kill/restart boundary") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_d31s").toString
+    val (state, out, ckpt) = (dir + "/state", dir + "/out", dir + "/ckpt")
+    val all = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val fixture = all.toDF("vec_id", "embedding").localCheckpoint()
+    val benchEmb = fixture.where(col("vec_id") < 100).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "bench_id", "cos").collect()
+      .map(_.toSeq.toList).toSet
+    // batch truth — the threshold sits where the synthetic corpus has
+    // real mass (max bipartite cosine ~0.49)
+    val want = rows(ops.Similarity
+      .embeddingContaminationSplitCheck(fixture, 100L, 0.4))
+    assert(want.nonEmpty, "fixture must flag something — gate is weak")
+    // stream EVERYTHING (bench vectors too — the sink must exclude
+    // them itself), shuffled, killing between batches
+    val shuffled = new scala.util.Random(31L).shuffle(all)
+    val ms = MemoryStream[(Long, Array[Float])](96, spark, None)
+    def startQ() = Streams.embeddingContaminationSink(
+        ms.toDS().toDF("vec_id", "embedding"), benchEmb, state, out)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = startQ()
+    ms.addData(shuffled.take(150)); q1.processAllAvailable()
+    q1.stop() // kill
+    val q2 = startQ()
+    ms.addData(shuffled.drop(150)); q2.processAllAvailable(); q2.stop()
+    val got = rows(
+      Streams.committedEmbeddingContamination(spark, state, out).get)
+    assert(got == want,
+      s"streamed d31 diverged: only_stream=${got -- want} " +
+        s"only_batch=${want -- got}")
+    // replay of a committed bid is a no-op (O(1) frontier guard)
+    Streams.mergeEmbeddingContamination(
+      Seq((9999L, all.head._2)).toDF("vec_id", "embedding"), 0L,
+      benchEmb, state, out, 0.4)
+    assert(rows(Streams.committedEmbeddingContamination(spark, state,
+      out).get) == got, "replay must not re-probe or append")
+  }
+
   test("txn sink: corrupt orphan files cannot poison the committed read") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_txn4").toString + "/t"
