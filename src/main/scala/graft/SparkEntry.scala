@@ -696,6 +696,10 @@ object SparkEntry {
     "d31_embedding_contamination" -> ((s, d) =>
       Similarity.embeddingContaminationSplitCheck(
         t(s, d, "embeddings"), 100)),
+    // the embedding burn report: d31's flags per eval item — the
+    // d26/d29 twin for the semantic modality
+    "d32_embedding_burn" -> ((s, d) =>
+      Similarity.embeddingBurnReport(t(s, d, "embeddings"), 100)),
     // the benchmark BURN report: d25's flags at e10's loose enforcement
     // budgets rolled up per eval item — which benchmark docs are
     // compromised, by how many training docs, and how closely
@@ -2952,6 +2956,30 @@ object SparkEntry {
         |       JOIN nn nb ON nb.vec_id = c.bench_id
         |WHERE na.nrm > 0 AND nb.nrm > 0
         |  AND ROUND(c.dot / (na.nrm * nb.nrm), 6) >= 0.4""".stripMargin,
+    // d32: d31's CTEs + the per-bench-item rollup
+    "d32_embedding_burn" ->
+      """WITH nn AS (SELECT vec_id,
+        |        sqrt(SUM(CAST(embedding[ii.i] AS DOUBLE)
+        |          * CAST(embedding[ii.i] AS DOUBLE))) AS nrm
+        |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+        |      GROUP BY 1),
+        |c AS (SELECT a.vec_id, b.vec_id AS bench_id,
+        |        SUM(CAST(a.embedding[ii.i] AS DOUBLE)
+        |          * CAST(b.embedding[ii.i] AS DOUBLE)) AS dot
+        |      FROM embeddings a, embeddings b,
+        |           (SELECT unnest(range(1, 65)) AS i) ii
+        |      WHERE a.vec_id >= 100 AND b.vec_id < 100
+        |      GROUP BY 1, 2),
+        |fl AS (SELECT c.vec_id, c.bench_id,
+        |         ROUND(c.dot / (na.nrm * nb.nrm), 6) AS cos
+        |       FROM c JOIN nn na ON na.vec_id = c.vec_id
+        |              JOIN nn nb ON nb.vec_id = c.bench_id
+        |       WHERE na.nrm > 0 AND nb.nrm > 0
+        |         AND ROUND(c.dot / (na.nrm * nb.nrm), 6) >= 0.4)
+        |SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_train,
+        |       MAX(cos) AS max_cos,
+        |       MIN(vec_id) AS first_train
+        |FROM fl GROUP BY 1""".stripMargin,
     // d29: the d28 flag set rolled up per benchmark item (n_train,
     // max_containment, first_train) — CTEs are d28's verbatim
     "d29_quote_burn" ->

@@ -301,6 +301,21 @@ object Similarity {
       .where(!isnan(col("cos")) && col("cos") >= threshold)
   }
 
+  /** D32 — the EMBEDDING burn report: d31's flags rolled up per eval
+    * item (bench_id, n_train, max_cos, first_train) — which benchmark
+    * vectors are semantically compromised, by how many training
+    * vectors, how closely, and since which id. Completes the
+    * probe→burn symmetry across the contamination family (d25→d26
+    * media, d28→d29 text, d31→here). Flag-bounded rollup, one
+    * map-side-combinable groupBy over the probe output. */
+  def embeddingBurnReport(embeddings: DataFrame, benchMaxId: Long,
+      threshold: Double = 0.4): DataFrame =
+    embeddingContaminationSplitCheck(embeddings, benchMaxId, threshold)
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_train"),
+        max(col("cos")).as("max_cos"),
+        min(col("vec_id")).as("first_train"))
+
   def meanCosine(embeddings: DataFrame): DataFrame = {
     val vq = withNorm(embeddings).where(col("nrm") > 0)
       .select(col("nrm"), posexplode(col("embedding")).as(Seq("i0", "x")))
