@@ -1292,6 +1292,20 @@ object Streams {
       else committedBidParquet(spark, outDir, r.getLong(0))
     }
 
+  /** The STREAMED d32 — the embedding burn report from the COMMITTED
+    * online d31 flags: which eval vectors are semantically compromised
+    * by the traffic so far. Stateless-exact probe ⇒ equals
+    * `Similarity.embeddingBurnReport` over the arrived vectors for any
+    * arrival order. Flag-bounded rollup; None before the first
+    * commit. */
+  def embeddingBurnFromIngest(spark: SparkSession, stateDir: String,
+      outDir: String): Option[DataFrame] =
+    committedEmbeddingContamination(spark, stateDir, outDir).map(
+      _.groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("n_train"),
+          max(col("cos")).as("max_cos"),
+          min(col("vec_id")).as("first_train")))
+
   /** The STREAMED d29 — the quote burn report from the COMMITTED online
     * d28 flags: which benchmark items are quote-compromised by the
     * traffic that has arrived so far, by how many docs, how completely,

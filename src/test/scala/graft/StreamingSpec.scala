@@ -1972,6 +1972,13 @@ class StreamingSpec extends GraftSuite {
     assert(got == want,
       s"streamed d31 diverged: only_stream=${got -- want} " +
         s"only_batch=${want -- got}")
+    // streamed d32: the burn rollup over committed flags == batch
+    def burnRows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(_.toSeq.toList).toSet
+    assert(burnRows(Streams.embeddingBurnFromIngest(spark, state,
+        out).get)
+      == burnRows(ops.Similarity.embeddingBurnReport(fixture, 100L, 0.4)),
+      "streamed d32 must equal the batch embedding burn report")
     // replay of a committed bid is a no-op (O(1) frontier guard)
     Streams.mergeEmbeddingContamination(
       Seq((9999L, all.head._2)).toDF("vec_id", "embedding"), 0L,
