@@ -205,20 +205,31 @@ object Bench {
     val maxRetries = 8  // bound the pass; >8 breaches is a real problem
     val nominal = results.filter { case (name, sec) =>
       baselines.get(name).exists(b => sec > gateRatio * b) }
-    val retried = nominal.take(maxRetries).map { case (name, _) =>
+    val retryFailed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val retried = nominal.take(maxRetries).flatMap { case (name, _) =>
       var rw = 0
       while (loadAvg > loadGate && rw < 120) { Thread.sleep(5000); rw += 5 }
       val rl = loadAvg
       val fn = SparkEntry.queries(name)
-      val best = (0 until reps).map { _ =>
+      // a retry that THROWS must not adjudicate: its time-to-failure
+      // would read as a fast pass and benchgate would clear a real
+      // breach as ok-rtry — failed retries are excluded from the map
+      // and named in `retry_failed` so the breach stands
+      val times = (0 until reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] retry $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      (name, best, rl)
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] retry $name failed: ${e.getMessage}")
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      if (times.isEmpty) { retryFailed += name; None }
+      else Some((name, times.min, rl))
     }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def f(v: Double): String =
@@ -236,7 +247,10 @@ object Bench {
       s""""load_gate":$loadGate,"gate_wait_s":$gateWait,""" +
       s""""rep_totals":[${repTotals.map(f).mkString(",")}],""" +
       s""""retries":$retries,"retry_load":$retryLoad,""" +
-      s""""retry_skipped":${nominal.length - retried.length}"""
+      s""""retry_failed":${retryFailed.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")},""" +
+      s""""retry_skipped":${nominal.length - retried.length -
+        retryFailed.length}"""
     // full artifact only (too wide for the stdout budget): the per-query
     // load series breach adjudication reads
     val loadSeries = queryLoad

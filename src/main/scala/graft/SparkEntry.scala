@@ -2878,9 +2878,10 @@ object SparkEntry {
         |WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8""".stripMargin,
     // d30: d28's flagged pairs joined back into the positional frame;
     // matched positions grouped per EXACT shift, every shift with >= 3
-    // distinct-matched positions qualifies (not just the dominant one),
-    // and within a shift the positions island-merge (new span when i1 >
-    // prev + n) — CTEs are d28's verbatim plus the surgical span rollup
+    // distinct-matched positions qualifies PLUS the pair's dominant
+    // (max-mass) shift always does (a flagged short quote must never
+    // emit zero spans), and within a shift the positions island-merge
+    // (new span when i1 > prev + n) — d28's CTEs + the surgical rollup
     "d30_redaction_spans" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
@@ -2914,8 +2915,11 @@ object SparkEntry {
         |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
         |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
         |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
-        |qs AS (SELECT d1, d2, shift FROM mt
-        |       GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3),
+        |qs AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, shift, COUNT(*) AS mass,
+        |          MAX(COUNT(*)) OVER (PARTITION BY d1, d2) AS mx
+        |        FROM mt GROUP BY 1, 2, 3)
+        |       WHERE mass >= 3 OR mass = mx),
         |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
         |       FROM mt JOIN qs USING (d1, d2, shift)),
         |gg AS (SELECT d1, d2, shift, i1,
@@ -3931,8 +3935,11 @@ object SparkEntry {
         |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
         |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
         |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
-        |qs AS (SELECT d1, d2, shift FROM mt
-        |       GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3),
+        |qs AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, shift, COUNT(*) AS mass,
+        |          MAX(COUNT(*)) OVER (PARTITION BY d1, d2) AS mx
+        |        FROM mt GROUP BY 1, 2, 3)
+        |       WHERE mass >= 3 OR mass = mx),
         |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
         |       FROM mt JOIN qs USING (d1, d2, shift)),
         |gg AS (SELECT d1, d2, shift, i1,
@@ -4039,8 +4046,11 @@ object SparkEntry {
         |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
         |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
         |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
-        |qs AS (SELECT d1, d2, shift FROM mt
-        |       GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3),
+        |qs AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, shift, COUNT(*) AS mass,
+        |          MAX(COUNT(*)) OVER (PARTITION BY d1, d2) AS mx
+        |        FROM mt GROUP BY 1, 2, 3)
+        |       WHERE mass >= 3 OR mass = mx),
         |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
         |       FROM mt JOIN qs USING (d1, d2, shift)),
         |gg AS (SELECT d1, d2, shift, i1,

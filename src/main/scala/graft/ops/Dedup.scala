@@ -549,7 +549,12 @@ object Dedup {
     *    `minPositions` emits spans — not just the pair's dominant
     *    shift, so a doc quoting the same benchmark item TWICE at two
     *    different offsets has both quotes covered (the d28 flag only
-    *    records the dominant one);
+    *    records the dominant one). The pair's dominant (max-mass)
+    *    shift ALWAYS qualifies, floor or not: a flagged pair must
+    *    never emit zero spans — a short bench item quoted verbatim
+    *    flags at containment 1.0 with fewer than `minPositions`
+    *    matched windows, and the downstream surgical release (e12/e13)
+    *    would otherwise ship the verbatim quote uncut;
     *  - within a qualifying shift, matched k1 positions are
     *    ISLAND-MERGED (the d14 lag + running-sum span machinery): a new
     *    span starts when a position clears the previous window's
@@ -596,10 +601,21 @@ object Dedup {
       .select(col("doc1"), col("doc2"),
         (col("k2") - col("k1")).as("shift"), col("k1"))
       .distinct()
+    // a shift qualifies at the mass floor OR as the pair's dominant
+    // (max-mass) shift: the floor alone would let a d28-FLAGGED pair
+    // emit ZERO spans — a short bench item (< minPositions + n - 1
+    // tokens) quoted verbatim flags at containment 1.0 with only 1-2
+    // matched positions, and the "surgical" release would then ship the
+    // verbatim quote the plan exists to cut. Dominant-shift ties all
+    // qualify (a quote whose matches split evenly across two adjacent
+    // shifts gets both covered).
+    import org.apache.spark.sql.expressions.{Window => QW}
     val qualifying = matched
       .groupBy(col("doc1"), col("doc2"), col("shift"))
       .agg(count(lit(1)).as("mass"))
-      .where(col("mass") >= minPositions)
+      .withColumn("mx", max(col("mass")).over(
+        QW.partitionBy(col("doc1"), col("doc2"))))
+      .where(col("mass") >= minPositions || col("mass") === col("mx"))
       .select(col("doc1"), col("doc2"), col("shift"))
     val byRun = Window.partitionBy(col("doc1"), col("doc2"), col("shift"))
       .orderBy(col("k1"))

@@ -57,8 +57,25 @@ object Pipeline {
   private def trainingCorpusCore(documents: DataFrame,
       benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
       seqLen: Int, quoteFlags: Option[DataFrame]): DataFrame = {
+    val survivors = e3Survivors(documents, benchmarkMaxId, minChars,
+      sampleFrac, quoteFlags)
+    Sampling.tokenOffsets(survivors, seqLen)
+      .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        col("start_offset"), col("chunk_id"))
+  }
+
+  /** The shared e3-stage survivor set (benchmark exclusion, length
+    * floor, exact/near-dup drops, d9 contamination drop, optional
+    * quote-flag drop, reproducible sampling) — ONE implementation
+    * consumed by the e3/e11 pack ([[trainingCorpusCore]]) and the e13
+    * surgical release ([[surgicalCorpus]]), so a fix to any drop stage
+    * cannot diverge between them. Returned checkpointed: every caller
+    * fans it out. */
+  private def e3Survivors(documents: DataFrame,
+      benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
+      quoteFlags: Option[DataFrame]): DataFrame = {
     val corpus = documents.where(col("doc_id") >= benchmarkMaxId)
-    val benchmark = documents.where(col("doc_id") < benchmarkMaxId)
 
     // near-dup drop-list: the lower-id doc of each pair is the keeper
     // (reuses the d2 pair cache when both run in one session)
@@ -91,7 +108,7 @@ object Pipeline {
     // bucket window, the bucket totals, and the final lang join) and
     // Catalyst does not dedup common subplans inside one action — without
     // the barrier the filter + three anti-joins + sampling would run 3x
-    val survivors = corpus
+    corpus
       .where(length(col("text")) >= minChars)
       .join(nearDups, Seq("doc_id"), "left_anti")
       .join(exactDups, Seq("doc_id"), "left_anti")
@@ -100,11 +117,6 @@ object Pipeline {
         .map(f => df.join(f, Seq("doc_id"), "left_anti")).getOrElse(df))
       .transform(Sampling.deterministicSample(_, "doc_id", sampleFrac))
       .localCheckpoint()
-
-    Sampling.tokenOffsets(survivors, seqLen)
-      .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("doc_id"), col("lang"), col("n_tok"),
-        col("start_offset"), col("chunk_id"))
   }
 
   /** E12 — the SURGICAL release path: e11 drops every quote-flagged doc
@@ -180,6 +192,11 @@ object Pipeline {
       .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
       .groupBy(col("doc_id"))
       .agg(sum(col("me") - col("ms") + 1).as("n_redacted"))
+    // localCheckpoint: the frame fans out into the offset pass AND the
+    // provenance join below, and Catalyst does not dedup common
+    // subplans inside one action (the trainingCorpusCore discipline) —
+    // without the barrier the corpus-wide tokenize and the span union
+    // would run twice per materialization
     val counts = docs
       .select(col("doc_id"),
         size(graft.functions.Text.tokenizeUdf(col("text")))
@@ -189,6 +206,7 @@ object Pipeline {
         coalesce(col("n_redacted"), lit(0L)).as("n_redacted"))
       .withColumn("n_tok", col("n_tok_orig") - col("n_redacted"))
       .where(col("n_tok") >= 1)
+      .localCheckpoint()
     Sampling.offsetsFromCounts(
         counts.select(col("doc_id"), col("n_tok")), seqLen)
       .join(counts.select(col("doc_id"), col("n_tok_orig"),
@@ -220,27 +238,8 @@ object Pipeline {
       minChars: Int = 100, sampleFrac: Double = 0.5,
       seqLen: Int = 4096, threshold: Double = 0.8,
       minPositions: Int = 3): DataFrame = {
-    val corpus = documents.where(col("doc_id") >= benchmarkMaxId)
-    val nearDups = Dedup.jaccardPairs(documents, 3, 0.5)
-      .select(col("doc2").as("doc_id")).distinct()
-    val exactDups = documents
-      .select(col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
-          .as("fp"))
-      .withColumn("keeper", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .where(col("doc_id") =!= col("keeper"))
-      .select(col("doc_id"))
-    val contaminated = Dedup
-      .contaminationSplitCheck(documents, benchmarkMaxId, 3, 5)
-      .select(col("doc_id")).distinct()
-    val survivors = corpus
-      .where(length(col("text")) >= minChars)
-      .join(nearDups, Seq("doc_id"), "left_anti")
-      .join(exactDups, Seq("doc_id"), "left_anti")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .transform(Sampling.deterministicSample(_, "doc_id", sampleFrac))
-      .localCheckpoint() // read by the pack core + the lang join below
+    val survivors = e3Survivors(documents, benchmarkMaxId, minChars,
+      sampleFrac, quoteFlags = None)
     val spans = Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
       threshold, tol = 1, minPositions = minPositions)
     redactPack(survivors, spans, seqLen)

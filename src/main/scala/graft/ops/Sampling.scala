@@ -625,8 +625,12 @@ object Sampling {
   def dsirSelectedPack(documents: DataFrame, isTarget: Column, k: Int,
       temperature: Double = 1.0, hexChars: Int = 2,
       seqLen: Int = 4096): DataFrame = {
+    // localCheckpoint: the k-row selection fans into TWO joins (the
+    // corpus semi-join and the weight carry), and without the barrier
+    // each would recompute dsirResample's corpus-wide token passes
     val sel = dsirResample(documents, isTarget, k, temperature, hexChars)
       .select(col("doc_id"), col("weight"))
+      .localCheckpoint()
     val picked = documents.join(broadcast(sel.select(col("doc_id"))),
       Seq("doc_id"), "left_semi")
     tokenOffsets(picked, seqLen)

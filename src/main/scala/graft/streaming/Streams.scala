@@ -1236,9 +1236,14 @@ object Streams {
     * (`Similarity.embeddingContaminationProbe`, the batch operator's
     * own core). STATELESS given the bench frame — cosine reads only the
     * two rows — so the union of committed per-batch outputs equals the
-    * batch d31 on the arrived vectors for ANY arrival order
-    * (kill/restart parity spec-pinned). Arriving vectors that ARE bench
-    * members are excluded, the batch operator's train-side split. Same
+    * probe over (arrived ∖ bench members, bench) for ANY arrival order
+    * (kill/restart parity spec-pinned). The `benchEmbeddings` frame
+    * DEFINES the holdout here — membership, not an id threshold — so
+    * the streamed output equals the batch
+    * `embeddingContaminationSplitCheck(…, benchMaxId)` exactly when the
+    * frame is that operator's full id-range holdout (the spec's shape);
+    * a curated subset frame is a different (narrower) audit by design.
+    * Arriving vectors that ARE bench members are excluded. Same
     * per-bid idempotence + frontier commit + O(1) replay guard as every
     * ingest leg. */
   def embeddingContaminationSink(vectors: DataFrame,

@@ -1723,6 +1723,34 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates()
   }
 
+  test("d30 surgical: a flagged SHORT quote below the mass floor still " +
+      "emits its dominant-shift span — e12 then cuts it") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Pipeline}
+    // 4-token bench item = 2 trigram windows: flags at containment 1.0
+    // but its matched mass (2) sits under the minPositions=3 floor —
+    // the floor alone would emit NO span and the surgical release
+    // would ship the verbatim quote
+    val q = "alpha bravo charlie delta"
+    val hand = Seq(
+      (3L, q),
+      (27L, s"pre1 pre2 pre3 $q tail1 tail2"),
+      (30L, "completely unrelated training words sharing no trigram"))
+      .toDF("doc_id", "text")
+    assert(Dedup.quoteContaminationSplitCheck(hand, 25L).collect()
+      .map(_.getLong(0)).toSet == Set(27L), "fixture must flag the pair")
+    val got = Dedup.quoteRedactionSpans(hand, 25L).collect()
+      .map(r => (r.getInt(3), r.getInt(4), r.getLong(5)))
+    // quote at doc positions 4..7, matched k1 = 4..5 -> span [4, 7]
+    assert(got.toSeq == Seq((4, 7, 2L)),
+      s"the dominant shift must qualify below the floor: ${got.toSeq}")
+    val e12 = Pipeline.redactedCorpus(hand).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(e12(27L) == 4L && e12(30L) == 0L,
+      s"e12 must cut exactly the short quote: $e12")
+    Dedup.clearSubstrates()
+  }
+
   test("d30 surgical: the same item quoted twice at TWO offsets gets " +
       "both quotes covered, not just the dominant shift") {
     import spark.implicits._
