@@ -608,11 +608,18 @@ class PlanSpec extends GraftSuite {
       s"the bipartite probe must not shuffle:\n${p.take(1200)}")
   }
 
-  test("sel4 select-then-pack: top-k selection, selected set re-enters " +
-      "via broadcast") {
+  test("sel4 select-then-pack: selected set materializes once and " +
+      "re-enters via broadcast") {
     val p = plan("sel4_dsir_pack")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"the selection half must stay a distributed top-k:\n${p.take(1200)}")
+    // the selection half runs ONCE at the localCheckpoint barrier (its
+    // distributed top-k shape is pinned by the sel3 law); the pack plan
+    // itself must read the checkpointed k-row frame, not recompute the
+    // corpus-wide selection per join
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"the selected set must be the materialized barrier:\n${p.take(1200)}")
+    assert(!p.contains("TakeOrderedAndProject"),
+      "the pack plan must not re-run the selection — the barrier " +
+        "regressed and the corpus passes would run per join")
     // both re-entries of the k-row selected frame (corpus semi-join and
     // the weight carry) must broadcast — k is config-scale
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
