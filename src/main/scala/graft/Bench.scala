@@ -201,10 +201,17 @@ object Bench {
           s"${e.getMessage}")
         Map.empty
       }
-    val gateRatio = 2.0 // tools/benchgate.py GATE
+    // the gate ratio is EMITTED into the artifact ("gate") and verified
+    // by tools/benchgate.py against its own GATE constant — two
+    // independent literals would let the in-process retry pass re-run a
+    // different breach set than the offline gate adjudicates
+    val gateRatio = 2.0 // tools/benchgate.py GATE (cross-checked there)
     val maxRetries = 8  // bound the pass; >8 breaches is a real problem
+    // worst-first: with more than maxRetries breaches the largest
+    // regressions must land in the retry budget, not in retry_skipped
     val nominal = results.filter { case (name, sec) =>
-      baselines.get(name).exists(b => sec > gateRatio * b) }
+        baselines.get(name).exists(b => sec > gateRatio * b) }
+      .sortBy { case (name, sec) => -sec / baselines(name) }
     val retryFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     val retried = nominal.take(maxRetries).flatMap { case (name, _) =>
       var rw = 0
@@ -244,6 +251,7 @@ object Bench {
       .map { case (n, _, l) => "\"" + n + "\":" + f(l) }
       .mkString("{", ",", "}")
     val noise = s""""reps":$reps,"load_avg":[${f(load0)},${f(load1)}],""" +
+      s""""gate":$gateRatio,""" +
       s""""load_gate":$loadGate,"gate_wait_s":$gateWait,""" +
       s""""rep_totals":[${repTotals.map(f).mkString(",")}],""" +
       s""""retries":$retries,"retry_load":$retryLoad,""" +

@@ -14,7 +14,7 @@ import graft.ops._
   * (same column names — the driver sorts columns by name before hashing).
   * Entries without an oracle are rows-only checked and covered by ScalaTest.
   *
-  * Numeric conventions for oracle parity (see .claude/skills/verify):
+  * Numeric conventions for oracle parity (the twin rule — SURVEY.md §5):
   * money/double aggregations go through exact DECIMAL(18,2) accumulation
   * then CAST to DOUBLE; integer sums in oracle SQL are CAST to BIGINT;
   * raw nanosecond timestamps never reach output.
@@ -638,6 +638,14 @@ object SparkEntry {
     // Σ n_docs = |documents| by construction, kept == e10's keep-set
     "audit2_media_funnel" -> ((s, d) =>
       Pipeline.mediaFilterFunnel(t(s, d, "documents"))),
+    // the unified benchmark-health rollup: d26 (media) + d29 (quote) +
+    // d32 (embedding) burn evidence full-outer-joined per eval item —
+    // the single "retire this item" artifact a benchmark owner reads;
+    // the embedding leg shares the text/media holdout (vec_id is the
+    // embedding OF doc_id)
+    "audit3_benchmark_health" -> ((s, d) =>
+      Pipeline.benchmarkHealthReport(t(s, d, "documents"),
+        t(s, d, "embeddings"), 25)),
     // ---- E2 SQL entry path ----
     "e2_sql_revenue_by_year" -> ((s, d) =>
       graft.sql.SqlJobs.revenueByYear(s, d)),
@@ -700,6 +708,13 @@ object SparkEntry {
     // d26/d29 twin for the semantic modality
     "d32_embedding_burn" -> ((s, d) =>
       Similarity.embeddingBurnReport(t(s, d, "embeddings"), 100)),
+    // the INDEXED d31 — the web-scale form: each eval vector probes its
+    // nprobe=2 nearest IVF cells (oracle-able Lloyd quantizer trained on
+    // the training side only) and the cosine flag runs inside those
+    // cells; output ⊆ d31, == d31 at nprobe = cells (spec-pinned); the
+    // WHOLE approximate path is hash-gated, not rows-only
+    "d31z_indexed_contamination" -> ((s, d) =>
+      Similarity.embeddingContaminationIvf(t(s, d, "embeddings"), 100)),
     // the benchmark BURN report: d25's flags at e10's loose enforcement
     // budgets rolled up per eval item — which benchmark docs are
     // compromised, by how many training docs, and how closely
@@ -727,6 +742,17 @@ object SparkEntry {
     // prose — the alternative to e11's whole-doc drop)
     "d30_redaction_spans" -> ((s, d) =>
       Dedup.quoteRedactionSpans(t(s, d, "documents"), 25)),
+    // d33: the d30 plan lifted to CHAR space — each span with the
+    // original-string char range of its covered tokens (0-based cs
+    // inclusive / ce exclusive), so the text holder can actually
+    // splice; offsets are deterministic, the whole output hash-gated
+    "d33_redaction_char_spans" -> ((s, d) =>
+      Dedup.quoteRedactionCharSpans(t(s, d, "documents"), 25)),
+    // e15: the redacted TEXT itself — char ranges interval-unioned per
+    // doc and excised from the original string; output is the redaction
+    // delta (flagged docs only; unflagged docs ship verbatim)
+    "e15_redacted_text" -> ((s, d) =>
+      Pipeline.redactedText(t(s, d, "documents"))),
     // e11: the text enforcement closer — e3's pipeline with the d28
     // quote flags as an extra drop stage BEFORE sampling/packing (a
     // short benchmark item quoted verbatim ships through d9's >= 5-
@@ -746,6 +772,21 @@ object SparkEntry {
     // post-redaction counts (tokenize space — the space the spans cut)
     "e13_surgical_corpus" -> ((s, d) =>
       Pipeline.surgicalCorpus(t(s, d, "documents"))),
+    // e14: SEMANTIC decontamination enforced — e3's pipeline with the
+    // d31 embedding-contamination flags as one more pre-sampling drop
+    // stage (a paraphrase of an eval item shares no shingles and no
+    // pixels; only the embedding probe sees it — and from here it no
+    // longer ships); vec_id is the embedding OF doc_id
+    "e14_semantic_decontaminated" -> ((s, d) =>
+      Pipeline.semanticDecontaminatedCorpus(t(s, d, "documents"),
+        t(s, d, "embeddings"))),
+    // audit4: the e14 funnel — audit1's stages + the semantic stage
+    // (benchmark → too_short → exact_dup → near_dup → contaminated →
+    // semantic → sampled_out → kept); Σ n_docs = |documents|, kept ==
+    // e14's survivor set
+    "audit4_semantic_funnel" -> ((s, d) =>
+      Pipeline.semanticFilterFunnel(t(s, d, "documents"),
+        t(s, d, "embeddings"))),
     // ---- sketches ----
     "a14_approx_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2938,6 +2979,198 @@ object SparkEntry {
         |       MAX(i1) + 2 AS span_end,
         |       CAST(COUNT(*) AS BIGINT) AS n_positions
         |FROM gs GROUP BY d1, d2, shift, sid""".stripMargin,
+    // d33: d30's CTEs + char offsets rebuilt from cumulative token/gap
+    // lengths — splitting lower(text) on [a-z0-9]+ yields exactly
+    // n_tok + 1 gap pieces (maximal runs cannot touch), so token i
+    // starts at Σ gaps[1..i] + Σ toks[1..i-1] (0-based) and ends at
+    // start + len(toks[i]) (exclusive); spans then join the offset
+    // table at their first and last covered token
+    "d33_redaction_char_spans" ->
+      ("""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+        |         AS shingle
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+        |             FROM tk)),
+        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ps GROUP BY 1),
+        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
+        |       FROM ps a JOIN ps b USING (shingle)
+        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
+        |msh AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, i2 - i1 AS shift,
+        |          row_number() OVER (PARTITION BY d1, d2
+        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
+        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
+        |mm AS (SELECT f.d1, f.d2, s.shift,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i1 END) AS ma,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i2 END) AS mb
+        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
+        |       GROUP BY 1, 2, 3),
+        |fl AS (SELECT mm.d1, mm.d2
+        |       FROM mm JOIN np a ON mm.d1 = a.doc_id
+        |                JOIN np b ON mm.d2 = b.doc_id
+        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
+        |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
+        |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
+        |qs AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, shift, COUNT(*) AS mass,
+        |          MAX(COUNT(*)) OVER (PARTITION BY d1, d2) AS mx
+        |        FROM mt GROUP BY 1, 2, 3)
+        |       WHERE mass >= 3 OR mass = mx),
+        |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
+        |       FROM mt JOIN qs USING (d1, d2, shift)),
+        |gg AS (SELECT d1, d2, shift, i1,
+        |         CASE WHEN lag(i1) OVER w IS NULL
+        |                OR i1 > lag(i1) OVER w + 3 THEN 1 ELSE 0 END AS ns
+        |       FROM mk
+        |       WINDOW w AS (PARTITION BY d1, d2, shift ORDER BY i1)),
+        |gs AS (SELECT d1, d2, shift, i1,
+        |         SUM(ns) OVER (PARTITION BY d1, d2, shift ORDER BY i1
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS sid
+        |       FROM gg),
+        |sp AS (SELECT d1 AS doc_id, d2 AS bench_id,
+        |         CAST(shift AS INTEGER) AS shift,
+        |         MIN(i1) AS span_start,
+        |         MAX(i1) + 2 AS span_end,
+        |         CAST(COUNT(*) AS BIGINT) AS n_positions
+        |       FROM gs GROUP BY d1, d2, shift, sid),
+        |tg AS (SELECT doc_id, toks,
+        |         string_split_regex(lower(text), '[a-z0-9]+') AS gaps
+        |       FROM tk JOIN documents USING (doc_id)),
+        |ti AS (SELECT doc_id, i, len(toks[i]) AS tl, len(gaps[i]) AS gl
+        |       FROM (SELECT doc_id, toks, gaps,
+        |               unnest(range(1, len(toks)+1)) AS i FROM tg)),
+        |coff AS (SELECT doc_id, i,
+        |         SUM(gl) OVER w + COALESCE(SUM(tl) OVER wp, 0) AS cs,
+        |         SUM(gl) OVER w + COALESCE(SUM(tl) OVER wp, 0) + tl
+        |           AS ce
+        |       FROM ti
+        |       WINDOW w AS (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wp AS (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT sp.doc_id, sp.bench_id, sp.shift, sp.span_start,
+        |       sp.span_end, sp.n_positions,
+        |       CAST(c1.cs AS INTEGER) AS char_start,
+        |       CAST(c2x.ce AS INTEGER) AS char_end
+        |FROM sp
+        |JOIN coff c1 ON c1.doc_id = sp.doc_id AND c1.i = sp.span_start
+        |JOIN coff c2x ON c2x.doc_id = sp.doc_id
+        |  AND c2x.i = sp.span_end""").stripMargin,
+    // e15: d33's chain + per-doc CHAR interval union (touching spans
+    // merge) + the splice — kept pieces of the ORIGINAL text
+    // concatenated in order via string_agg, tail piece appended
+    "e15_redacted_text" ->
+      ("""WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+        |         AS shingle
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+        |             FROM tk)),
+        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ps GROUP BY 1),
+        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
+        |       FROM ps a JOIN ps b USING (shingle)
+        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
+        |msh AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, i2 - i1 AS shift,
+        |          row_number() OVER (PARTITION BY d1, d2
+        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
+        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
+        |mm AS (SELECT f.d1, f.d2, s.shift,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i1 END) AS ma,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i2 END) AS mb
+        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
+        |       GROUP BY 1, 2, 3),
+        |fl AS (SELECT mm.d1, mm.d2
+        |       FROM mm JOIN np a ON mm.d1 = a.doc_id
+        |                JOIN np b ON mm.d2 = b.doc_id
+        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
+        |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
+        |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
+        |qs AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, shift, COUNT(*) AS mass,
+        |          MAX(COUNT(*)) OVER (PARTITION BY d1, d2) AS mx
+        |        FROM mt GROUP BY 1, 2, 3)
+        |       WHERE mass >= 3 OR mass = mx),
+        |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
+        |       FROM mt JOIN qs USING (d1, d2, shift)),
+        |gg AS (SELECT d1, d2, shift, i1,
+        |         CASE WHEN lag(i1) OVER w IS NULL
+        |                OR i1 > lag(i1) OVER w + 3 THEN 1 ELSE 0 END AS ns
+        |       FROM mk
+        |       WINDOW w AS (PARTITION BY d1, d2, shift ORDER BY i1)),
+        |gs AS (SELECT d1, d2, shift, i1,
+        |         SUM(ns) OVER (PARTITION BY d1, d2, shift ORDER BY i1
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS sid
+        |       FROM gg),
+        |sp AS (SELECT d1 AS doc_id, MIN(i1) AS span_start,
+        |         MAX(i1) + 2 AS span_end
+        |       FROM gs GROUP BY d1, d2, shift, sid),
+        |tg AS (SELECT doc_id, toks,
+        |         string_split_regex(lower(text), '[a-z0-9]+') AS gaps
+        |       FROM tk JOIN documents USING (doc_id)),
+        |ti AS (SELECT doc_id, i, len(toks[i]) AS tl, len(gaps[i]) AS gl
+        |       FROM (SELECT doc_id, toks, gaps,
+        |               unnest(range(1, len(toks)+1)) AS i FROM tg)),
+        |coff AS (SELECT doc_id, i,
+        |         SUM(gl) OVER w + COALESCE(SUM(tl) OVER wp, 0) AS cs,
+        |         SUM(gl) OVER w + COALESCE(SUM(tl) OVER wp, 0) + tl
+        |           AS ce
+        |       FROM ti
+        |       WINDOW w AS (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wp AS (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |csp AS (SELECT DISTINCT sp.doc_id, c1.cs AS s, c2x.ce AS e
+        |       FROM sp
+        |       JOIN coff c1 ON c1.doc_id = sp.doc_id
+        |         AND c1.i = sp.span_start
+        |       JOIN coff c2x ON c2x.doc_id = sp.doc_id
+        |         AND c2x.i = sp.span_end),
+        |u1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN MAX(e) OVER wp IS NULL
+        |                OR s > MAX(e) OVER wp THEN 1 ELSE 0 END AS ns
+        |       FROM csp
+        |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u2 AS (SELECT doc_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS gid
+        |       FROM u1),
+        |mg AS (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+        |       FROM u2 GROUP BY 1, 2),
+        |pieces AS (SELECT doc_id, ms, me,
+        |         COALESCE(MAX(me) OVER (PARTITION BY doc_id ORDER BY ms
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS pos
+        |       FROM mg),
+        |fin AS (SELECT p.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |         CAST(SUM(me - ms) AS BIGINT) AS n_chars_cut,
+        |         string_agg(substr(d.text, CAST(pos + 1 AS INTEGER),
+        |           CAST(ms - pos AS INTEGER)), '' ORDER BY ms) AS head,
+        |         MAX(me) AS last_e
+        |       FROM pieces p JOIN documents d USING (doc_id)
+        |       GROUP BY p.doc_id)
+        |SELECT f.doc_id, f.n_spans, f.n_chars_cut,
+        |       f.head || substr(d.text, CAST(f.last_e + 1 AS INTEGER))
+        |         AS redacted_text
+        |FROM fin f JOIN documents d USING (doc_id)""").stripMargin,
     // d31: brute bipartite cosine (the sel1/emb-family SUM-then-round
     // arithmetic), flag on the 6dp-rounded value — train >= 100 vs
     // eval holdout < 100
@@ -2960,6 +3193,43 @@ object SparkEntry {
         |       JOIN nn nb ON nb.vec_id = c.bench_id
         |WHERE na.nrm > 0 AND nb.nrm > 0
         |  AND ROUND(c.dot / (na.nrm * nb.nrm), 6) >= 0.4""".stripMargin,
+    // d31z: the indexed probe — the shared Lloyd CTEs trained on the
+    // training slice (vec_id >= 100), every eval vector ranks the
+    // final-round centroids by squared-L2 ((d, cid) argmin) and keeps
+    // nprobe = 2 cells, candidates = those cells' assigned members,
+    // then the d31 cosine flag on the candidate pairs only
+    "d31z_indexed_contamination" ->
+      s"""WITH ${kmeansCtesOn("vec_id >= 100")},
+         |bq AS (SELECT vec_id AS bench_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings WHERE vec_id < 100),
+         |qc AS (SELECT bench_id, cid FROM (
+         |        SELECT b.bench_id, c.cid, row_number() OVER (
+         |            PARTITION BY b.bench_id
+         |            ORDER BY list_sum(list_transform(range(1, len(b.v)+1),
+         |              i -> (b.v[i]-c.cen[i])*(b.v[i]-c.cen[i]))), c.cid)
+         |          AS rn
+         |        FROM bq b CROSS JOIN c2 c) WHERE rn <= 2),
+         |cand AS (SELECT a.vec_id, q.bench_id
+         |         FROM qc q JOIN a2 a USING (cid)),
+         |nn AS (SELECT vec_id,
+         |        sqrt(SUM(CAST(embedding[ii.i] AS DOUBLE)
+         |          * CAST(embedding[ii.i] AS DOUBLE))) AS nrm
+         |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+         |      GROUP BY 1),
+         |cd AS (SELECT cand.vec_id, cand.bench_id,
+         |        SUM(CAST(a.embedding[ii.i] AS DOUBLE)
+         |          * CAST(b.embedding[ii.i] AS DOUBLE)) AS dot
+         |      FROM cand JOIN embeddings a ON a.vec_id = cand.vec_id
+         |           JOIN embeddings b ON b.vec_id = cand.bench_id,
+         |           (SELECT unnest(range(1, 65)) AS i) ii
+         |      GROUP BY 1, 2)
+         |SELECT cd.vec_id, cd.bench_id,
+         |       ROUND(cd.dot / (na.nrm * nb.nrm), 6) AS cos
+         |FROM cd JOIN nn na ON na.vec_id = cd.vec_id
+         |        JOIN nn nb ON nb.vec_id = cd.bench_id
+         |WHERE na.nrm > 0 AND nb.nrm > 0
+         |  AND ROUND(cd.dot / (na.nrm * nb.nrm), 6) >= 0.4""".stripMargin,
     // d32: d31's CTEs + the per-bench-item rollup
     "d32_embedding_burn" ->
       """WITH nn AS (SELECT vec_id,
@@ -3820,6 +4090,74 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
         |FROM survivors""".stripMargin,
+    // e14: e3's CTEs verbatim + the d31 semantic drop (embedding cosine
+    // vs the vec_id < 25 holdout — the audit3 alignment) applied BEFORE
+    // sampling/packing; pack windows are e3's whitespace verbatim
+    "e14_semantic_decontaminated" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        |       FROM sh a JOIN sh b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
+        |             JOIN sz s1 ON doc1 = s1.doc_id
+        |             JOIN sz s2 ON doc2 = s2.doc_id
+        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+        |exactdups AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        |                                'g')))) AS keeper
+        |    FROM documents)
+        |  WHERE doc_id <> keeper),
+        |contam AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
+        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
+        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5)),
+        |enn AS (SELECT vec_id,
+        |        sqrt(SUM(CAST(embedding[ii.i] AS DOUBLE)
+        |          * CAST(embedding[ii.i] AS DOUBLE))) AS nrm
+        |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+        |      GROUP BY 1),
+        |ec AS (SELECT a.vec_id, b.vec_id AS bench_id,
+        |        SUM(CAST(a.embedding[ii.i] AS DOUBLE)
+        |          * CAST(b.embedding[ii.i] AS DOUBLE)) AS dot
+        |      FROM embeddings a, embeddings b,
+        |           (SELECT unnest(range(1, 65)) AS i) ii
+        |      WHERE a.vec_id >= 25 AND b.vec_id < 25
+        |      GROUP BY 1, 2),
+        |sdrop AS (SELECT DISTINCT ec.vec_id AS doc_id
+        |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
+        |              JOIN enn nb ON nb.vec_id = ec.bench_id
+        |       WHERE na.nrm > 0 AND nb.nrm > 0
+        |         AND ROUND(ec.dot / (na.nrm * nb.nrm), 6) >= 0.4),
+        |survivors AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id >= 25 AND length(text) >= 100
+        |    AND doc_id NOT IN (SELECT doc_id FROM neardups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM exactdups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND doc_id NOT IN (SELECT doc_id FROM sdrop)
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+        |SELECT doc_id, lang,
+        |       CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+        |         AS n_tok,
+        |       CAST(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |           OVER (ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) AS BIGINT) AS start_offset,
+        |       CAST(floor(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |           OVER (ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) / 4096) AS BIGINT) AS chunk_id
+        |FROM survivors""".stripMargin,
     // e11: e3's CTEs verbatim + the d28 quote-flag drop applied to the
     // survivor set BEFORE the packing windows (offsets repack over the
     // kept docs); the quote CTEs are d28's verbatim
@@ -4150,6 +4488,73 @@ object SparkEntry {
         |  LEFT JOIN exactdups e ON d.doc_id = e.doc_id
         |  LEFT JOIN neardups nd ON d.doc_id = nd.doc_id
         |  LEFT JOIN contam c ON d.doc_id = c.doc_id)
+        |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |         AS n_tokens
+        |FROM staged GROUP BY 1""".stripMargin,
+    // audit4: audit1's CTEs + the d31 semantic drop leg, with the
+    // `semantic` stage between contaminated and sampled_out
+    "audit4_semantic_funnel" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        |       FROM sh a JOIN sh b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
+        |             JOIN sz s1 ON doc1 = s1.doc_id
+        |             JOIN sz s2 ON doc2 = s2.doc_id
+        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+        |exactdups AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        |                                'g')))) AS keeper
+        |    FROM documents)
+        |  WHERE doc_id <> keeper),
+        |contam AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
+        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
+        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5)),
+        |enn AS (SELECT vec_id,
+        |        sqrt(SUM(CAST(embedding[ii.i] AS DOUBLE)
+        |          * CAST(embedding[ii.i] AS DOUBLE))) AS nrm
+        |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+        |      GROUP BY 1),
+        |ec AS (SELECT a.vec_id, b.vec_id AS bench_id,
+        |        SUM(CAST(a.embedding[ii.i] AS DOUBLE)
+        |          * CAST(b.embedding[ii.i] AS DOUBLE)) AS dot
+        |      FROM embeddings a, embeddings b,
+        |           (SELECT unnest(range(1, 65)) AS i) ii
+        |      WHERE a.vec_id >= 25 AND b.vec_id < 25
+        |      GROUP BY 1, 2),
+        |sdrop AS (SELECT DISTINCT ec.vec_id AS doc_id
+        |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
+        |              JOIN enn nb ON nb.vec_id = ec.bench_id
+        |       WHERE na.nrm > 0 AND nb.nrm > 0
+        |         AND ROUND(ec.dot / (na.nrm * nb.nrm), 6) >= 0.4),
+        |staged AS (
+        |  SELECT d.text,
+        |    CASE WHEN d.doc_id < 25 THEN 'benchmark'
+        |         WHEN length(d.text) < 100 THEN 'too_short'
+        |         WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+        |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+        |         WHEN sd.doc_id IS NOT NULL THEN 'semantic'
+        |         WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |           >= '80000000' THEN 'sampled_out'
+        |         ELSE 'kept' END AS stage
+        |  FROM documents d
+        |  LEFT JOIN exactdups e ON d.doc_id = e.doc_id
+        |  LEFT JOIN neardups nd ON d.doc_id = nd.doc_id
+        |  LEFT JOIN contam c ON d.doc_id = c.doc_id
+        |  LEFT JOIN sdrop sd ON d.doc_id = sd.doc_id)
         |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
         |         AS n_tokens
@@ -4680,6 +5085,106 @@ object SparkEntry {
          |       CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
          |         AS n_tokens
          |FROM att GROUP BY 1""".stripMargin,
+    // audit3: the three burn-report CTE families (d26 media at the e10
+    // budgets, d29 quote, d32 embedding with the holdout aligned to
+    // vec_id < 25) full-outer joined per eval item; the first_train
+    // least() runs over explicit MaxValue sentinels so both engines
+    // evaluate the identical expression
+    "audit3_benchmark_health" ->
+      s"""WITH $phashSigCtes,
+         |$audioSigCtes,
+         |mfl AS (
+         |  SELECT t.doc_id, b.doc_id AS bench_id, 'visual' AS modality
+         |  FROM psig t JOIN psig b ON t.doc_id >= 25 AND b.doc_id < 25
+         |  WHERE bit_count(xor(t.ph, b.ph)) <= 5
+         |  UNION ALL
+         |  SELECT t.doc_id, b.doc_id AS bench_id, 'audio' AS modality
+         |  FROM asig t JOIN asig b ON t.doc_id >= 25 AND b.doc_id < 25
+         |  WHERE bit_count(xor(t.ah, b.ah)) <= 3),
+         |med AS (SELECT bench_id,
+         |          CAST(SUM(CASE WHEN modality = 'visual' THEN 1
+         |            ELSE 0 END) AS BIGINT) AS n_visual,
+         |          CAST(SUM(CASE WHEN modality = 'audio' THEN 1
+         |            ELSE 0 END) AS BIGINT) AS n_audio,
+         |          MIN(doc_id) AS m_first
+         |        FROM mfl GROUP BY 1),
+         |tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+         |           '[^a-z0-9]+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+         |         AS shingle
+         |       FROM (SELECT doc_id, toks,
+         |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+         |             FROM tk)),
+         |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM ps GROUP BY 1),
+         |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2,
+         |         b.i AS i2
+         |       FROM ps a JOIN ps b USING (shingle)
+         |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
+         |msh AS (SELECT d1, d2, shift FROM (
+         |        SELECT d1, d2, i2 - i1 AS shift,
+         |          row_number() OVER (PARTITION BY d1, d2
+         |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
+         |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
+         |mm AS (SELECT f.d1, f.d2, s.shift,
+         |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+         |            <= 1 THEN f.i1 END) AS ma,
+         |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+         |            <= 1 THEN f.i2 END) AS mb
+         |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
+         |       GROUP BY 1, 2, 3),
+         |qfl AS (SELECT mm.d1 AS doc_id, mm.d2 AS bench_id,
+         |         greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) AS containment
+         |       FROM mm JOIN np a ON mm.d1 = a.doc_id
+         |                JOIN np b ON mm.d2 = b.doc_id
+         |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
+         |qle AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_quote,
+         |          MAX(containment) AS max_containment,
+         |          MIN(doc_id) AS q_first
+         |        FROM qfl GROUP BY 1),
+         |enn AS (SELECT vec_id,
+         |        sqrt(SUM(CAST(embedding[ii.i] AS DOUBLE)
+         |          * CAST(embedding[ii.i] AS DOUBLE))) AS nrm
+         |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+         |      GROUP BY 1),
+         |ec AS (SELECT a.vec_id, b.vec_id AS bench_id,
+         |        SUM(CAST(a.embedding[ii.i] AS DOUBLE)
+         |          * CAST(b.embedding[ii.i] AS DOUBLE)) AS dot
+         |      FROM embeddings a, embeddings b,
+         |           (SELECT unnest(range(1, 65)) AS i) ii
+         |      WHERE a.vec_id >= 25 AND b.vec_id < 25
+         |      GROUP BY 1, 2),
+         |efl AS (SELECT ec.vec_id, ec.bench_id,
+         |         ROUND(ec.dot / (na.nrm * nb.nrm), 6) AS cos
+         |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
+         |              JOIN enn nb ON nb.vec_id = ec.bench_id
+         |       WHERE na.nrm > 0 AND nb.nrm > 0
+         |         AND ROUND(ec.dot / (na.nrm * nb.nrm), 6) >= 0.4),
+         |ele AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_embed,
+         |          MAX(cos) AS max_cos, MIN(vec_id) AS e_first
+         |        FROM efl GROUP BY 1)
+         |SELECT COALESCE(med.bench_id, qle.bench_id, ele.bench_id)
+         |         AS bench_id,
+         |       COALESCE(n_visual, 0) AS n_visual,
+         |       COALESCE(n_audio, 0) AS n_audio,
+         |       COALESCE(n_quote, 0) AS n_quote,
+         |       COALESCE(n_embed, 0) AS n_embed,
+         |       max_containment, max_cos,
+         |       LEAST(COALESCE(m_first, 9223372036854775807),
+         |             COALESCE(q_first, 9223372036854775807),
+         |             COALESCE(e_first, 9223372036854775807))
+         |         AS first_train,
+         |       CAST(COALESCE(n_visual, 0) > 0 AS INTEGER)
+         |         + CAST(COALESCE(n_audio, 0) > 0 AS INTEGER)
+         |         + CAST(COALESCE(n_quote, 0) > 0 AS INTEGER)
+         |         + CAST(COALESCE(n_embed, 0) > 0 AS INTEGER)
+         |         AS n_modalities
+         |FROM med
+         |FULL OUTER JOIN qle ON med.bench_id = qle.bench_id
+         |FULL OUTER JOIN ele
+         |  ON COALESCE(med.bench_id, qle.bench_id) = ele.bench_id""".stripMargin,
     // e6: the e5 keep-set fed through the pack1 cumsum — the composed
     // filter compares 6dp values both engines hash-match, and the pack
     // arithmetic is all-integer, so the composition is oracle-exact

@@ -62,6 +62,69 @@ object Text {
 
   val tokenizeUdf: UserDefinedFunction = udf { (s: String) => tokenize(s) }
 
+  /** A token plus its ORIGINAL-string char span: `cs` inclusive, `ce`
+    * exclusive, both 0-based. */
+  case class TokenSpan(tok: String, cs: Int, ce: Int)
+
+  /** [[tokenize]] with the char span of every token in the INPUT string
+    * — the bridge from token-space redaction plans (d30) back to text a
+    * holder can actually splice (d33/e15). Contract (spec-pinned):
+    * `tokenizeWithOffsets(s).map(_.tok)` == `tokenize(s)` for every
+    * input, and for Latin/digit tokens
+    * `s.substring(cs, ce).toLowerCase == tok`. Latin runs span the full
+    * run; a CJK bigram spans its two source chars (consecutive bigrams
+    * OVERLAP by one char — interval-union before splicing); a lone CJK
+    * char spans itself. Lowercasing is per-char (1:1), so offsets index
+    * the original string unchanged. */
+  def tokenizeWithOffsets(s: String): Array[TokenSpan] = {
+    if (s == null) return Array.empty[TokenSpan]
+    val out = scala.collection.mutable.ArrayBuffer[TokenSpan]()
+    val latin = new java.lang.StringBuilder
+    var latinStart = -1
+    var prevCjk: Char = 0
+    var prevCjkAt = -1
+    var cjkRun = 0
+    def isCjk(c: Char): Boolean =
+      (c >= 0x3400 && c <= 0x9fff) || (c >= 0x3040 && c <= 0x30ff) ||
+      (c >= 0xac00 && c <= 0xd7af) || (c >= 0xf900 && c <= 0xfaff)
+    def endLatin(end: Int): Unit =
+      if (latin.length > 0) {
+        out += TokenSpan(latin.toString, latinStart, end)
+        latin.setLength(0); latinStart = -1
+      }
+    def endCjk(): Unit = {
+      if (cjkRun == 1) out += TokenSpan(prevCjk.toString, prevCjkAt,
+        prevCjkAt + 1)
+      cjkRun = 0
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = Character.toLowerCase(s.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        endCjk()
+        if (latin.length == 0) latinStart = i
+        latin.append(c)
+      } else if (isCjk(c)) {
+        endLatin(i)
+        if (cjkRun >= 1)
+          out += TokenSpan(new String(Array(prevCjk, c)), prevCjkAt, i + 1)
+        prevCjk = c
+        prevCjkAt = i
+        cjkRun += 1
+      } else {
+        endLatin(i)
+        endCjk()
+      }
+      i += 1
+    }
+    endLatin(s.length)
+    endCjk()
+    out.toArray
+  }
+
+  val tokenizeOffsetsUdf: UserDefinedFunction =
+    udf { (s: String) => tokenizeWithOffsets(s) }
+
   /** KwSplit-equivalent lateral: one row per keyword with its length. */
   def kwSplit(text: Column): Column = explode(tokenizeUdf(text))
 }

@@ -635,6 +635,53 @@ object Dedup {
         col("span_start"), col("span_end"), col("n_positions"))
   }
 
+  /** D33 — the d30 plan lifted to CHAR space: every redaction span with
+    * the ORIGINAL-string char range of its covered tokens, so the text
+    * holder can actually splice (d30 alone indexes tokenize space,
+    * which normalizes case/punctuation — round-15 "What's missing" #3).
+    * char_start = the span's first token's start char (0-based
+    * inclusive), char_end = its last token's end char (exclusive);
+    * interior separators between covered tokens are inside the range
+    * (they carry no content once both neighbors go), separators at the
+    * span edges stay with the surviving prose.
+    *
+    * Offsets are deterministic given the text (the tokenizer contract),
+    * so the whole output stays hash-gateable — the DuckDB twin rebuilds
+    * them from cumulative token/gap lengths.
+    *
+    * Scale: spans are flag-bounded and ONLY flagged docs are
+    * re-tokenized with offsets (left-semi before the UDF) — no second
+    * corpus-wide pass beyond d30's own. */
+  def quoteRedactionCharSpans(documents: DataFrame, benchMaxId: Long,
+      n: Int = 3, threshold: Double = 0.8, tol: Int = 1,
+      minPositions: Int = 3): DataFrame =
+    withCharSpans(
+      quoteRedactionSpans(documents, benchMaxId, n, threshold, tol,
+        minPositions), documents)
+
+  /** Attach char ranges to any (doc_id, span_start, span_end) plan in
+    * tokenize space — the shared lift of [[quoteRedactionCharSpans]]
+    * and the e15 splice (`Pipeline.redactedText`). Tokenizes WITH
+    * offsets only the docs the plan names. */
+  private[graft] def withCharSpans(spanPlan: DataFrame,
+      documents: DataFrame): DataFrame = {
+    val offs = documents
+      .join(spanPlan.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"),
+        graft.functions.Text.tokenizeOffsetsUdf(col("text")).as("offs"))
+      // barrier: the offsets frame feeds TWO element_at probes below and
+      // an interpreted UDF re-inlined through the join would re-tokenize
+      // per span row (the pqTopK CollapseProject pathology)
+      .localCheckpoint()
+    spanPlan.join(offs, "doc_id")
+      .withColumn("char_start",
+        element_at(col("offs"), col("span_start").cast("int"))("cs"))
+      .withColumn("char_end",
+        element_at(col("offs"), col("span_end").cast("int"))("ce"))
+      .drop("offs")
+  }
+
   /** [[quoteRedactionSpans]] from PRECOMPUTED d28 flags — the streamed
     * composition: `flags` carries (doc_id, bench_id) rows (the online
     * probe's committed output), `trainDocs`/`benchDocs` supply the text.

@@ -56,9 +56,9 @@ object Pipeline {
 
   private def trainingCorpusCore(documents: DataFrame,
       benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
-      seqLen: Int, quoteFlags: Option[DataFrame]): DataFrame = {
+      seqLen: Int, extraDrops: Option[DataFrame]): DataFrame = {
     val survivors = e3Survivors(documents, benchmarkMaxId, minChars,
-      sampleFrac, quoteFlags)
+      sampleFrac, extraDrops)
     Sampling.tokenOffsets(survivors, seqLen)
       .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tok"),
@@ -67,14 +67,18 @@ object Pipeline {
 
   /** The shared e3-stage survivor set (benchmark exclusion, length
     * floor, exact/near-dup drops, d9 contamination drop, optional
-    * quote-flag drop, reproducible sampling) — ONE implementation
-    * consumed by the e3/e11 pack ([[trainingCorpusCore]]) and the e13
-    * surgical release ([[surgicalCorpus]]), so a fix to any drop stage
-    * cannot diverge between them. Returned checkpointed: every caller
-    * fans it out. */
+    * extra drop list, reproducible sampling) — ONE implementation
+    * consumed by the e3/e11 pack ([[trainingCorpusCore]]), the e13
+    * surgical release ([[surgicalCorpus]]), and the e14 semantic
+    * release ([[semanticDecontaminatedCorpus]]), so a fix to any drop
+    * stage cannot diverge between them. `extraDrops` is any (doc_id)
+    * drop list injected BEFORE sampling (the d28 quote flags for e11,
+    * the d31 semantic flags for e14) — anti-join semantics are
+    * identical whatever probe produced the flags. Returned
+    * checkpointed: every caller fans it out. */
   private def e3Survivors(documents: DataFrame,
       benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
-      quoteFlags: Option[DataFrame]): DataFrame = {
+      extraDrops: Option[DataFrame]): DataFrame = {
     val corpus = documents.where(col("doc_id") >= benchmarkMaxId)
 
     // near-dup drop-list: the lower-id doc of each pair is the keeper
@@ -113,7 +117,7 @@ object Pipeline {
       .join(nearDups, Seq("doc_id"), "left_anti")
       .join(exactDups, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .transform(df => quoteFlags
+      .transform(df => extraDrops
         .map(f => df.join(f, Seq("doc_id"), "left_anti")).getOrElse(df))
       .transform(Sampling.deterministicSample(_, "doc_id", sampleFrac))
       .localCheckpoint()
@@ -215,6 +219,74 @@ object Pipeline {
         col("n_tok"), col("start_offset"), col("chunk_id"))
   }
 
+  /** E15 — the REDACTED TEXT itself: the surgical family finally
+    * produces the artifact the plan exists for. d30 emits token spans,
+    * d33 lifts them to char ranges; this op SPLICES — for every flagged
+    * training doc, the original text with the union of its quoted char
+    * ranges excised. Until now only the pack manifests (e12/e13) and
+    * the span plans shipped; the corpus text a release hands to a
+    * trainer required the holder to splice by hand.
+    *
+    * Mechanics: char ranges [cs, ce) are interval-unioned per doc in
+    * CHAR space (overlapping/touching ranges merge — two bench items
+    * quoting overlapping text never double-delete), then the kept
+    * pieces concatenate via one bounded `aggregate` fold over the doc's
+    * sorted interval array (span counts are flag-bounded per doc).
+    * Output (doc_id, n_spans, n_chars_cut, redacted_text) for flagged
+    * docs only — the redaction DELTA; unflagged docs ship verbatim, so
+    * a release materializes `documents ∖ flagged ∪ this`.
+    *
+    * The FIXED-POINT law (spec-pinned): re-running the d28 probe over
+    * the post-splice corpus yields zero flags — the quotes are gone,
+    * and the new token adjacencies across a cut cannot reconstruct
+    * them at the containment threshold.
+    *
+    * Scale: flag-bounded end to end — only flagged docs re-tokenize
+    * (d33's left-semi), the union windows partition by doc_id, and the
+    * fold runs per row over its own interval array. */
+  def redactedText(documents: DataFrame, benchmarkMaxId: Long = 25L,
+      n: Int = 3, threshold: Double = 0.8,
+      minPositions: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = Dedup.quoteRedactionCharSpans(documents, benchmarkMaxId,
+        n, threshold, tol = 1, minPositions = minPositions)
+      .select(col("doc_id"), col("char_start").as("s"),
+        col("char_end").as("e"))
+      .distinct()
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    // char intervals are [s, e): a span merges into the running island
+    // when it starts at or before the island's max end (touching spans
+    // merge — no zero-length kept piece between them)
+    val merged = spans
+      .withColumn("ns",
+        when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+      .withColumn("gid", sum(col("ns")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+    val perDoc = merged.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("ms"), col("me"))))
+          .as("ivs"),
+        count(lit(1)).as("n_spans"),
+        sum(col("me") - col("ms")).cast("long").as("n_chars_cut"))
+      // barrier: the interpreted fold below must not re-inline through
+      // the text join per output row (the pqTopK discipline)
+      .localCheckpoint()
+    perDoc
+      .join(documents.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("n_chars_cut"),
+        aggregate(col("ivs"),
+          struct(lit(0).as("pos"), lit("").as("acc")),
+          (acc, iv) => struct(iv("me").as("pos"),
+            concat(acc("acc"), col("text").substr(acc("pos") + 1,
+              iv("ms") - acc("pos"))).as("acc")),
+          acc => concat(acc("acc"), col("text").substr(acc("pos") + 1,
+            length(col("text")) - acc("pos")))).as("redacted_text"))
+  }
+
   /** E13 — the FULL surgical release: e3's whole curation pipeline
     * (benchmark exclusion, length floor, exact/near-dup drops, d9
     * contamination drop, reproducible sampling) with the quote stage
@@ -237,17 +309,65 @@ object Pipeline {
   def surgicalCorpus(documents: DataFrame, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5,
       seqLen: Int = 4096, threshold: Double = 0.8,
-      minPositions: Int = 3): DataFrame = {
+      minPositions: Int = 3): DataFrame =
+    surgicalCorpusWithSpans(documents,
+      Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
+        threshold, tol = 1, minPositions = minPositions),
+      benchmarkMaxId, minChars, sampleFrac, seqLen)
+
+  /** [[surgicalCorpus]] with a PRECOMPUTED span plan — the streamed-e13
+    * composition (`Streams.surgicalCorpusFromIngest` feeds spans rebuilt
+    * from the COMMITTED online d28 flags), mirroring
+    * [[redactedCorpusFromSpans]] for the full-curation release. */
+  private[graft] def surgicalCorpusWithSpans(documents: DataFrame,
+      spanPlan: DataFrame, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5,
+      seqLen: Int = 4096): DataFrame = {
     val survivors = e3Survivors(documents, benchmarkMaxId, minChars,
-      sampleFrac, quoteFlags = None)
-    val spans = Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
-      threshold, tol = 1, minPositions = minPositions)
-    redactPack(survivors, spans, seqLen)
+      sampleFrac, extraDrops = None)
+    redactPack(survivors, spanPlan, seqLen)
       .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tok_orig"),
         col("n_redacted"), col("n_tok"), col("start_offset"),
         col("chunk_id"))
   }
+
+  /** E14 — SEMANTIC decontamination enforced: e3's whole curation
+    * pipeline with one more drop stage — every training doc whose
+    * EMBEDDING sits within the d31 cosine threshold of an eval-holdout
+    * vector is dropped BEFORE sampling and packing, exactly the way e11
+    * enforces the d28 quote flags. This closes the one contamination
+    * modality that was probed but never enforced: a semantic PARAPHRASE
+    * of a benchmark item shares no shingles (d9/d28 blind) and no
+    * pixels (d25 blind) yet ships training signal about the eval set —
+    * d31 sees it, and from here it no longer ships.
+    *
+    * vec_id is the embedding OF doc_id (the TESTDATA/audit3 alignment);
+    * a corpus whose embedding store keys differently joins its mapping
+    * onto the flag frame first. The holdout is the SAME id range as the
+    * text benchmark (`benchmarkMaxId`), so item k's text and vector are
+    * facets of one eval item.
+    *
+    * Scale: the flag frame is contamination-mass-bounded (d31's output,
+    * eval side broadcast inside the probe), the drop is one more
+    * planner-chosen anti-join on the survivor chain — no new shuffle
+    * family beyond e3 + d31. Drops apply BEFORE sampling, so surviving
+    * offsets repack contiguously (the e11 discipline). */
+  def semanticDecontaminatedCorpus(documents: DataFrame,
+      embeddings: DataFrame, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5, seqLen: Int = 4096,
+      cosThreshold: Double = 0.4): DataFrame =
+    trainingCorpusCore(documents, benchmarkMaxId, minChars, sampleFrac,
+      seqLen, Some(semanticFlags(embeddings, benchmarkMaxId,
+        cosThreshold)))
+
+  /** The d31 flag frame as a (doc_id) drop list — shared by the e14
+    * release and its funnel so the two cannot diverge. */
+  private def semanticFlags(embeddings: DataFrame, benchmarkMaxId: Long,
+      cosThreshold: Double): DataFrame =
+    Similarity.embeddingContaminationSplitCheck(embeddings,
+        benchmarkMaxId, cosThreshold)
+      .select(col("vec_id").as("doc_id")).distinct()
 
   /** E5 — the round-5 curation composition: model-based quality filter
     * (q1), exact-substring duplication cap (d14), and exact-dup keeper
@@ -448,6 +568,76 @@ object Pipeline {
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"))
+  }
+
+  /** AUDIT3 — the unified benchmark-health report: every eval item's
+    * burn evidence across ALL FOUR contamination detectors — visual
+    * (d21-engine pairs at e10's loose budgets), audio (d23-engine),
+    * verbatim quotes (d28), and embedding-space paraphrases (d31) —
+    * rolled up into the single per-item row a benchmark owner reads to
+    * decide "retire this item". The three burn reports (d26 media, d29
+    * quote, d32 embedding) exist separately; a cross-modality view is
+    * what makes the decision: an item burned in two modalities is
+    * compromised for any model trained on any slice of the corpus.
+    *
+    * Output (bench_id, n_visual, n_audio, n_quote, n_embed,
+    * n_modalities, max_containment, max_cos, first_train): per-leg
+    * flagging-training-doc counts (0 when clean on that leg),
+    * n_modalities = how many of the four legs fired, the quote/embedding
+    * severity maxima (null when that leg is clean — the media legs'
+    * severity is hamming, already minimized inside d26), and the
+    * earliest flagging training id across every leg.
+    *
+    * The embedding leg shares `benchMaxId` with the text/media legs —
+    * vec_id is the embedding OF doc_id, so item k's text, media, and
+    * vector are facets of one eval item (the e14 alignment).
+    *
+    * Scale: all three inputs are contamination-mass-bounded rollups
+    * (each already one map-side-combinable groupBy over flag frames);
+    * the full-outer joins run on eval-item-sized frames. No corpus-scale
+    * work beyond what the probes themselves do. */
+  def benchmarkHealthReport(documents: DataFrame, embeddings: DataFrame,
+      benchMaxId: Long = 25L, maxHamming: Int = 5,
+      audioMaxHamming: Int = 3, n: Int = 3, quoteThreshold: Double = 0.8,
+      cosThreshold: Double = 0.4): DataFrame = {
+    val media = Multimodal
+      .benchmarkBurnReport(documents, benchMaxId, maxHamming,
+        audioMaxHamming)
+      .groupBy(col("bench_id"))
+      .agg(sum(when(col("modality") === "visual", col("n_train"))
+          .otherwise(0L)).as("n_visual"),
+        sum(when(col("modality") === "audio", col("n_train"))
+          .otherwise(0L)).as("n_audio"),
+        min(col("first_train")).as("m_first"))
+    val quote = Dedup
+      .quoteBurnReport(documents, benchMaxId, n, quoteThreshold)
+      .select(col("bench_id"), col("n_train").as("n_quote"),
+        col("max_containment"), col("first_train").as("q_first"))
+    val emb = Similarity
+      .embeddingBurnReport(embeddings, benchMaxId, cosThreshold)
+      .select(col("bench_id"), col("n_train").as("n_embed"),
+        col("max_cos"), col("first_train").as("e_first"))
+    // explicit MaxValue sentinel instead of relying on null-skipping
+    // `least` semantics: the oracle must evaluate the identical
+    // expression, and a full-outer row always has >= 1 non-null leg, so
+    // the sentinel never survives to the output
+    val maxL = lit(Long.MaxValue)
+    media.join(quote, Seq("bench_id"), "full_outer")
+      .join(emb, Seq("bench_id"), "full_outer")
+      .select(col("bench_id"),
+        coalesce(col("n_visual"), lit(0L)).as("n_visual"),
+        coalesce(col("n_audio"), lit(0L)).as("n_audio"),
+        coalesce(col("n_quote"), lit(0L)).as("n_quote"),
+        coalesce(col("n_embed"), lit(0L)).as("n_embed"),
+        col("max_containment"), col("max_cos"),
+        least(coalesce(col("m_first"), maxL),
+          coalesce(col("q_first"), maxL),
+          coalesce(col("e_first"), maxL)).as("first_train"))
+      .withColumn("n_modalities",
+        (col("n_visual") > 0).cast("int") +
+          (col("n_audio") > 0).cast("int") +
+          (col("n_quote") > 0).cast("int") +
+          (col("n_embed") > 0).cast("int"))
   }
 
   /** Corpus datasheet: per (lang, source) stratum — document count, token
@@ -789,7 +979,31 @@ object Pipeline {
     * doc_id feeding one CASE, then a tiny stage-keyed groupBy — no new
     * shuffle family beyond the pipeline's own. */
   def filterFunnel(documents: DataFrame, benchmarkMaxId: Long = 25L,
-      minChars: Int = 100, sampleFrac: Double = 0.5): DataFrame = {
+      minChars: Int = 100, sampleFrac: Double = 0.5): DataFrame =
+    funnelCore(documents, benchmarkMaxId, minChars, sampleFrac, None)
+
+  /** AUDIT4 — the [[filterFunnel]] extended with the SEMANTIC stage:
+    * the provenance funnel of the e14 pipeline
+    * ([[semanticDecontaminatedCorpus]]). Attribution order inserts
+    * `semantic` after `contaminated` (the shingle test is cheaper than
+    * the cosine probe — same cheapest-test-first convention), so:
+    *
+    *   benchmark → too_short → exact_dup → near_dup → contaminated →
+    *   semantic → sampled_out → kept
+    *
+    * Same conservation law (Σ n_docs = |documents|, spec-pinned) and
+    * the `kept` stage is EXACTLY e14's survivor set (composition
+    * spec). The semantic flag frame is the same [[semanticFlags]] list
+    * the release anti-joins, so funnel and release cannot diverge. */
+  def semanticFilterFunnel(documents: DataFrame, embeddings: DataFrame,
+      benchmarkMaxId: Long = 25L, minChars: Int = 100,
+      sampleFrac: Double = 0.5, cosThreshold: Double = 0.4): DataFrame =
+    funnelCore(documents, benchmarkMaxId, minChars, sampleFrac,
+      Some(semanticFlags(embeddings, benchmarkMaxId, cosThreshold)))
+
+  private def funnelCore(documents: DataFrame, benchmarkMaxId: Long,
+      minChars: Int, sampleFrac: Double,
+      semanticDrops: Option[DataFrame]): DataFrame = {
     val nearDups = Dedup.jaccardPairs(documents, 3, 0.5)
       .select(col("doc2").as("doc_id")).distinct()
       .withColumn("is_near", lit(true))
@@ -812,12 +1026,17 @@ object Pipeline {
       .join(nearDups, Seq("doc_id"), "left")
       .join(exactDups, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
+      .transform(df => semanticDrops
+        .map(f => df.join(f.withColumn("is_sem", lit(true)),
+          Seq("doc_id"), "left")).getOrElse(df.withColumn("is_sem",
+          lit(null).cast("boolean"))))
       .withColumn("stage",
         when(col("doc_id") < benchmarkMaxId, "benchmark")
           .when(length(col("text")) < minChars, "too_short")
           .when(col("is_exact"), "exact_dup")
           .when(col("is_near"), "near_dup")
           .when(col("is_contam"), "contaminated")
+          .when(col("is_sem"), "semantic")
           .when(!sampledIn, "sampled_out")
           .otherwise("kept"))
       .groupBy(col("stage"))

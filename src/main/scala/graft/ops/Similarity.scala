@@ -271,10 +271,22 @@ object Similarity {
     * composition); the operator itself stays exact. Zero-norm vectors
     * cosine to NaN and never flag (the ranker NaN contract). */
   def embeddingContaminationSplitCheck(embeddings: DataFrame,
-      benchMaxId: Long, threshold: Double = 0.4): DataFrame = {
+      benchMaxId: Long, threshold: Double = 0.4,
+      maxBenchRows: Long = 65536L): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
+    val bench = base.where(col("vec_id") < benchMaxId)
+    // the probe broadcasts the bench side — "small by definition" is now
+    // a STRUCTURAL bound, not a contract remark (the jsSink discipline):
+    // a holdout past the cap must go through the indexed probe
+    // ([[embeddingContaminationIndexed]]), whose per-query work is
+    // nprobe cells instead of the whole corpus
+    val benchN = bench.count()
+    require(benchN <= maxBenchRows,
+      s"eval holdout has $benchN vectors > broadcast cap $maxBenchRows " +
+        "— probe it through embeddingContaminationIndexed (IVF cells) " +
+        "instead of the all-pairs broadcast scan")
     embeddingContaminationProbe(base.where(col("vec_id") >= benchMaxId),
-      base.where(col("vec_id") < benchMaxId), threshold)
+      bench, threshold)
   }
 
   /** The probe core of [[embeddingContaminationSplitCheck]] and the
@@ -315,6 +327,82 @@ object Similarity {
       .agg(count(lit(1)).as("n_train"),
         max(col("cos")).as("max_cos"),
         min(col("vec_id")).as("first_train"))
+
+  /** D31z — the INDEXED embedding-contamination probe, the web-scale
+    * form d31's scaladoc promised: instead of every (train, bench)
+    * cosine, each eval vector probes its `nprobe` nearest IVF cells and
+    * the d31 check runs against those cells' members only — per-query
+    * work drops from |corpus| cosines to the probed lists, the sim9
+    * search shape applied to decontamination. The coarse quantizer is
+    * the oracle-able Lloyd loop ([[Clustering.kmeansAssign]]'s
+    * smallest-vec_id init, (d, cid) argmin, round-6 snapping), trained
+    * on the TRAINING side only (an index is an artifact of the corpus,
+    * never of the eval set).
+    *
+    * Recall contract: output ⊆ the flat d31 flags by construction, and
+    * EQUALS them when nprobe = cells (probing every cell is the full
+    * scan — the parity spec); below that, a contaminated vector in an
+    * unprobed cell is missed — the standard IVF recall trade, gated in
+    * PipelineSpec like sim2-5's. Output (vec_id, bench_id, cos), d31's
+    * schema. */
+  def embeddingContaminationIvf(embeddings: DataFrame, benchMaxId: Long,
+      threshold: Double = 0.4, cells: Int = 8, iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
+    val train = embeddings.where(col("vec_id") >= benchMaxId)
+    embeddingContaminationFromIndex(
+      Clustering.kmeansAssign(train, cells, iters)
+        .select(col("vec_id").as("nid"), col("cluster").as("cid")),
+      Clustering.kmeansCentroids(train, cells, iters),
+      embeddings, benchMaxId, threshold, nprobe)
+  }
+
+  /** [[embeddingContaminationIvf]] against the DURABLE index artifact
+    * (`writeIvfIndex`'s assign/centroids) instead of a live training
+    * pass — result-identical when the artifact was written over the
+    * same training side (parity spec, the `portableIvfTopKIndexed`
+    * pattern). This is the deployment form: the corpus index already
+    * exists for search; decontamination reuses it and adds only the
+    * |holdout| × nprobe probed-cell scans. */
+  def embeddingContaminationIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      embeddings: DataFrame, benchMaxId: Long, threshold: Double = 0.4,
+      nprobe: Int = 2): DataFrame =
+    embeddingContaminationFromIndex(
+      spark.read.parquet(s"$indexDir/assign")
+        .select(col("vec_id").as("nid"), col("cid")),
+      spark.read.parquet(s"$indexDir/centroids"),
+      embeddings, benchMaxId, threshold, nprobe)
+
+  /** Shared core of the two indexed probes: eval vectors rank cells
+    * against the supplied centroids (squared-L2, (d, cid) argmin — the
+    * `ivfCandidatesFrom` contract), fan out to the probed cells'
+    * assigned members, and the candidates rerank through the exact d31
+    * cosine flag. Members below `benchMaxId` are excluded defensively
+    * (an index built over the full store must not flag bench-vs-bench
+    * pairs). */
+  private def embeddingContaminationFromIndex(assign: DataFrame,
+      cents: DataFrame, embeddings: DataFrame, benchMaxId: Long,
+      threshold: Double, nprobe: Int): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must sit in (0, 1]")
+    val bench = embeddings.where(col("vec_id") < benchMaxId)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val cand = ivfCandidatesFromFrame(assign, cents, bench, nprobe)
+      .where(col("nid") >= benchMaxId)
+    val base = withNorm(embeddings)
+    cand
+      .join(base.select(col("vec_id").as("qid"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm")), "qid")
+      .join(base.select(col("vec_id").as("nid"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm")), "nid")
+      .select(col("nid").as("vec_id"), col("qid").as("bench_id"),
+        round(Vectors.cosineFast(col("n_emb"), col("b_emb"),
+          col("n_nrm"), col("b_nrm")), 6).as("cos"))
+      // the d31 NaN guard: zero-norm pairs must not flag. No distinct
+      // needed: a member is assigned to exactly one cell, so a
+      // (train, bench) pair surfaces at most once
+      .where(!isnan(col("cos")) && col("cos") >= threshold)
+  }
 
   def meanCosine(embeddings: DataFrame): DataFrame = {
     val vq = withNorm(embeddings).where(col("nrm") > 0)
@@ -1008,10 +1096,20 @@ object Similarity {
     * live-trained or read from `writeIvfIndex`'s artifact. */
   private def ivfCandidatesFrom(assign: DataFrame, cents: DataFrame,
       embeddings: DataFrame, queryIds: Seq[Long],
-      nprobe: Int): DataFrame = {
-    val qEx = embeddings
-      .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
-      .select(col("vec_id").as("qid"),
+      nprobe: Int): DataFrame =
+    ivfCandidatesFromFrame(assign, cents,
+      embeddings.where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
+        .select(col("vec_id").as("qid"), col("embedding")),
+      nprobe)
+
+  /** [[ivfCandidatesFrom]] with the query side as a FRAME instead of a
+    * driver id list — the form the indexed contamination probe needs
+    * (its queries are the whole eval holdout, a frame by definition,
+    * never a collected list). */
+  private def ivfCandidatesFromFrame(assign: DataFrame, cents: DataFrame,
+      queryVecs: DataFrame, nprobe: Int): DataFrame = {
+    val qEx = queryVecs
+      .select(col("qid"),
         posexplode(transform(col("embedding"), _.cast("double")))
           .as(Seq("i", "x")))
     val qCell = qEx

@@ -1252,6 +1252,14 @@ object Streams {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val bench = benchEmbeddings.select(col("vec_id"), col("embedding"))
       .localCheckpoint()
+    // the per-batch probe broadcasts this frame — enforce the bound ONCE
+    // at sink setup (the frame is fixed for the stream's lifetime), the
+    // same structural cap as the batch splitCheck
+    val benchN = bench.count()
+    require(benchN <= 65536L,
+      s"eval holdout has $benchN vectors > broadcast cap 65536 — " +
+        "probe oversized holdouts through the indexed batch path " +
+        "(Similarity.embeddingContaminationIndexed)")
     vectors.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         mergeEmbeddingContamination(batch, batchId, bench, stateDir,
@@ -1365,6 +1373,49 @@ object Streams {
     graft.ops.Pipeline.redactedCorpusFromSpans(documents, spans,
       benchmarkMaxId, seqLen)
   }
+
+  /** The STREAMED e13 — the FULL surgical release from the COMMITTED
+    * online d28 flags: e3's whole curation pipeline over the arrived
+    * corpus with the quote stage handled by redaction, spans rebuilt
+    * flag-bounded against the landing store ([[quoteRedactionFromIngest]])
+    * and applied through the shared pack core
+    * (`Pipeline.surgicalCorpusWithSpans`). The probe is stateless-exact
+    * and every drop/span/pack stage is deterministic given the flags,
+    * so once every training doc has arrived this equals the batch
+    * `Pipeline.surgicalCorpus` at the threshold the sink ran with
+    * (kill/restart parity spec-pinned). With no committed flags yet it
+    * is the unredacted e3 — the redactedCorpusFromIngest
+    * degenerate-start discipline. */
+  def surgicalCorpusFromIngest(documents: DataFrame, benchDocs: DataFrame,
+      stateDir: String, outDir: String, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5, seqLen: Int = 4096,
+      n: Int = 3, minPositions: Int = 3): DataFrame = {
+    val spans = quoteRedactionFromIngest(documents, benchDocs, stateDir,
+        outDir, n, minPositions)
+      .getOrElse(documents.select(col("doc_id"),
+        lit(0).as("span_start"), lit(0).as("span_end")).limit(0))
+    graft.ops.Pipeline.surgicalCorpusWithSpans(documents, spans,
+      benchmarkMaxId, minChars, sampleFrac, seqLen)
+  }
+
+  /** The FROM-INGEST sel4 — DSIR select-then-pack over the corpus the
+    * exactly-once landing sink ([[txnSink]]) has COMMITTED so far:
+    * importance weights, the Gumbel-top-k draw, and the pack all
+    * recompute over exactly the committed rows (DSIR weights are
+    * corpus-DISTRIBUTION statistics, so an online selection is by
+    * definition the batch operator over the arrived distribution —
+    * there is no incremental shortcut that preserves the semantics).
+    * Deterministic given the committed set (content-stable hashes, no
+    * RNG), so a kill/restart changes nothing (parity spec-pinned);
+    * orphan partitions a crash left behind are invisible through the
+    * read-committed listing. None before the first commit. */
+  def dsirSelectedPackFromIngest(spark: SparkSession, outDir: String,
+      isTarget: org.apache.spark.sql.Column, k: Int,
+      temperature: Double = 1.0, hexChars: Int = 2,
+      seqLen: Int = 4096): Option[DataFrame] =
+    readCommitted(spark, outDir).map(docs =>
+      graft.ops.Sampling.dsirSelectedPack(
+        docs.drop("bid"), isTarget, k, temperature, hexChars, seqLen))
 
   /** The corpus-release half of the streaming e9 flagship: compose the
     * batch keep-set (`Pipeline.curatedCorpus` — quality, dup spans,

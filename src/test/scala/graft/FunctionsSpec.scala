@@ -87,6 +87,39 @@ class FunctionsSpec extends GraftSuite {
     assert(tokenize(null).isEmpty && tokenize("!!!").isEmpty)
   }
 
+  test("tokenizeWithOffsets: tokens identical to tokenize, spans index " +
+      "the original string, CJK bigrams overlap by one char") {
+    import functions.Text.{tokenize, tokenizeWithOffsets}
+    val cases = Seq(
+      "Hello, World-2024 test", "  leading and trailing  ",
+      "one", "", "!!!", "a", "9",
+      "Spark大数据处理123", "我 like 语", "中文分词测试",
+      "MiXeD CaSe RUNS42x", "tab\there\nnewline")
+    cases.foreach { s =>
+      val ts = tokenizeWithOffsets(s)
+      assert(ts.map(_.tok).toSeq == tokenize(s).toSeq,
+        s"token parity on '$s'")
+      ts.foreach { t =>
+        assert(t.cs >= 0 && t.ce <= s.length && t.cs < t.ce,
+          s"bounds on '$s': $t")
+        assert(s.substring(t.cs, t.ce).toLowerCase == t.tok,
+          s"span must spell the token on '$s': $t")
+      }
+      // spans are non-decreasing in start (Latin disjoint; CJK bigrams
+      // overlap by exactly one char)
+      ts.sliding(2).foreach {
+        case Array(a, b) => assert(a.cs <= b.cs, s"order on '$s'")
+        case _           =>
+      }
+    }
+    assert(tokenizeWithOffsets(null).isEmpty)
+    // the overlap contract, explicitly: consecutive CJK bigram spans
+    // share one char
+    val cjk = tokenizeWithOffsets("中文分词")
+    assert(cjk.map(t => (t.tok, t.cs, t.ce)).toSeq ==
+      Seq(("中文", 0, 2), ("文分", 1, 3), ("分词", 2, 4)))
+  }
+
   test("vec_dot and vec_norm usable from SQL") {
     functions.GraftFunctions.register(spark)
     Tables.load(spark, sf, "embeddings").createOrReplaceTempView("emb_v")

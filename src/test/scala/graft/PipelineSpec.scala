@@ -259,6 +259,40 @@ class PipelineSpec extends GraftSuite {
     assert(indexed == live && indexed.nonEmpty)
   }
 
+  test("d31z indexed contamination: subset of flat, == flat at " +
+      "nprobe = cells, durable-index parity, broadcast cap enforced") {
+    val flat = Similarity.embeddingContaminationSplitCheck(emb, 25L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe = cells probes every cell — the full scan; must EQUAL flat
+    val all = Similarity
+      .embeddingContaminationIvf(emb, 25L, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == flat && flat.nonEmpty,
+      s"nprobe = cells is the full scan: ${all.size} vs ${flat.size}")
+    // nprobe = 2 is the approximate path: a subset with real recall
+    val probed = Similarity
+      .embeddingContaminationIvf(emb, 25L, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed.subsetOf(flat), "indexed flags are always real flags")
+    assert(probed.nonEmpty, "the probed cells must surface flags here")
+    // durable artifact (trained on the SAME training side) reproduces
+    // the live-trained probe result-for-result
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_d31z_idx").toString
+    Similarity.writeIvfIndex(emb.where(col("vec_id") >= 25), dir)
+    val indexed = Similarity
+      .embeddingContaminationIndexed(spark, dir, emb, 25L, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed == probed, "durable == live-trained probe")
+    // the flat probe's bench side is broadcast — the cap is a hard
+    // structural bound, not a contract remark
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingContaminationSplitCheck(emb, 25L,
+        maxBenchRows = 3L)
+    }
+    assert(e.getMessage.contains("embeddingContaminationIndexed"))
+  }
+
   test("appendIvfIndex: frozen assignment parity, findability, staleness") {
     import org.apache.spark.sql.functions.lit
     val dir = java.nio.file.Files
@@ -1822,7 +1856,7 @@ class PipelineSpec extends GraftSuite {
     import graft.ops.{Dedup, Pipeline}
     val q = "alpha bravo charlie delta echo foxtrot" // 6 tokens
     val pad = "every training document needs enough completely distinct " +
-      "filler prose to clear the hundred character floor" // 16 tokens
+      "filler prose to clear the hundred character floor" // 15 tokens
     val hand = Seq(
       (3L, q), // benchmark item
       // 27 quotes the item behind valuable prose (passes the sample)
@@ -2708,5 +2742,176 @@ class PipelineSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(capped(2L) == r6(sig(0.0 / 20.0 - 0.1)),
       "doc 2 has no vocab hits when vocab is capped to 'aa'")
+  }
+
+  test("d33 char spans: the excised substring reproduces the quoted " +
+      "bench item; e15 splices it out and the splice is a fixed point") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Pipeline}
+    val q = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val framing = "innocent prose that must survive the cut and runs " +
+      "well past the hundred character floor either side"
+    val hand = Seq(
+      (3L, q),
+      (27L, s"$framing $q $framing"))
+      .toDF("doc_id", "text")
+    def normalize(s: String) =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    val spans = Dedup.quoteRedactionCharSpans(hand, 25L).collect()
+    assert(spans.nonEmpty, "the verbatim quote must plan a span")
+    val text27 = s"$framing $q $framing"
+    spans.foreach { r =>
+      val (cs, ce) = (r.getAs[Int]("char_start"), r.getAs[Int]("char_end"))
+      assert(cs >= 0 && ce <= text27.length && cs < ce, s"bounds: $r")
+      assert(normalize(text27.substring(cs, ce)) == normalize(q),
+        s"excised chars must BE the bench item: '${
+          text27.substring(cs, ce)}'")
+    }
+    val red = Pipeline.redactedText(hand).collect()
+    assert(red.map(_.getLong(0)).toSeq == Seq(27L))
+    val rt = red.head.getAs[String]("redacted_text")
+    assert(!normalize(rt).contains(normalize(q)),
+      s"the quote is gone: '$rt'")
+    assert(normalize(rt).contains(normalize(framing)),
+      s"the prose survives: '$rt'")
+    assert(red.head.getAs[Long]("n_chars_cut") ==
+      spans.map(r => r.getAs[Int]("char_end") -
+        r.getAs[Int]("char_start")).max,
+      "one merged interval — cut mass is the span length")
+    // FIXED POINT: the post-splice corpus re-probes clean
+    val spliced = hand.where(col("doc_id") =!= 27L)
+      .unionByName(Seq((27L, rt)).toDF("doc_id", "text"))
+    Dedup.clearSubstrates()
+    assert(Dedup.quoteContaminationSplitCheck(spliced, 25L).count() == 0,
+      "re-running d28 over the redacted text must yield zero flags")
+    Dedup.clearSubstrates()
+  }
+
+  test("e15 fixed point holds on the whole sf0.01 corpus: splicing " +
+      "every flagged doc's redacted text re-probes to zero flags") {
+    import graft.ops.{Dedup, Pipeline}
+    val docs01 = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val before = Dedup.quoteContaminationSplitCheck(docs01, 25L).count()
+    assert(before > 0, "the corpus has quote flags to redact")
+    val red = Pipeline.redactedText(docs01)
+      .select(col("doc_id"), col("redacted_text").as("text"))
+    val spliced = docs01
+      .join(red.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(red)
+    Dedup.clearSubstrates()
+    assert(Dedup.quoteContaminationSplitCheck(spliced, 25L).count() == 0,
+      "post-splice corpus must re-probe clean")
+    Dedup.clearSubstrates()
+  }
+
+  test("audit3 health report joins an item burned in two modalities " +
+      "into one row and leaves clean items out") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Pipeline}
+    val q = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val hand = Seq(
+      (4L, q),                        // bench item, quoted below
+      (5L, "a perfectly clean benchmark item nothing ever touches"),
+      // 27 % 3 = 0 (visual) vs the bench item's 4 % 3 = 1 (audio):
+      // different synthesized media modalities never pair, so only the
+      // quote and embedding legs can fire
+      (27L, s"innocent framing prose $q and a trailing remark"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    // vec 4 = the bench item's embedding; train vec 100 is a paraphrase
+    // (cos ≈ 0.89), train vec 101 orthogonal (clean)
+    val vecs = Seq(
+      (4L, Array(1f, 0f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f)),
+      (100L, Array(1f, 0.5f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Pipeline.benchmarkHealthReport(hand, vecs, 25L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.contains(4L), s"burned item must appear: ${got.keySet}")
+    val r4 = got(4L)
+    assert(r4.getAs[Long]("n_quote") == 1L, "doc 27 quotes item 4")
+    assert(r4.getAs[Long]("n_embed") == 1L, "vec 100 paraphrases item 4")
+    assert(r4.getAs[Int]("n_modalities") == 2,
+      s"two legs fired for item 4: $r4")
+    assert(r4.getAs[Double]("max_containment") == 1.0,
+      "the quote is verbatim")
+    assert(r4.getAs[Long]("first_train") == 27L,
+      "earliest flagging id across legs")
+    assert(!got.contains(5L), "clean items emit no row")
+    Dedup.clearSubstrates()
+  }
+
+  test("e14 drops a semantic paraphrase that every other probe passes; " +
+      "audit4 attributes it to the semantic stage and conserves mass") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Multimodal, Pipeline, Similarity}
+    val hand = Seq(
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+        "juliett kilo lima mike november oscar papa"),
+      // 27 PARAPHRASES item 3: zero shared vocabulary (d9/d28 blind),
+      // different synthesized media modality vs most docs — only its
+      // embedding betrays it; long enough and sampled-in (27 passes the
+      // md5 < '80000000' gate)
+      (27L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"),
+      // 29 is the clean control (also sampled-in)
+      (29L, "an unrelated survivor whose words never touch anything " +
+        "above and still runs well past the hundred character floor"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val vecs = Seq(
+      (3L, Array(1f, 0f, 0f, 0f)),
+      (27L, Array(0.9f, 0.1f, 0f, 0f)), // cos(3, 27) ≈ 0.994
+      (29L, Array(0f, 1f, 0f, 0f)))     // orthogonal to the holdout
+      .toDF("vec_id", "embedding")
+    // the paraphrase is invisible to every non-semantic probe
+    assert(Dedup.contaminationSplitCheck(hand, 25L, 3, 5).count() == 0,
+      "no shared shingles — d9 must not fire")
+    assert(Dedup.quoteContaminationSplitCheck(hand, 25L).count() == 0,
+      "no aligned quote — d28 must not fire")
+    assert(Multimodal.mediaContaminationSplitCheck(hand, 25L)
+      .where(col("doc_id") === 27L).count() == 0,
+      "the synthesized media does not pair — d25 must not fire")
+    assert(Similarity.embeddingContaminationSplitCheck(vecs, 25L)
+      .collect().map(_.getLong(0)).toSet == Set(27L),
+      "only d31 sees the paraphrase")
+    val e3 = Pipeline.trainingCorpus(hand)
+      .collect().map(_.getLong(0)).toSet
+    val e14 = Pipeline.semanticDecontaminatedCorpus(hand, vecs)
+      .collect().map(_.getLong(0)).toSet
+    assert(e3 == Set(27L, 29L), s"e3 ships the paraphrase: $e3")
+    assert(e14 == Set(29L), s"e14 must drop it: $e14")
+    // funnel: 27 attributes to `semantic`, mass conserved, kept == e14
+    val funnel = Pipeline.semanticFilterFunnel(hand, vecs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel.getOrElse("semantic", 0L) == 1L, s"funnel: $funnel")
+    assert(funnel.values.sum == hand.count(), "Σ n_docs = |documents|")
+    assert(funnel.getOrElse("kept", 0L) == e14.size.toLong,
+      "kept == the e14 survivor set")
+    Dedup.clearSubstrates()
+  }
+
+  test("audit4 conserves document mass on the corpus and its kept " +
+      "stage equals the e14 survivor count") {
+    val funnel = Pipeline.semanticFilterFunnel(docs, emb)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel.values.sum == docs.count(),
+      s"Σ n_docs must equal |documents|: $funnel")
+    val e14 = Pipeline.semanticDecontaminatedCorpus(docs, emb).count()
+    assert(funnel.getOrElse("kept", 0L) == e14,
+      s"kept (${funnel.get("kept")}) == e14 rows ($e14)")
+    // audit1 and audit4 agree on every shared stage except where the
+    // semantic stage re-attributes sampled_out/kept docs
+    val a1 = Pipeline.filterFunnel(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("benchmark", "too_short", "exact_dup", "near_dup",
+      "contaminated").foreach { s =>
+      assert(a1.getOrElse(s, 0L) == funnel.getOrElse(s, 0L),
+        s"stage $s precedes semantic and must not move")
+    }
+    ops.Dedup.clearSubstrates()
   }
 }

@@ -1494,6 +1494,42 @@ class StreamingSpec extends GraftSuite {
       "read-committed must see every produced row exactly once")
   }
 
+  test("from-ingest sel4: the DSIR select-then-pack over the committed " +
+      "landing store equals the batch operator across a kill/restart") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val dir = Files.createTempDirectory("graft_sel4s").toString
+    val (out, ckpt) = (dir + "/land", dir + "/ckpt")
+    val natural = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val shuffled = new scala.util.Random(4L).shuffle(natural)
+    val ms = MemoryStream[(Long, String, String)](95, spark, None)
+    def startQ() = Streams.txnSink(
+        ms.toDS().toDF("doc_id", "lang", "text"), out)
+      .option("checkpointLocation", ckpt).start()
+    val isTarget = col("lang") === "zh"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    val q1 = startQ()
+    ms.addData(shuffled.take(20)); q1.processAllAvailable()
+    // MID-STREAM: the online selection is by definition the batch
+    // operator over the arrived distribution
+    val arrived = shuffled.take(20).toDF("doc_id", "lang", "text")
+    assert(rows(Streams.dsirSelectedPackFromIngest(spark, out,
+        isTarget, 5).get)
+      == rows(Sampling.dsirSelectedPack(arrived, isTarget, 5)),
+      "mid-stream selection must equal batch over the arrived prefix")
+    q1.stop() // kill
+    val q2 = startQ()
+    ms.addData(shuffled.drop(20)); q2.processAllAvailable(); q2.stop()
+    val full = natural.toDF("doc_id", "lang", "text")
+    assert(rows(Streams.dsirSelectedPackFromIngest(spark, out,
+        isTarget, 5).get)
+      == rows(Sampling.dsirSelectedPack(full, isTarget, 5)),
+      "post-restart selection must equal the batch sel4")
+  }
+
   test("txn sink: orphan partition invisible until commit; replay no-op") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_txn2").toString + "/t"
@@ -1927,6 +1963,13 @@ class StreamingSpec extends GraftSuite {
         benchDocs, state, out))
       == corpusRows(graft.ops.Pipeline.redactedCorpus(fixture)),
       "streamed e12 must equal the batch surgical corpus")
+    // streamed e13: the FULL surgical release (e3 drops + redaction +
+    // pack) from the same committed flags equals the batch
+    // surgicalCorpus — the flags crossed the kill/restart boundary
+    assert(corpusRows(Streams.surgicalCorpusFromIngest(corpusFixture,
+        benchDocs, state, out))
+      == corpusRows(graft.ops.Pipeline.surgicalCorpus(corpusFixture)),
+      "streamed e13 must equal the batch full surgical release")
     // replay of a committed bid is a no-op (O(1) frontier guard)
     Streams.mergeQuoteContamination(
       Seq((9999L, byId(3L))).toDF("doc_id", "text"), 0L,

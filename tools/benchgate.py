@@ -43,15 +43,26 @@ def main():
     args = [a for a in sys.argv[1:] if a != "--list-ungated"]
     list_ungated = "--list-ungated" in sys.argv[1:]
     bench_path = args[0] if args else "bench_out.json"
-    bench = json.load(open(bench_path))["queries"]
+    artifact = json.load(open(bench_path))
+    bench = artifact["queries"]
     base = baselines()
+    # the in-process retry pass (graft.Bench) re-runs breaches against the
+    # SAME ratio this gate applies; a drifted constant on either side would
+    # retry a different breach set than this script adjudicates
+    art_gate = artifact.get("gate")
+    if art_gate is not None and art_gate != GATE:
+        print(f"GATE MISMATCH: artifact ran its retry pass at "
+              f"{art_gate}x but this gate checks {GATE}x — fix one side")
+        sys.exit(1)
     if list_ungated:
         missing = sorted(q for q in bench if q not in base)
         for q in missing:
             print(q)
         print(f"== {len(missing)} ungated of {len(bench)} benched ==")
         sys.exit(1 if missing else 0)
-    retries = json.load(open(bench_path)).get("retries", {})
+    retries = artifact.get("retries", {})
+    retry_load = artifact.get("retry_load", {})
+    load_gate = artifact.get("load_gate")
     breaches, ungated = [], []
     for q, sec in sorted(bench.items()):
         if q not in base:
@@ -62,14 +73,26 @@ def main():
         if ratio > GATE and q in retries:
             # graft.Bench re-ran the nominal breach isolated after the
             # load gate re-opened; the retry adjudicates (both numbers
-            # stay in the artifact)
+            # stay in the artifact). A retry that started on a STILL-BUSY
+            # box (its recorded load exceeds the artifact's load gate —
+            # the 120s wait expired) is not a quiet re-run: its clear is
+            # withheld and the breach stands for a manual look.
             rratio = retries[q] / base[q]
-            if rratio <= GATE:
+            rload = retry_load.get(q)
+            hot = (rload is not None and load_gate is not None
+                   and rload > load_gate)
+            if rratio <= GATE and not hot:
                 flag = "ok-rtry"
                 print(f"{flag:7s} {q:32s} {sec:8.3f}s  baseline "
                       f"{base[q]:8.3f}s  ratio {ratio:5.2f}x  "
-                      f"retry {retries[q]:.3f}s = {rratio:.2f}x")
+                      f"retry {retries[q]:.3f}s = {rratio:.2f}x"
+                      + (f" @load {rload:.2f}" if rload is not None
+                         else ""))
                 continue
+            if rratio <= GATE and hot:
+                print(f"HOT-RTRY {q}: retry {retries[q]:.3f}s = "
+                      f"{rratio:.2f}x passed but ran at load {rload:.2f} "
+                      f"> gate {load_gate} — clear withheld")
         if ratio > GATE:
             breaches.append(q)
         if ratio > GATE or ratio > 1.5:
