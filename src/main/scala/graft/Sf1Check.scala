@@ -161,7 +161,48 @@ object Sf1Check {
         () => ops.Clustering.kmeansAssign(emb, 16, 2),
         () => ops.Clustering.kmeansAssignScalable(emb, 16, 2,
           trainCap = Long.MaxValue, maxModelCentroids = 0,
-          coarseCentroids = 16)))
+          coarseCentroids = 16)),
+      // round-16: the two-phase pack offsets are BUCKETING-INVARIANT —
+      // the e3/e6/e12/e13/sel4 packing theorem at sf1: any bucket size
+      // yields the identical global prefix sums (the intra-bucket
+      // window + broadcast exclusive offsets compose to the same total
+      // order). 997 is coprime to every id stride in the corpus, so
+      // the second layout shares no bucket boundary with the first.
+      ("pack_offsets_bucket_independence",
+        () => ops.Sampling.tokenOffsets(docs, 4096),
+        () => ops.Sampling.tokenOffsets(docs, 4096, bucketSize = 997L)),
+      // round-16: the e13 survivor theorem — the full surgical release
+      // ships exactly e3's survivor set minus docs redacted to nothing,
+      // i.e. e13's doc set == e3's ∩ e12's (e12's survivors ARE the
+      // train docs with post-redaction n_tok >= 1). Two independent
+      // compositions of three ops; runs on the rotating stratum (the
+      // pair stages dominate, same budget note as simhash).
+      ("surgical_corpus_survivors",
+        () => ops.Pipeline.surgicalCorpus(simhashDocs, 2500)
+          .select(col("doc_id")),
+        () => ops.Pipeline.trainingCorpus(simhashDocs, 2500)
+          .select(col("doc_id"))
+          .join(ops.Pipeline.redactedCorpus(simhashDocs, 2500)
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")),
+      // round-16: sel4 == its own public decomposition (sel3 draw +
+      // corpus semi-join + tokenOffsets + weight carry) — the packaged
+      // op with its internal checkpoint vs the hand-assembled pipeline;
+      // exact integer/hash arithmetic end to end, so row-identity is
+      // the right gate (covers sel2/sel3 as shared stages)
+      ("dsir_select_then_pack_recomposition",
+        () => ops.Sampling.dsirSelectedPack(docs,
+          col("lang") === "zh", 500),
+        () => {
+          val sel = ops.Sampling.dsirResample(docs,
+              col("lang") === "zh", 500)
+            .select(col("doc_id"), col("weight")).localCheckpoint()
+          ops.Sampling.tokenOffsets(
+              docs.join(sel.select(col("doc_id")), Seq("doc_id"),
+                "left_semi"), 4096)
+            .join(sel, "doc_id")
+            .select(col("doc_id"), col("weight"), col("n_tok"),
+              col("start_offset"), col("chunk_id"))
+        }))
 
     val results = checks.map { case (name, l, r) =>
       try compare(name, l(), r())

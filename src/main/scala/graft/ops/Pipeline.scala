@@ -42,17 +42,19 @@ object Pipeline {
         .quoteContaminationSplitCheck(documents, benchmarkMaxId, 3, t)
         .select(col("doc_id")).distinct()))
 
-  /** [[trainingCorpus]] with a PRECOMPUTED quote drop-list — the
-    * streamed-e11 composition (`Streams.quoteDecontaminatedFromIngest`)
-    * feeds the COMMITTED online d28 flags here, so the drop still runs
-    * BEFORE sampling and packing and the streamed corpus repacks
-    * identically to the batch one. */
-  private[graft] def trainingCorpusWithQuoteDrops(documents: DataFrame,
-      quoteDrops: DataFrame, benchmarkMaxId: Long = 25L,
+  /** [[trainingCorpus]] with a PRECOMPUTED (doc_id) drop-list — the
+    * streamed-release composition point: `Streams.
+    * quoteDecontaminatedFromIngest` feeds the COMMITTED online d28
+    * flags (e11) and `Streams.semanticDecontaminatedFromIngest` the
+    * committed d31 flags (e14), so either drop still runs BEFORE
+    * sampling and packing and the streamed corpus repacks identically
+    * to its batch twin. */
+  private[graft] def trainingCorpusWithDrops(documents: DataFrame,
+      drops: DataFrame, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5,
       seqLen: Int = 4096): DataFrame =
     trainingCorpusCore(documents, benchmarkMaxId, minChars, sampleFrac,
-      seqLen, Some(quoteDrops.select(col("doc_id")).distinct()))
+      seqLen, Some(drops.select(col("doc_id")).distinct()))
 
   private def trainingCorpusCore(documents: DataFrame,
       benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
@@ -599,22 +601,32 @@ object Pipeline {
   def benchmarkHealthReport(documents: DataFrame, embeddings: DataFrame,
       benchMaxId: Long = 25L, maxHamming: Int = 5,
       audioMaxHamming: Int = 3, n: Int = 3, quoteThreshold: Double = 0.8,
-      cosThreshold: Double = 0.4): DataFrame = {
-    val media = Multimodal
-      .benchmarkBurnReport(documents, benchMaxId, maxHamming,
-        audioMaxHamming)
+      cosThreshold: Double = 0.4): DataFrame =
+    healthRollup(
+      Multimodal.benchmarkBurnReport(documents, benchMaxId, maxHamming,
+        audioMaxHamming),
+      Dedup.quoteBurnReport(documents, benchMaxId, n, quoteThreshold),
+      Similarity.embeddingBurnReport(embeddings, benchMaxId,
+        cosThreshold))
+
+  /** The cross-modality JOIN half of [[benchmarkHealthReport]], shared
+    * with the streamed composition (`Streams.benchmarkHealthFromIngest`
+    * feeds burn rollups built from COMMITTED online flags): `mediaBurn`
+    * is d26-shaped (bench_id, modality, n_train, first_train, ...),
+    * `quoteBurn` d29-shaped, `embBurn` d32-shaped. */
+  private[graft] def healthRollup(mediaBurn: DataFrame,
+      quoteBurn: DataFrame, embBurn: DataFrame): DataFrame = {
+    val media = mediaBurn
       .groupBy(col("bench_id"))
       .agg(sum(when(col("modality") === "visual", col("n_train"))
           .otherwise(0L)).as("n_visual"),
         sum(when(col("modality") === "audio", col("n_train"))
           .otherwise(0L)).as("n_audio"),
         min(col("first_train")).as("m_first"))
-    val quote = Dedup
-      .quoteBurnReport(documents, benchMaxId, n, quoteThreshold)
+    val quote = quoteBurn
       .select(col("bench_id"), col("n_train").as("n_quote"),
         col("max_containment"), col("first_train").as("q_first"))
-    val emb = Similarity
-      .embeddingBurnReport(embeddings, benchMaxId, cosThreshold)
+    val emb = embBurn
       .select(col("bench_id"), col("n_train").as("n_embed"),
         col("max_cos"), col("first_train").as("e_first"))
     // explicit MaxValue sentinel instead of relying on null-skipping

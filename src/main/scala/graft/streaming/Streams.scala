@@ -1226,7 +1226,7 @@ object Streams {
       minChars: Int = 100, sampleFrac: Double = 0.5,
       seqLen: Int = 4096): DataFrame =
     committedQuoteContamination(documents.sparkSession, stateDir, outDir)
-      .map(f => graft.ops.Pipeline.trainingCorpusWithQuoteDrops(
+      .map(f => graft.ops.Pipeline.trainingCorpusWithDrops(
         documents, f, benchmarkMaxId, minChars, sampleFrac, seqLen))
       .getOrElse(graft.ops.Pipeline.trainingCorpus(documents,
         benchmarkMaxId, minChars, sampleFrac, seqLen))
@@ -1318,6 +1318,67 @@ object Streams {
         .agg(count(lit(1)).as("n_train"),
           max(col("cos")).as("max_cos"),
           min(col("vec_id")).as("first_train")))
+
+  /** The STREAMED e14 — semantic decontamination enforced from the
+    * COMMITTED online d31 flags: the training-corpus pipeline with the
+    * embedding-contamination drop-list read from
+    * [[committedEmbeddingContamination]] (vec_id is the embedding OF
+    * doc_id — the batch e14 alignment) instead of recomputed. Drops
+    * inject BEFORE sampling/packing via the shared pipeline core, so
+    * the streamed corpus repacks identically to the batch e14; the
+    * probe is stateless-exact, so once every training vector has
+    * arrived this equals `Pipeline.semanticDecontaminatedCorpus` at the
+    * threshold the sink ran with (kill/restart parity spec-pinned).
+    * With no committed flags yet it IS the batch e3 — the
+    * quoteDecontaminatedFromIngest degenerate-start discipline. */
+  def semanticDecontaminatedFromIngest(documents: DataFrame,
+      stateDir: String, outDir: String, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5,
+      seqLen: Int = 4096): DataFrame =
+    committedEmbeddingContamination(documents.sparkSession, stateDir,
+        outDir)
+      .map(f => graft.ops.Pipeline.trainingCorpusWithDrops(documents,
+        f.select(col("vec_id").as("doc_id")), benchmarkMaxId, minChars,
+        sampleFrac, seqLen))
+      .getOrElse(graft.ops.Pipeline.trainingCorpus(documents,
+        benchmarkMaxId, minChars, sampleFrac, seqLen))
+
+  /** The STREAMED d26 — the media burn report from the COMMITTED online
+    * d25 flags ([[committedContamination]]): per (bench_id, modality),
+    * how many arrived training docs carry that eval item's media, the
+    * closest hamming, and the earliest flagging id — equal to
+    * `Multimodal.benchmarkBurnReport` over the arrived docs for any
+    * arrival order (the probe is stateless given the bench signatures).
+    * Flag-bounded rollup; None before the first commit. */
+  def mediaBurnFromIngest(spark: SparkSession, stateDir: String,
+      outDir: String): Option[DataFrame] =
+    committedContamination(spark, stateDir, outDir).map(
+      _.groupBy(col("bench_id"), col("modality"))
+        .agg(count(lit(1)).as("n_train"),
+          min(col("hamming")).as("min_hamming"),
+          min(col("doc_id")).as("first_train")))
+
+  /** The STREAMED audit3 — the unified benchmark-health report from the
+    * three families' COMMITTED online flags: media ([[mediaBurnFromIngest]]),
+    * quote ([[quoteBurnFromIngest]]), embedding
+    * ([[embeddingBurnFromIngest]]) burn rollups joined through the
+    * batch operator's own cross-modality core
+    * (`Pipeline.healthRollup`), so streamed and batch reports cannot
+    * diverge structurally. Every leg's probe is stateless-exact, so
+    * once all traffic has arrived this equals
+    * `Pipeline.benchmarkHealthReport` at the thresholds the sinks ran
+    * with. None until ALL THREE legs have committed at least one batch
+    * (a health report silently missing a modality would read as
+    * "clean" — refusing is the safe degenerate). */
+  def benchmarkHealthFromIngest(spark: SparkSession,
+      mediaState: String, mediaOut: String, quoteState: String,
+      quoteOut: String, embState: String,
+      embOut: String): Option[DataFrame] =
+    for {
+      m <- mediaBurnFromIngest(spark, mediaState, mediaOut)
+      q <- quoteBurnFromIngest(spark, quoteState, quoteOut)
+      e <- embeddingBurnFromIngest(spark, embState, embOut)
+    } yield graft.ops.Pipeline.healthRollup(m, q, e)
 
   /** The STREAMED d29 — the quote burn report from the COMMITTED online
     * d28 flags: which benchmark items are quote-compromised by the

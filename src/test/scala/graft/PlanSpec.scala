@@ -626,10 +626,12 @@ class PlanSpec extends GraftSuite {
       s"the selected set must broadcast into both joins:\n${p.take(1200)}")
   }
 
-  test("e12/e13 redaction releases: every window is partitioned (doc_id " +
-      "islands, pair-bounded spans, fp keepers, bucketed offsets)") {
+  test("e12/e13/e14/e15/audit4 releases: every window is partitioned " +
+      "(doc_id islands, pair-bounded spans, fp keepers, bucketed offsets)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    for (q <- Seq("e12_redacted_corpus", "e13_surgical_corpus")) {
+    for (q <- Seq("e12_redacted_corpus", "e13_surgical_corpus",
+        "e14_semantic_decontaminated", "e15_redacted_text",
+        "audit4_semantic_funnel")) {
       val lp = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan
       val bad = lp.collect {
@@ -638,5 +640,22 @@ class PlanSpec extends GraftSuite {
         s"$q must never run an unpartitioned window over corpus rows:\n" +
           bad.mkString("\n"))
     }
+  }
+
+  test("d31z indexed probe: centroids re-enter via broadcast, no " +
+      "cartesian anywhere, probe ranking partitions by query") {
+    val p = plan("d31z_indexed_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cells×dims centroid frame must broadcast into the " +
+        s"assignment/probe passes:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the indexed path exists to REMOVE the all-pairs scan — no " +
+        s"cartesian may reappear:\n${p.take(1200)}")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("d31z_indexed_contamination")(spark, sf)
+      .queryExecution.optimizedPlan
+    val bad = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, s"probe rank must partition by qid:\n$bad")
   }
 }

@@ -1494,6 +1494,75 @@ class StreamingSpec extends GraftSuite {
       "read-committed must see every produced row exactly once")
   }
 
+  test("streamed audit3 + e14: the health report and the semantic " +
+      "release from committed flags equal their batch twins") {
+    import spark.implicits._
+    import graft.ops.{Pipeline, Similarity}
+    val dir = Files.createTempDirectory("graft_a3s").toString
+    val docsFull = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .localCheckpoint()
+    val embFull = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val benchDocs = docsFull.where(col("doc_id") < 25).localCheckpoint()
+    val benchEmb = embFull.where(col("vec_id") < 25).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).toSet
+    // before ANY leg commits, the health report refuses (a silently
+    // missing modality would read as "clean")
+    assert(Streams.benchmarkHealthFromIngest(spark,
+      s"$dir/ms", s"$dir/mo", s"$dir/qs", s"$dir/qo",
+      s"$dir/es", s"$dir/eo").isEmpty)
+    // drive the three contamination sinks (per-leg kill/restart and
+    // arrival-order parity are pinned by their own specs — this one
+    // pins the COMPOSITIONS)
+    val docRows = docsFull.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val msDoc = MemoryStream[(Long, String)](97, spark, None)
+    val qm = Streams.fullMediaIngestSink(
+        msDoc.toDS().toDF("doc_id", "text"), s"$dir/ms", s"$dir/mo",
+        benchDocs = Some(benchDocs))
+      .option("checkpointLocation", s"$dir/mc").start()
+    msDoc.addData(docRows); qm.processAllAvailable(); qm.stop()
+    val msQ = MemoryStream[(Long, String)](98, spark, None)
+    val qq = Streams.quoteContaminationSink(
+        msQ.toDS().toDF("doc_id", "text"), s"$dir/qs", s"$dir/qo",
+        benchDocs)
+      .option("checkpointLocation", s"$dir/qc").start()
+    msQ.addData(docRows); qq.processAllAvailable(); qq.stop()
+    val embRows = embFull.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val msE = MemoryStream[(Long, Array[Float])](99, spark, None)
+    val qe = Streams.embeddingContaminationSink(
+        msE.toDS().toDF("vec_id", "embedding"), benchEmb, s"$dir/es",
+        s"$dir/eo")
+      .option("checkpointLocation", s"$dir/ec").start()
+    msE.addData(embRows); qe.processAllAvailable(); qe.stop()
+    // streamed audit3 == batch (same budgets: media 5/3, quote 0.8,
+    // embedding 0.4, holdout < 25 on all three legs)
+    assert(rows(Streams.benchmarkHealthFromIngest(spark,
+        s"$dir/ms", s"$dir/mo", s"$dir/qs", s"$dir/qo",
+        s"$dir/es", s"$dir/eo").get)
+      == rows(Pipeline.benchmarkHealthReport(docsFull, embFull, 25L)),
+      "streamed audit3 must equal the batch health report")
+    // streamed e14 == batch: the committed d31 flags compose into the
+    // pipeline BEFORE sampling/packing
+    assert(rows(Streams.semanticDecontaminatedFromIngest(docsFull,
+        s"$dir/es", s"$dir/eo"))
+      == rows(Pipeline.semanticDecontaminatedCorpus(docsFull, embFull)),
+      "streamed e14 must equal the batch semantic release")
+    // batch d31 broadcast-cap sanity rides along: the sink enforced the
+    // same bound at setup (65536) and the holdout here is 25 rows
+    assert(rows(Streams.committedEmbeddingContamination(spark,
+        s"$dir/es", s"$dir/eo").get
+        .select("vec_id", "bench_id", "cos"))
+      == rows(Similarity.embeddingContaminationSplitCheck(embFull, 25L)),
+      "committed flags must equal the batch probe at holdout 25")
+    graft.ops.Dedup.clearSubstrates()
+    graft.ops.Multimodal.clearMedia()
+  }
+
   test("from-ingest sel4: the DSIR select-then-pack over the committed " +
       "landing store equals the batch operator across a kill/restart") {
     import spark.implicits._
