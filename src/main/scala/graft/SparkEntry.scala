@@ -1382,6 +1382,114 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The d30 surgical span chain (d28 bipartite flags + per-shift mass
+    * floor + island merge, ending in `gs`) as ONE shared CTE block —
+    * consumed verbatim by the d30/d33/e12/e15 oracles so a fix to the
+    * span machinery cannot de-twin them (the kmeansCtes factoring
+    * precedent; a stale copy would pin a different behavior per
+    * oracle). */
+  private val quoteSpanCtes: String =
+    """tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+        |         AS shingle
+        |       FROM (SELECT doc_id, toks,
+        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+        |             FROM tk)),
+        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ps GROUP BY 1),
+        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
+        |       FROM ps a JOIN ps b USING (shingle)
+        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
+        |msh AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, i2 - i1 AS shift,
+        |          row_number() OVER (PARTITION BY d1, d2
+        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
+        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
+        |mm AS (SELECT f.d1, f.d2, s.shift,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i1 END) AS ma,
+        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+        |            <= 1 THEN f.i2 END) AS mb
+        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
+        |       GROUP BY 1, 2, 3),
+        |fl AS (SELECT mm.d1, mm.d2
+        |       FROM mm JOIN np a ON mm.d1 = a.doc_id
+        |                JOIN np b ON mm.d2 = b.doc_id
+        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
+        |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
+        |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
+        |qs AS (SELECT d1, d2, shift FROM (
+        |        SELECT d1, d2, shift, COUNT(*) AS mass,
+        |          MAX(COUNT(*)) OVER (PARTITION BY d1, d2) AS mx
+        |        FROM mt GROUP BY 1, 2, 3)
+        |       WHERE mass >= 3 OR mass = mx),
+        |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
+        |       FROM mt JOIN qs USING (d1, d2, shift)),
+        |gg AS (SELECT d1, d2, shift, i1,
+        |         CASE WHEN lag(i1) OVER w IS NULL
+        |                OR i1 > lag(i1) OVER w + 3 THEN 1 ELSE 0 END AS ns
+        |       FROM mk
+        |       WINDOW w AS (PARTITION BY d1, d2, shift ORDER BY i1)),
+        |gs AS (SELECT d1, d2, shift, i1,
+        |         SUM(ns) OVER (PARTITION BY d1, d2, shift ORDER BY i1
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS sid
+        |       FROM gg)""".stripMargin
+
+  /** e3's drop-list CTE chain (shingle sets, near/exact dups, d9
+    * contamination — ending in `contam`) as ONE shared block, consumed
+    * by every oracle that carried it byte-for-byte (e3/e11/e13/e14/
+    * audit1/audit4 family) so a drop-stage fix cannot de-twin them. */
+  private val e3DropCtes: String =
+    """tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |           '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+        |       FROM sh a JOIN sh b USING (shingle)
+        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
+        |             JOIN sz s1 ON doc1 = s1.doc_id
+        |             JOIN sz s2 ON doc2 = s2.doc_id
+        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
+        |exactdups AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+        |                                'g')))) AS keeper
+        |    FROM documents)
+        |  WHERE doc_id <> keeper),
+        |contam AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
+        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
+        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5))""".stripMargin
+
+  /** The d31 bipartite cosine pair CTEs at the doc-aligned holdout
+    * (vec_id < 25), ending in `ec(vec_id, bench_id, dot)` — shared by
+    * the e14/audit4 oracles (audit3 carries its own prefixed copy at a
+    * different indent). */
+  private val semanticPairCtes: String =
+    """enn AS (SELECT vec_id,
+        |        sqrt(SUM(CAST(embedding[ii.i] AS DOUBLE)
+        |          * CAST(embedding[ii.i] AS DOUBLE))) AS nrm
+        |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+        |      GROUP BY 1),
+        |ec AS (SELECT a.vec_id, b.vec_id AS bench_id,
+        |        SUM(CAST(a.embedding[ii.i] AS DOUBLE)
+        |          * CAST(b.embedding[ii.i] AS DOUBLE)) AS dot
+        |      FROM embeddings a, embeddings b,
+        |           (SELECT unnest(range(1, 65)) AS i) ii
+        |      WHERE a.vec_id >= 25 AND b.vec_id < 25
+        |      GROUP BY 1, 2)""".stripMargin
+
   /** Shared CTE block for the ml1/d15 oracles: two unrolled Lloyd rounds
     * ending in the final assignment `a2(vec_id, cid)`; mirrors the
     * `Clustering.kmeansAssign` determinism contract exactly. */
@@ -2924,55 +3032,7 @@ object SparkEntry {
     // emit zero spans), and within a shift the positions island-merge
     // (new span when i1 > prev + n) — d28's CTEs + the surgical rollup
     "d30_redaction_spans" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
-        |         AS shingle
-        |       FROM (SELECT doc_id, toks,
-        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
-        |             FROM tk)),
-        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-        |       FROM ps GROUP BY 1),
-        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
-        |       FROM ps a JOIN ps b USING (shingle)
-        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
-        |msh AS (SELECT d1, d2, shift FROM (
-        |        SELECT d1, d2, i2 - i1 AS shift,
-        |          row_number() OVER (PARTITION BY d1, d2
-        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
-        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
-        |mm AS (SELECT f.d1, f.d2, s.shift,
-        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
-        |            <= 1 THEN f.i1 END) AS ma,
-        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
-        |            <= 1 THEN f.i2 END) AS mb
-        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
-        |       GROUP BY 1, 2, 3),
-        |fl AS (SELECT mm.d1, mm.d2
-        |       FROM mm JOIN np a ON mm.d1 = a.doc_id
-        |                JOIN np b ON mm.d2 = b.doc_id
-        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
-        |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
-        |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
-        |qs AS (SELECT d1, d2, shift FROM (
-        |        SELECT d1, d2, shift, COUNT(*) AS mass,
-        |          MAX(COUNT(*)) OVER (PARTITION BY d1, d2) AS mx
-        |        FROM mt GROUP BY 1, 2, 3)
-        |       WHERE mass >= 3 OR mass = mx),
-        |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
-        |       FROM mt JOIN qs USING (d1, d2, shift)),
-        |gg AS (SELECT d1, d2, shift, i1,
-        |         CASE WHEN lag(i1) OVER w IS NULL
-        |                OR i1 > lag(i1) OVER w + 3 THEN 1 ELSE 0 END AS ns
-        |       FROM mk
-        |       WINDOW w AS (PARTITION BY d1, d2, shift ORDER BY i1)),
-        |gs AS (SELECT d1, d2, shift, i1,
-        |         SUM(ns) OVER (PARTITION BY d1, d2, shift ORDER BY i1
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS sid
-        |       FROM gg)
+      s"""WITH $quoteSpanCtes
         |SELECT d1 AS doc_id, d2 AS bench_id,
         |       CAST(shift AS INTEGER) AS shift,
         |       MIN(i1) AS span_start,
@@ -2986,55 +3046,7 @@ object SparkEntry {
     // start + len(toks[i]) (exclusive); spans then join the offset
     // table at their first and last covered token
     "d33_redaction_char_spans" ->
-      ("""WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
-        |         AS shingle
-        |       FROM (SELECT doc_id, toks,
-        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
-        |             FROM tk)),
-        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-        |       FROM ps GROUP BY 1),
-        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
-        |       FROM ps a JOIN ps b USING (shingle)
-        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
-        |msh AS (SELECT d1, d2, shift FROM (
-        |        SELECT d1, d2, i2 - i1 AS shift,
-        |          row_number() OVER (PARTITION BY d1, d2
-        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
-        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
-        |mm AS (SELECT f.d1, f.d2, s.shift,
-        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
-        |            <= 1 THEN f.i1 END) AS ma,
-        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
-        |            <= 1 THEN f.i2 END) AS mb
-        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
-        |       GROUP BY 1, 2, 3),
-        |fl AS (SELECT mm.d1, mm.d2
-        |       FROM mm JOIN np a ON mm.d1 = a.doc_id
-        |                JOIN np b ON mm.d2 = b.doc_id
-        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
-        |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
-        |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
-        |qs AS (SELECT d1, d2, shift FROM (
-        |        SELECT d1, d2, shift, COUNT(*) AS mass,
-        |          MAX(COUNT(*)) OVER (PARTITION BY d1, d2) AS mx
-        |        FROM mt GROUP BY 1, 2, 3)
-        |       WHERE mass >= 3 OR mass = mx),
-        |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
-        |       FROM mt JOIN qs USING (d1, d2, shift)),
-        |gg AS (SELECT d1, d2, shift, i1,
-        |         CASE WHEN lag(i1) OVER w IS NULL
-        |                OR i1 > lag(i1) OVER w + 3 THEN 1 ELSE 0 END AS ns
-        |       FROM mk
-        |       WINDOW w AS (PARTITION BY d1, d2, shift ORDER BY i1)),
-        |gs AS (SELECT d1, d2, shift, i1,
-        |         SUM(ns) OVER (PARTITION BY d1, d2, shift ORDER BY i1
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS sid
-        |       FROM gg),
+      (s"""WITH $quoteSpanCtes,
         |sp AS (SELECT d1 AS doc_id, d2 AS bench_id,
         |         CAST(shift AS INTEGER) AS shift,
         |         MIN(i1) AS span_start,
@@ -3068,55 +3080,7 @@ object SparkEntry {
     // merge) + the splice — kept pieces of the ORIGINAL text
     // concatenated in order via string_agg, tail piece appended
     "e15_redacted_text" ->
-      ("""WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
-        |         AS shingle
-        |       FROM (SELECT doc_id, toks,
-        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
-        |             FROM tk)),
-        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-        |       FROM ps GROUP BY 1),
-        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
-        |       FROM ps a JOIN ps b USING (shingle)
-        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
-        |msh AS (SELECT d1, d2, shift FROM (
-        |        SELECT d1, d2, i2 - i1 AS shift,
-        |          row_number() OVER (PARTITION BY d1, d2
-        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
-        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
-        |mm AS (SELECT f.d1, f.d2, s.shift,
-        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
-        |            <= 1 THEN f.i1 END) AS ma,
-        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
-        |            <= 1 THEN f.i2 END) AS mb
-        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
-        |       GROUP BY 1, 2, 3),
-        |fl AS (SELECT mm.d1, mm.d2
-        |       FROM mm JOIN np a ON mm.d1 = a.doc_id
-        |                JOIN np b ON mm.d2 = b.doc_id
-        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
-        |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
-        |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
-        |qs AS (SELECT d1, d2, shift FROM (
-        |        SELECT d1, d2, shift, COUNT(*) AS mass,
-        |          MAX(COUNT(*)) OVER (PARTITION BY d1, d2) AS mx
-        |        FROM mt GROUP BY 1, 2, 3)
-        |       WHERE mass >= 3 OR mass = mx),
-        |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
-        |       FROM mt JOIN qs USING (d1, d2, shift)),
-        |gg AS (SELECT d1, d2, shift, i1,
-        |         CASE WHEN lag(i1) OVER w IS NULL
-        |                OR i1 > lag(i1) OVER w + 3 THEN 1 ELSE 0 END AS ns
-        |       FROM mk
-        |       WINDOW w AS (PARTITION BY d1, d2, shift ORDER BY i1)),
-        |gs AS (SELECT d1, d2, shift, i1,
-        |         SUM(ns) OVER (PARTITION BY d1, d2, shift ORDER BY i1
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS sid
-        |       FROM gg),
+      (s"""WITH $quoteSpanCtes,
         |sp AS (SELECT d1 AS doc_id, MIN(i1) AS span_start,
         |         MAX(i1) + 2 AS span_end
         |       FROM gs GROUP BY d1, d2, shift, sid),
@@ -4044,33 +4008,7 @@ object SparkEntry {
         |FROM documents d LEFT JOIN neardups nd USING (doc_id)
         |GROUP BY 1, 2""".stripMargin,
     "e3_training_corpus" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |idx AS (SELECT doc_id, toks,
-        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
-        |       FROM sh a JOIN sh b USING (shingle)
-        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
-        |             JOIN sz s1 ON doc1 = s1.doc_id
-        |             JOIN sz s2 ON doc2 = s2.doc_id
-        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
-        |exactdups AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
-        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
-        |                                'g')))) AS keeper
-        |    FROM documents)
-        |  WHERE doc_id <> keeper),
-        |contam AS (SELECT DISTINCT doc_id FROM (
-        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
-        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
-        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5)),
+      s"""WITH $e3DropCtes,
         |survivors AS (
         |  SELECT doc_id, lang, text FROM documents
         |  WHERE doc_id >= 25 AND length(text) >= 100
@@ -4079,13 +4017,13 @@ object SparkEntry {
         |    AND doc_id NOT IN (SELECT doc_id FROM contam)
         |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
         |SELECT doc_id, lang,
-        |       CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+        |       CAST(len(string_split_regex(text, '\\s+')) AS INTEGER)
         |         AS n_tok,
-        |       CAST(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |       CAST(COALESCE(SUM(len(string_split_regex(text, '\\s+')))
         |           OVER (ORDER BY doc_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) AS BIGINT) AS start_offset,
-        |       CAST(floor(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |       CAST(floor(COALESCE(SUM(len(string_split_regex(text, '\\s+')))
         |           OVER (ORDER BY doc_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
@@ -4094,45 +4032,8 @@ object SparkEntry {
     // vs the vec_id < 25 holdout — the audit3 alignment) applied BEFORE
     // sampling/packing; pack windows are e3's whitespace verbatim
     "e14_semantic_decontaminated" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |idx AS (SELECT doc_id, toks,
-        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
-        |       FROM sh a JOIN sh b USING (shingle)
-        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
-        |             JOIN sz s1 ON doc1 = s1.doc_id
-        |             JOIN sz s2 ON doc2 = s2.doc_id
-        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
-        |exactdups AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
-        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
-        |                                'g')))) AS keeper
-        |    FROM documents)
-        |  WHERE doc_id <> keeper),
-        |contam AS (SELECT DISTINCT doc_id FROM (
-        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
-        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
-        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5)),
-        |enn AS (SELECT vec_id,
-        |        sqrt(SUM(CAST(embedding[ii.i] AS DOUBLE)
-        |          * CAST(embedding[ii.i] AS DOUBLE))) AS nrm
-        |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
-        |      GROUP BY 1),
-        |ec AS (SELECT a.vec_id, b.vec_id AS bench_id,
-        |        SUM(CAST(a.embedding[ii.i] AS DOUBLE)
-        |          * CAST(b.embedding[ii.i] AS DOUBLE)) AS dot
-        |      FROM embeddings a, embeddings b,
-        |           (SELECT unnest(range(1, 65)) AS i) ii
-        |      WHERE a.vec_id >= 25 AND b.vec_id < 25
-        |      GROUP BY 1, 2),
+      s"""WITH $e3DropCtes,
+        |$semanticPairCtes,
         |sdrop AS (SELECT DISTINCT ec.vec_id AS doc_id
         |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
         |              JOIN enn nb ON nb.vec_id = ec.bench_id
@@ -4147,13 +4048,13 @@ object SparkEntry {
         |    AND doc_id NOT IN (SELECT doc_id FROM sdrop)
         |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
         |SELECT doc_id, lang,
-        |       CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+        |       CAST(len(string_split_regex(text, '\\s+')) AS INTEGER)
         |         AS n_tok,
-        |       CAST(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |       CAST(COALESCE(SUM(len(string_split_regex(text, '\\s+')))
         |           OVER (ORDER BY doc_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) AS BIGINT) AS start_offset,
-        |       CAST(floor(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |       CAST(floor(COALESCE(SUM(len(string_split_regex(text, '\\s+')))
         |           OVER (ORDER BY doc_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
@@ -4162,33 +4063,7 @@ object SparkEntry {
     // survivor set BEFORE the packing windows (offsets repack over the
     // kept docs); the quote CTEs are d28's verbatim
     "e11_quote_decontaminated" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |idx AS (SELECT doc_id, toks,
-        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
-        |       FROM sh a JOIN sh b USING (shingle)
-        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
-        |             JOIN sz s1 ON doc1 = s1.doc_id
-        |             JOIN sz s2 ON doc2 = s2.doc_id
-        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
-        |exactdups AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
-        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
-        |                                'g')))) AS keeper
-        |    FROM documents)
-        |  WHERE doc_id <> keeper),
-        |contam AS (SELECT DISTINCT doc_id FROM (
-        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
-        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
-        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5)),
+      s"""WITH $e3DropCtes,
         |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
         |         AS shingle
         |       FROM (SELECT doc_id, toks,
@@ -4225,13 +4100,13 @@ object SparkEntry {
         |    AND doc_id NOT IN (SELECT doc_id FROM qflags)
         |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
         |SELECT doc_id, lang,
-        |       CAST(len(string_split_regex(text, '\s+')) AS INTEGER)
+        |       CAST(len(string_split_regex(text, '\\s+')) AS INTEGER)
         |         AS n_tok,
-        |       CAST(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |       CAST(COALESCE(SUM(len(string_split_regex(text, '\\s+')))
         |           OVER (ORDER BY doc_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) AS BIGINT) AS start_offset,
-        |       CAST(floor(COALESCE(SUM(len(string_split_regex(text, '\s+')))
+        |       CAST(floor(COALESCE(SUM(len(string_split_regex(text, '\\s+')))
         |           OVER (ORDER BY doc_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
@@ -4241,55 +4116,7 @@ object SparkEntry {
     // the tokenize space the spans index, survivors (n_tok >= 1)
     // repacked with the e3 offset windows over the REDACTED counts
     "e12_redacted_corpus" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
-        |         AS shingle
-        |       FROM (SELECT doc_id, toks,
-        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
-        |             FROM tk)),
-        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-        |       FROM ps GROUP BY 1),
-        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
-        |       FROM ps a JOIN ps b USING (shingle)
-        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
-        |msh AS (SELECT d1, d2, shift FROM (
-        |        SELECT d1, d2, i2 - i1 AS shift,
-        |          row_number() OVER (PARTITION BY d1, d2
-        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
-        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
-        |mm AS (SELECT f.d1, f.d2, s.shift,
-        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
-        |            <= 1 THEN f.i1 END) AS ma,
-        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
-        |            <= 1 THEN f.i2 END) AS mb
-        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
-        |       GROUP BY 1, 2, 3),
-        |fl AS (SELECT mm.d1, mm.d2
-        |       FROM mm JOIN np a ON mm.d1 = a.doc_id
-        |                JOIN np b ON mm.d2 = b.doc_id
-        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
-        |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
-        |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
-        |qs AS (SELECT d1, d2, shift FROM (
-        |        SELECT d1, d2, shift, COUNT(*) AS mass,
-        |          MAX(COUNT(*)) OVER (PARTITION BY d1, d2) AS mx
-        |        FROM mt GROUP BY 1, 2, 3)
-        |       WHERE mass >= 3 OR mass = mx),
-        |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
-        |       FROM mt JOIN qs USING (d1, d2, shift)),
-        |gg AS (SELECT d1, d2, shift, i1,
-        |         CASE WHEN lag(i1) OVER w IS NULL
-        |                OR i1 > lag(i1) OVER w + 3 THEN 1 ELSE 0 END AS ns
-        |       FROM mk
-        |       WINDOW w AS (PARTITION BY d1, d2, shift ORDER BY i1)),
-        |gs AS (SELECT d1, d2, shift, i1,
-        |         SUM(ns) OVER (PARTITION BY d1, d2, shift ORDER BY i1
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS sid
-        |       FROM gg),
+      s"""WITH $quoteSpanCtes,
         |sp AS (SELECT DISTINCT doc_id, s, e FROM (
         |        SELECT d1 AS doc_id, MIN(i1) AS s, MAX(i1) + 2 AS e
         |        FROM gs GROUP BY d1, d2, shift, sid)),
@@ -4329,33 +4156,7 @@ object SparkEntry {
     // interval union — survivors repack at tokenize-space counts minus
     // their unioned span mass (the surgical alternative to e11's drop)
     "e13_surgical_corpus" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |idx AS (SELECT doc_id, toks,
-        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
-        |       FROM sh a JOIN sh b USING (shingle)
-        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
-        |             JOIN sz s1 ON doc1 = s1.doc_id
-        |             JOIN sz s2 ON doc2 = s2.doc_id
-        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
-        |exactdups AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
-        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
-        |                                'g')))) AS keeper
-        |    FROM documents)
-        |  WHERE doc_id <> keeper),
-        |contam AS (SELECT DISTINCT doc_id FROM (
-        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
-        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
-        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5)),
+      s"""WITH $e3DropCtes,
         |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
         |         AS shingle
         |       FROM (SELECT doc_id, toks,
@@ -4447,33 +4248,7 @@ object SparkEntry {
     // exact_dup -> near_dup -> contaminated -> sampled_out -> kept;
     // drop-list CTEs are e3's verbatim
     "audit1_filter_funnel" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |idx AS (SELECT doc_id, toks,
-        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
-        |       FROM sh a JOIN sh b USING (shingle)
-        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
-        |             JOIN sz s1 ON doc1 = s1.doc_id
-        |             JOIN sz s2 ON doc2 = s2.doc_id
-        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
-        |exactdups AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
-        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
-        |                                'g')))) AS keeper
-        |    FROM documents)
-        |  WHERE doc_id <> keeper),
-        |contam AS (SELECT DISTINCT doc_id FROM (
-        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
-        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
-        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5)),
+      s"""WITH $e3DropCtes,
         |staged AS (
         |  SELECT d.text,
         |    CASE WHEN d.doc_id < 25 THEN 'benchmark'
@@ -4489,51 +4264,14 @@ object SparkEntry {
         |  LEFT JOIN neardups nd ON d.doc_id = nd.doc_id
         |  LEFT JOIN contam c ON d.doc_id = c.doc_id)
         |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |       CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |       CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
         |         AS n_tokens
         |FROM staged GROUP BY 1""".stripMargin,
     // audit4: audit1's CTEs + the d31 semantic drop leg, with the
     // `semantic` stage between contaminated and sampled_out
     "audit4_semantic_funnel" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |idx AS (SELECT doc_id, toks,
-        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
-        |       FROM sh a JOIN sh b USING (shingle)
-        |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        |neardups AS (SELECT DISTINCT doc2 AS doc_id FROM pr
-        |             JOIN sz s1 ON doc1 = s1.doc_id
-        |             JOIN sz s2 ON doc2 = s2.doc_id
-        |             WHERE common / (s1.sz + s2.sz - common) >= 0.5),
-        |exactdups AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
-        |        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
-        |                                'g')))) AS keeper
-        |    FROM documents)
-        |  WHERE doc_id <> keeper),
-        |contam AS (SELECT DISTINCT doc_id FROM (
-        |  SELECT c.doc_id FROM sh c JOIN sh b USING (shingle)
-        |  WHERE c.doc_id >= 25 AND b.doc_id < 25
-        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 5)),
-        |enn AS (SELECT vec_id,
-        |        sqrt(SUM(CAST(embedding[ii.i] AS DOUBLE)
-        |          * CAST(embedding[ii.i] AS DOUBLE))) AS nrm
-        |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
-        |      GROUP BY 1),
-        |ec AS (SELECT a.vec_id, b.vec_id AS bench_id,
-        |        SUM(CAST(a.embedding[ii.i] AS DOUBLE)
-        |          * CAST(b.embedding[ii.i] AS DOUBLE)) AS dot
-        |      FROM embeddings a, embeddings b,
-        |           (SELECT unnest(range(1, 65)) AS i) ii
-        |      WHERE a.vec_id >= 25 AND b.vec_id < 25
-        |      GROUP BY 1, 2),
+      s"""WITH $e3DropCtes,
+        |$semanticPairCtes,
         |sdrop AS (SELECT DISTINCT ec.vec_id AS doc_id
         |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
         |              JOIN enn nb ON nb.vec_id = ec.bench_id
@@ -4556,7 +4294,7 @@ object SparkEntry {
         |  LEFT JOIN contam c ON d.doc_id = c.doc_id
         |  LEFT JOIN sdrop sd ON d.doc_id = sd.doc_id)
         |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |       CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |       CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
         |         AS n_tokens
         |FROM staged GROUP BY 1""".stripMargin,
     "smp1_hash_sample" ->

@@ -22,7 +22,15 @@ object Text {
   /** Shared tokenizer core (used by the UDF and the native Generator).
     * CJK coverage: Unified Ideographs + Ext A, Hiragana/Katakana, Hangul
     * syllables, compatibility ideographs. A lone CJK char between
-    * boundaries is emitted as itself; runs of >=2 emit bigrams only. */
+    * boundaries is emitted as itself; runs of >=2 emit bigrams only.
+    *
+    * The Latin branch is ASCII-ONLY by design — the documented oracle
+    * convention is the `[a-z0-9]+` split, so non-ASCII case-folding
+    * exotica whose `Character.toLowerCase` happens to land in [a-z]
+    * (U+212A KELVIN SIGN → 'k', U+0130 'İ' → 'i') are BOUNDARIES here
+    * exactly as they are in the SQL twin; without the ASCII guard the
+    * two engines would disagree on token membership — and therefore on
+    * every downstream char offset — for such chars. */
   def tokenize(s: String): Array[String] = {
     if (s == null) return Array.empty[String]
     val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -40,8 +48,9 @@ object Text {
     }
     var i = 0
     while (i < s.length) {
-      val c = Character.toLowerCase(s.charAt(i))
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+      val oc = s.charAt(i)
+      val c = Character.toLowerCase(oc)
+      if (oc < 128 && ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))) {
         endCjk()
         latin.append(c)
       } else if (isCjk(c)) {
@@ -99,8 +108,12 @@ object Text {
     }
     var i = 0
     while (i < s.length) {
-      val c = Character.toLowerCase(s.charAt(i))
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+      val oc = s.charAt(i)
+      val c = Character.toLowerCase(oc)
+      // ASCII-only Latin branch — see [[tokenize]]'s contract note; the
+      // guard also keeps the span-spells-token law safe from chars whose
+      // String.toLowerCase EXPANDS (U+0130 lowers to 2 chars)
+      if (oc < 128 && ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))) {
         endCjk()
         if (latin.length == 0) latinStart = i
         latin.append(c)

@@ -270,9 +270,15 @@ object Similarity {
     * nprobe cells and run this check inside them — the documented sim4
     * composition); the operator itself stays exact. Zero-norm vectors
     * cosine to NaN and never flag (the ranker NaN contract). */
+  /** The flat probe's broadcast cap — ONE constant shared by the batch
+    * splitCheck default and the streaming sink's setup check (the
+    * gateRatio/GATE lesson: two independent literals drift). 65536 is
+    * the DSIR broadcast-table discipline: ~16 MB of 64-dim floats. */
+  val MaxBenchBroadcastRows: Long = 65536L
+
   def embeddingContaminationSplitCheck(embeddings: DataFrame,
       benchMaxId: Long, threshold: Double = 0.4,
-      maxBenchRows: Long = 65536L): DataFrame = {
+      maxBenchRows: Long = MaxBenchBroadcastRows): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val bench = base.where(col("vec_id") < benchMaxId)
     // the probe broadcasts the bench side — "small by definition" is now
@@ -280,13 +286,24 @@ object Similarity {
     // a holdout past the cap must go through the indexed probe
     // ([[embeddingContaminationIndexed]]), whose per-query work is
     // nprobe cells instead of the whole corpus
-    val benchN = bench.count()
-    require(benchN <= maxBenchRows,
-      s"eval holdout has $benchN vectors > broadcast cap $maxBenchRows " +
-        "— probe it through embeddingContaminationIndexed (IVF cells) " +
-        "instead of the all-pairs broadcast scan")
+    requireBenchUnderCap(bench, maxBenchRows)
     embeddingContaminationProbe(base.where(col("vec_id") >= benchMaxId),
       bench, threshold)
+  }
+
+  /** Bounded over-cap check: counts AT MOST cap+1 rows (a limit-count,
+    * never a full holdout scan — the question "is it over the cap" is
+    * itself bounded), shared by the batch splitCheck and the streaming
+    * sink setup. */
+  private[graft] def requireBenchUnderCap(bench: DataFrame,
+      maxBenchRows: Long): Unit = {
+    val probeN = math.min(maxBenchRows + 1, Int.MaxValue.toLong).toInt
+    val benchN = bench.limit(probeN).count()
+    require(benchN <= maxBenchRows,
+      s"eval holdout has >= $benchN vectors > broadcast cap " +
+        s"$maxBenchRows — probe it through " +
+        "embeddingContaminationIndexed (IVF cells) instead of the " +
+        "all-pairs broadcast scan")
   }
 
   /** The probe core of [[embeddingContaminationSplitCheck]] and the
@@ -387,8 +404,14 @@ object Similarity {
       "threshold must sit in (0, 1]")
     val bench = embeddings.where(col("vec_id") < benchMaxId)
       .select(col("vec_id").as("qid"), col("embedding"))
+    // distinct on the candidate PAIR: within one index generation a
+    // member has exactly one assign row, but a multi-generation store
+    // (appendIvfIndex replaying or re-assigning a refreshed vector in a
+    // later gen) can carry two rows for one vec_id — without the dedup
+    // the pair would flag twice and break the ==-flat parity contract
     val cand = ivfCandidatesFromFrame(assign, cents, bench, nprobe)
       .where(col("nid") >= benchMaxId)
+      .select(col("qid"), col("nid")).distinct()
     val base = withNorm(embeddings)
     cand
       .join(base.select(col("vec_id").as("qid"),

@@ -1253,13 +1253,10 @@ object Streams {
     val bench = benchEmbeddings.select(col("vec_id"), col("embedding"))
       .localCheckpoint()
     // the per-batch probe broadcasts this frame — enforce the bound ONCE
-    // at sink setup (the frame is fixed for the stream's lifetime), the
-    // same structural cap as the batch splitCheck
-    val benchN = bench.count()
-    require(benchN <= 65536L,
-      s"eval holdout has $benchN vectors > broadcast cap 65536 — " +
-        "probe oversized holdouts through the indexed batch path " +
-        "(Similarity.embeddingContaminationIndexed)")
+    // at sink setup (the frame is fixed for the stream's lifetime): the
+    // SAME shared cap + limit-count check as the batch splitCheck
+    graft.ops.Similarity.requireBenchUnderCap(bench,
+      graft.ops.Similarity.MaxBenchBroadcastRows)
     vectors.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         mergeEmbeddingContamination(batch, batchId, bench, stateDir,
@@ -1426,14 +1423,19 @@ object Streams {
     * same degenerate-start discipline as the streamed e11. */
   def redactedCorpusFromIngest(documents: DataFrame, benchDocs: DataFrame,
       stateDir: String, outDir: String, benchmarkMaxId: Long = 25L,
-      n: Int = 3, minPositions: Int = 3, seqLen: Int = 4096): DataFrame = {
-    val spans = quoteRedactionFromIngest(documents, benchDocs, stateDir,
-        outDir, n, minPositions)
-      .getOrElse(documents.select(col("doc_id"),
-        lit(0).as("span_start"), lit(0).as("span_end")).limit(0))
-    graft.ops.Pipeline.redactedCorpusFromSpans(documents, spans,
+      n: Int = 3, minPositions: Int = 3, seqLen: Int = 4096): DataFrame =
+    graft.ops.Pipeline.redactedCorpusFromSpans(documents,
+      quoteRedactionFromIngest(documents, benchDocs, stateDir, outDir,
+        n, minPositions).getOrElse(emptySpanPlan(documents)),
       benchmarkMaxId, seqLen)
-  }
+
+  /** The degenerate-start span plan (no committed flags yet): an EMPTY
+    * frame with the (doc_id, span_start, span_end) schema redactPack
+    * reads — one definition shared by the streamed e12 and e13 so the
+    * rarely-exercised startup path cannot drift between them. */
+  private def emptySpanPlan(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      lit(0).as("span_start"), lit(0).as("span_end")).limit(0)
 
   /** The STREAMED e13 — the FULL surgical release from the COMMITTED
     * online d28 flags: e3's whole curation pipeline over the arrived
@@ -1453,8 +1455,7 @@ object Streams {
       n: Int = 3, minPositions: Int = 3): DataFrame = {
     val spans = quoteRedactionFromIngest(documents, benchDocs, stateDir,
         outDir, n, minPositions)
-      .getOrElse(documents.select(col("doc_id"),
-        lit(0).as("span_start"), lit(0).as("span_end")).limit(0))
+      .getOrElse(emptySpanPlan(documents))
     graft.ops.Pipeline.surgicalCorpusWithSpans(documents, spans,
       benchmarkMaxId, minChars, sampleFrac, seqLen)
   }

@@ -118,6 +118,18 @@ class FunctionsSpec extends GraftSuite {
     val cjk = tokenizeWithOffsets("中文分词")
     assert(cjk.map(t => (t.tok, t.cs, t.ce)).toSeq ==
       Seq(("中文", 0, 2), ("文分", 1, 3), ("分词", 2, 4)))
+    // the ASCII-only Latin contract: non-ASCII chars whose
+    // Character.toLowerCase lands in [a-z] (U+212A KELVIN SIGN → 'k',
+    // U+0130 'İ' → 'i') are BOUNDARIES, exactly as in the [a-z0-9]+
+    // oracle split — without the guard the two engines would disagree
+    // on token membership and every downstream char offset
+    assert(tokenize("3K run").toSeq == Seq("3", "run"),
+      "KELVIN SIGN must be a boundary, not a token char")
+    assert(tokenize("İstanbul").toSeq == Seq("stanbul"),
+      "dotted İ must be a boundary")
+    assert(tokenizeWithOffsets("3K run")
+      .map(t => (t.tok, t.cs, t.ce)).toSeq ==
+      Seq(("3", 0, 1), ("run", 3, 6)))
   }
 
   test("vec_dot and vec_norm usable from SQL") {

@@ -284,6 +284,16 @@ class PipelineSpec extends GraftSuite {
       .embeddingContaminationIndexed(spark, dir, emb, 25L, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(indexed == probed, "durable == live-trained probe")
+    // a multi-generation store can carry TWO assign rows for one vec_id
+    // (a refreshed embedding re-appended in a later gen) — each flagged
+    // pair must still surface exactly once
+    Similarity.appendIvfIndex(spark, dir,
+      emb.where(col("vec_id") >= 25), gen = 1L)
+    val twoGen = Similarity
+      .embeddingContaminationIndexed(spark, dir, emb, 25L, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(twoGen.toSet == probed && twoGen.length == twoGen.toSet.size,
+      "duplicate assign rows must not duplicate flags")
     // the flat probe's bench side is broadcast — the cap is a hard
     // structural bound, not a contract remark
     val e = intercept[IllegalArgumentException] {
