@@ -772,6 +772,12 @@ object SparkEntry {
     // post-redaction counts (tokenize space — the space the spans cut)
     "e13_surgical_corpus" -> ((s, d) =>
       Pipeline.surgicalCorpus(t(s, d, "documents"))),
+    // e16: the SPLICED surgical release — the actual (doc_id, lang,
+    // text) corpus a trainer loads: every e13 survivor with its
+    // post-splice text (redacted where flagged, verbatim otherwise);
+    // per doc, tokenize(text).length == e13.n_tok (spec-pinned law)
+    "e16_spliced_corpus" -> ((s, d) =>
+      Pipeline.surgicalCorpusText(t(s, d, "documents"))),
     // e14: SEMANTIC decontamination enforced — e3's pipeline with the
     // d31 embedding-contamination flags as one more pre-sampling drop
     // stage (a paraphrase of an eval item shares no shingles and no
@@ -1388,12 +1394,17 @@ object SparkEntry {
     * span machinery cannot de-twin them (the kmeansCtes factoring
     * precedent; a stale copy would pin a different behavior per
     * oracle). */
-  private val quoteSpanCtes: String =
+  private val tkCte: String =
     """tk AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
         |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+        |  FROM documents)""".stripMargin
+
+  /** The span chain BODY (ps..gs) without the `tk` head — composed into
+    * [[quoteSpanCtes]] and consumed directly by oracles whose `tk`
+    * arrives via [[e3DropCtes]] (e13/e16). */
+  private val quoteSpanTailCtes: String =
+    """ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
         |         AS shingle
         |       FROM (SELECT doc_id, toks,
         |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
@@ -1438,6 +1449,30 @@ object SparkEntry {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |           AS sid
         |       FROM gg)""".stripMargin
+
+  private val quoteSpanCtes: String = tkCte + ",\n" + quoteSpanTailCtes
+
+  /** Char-offset CTEs (tg/ti/coff): token i's 0-based original-string
+    * char span from cumulative token/gap lengths — splitting on
+    * [a-z0-9]+ yields exactly n_tok+1 gaps, so token i starts at
+    * Σ gaps[1..i] + Σ toks[1..i-1] and ends at start + len(toks[i]).
+    * Shared by d33/e15/e16. Requires `tk` upstream. */
+  private val charOffsetCtes: String =
+    """tg AS (SELECT doc_id, toks,
+        |         string_split_regex(lower(text), '[a-z0-9]+') AS gaps
+        |       FROM tk JOIN documents USING (doc_id)),
+        |ti AS (SELECT doc_id, i, len(toks[i]) AS tl, len(gaps[i]) AS gl
+        |       FROM (SELECT doc_id, toks, gaps,
+        |               unnest(range(1, len(toks)+1)) AS i FROM tg)),
+        |coff AS (SELECT doc_id, i,
+        |         SUM(gl) OVER w + COALESCE(SUM(tl) OVER wp, 0) AS cs,
+        |         SUM(gl) OVER w + COALESCE(SUM(tl) OVER wp, 0) + tl
+        |           AS ce
+        |       FROM ti
+        |       WINDOW w AS (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wp AS (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))""".stripMargin
 
   /** e3's drop-list CTE chain (shingle sets, near/exact dups, d9
     * contamination — ending in `contam`) as ONE shared block, consumed
@@ -3053,21 +3088,7 @@ object SparkEntry {
         |         MAX(i1) + 2 AS span_end,
         |         CAST(COUNT(*) AS BIGINT) AS n_positions
         |       FROM gs GROUP BY d1, d2, shift, sid),
-        |tg AS (SELECT doc_id, toks,
-        |         string_split_regex(lower(text), '[a-z0-9]+') AS gaps
-        |       FROM tk JOIN documents USING (doc_id)),
-        |ti AS (SELECT doc_id, i, len(toks[i]) AS tl, len(gaps[i]) AS gl
-        |       FROM (SELECT doc_id, toks, gaps,
-        |               unnest(range(1, len(toks)+1)) AS i FROM tg)),
-        |coff AS (SELECT doc_id, i,
-        |         SUM(gl) OVER w + COALESCE(SUM(tl) OVER wp, 0) AS cs,
-        |         SUM(gl) OVER w + COALESCE(SUM(tl) OVER wp, 0) + tl
-        |           AS ce
-        |       FROM ti
-        |       WINDOW w AS (PARTITION BY doc_id ORDER BY i
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |         wp AS (PARTITION BY doc_id ORDER BY i
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |$charOffsetCtes
         |SELECT sp.doc_id, sp.bench_id, sp.shift, sp.span_start,
         |       sp.span_end, sp.n_positions,
         |       CAST(c1.cs AS INTEGER) AS char_start,
@@ -3084,21 +3105,7 @@ object SparkEntry {
         |sp AS (SELECT d1 AS doc_id, MIN(i1) AS span_start,
         |         MAX(i1) + 2 AS span_end
         |       FROM gs GROUP BY d1, d2, shift, sid),
-        |tg AS (SELECT doc_id, toks,
-        |         string_split_regex(lower(text), '[a-z0-9]+') AS gaps
-        |       FROM tk JOIN documents USING (doc_id)),
-        |ti AS (SELECT doc_id, i, len(toks[i]) AS tl, len(gaps[i]) AS gl
-        |       FROM (SELECT doc_id, toks, gaps,
-        |               unnest(range(1, len(toks)+1)) AS i FROM tg)),
-        |coff AS (SELECT doc_id, i,
-        |         SUM(gl) OVER w + COALESCE(SUM(tl) OVER wp, 0) AS cs,
-        |         SUM(gl) OVER w + COALESCE(SUM(tl) OVER wp, 0) + tl
-        |           AS ce
-        |       FROM ti
-        |       WINDOW w AS (PARTITION BY doc_id ORDER BY i
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |         wp AS (PARTITION BY doc_id ORDER BY i
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |$charOffsetCtes,
         |csp AS (SELECT DISTINCT sp.doc_id, c1.cs AS s, c2x.ce AS e
         |       FROM sp
         |       JOIN coff c1 ON c1.doc_id = sp.doc_id
@@ -4028,6 +4035,81 @@ object SparkEntry {
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
         |FROM survivors""".stripMargin,
+    // e16: the spliced surgical release — e13's survivor/keep logic
+    // (drop CTEs + token-space cov for the n_tok >= 1 rule) + e15's
+    // char-offset splice, coalesced over the original text
+    "e16_spliced_corpus" ->
+      s"""WITH $e3DropCtes,
+        |$quoteSpanTailCtes,
+        |sp AS (SELECT DISTINCT doc_id, s, e FROM (
+        |        SELECT d1 AS doc_id, MIN(i1) AS s, MAX(i1) + 2 AS e
+        |        FROM gs GROUP BY d1, d2, shift, sid)),
+        |u1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN MAX(e) OVER wp IS NULL
+        |                OR s > MAX(e) OVER wp + 1 THEN 1 ELSE 0 END AS ns
+        |       FROM sp
+        |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u2 AS (SELECT doc_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS gid
+        |       FROM u1),
+        |cov AS (SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT)
+        |          AS n_redacted
+        |        FROM (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+        |              FROM u2 GROUP BY 1, 2) GROUP BY 1),
+        |keepers AS (
+        |  SELECT d.doc_id, d.lang, d.text FROM documents d
+        |  JOIN tk t ON t.doc_id = d.doc_id
+        |  LEFT JOIN cov c ON c.doc_id = d.doc_id
+        |  WHERE d.doc_id >= 25 AND length(d.text) >= 100
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM neardups)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM exactdups)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |    AND CAST(len(t.toks) AS BIGINT)
+        |        - COALESCE(c.n_redacted, 0) >= 1),
+        |$charOffsetCtes,
+        |sp2 AS (SELECT d1 AS doc_id, MIN(i1) AS span_start,
+        |          MAX(i1) + 2 AS span_end
+        |        FROM gs GROUP BY d1, d2, shift, sid),
+        |csp AS (SELECT DISTINCT p.doc_id, c1.cs AS s, c2x.ce AS e
+        |       FROM sp2 p
+        |       JOIN coff c1 ON c1.doc_id = p.doc_id
+        |         AND c1.i = p.span_start
+        |       JOIN coff c2x ON c2x.doc_id = p.doc_id
+        |         AND c2x.i = p.span_end),
+        |cu1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN MAX(e) OVER wp IS NULL
+        |                OR s > MAX(e) OVER wp THEN 1 ELSE 0 END AS ns
+        |       FROM csp
+        |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |cu2 AS (SELECT doc_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS gid
+        |       FROM cu1),
+        |cmg AS (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+        |       FROM cu2 GROUP BY 1, 2),
+        |pieces AS (SELECT doc_id, ms, me,
+        |         COALESCE(MAX(me) OVER (PARTITION BY doc_id ORDER BY ms
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS pos
+        |       FROM cmg),
+        |fin AS (SELECT p.doc_id,
+        |         string_agg(substr(d.text, CAST(pos + 1 AS INTEGER),
+        |           CAST(ms - pos AS INTEGER)), '' ORDER BY ms) AS head,
+        |         MAX(me) AS last_e
+        |       FROM pieces p JOIN documents d USING (doc_id)
+        |       GROUP BY p.doc_id)
+        |SELECT k.doc_id, k.lang,
+        |       CASE WHEN f.doc_id IS NULL THEN k.text
+        |            ELSE f.head
+        |              || substr(k.text, CAST(f.last_e + 1 AS INTEGER))
+        |       END AS text
+        |FROM keepers k LEFT JOIN fin f USING (doc_id)""".stripMargin,
     // e14: e3's CTEs verbatim + the d31 semantic drop (embedding cosine
     // vs the vec_id < 25 holdout — the audit3 alignment) applied BEFORE
     // sampling/packing; pack windows are e3's whitespace verbatim
@@ -4157,51 +4239,7 @@ object SparkEntry {
     // their unioned span mass (the surgical alternative to e11's drop)
     "e13_surgical_corpus" ->
       s"""WITH $e3DropCtes,
-        |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
-        |         AS shingle
-        |       FROM (SELECT doc_id, toks,
-        |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
-        |             FROM tk)),
-        |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-        |       FROM ps GROUP BY 1),
-        |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2, b.i AS i2
-        |       FROM ps a JOIN ps b USING (shingle)
-        |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
-        |msh AS (SELECT d1, d2, shift FROM (
-        |        SELECT d1, d2, i2 - i1 AS shift,
-        |          row_number() OVER (PARTITION BY d1, d2
-        |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
-        |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
-        |mm AS (SELECT f.d1, f.d2, s.shift,
-        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
-        |            <= 1 THEN f.i1 END) AS ma,
-        |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
-        |            <= 1 THEN f.i2 END) AS mb
-        |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
-        |       GROUP BY 1, 2, 3),
-        |fl AS (SELECT mm.d1, mm.d2
-        |       FROM mm JOIN np a ON mm.d1 = a.doc_id
-        |                JOIN np b ON mm.d2 = b.doc_id
-        |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
-        |mt AS (SELECT DISTINCT fl.d1, fl.d2, f.i2 - f.i1 AS shift, f.i1
-        |       FROM fl JOIN fp f ON f.d1 = fl.d1 AND f.d2 = fl.d2),
-        |qs AS (SELECT d1, d2, shift FROM (
-        |        SELECT d1, d2, shift, COUNT(*) AS mass,
-        |          MAX(COUNT(*)) OVER (PARTITION BY d1, d2) AS mx
-        |        FROM mt GROUP BY 1, 2, 3)
-        |       WHERE mass >= 3 OR mass = mx),
-        |mk AS (SELECT mt.d1, mt.d2, mt.shift, mt.i1
-        |       FROM mt JOIN qs USING (d1, d2, shift)),
-        |gg AS (SELECT d1, d2, shift, i1,
-        |         CASE WHEN lag(i1) OVER w IS NULL
-        |                OR i1 > lag(i1) OVER w + 3 THEN 1 ELSE 0 END AS ns
-        |       FROM mk
-        |       WINDOW w AS (PARTITION BY d1, d2, shift ORDER BY i1)),
-        |gs AS (SELECT d1, d2, shift, i1,
-        |         SUM(ns) OVER (PARTITION BY d1, d2, shift ORDER BY i1
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS sid
-        |       FROM gg),
+        |$quoteSpanTailCtes,
         |sp AS (SELECT DISTINCT doc_id, s, e FROM (
         |        SELECT d1 AS doc_id, MIN(i1) AS s, MAX(i1) + 2 AS e
         |        FROM gs GROUP BY d1, d2, shift, sid)),

@@ -26,7 +26,12 @@ object Verify {
     // query is indistinguishable from one that never existed (round 6 lost
     // 60 queries this way, invisibly).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.filter(q => keep(q._1)).foreach { case (name, fn) =>
+    // SPARK_GRAFT_ORACLE_ONLY=1 dumps oracle_sql.json WITHOUT executing
+    // any query — the byte-identity harness for oracle-SQL refactors
+    // (factor a CTE constant, dump, diff against the previous dump)
+    val oracleOnly = sys.env.get("SPARK_GRAFT_ORACLE_ONLY").contains("1")
+    SparkEntry.queries.filter(q => !oracleOnly && keep(q._1)).foreach {
+      case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

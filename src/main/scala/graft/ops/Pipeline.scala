@@ -371,6 +371,42 @@ object Pipeline {
         benchmarkMaxId, cosThreshold)
       .select(col("vec_id").as("doc_id")).distinct()
 
+  /** E16 — the SPLICED surgical release: the actual (doc_id, lang,
+    * text) corpus a trainer loads. e13 ships the pack MANIFEST (counts
+    * and offsets) and e15 the redaction DELTA (flagged docs' spliced
+    * text); this joins them — every e13 survivor with its post-splice
+    * text (redacted where flagged, verbatim otherwise). The closing law
+    * (spec-pinned, per doc): `Text.tokenize(text).length == e13.n_tok`
+    * — the shipped text IS the manifest's token stream, so offsets,
+    * chunk ids, and the conservation arithmetic all transfer.
+    *
+    * Caveat (documented, ASCII corpora unaffected): the identity needs
+    * a separator at every span edge, which maximal-run tokenization
+    * guarantees between same-script tokens; a CJK–Latin butt joint
+    * ("abc中文def" with 中文 redacted) splices to "abcdef" and merges
+    * two tokens — token counts there come from the manifest, not the
+    * re-tokenized text.
+    *
+    * Scale: e13's own plan + the flag-bounded e15 splice + one
+    * broadcast-able delta join; the only corpus-frame additions are the
+    * survivor semi-join and the text projection. */
+  def surgicalCorpusText(documents: DataFrame, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5,
+      threshold: Double = 0.8, minPositions: Int = 3): DataFrame = {
+    val manifest = surgicalCorpus(documents, benchmarkMaxId, minChars,
+        sampleFrac, threshold = threshold, minPositions = minPositions)
+      .select(col("doc_id"), col("lang"))
+    val delta = redactedText(documents, benchmarkMaxId, 3, threshold,
+        minPositions)
+      .select(col("doc_id"), col("redacted_text"))
+    manifest
+      .join(documents.select(col("doc_id"), col("text").as("orig")),
+        "doc_id")
+      .join(delta, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("redacted_text"), col("orig")).as("text"))
+  }
+
   /** E5 — the round-5 curation composition: model-based quality filter
     * (q1), exact-substring duplication cap (d14), and exact-dup keeper
     * selection (d1) in one pass over the corpus. This is the pipeline a

@@ -2797,6 +2797,54 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates()
   }
 
+  test("e16 spliced corpus IS the e13 manifest's token stream: per doc " +
+      "the shipped text re-tokenizes to exactly n_tok (sf0.01)") {
+    import graft.ops.{Dedup, Pipeline}
+    val docs01 = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val manifest = Pipeline.surgicalCorpus(docs01)
+      .select(col("doc_id"), col("n_tok"), col("n_redacted")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1))).toMap
+    val shipped = Pipeline.surgicalCorpusText(docs01)
+      .select(col("doc_id"),
+        size(graft.functions.Text.tokenizeUdf(col("text")))
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shipped.keySet == manifest.keySet,
+      "e16 ships exactly the e13 survivor set")
+    val bad = shipped.filter { case (id, n) => manifest(id)._2 != n }
+    assert(bad.isEmpty,
+      s"shipped text must re-tokenize to the manifest's n_tok: $bad")
+    Dedup.clearSubstrates()
+    // the sf0.01 corpus' one flagged doc does not survive e3's sampling,
+    // so the splice leg above is exercised only through the coalesce —
+    // pin the REDACTED-survivor case on a fixture (27 passes the
+    // sampling hash and quotes bench item 3 behind valuable prose)
+    import spark.implicits._
+    // 6-token quote = 4 shingles, UNDER d9's >= 5 floor (the e13
+    // fixture's short-quote shape: only the aligned probe flags it)
+    val q = "alpha bravo charlie delta echo foxtrot"
+    val pad = "every training document needs enough completely distinct " +
+      "filler prose to clear the hundred character floor"
+    val hand = Seq(
+      (3L, q), (27L, s"$pad $q trailing remark"),
+      (29L, "an unrelated survivor whose words never touch the " +
+        "benchmark vocabulary but still run well past the length gate"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val m2 = Pipeline.surgicalCorpus(hand)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap // doc_id -> (n_redacted, n_tok)
+    assert(m2(27L)._1 > 0, s"the quote must be cut: $m2")
+    val s2 = Pipeline.surgicalCorpusText(hand)
+      .collect().map(r => (r.getLong(0),
+        graft.functions.Text.tokenize(r.getString(2)).length.toLong))
+      .toMap
+    assert(s2.keySet == m2.keySet && s2.forall { case (id, n) =>
+      m2(id)._2 == n },
+      s"redacted survivor's text must re-tokenize to n_tok: $s2 vs $m2")
+    Dedup.clearSubstrates()
+  }
+
   test("e15 fixed point holds on the whole sf0.01 corpus: splicing " +
       "every flagged doc's redacted text re-probes to zero flags") {
     import graft.ops.{Dedup, Pipeline}
