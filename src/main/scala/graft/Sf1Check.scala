@@ -184,6 +184,19 @@ object Sf1Check {
           .select(col("doc_id"))
           .join(ops.Pipeline.redactedCorpus(simhashDocs, 2500)
             .select(col("doc_id")), Seq("doc_id"), "left_semi")),
+      // round-16: the e16 token-stream law at sf1 — the SPLICED text
+      // re-tokenizes to exactly the e13 manifest's n_tok per doc (two
+      // independent paths to the count: token-space interval-union
+      // arithmetic vs char-space splice + re-tokenize). Rotating
+      // stratum (same budget note as the survivor check).
+      ("spliced_text_token_stream",
+        () => ops.Pipeline.surgicalCorpusText(simhashDocs, 2500)
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.size(
+              graft.functions.Text.tokenizeUdf(col("text")))
+              .cast("long").as("n_tok")),
+        () => ops.Pipeline.surgicalCorpus(simhashDocs, 2500)
+          .select(col("doc_id"), col("n_tok"))),
       // round-16: sel4 == its own public decomposition (sel3 draw +
       // corpus semi-join + tokenOffsets + weight carry) — the packaged
       // op with its internal checkpoint vs the hand-assembled pipeline;
