@@ -43,13 +43,16 @@ object Pipeline {
         .select(col("doc_id")).distinct()))
 
   /** [[trainingCorpus]] with a PRECOMPUTED (doc_id) drop-list — the
-    * streamed-release composition point: `Streams.
-    * quoteDecontaminatedFromIngest` feeds the COMMITTED online d28
-    * flags (e11) and `Streams.semanticDecontaminatedFromIngest` the
-    * committed d31 flags (e14), so either drop still runs BEFORE
-    * sampling and packing and the streamed corpus repacks identically
-    * to its batch twin. */
-  private[graft] def trainingCorpusWithDrops(documents: DataFrame,
+    * release composition point for any externally-produced flag set:
+    * `Streams.quoteDecontaminatedFromIngest` feeds the COMMITTED online
+    * d28 flags (e11), `Streams.semanticDecontaminatedFromIngest` the
+    * committed d31 flags (e14), and a WEB-SCALE e14 feeds
+    * `Similarity.embeddingContaminationIndexed`'s flags here when the
+    * eval holdout exceeds the flat probe's broadcast cap (parity with
+    * the built-in e14 at nprobe = cells is spec-pinned). The drop runs
+    * BEFORE sampling and packing, so the composed corpus repacks
+    * identically to its batch twin. */
+  def trainingCorpusWithDrops(documents: DataFrame,
       drops: DataFrame, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5,
       seqLen: Int = 4096): DataFrame =

@@ -301,6 +301,19 @@ class PipelineSpec extends GraftSuite {
         maxBenchRows = 3L)
     }
     assert(e.getMessage.contains("embeddingContaminationIndexed"))
+    // the WEB-SCALE e14: indexed flags (at nprobe = cells, where the
+    // probe is exact) compose into the pipeline through the public
+    // drops hook and reproduce the built-in e14 row for row
+    val docsFull = Tables.load(spark, sf, "documents")
+    val viaIndexed = Pipeline.trainingCorpusWithDrops(docsFull,
+        Similarity.embeddingContaminationIvf(emb, 25L, nprobe = 8)
+          .select(col("vec_id").as("doc_id")))
+      .collect().map(_.toSeq.toList).toSet
+    val builtIn = Pipeline.semanticDecontaminatedCorpus(docsFull, emb)
+      .collect().map(_.toSeq.toList).toSet
+    assert(viaIndexed == builtIn,
+      "indexed flags through the drops hook must equal the flat e14")
+    ops.Dedup.clearSubstrates()
   }
 
   test("appendIvfIndex: frozen assignment parity, findability, staleness") {

@@ -626,12 +626,12 @@ class PlanSpec extends GraftSuite {
       s"the selected set must broadcast into both joins:\n${p.take(1200)}")
   }
 
-  test("e12/e13/e14/e15/audit4 releases: every window is partitioned " +
+  test("e12-e16/audit4 releases: every window is partitioned " +
       "(doc_id islands, pair-bounded spans, fp keepers, bucketed offsets)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("e12_redacted_corpus", "e13_surgical_corpus",
         "e14_semantic_decontaminated", "e15_redacted_text",
-        "audit4_semantic_funnel")) {
+        "e16_spliced_corpus", "audit4_semantic_funnel")) {
       val lp = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan
       val bad = lp.collect {
