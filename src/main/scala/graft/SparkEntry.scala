@@ -772,6 +772,14 @@ object SparkEntry {
     // post-redaction counts (tokenize space — the space the spans cut)
     "e13_surgical_corpus" -> ((s, d) =>
       Pipeline.surgicalCorpus(t(s, d, "documents"))),
+    // e17: the FULL release — every enforced defense in one
+    // composition: e3's curation + the d31 semantic drop (e14's stage)
+    // + surgical quote redaction (e13's stage); a doc carrying eval
+    // SEMANTICS leaves wholesale, a doc QUOTING eval text ships
+    // redacted, everything else packs as e3 would; == e13 minus the
+    // d31 flag set (spec-pinned commutation law)
+    "e17_full_release" -> ((s, d) =>
+      Pipeline.fullRelease(t(s, d, "documents"), t(s, d, "embeddings"))),
     // e16: the SPLICED surgical release — the actual (doc_id, lang,
     // text) corpus a trainer loads: every e13 survivor with its
     // post-splice text (redacted where flagged, verbatim otherwise);
@@ -4264,6 +4272,60 @@ object SparkEntry {
         |    AND doc_id NOT IN (SELECT doc_id FROM neardups)
         |    AND doc_id NOT IN (SELECT doc_id FROM exactdups)
         |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'),
+        |cnt AS (SELECT s.doc_id, s.lang,
+        |          CAST(len(t.toks) AS BIGINT) AS n_tok_orig,
+        |          CAST(COALESCE(c.n_redacted, 0) AS BIGINT)
+        |            AS n_redacted,
+        |          CAST(len(t.toks) AS BIGINT)
+        |            - CAST(COALESCE(c.n_redacted, 0) AS BIGINT) AS n_tok
+        |        FROM survivors s JOIN tk t ON t.doc_id = s.doc_id
+        |        LEFT JOIN cov c ON c.doc_id = s.doc_id)
+        |SELECT doc_id, lang, n_tok_orig, n_redacted, n_tok,
+        |       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) AS BIGINT) AS start_offset,
+        |       CAST(floor(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) / 4096) AS BIGINT) AS chunk_id
+        |FROM cnt WHERE n_tok >= 1""".stripMargin,
+    // e17: e13's CTEs + the d31 semantic drop in the survivor predicate
+    // — the commutation law (e17 == e13 minus the flag set) is pinned
+    // in PipelineSpec
+    "e17_full_release" ->
+      s"""WITH $e3DropCtes,
+        |$semanticPairCtes,
+        |sdrop AS (SELECT DISTINCT ec.vec_id AS doc_id
+        |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
+        |              JOIN enn nb ON nb.vec_id = ec.bench_id
+        |       WHERE na.nrm > 0 AND nb.nrm > 0
+        |         AND ROUND(ec.dot / (na.nrm * nb.nrm), 6) >= 0.4),
+        |$quoteSpanTailCtes,
+        |sp AS (SELECT DISTINCT doc_id, s, e FROM (
+        |        SELECT d1 AS doc_id, MIN(i1) AS s, MAX(i1) + 2 AS e
+        |        FROM gs GROUP BY d1, d2, shift, sid)),
+        |u1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN MAX(e) OVER wp IS NULL
+        |                OR s > MAX(e) OVER wp + 1 THEN 1 ELSE 0 END AS ns
+        |       FROM sp
+        |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u2 AS (SELECT doc_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS gid
+        |       FROM u1),
+        |cov AS (SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT)
+        |          AS n_redacted
+        |        FROM (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+        |              FROM u2 GROUP BY 1, 2) GROUP BY 1),
+        |survivors AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE doc_id >= 25 AND length(text) >= 100
+        |    AND doc_id NOT IN (SELECT doc_id FROM neardups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM exactdups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND doc_id NOT IN (SELECT doc_id FROM sdrop)
         |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'),
         |cnt AS (SELECT s.doc_id, s.lang,
         |          CAST(len(t.toks) AS BIGINT) AS n_tok_orig,

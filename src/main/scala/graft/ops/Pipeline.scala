@@ -374,6 +374,41 @@ object Pipeline {
         benchmarkMaxId, cosThreshold)
       .select(col("vec_id").as("doc_id")).distinct()
 
+  /** E17 — the FULL release: every enforced contamination defense in
+    * ONE composition — e3's curation (benchmark exclusion, length
+    * floor, exact/near-dup drops, d9 shingle decontamination,
+    * reproducible sampling) + the d31 SEMANTIC drop (e14's stage: a
+    * paraphrase of an eval item no shingle test can see) + SURGICAL
+    * quote redaction (e13's stage: verbatim quotes cut, prose kept,
+    * survivors repacked at post-redaction counts). The flagship shape a
+    * production corpus drop runs: a doc carrying eval semantics leaves
+    * wholesale, a doc merely quoting eval text ships redacted, and
+    * everything else packs as e3 would.
+    *
+    * Composition law (spec-pinned): e17's doc set == e13's minus the
+    * d31 flag set — the semantic stage commutes with every other drop
+    * (all are doc_id anti-joins before sampling), so the two flagships
+    * compose exactly. Output = e13's columns.
+    *
+    * Scale: e13's plan + one contamination-mass-bounded anti-join (the
+    * e14 stage) — no new shuffle family beyond its parents. */
+  def fullRelease(documents: DataFrame, embeddings: DataFrame,
+      benchmarkMaxId: Long = 25L, minChars: Int = 100,
+      sampleFrac: Double = 0.5, seqLen: Int = 4096,
+      threshold: Double = 0.8, minPositions: Int = 3,
+      cosThreshold: Double = 0.4): DataFrame = {
+    val survivors = e3Survivors(documents, benchmarkMaxId, minChars,
+      sampleFrac, Some(semanticFlags(embeddings, benchmarkMaxId,
+        cosThreshold)))
+    redactPack(survivors,
+        Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
+          threshold, tol = 1, minPositions = minPositions), seqLen)
+      .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tok_orig"),
+        col("n_redacted"), col("n_tok"), col("start_offset"),
+        col("chunk_id"))
+  }
+
   /** E16 — the SPLICED surgical release: the actual (doc_id, lang,
     * text) corpus a trainer loads. e13 ships the pack MANIFEST (counts
     * and offsets) and e15 the redaction DELTA (flagged docs' spliced

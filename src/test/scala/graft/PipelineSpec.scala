@@ -2810,6 +2810,53 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates()
   }
 
+  test("e17 full release: the semantic drop and surgical redaction " +
+      "compose — e17 == e13 minus the d31 flag set (sf0.01), and the " +
+      "fixture ships the quoter redacted while the paraphraser leaves") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Pipeline, Similarity}
+    // corpus-scale commutation law
+    val docs01 = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val emb01 = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val e13ids = Pipeline.surgicalCorpus(docs01)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val flags = Similarity.embeddingContaminationSplitCheck(emb01, 25L)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val e17ids = Pipeline.fullRelease(docs01, emb01)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(e17ids == (e13ids -- flags),
+      s"e17 must be e13 minus the semantic flags; extra=${
+        e17ids -- (e13ids -- flags)} missing=${(e13ids -- flags) -- e17ids}")
+    assert((e13ids & flags).nonEmpty,
+      "the law is non-vacuous: some e13 survivor is semantically flagged")
+    Dedup.clearSubstrates()
+    // fixture: one release, both defenses firing differently
+    val q = "alpha bravo charlie delta echo foxtrot" // 4 shingles < d9's 5
+    val pad = "every training document needs enough completely distinct " +
+      "filler prose to clear the hundred character floor"
+    val hand = Seq(
+      (3L, q),
+      (26L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"),
+      (27L, s"$pad $q trailing remark"),
+      (29L, "an unrelated survivor whose words never touch the " +
+        "benchmark vocabulary but still run well past the length gate"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val vecs = Seq(
+      (3L, Array(1f, 0f, 0f, 0f)),
+      (26L, Array(0.9f, 0.1f, 0f, 0f)), // the PARAPHRASE of item 3
+      (27L, Array(0f, 1f, 0f, 0f)),     // quoter: semantically distinct
+      (29L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Pipeline.fullRelease(hand, vecs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.keySet == Set(27L, 29L),
+      s"paraphraser leaves wholesale, quoter and control ship: $got")
+    assert(got(27L) > 0, "the quoter ships REDACTED")
+    assert(got(29L) == 0, "the control ships uncut")
+    Dedup.clearSubstrates()
+  }
+
   test("e16 spliced corpus IS the e13 manifest's token stream: per doc " +
       "the shipped text re-tokenizes to exactly n_tok (sf0.01)") {
     import graft.ops.{Dedup, Pipeline}

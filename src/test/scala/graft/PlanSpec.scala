@@ -631,7 +631,8 @@ class PlanSpec extends GraftSuite {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("e12_redacted_corpus", "e13_surgical_corpus",
         "e14_semantic_decontaminated", "e15_redacted_text",
-        "e16_spliced_corpus", "audit4_semantic_funnel")) {
+        "e16_spliced_corpus", "e17_full_release",
+        "audit4_semantic_funnel")) {
       val lp = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan
       val bad = lp.collect {
