@@ -197,6 +197,23 @@ object Sf1Check {
               .cast("long").as("n_tok")),
         () => ops.Pipeline.surgicalCorpus(simhashDocs, 2500)
           .select(col("doc_id"), col("n_tok"))),
+      // round-16: the e17 commutation law at sf1 — the full release is
+      // EXACTLY e13 minus the d31 semantic flag set (all drops are
+      // doc_id anti-joins before sampling, so the stages commute).
+      // Rotating stratum; the flag side uses the stratum's embeddings
+      // (vec_id == doc_id alignment).
+      ("full_release_commutation",
+        () => ops.Pipeline.fullRelease(simhashDocs,
+            emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"), 2500)
+          .select(col("doc_id")),
+        () => ops.Pipeline.surgicalCorpus(simhashDocs, 2500)
+          .select(col("doc_id"))
+          .join(ops.Similarity.embeddingContaminationSplitCheck(
+              emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
+                Seq("vec_id"), "left_semi"), 2500L)
+            .select(col("vec_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")),
       // round-16: sel4 == its own public decomposition (sel3 draw +
       // corpus semi-join + tokenOffsets + weight carry) — the packaged
       // op with its internal checkpoint vs the hand-assembled pipeline;
