@@ -396,13 +396,24 @@ object Pipeline {
       benchmarkMaxId: Long = 25L, minChars: Int = 100,
       sampleFrac: Double = 0.5, seqLen: Int = 4096,
       threshold: Double = 0.8, minPositions: Int = 3,
-      cosThreshold: Double = 0.4): DataFrame = {
+      cosThreshold: Double = 0.4): DataFrame =
+    fullReleaseWithSpansAndDrops(documents,
+      Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
+        threshold, tol = 1, minPositions = minPositions),
+      semanticFlags(embeddings, benchmarkMaxId, cosThreshold),
+      benchmarkMaxId, minChars, sampleFrac, seqLen)
+
+  /** [[fullRelease]] with PRECOMPUTED span plan and semantic drop list
+    * — the streamed-e17 composition (`Streams.fullReleaseFromIngest`
+    * feeds the committed online d28 spans and d31 flags), mirroring
+    * [[surgicalCorpusWithSpans]] and [[trainingCorpusWithDrops]]. */
+  private[graft] def fullReleaseWithSpansAndDrops(documents: DataFrame,
+      spanPlan: DataFrame, semanticDrops: DataFrame,
+      benchmarkMaxId: Long = 25L, minChars: Int = 100,
+      sampleFrac: Double = 0.5, seqLen: Int = 4096): DataFrame = {
     val survivors = e3Survivors(documents, benchmarkMaxId, minChars,
-      sampleFrac, Some(semanticFlags(embeddings, benchmarkMaxId,
-        cosThreshold)))
-    redactPack(survivors,
-        Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
-          threshold, tol = 1, minPositions = minPositions), seqLen)
+      sampleFrac, Some(semanticDrops.select(col("doc_id")).distinct()))
+    redactPack(survivors, spanPlan, seqLen)
       .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tok_orig"),
         col("n_redacted"), col("n_tok"), col("start_offset"),

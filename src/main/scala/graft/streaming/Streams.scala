@@ -1460,6 +1460,33 @@ object Streams {
       benchmarkMaxId, minChars, sampleFrac, seqLen)
   }
 
+  /** The STREAMED e17 — the FULL release from BOTH committed flag
+    * stores: spans rebuilt flag-bounded from the online d28 flags
+    * ([[quoteRedactionFromIngest]]) and the semantic drop list read
+    * from the online d31 flags ([[committedEmbeddingContamination]]),
+    * composed through the batch operator's own core
+    * (`Pipeline.fullReleaseWithSpansAndDrops`). Both probes are
+    * stateless-exact, so once all traffic has arrived this equals the
+    * batch `Pipeline.fullRelease` at the thresholds the sinks ran with
+    * (parity spec-pinned). Either store empty degrades gracefully: no
+    * flags ⇒ that stage is a no-op, exactly as in the batch op over an
+    * uncontaminated corpus. */
+  def fullReleaseFromIngest(documents: DataFrame, benchDocs: DataFrame,
+      quoteState: String, quoteOut: String, embState: String,
+      embOut: String, benchmarkMaxId: Long = 25L, minChars: Int = 100,
+      sampleFrac: Double = 0.5, seqLen: Int = 4096, n: Int = 3,
+      minPositions: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    val spans = quoteRedactionFromIngest(documents, benchDocs,
+        quoteState, quoteOut, n, minPositions)
+      .getOrElse(emptySpanPlan(documents))
+    val drops = committedEmbeddingContamination(spark, embState, embOut)
+      .map(_.select(col("vec_id").as("doc_id")))
+      .getOrElse(documents.select(col("doc_id")).limit(0))
+    graft.ops.Pipeline.fullReleaseWithSpansAndDrops(documents, spans,
+      drops, benchmarkMaxId, minChars, sampleFrac, seqLen)
+  }
+
   /** The FROM-INGEST sel4 — DSIR select-then-pack over the corpus the
     * exactly-once landing sink ([[txnSink]]) has COMMITTED so far:
     * importance weights, the Gumbel-top-k draw, and the pack all

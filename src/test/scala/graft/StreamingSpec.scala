@@ -1552,6 +1552,12 @@ class StreamingSpec extends GraftSuite {
         s"$dir/es", s"$dir/eo"))
       == rows(Pipeline.semanticDecontaminatedCorpus(docsFull, embFull)),
       "streamed e14 must equal the batch semantic release")
+    // streamed e17: BOTH committed flag stores compose into the full
+    // release through the batch core — equals the batch fullRelease
+    assert(rows(Streams.fullReleaseFromIngest(docsFull, benchDocs,
+        s"$dir/qs", s"$dir/qo", s"$dir/es", s"$dir/eo"))
+      == rows(Pipeline.fullRelease(docsFull, embFull)),
+      "streamed e17 must equal the batch full release")
     // batch d31 broadcast-cap sanity rides along: the sink enforced the
     // same bound at setup (65536) and the holdout here is 25 rows
     assert(rows(Streams.committedEmbeddingContamination(spark,
