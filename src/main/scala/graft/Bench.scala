@@ -209,8 +209,11 @@ object Bench {
     val maxRetries = 8  // bound the pass; >8 breaches is a real problem
     // worst-first: with more than maxRetries breaches the largest
     // regressions must land in the retry budget, not in retry_skipped
+    // b > 0 guard: a zero/negative baseline (malformed BASELINE.md line)
+    // would otherwise flag the query unconditionally (sec > 2*0) with an
+    // Infinity sort key, permanently consuming a retry slot
     val nominal = results.filter { case (name, sec) =>
-        baselines.get(name).exists(b => sec > gateRatio * b) }
+        baselines.get(name).exists(b => b > 0 && sec > gateRatio * b) }
       .sortBy { case (name, sec) => -sec / baselines(name) }
     val retryFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     val retried = nominal.take(maxRetries).flatMap { case (name, _) =>

@@ -24,13 +24,18 @@ object Text {
     * syllables, compatibility ideographs. A lone CJK char between
     * boundaries is emitted as itself; runs of >=2 emit bigrams only.
     *
-    * The Latin branch is ASCII-ONLY by design — the documented oracle
-    * convention is the `[a-z0-9]+` split, so non-ASCII case-folding
-    * exotica whose `Character.toLowerCase` happens to land in [a-z]
-    * (U+212A KELVIN SIGN → 'k', U+0130 'İ' → 'i') are BOUNDARIES here
-    * exactly as they are in the SQL twin; without the ASCII guard the
-    * two engines would disagree on token membership — and therefore on
-    * every downstream char offset — for such chars. */
+    * The Latin branch keeps exactly the chars whose SIMPLE (1:1)
+    * lowercase lands in [a-z0-9] — which is what the DuckDB oracle's
+    * `lower()` + `[a-z0-9]+` split computes (verified empirically:
+    * DuckDB lower() maps U+212A KELVIN SIGN → 'k' and U+0130 'İ' → 'i'
+    * BEFORE the regex, so both are token chars on the oracle side; the
+    * full set of non-ASCII chars with a simple lowercase in [a-z] is
+    * exactly those two). `Character.toLowerCase` IS the simple mapping
+    * (one char in, one char out — U+0130 → 'i', never the two-char
+    * "i̇" that `String.toLowerCase` produces), so per-char folding here
+    * matches DuckDB char for char and keeps offsets 1:1. Chars whose
+    * lowercase stays outside [a-z] (À→à, ſ, Ω→ω, Å→å, fullwidth Ａ)
+    * are boundaries in both engines. */
   def tokenize(s: String): Array[String] = {
     if (s == null) return Array.empty[String]
     val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -48,9 +53,8 @@ object Text {
     }
     var i = 0
     while (i < s.length) {
-      val oc = s.charAt(i)
-      val c = Character.toLowerCase(oc)
-      if (oc < 128 && ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))) {
+      val c = Character.toLowerCase(s.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
         endCjk()
         latin.append(c)
       } else if (isCjk(c)) {
@@ -79,12 +83,14 @@ object Text {
     * — the bridge from token-space redaction plans (d30) back to text a
     * holder can actually splice (d33/e15). Contract (spec-pinned):
     * `tokenizeWithOffsets(s).map(_.tok)` == `tokenize(s)` for every
-    * input, and for Latin/digit tokens
-    * `s.substring(cs, ce).toLowerCase == tok`. Latin runs span the full
-    * run; a CJK bigram spans its two source chars (consecutive bigrams
-    * OVERLAP by one char — interval-union before splicing); a lone CJK
-    * char spans itself. Lowercasing is per-char (1:1), so offsets index
-    * the original string unchanged. */
+    * input, and for Latin/digit tokens the span spells the token under
+    * PER-CHAR simple lowercase (`Character.toLowerCase` char by char —
+    * NOT `String.toLowerCase`, whose U+0130 mapping expands to two
+    * chars). Latin runs span the full run; a CJK bigram spans its two
+    * source chars (consecutive bigrams OVERLAP by one char —
+    * interval-union before splicing); a lone CJK char spans itself.
+    * Lowercasing is per-char (1:1), so offsets index the original
+    * string unchanged. */
   def tokenizeWithOffsets(s: String): Array[TokenSpan] = {
     if (s == null) return Array.empty[TokenSpan]
     val out = scala.collection.mutable.ArrayBuffer[TokenSpan]()
@@ -108,12 +114,12 @@ object Text {
     }
     var i = 0
     while (i < s.length) {
-      val oc = s.charAt(i)
-      val c = Character.toLowerCase(oc)
-      // ASCII-only Latin branch — see [[tokenize]]'s contract note; the
-      // guard also keeps the span-spells-token law safe from chars whose
-      // String.toLowerCase EXPANDS (U+0130 lowers to 2 chars)
-      if (oc < 128 && ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))) {
+      val c = Character.toLowerCase(s.charAt(i))
+      // simple-lowercase-in-[a-z0-9] — see [[tokenize]]'s contract note
+      // (Character.toLowerCase is the 1:1 simple mapping, so the span
+      // arithmetic below is safe even for U+0130, whose STRING lowercase
+      // would expand to two chars)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
         endCjk()
         if (latin.length == 0) latinStart = i
         latin.append(c)

@@ -294,9 +294,23 @@ object Similarity {
   /** Bounded over-cap check: counts AT MOST cap+1 rows (a limit-count,
     * never a full holdout scan — the question "is it over the cap" is
     * itself bounded), shared by the batch splitCheck and the streaming
-    * sink setup. */
+    * sink setup.
+    *
+    * MEMOIZED per (canonicalized holdout plan, cap) — the check runs at
+    * DataFrame-CONSTRUCTION time, and the flagship compositions
+    * (e14/e17/audit4/their funnels and sf1 identities) construct the
+    * probe repeatedly over the same holdout frame in one session; without
+    * the memo each construction pays a limit-count Spark job that also
+    * lands inside Bench's timed region. Only PASSING checks memoize (a
+    * failure throws before the put), and pass results are immutable for
+    * a given plan: the canonicalized plan pins the exact source, and a
+    * grown holdout is a different plan. `clearCapChecks()` drops the
+    * memo (test hygiene, the `Pipeline.clearCurated` contract). */
   private[graft] def requireBenchUnderCap(bench: DataFrame,
       maxBenchRows: Long): Unit = {
+    val key = (bench.queryExecution.analyzed.canonicalized, maxBenchRows)
+    val hit = capCheckCache.synchronized(capCheckCache.contains(key))
+    if (hit) return
     val probeN = math.min(maxBenchRows + 1, Int.MaxValue.toLong).toInt
     val benchN = bench.limit(probeN).count()
     require(benchN <= maxBenchRows,
@@ -304,7 +318,16 @@ object Similarity {
         s"$maxBenchRows — probe it through " +
         "embeddingContaminationIndexed (IVF cells) instead of the " +
         "all-pairs broadcast scan")
+    capCheckCache.synchronized(capCheckCache.add(key))
   }
+
+  private val capCheckCache = scala.collection.mutable.Set[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long)]()
+
+  /** Drop the memoized cap-check passes (test hygiene; a long session
+    * re-registering a holdout source whose data changed in place). */
+  def clearCapChecks(): Unit =
+    capCheckCache.synchronized(capCheckCache.clear())
 
   /** The probe core of [[embeddingContaminationSplitCheck]] and the
     * ONLINE leg (`Streams.embeddingContaminationSink`): bipartite cosine

@@ -102,7 +102,10 @@ class FunctionsSpec extends GraftSuite {
       ts.foreach { t =>
         assert(t.cs >= 0 && t.ce <= s.length && t.cs < t.ce,
           s"bounds on '$s': $t")
-        assert(s.substring(t.cs, t.ce).toLowerCase == t.tok,
+        // PER-CHAR simple lowercase, not String.toLowerCase: the U+0130
+        // string mapping expands to two chars; the simple mapping is the
+        // tokenizer's (and DuckDB lower()'s) 1:1 contract
+        assert(s.substring(t.cs, t.ce).map(Character.toLowerCase) == t.tok,
           s"span must spell the token on '$s': $t")
       }
       // spans are non-decreasing in start (Latin disjoint; CJK bigrams
@@ -118,18 +121,24 @@ class FunctionsSpec extends GraftSuite {
     val cjk = tokenizeWithOffsets("中文分词")
     assert(cjk.map(t => (t.tok, t.cs, t.ce)).toSeq ==
       Seq(("中文", 0, 2), ("文分", 1, 3), ("分词", 2, 4)))
-    // the ASCII-only Latin contract: non-ASCII chars whose
-    // Character.toLowerCase lands in [a-z] (U+212A KELVIN SIGN → 'k',
-    // U+0130 'İ' → 'i') are BOUNDARIES, exactly as in the [a-z0-9]+
-    // oracle split — without the guard the two engines would disagree
-    // on token membership and every downstream char offset
-    assert(tokenize("3K run").toSeq == Seq("3", "run"),
-      "KELVIN SIGN must be a boundary, not a token char")
-    assert(tokenize("İstanbul").toSeq == Seq("stanbul"),
-      "dotted İ must be a boundary")
+    // the simple-lowercase contract (DuckDB parity, verified against
+    // DuckDB empirically): lower() maps U+212A KELVIN SIGN -> 'k' and
+    // U+0130 'I-dot' -> 'i' (ONE char each) BEFORE the [a-z0-9]+ split,
+    // so both are TOKEN chars in both engines -- these are the only two
+    // non-ASCII chars whose simple lowercase lands in [a-z]
+    assert(tokenize("3K run").toSeq == Seq("3k", "run"),
+      "KELVIN SIGN folds to 'k' and joins the run, as in DuckDB lower()")
+    assert(tokenize("İstanbul").toSeq == Seq("istanbul"),
+      "dotted I folds to simple 'i' (1:1), as in DuckDB lower()")
     assert(tokenizeWithOffsets("3K run")
       .map(t => (t.tok, t.cs, t.ce)).toSeq ==
-      Seq(("3", 0, 1), ("run", 3, 6)))
+      Seq(("3k", 0, 2), ("run", 3, 6)))
+    assert(tokenizeWithOffsets("İstanbul")
+      .map(t => (t.tok, t.cs, t.ce)).toSeq == Seq(("istanbul", 0, 8)))
+    // chars whose lowercase stays OUTSIDE [a-z] remain boundaries in
+    // both engines (À->à, long s ſ, Ω->ω, Å->å, fullwidth Ａ)
+    assert(tokenize("aÀb aſb aΩb aÅb aＡb").toSeq ==
+      Seq("a", "b", "a", "b", "a", "b", "a", "b", "a", "b"))
   }
 
   test("vec_dot and vec_norm usable from SQL") {
