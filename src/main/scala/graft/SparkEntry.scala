@@ -3105,25 +3105,22 @@ object SparkEntry {
         |JOIN coff c1 ON c1.doc_id = sp.doc_id AND c1.i = sp.span_start
         |JOIN coff c2x ON c2x.doc_id = sp.doc_id
         |  AND c2x.i = sp.span_end""").stripMargin,
-    // e15: d33's chain + per-doc CHAR interval union (touching spans
-    // merge) + the splice — kept pieces of the ORIGINAL text
-    // concatenated in order via string_agg, tail piece appended
+    // e15: d30's span chain + per-doc TOKEN-space interval union (the
+    // SAME islands the e12/e13 manifests count — token-touching spans
+    // merge) lifted to char ranges through the offset table, + the
+    // splice — kept pieces of the ORIGINAL text concatenated in order
+    // via string_agg, tail piece appended. The Spark side's CJK shrink
+    // and joint separators are outside this oracle's [a-z0-9] token
+    // space (inert on ASCII corpora) — documented in Pipeline.scala
     "e15_redacted_text" ->
       (s"""WITH $quoteSpanCtes,
-        |sp AS (SELECT d1 AS doc_id, MIN(i1) AS span_start,
-        |         MAX(i1) + 2 AS span_end
-        |       FROM gs GROUP BY d1, d2, shift, sid),
-        |$charOffsetCtes,
-        |csp AS (SELECT DISTINCT sp.doc_id, c1.cs AS s, c2x.ce AS e
-        |       FROM sp
-        |       JOIN coff c1 ON c1.doc_id = sp.doc_id
-        |         AND c1.i = sp.span_start
-        |       JOIN coff c2x ON c2x.doc_id = sp.doc_id
-        |         AND c2x.i = sp.span_end),
+        |sp AS (SELECT DISTINCT doc_id, s, e FROM (
+        |        SELECT d1 AS doc_id, MIN(i1) AS s, MAX(i1) + 2 AS e
+        |        FROM gs GROUP BY d1, d2, shift, sid)),
         |u1 AS (SELECT doc_id, s, e,
         |         CASE WHEN MAX(e) OVER wp IS NULL
-        |                OR s > MAX(e) OVER wp THEN 1 ELSE 0 END AS ns
-        |       FROM csp
+        |                OR s > MAX(e) OVER wp + 1 THEN 1 ELSE 0 END AS ns
+        |       FROM sp
         |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |u2 AS (SELECT doc_id, s, e,
@@ -3131,8 +3128,14 @@ object SparkEntry {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |           AS gid
         |       FROM u1),
-        |mg AS (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+        |mgt AS (SELECT doc_id, gid, MIN(s) AS ms_t, MAX(e) AS me_t
         |       FROM u2 GROUP BY 1, 2),
+        |$charOffsetCtes,
+        |mg AS (SELECT t.doc_id, t.gid, c1.cs AS ms, c2x.ce AS me
+        |       FROM mgt t
+        |       JOIN coff c1 ON c1.doc_id = t.doc_id AND c1.i = t.ms_t
+        |       JOIN coff c2x ON c2x.doc_id = t.doc_id
+        |         AND c2x.i = t.me_t),
         |pieces AS (SELECT doc_id, ms, me,
         |         COALESCE(MAX(me) OVER (PARTITION BY doc_id ORDER BY ms
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -4079,28 +4082,12 @@ object SparkEntry {
         |    AND CAST(len(t.toks) AS BIGINT)
         |        - COALESCE(c.n_redacted, 0) >= 1),
         |$charOffsetCtes,
-        |sp2 AS (SELECT d1 AS doc_id, MIN(i1) AS span_start,
-        |          MAX(i1) + 2 AS span_end
-        |        FROM gs GROUP BY d1, d2, shift, sid),
-        |csp AS (SELECT DISTINCT p.doc_id, c1.cs AS s, c2x.ce AS e
-        |       FROM sp2 p
-        |       JOIN coff c1 ON c1.doc_id = p.doc_id
-        |         AND c1.i = p.span_start
-        |       JOIN coff c2x ON c2x.doc_id = p.doc_id
-        |         AND c2x.i = p.span_end),
-        |cu1 AS (SELECT doc_id, s, e,
-        |         CASE WHEN MAX(e) OVER wp IS NULL
-        |                OR s > MAX(e) OVER wp THEN 1 ELSE 0 END AS ns
-        |       FROM csp
-        |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        |cu2 AS (SELECT doc_id, s, e,
-        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS gid
-        |       FROM cu1),
-        |cmg AS (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
-        |       FROM cu2 GROUP BY 1, 2),
+        |cmg AS (SELECT t.doc_id, c1.cs AS ms, c2x.ce AS me
+        |       FROM (SELECT doc_id, gid, MIN(s) AS ms_t, MAX(e) AS me_t
+        |             FROM u2 GROUP BY 1, 2) t
+        |       JOIN coff c1 ON c1.doc_id = t.doc_id AND c1.i = t.ms_t
+        |       JOIN coff c2x ON c2x.doc_id = t.doc_id
+        |         AND c2x.i = t.me_t),
         |pieces AS (SELECT doc_id, ms, me,
         |         COALESCE(MAX(me) OVER (PARTITION BY doc_id ORDER BY ms
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

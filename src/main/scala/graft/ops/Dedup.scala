@@ -665,15 +665,7 @@ object Dedup {
     * offsets only the docs the plan names. */
   private[graft] def withCharSpans(spanPlan: DataFrame,
       documents: DataFrame): DataFrame = {
-    val offs = documents
-      .join(spanPlan.select(col("doc_id")).distinct(), Seq("doc_id"),
-        "left_semi")
-      .select(col("doc_id"),
-        graft.functions.Text.tokenizeOffsetsUdf(col("text")).as("offs"))
-      // barrier: the offsets frame feeds TWO element_at probes below and
-      // an interpreted UDF re-inlined through the join would re-tokenize
-      // per span row (the pqTopK CollapseProject pathology)
-      .localCheckpoint()
+    val offs = tokenOffsetsFor(documents, spanPlan)
     spanPlan.join(offs, "doc_id")
       .withColumn("char_start",
         element_at(col("offs"), col("span_start").cast("int"))("cs"))
@@ -681,6 +673,22 @@ object Dedup {
         element_at(col("offs"), col("span_end").cast("int"))("ce"))
       .drop("offs")
   }
+
+  /** The (doc_id, offs) token-offset frame for exactly the docs a plan
+    * names — tokenize-with-offsets ONLY those docs (left-semi before
+    * the UDF), localCheckpointed: the frame feeds multiple element_at
+    * probes and an interpreted UDF re-inlined through a join would
+    * re-tokenize per span row (the pqTopK CollapseProject pathology).
+    * Shared by [[withCharSpans]] (d33) and the e15 splice lift
+    * (`Pipeline.redactedTextFromSpans`). */
+  private[graft] def tokenOffsetsFor(documents: DataFrame,
+      ids: DataFrame): DataFrame =
+    documents
+      .join(ids.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"),
+        graft.functions.Text.tokenizeOffsetsUdf(col("text")).as("offs"))
+      .localCheckpoint()
 
   /** [[quoteRedactionSpans]] from PRECOMPUTED d28 flags — the streamed
     * composition: `flags` carries (doc_id, bench_id) rows (the online

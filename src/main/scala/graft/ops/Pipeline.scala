@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The flagship end-to-end training-corpus build: one declarative
@@ -183,22 +183,7 @@ object Pipeline {
     * (left join). */
   private def redactPack(docs: DataFrame, spanPlan: DataFrame,
       seqLen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spans = spanPlan
-      .select(col("doc_id"), col("span_start").as("s"),
-        col("span_end").as("e"))
-      .distinct() // two bench items can flag the identical span
-    val byDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("s"), col("e"))
-    val prevMax = max(col("e")).over(
-      byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val covered = spans
-      .withColumn("ns",
-        when(prevMax.isNull || col("s") > prevMax + 1, 1).otherwise(0))
-      .withColumn("gid", sum(col("ns")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("gid"))
-      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+    val covered = unionTokenSpans(spanPlan)
       .groupBy(col("doc_id"))
       .agg(sum(col("me") - col("ms") + 1).as("n_redacted"))
     // localCheckpoint: the frame fans out into the offset pass AND the
@@ -224,6 +209,35 @@ object Pipeline {
         col("n_tok"), col("start_offset"), col("chunk_id"))
   }
 
+  /** The per-doc TOKEN-space interval union of a (doc_id, span_start,
+    * span_end) plan — merged islands (doc_id, ms, me), inclusive token
+    * positions. Touching-or-overlapping spans merge (two bench items
+    * quoting overlapping ranges never double-delete); the window
+    * partitions by doc_id, never unpartitioned. ONE implementation
+    * shared by the pack manifests ([[redactPack]] — e12/e13/e17) and
+    * the text splice ([[redactedTextFromSpans]] — e15/e16), so the two
+    * sides of the token-stream law read the SAME islands by
+    * construction. */
+  private def unionTokenSpans(spanPlan: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = spanPlan
+      .select(col("doc_id"), col("span_start").as("s"),
+        col("span_end").as("e"))
+      .distinct() // two bench items can flag the identical span
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("ns",
+        when(prevMax.isNull || col("s") > prevMax + 1, 1).otherwise(0))
+      .withColumn("gid", sum(col("ns")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+      .select(col("doc_id"), col("ms"), col("me"))
+  }
+
   /** E15 — the REDACTED TEXT itself: the surgical family finally
     * produces the artifact the plan exists for. d30 emits token spans,
     * d33 lifts them to char ranges; this op SPLICES — for every flagged
@@ -232,62 +246,112 @@ object Pipeline {
     * the span plans shipped; the corpus text a release hands to a
     * trainer required the holder to splice by hand.
     *
-    * Mechanics: char ranges [cs, ce) are interval-unioned per doc in
-    * CHAR space (overlapping/touching ranges merge — two bench items
-    * quoting overlapping text never double-delete), then the kept
-    * pieces concatenate via one bounded `aggregate` fold over the doc's
-    * sorted interval array (span counts are flag-bounded per doc).
+    * Mechanics: the d30 token spans are interval-unioned per doc in
+    * TOKEN space ([[unionTokenSpans]] — the SAME islands the e12/e13
+    * manifests count, so the two sides of the token-stream law cannot
+    * read different islands), each merged island lifts to a char range
+    * via the token offsets (first covered token's cs to last covered
+    * token's ce — overlapping/touching quotes never double-delete), and
+    * the kept pieces concatenate via one bounded `aggregate` fold over
+    * the doc's sorted interval array.
+    *
+    * Two CJK-aware refinements make the token-stream law hold at every
+    * splice point (round-16 carried a documented CJK–Latin butt-joint
+    * exception; both refinements are inert on ASCII corpora, so the
+    * DuckDB oracle — whose [a-z0-9] token space has no CJK — mirrors
+    * the plain lift):
+    *  - SHRINK: overlapping CJK bigram tokens share chars, so an island
+    *    edge that falls strictly inside a bigram run keeps the shared
+    *    boundary char — a char is cut only when EVERY token containing
+    *    it is covered; cutting it would also destroy the uncovered
+    *    straddling bigram the manifest still counts;
+    *  - JOINT SEPARATOR: when the chars abutting a cut are both
+    *    token-constituent, one space is emitted at the splice point so
+    *    the surviving runs cannot fuse into new tokens ("abc中文def"
+    *    with 中文 redacted splices to "abc def", never "abcdef").
+    *
+    * THE TOKEN-STREAM LAW (spec-pinned, per doc, UNCONDITIONAL — the
+    * round-16 CJK exception is closed): `Text.tokenize(redacted_text)
+    * .length` == tokenized length − unioned island mass, exactly the
+    * count the e12/e13 manifests pack.
+    *
+    * THE FIXED-POINT law (spec-pinned): re-running the d28 probe over
+    * the post-splice corpus yields zero flags — the quotes are gone,
+    * and the separator-guarded adjacencies across a cut cannot
+    * reconstruct them at the containment threshold.
+    *
     * Output (doc_id, n_spans, n_chars_cut, redacted_text) for flagged
     * docs only — the redaction DELTA; unflagged docs ship verbatim, so
-    * a release materializes `documents ∖ flagged ∪ this`.
-    *
-    * The FIXED-POINT law (spec-pinned): re-running the d28 probe over
-    * the post-splice corpus yields zero flags — the quotes are gone,
-    * and the new token adjacencies across a cut cannot reconstruct
-    * them at the containment threshold.
+    * a release materializes `documents ∖ flagged ∪ this`. n_spans
+    * counts merged TOKEN islands; n_chars_cut is the exact char mass
+    * excised (post-shrink).
     *
     * Scale: flag-bounded end to end — only flagged docs re-tokenize
-    * (d33's left-semi), the union windows partition by doc_id, and the
-    * fold runs per row over its own interval array. */
+    * (the offsets semi-join), the union windows partition by doc_id,
+    * and the fold runs per row over its own interval array. */
   def redactedText(documents: DataFrame, benchmarkMaxId: Long = 25L,
       n: Int = 3, threshold: Double = 0.8,
-      minPositions: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spans = Dedup.quoteRedactionCharSpans(documents, benchmarkMaxId,
-        n, threshold, tol = 1, minPositions = minPositions)
-      .select(col("doc_id"), col("char_start").as("s"),
-        col("char_end").as("e"))
-      .distinct()
-    val byDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("s"), col("e"))
-    val prevMax = max(col("e")).over(
-      byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    // char intervals are [s, e): a span merges into the running island
-    // when it starts at or before the island's max end (touching spans
-    // merge — no zero-length kept piece between them)
-    val merged = spans
-      .withColumn("ns",
-        when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
-      .withColumn("gid", sum(col("ns")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("gid"))
-      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
-    val perDoc = merged.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("ms"), col("me"))))
-          .as("ivs"),
+      minPositions: Int = 3): DataFrame =
+    redactedTextFromSpans(documents,
+      Dedup.quoteRedactionSpans(documents, benchmarkMaxId, n,
+        threshold, tol = 1, minPositions = minPositions))
+
+  /** [[redactedText]] from a PRECOMPUTED span plan — the shared-plan
+    * seam: [[surgicalCorpusTextWithSpans]] feeds manifest and delta
+    * from ONE d30 derivation, and `Streams.surgicalCorpusTextFromIngest`
+    * feeds spans rebuilt from the committed online d28 flags. */
+  private[graft] def redactedTextFromSpans(documents: DataFrame,
+      spanPlan: DataFrame): DataFrame = {
+    val merged = unionTokenSpans(spanPlan)
+    val offs = Dedup.tokenOffsetsFor(documents, merged)
+    val cur = element_at(col("offs"), col("ms").cast("int"))
+    val lst = element_at(col("offs"), col("me").cast("int"))
+    // neighbor probes are CLAMPED in bounds (ANSI element_at errors on
+    // out-of-range even under a false guard in some eval paths)
+    val prv = element_at(col("offs"),
+      greatest(col("ms") - 1, lit(1L)).cast("int"))
+    val nxt = element_at(col("offs"),
+      least(col("me") + 1, size(col("offs")).cast("long")).cast("int"))
+    // the CJK shrink: +1/-1 exactly when the island edge overlaps a
+    // surviving straddler token (bigram overlap is exactly one char;
+    // Latin tokens never overlap, so the shrink is a no-op there)
+    val lifted = merged.join(offs, "doc_id")
+      .select(col("doc_id"),
+        (cur("cs") + when(col("ms") > 1 && prv("ce") > cur("cs"), 1)
+          .otherwise(0)).as("s"),
+        (lst("ce") - when(col("me") < size(col("offs")) &&
+          nxt("cs") < lst("ce"), 1).otherwise(0)).as("e"))
+    val perDoc = lifted.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
         count(lit(1)).as("n_spans"),
-        sum(col("me") - col("ms")).cast("long").as("n_chars_cut"))
+        sum((col("e") - col("s")).cast("long")).as("n_chars_cut"))
       // barrier: the interpreted fold below must not re-inline through
       // the text join per output row (the pqTopK discipline)
       .localCheckpoint()
+    // token-constituent char class — the tokenizer's contract: chars
+    // whose simple lowercase lands in [a-z0-9] (A-Z a-z 0-9 plus U+212A
+    // KELVIN and U+0130 İ) and the CJK ranges
+    val tokChar = "[a-zA-Z0-9\u212a\u0130\u3400-\u9fff" +
+      "\u3040-\u30ff\uac00-\ud7af\uf900-\ufaff]"
+    def isTok(c: Column) = c.rlike(tokChar)
+    // a splice joint needs a separator when the kept chars on BOTH
+    // sides of the cut are token-constituent (s > pos: the left
+    // neighbor char survived — a zero-width shrunk island mid-run
+    // still splits the run through this branch)
+    def joint(pos: Column, iv: Column) =
+      iv("s") > pos && isTok(col("text").substr(iv("s"), lit(1))) &&
+        iv("e") < length(col("text")) &&
+        isTok(col("text").substr(iv("e") + 1, lit(1)))
     perDoc
       .join(documents.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), col("n_spans"), col("n_chars_cut"),
         aggregate(col("ivs"),
           struct(lit(0).as("pos"), lit("").as("acc")),
-          (acc, iv) => struct(iv("me").as("pos"),
-            concat(acc("acc"), col("text").substr(acc("pos") + 1,
-              iv("ms") - acc("pos"))).as("acc")),
+          (acc, iv) => struct(iv("e").as("pos"),
+            concat(acc("acc"),
+              col("text").substr(acc("pos") + 1, iv("s") - acc("pos")),
+              when(joint(acc("pos"), iv), lit(" ")).otherwise(lit("")))
+              .as("acc")),
           acc => concat(acc("acc"), col("text").substr(acc("pos") + 1,
             length(col("text")) - acc("pos")))).as("redacted_text"))
   }
@@ -429,24 +493,41 @@ object Pipeline {
     * — the shipped text IS the manifest's token stream, so offsets,
     * chunk ids, and the conservation arithmetic all transfer.
     *
-    * Caveat (documented, ASCII corpora unaffected): the identity needs
-    * a separator at every span edge, which maximal-run tokenization
-    * guarantees between same-script tokens; a CJK–Latin butt joint
-    * ("abc中文def" with 中文 redacted) splices to "abcdef" and merges
-    * two tokens — token counts there come from the manifest, not the
-    * re-tokenized text.
+    * The law is UNCONDITIONAL: the round-16 CJK–Latin butt-joint
+    * exception is closed by [[redactedText]]'s joint separators and
+    * bigram-edge shrink ("abc中文def" with 中文 redacted now splices to
+    * "abc def", which re-tokenizes to exactly the manifest's count).
+    *
+    * Manifest and delta consume ONE span plan
+    * ([[surgicalCorpusTextWithSpans]], the fullReleaseWithSpansAndDrops
+    * pattern) — the round-16 double d30 derivation is gone, and the
+    * streamed leg (`Streams.surgicalCorpusTextFromIngest`) enters at
+    * the same seam with spans rebuilt from the committed online flags.
     *
     * Scale: e13's own plan + the flag-bounded e15 splice + one
     * broadcast-able delta join; the only corpus-frame additions are the
     * survivor semi-join and the text projection. */
   def surgicalCorpusText(documents: DataFrame, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5,
-      threshold: Double = 0.8, minPositions: Int = 3): DataFrame = {
-    val manifest = surgicalCorpus(documents, benchmarkMaxId, minChars,
-        sampleFrac, threshold = threshold, minPositions = minPositions)
+      threshold: Double = 0.8, minPositions: Int = 3): DataFrame =
+    surgicalCorpusTextWithSpans(documents,
+      Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
+        threshold, tol = 1, minPositions = minPositions),
+      benchmarkMaxId, minChars, sampleFrac)
+
+  /** [[surgicalCorpusText]] with a PRECOMPUTED span plan, derived ONCE
+    * and shared by the pack manifest and the text delta — the plan is
+    * flag-bounded (a cheap frame to pin behind the localCheckpoint
+    * barrier) and both consumers fan out of it, so neither an isolated
+    * run nor the streamed leg pays the span joins twice. */
+  private[graft] def surgicalCorpusTextWithSpans(documents: DataFrame,
+      spanPlan: DataFrame, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5): DataFrame = {
+    val plan = spanPlan.localCheckpoint()
+    val manifest = surgicalCorpusWithSpans(documents, plan,
+        benchmarkMaxId, minChars, sampleFrac)
       .select(col("doc_id"), col("lang"))
-    val delta = redactedText(documents, benchmarkMaxId, 3, threshold,
-        minPositions)
+    val delta = redactedTextFromSpans(documents, plan)
       .select(col("doc_id"), col("redacted_text"))
     manifest
       .join(documents.select(col("doc_id"), col("text").as("orig")),

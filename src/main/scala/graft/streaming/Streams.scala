@@ -1460,6 +1460,29 @@ object Streams {
       benchmarkMaxId, minChars, sampleFrac, seqLen)
   }
 
+  /** The STREAMED e16 — the SPLICED surgical corpus (the (doc_id, lang,
+    * text) artifact a trainer loads) from the COMMITTED online d28
+    * flags: spans rebuilt flag-bounded against the landing store
+    * ([[quoteRedactionFromIngest]]) and fed ONCE into
+    * `Pipeline.surgicalCorpusTextWithSpans`, which splices the delta and
+    * joins it onto the e13 manifest's survivor set. Every stage is
+    * deterministic given the flags, so once all training docs have
+    * arrived this equals the batch `Pipeline.surgicalCorpusText` at the
+    * thresholds the sink ran with (kill/restart parity spec-pinned).
+    * With no committed flags yet it is the verbatim e3 survivor text —
+    * the surgicalCorpusFromIngest degenerate-start discipline. */
+  def surgicalCorpusTextFromIngest(documents: DataFrame,
+      benchDocs: DataFrame, stateDir: String, outDir: String,
+      benchmarkMaxId: Long = 25L, minChars: Int = 100,
+      sampleFrac: Double = 0.5, n: Int = 3,
+      minPositions: Int = 3): DataFrame = {
+    val spans = quoteRedactionFromIngest(documents, benchDocs, stateDir,
+        outDir, n, minPositions)
+      .getOrElse(emptySpanPlan(documents))
+    graft.ops.Pipeline.surgicalCorpusTextWithSpans(documents, spans,
+      benchmarkMaxId, minChars, sampleFrac)
+  }
+
   /** The STREAMED e17 — the FULL release from BOTH committed flag
     * stores: spans rebuilt flag-bounded from the online d28 flags
     * ([[quoteRedactionFromIngest]]) and the semantic drop list read

@@ -2905,6 +2905,87 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates()
   }
 
+  test("e16 CJK butt joints closed: the token-stream law holds through " +
+      "script-fusing splices, bigram-run edges, and zero-width islands") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Pipeline}
+    val pad = "every training document needs enough completely distinct " +
+      "filler prose to clear the hundred character floor"
+    // 1) the round-16 documented exception, now closed end to end:
+    //    bench item is a CJK phrase, the quoter embeds it DIRECTLY
+    //    between two Latin runs ("abc中文分词测试def") — the splice must
+    //    emit a separator at the joint, or abc/def fuse into one token
+    val q1 = "中文分词测试" // 6 chars -> 5 bigrams -> 3 positional shingles
+    val hand1 = Seq(
+      (3L, q1),
+      (27L, s"$pad abc${q1}def closing remark"),
+      (29L, "an unrelated survivor whose words never touch the " +
+        "benchmark vocabulary but still run well past the length gate"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val m1 = Pipeline.surgicalCorpus(hand1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap // doc_id -> (n_redacted, n_tok)
+    assert(m1(27L)._1 == 5L, s"the 5 quoted bigrams must be cut: $m1")
+    val s1 = Pipeline.surgicalCorpusText(hand1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), graft.functions.Text.tokenize(r.getString(2))
+          .length.toLong)).toMap
+    assert(s1(27L)._1.contains("abc def"),
+      s"the joint separator must keep abc/def apart: '${s1(27L)._1}'")
+    assert(s1.forall { case (id, (_, n)) => m1(id)._2 == n },
+      s"token-stream law through the butt joint: $s1 vs $m1")
+    Dedup.clearSubstrates()
+    // 2) a quote covering a PREFIX of a longer CJK run: the island's
+    //    right edge falls strictly inside the run, so the lift must
+    //    SHRINK by the shared straddler char — the uncovered bigram the
+    //    manifest still counts keeps its first char
+    val q2 = "一二三四" // 4 chars -> 3 bigrams -> 1 positional shingle
+    val hand2 = Seq(
+      (3L, q2),
+      (27L, s"$pad 一二三四五六七八 $pad"),
+      (29L, "an unrelated survivor whose words never touch the " +
+        "benchmark vocabulary but still run well past the length gate"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val m2 = Pipeline.surgicalCorpus(hand2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(m2(27L)._1 == 3L,
+      s"the span covers bigrams 1..3 of the 7-bigram run: $m2")
+    val s2 = Pipeline.surgicalCorpusText(hand2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), graft.functions.Text.tokenize(r.getString(2))
+          .length.toLong)).toMap
+    assert(s2(27L)._1.contains("四五六七八"),
+      s"the straddler char 四 must survive the shrink: '${s2(27L)._1}'")
+    assert(s2.forall { case (id, (_, n)) => m2(id)._2 == n },
+      s"token-stream law through the run edge: $s2 vs $m2")
+    Dedup.clearSubstrates()
+    // 3) direct unit cases on the splice core (hand span plans):
+    //    a BOTH-interior island and a ZERO-WIDTH island mid-run
+    val doc = Seq((27L, "abc一二三四五def")).toDF("doc_id", "text")
+    // tokens: abc(1) 一二(2) 二三(3) 三四(4) 四五(5) def(6)
+    def splice(ss: Long, se: Long): (String, Long, Long) = {
+      val plan = Seq((27L, ss, se))
+        .toDF("doc_id", "span_start", "span_end")
+      val r = Pipeline.redactedTextFromSpans(doc, plan).collect().head
+      (r.getAs[String]("redacted_text"), r.getAs[Long]("n_chars_cut"),
+        graft.functions.Text.tokenize(
+          r.getAs[String]("redacted_text")).length.toLong)
+    }
+    // cover tokens 3..4 (二三,三四): both edges interior -> cut only 三
+    // (the char ALL of whose tokens are covered), separator at the
+    // joint; 6 - 2 = 4 tokens survive
+    val (t34, cut34, n34) = splice(3L, 4L)
+    assert(t34 == "abc一二 四五def" && cut34 == 1L && n34 == 4L,
+      s"both-interior island: '$t34' cut=$cut34 n=$n34")
+    // cover ONLY token 3 (二三): the shrunk island is ZERO-WIDTH — no
+    // chars are cut, but the splice point still splits the run so the
+    // covered bigram cannot re-form; 6 - 1 = 5 tokens survive
+    val (t3, cut3, n3) = splice(3L, 3L)
+    assert(t3 == "abc一二 三四五def" && cut3 == 0L && n3 == 5L,
+      s"zero-width island: '$t3' cut=$cut3 n=$n3")
+  }
+
   test("e15 fixed point holds on the whole sf0.01 corpus: splicing " +
       "every flagged doc's redacted text re-probes to zero flags") {
     import graft.ops.{Dedup, Pipeline}

@@ -2045,6 +2045,14 @@ class StreamingSpec extends GraftSuite {
         benchDocs, state, out))
       == corpusRows(graft.ops.Pipeline.surgicalCorpus(corpusFixture)),
       "streamed e13 must equal the batch full surgical release")
+    // streamed e16: the SPLICED corpus text — the (doc_id, lang, text)
+    // artifact a trainer loads — from the same committed flags equals
+    // the batch surgicalCorpusText (manifest and delta consume ONE span
+    // plan on both sides)
+    assert(corpusRows(Streams.surgicalCorpusTextFromIngest(corpusFixture,
+        benchDocs, state, out))
+      == corpusRows(graft.ops.Pipeline.surgicalCorpusText(corpusFixture)),
+      "streamed e16 must equal the batch spliced corpus text")
     // replay of a committed bid is a no-op (O(1) frontier guard)
     Streams.mergeQuoteContamination(
       Seq((9999L, byId(3L))).toDF("doc_id", "text"), 0L,
