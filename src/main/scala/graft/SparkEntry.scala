@@ -801,6 +801,25 @@ object SparkEntry {
     "audit4_semantic_funnel" -> ((s, d) =>
       Pipeline.semanticFilterFunnel(t(s, d, "documents"),
         t(s, d, "embeddings"))),
+    // e18: the full MULTIMODAL release — e17 (curation + semantic drop
+    // + surgical quote redaction) with the media legs enforced in the
+    // same composition: d21/d23 near-dup higher-ids and d25
+    // contamination flags (loose e10 budgets) join e17's pre-sampling
+    // anti-join chain; == e17 minus the media drop lists (spec-pinned
+    // commutation law, the e17-vs-e13 pattern one modality wider)
+    "e18_multimodal_release" -> ((s, d) =>
+      Pipeline.fullMultimodalRelease(t(s, d, "documents"),
+        t(s, d, "embeddings"))),
+    // audit5: the SURGICAL provenance funnel — e18's conservation-law
+    // audit where redaction is a first-class non-drop stage (benchmark
+    // → too_short → exact_dup → near_dup → contaminated → semantic →
+    // media_near_dup → media_contaminated → sampled_out →
+    // fully_redacted → redacted → kept); kept ∪ redacted == e18's doc
+    // set, Σ n_docs = |documents|, and n_tok_cut reconciles against
+    // e18's n_redacted (all spec-pinned)
+    "audit5_surgical_funnel" -> ((s, d) =>
+      Pipeline.surgicalFilterFunnel(t(s, d, "documents"),
+        t(s, d, "embeddings"))),
     // ---- sketches ----
     "a14_approx_quantiles" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -4330,6 +4349,81 @@ object SparkEntry {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
         |FROM cnt WHERE n_tok >= 1""".stripMargin,
+    // e18: e17's CTEs + the media drop lists (d21/d23 near-dup
+    // higher-ids at the dedup budgets, d25 contamination at the loose
+    // e10 budgets) in the survivor predicate — the commutation law
+    // (e18 == e17 minus the media drops) is pinned in PipelineSpec
+    "e18_multimodal_release" ->
+      s"""WITH $e3DropCtes,
+        |$semanticPairCtes,
+        |sdrop AS (SELECT DISTINCT ec.vec_id AS doc_id
+        |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
+        |              JOIN enn nb ON nb.vec_id = ec.bench_id
+        |       WHERE na.nrm > 0 AND nb.nrm > 0
+        |         AND ROUND(ec.dot / (na.nrm * nb.nrm), 6) >= 0.4),
+        |$phashSigCtes,
+        |$audioSigCtes,
+        |mdrop AS (SELECT DISTINCT b.doc_id
+        |          FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+        |          WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |          UNION
+        |          SELECT b.doc_id
+        |          FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+        |          WHERE bit_count(xor(a.ah, b.ah)) <= 2),
+        |cflag AS (SELECT DISTINCT t.doc_id
+        |          FROM psig t JOIN psig b ON t.doc_id >= 25
+        |            AND b.doc_id < 25
+        |          WHERE bit_count(xor(t.ph, b.ph)) <= 5
+        |          UNION
+        |          SELECT t.doc_id
+        |          FROM asig t JOIN asig b ON t.doc_id >= 25
+        |            AND b.doc_id < 25
+        |          WHERE bit_count(xor(t.ah, b.ah)) <= 3),
+        |$quoteSpanTailCtes,
+        |sp AS (SELECT DISTINCT doc_id, s, e FROM (
+        |        SELECT d1 AS doc_id, MIN(i1) AS s, MAX(i1) + 2 AS e
+        |        FROM gs GROUP BY d1, d2, shift, sid)),
+        |u1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN MAX(e) OVER wp IS NULL
+        |                OR s > MAX(e) OVER wp + 1 THEN 1 ELSE 0 END AS ns
+        |       FROM sp
+        |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u2 AS (SELECT doc_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS gid
+        |       FROM u1),
+        |cov AS (SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT)
+        |          AS n_redacted
+        |        FROM (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+        |              FROM u2 GROUP BY 1, 2) GROUP BY 1),
+        |survivors AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE doc_id >= 25 AND length(text) >= 100
+        |    AND doc_id NOT IN (SELECT doc_id FROM neardups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM exactdups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND doc_id NOT IN (SELECT doc_id FROM sdrop)
+        |    AND doc_id NOT IN (SELECT doc_id FROM mdrop)
+        |    AND doc_id NOT IN (SELECT doc_id FROM cflag)
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'),
+        |cnt AS (SELECT s.doc_id, s.lang,
+        |          CAST(len(t.toks) AS BIGINT) AS n_tok_orig,
+        |          CAST(COALESCE(c.n_redacted, 0) AS BIGINT)
+        |            AS n_redacted,
+        |          CAST(len(t.toks) AS BIGINT)
+        |            - CAST(COALESCE(c.n_redacted, 0) AS BIGINT) AS n_tok
+        |        FROM survivors s JOIN tk t ON t.doc_id = s.doc_id
+        |        LEFT JOIN cov c ON c.doc_id = s.doc_id)
+        |SELECT doc_id, lang, n_tok_orig, n_redacted, n_tok,
+        |       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) AS BIGINT) AS start_offset,
+        |       CAST(floor(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) / 4096) AS BIGINT) AS chunk_id
+        |FROM cnt WHERE n_tok >= 1""".stripMargin,
     // provenance funnel over e3's stages: first-rejecting-stage
     // attribution in the documented order benchmark -> too_short ->
     // exact_dup -> near_dup -> contaminated -> sampled_out -> kept;
@@ -4383,6 +4477,86 @@ object SparkEntry {
         |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
         |         AS n_tokens
+        |FROM staged GROUP BY 1""".stripMargin,
+    // audit5: audit4's CTEs + the media drop legs + the d30 token-union
+    // cover mass, with redaction accounted as a first-class non-drop
+    // stage; n_tok_cut is carried only by the two redaction stages
+    "audit5_surgical_funnel" ->
+      s"""WITH $e3DropCtes,
+        |$semanticPairCtes,
+        |sdrop AS (SELECT DISTINCT ec.vec_id AS doc_id
+        |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
+        |              JOIN enn nb ON nb.vec_id = ec.bench_id
+        |       WHERE na.nrm > 0 AND nb.nrm > 0
+        |         AND ROUND(ec.dot / (na.nrm * nb.nrm), 6) >= 0.4),
+        |$phashSigCtes,
+        |$audioSigCtes,
+        |mdrop AS (SELECT DISTINCT b.doc_id
+        |          FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+        |          WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |          UNION
+        |          SELECT b.doc_id
+        |          FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+        |          WHERE bit_count(xor(a.ah, b.ah)) <= 2),
+        |cflag AS (SELECT DISTINCT t.doc_id
+        |          FROM psig t JOIN psig b ON t.doc_id >= 25
+        |            AND b.doc_id < 25
+        |          WHERE bit_count(xor(t.ph, b.ph)) <= 5
+        |          UNION
+        |          SELECT t.doc_id
+        |          FROM asig t JOIN asig b ON t.doc_id >= 25
+        |            AND b.doc_id < 25
+        |          WHERE bit_count(xor(t.ah, b.ah)) <= 3),
+        |$quoteSpanTailCtes,
+        |sp AS (SELECT DISTINCT doc_id, s, e FROM (
+        |        SELECT d1 AS doc_id, MIN(i1) AS s, MAX(i1) + 2 AS e
+        |        FROM gs GROUP BY d1, d2, shift, sid)),
+        |u1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN MAX(e) OVER wp IS NULL
+        |                OR s > MAX(e) OVER wp + 1 THEN 1 ELSE 0 END AS ns
+        |       FROM sp
+        |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u2 AS (SELECT doc_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS gid
+        |       FROM u1),
+        |covq AS (SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT)
+        |          AS covered
+        |        FROM (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+        |              FROM u2 GROUP BY 1, 2) GROUP BY 1),
+        |staged AS (
+        |  SELECT d.text, COALESCE(cv.covered, 0) AS covered,
+        |    CASE WHEN d.doc_id < 25 THEN 'benchmark'
+        |         WHEN length(d.text) < 100 THEN 'too_short'
+        |         WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+        |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+        |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+        |         WHEN sd.doc_id IS NOT NULL THEN 'semantic'
+        |         WHEN d.doc_id IN (SELECT doc_id FROM mdrop)
+        |           THEN 'media_near_dup'
+        |         WHEN d.doc_id IN (SELECT doc_id FROM cflag)
+        |           THEN 'media_contaminated'
+        |         WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |           >= '80000000' THEN 'sampled_out'
+        |         WHEN cv.covered IS NOT NULL
+        |              AND CAST(len(t.toks) AS BIGINT) - cv.covered < 1
+        |           THEN 'fully_redacted'
+        |         WHEN cv.covered IS NOT NULL THEN 'redacted'
+        |         ELSE 'kept' END AS stage
+        |  FROM documents d
+        |  JOIN tk t ON t.doc_id = d.doc_id
+        |  LEFT JOIN exactdups e ON d.doc_id = e.doc_id
+        |  LEFT JOIN neardups nd ON d.doc_id = nd.doc_id
+        |  LEFT JOIN contam c ON d.doc_id = c.doc_id
+        |  LEFT JOIN sdrop sd ON d.doc_id = sd.doc_id
+        |  LEFT JOIN covq cv ON d.doc_id = cv.doc_id)
+        |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+        |         AS n_tokens,
+        |       CAST(SUM(CASE WHEN stage IN ('redacted', 'fully_redacted')
+        |         THEN covered ELSE 0 END) AS BIGINT) AS n_tok_cut
         |FROM staged GROUP BY 1""".stripMargin,
     "smp1_hash_sample" ->
       """SELECT doc_id, lang FROM documents

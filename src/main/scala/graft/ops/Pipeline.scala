@@ -484,6 +484,76 @@ object Pipeline {
         col("chunk_id"))
   }
 
+  /** The media NEAR-DUP drop list (the e9 stage as a frame): the
+    * higher-id side of every d21 perceptual-hash image pair and every
+    * d23 audio-envelope pair, unioned. The two pair frames are disjoint
+    * by construction (a doc_id is one modality), so the union never
+    * double-drops; both lists stay pair-output-sized. ONE
+    * implementation consumed by e9 ([[fullMediaCuratedCorpus]]), its
+    * funnel ([[mediaFilterFunnel]]), and the e18 release
+    * ([[fullMultimodalRelease]] + [[surgicalFilterFunnel]]), so the
+    * drop rule cannot drift between release and audit. */
+  private[graft] def mediaNearDupDrops(documents: DataFrame,
+      maxHamming: Int = 3, audioMaxHamming: Int = 2): DataFrame =
+    Multimodal.phashPairs(documents, maxHamming)
+      .select(col("doc2").as("doc_id"))
+      .unionByName(Multimodal.audioPairs(documents, audioMaxHamming)
+        .select(col("doc2").as("doc_id")))
+      .distinct()
+
+  /** The media CONTAMINATION drop list (the e10 stage as a frame):
+    * every training doc the d25 probe flags as carrying benchmark media
+    * at the LOOSE enforcement budgets (see
+    * [[decontaminatedMediaCorpus]]'s budget note — at the dedup budgets
+    * the stage is subsumed by the near-dup anti-join). Shared by e10,
+    * audit2, and the e18 family. */
+  private[graft] def mediaContamDrops(documents: DataFrame,
+      benchMaxId: Long, contamMaxHamming: Int = 5,
+      contamAudioMaxHamming: Int = 3): DataFrame =
+    Multimodal.mediaContaminationSplitCheck(documents, benchMaxId,
+        contamMaxHamming, contamAudioMaxHamming)
+      .select(col("doc_id")).distinct()
+
+  /** E18 — the full MULTIMODAL release: every enforced defense across
+    * every modality in ONE composition. e17 closed the text+semantic
+    * side (e3 curation + d31 semantic drop + surgical d30 quote
+    * redaction); until now a mixed-modality corpus drop still ran the
+    * e8–e10 media branch separately and intersected by hand. This op
+    * adds the two media drop stages as pre-sampling doc_id anti-joins on
+    * e17's survivor chain:
+    *
+    *  - media NEAR-DUP ([[mediaNearDupDrops]] — d21 dHash @ `maxHamming`
+    *    + d23 envelope @ `audioMaxHamming`, higher id drops);
+    *  - media CONTAMINATION ([[mediaContamDrops]] — d25 at the LOOSE
+    *    enforcement budgets, the e10 recall-over-mass discipline).
+    *
+    * Composition law (spec- and sf1-pinned): e18's doc set == e17's
+    * minus the media drop lists — every drop in the whole family is a
+    * doc_id anti-join BEFORE sampling, so the stages commute and the
+    * flagships compose exactly (the e17-vs-e13 law, one modality
+    * wider). Output = e13/e17's columns.
+    *
+    * Scale: e17's plan + one pair-output-sized and one
+    * contamination-mass-sized anti-join — no new shuffle family beyond
+    * its parents (the media signature scans are the d21/d23/d25 ones,
+    * banded, never all-pairs). */
+  def fullMultimodalRelease(documents: DataFrame, embeddings: DataFrame,
+      benchmarkMaxId: Long = 25L, minChars: Int = 100,
+      sampleFrac: Double = 0.5, seqLen: Int = 4096,
+      threshold: Double = 0.8, minPositions: Int = 3,
+      cosThreshold: Double = 0.4, maxHamming: Int = 3,
+      audioMaxHamming: Int = 2, contamMaxHamming: Int = 5,
+      contamAudioMaxHamming: Int = 3): DataFrame =
+    fullReleaseWithSpansAndDrops(documents,
+      Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
+        threshold, tol = 1, minPositions = minPositions),
+      semanticFlags(embeddings, benchmarkMaxId, cosThreshold)
+        .unionByName(mediaNearDupDrops(documents, maxHamming,
+          audioMaxHamming))
+        .unionByName(mediaContamDrops(documents, benchmarkMaxId,
+          contamMaxHamming, contamAudioMaxHamming)),
+      benchmarkMaxId, minChars, sampleFrac, seqLen)
+
   /** E16 — the SPLICED surgical release: the actual (doc_id, lang,
     * text) corpus a trainer loads. e13 ships the pack MANIFEST (counts
     * and offsets) and e15 the redaction DELTA (flagged docs' spliced
@@ -625,13 +695,9 @@ object Pipeline {
   def fullMediaCuratedCorpus(documents: DataFrame, minScore: Double = 0.45,
       maxDupFrac: Double = 0.5, maxHamming: Int = 3,
       audioMaxHamming: Int = 2): DataFrame = {
-    val drops = Multimodal.phashPairs(documents, maxHamming)
-      .select(col("doc2").as("doc_id"))
-      .unionByName(Multimodal.audioPairs(documents, audioMaxHamming)
-        .select(col("doc2").as("doc_id")))
-      .distinct()
     curatedCorpus(documents, minScore, maxDupFrac)
-      .join(drops, Seq("doc_id"), "left_anti")
+      .join(mediaNearDupDrops(documents, maxHamming, audioMaxHamming),
+        Seq("doc_id"), "left_anti")
   }
 
   /** E10 — the media DECONTAMINATION closer: [[fullMediaCuratedCorpus]]
@@ -665,13 +731,10 @@ object Pipeline {
       maxDupFrac: Double = 0.5, maxHamming: Int = 3,
       audioMaxHamming: Int = 2, contamMaxHamming: Int = 5,
       contamAudioMaxHamming: Int = 3): DataFrame = {
-    val flagged = Multimodal
-      .mediaContaminationSplitCheck(documents, benchMaxId,
-        contamMaxHamming, contamAudioMaxHamming)
-      .select(col("doc_id")).distinct()
     fullMediaCuratedCorpus(documents, minScore, maxDupFrac, maxHamming,
       audioMaxHamming)
-      .join(flagged, Seq("doc_id"), "left_anti")
+      .join(mediaContamDrops(documents, benchMaxId, contamMaxHamming,
+        contamAudioMaxHamming), Seq("doc_id"), "left_anti")
   }
 
   /** Provenance funnel for the MEDIA curation pipeline ([[e10 ==
@@ -706,15 +769,10 @@ object Pipeline {
     val keepers = Dedup.exactDuplicates(documents)
       .select(col("keeper").as("doc_id")).distinct()
       .withColumn("is_keeper", lit(true))
-    val mediaDups = Multimodal.phashPairs(documents, maxHamming)
-      .select(col("doc2").as("doc_id"))
-      .unionByName(Multimodal.audioPairs(documents, audioMaxHamming)
-        .select(col("doc2").as("doc_id")))
-      .distinct().withColumn("is_media_dup", lit(true))
-    val contaminated = Multimodal
-      .mediaContaminationSplitCheck(documents, benchMaxId,
-        contamMaxHamming, contamAudioMaxHamming)
-      .select(col("doc_id")).distinct()
+    val mediaDups = mediaNearDupDrops(documents, maxHamming,
+      audioMaxHamming).withColumn("is_media_dup", lit(true))
+    val contaminated = mediaContamDrops(documents, benchMaxId,
+      contamMaxHamming, contamAudioMaxHamming)
       .withColumn("is_contam", lit(true))
     // coalesce defaults mirror e5's inner joins: a doc MISSING from the
     // score/span frames is not kept there, so it attributes to the
@@ -1178,6 +1236,110 @@ object Pipeline {
       sampleFrac: Double = 0.5, cosThreshold: Double = 0.4): DataFrame =
     funnelCore(documents, benchmarkMaxId, minChars, sampleFrac,
       Some(semanticFlags(embeddings, benchmarkMaxId, cosThreshold)))
+
+  /** AUDIT5 — the SURGICAL provenance funnel: the conservation-law
+    * funnel of the e18 release ([[fullMultimodalRelease]]), where
+    * REDACTION is accounted as a first-class NON-DROP stage. audit1/2/4
+    * attribute every dropped doc; the surgical releases (e13/e16/e17/
+    * e18) had no provenance report — how many docs shipped redacted and
+    * what token mass the spans cut was not auditable. Attribution order
+    * (first-rejecting, the documented cheapest-test-first convention,
+    * media stages where e18 inserts them):
+    *
+    *   benchmark → too_short → exact_dup → near_dup → contaminated →
+    *   semantic → media_near_dup → media_contaminated → sampled_out →
+    *   fully_redacted → redacted → kept
+    *
+    * `redacted` (docs that SHIP with spans cut) and `kept` (ship
+    * verbatim) partition the e18 survivor set — kept ∪ redacted ==
+    * e18's doc set (spec-pinned); `fully_redacted` is the drop leg
+    * (every token covered — e18's n_tok ≥ 1 floor drops them). Output
+    * (stage, n_docs, n_tokens, n_tok_cut): n_docs/n_tokens conserve
+    * (Σ = |documents| and its whitespace mass — the audit1
+    * convention); n_tok_cut is the unioned d30 island mass, carried
+    * ONLY by the two redaction stages, and Σ n_tok_cut(redacted) ==
+    * Σ e18.n_redacted (the cross-op reconciliation the release's
+    * conservation law needs).
+    *
+    * Scale shape: the flag frames are the release's own drop lists;
+    * the tokenize-space counts needed for the fully_redacted test are
+    * computed ONLY for span-flagged docs (flag-bounded left-semi, never
+    * a second corpus-wide tokenize); attribution is left joins on
+    * doc_id feeding one CASE, then a tiny stage-keyed groupBy. */
+  def surgicalFilterFunnel(documents: DataFrame, embeddings: DataFrame,
+      benchmarkMaxId: Long = 25L, minChars: Int = 100,
+      sampleFrac: Double = 0.5, cosThreshold: Double = 0.4,
+      maxHamming: Int = 3, audioMaxHamming: Int = 2,
+      contamMaxHamming: Int = 5, contamAudioMaxHamming: Int = 3,
+      threshold: Double = 0.8, minPositions: Int = 3): DataFrame = {
+    val nearDups = Dedup.jaccardPairs(documents, 3, 0.5)
+      .select(col("doc2").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    val exactDups = documents
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("fp"))
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+      .withColumn("is_exact", lit(true))
+    val contaminated = Dedup
+      .contaminationSplitCheck(documents, benchmarkMaxId, 3, 5)
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contam", lit(true))
+    val semantic = semanticFlags(embeddings, benchmarkMaxId, cosThreshold)
+      .withColumn("is_sem", lit(true))
+    val mediaDup = mediaNearDupDrops(documents, maxHamming,
+      audioMaxHamming).withColumn("is_mdup", lit(true))
+    val mediaContam = mediaContamDrops(documents, benchmarkMaxId,
+      contamMaxHamming, contamAudioMaxHamming)
+      .withColumn("is_mcontam", lit(true))
+    // the unioned d30 island mass per flagged doc — the SAME islands the
+    // e18 pack cuts — plus the tokenize-space count for exactly those
+    // docs (flag-bounded: unflagged docs cannot be fully redacted)
+    val covered = unionTokenSpans(
+        Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
+          threshold, tol = 1, minPositions = minPositions))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("me") - col("ms") + 1).as("covered"))
+    val flaggedNtok = documents
+      .join(covered.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        size(graft.functions.Text.tokenizeUdf(col("text")))
+          .cast("long").as("tok_n"))
+    val sampledIn = Sampling.contentHash("doc_id") <
+      lit(Sampling.fractionThreshold(sampleFrac))
+    documents
+      .join(nearDups, Seq("doc_id"), "left")
+      .join(exactDups, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(semantic, Seq("doc_id"), "left")
+      .join(mediaDup, Seq("doc_id"), "left")
+      .join(mediaContam, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .join(flaggedNtok, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("doc_id") < benchmarkMaxId, "benchmark")
+          .when(length(col("text")) < minChars, "too_short")
+          .when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .when(col("is_contam"), "contaminated")
+          .when(col("is_sem"), "semantic")
+          .when(col("is_mdup"), "media_near_dup")
+          .when(col("is_mcontam"), "media_contaminated")
+          .when(!sampledIn, "sampled_out")
+          .when(col("covered").isNotNull &&
+            col("tok_n") - col("covered") < 1, "fully_redacted")
+          .when(col("covered").isNotNull, "redacted")
+          .otherwise("kept"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"),
+        sum(when(col("stage").isin("redacted", "fully_redacted"),
+          coalesce(col("covered"), lit(0L))).otherwise(0L))
+          .as("n_tok_cut"))
+  }
 
   private def funnelCore(documents: DataFrame, benchmarkMaxId: Long,
       minChars: Int, sampleFrac: Double,

@@ -1510,6 +1510,46 @@ object Streams {
       drops, benchmarkMaxId, minChars, sampleFrac, seqLen)
   }
 
+  /** The STREAMED e18 — the full MULTIMODAL release from EVERY committed
+    * flag store: quote spans rebuilt from the online d28 flags
+    * ([[quoteRedactionFromIngest]]), the semantic drop list from the
+    * online d31 flags ([[committedEmbeddingContamination]]), the media
+    * near-dup decisions from the [[fullMediaIngestSink]] phash/audio
+    * legs, and the media contamination flags from its contam leg
+    * ([[committedContamination]]) — all composed through the batch
+    * operator's own core (`Pipeline.fullReleaseWithSpansAndDrops`, the
+    * e17 seam with the media lists unioned in). The quote/embedding/
+    * contamination probes are stateless-exact and the media dedup legs
+    * inherit the documented greedy-online caveat, so once all traffic
+    * has arrived this equals the batch `Pipeline.fullMultimodalRelease`
+    * whenever the streamed pair relation matches the batch one
+    * (kill/restart parity spec-pinned). Any store still empty degrades
+    * to a no-op stage, exactly as in the batch op over a clean corpus. */
+  def fullMultimodalReleaseFromIngest(documents: DataFrame,
+      benchDocs: DataFrame, quoteState: String, quoteOut: String,
+      embState: String, embOut: String, mediaState: String,
+      mediaOut: String, benchmarkMaxId: Long = 25L, minChars: Int = 100,
+      sampleFrac: Double = 0.5, seqLen: Int = 4096, n: Int = 3,
+      minPositions: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    val noDrops = documents.select(col("doc_id")).limit(0)
+    val spans = quoteRedactionFromIngest(documents, benchDocs,
+        quoteState, quoteOut, n, minPositions)
+      .getOrElse(emptySpanPlan(documents))
+    val sem = committedEmbeddingContamination(spark, embState, embOut)
+      .map(_.select(col("vec_id").as("doc_id")))
+    val mediaNd = Seq(
+        committedNearDupDrops(spark, mediaState, mediaOut, "phash"),
+        committedNearDupDrops(spark, mediaState, mediaOut, "audio"))
+      .flatten.reduceOption(_ unionByName _)
+    val mediaCt = committedContamination(spark, mediaState, mediaOut)
+      .map(_.select(col("doc_id")))
+    val drops = Seq(sem, mediaNd, mediaCt).flatten
+      .reduceOption(_ unionByName _).getOrElse(noDrops)
+    graft.ops.Pipeline.fullReleaseWithSpansAndDrops(documents, spans,
+      drops, benchmarkMaxId, minChars, sampleFrac, seqLen)
+  }
+
   /** The FROM-INGEST sel4 — DSIR select-then-pack over the corpus the
     * exactly-once landing sink ([[txnSink]]) has COMMITTED so far:
     * importance weights, the Gumbel-top-k draw, and the pack all
@@ -1545,23 +1585,30 @@ object Streams {
       outDir: String, minScore: Double = 0.45,
       maxDupFrac: Double = 0.5): DataFrame = {
     val spark = documents.sparkSession
-    def committedDrops(leg: String): Option[DataFrame] = {
-      val frontier =
-        readStateWithRecovery(spark, s"$stateDir/$leg/frontier").map { df =>
-          val r = df.select(max(col("bid"))).head
-          if (r.isNullAt(0)) -1L else r.getLong(0)
-        }.getOrElse(-1L)
-      if (frontier < 0L) None
-      else committedBidParquet(spark, s"$outDir/$leg", frontier)
-        .map(_.where(col("decision") === "near_dup")
-          .select(col("doc_id")))
-    }
     val kept = graft.ops.Pipeline.curatedCorpus(documents, minScore,
       maxDupFrac)
-    Seq(committedDrops("phash"), committedDrops("audio")).flatten
+    Seq(committedNearDupDrops(spark, stateDir, outDir, "phash"),
+        committedNearDupDrops(spark, stateDir, outDir, "audio")).flatten
       .reduceOption(_ unionByName _)
       .map(d => kept.join(d.distinct(), Seq("doc_id"), "left_anti"))
       .getOrElse(kept)
+  }
+
+  /** The committed near-dup drop decisions of one [[fullMediaIngestSink]]
+    * leg ("phash" or "audio") — frontier-gated, orphans invisible; None
+    * before the leg's first commit. Shared by the e9/e10 from-ingest
+    * compositions and the streamed e18. */
+  private def committedNearDupDrops(spark: SparkSession,
+      stateDir: String, outDir: String, leg: String): Option[DataFrame] = {
+    val frontier =
+      readStateWithRecovery(spark, s"$stateDir/$leg/frontier").map { df =>
+        val r = df.select(max(col("bid"))).head
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }.getOrElse(-1L)
+    if (frontier < 0L) None
+    else committedBidParquet(spark, s"$outDir/$leg", frontier)
+      .map(_.where(col("decision") === "near_dup")
+        .select(col("doc_id")))
   }
 
   /** Transactional produce — the 2PC / read-committed twin of the

@@ -2857,6 +2857,152 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates()
   }
 
+  test("e18 multimodal release: the media drops compose (e18 == e17 " +
+      "minus the d21/d23/d25 lists on sf0.01) and the mixed-modality " +
+      "fixture lands one doc per stage, audit5 conserving") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Multimodal, Pipeline}
+    // corpus-scale commutation law (the e17-vs-e13 pattern, one
+    // modality wider): every drop is a pre-sampling doc_id anti-join,
+    // so the flagships compose exactly
+    val docs01 = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val emb01 = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val e17ids = Pipeline.fullRelease(docs01, emb01)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val mediaIds = Pipeline.mediaNearDupDrops(docs01)
+      .unionByName(Pipeline.mediaContamDrops(docs01, 25L))
+      .collect().map(_.getLong(0)).toSet
+    val e18ids = Pipeline.fullMultimodalRelease(docs01, emb01)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(e18ids == (e17ids -- mediaIds),
+      s"e18 must be e17 minus the media drops; extra=${
+        e18ids -- (e17ids -- mediaIds)} missing=${
+        (e17ids -- mediaIds) -- e18ids}")
+    assert((e17ids & mediaIds).nonEmpty,
+      "the law is non-vacuous: some e17 survivor is media-flagged")
+    Dedup.clearSubstrates(); Multimodal.clearMedia()
+
+    // the mixed-modality fixture: ONE doc per stage of the e18 family,
+    // including a redacted survivor — every drop reason fires on its
+    // own doc (modalities via doc_id % 3: 0 visual, 1 audio, 2 video;
+    // sampling-hash pass ids: 26-30,32,33,35,36,41,43,45,47,48,51)
+    val q1 = "alphaword bravoword charlieword deltaword echoword " +
+      "foxtrotword" // 6 tokens -> 4 windows, under d9's >= 5 floor
+    val q2 = "golfword hotelword indiaword julietword kiloword limaword"
+    val q3 = "mikeword novemberword oscarword papaword quebecword " +
+      "romeoword sierraword tangoword uniformword victorword" // 8 windows
+    val mediaBase = ("the quick brown fox jumps over the lazy dog " * 3)
+      .trim
+    val pad = "every training document needs enough completely distinct " +
+      "filler prose to clear the hundred character floor"
+    val keeper29 = "a keeper document whose words never touch any " +
+      "benchmark vocabulary and still run well past the length gate"
+    val nd32 = "second keeper corpus with its own entirely separate " +
+      "canvas of words running comfortably past the length floor"
+    val repA = ("ka kb " * 30).trim // 2 distinct shingles: jaccard to
+    // its 3-extra-word suffix twin = 2/5 = 0.4 < 0.5, so the media
+    // pair below is NOT a text near-dup pair
+    // media_contaminated fixture (the e10 spec's deterministic search):
+    // smallest evenly-spaced high-contrast edit set whose dHash lands
+    // in (3, 5] — past dedup, inside contamination — while sharing < 5
+    // distinct shingles with the bench doc (else d9 claims it) and
+    // staying under the 0.5 near-dup jaccard
+    def sig(s: String): Long = {
+      val w = (s.length / 100) * 3 + 12
+      val h = (s.length / 150) * 4 + 10
+      Multimodal.dHash56(Multimodal.grayGrid(w, h,
+        Multimodal.textPixels(s, w * h).map(_ & 0xff)))
+    }
+    def shingleSet(s: String): Set[String] =
+      graft.functions.Text.tokenize(s).sliding(3).map(_.mkString(" "))
+        .toSet
+    val b0 = sig(mediaBase); val sh0 = shingleSet(mediaBase)
+    val perturbed = (1 to mediaBase.length).view.flatMap { k =>
+      val t = (0 until k).map(j => (j * mediaBase.length) / k)
+        .foldLeft(mediaBase)((s, p) => s.updated(p, 'Z'))
+      val h = java.lang.Long.bitCount(b0 ^ sig(t))
+      val sh = shingleSet(t)
+      val shared = (sh & sh0).size
+      val j = shared.toDouble / (sh ++ sh0).size
+      if (h > 3 && h <= 5 && shared < 5 && j < 0.5) Some(t) else None
+    }.headOption.getOrElse(
+      fail("no edit set satisfies the media-contamination fixture " +
+        "constraints on this encoder"))
+    val hand = Seq(
+      (0L, mediaBase),                   // bench: media source (visual)
+      (3L, q1), (4L, q2), (5L, q3),      // bench: text/vector items
+      (26L, "tiny"),                     // too_short
+      (27L, s"$pad $q1 trailing remark"), // REDACTED survivor
+      (29L, keeper29),                   // kept (exact-dup keeper)
+      (30L, "a semantically paraphrasing survivor telling an entirely " +
+        "different story about orchard harvesting schedules well past " +
+        "the hundred character minimum"),     // semantic
+      (31L, "a standalone passage describing maritime navigation " +
+        "techniques at considerable length beyond the character floor " +
+        "requirement that simply fails the sampling hash"),
+      (32L, nd32),                       // kept (near-dup keeper)
+      (33L, s"$nd32 dup"),               // near_dup (j = high, video vs
+                                         // visual: no media pair)
+      (35L, keeper29),                   // exact_dup of 29
+      (36L, "a third unrelated body of prose covering alpine " +
+        s"meteorology observations past the length requirement $q3"),
+                                         // d9 contaminated (8 shared)
+      (39L, repA),                       // media keeper, sampled_out
+      (41L, s"$q1 $q2"),                 // fully_redacted (two quotes)
+      (42L, s"$repA zu1 zu2 zu3"),       // media_near_dup of 39
+      (48L, perturbed))                  // media_contaminated vs 0
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val vecs = Seq(
+      (3L, Array(1f, 0f, 0f, 0f)),
+      (4L, Array(0f, 0f, 0f, 1f)),
+      (30L, Array(0.9f, 0.1f, 0f, 0f)),  // the paraphrase of item 3
+      (29L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // precondition probes (fail loudly if the fixture drifts)
+    val mediaHam = {
+      val sigs = Multimodal.phash(Multimodal.toMediaTable(
+        hand.where(col("doc_id").isin(39L, 42L)))).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      java.lang.Long.bitCount(sigs(39L) ^ sigs(42L))
+    }
+    assert(mediaHam <= 3,
+      s"39/42 must pair within the dedup budget, got $mediaHam")
+    val got = Pipeline.fullMultimodalRelease(hand, vecs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.keySet == Set(27L, 29L, 32L),
+      s"e18 ships the redacted quoter and the two keepers: $got")
+    assert(got(27L) > 0 && got(29L) == 0 && got(32L) == 0,
+      s"only the quoter ships redacted: $got")
+    Dedup.clearSubstrates(); Multimodal.clearMedia()
+    // audit5 on the same fixture: one doc per stage, conservation, and
+    // the cross-op laws (kept+redacted == e18; n_tok_cut reconciles)
+    val funnel = Pipeline.surgicalFilterFunnel(hand, vecs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3))).toMap
+    val wantStages = Map(
+      "benchmark" -> 4L, "too_short" -> 1L, "exact_dup" -> 1L,
+      "near_dup" -> 1L, "contaminated" -> 1L, "semantic" -> 1L,
+      "media_near_dup" -> 1L, "media_contaminated" -> 1L,
+      "sampled_out" -> 2L, "fully_redacted" -> 1L, "redacted" -> 1L,
+      "kept" -> 2L)
+    assert(funnel.view.mapValues(_._1).toMap == wantStages,
+      s"one doc per stage: ${funnel.view.mapValues(_._1).toMap}")
+    assert(funnel.values.map(_._1).sum == 17L, "conservation: 17 docs in")
+    // the redacted stage's cut mass reconciles against the release
+    val e18cut = Pipeline.fullMultimodalRelease(hand, vecs)
+      .agg(sum(col("n_redacted"))).collect().head.getLong(0)
+    assert(funnel("redacted")._2 == e18cut,
+      s"n_tok_cut(redacted)=${funnel("redacted")._2} vs e18 " +
+        s"n_redacted=$e18cut")
+    assert(funnel("fully_redacted")._2 > 0,
+      "the fully-redacted doc carries its cut mass")
+    assert(funnel("kept")._2 == 0L && funnel("benchmark")._2 == 0L,
+      "n_tok_cut rides only the redaction stages")
+    Dedup.clearSubstrates(); Multimodal.clearMedia()
+  }
+
   test("e16 spliced corpus IS the e13 manifest's token stream: per doc " +
       "the shipped text re-tokenizes to exactly n_tok (sf0.01)") {
     import graft.ops.{Dedup, Pipeline}

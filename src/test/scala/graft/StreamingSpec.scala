@@ -1907,6 +1907,76 @@ class StreamingSpec extends GraftSuite {
         s"only_batch=${want10 -- got10}")
   }
 
+  test("streaming e18: the full multimodal release from ALL committed " +
+      "flag stores equals the batch flagship") {
+    import spark.implicits._
+    import graft.ops.Pipeline
+    val dir = Files.createTempDirectory("graft_e18s").toString
+    val (mstate, mout) = (dir + "/mstate", dir + "/mout")
+    val (qstate, qout) = (dir + "/qstate", dir + "/qout")
+    val (estate, eout) = (dir + "/estate", dir + "/eout")
+    val natural = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val byId = natural.toMap
+    // plant quote contamination (the d28 test's docs) so the span store
+    // is non-empty: 9001 verbatim-copies bench 3, 9002 wholesale-quotes
+    // bench 7 behind a preamble
+    val docs = natural ++ Seq(
+      (9001L, byId(3L)),
+      (9002L, "entirely unrelated preamble words " + byId(7L)))
+    val fixture = docs.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .localCheckpoint()
+    val corpusFixture = fixture.withColumn("lang", lit("en"))
+    val benchDocs = fixture.where(col("doc_id") < 25).localCheckpoint()
+    // plant semantic contamination: vector 9001 IS bench vector 3, so
+    // the d31 drop list names an existing doc
+    val embRows = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val embById = embRows.toMap
+    val allEmb = embRows ++ Seq((9001L, embById(3L)))
+    val emb = allEmb.toDF("vec_id", "embedding").localCheckpoint()
+    val benchEmb = emb.where(col("vec_id") < 25).localCheckpoint()
+    // arm all three stores (id-ordered arrival + audio hamming 0 — the
+    // streaming-e9 greedy-online parity contract)
+    val msm = MemoryStream[(Long, String)](101, spark, None)
+    val qm = Streams.fullMediaIngestSink(
+        msm.toDS().toDF("doc_id", "text"), mstate, mout,
+        audioMaxHamming = 0, benchDocs = Some(benchDocs))
+      .option("checkpointLocation", dir + "/mckpt").start()
+    msm.addData(docs); qm.processAllAvailable(); qm.stop()
+    val msq = MemoryStream[(Long, String)](102, spark, None)
+    val qq = Streams.quoteContaminationSink(
+        msq.toDS().toDF("doc_id", "text"), qstate, qout, benchDocs)
+      .option("checkpointLocation", dir + "/qckpt").start()
+    msq.addData(docs); qq.processAllAvailable(); qq.stop()
+    val mse = MemoryStream[(Long, Array[Float])](103, spark, None)
+    val qe = Streams.embeddingContaminationSink(
+        mse.toDS().toDF("vec_id", "embedding"), benchEmb, estate, eout)
+      .option("checkpointLocation", dir + "/eckpt").start()
+    mse.addData(allEmb); qe.processAllAvailable(); qe.stop()
+    // every store must be non-empty — a degenerate pass proves nothing
+    assert(Streams.committedQuoteContamination(spark, qstate, qout)
+      .exists(_.count() > 0), "quote store is empty")
+    assert(Streams.committedEmbeddingContamination(spark, estate, eout)
+      .exists(_.count() > 0), "embedding store is empty")
+    assert(Streams.committedContamination(spark, mstate, mout)
+      .exists(_.count() > 0), "media contamination store is empty")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq.toList).toSet
+    val want = rows(Pipeline.fullMultimodalRelease(corpusFixture, emb,
+      audioMaxHamming = 0))
+    val got = rows(Streams.fullMultimodalReleaseFromIngest(corpusFixture,
+      benchDocs, qstate, qout, estate, eout, mstate, mout))
+    assert(got == want,
+      s"streamed e18 diverged: only_stream=${got -- want} " +
+        s"only_batch=${want -- got}")
+    graft.ops.Dedup.clearSubstrates()
+    graft.ops.Multimodal.clearMedia()
+  }
+
   test("streaming d25: the per-batch contamination probe equals the " +
       "batch operator across a kill/restart boundary") {
     import spark.implicits._
