@@ -214,6 +214,87 @@ object Sf1Check {
                 Seq("vec_id"), "left_semi"), 2500L)
             .select(col("vec_id").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")),
+      // round-17: the d31z theorem at sf1 — the indexed contamination
+      // probe at nprobe = cells IS the flat all-pairs probe (probing
+      // every cell is the full scan; both sides share the cosineFast +
+      // round-6 arithmetic, so the rows are identical including cos).
+      // Stratum embeddings, the full_release_commutation alignment.
+      ("embedding_contamination_flat_vs_indexed",
+        () => ops.Similarity.embeddingContaminationSplitCheck(
+          emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"), 2500L),
+        () => ops.Similarity.embeddingContaminationIvf(
+          emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi"), 2500L, cells = 8, nprobe = 8)),
+      // round-17: the e14 commutation law at sf1 — the semantic release
+      // is EXACTLY e3 minus the d31 flag set (the e17 law one flagship
+      // down: both drops are pre-sampling doc_id anti-joins).
+      ("semantic_release_commutation",
+        () => ops.Pipeline.semanticDecontaminatedCorpus(simhashDocs,
+            emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"), 2500)
+          .select(col("doc_id")),
+        () => ops.Pipeline.trainingCorpus(simhashDocs, 2500)
+          .select(col("doc_id"))
+          .join(ops.Similarity.embeddingContaminationSplitCheck(
+              emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
+                Seq("vec_id"), "left_semi"), 2500L)
+            .select(col("vec_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")),
+      // round-17: audit4's cross-op law at sf1 — the funnel's `kept`
+      // stage counts EXACTLY the e14 release's survivor docs (funnel
+      // and release share one semanticFlags frame, so divergence here
+      // would mean the attribution CASE itself broke at scale).
+      ("audit4_kept_equals_semantic_release",
+        () => ops.Pipeline.semanticFilterFunnel(simhashDocs,
+            emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"), 2500)
+          .where(col("stage") === "kept")
+          // sum-with-0-default, not a bare projection: both sides must
+          // emit exactly one row even when nothing survives, so the
+          // degenerate all-benchmark stratum compares 0 == 0
+          .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs")),
+        () => ops.Pipeline.semanticDecontaminatedCorpus(simhashDocs,
+            emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"), 2500)
+          .select(col("doc_id")).distinct()
+          .agg(count(lit(1)).cast("long").as("n_docs"))),
+      // round-17: the e18 commutation law at sf1 — the full MULTIMODAL
+      // release is EXACTLY e17 minus the two media drop lists (d21/d23
+      // near-dup higher-ids at the dedup budgets ∪ d25 flags at the
+      // loose e10 budgets) — the widest composition in the family,
+      // identity-proven at 10x bench scale like its parents.
+      ("multimodal_release_commutation",
+        () => ops.Pipeline.fullMultimodalRelease(simhashDocs,
+            emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"), 2500)
+          .select(col("doc_id")),
+        () => ops.Pipeline.fullRelease(simhashDocs,
+            emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"), 2500)
+          .select(col("doc_id"))
+          .join(ops.Pipeline.mediaNearDupDrops(simhashDocs)
+              .unionByName(ops.Pipeline.mediaContamDrops(simhashDocs,
+                2500L))
+              .distinct(),
+            Seq("doc_id"), "left_anti")),
+      // round-17: the e19 token-stream law at sf1 — the spliced text of
+      // the full multimodal release re-tokenizes per doc to exactly the
+      // e18 manifest's n_tok (the e16 law one release up: char-space
+      // splice + re-tokenize == token-space arithmetic, through EVERY
+      // drop stage). Rotating stratum, stratum embeddings.
+      ("multimodal_spliced_token_stream",
+        () => ops.Pipeline.fullMultimodalReleaseText(simhashDocs,
+            emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"), 2500)
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.size(
+              graft.functions.Text.tokenizeUdf(col("text")))
+              .cast("long").as("n_tok")),
+        () => ops.Pipeline.fullMultimodalRelease(simhashDocs,
+            emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"), 2500)
+          .select(col("doc_id"), col("n_tok"))),
       // round-16: sel4 == its own public decomposition (sel3 draw +
       // corpus semi-join + tokenOffsets + weight carry) — the packaged
       // op with its internal checkpoint vs the hand-assembled pipeline;

@@ -646,6 +646,34 @@ object SparkEntry {
     "audit3_benchmark_health" -> ((s, d) =>
       Pipeline.benchmarkHealthReport(t(s, d, "documents"),
         t(s, d, "embeddings"), 25)),
+    // audit6: the burn-report → ACTION loop — audit3's evidence rolled
+    // into the retirement DECISION over the whole 25-item eval universe
+    // (clean items included): retired ⇔ burned in >= 2 independent
+    // modalities
+    "audit6_benchmark_retirement" -> ((s, d) =>
+      Pipeline.prunedBenchmark(t(s, d, "documents"),
+        t(s, d, "embeddings"), 25)),
+    // r7: the action APPLIED — MRR of the portable sign-LSH retriever
+    // (top-1 qrels, the r4 machinery) over the 25 bench items as
+    // queries against the exact cosine top-10 run, with audit6's
+    // retired items PRUNED from the qrels before scoring: the
+    // retrieval-eval family stops scoring compromised items (at sf0.01
+    // the decision retires 3 of 25, so the pruning is non-vacuous)
+    "r7_pruned_benchmark_mrr" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val run = Similarity.bruteForceTopKIds(emb, 0L until 25L, 10)
+        .select(org.apache.spark.sql.functions.col("qid")
+            .as("query_id"),
+          org.apache.spark.sql.functions.col("nid").as("doc_id"),
+          org.apache.spark.sql.functions.col("rn"))
+      val qrels = Similarity.portableLshTop1(emb, 0L until 25L)
+        .select(org.apache.spark.sql.functions.col("qid")
+            .as("query_id"),
+          org.apache.spark.sql.functions.col("nid").as("doc_id"))
+      Pipeline.retrievalEval(run,
+        Pipeline.pruneQrels(qrels,
+          Pipeline.prunedBenchmark(t(s, d, "documents"), emb, 25)), 10)
+    }),
     // ---- E2 SQL entry path ----
     "e2_sql_revenue_by_year" -> ((s, d) =>
       graft.sql.SqlJobs.revenueByYear(s, d)),
@@ -819,6 +847,15 @@ object SparkEntry {
     // e18's n_redacted (all spec-pinned)
     "audit5_surgical_funnel" -> ((s, d) =>
       Pipeline.surgicalFilterFunnel(t(s, d, "documents"),
+        t(s, d, "embeddings"))),
+    // e19: the spliced text of the full multimodal release — the
+    // (doc_id, lang, text) corpus a trainer loads when the drop is
+    // e18: every e18 survivor with its post-splice text; doc set ==
+    // e18's, per doc tokenize(text).length == e18.n_tok, and e19 ==
+    // e16 minus the semantic + media drops ROW-IDENTICAL including
+    // text (the splice is survivor-set independent) — all spec-pinned
+    "e19_multimodal_corpus_text" -> ((s, d) =>
+      Pipeline.fullMultimodalReleaseText(t(s, d, "documents"),
         t(s, d, "embeddings"))),
     // ---- sketches ----
     "a14_approx_quantiles" -> ((s, d) => {
@@ -1723,6 +1760,117 @@ object SparkEntry {
       |          ON b.doc_id = a.doc_id AND b.w = a.w + 1
       |        WHERE a.w < 31
       |        GROUP BY 1)""".stripMargin
+
+  /** The audit3 benchmark-health rollup, factored into its WITH-body
+    * and final SELECT so the audit3 oracle stays byte-identical while
+    * the audit6/r7 consumers re-wrap the select as `hlth AS (...)` and
+    * decide retirement on top — the burn→action loop's oracle shares
+    * ONE health derivation with the report it acts on. Body: the three
+    * burn-report families (d26 media at the e10 loose budgets via
+    * psig/asig, d29 quote, d32 embedding with the holdout aligned to
+    * vec_id < 25), ending in `med`/`qle`/`ele`. */
+  private val benchHealthBodyCtes: String =
+    s"""$phashSigCtes,
+       |$audioSigCtes,
+       |mfl AS (
+       |  SELECT t.doc_id, b.doc_id AS bench_id, 'visual' AS modality
+       |  FROM psig t JOIN psig b ON t.doc_id >= 25 AND b.doc_id < 25
+       |  WHERE bit_count(xor(t.ph, b.ph)) <= 5
+       |  UNION ALL
+       |  SELECT t.doc_id, b.doc_id AS bench_id, 'audio' AS modality
+       |  FROM asig t JOIN asig b ON t.doc_id >= 25 AND b.doc_id < 25
+       |  WHERE bit_count(xor(t.ah, b.ah)) <= 3),
+       |med AS (SELECT bench_id,
+       |          CAST(SUM(CASE WHEN modality = 'visual' THEN 1
+       |            ELSE 0 END) AS BIGINT) AS n_visual,
+       |          CAST(SUM(CASE WHEN modality = 'audio' THEN 1
+       |            ELSE 0 END) AS BIGINT) AS n_audio,
+       |          MIN(doc_id) AS m_first
+       |        FROM mfl GROUP BY 1),
+       |tk AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |           '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
+       |         AS shingle
+       |       FROM (SELECT doc_id, toks,
+       |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+       |             FROM tk)),
+       |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM ps GROUP BY 1),
+       |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2,
+       |         b.i AS i2
+       |       FROM ps a JOIN ps b USING (shingle)
+       |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
+       |msh AS (SELECT d1, d2, shift FROM (
+       |        SELECT d1, d2, i2 - i1 AS shift,
+       |          row_number() OVER (PARTITION BY d1, d2
+       |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
+       |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
+       |mm AS (SELECT f.d1, f.d2, s.shift,
+       |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+       |            <= 1 THEN f.i1 END) AS ma,
+       |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
+       |            <= 1 THEN f.i2 END) AS mb
+       |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
+       |       GROUP BY 1, 2, 3),
+       |qfl AS (SELECT mm.d1 AS doc_id, mm.d2 AS bench_id,
+       |         greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) AS containment
+       |       FROM mm JOIN np a ON mm.d1 = a.doc_id
+       |                JOIN np b ON mm.d2 = b.doc_id
+       |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
+       |qle AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_quote,
+       |          MAX(containment) AS max_containment,
+       |          MIN(doc_id) AS q_first
+       |        FROM qfl GROUP BY 1),
+       |enn AS (SELECT vec_id,
+       |        sqrt(SUM(CAST(embedding[ii.i] AS DOUBLE)
+       |          * CAST(embedding[ii.i] AS DOUBLE))) AS nrm
+       |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
+       |      GROUP BY 1),
+       |ec AS (SELECT a.vec_id, b.vec_id AS bench_id,
+       |        SUM(CAST(a.embedding[ii.i] AS DOUBLE)
+       |          * CAST(b.embedding[ii.i] AS DOUBLE)) AS dot
+       |      FROM embeddings a, embeddings b,
+       |           (SELECT unnest(range(1, 65)) AS i) ii
+       |      WHERE a.vec_id >= 25 AND b.vec_id < 25
+       |      GROUP BY 1, 2),
+       |efl AS (SELECT ec.vec_id, ec.bench_id,
+       |         ROUND(ec.dot / (na.nrm * nb.nrm), 6) AS cos
+       |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
+       |              JOIN enn nb ON nb.vec_id = ec.bench_id
+       |       WHERE na.nrm > 0 AND nb.nrm > 0
+       |         AND ROUND(ec.dot / (na.nrm * nb.nrm), 6) >= 0.4),
+       |ele AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_embed,
+       |          MAX(cos) AS max_cos, MIN(vec_id) AS e_first
+       |        FROM efl GROUP BY 1)""".stripMargin
+
+  /** The final-rollup half of the audit3 oracle (see
+    * [[benchHealthBodyCtes]]): the full-outer join of the three burn
+    * legs with the explicit MaxValue first_train sentinels and the
+    * n_modalities count. */
+  private val benchHealthSelect: String =
+    """SELECT COALESCE(med.bench_id, qle.bench_id, ele.bench_id)
+      |         AS bench_id,
+      |       COALESCE(n_visual, 0) AS n_visual,
+      |       COALESCE(n_audio, 0) AS n_audio,
+      |       COALESCE(n_quote, 0) AS n_quote,
+      |       COALESCE(n_embed, 0) AS n_embed,
+      |       max_containment, max_cos,
+      |       LEAST(COALESCE(m_first, 9223372036854775807),
+      |             COALESCE(q_first, 9223372036854775807),
+      |             COALESCE(e_first, 9223372036854775807))
+      |         AS first_train,
+      |       CAST(COALESCE(n_visual, 0) > 0 AS INTEGER)
+      |         + CAST(COALESCE(n_audio, 0) > 0 AS INTEGER)
+      |         + CAST(COALESCE(n_quote, 0) > 0 AS INTEGER)
+      |         + CAST(COALESCE(n_embed, 0) > 0 AS INTEGER)
+      |         AS n_modalities
+      |FROM med
+      |FULL OUTER JOIN qle ON med.bench_id = qle.bench_id
+      |FULL OUTER JOIN ele
+      |  ON COALESCE(med.bench_id, qle.bench_id) = ele.bench_id"""
+      .stripMargin
 
 
   /** [[kmeansCtes]] with the training corpus restricted by `pred` — the
@@ -4424,6 +4572,93 @@ object SparkEntry {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |         0) / 4096) AS BIGINT) AS chunk_id
         |FROM cnt WHERE n_tok >= 1""".stripMargin,
+    // e19: e18's survivor predicate (every drop list) + e16's splice
+    // tail verbatim — the spliced text form of the full multimodal
+    // release; the splice CTEs are survivor-set independent, so only
+    // the keeper predicate differs from e16
+    "e19_multimodal_corpus_text" ->
+      s"""WITH $e3DropCtes,
+        |$semanticPairCtes,
+        |sdrop AS (SELECT DISTINCT ec.vec_id AS doc_id
+        |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
+        |              JOIN enn nb ON nb.vec_id = ec.bench_id
+        |       WHERE na.nrm > 0 AND nb.nrm > 0
+        |         AND ROUND(ec.dot / (na.nrm * nb.nrm), 6) >= 0.4),
+        |$phashSigCtes,
+        |$audioSigCtes,
+        |mdrop AS (SELECT DISTINCT b.doc_id
+        |          FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+        |          WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |          UNION
+        |          SELECT b.doc_id
+        |          FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+        |          WHERE bit_count(xor(a.ah, b.ah)) <= 2),
+        |cflag AS (SELECT DISTINCT t.doc_id
+        |          FROM psig t JOIN psig b ON t.doc_id >= 25
+        |            AND b.doc_id < 25
+        |          WHERE bit_count(xor(t.ph, b.ph)) <= 5
+        |          UNION
+        |          SELECT t.doc_id
+        |          FROM asig t JOIN asig b ON t.doc_id >= 25
+        |            AND b.doc_id < 25
+        |          WHERE bit_count(xor(t.ah, b.ah)) <= 3),
+        |$quoteSpanTailCtes,
+        |sp AS (SELECT DISTINCT doc_id, s, e FROM (
+        |        SELECT d1 AS doc_id, MIN(i1) AS s, MAX(i1) + 2 AS e
+        |        FROM gs GROUP BY d1, d2, shift, sid)),
+        |u1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN MAX(e) OVER wp IS NULL
+        |                OR s > MAX(e) OVER wp + 1 THEN 1 ELSE 0 END AS ns
+        |       FROM sp
+        |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u2 AS (SELECT doc_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS gid
+        |       FROM u1),
+        |cov AS (SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT)
+        |          AS n_redacted
+        |        FROM (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+        |              FROM u2 GROUP BY 1, 2) GROUP BY 1),
+        |keepers AS (
+        |  SELECT d.doc_id, d.lang, d.text FROM documents d
+        |  JOIN tk t ON t.doc_id = d.doc_id
+        |  LEFT JOIN cov c ON c.doc_id = d.doc_id
+        |  WHERE d.doc_id >= 25 AND length(d.text) >= 100
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM neardups)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM exactdups)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM sdrop)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM mdrop)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM cflag)
+        |    AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < '80000000'
+        |    AND CAST(len(t.toks) AS BIGINT)
+        |        - COALESCE(c.n_redacted, 0) >= 1),
+        |$charOffsetCtes,
+        |cmg AS (SELECT t.doc_id, c1.cs AS ms, c2x.ce AS me
+        |       FROM (SELECT doc_id, gid, MIN(s) AS ms_t, MAX(e) AS me_t
+        |             FROM u2 GROUP BY 1, 2) t
+        |       JOIN coff c1 ON c1.doc_id = t.doc_id AND c1.i = t.ms_t
+        |       JOIN coff c2x ON c2x.doc_id = t.doc_id
+        |         AND c2x.i = t.me_t),
+        |pieces AS (SELECT doc_id, ms, me,
+        |         COALESCE(MAX(me) OVER (PARTITION BY doc_id ORDER BY ms
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS pos
+        |       FROM cmg),
+        |fin AS (SELECT p.doc_id,
+        |         string_agg(substr(d.text, CAST(pos + 1 AS INTEGER),
+        |           CAST(ms - pos AS INTEGER)), '' ORDER BY ms) AS head,
+        |         MAX(me) AS last_e
+        |       FROM pieces p JOIN documents d USING (doc_id)
+        |       GROUP BY p.doc_id)
+        |SELECT k.doc_id, k.lang,
+        |       CASE WHEN f.doc_id IS NULL THEN k.text
+        |            ELSE f.head
+        |              || substr(k.text, CAST(f.last_e + 1 AS INTEGER))
+        |       END AS text
+        |FROM keepers k LEFT JOIN fin f USING (doc_id)""".stripMargin,
     // provenance funnel over e3's stages: first-rejecting-stage
     // attribution in the documented order benchmark -> too_short ->
     // exact_dup -> near_dup -> contaminated -> sampled_out -> kept;
@@ -5090,100 +5325,66 @@ object SparkEntry {
     // least() runs over explicit MaxValue sentinels so both engines
     // evaluate the identical expression
     "audit3_benchmark_health" ->
-      s"""WITH $phashSigCtes,
-         |$audioSigCtes,
-         |mfl AS (
-         |  SELECT t.doc_id, b.doc_id AS bench_id, 'visual' AS modality
-         |  FROM psig t JOIN psig b ON t.doc_id >= 25 AND b.doc_id < 25
-         |  WHERE bit_count(xor(t.ph, b.ph)) <= 5
-         |  UNION ALL
-         |  SELECT t.doc_id, b.doc_id AS bench_id, 'audio' AS modality
-         |  FROM asig t JOIN asig b ON t.doc_id >= 25 AND b.doc_id < 25
-         |  WHERE bit_count(xor(t.ah, b.ah)) <= 3),
-         |med AS (SELECT bench_id,
-         |          CAST(SUM(CASE WHEN modality = 'visual' THEN 1
-         |            ELSE 0 END) AS BIGINT) AS n_visual,
-         |          CAST(SUM(CASE WHEN modality = 'audio' THEN 1
-         |            ELSE 0 END) AS BIGINT) AS n_audio,
-         |          MIN(doc_id) AS m_first
-         |        FROM mfl GROUP BY 1),
-         |tk AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-         |           '[^a-z0-9]+'), x -> x <> '') AS toks
-         |  FROM documents),
-         |ps AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ')
-         |         AS shingle
-         |       FROM (SELECT doc_id, toks,
-         |               unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
-         |             FROM tk)),
-         |np AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-         |       FROM ps GROUP BY 1),
-         |fp AS (SELECT a.doc_id AS d1, a.i AS i1, b.doc_id AS d2,
-         |         b.i AS i2
-         |       FROM ps a JOIN ps b USING (shingle)
-         |       WHERE a.doc_id >= 25 AND b.doc_id < 25),
-         |msh AS (SELECT d1, d2, shift FROM (
-         |        SELECT d1, d2, i2 - i1 AS shift,
-         |          row_number() OVER (PARTITION BY d1, d2
-         |            ORDER BY COUNT(*) DESC, i2 - i1) AS rn
-         |        FROM fp GROUP BY d1, d2, i2 - i1) WHERE rn = 1),
-         |mm AS (SELECT f.d1, f.d2, s.shift,
-         |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
-         |            <= 1 THEN f.i1 END) AS ma,
-         |          COUNT(DISTINCT CASE WHEN abs(f.i2 - f.i1 - s.shift)
-         |            <= 1 THEN f.i2 END) AS mb
-         |       FROM fp f JOIN msh s ON s.d1 = f.d1 AND s.d2 = f.d2
-         |       GROUP BY 1, 2, 3),
-         |qfl AS (SELECT mm.d1 AS doc_id, mm.d2 AS bench_id,
-         |         greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) AS containment
-         |       FROM mm JOIN np a ON mm.d1 = a.doc_id
-         |                JOIN np b ON mm.d2 = b.doc_id
-         |       WHERE greatest(ma * 1.0 / a.n, mb * 1.0 / b.n) >= 0.8),
-         |qle AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_quote,
-         |          MAX(containment) AS max_containment,
-         |          MIN(doc_id) AS q_first
-         |        FROM qfl GROUP BY 1),
-         |enn AS (SELECT vec_id,
-         |        sqrt(SUM(CAST(embedding[ii.i] AS DOUBLE)
-         |          * CAST(embedding[ii.i] AS DOUBLE))) AS nrm
-         |      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) ii
-         |      GROUP BY 1),
-         |ec AS (SELECT a.vec_id, b.vec_id AS bench_id,
-         |        SUM(CAST(a.embedding[ii.i] AS DOUBLE)
-         |          * CAST(b.embedding[ii.i] AS DOUBLE)) AS dot
-         |      FROM embeddings a, embeddings b,
-         |           (SELECT unnest(range(1, 65)) AS i) ii
-         |      WHERE a.vec_id >= 25 AND b.vec_id < 25
-         |      GROUP BY 1, 2),
-         |efl AS (SELECT ec.vec_id, ec.bench_id,
-         |         ROUND(ec.dot / (na.nrm * nb.nrm), 6) AS cos
-         |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
-         |              JOIN enn nb ON nb.vec_id = ec.bench_id
-         |       WHERE na.nrm > 0 AND nb.nrm > 0
-         |         AND ROUND(ec.dot / (na.nrm * nb.nrm), 6) >= 0.4),
-         |ele AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_embed,
-         |          MAX(cos) AS max_cos, MIN(vec_id) AS e_first
-         |        FROM efl GROUP BY 1)
-         |SELECT COALESCE(med.bench_id, qle.bench_id, ele.bench_id)
-         |         AS bench_id,
-         |       COALESCE(n_visual, 0) AS n_visual,
-         |       COALESCE(n_audio, 0) AS n_audio,
-         |       COALESCE(n_quote, 0) AS n_quote,
-         |       COALESCE(n_embed, 0) AS n_embed,
-         |       max_containment, max_cos,
-         |       LEAST(COALESCE(m_first, 9223372036854775807),
-         |             COALESCE(q_first, 9223372036854775807),
-         |             COALESCE(e_first, 9223372036854775807))
-         |         AS first_train,
-         |       CAST(COALESCE(n_visual, 0) > 0 AS INTEGER)
-         |         + CAST(COALESCE(n_audio, 0) > 0 AS INTEGER)
-         |         + CAST(COALESCE(n_quote, 0) > 0 AS INTEGER)
-         |         + CAST(COALESCE(n_embed, 0) > 0 AS INTEGER)
-         |         AS n_modalities
-         |FROM med
-         |FULL OUTER JOIN qle ON med.bench_id = qle.bench_id
-         |FULL OUTER JOIN ele
-         |  ON COALESCE(med.bench_id, qle.bench_id) = ele.bench_id""".stripMargin,
+      (s"WITH $benchHealthBodyCtes\n" + benchHealthSelect),
+    // audit6: audit3's health table — the IDENTICAL CTEs, re-wrapped as
+    // hlth — left-joined onto the 25-item bench universe; retired <=>
+    // n_modalities >= 2, clean items carry 0 and stay visible
+    "audit6_benchmark_retirement" ->
+      (s"WITH $benchHealthBodyCtes,\nhlth AS ($benchHealthSelect)\n" +
+        """SELECT b.doc_id AS bench_id,
+          |       COALESCE(h.n_modalities, 0) AS n_modalities,
+          |       COALESCE(h.n_modalities, 0) >= 2 AS retired
+          |FROM (SELECT doc_id FROM documents WHERE doc_id < 25) b
+          |LEFT JOIN hlth h ON h.bench_id = b.doc_id""".stripMargin),
+    // r7: the retirement APPLIED to a retrieval eval — the 25 bench
+    // items as queries, run = exact cosine top-10 (the dr shape over
+    // the bench query set), qrels = portable sign-LSH top-1 (the r4
+    // machinery, reranked through the SAME r7p cosine frame), pruned
+    // by hlth's >= 2-modalities verdict before the MRR rollup
+    "r7_pruned_benchmark_mrr" ->
+      (s"WITH $benchHealthBodyCtes,\nhlth AS ($benchHealthSelect),\n" +
+        s"$portableSigCtes,\n" +
+        """r7p AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+          |         SUM(CAST(q.embedding[ii.i] AS DOUBLE)
+          |             * CAST(n.embedding[ii.i] AS DOUBLE)) AS dot,
+          |         SUM(CAST(q.embedding[ii.i] AS DOUBLE)
+          |             * CAST(q.embedding[ii.i] AS DOUBLE)) AS qq,
+          |         SUM(CAST(n.embedding[ii.i] AS DOUBLE)
+          |             * CAST(n.embedding[ii.i] AS DOUBLE)) AS xx
+          |       FROM embeddings q JOIN embeddings n
+          |           ON n.vec_id <> q.vec_id,
+          |         (SELECT unnest(range(1, 65)) AS i) ii
+          |       WHERE q.vec_id < 25
+          |       GROUP BY 1, 2),
+          |r7run AS (SELECT qid, nid, row_number() OVER (
+          |            PARTITION BY qid
+          |            ORDER BY dot / (sqrt(qq) * sqrt(xx)) DESC, nid)
+          |            AS rn
+          |          FROM r7p WHERE qq > 0 AND xx > 0),
+          |l7c AS (SELECT lsq.vec_id AS qid, ln.vec_id AS nid
+          |        FROM ls lsq JOIN ls ln
+          |          ON ln.sig = lsq.sig AND ln.vec_id <> lsq.vec_id
+          |        WHERE lsq.vec_id < 25),
+          |l7r AS (SELECT c.qid, c.nid, row_number() OVER (
+          |          PARTITION BY c.qid
+          |          ORDER BY p.dot / (sqrt(p.qq) * sqrt(p.xx)) DESC,
+          |            c.nid) AS rn
+          |        FROM l7c c JOIN r7p p
+          |          ON p.qid = c.qid AND p.nid = c.nid
+          |        WHERE p.qq > 0 AND p.xx > 0),
+          |r7q AS (SELECT qid, nid FROM l7r WHERE rn = 1
+          |        AND qid NOT IN (SELECT bench_id FROM hlth
+          |                        WHERE n_modalities >= 2)),
+          |r7h AS (SELECT q.qid, MIN(r.rn) AS first_hit
+          |        FROM r7q q LEFT JOIN
+          |          (SELECT * FROM r7run WHERE rn <= 10) r
+          |          ON r.qid = q.qid AND r.nid = q.nid
+          |        GROUP BY 1)
+          |SELECT qid AS query_id,
+          |       ROUND(COALESCE(CAST(1.0 AS DOUBLE) / first_hit,
+          |                      CAST(0.0 AS DOUBLE)), 6) AS rr,
+          |       first_hit IS NOT NULL AS hit
+          |FROM r7h""".stripMargin),
     // e6: the e5 keep-set fed through the pack1 cumsum — the composed
     // filter compares 6dp values both engines hash-match, and the pack
     // arithmetic is all-integer, so the composition is oracle-exact

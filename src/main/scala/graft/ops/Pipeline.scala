@@ -594,9 +594,20 @@ object Pipeline {
       spanPlan: DataFrame, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5): DataFrame = {
     val plan = spanPlan.localCheckpoint()
-    val manifest = surgicalCorpusWithSpans(documents, plan,
-        benchmarkMaxId, minChars, sampleFrac)
-      .select(col("doc_id"), col("lang"))
+    splicedText(documents, plan,
+      surgicalCorpusWithSpans(documents, plan, benchmarkMaxId, minChars,
+          sampleFrac)
+        .select(col("doc_id"), col("lang")))
+  }
+
+  /** The text-join half shared by e16 and e19: the (doc_id, lang)
+    * manifest joined to its post-splice text — the redaction delta
+    * where flagged, verbatim otherwise. The splice itself is
+    * survivor-set INDEPENDENT (spans derive from the corpus, drops only
+    * choose which spliced rows ship), which is exactly why every
+    * release's text form can share it. */
+  private def splicedText(documents: DataFrame, plan: DataFrame,
+      manifest: DataFrame): DataFrame = {
     val delta = redactedTextFromSpans(documents, plan)
       .select(col("doc_id"), col("redacted_text"))
     manifest
@@ -605,6 +616,59 @@ object Pipeline {
       .join(delta, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("redacted_text"), col("orig")).as("text"))
+  }
+
+  /** E19 — the spliced text of the FULL MULTIMODAL release: the
+    * (doc_id, lang, text) corpus a trainer loads when the drop is e18.
+    * e16 gave e13 its loadable form; e17/e18 still shipped manifests
+    * only, so a full-release corpus drop spliced by hand. Composition:
+    * e18's survivor chain ([[fullReleaseWithSpansAndDrops]] under the
+    * unioned semantic + media drop lists) through the SAME single span
+    * plan and [[splicedText]] join the e16 path uses.
+    *
+    * Laws (spec-pinned): doc set == e18's; per doc the text
+    * re-tokenizes to exactly e18's n_tok (the manifest token-stream
+    * law, unconditional since the CJK butt-joint close); and e19 ==
+    * e16 ∖ (semantic ∪ media drops) ROW-IDENTICAL including text — the
+    * splice is survivor-set independent, so the release family's
+    * commutation extends to the text forms.
+    *
+    * Scale: e18's plan + the flag-bounded splice + one broadcast-able
+    * delta join — e16's economics under e18's drop chain. */
+  def fullMultimodalReleaseText(documents: DataFrame,
+      embeddings: DataFrame, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5,
+      threshold: Double = 0.8, minPositions: Int = 3,
+      cosThreshold: Double = 0.4, maxHamming: Int = 3,
+      audioMaxHamming: Int = 2, contamMaxHamming: Int = 5,
+      contamAudioMaxHamming: Int = 3): DataFrame = {
+    val drops = semanticFlags(embeddings, benchmarkMaxId, cosThreshold)
+      .unionByName(mediaNearDupDrops(documents, maxHamming,
+        audioMaxHamming))
+      .unionByName(mediaContamDrops(documents, benchmarkMaxId,
+        contamMaxHamming, contamAudioMaxHamming))
+    fullMultimodalReleaseTextWithSpansAndDrops(documents,
+      Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
+        threshold, tol = 1, minPositions = minPositions),
+      drops, benchmarkMaxId, minChars, sampleFrac)
+  }
+
+  /** [[fullMultimodalReleaseText]] with PRECOMPUTED span plan and drop
+    * list — the streamed-e19 composition seam
+    * (`Streams.fullMultimodalReleaseTextFromIngest` feeds the committed
+    * online spans and the four-store drop assembly), mirroring
+    * [[fullReleaseWithSpansAndDrops]]. The plan is checkpointed ONCE
+    * and shared by the manifest and the splice delta (the e16
+    * one-derivation discipline). */
+  private[graft] def fullMultimodalReleaseTextWithSpansAndDrops(
+      documents: DataFrame, spanPlan: DataFrame, drops: DataFrame,
+      benchmarkMaxId: Long = 25L, minChars: Int = 100,
+      sampleFrac: Double = 0.5): DataFrame = {
+    val plan = spanPlan.localCheckpoint()
+    splicedText(documents, plan,
+      fullReleaseWithSpansAndDrops(documents, plan, drops,
+          benchmarkMaxId, minChars, sampleFrac)
+        .select(col("doc_id"), col("lang")))
   }
 
   /** E5 — the round-5 curation composition: model-based quality filter
@@ -875,6 +939,66 @@ object Pipeline {
           (col("n_quote") > 0).cast("int") +
           (col("n_embed") > 0).cast("int"))
   }
+
+  /** AUDIT6 — the burn-report → ACTION loop: [[benchmarkHealthReport]]'s
+    * evidence turned into the retirement DECISION over the WHOLE eval
+    * universe. audit3 names compromised items but nothing consumed it —
+    * a benchmark owner still read the report and edited qrels by hand.
+    * This op closes the loop: every bench item (doc_id < benchMaxId,
+    * clean items included — a decision table must cover what it keeps,
+    * not just what it drops) with its cross-modality burn count and a
+    * `retired` verdict at the severity config: retired ⇔ n_modalities
+    * >= `minModalities` (default 2 — an item burned in two INDEPENDENT
+    * modalities is compromised for any model trained on any slice of
+    * the corpus; single-leg evidence stays visible but keeps scoring).
+    *
+    * Output (bench_id, n_modalities, retired). Consumed by
+    * [[pruneQrels]] (the retrieval-eval family stops scoring retired
+    * items) and whatever other eval harness reads the verdict.
+    *
+    * Scale: the health report is flag-mass-bounded; the universe frame
+    * is |bench| rows; one broadcast-able left join. */
+  def prunedBenchmark(documents: DataFrame, embeddings: DataFrame,
+      benchMaxId: Long = 25L, minModalities: Int = 2,
+      maxHamming: Int = 5, audioMaxHamming: Int = 3, n: Int = 3,
+      quoteThreshold: Double = 0.8, cosThreshold: Double = 0.4)
+      : DataFrame =
+    retirementDecision(documents,
+      benchmarkHealthReport(documents, embeddings, benchMaxId,
+        maxHamming, audioMaxHamming, n, quoteThreshold, cosThreshold),
+      benchMaxId, minModalities)
+
+  /** The decision half of [[prunedBenchmark]], shared with the streamed
+    * composition (`Streams.prunedBenchmarkFromIngest` feeds the health
+    * rollup built from the three committed burn stores): the bench
+    * universe left-joined to any audit3-shaped health frame, verdict at
+    * the severity config. */
+  private[graft] def retirementDecision(documents: DataFrame,
+      health: DataFrame, benchMaxId: Long,
+      minModalities: Int): DataFrame = {
+    require(minModalities >= 1, "minModalities must be >= 1")
+    val nm = coalesce(col("n_modalities"), lit(0))
+    documents.where(col("doc_id") < benchMaxId)
+      .select(col("doc_id").as("bench_id"))
+      .join(health.select(col("bench_id"), col("n_modalities")),
+        Seq("bench_id"), "left")
+      .select(col("bench_id"), nm.as("n_modalities"),
+        (nm >= minModalities).as("retired"))
+  }
+
+  /** The action's final joint: an eval's qrels minus the items
+    * [[prunedBenchmark]] retired — the query vanishes from the eval
+    * entirely (anti-join, not a zero score: a compromised item must not
+    * drag the aggregate either way; MRR/nDCG average over the REMAINING
+    * queries). Assumes qrels' `query_id` IS the bench item id (the
+    * r7 alignment — a query is an eval item probing the corpus); when
+    * an eval keys queries differently, pre-join its (query_id,
+    * bench_id) map and anti-join on that. Both frames are eval-sized;
+    * the join is driver-scale no matter the corpus behind the run. */
+  def pruneQrels(qrels: DataFrame, prunedBench: DataFrame): DataFrame =
+    qrels.join(prunedBench.where(col("retired"))
+      .select(col("bench_id").as("query_id")),
+      Seq("query_id"), "left_anti")
 
   /** Corpus datasheet: per (lang, source) stratum — document count, token
     * and character totals, and near-dup exposure. The report every corpus

@@ -396,6 +396,43 @@ object Similarity {
       embeddings, benchMaxId, threshold, nprobe)
   }
 
+  /** The d31z knob-resolution rule, shared by the auto probe and its
+    * equality spec: cells from [[Clustering.scaledK]]'s
+    * target-population discipline (cell COUNT grows with the training
+    * corpus, cell SIZE stays ~targetCellSize, so each probed list stays
+    * bounded no matter how large the corpus — and with it the
+    * defensive pair-distinct's candidate fan-out,
+    * |holdout| · nprobe · targetCellSize); nprobe = ceil(sqrt(cells)),
+    * the standard IVF recall/cost operating point (probe work per eval
+    * vector grows as the square root of the cell count, recall decays
+    * slowly past it). At verify scale (hundreds of training vectors,
+    * targetCellSize 512) this resolves to cells = 1 = nprobe — the
+    * exhaustive scan, which is exactly right: approximating a corpus
+    * that fits one cell would trade recall for nothing. */
+  private[graft] def contaminationKnobs(train: DataFrame,
+      targetCellSize: Int = 512): (Int, Int) = {
+    val cells = Clustering.scaledK(train, targetCellSize)
+    (cells, math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt))
+  }
+
+  /** [[embeddingContaminationIvf]] with cells and nprobe RESOLVED from
+    * the training-corpus size ([[contaminationKnobs]]) — the deployed
+    * form of the web-scale probe. The fixed-knob form's defaults
+    * (cells = 8, nprobe = 2) are verify-scale; a 100 TB corpus wants
+    * cell count to track corpus growth the way `semdedupPairsAuto` and
+    * `knnGraphBlockedAuto` already resolve their blocking knobs, so no
+    * caller has to re-derive the discipline per corpus. Equality
+    * contract (spec-pinned): == the fixed-knob probe at the resolved
+    * (cells, nprobe). */
+  def embeddingContaminationIvfAuto(embeddings: DataFrame,
+      benchMaxId: Long, threshold: Double = 0.4,
+      targetCellSize: Int = 512, iters: Int = 2): DataFrame = {
+    val (cells, nprobe) = contaminationKnobs(
+      embeddings.where(col("vec_id") >= benchMaxId), targetCellSize)
+    embeddingContaminationIvf(embeddings, benchMaxId, threshold, cells,
+      iters, nprobe)
+  }
+
   /** [[embeddingContaminationIvf]] against the DURABLE index artifact
     * (`writeIvfIndex`'s assign/centroids) instead of a live training
     * pass — result-identical when the artifact was written over the
@@ -412,6 +449,35 @@ object Similarity {
         .select(col("vec_id").as("nid"), col("cid")),
       spark.read.parquet(s"$indexDir/centroids"),
       embeddings, benchMaxId, threshold, nprobe)
+
+  /** [[embeddingContaminationIndexed]] gated by the index-freshness
+    * policy — the wiring that makes a DRIFTED index unable to silently
+    * under-flag: [[ivfRetrainPolicy]] runs first (one tiny staleness
+    * rollup over the assign table), and if the appended generations
+    * drifted past `stalenessThreshold` the probe REFUSES (hard
+    * `require`) instead of returning flags. Refusal, not a warning
+    * row: a stale quantizer mis-ranks cells for exactly the traffic
+    * that drifted, the probe misses flags it cannot know it missed,
+    * and a missing flag ships eval contamination into the training
+    * set — the one failure mode a decontamination gate must not have.
+    * The search path ([[portableIvfTopKIndexed]]) degrades to lower
+    * recall under drift, which is survivable; the DECONTAMINATION path
+    * is a gate, so it fails closed. On refusal the remediation is the
+    * policy's own contract: retrain ([[writeIvfIndex]] over the
+    * unioned corpus) and re-run. */
+  def embeddingContaminationIndexedFresh(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      embeddings: DataFrame, benchMaxId: Long, threshold: Double = 0.4,
+      nprobe: Int = 2, stalenessThreshold: Double = 1.5): DataFrame = {
+    val p = ivfRetrainPolicy(spark, indexDir, stalenessThreshold).head()
+    require(!p.getBoolean(2),
+      s"IVF index at $indexDir is stale (staleness = ${p.getDouble(0)}" +
+        s" >= $stalenessThreshold): a drifted quantizer under-flags —" +
+        " retrain (writeIvfIndex over the unioned corpus) before" +
+        " decontaminating")
+    embeddingContaminationIndexed(spark, indexDir, embeddings,
+      benchMaxId, threshold, nprobe)
+  }
 
   /** Shared core of the two indexed probes: eval vectors rank cells
     * against the supplied centroids (squared-L2, (d, cid) argmin — the

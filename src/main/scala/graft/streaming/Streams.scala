@@ -1377,6 +1377,25 @@ object Streams {
       e <- embeddingBurnFromIngest(spark, embState, embOut)
     } yield graft.ops.Pipeline.healthRollup(m, q, e)
 
+  /** The STREAMED audit6 — the retirement DECISION from the three
+    * committed burn stores: [[benchmarkHealthFromIngest]]'s rollup fed
+    * through the batch operator's own decision core
+    * (`Pipeline.retirementDecision`) over the ARRIVED bench universe.
+    * Inherits the health report's all-three-stores refusal (None until
+    * every leg has committed): a modality missing from the rollup reads
+    * as "clean", and a decision made on partial evidence could silently
+    * UN-retire a compromised item — the one failure mode the action
+    * loop must not have, the audit3 refusal argument verbatim. */
+  def prunedBenchmarkFromIngest(arrivedDocs: DataFrame,
+      mediaState: String, mediaOut: String, quoteState: String,
+      quoteOut: String, embState: String, embOut: String,
+      benchMaxId: Long = 25L, minModalities: Int = 2)
+      : Option[DataFrame] =
+    benchmarkHealthFromIngest(arrivedDocs.sparkSession, mediaState,
+        mediaOut, quoteState, quoteOut, embState, embOut)
+      .map(h => graft.ops.Pipeline.retirementDecision(arrivedDocs, h,
+        benchMaxId, minModalities))
+
   /** The STREAMED d29 — the quote burn report from the COMMITTED online
     * d28 flags: which benchmark items are quote-compromised by the
     * traffic that has arrived so far, by how many docs, how completely,
@@ -1530,12 +1549,25 @@ object Streams {
       embState: String, embOut: String, mediaState: String,
       mediaOut: String, benchmarkMaxId: Long = 25L, minChars: Int = 100,
       sampleFrac: Double = 0.5, seqLen: Int = 4096, n: Int = 3,
-      minPositions: Int = 3): DataFrame = {
+      minPositions: Int = 3): DataFrame =
+    graft.ops.Pipeline.fullReleaseWithSpansAndDrops(documents,
+      quoteRedactionFromIngest(documents, benchDocs, quoteState,
+          quoteOut, n, minPositions)
+        .getOrElse(emptySpanPlan(documents)),
+      multimodalDropsFromIngest(documents, embState, embOut, mediaState,
+        mediaOut),
+      benchmarkMaxId, minChars, sampleFrac, seqLen)
+
+  /** The e18-family drop assembly from the THREE non-quote committed
+    * stores (online d31 flags, phash/audio near-dup decisions, d25
+    * contamination flags) — ONE implementation shared by the streamed
+    * e18 manifest and the streamed e19 text so the two online release
+    * forms cannot diverge on what they drop. Any store still empty
+    * degrades to that stage being a no-op. */
+  private def multimodalDropsFromIngest(documents: DataFrame,
+      embState: String, embOut: String, mediaState: String,
+      mediaOut: String): DataFrame = {
     val spark = documents.sparkSession
-    val noDrops = documents.select(col("doc_id")).limit(0)
-    val spans = quoteRedactionFromIngest(documents, benchDocs,
-        quoteState, quoteOut, n, minPositions)
-      .getOrElse(emptySpanPlan(documents))
     val sem = committedEmbeddingContamination(spark, embState, embOut)
       .map(_.select(col("vec_id").as("doc_id")))
     val mediaNd = Seq(
@@ -1544,11 +1576,38 @@ object Streams {
       .flatten.reduceOption(_ unionByName _)
     val mediaCt = committedContamination(spark, mediaState, mediaOut)
       .map(_.select(col("doc_id")))
-    val drops = Seq(sem, mediaNd, mediaCt).flatten
-      .reduceOption(_ unionByName _).getOrElse(noDrops)
-    graft.ops.Pipeline.fullReleaseWithSpansAndDrops(documents, spans,
-      drops, benchmarkMaxId, minChars, sampleFrac, seqLen)
+    Seq(sem, mediaNd, mediaCt).flatten
+      .reduceOption(_ unionByName _)
+      .getOrElse(documents.select(col("doc_id")).limit(0))
   }
+
+  /** The STREAMED e19 — the spliced TEXT of the full multimodal release
+    * from every committed flag store: the e18 drop assembly
+    * ([[multimodalDropsFromIngest]]) and the one flag-bounded span plan
+    * ([[quoteRedactionFromIngest]]), composed through the batch
+    * operator's own seam
+    * (`Pipeline.fullMultimodalReleaseTextWithSpansAndDrops`, where the
+    * plan is checkpointed ONCE for manifest and splice). Every stage is
+    * deterministic given the flags, so once all traffic has arrived
+    * this equals the batch `Pipeline.fullMultimodalReleaseText` under
+    * the streamed e18's pair-relation caveat (kill/restart parity
+    * spec-pinned); any store still empty degrades to that stage being
+    * a no-op, and with NO committed quote flags the text ships
+    * verbatim — the surgicalCorpusTextFromIngest degenerate start. */
+  def fullMultimodalReleaseTextFromIngest(documents: DataFrame,
+      benchDocs: DataFrame, quoteState: String, quoteOut: String,
+      embState: String, embOut: String, mediaState: String,
+      mediaOut: String, benchmarkMaxId: Long = 25L, minChars: Int = 100,
+      sampleFrac: Double = 0.5, n: Int = 3,
+      minPositions: Int = 3): DataFrame =
+    graft.ops.Pipeline.fullMultimodalReleaseTextWithSpansAndDrops(
+      documents,
+      quoteRedactionFromIngest(documents, benchDocs, quoteState,
+          quoteOut, n, minPositions)
+        .getOrElse(emptySpanPlan(documents)),
+      multimodalDropsFromIngest(documents, embState, embOut, mediaState,
+        mediaOut),
+      benchmarkMaxId, minChars, sampleFrac)
 
   /** The FROM-INGEST sel4 — DSIR select-then-pack over the corpus the
     * exactly-once landing sink ([[txnSink]]) has COMMITTED so far:

@@ -316,6 +316,77 @@ class PipelineSpec extends GraftSuite {
     ops.Dedup.clearSubstrates()
   }
 
+  test("d31z auto knobs: == fixed probe at the resolved (cells, nprobe); " +
+      "small corpus resolves to the exhaustive scan") {
+    val train = emb.where(col("vec_id") >= 25)
+    // default targetCellSize (512) over 475 training vectors: one cell,
+    // one probe — the documented degenerate where approximating would
+    // trade recall for nothing, so auto == the flat probe exactly
+    assert(Similarity.contaminationKnobs(train) == ((1, 1)))
+    val auto = Similarity.embeddingContaminationIvfAuto(emb, 25L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = Similarity.embeddingContaminationSplitCheck(emb, 25L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == flat && flat.nonEmpty,
+      "cells = 1 is the exhaustive scan: auto must equal flat")
+    // a target size that makes the corpus multi-cell: the rule says
+    // cells = ceil(475/60) = 8, nprobe = ceil(sqrt(8)) = 3, and the
+    // auto probe must equal the fixed-knob probe at exactly those
+    val (cells, nprobe) = Similarity.contaminationKnobs(train, 60)
+    assert(cells == 8 && nprobe == 3, s"resolved ($cells, $nprobe)")
+    val autoMulti = Similarity
+      .embeddingContaminationIvfAuto(emb, 25L, targetCellSize = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Similarity
+      .embeddingContaminationIvf(emb, 25L, cells = cells, nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoMulti == fixed,
+      "auto must be the fixed probe at the resolved knobs, nothing else")
+    assert(autoMulti.subsetOf(flat) && autoMulti.nonEmpty,
+      "the multi-cell auto probe keeps d31z's flags-are-real contract")
+  }
+
+  test("d31z freshness gate: fresh index == unchecked probe; a drifted " +
+      "index REFUSES instead of under-flagging") {
+    import org.apache.spark.sql.functions.expr
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_d31z_fresh").toString
+    Similarity.writeIvfIndex(emb.where(col("vec_id") >= 25), dir)
+    def probe(checked: Boolean) =
+      (if (checked)
+        Similarity.embeddingContaminationIndexedFresh(spark, dir, emb,
+          25L, nprobe = 2)
+      else
+        Similarity.embeddingContaminationIndexed(spark, dir, emb, 25L,
+          nprobe = 2))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a fresh index (no appended generations) passes the gate and the
+    // gated probe is the plain probe, row for row
+    val fresh = probe(checked = true)
+    assert(fresh == probe(checked = false) && fresh.nonEmpty)
+    // in-distribution appends keep the gate open
+    Similarity.appendIvfIndex(spark, dir,
+      emb.where(col("vec_id") < 25)
+        .withColumn("vec_id", col("vec_id") + 800000L), gen = 1L)
+    assert(probe(checked = true).nonEmpty)
+    // a far-out generation trips ivfRetrainPolicy — the gated probe
+    // must now REFUSE (fail closed): a drifted quantizer mis-ranks
+    // cells and silently under-flags, which a decontamination gate
+    // cannot survive
+    Similarity.appendIvfIndex(spark, dir,
+      emb.where(col("vec_id") < 25)
+        .withColumn("vec_id", col("vec_id") + 900000L)
+        .withColumn("embedding",
+          expr("transform(embedding, x -> x + CAST(10.0 AS FLOAT))")),
+      gen = 2L)
+    val e = intercept[IllegalArgumentException] { probe(checked = true) }
+    assert(e.getMessage.contains("stale") &&
+      e.getMessage.contains("retrain"))
+    // the unchecked probe still runs (the search-path behavior) — the
+    // refusal is the Fresh form's added contract, not a change to d31z
+    assert(probe(checked = false).nonEmpty)
+  }
+
   test("appendIvfIndex: frozen assignment parity, findability, staleness") {
     import org.apache.spark.sql.functions.lit
     val dir = java.nio.file.Files
@@ -3051,6 +3122,43 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates()
   }
 
+  test("e19 spliced multimodal text: ships exactly e18's doc set, " +
+      "re-tokenizes to e18's n_tok per doc, and == e16 minus the " +
+      "semantic + media drops row-for-row including text (sf0.01)") {
+    import graft.ops.{Dedup, Multimodal, Pipeline, Similarity}
+    val docs01 = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val emb01 = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    // 1) the manifest token-stream law, e16's one release up: the
+    // shipped text IS e18's token stream
+    val manifest = Pipeline.fullMultimodalRelease(docs01, emb01)
+      .select(col("doc_id"), col("n_tok")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shipped = Pipeline.fullMultimodalReleaseText(docs01, emb01)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(shipped.map(_._1).toSet == manifest.keySet,
+      "e19 ships exactly the e18 survivor set")
+    val bad = shipped.filter { case (id, _, txt) =>
+      graft.functions.Text.tokenize(txt).length.toLong != manifest(id) }
+    assert(bad.isEmpty,
+      s"shipped text must re-tokenize to e18's n_tok: ${bad.take(3)}")
+    // 2) the commutation law extends to the TEXT forms: the splice is
+    // survivor-set independent, so e19 == e16 minus the semantic +
+    // media drop lists, row-identical including the spliced text
+    val dropIds = Similarity.embeddingContaminationSplitCheck(emb01, 25L)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet ++
+      Pipeline.mediaNearDupDrops(docs01)
+        .unionByName(Pipeline.mediaContamDrops(docs01, 25L))
+        .collect().map(_.getLong(0)).toSet
+    val e16rows = Pipeline.surgicalCorpusText(docs01).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(shipped.toSet == e16rows.filterNot(r => dropIds(r._1)),
+      "e19 must be e16 minus the drops, text included")
+    assert(e16rows.exists(r => dropIds(r._1)),
+      "the law is non-vacuous: some e16 row is dropped by e18's stages")
+    Dedup.clearSubstrates(); Multimodal.clearMedia()
+  }
+
   test("e16 CJK butt joints closed: the token-stream law holds through " +
       "script-fusing splices, bigram-run edges, and zero-width islands") {
     import spark.implicits._
@@ -3185,6 +3293,74 @@ class PipelineSpec extends GraftSuite {
     assert(r4.getAs[Long]("first_train") == 27L,
       "earliest flagging id across legs")
     assert(!got.contains(5L), "clean items emit no row")
+    Dedup.clearSubstrates()
+  }
+
+  test("audit6 retires a double-burned item; the pruned MRR/nDCG evals " +
+      "stop scoring it and leave every other query untouched") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Pipeline}
+    val q = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val hand = Seq(
+      (4L, q),                        // bench: quoted AND paraphrased
+      (5L, "a perfectly clean benchmark item nothing ever touches"),
+      (7L, "a single-leg item only its embedding ever betrays"),
+      (27L, s"innocent framing prose $q and a trailing remark"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val vecs = Seq(
+      (4L, Array(1f, 0f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f)),
+      (7L, Array(0f, 0f, 0f, 1f)),
+      (100L, Array(1f, 0.5f, 0f, 0f)),  // paraphrases 4
+      (101L, Array(0f, 1f, 0f, 0f)),    // clean
+      (102L, Array(0f, 0f, 0.2f, 1f)))  // paraphrases 7 (embed-only)
+      .toDF("vec_id", "embedding")
+    // the decision table covers the WHOLE bench universe, clean items
+    // included, and retires exactly the >= 2-modality item
+    val table = Pipeline.prunedBenchmark(hand, vecs, 25L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(table.keySet == Set(4L, 5L, 7L),
+      s"universe = every bench doc: ${table.keySet}")
+    assert(table(4L) == ((2, true)), s"double-burned retires: $table")
+    assert(table(5L) == ((0, false)), "clean item visible, kept")
+    assert(table(7L) == ((1, false)),
+      "single-leg evidence stays visible but keeps scoring")
+    // a stricter severity config retires the single-leg item too
+    val strict = Pipeline.prunedBenchmark(hand, vecs, 25L,
+        minModalities = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(strict == Map(4L -> true, 5L -> false, 7L -> true))
+    // the ACTION: the retired query VANISHES from the eval's qrels —
+    // MRR and nDCG score only the remaining queries, whose rows are
+    // byte-identical to the unpruned eval's (an anti-join cannot
+    // perturb what it keeps)
+    val decision = Pipeline.prunedBenchmark(hand, vecs, 25L)
+    val qrels = Seq((4L, 100L), (5L, 101L), (7L, 102L))
+      .toDF("query_id", "doc_id")
+    val run = Seq((4L, 100L, 1), (5L, 999L, 1), (7L, 555L, 1),
+      (7L, 102L, 2)).toDF("query_id", "doc_id", "rn")
+    val pruned = Pipeline.pruneQrels(qrels, decision)
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(5L, 7L),
+      "query 4 must vanish from the qrels")
+    def mrrRows(qr: org.apache.spark.sql.DataFrame) =
+      Pipeline.retrievalEval(run, qr, 10).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+        .toMap
+    val full = mrrRows(qrels)
+    val cut = mrrRows(pruned)
+    assert(full.keySet == Set(4L, 5L, 7L) && cut.keySet == Set(5L, 7L),
+      s"retired item gone from MRR: ${cut.keySet}")
+    assert(cut == full - 4L, "surviving queries score identically")
+    assert(cut(7L) == ((0.5, true)) && cut(5L) == ((0.0, false)))
+    // same law through the graded-qrels nDCG leg
+    val graded = qrels.withColumn("grade", lit(1))
+    val ndcgCut = Pipeline.retrievalNdcg(run,
+        Pipeline.pruneQrels(graded, decision), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ndcgCut == Set(5L, 7L),
+      s"retired item gone from nDCG: $ndcgCut")
     Dedup.clearSubstrates()
   }
 

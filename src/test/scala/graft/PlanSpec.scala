@@ -632,8 +632,8 @@ class PlanSpec extends GraftSuite {
     for (q <- Seq("e12_redacted_corpus", "e13_surgical_corpus",
         "e14_semantic_decontaminated", "e15_redacted_text",
         "e16_spliced_corpus", "e17_full_release",
-        "e18_multimodal_release", "audit4_semantic_funnel",
-        "audit5_surgical_funnel")) {
+        "e18_multimodal_release", "e19_multimodal_corpus_text",
+        "audit4_semantic_funnel", "audit5_surgical_funnel")) {
       val lp = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan
       val bad = lp.collect {

@@ -1558,6 +1558,19 @@ class StreamingSpec extends GraftSuite {
         s"$dir/qs", s"$dir/qo", s"$dir/es", s"$dir/eo"))
       == rows(Pipeline.fullRelease(docsFull, embFull)),
       "streamed e17 must equal the batch full release")
+    // streamed audit6: the retirement decision from the same three
+    // committed stores == batch prunedBenchmark (decision core shared;
+    // it inherits the health report's all-stores refusal, asserted
+    // above on the empty dirs)
+    assert(rows(Streams.prunedBenchmarkFromIngest(docsFull,
+        s"$dir/ms", s"$dir/mo", s"$dir/qs", s"$dir/qo",
+        s"$dir/es", s"$dir/eo").get)
+      == rows(Pipeline.prunedBenchmark(docsFull, embFull, 25L)),
+      "streamed audit6 must equal the batch retirement decision")
+    assert(Streams.prunedBenchmarkFromIngest(docsFull,
+      s"$dir/ms", s"$dir/mo", s"$dir/qs", s"$dir/qo",
+      s"$dir/es", "/nonexistent_eo").isEmpty,
+      "audit6 must refuse when any burn store is missing")
     // batch d31 broadcast-cap sanity rides along: the sink enforced the
     // same bound at setup (65536) and the holdout here is 25 rows
     assert(rows(Streams.committedEmbeddingContamination(spark,
@@ -1973,6 +1986,16 @@ class StreamingSpec extends GraftSuite {
     assert(got == want,
       s"streamed e18 diverged: only_stream=${got -- want} " +
         s"only_batch=${want -- got}")
+    // the spliced TEXT form from the SAME four stores == batch e19 —
+    // the one-span-plan seam carries the online leg too
+    val wantTxt = rows(Pipeline.fullMultimodalReleaseText(corpusFixture,
+      emb, audioMaxHamming = 0))
+    val gotTxt = rows(Streams.fullMultimodalReleaseTextFromIngest(
+      corpusFixture, benchDocs, qstate, qout, estate, eout, mstate,
+      mout))
+    assert(gotTxt == wantTxt,
+      s"streamed e19 diverged: only_stream=${gotTxt -- wantTxt} " +
+        s"only_batch=${wantTxt -- gotTxt}")
     graft.ops.Dedup.clearSubstrates()
     graft.ops.Multimodal.clearMedia()
   }
