@@ -107,6 +107,30 @@ class PlanSpec extends GraftSuite {
     graft.ops.Dedup.clearSubstrates()
   }
 
+  test("audit6/r7 action loop: no cartesian beyond the d31 broadcast " +
+      "probe, decision join broadcasts, eval windows partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("audit6_benchmark_retirement",
+        "r7_pruned_benchmark_mrr")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must never cartesian corpus frames:\n${p.take(1200)}")
+      // the bench universe / qrels joins are eval-item-sized — they
+      // must enter as broadcasts, never a corpus-wide shuffle
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastExchange"),
+        s"$q's eval-sized frames must broadcast:\n${p.take(1200)}")
+      val lp = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty,
+        s"$q must never run an unpartitioned window:\n$bad")
+    }
+    graft.ops.Multimodal.clearMedia()
+    graft.ops.Dedup.clearSubstrates()
+  }
+
   test("d27 aligned containment: count pre-filter aggregates map-side, " +
       "no cartesian, rollup runs post-filter") {
     val p = plan("d27_aligned_containment")
