@@ -394,6 +394,13 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, d, "documents"), 3, 0.5)),
     "d3_minhash_duplicates" -> ((s, d) =>
       Dedup.minhashDuplicates(t(s, d, "documents"))),
+    // d34: the MMDS-rule AUTO banding — the caller states the target
+    // threshold and the (bands, rows) layout follows from the S-curve
+    // inflection; at (0.5, 32) the rule resolves to d3's own 8x4
+    // layout, so the gated result is d3's row for row — the gate pins
+    // the RESOLUTION, the layout-equality spec pins the rule
+    "d34_minhash_banding_auto" -> ((s, d) =>
+      Dedup.minhashDuplicatesAuto(t(s, d, "documents"))),
     "d4_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), 3)),
     "d5_embedding_neardup" -> ((s, d) =>
@@ -1871,6 +1878,31 @@ object SparkEntry {
       |FULL OUTER JOIN ele
       |  ON COALESCE(med.bench_id, qle.bench_id) = ele.bench_id"""
       .stripMargin
+
+  /** The d3 oracle (exact-Jaccard pair set — see the recall note at its
+    * map entry), factored so the d34 auto-banding twin gates against
+    * the IDENTICAL SQL: at the corpus defaults the resolved layout is
+    * d3's own, so the two queries must hash to the same rows. */
+  private val d3OracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |           '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |idx AS (SELECT doc_id, toks,
+      |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      |            COUNT(*) AS common
+      |          FROM sh a JOIN sh b USING (shingle)
+      |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc1, doc2,
+      |       common / (s1.sz + s2.sz - common) AS jaccard
+      |FROM pairs
+      |JOIN sz s1 ON doc1 = s1.doc_id
+      |JOIN sz s2 ON doc2 = s2.doc_id
+      |WHERE common / (s1.sz + s2.sz - common) >= 0.5""".stripMargin
 
 
   /** [[kmeansCtes]] with the training corpus restricted by `pred` — the
@@ -3545,26 +3577,10 @@ object SparkEntry {
     // recall is 1.0 — guaranteed here: planted near-dups sit at j≈0.99, so
     // a 4-row band misses with prob (1-0.99⁴)⁸ ≈ 4e-12 (PipelineSpec
     // asserts recall == 1.0 on this generator).
-    "d3_minhash_duplicates" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-        |           '[^a-z0-9]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |idx AS (SELECT doc_id, toks,
-        |          unnest(range(1, greatest(len(toks)-2,1)+1)) AS i FROM tk),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         array_to_string(toks[i:i+2], ' ') AS shingle FROM idx),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-        |            COUNT(*) AS common
-        |          FROM sh a JOIN sh b USING (shingle)
-        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc1, doc2,
-        |       common / (s1.sz + s2.sz - common) AS jaccard
-        |FROM pairs
-        |JOIN sz s1 ON doc1 = s1.doc_id
-        |JOIN sz s2 ON doc2 = s2.doc_id
-        |WHERE common / (s1.sz + s2.sz - common) >= 0.5""".stripMargin,
+    "d3_minhash_duplicates" -> d3OracleSql,
+    // d34: the auto layout resolves to d3's at (0.5, 32) — identical
+    // oracle by construction (see d3OracleSql)
+    "d34_minhash_banding_auto" -> d3OracleSql,
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE $dupClusterCtes
          |SELECT doc_id, cluster_id FROM cl""".stripMargin,

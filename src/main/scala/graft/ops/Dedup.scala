@@ -840,6 +840,43 @@ object Dedup {
     verifyJaccard(cand, sets, threshold)
   }
 
+  /** The MMDS banding rule (Leskovec/Rajaraman/Ullman ch. 3): among the
+    * (bands, rows) layouts with bands · rows == numHashes, the LSH
+    * S-curve `1 − (1 − t^rows)^bands` inflects at t ≈
+    * (1/bands)^(1/rows); pick the layout whose inflection sits NEAREST
+    * the target Jaccard threshold, so candidate recall collapses
+    * exactly where the verifier stops accepting. Ties (two layouts
+    * equidistant) break toward MORE bands — recall over candidate
+    * precision, because the pipeline verifies candidates with exact
+    * Jaccard anyway: a false positive costs one verification, a false
+    * negative ships a duplicate. At the corpus defaults this resolves
+    * to (8, 4) for threshold 0.5 over 32 hashes — i.e. the d3 layout
+    * the engine has shipped all along is the rule's own optimum
+    * (spec-pinned), and a run at a different threshold now gets its
+    * matched layout instead of inheriting d3's. */
+  def lshBandingFor(threshold: Double, numHashes: Int = 32): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      "threshold must sit in (0, 1)")
+    require(numHashes >= 1, "numHashes must be >= 1")
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .minBy { case (b, r) =>
+        (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -b) }
+  }
+
+  /** [[minhashDuplicates]] at the [[lshBandingFor]]-resolved band
+    * layout — the auto form of the d3 engine: the caller states the
+    * similarity it means to catch and the banding follows, the same
+    * knob-resolution discipline as `semdedupPairsAuto` /
+    * `Similarity.contaminationKnobs`. Equality contract (spec-pinned):
+    * == the fixed-layout op at the resolved bands; at the corpus
+    * defaults (0.5, 32) that IS d3 row for row. */
+  def minhashDuplicatesAuto(documents: DataFrame, n: Int = 3,
+      numHashes: Int = 32, threshold: Double = 0.5): DataFrame = {
+    val (bands, _) = lshBandingFor(threshold, numHashes)
+    minhashDuplicates(documents, n, numHashes, bands, threshold)
+  }
+
   /** End-to-end dedup pass: drop every doc that is an exact OR near
     * duplicate (n-gram Jaccard >= threshold) of a lower-id keeper — the
     * "deduplicate the corpus" pipeline a training-data run executes.

@@ -82,6 +82,36 @@ class PipelineSpec extends GraftSuite {
     assert(recall == 1.0)
   }
 
+  test("d34 MMDS banding rule: inflection-nearest layout per threshold, " +
+      "recall-first tie-break, auto == fixed at the resolved layout") {
+    // the S-curve (1/b)^(1/r) inflections for the divisor layouts of 32
+    // hashes: 1 -> 1.0, 2 -> .958, 4 -> .841, 8 -> .595, 16 -> .25,
+    // 32 -> .031 — the rule picks the nearest per target
+    assert(Dedup.lshBandingFor(0.5) == ((8, 4)),
+      "the shipped d3 default IS the rule's optimum at 0.5")
+    assert(Dedup.lshBandingFor(0.8) == ((4, 8)))
+    assert(Dedup.lshBandingFor(0.3) == ((16, 2)))
+    assert(Dedup.lshBandingFor(0.95) == ((2, 16)))
+    assert(Dedup.lshBandingFor(0.05) == ((32, 1)))
+    // ties break toward MORE bands (recall over candidate precision:
+    // candidates verify exactly, misses ship duplicates) — at the
+    // midpoint of two inflections the larger-b layout must win
+    val (b1, r1) = Dedup.lshBandingFor(
+      (math.pow(1.0 / 8, 1.0 / 4) + math.pow(1.0 / 16, 1.0 / 2)) / 2)
+    assert(b1 == 16 && r1 == 2, s"tie must break to more bands: $b1 x $r1")
+    // prime hash count: only the trivial layouts exist
+    assert(Dedup.lshBandingFor(0.9, 31) == ((1, 31)))
+    assert(Dedup.lshBandingFor(0.1, 31) == ((31, 1)))
+    // the auto op is the fixed op at the resolved layout, row for row —
+    // at the defaults that is the gated d3 itself
+    val auto = pairSet(Dedup.minhashDuplicatesAuto(docs))
+    assert(auto == pairSet(Dedup.minhashDuplicates(docs, 3, 32, 8, 0.5))
+      && auto.nonEmpty)
+    val auto8 = pairSet(Dedup.minhashDuplicatesAuto(docs, threshold = 0.8))
+    assert(auto8 ==
+      pairSet(Dedup.minhashDuplicates(docs, 3, 32, 4, 0.8)))
+  }
+
   test("d4 simhash finds near-identical docs and respects hamming bound") {
     val planted = pairSet(Dedup.jaccardPairs(docs, 3, 0.95))
     val sim = Dedup.simhashPairs(docs, 3)
