@@ -550,6 +550,12 @@ object SparkEntry {
       Sampling.dsirSelectedPack(t(s, d, "documents"),
         col("lang") === "zh", 50)
     }),
+    // sel5: QUALITY-ordered token-budget selection — the "best N
+    // tokens" mix: maximal prefix of the (q1 score desc, doc_id) order
+    // whose running token sum fits the budget (~44% of the corpus mass
+    // at 12000), two-phase decile-band cumsum (no global window)
+    "sel5_quality_budget" -> ((s, d) =>
+      Sampling.qualityBudgetSelection(t(s, d, "documents"), 12000L)),
     // CJK-bearing DSIR gate (the seg1 inline-fixture pattern): the
     // parquet corpus is ASCII-only, so the corpus-wide sel2 oracle's
     // Latin-only SQL tokenizer never sees the CJK character bigrams
@@ -5776,6 +5782,18 @@ object SparkEntry {
     // math verbatim over them; a tokenizer or bucketing divergence on
     // CJK input fails this hash loudly instead of hiding behind an
     // ASCII-only corpus
+    // sel5: q1's qsc CTE verbatim + one global quality-ordered cumsum
+    // (the (score, doc_id) order key is unique, so RANGE == ROWS and
+    // both engines agree on every running sum) + the sharp budget cut
+    "sel5_quality_budget" ->
+      s"""WITH $modelScoreCtes,
+        |sq AS (SELECT doc_id, score,
+        |         CAST(n_toks AS BIGINT) AS n_tok,
+        |         CAST(SUM(n_toks) OVER (ORDER BY score DESC, doc_id)
+        |           AS BIGINT) AS cum_tok
+        |       FROM qsc)
+        |SELECT doc_id, score, n_tok, cum_tok FROM sq
+        |WHERE cum_tok <= 12000""".stripMargin,
     "sel2z_dsir_cjk" ->
       """WITH tk AS (SELECT * FROM (VALUES
         |    (1, true,  ['中国','国人','人民','民热','热爱','爱数','数据']),

@@ -118,6 +118,48 @@ object Sampling {
       .select(col("doc_id"), col("n_tok"))
   }
 
+  /** SEL5 — QUALITY-ordered token-budget selection: ship the
+    * highest-quality documents whose cumulative token mass fits
+    * `budget` — the kept set is the maximal prefix of the
+    * (q1 score desc, doc_id) order with running sum <= budget, the
+    * "best N tokens" mix a DataComp/DCLM-style curation run draws
+    * ([[tokenBudgetSample]] is the unbiased hash-order cut; this is its
+    * quality-greedy sibling, and the budget boundary is sharp: the
+    * first doc that would overflow is excluded along with everything
+    * below it — a dataloader reads a sorted manifest prefix). Token
+    * counts are q1's own n_toks, so selection and score share one
+    * derivation.
+    *
+    * Scale shape: the global quality-ordered cumsum runs two-phase like
+    * every prefix sum here — decile bands of the SAME 6dp score q1
+    * hash-matches (the cur3 banding) are the buckets (band 0 = best),
+    * an intra-band window cumsum plus broadcast exclusive band offsets
+    * via [[exclusiveOffsets]] — no single-partition window anywhere.
+    * Output (doc_id, score, n_tok, cum_tok), kept rows only. */
+  def qualityBudgetSelection(documents: DataFrame,
+      budget: Long): DataFrame = {
+    require(budget >= 0L, "budget must be >= 0")
+    val n = TextAnalysis.modelQualityScore(documents)
+      .select(col("doc_id"), col("score"),
+        col("n_toks").cast("long").as("n_tok"))
+      // ascending band == descending score, so exclusiveOffsets'
+      // default `<` comparator walks the quality order
+      .withColumn("band", (lit(9L) -
+        least(greatest(floor(col("score") * 10), lit(0.0)), lit(9.0))
+          .cast("long")))
+      .localCheckpoint()
+    val wIn = Window.partitionBy(col("band"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val local = n.withColumn("cum_in", sum(col("n_tok")).over(wIn))
+    val totals = n.groupBy(col("band")).agg(sum(col("n_tok")).as("bt"))
+      .localCheckpoint() // <= 10 rows — materialized for the self-join
+    val offs = exclusiveOffsets(totals, "band", "bt", "band_off")
+    local.join(broadcast(offs), "band")
+      .select(col("doc_id"), col("score"), col("n_tok"),
+        (col("cum_in") + col("band_off")).as("cum_tok"))
+      .where(col("cum_tok") <= budget)
+  }
+
   /** Weighted corpus mixing — the epoch-upsampling knob: a stratum with
     * weight w contributes floor(w) copies of every doc plus one extra copy
     * for a hash-selected (w - floor(w)) fraction; w < 1 downsamples (docs

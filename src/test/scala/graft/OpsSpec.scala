@@ -456,6 +456,36 @@ class OpsSpec extends GraftSuite {
     assert(again == got.keySet)
   }
 
+  test("sel5 quality budget: kept set is the exact quality-order " +
+      "prefix, cut is sharp, two-phase cumsum == the naive one") {
+    import graft.ops.TextAnalysis
+    val docs = Tables.load(spark, sf, "documents")
+    val budget = 12000L
+    val got = Sampling.qualityBudgetSelection(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.nonEmpty && got.map(_._3).sum <= budget)
+    // naive oracle: driver-side cumsum over the SAME q1 scores in
+    // (score desc, doc_id) order — the two-phase banded prefix sum
+    // must reproduce every running total, and the kept set must be the
+    // maximal prefix (sharp cut: the next doc overflows)
+    val all = TextAnalysis.modelQualityScore(docs)
+      .select("doc_id", "score", "n_toks").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, sc, _) => (-sc, id) }
+    val cums = all.scanLeft(0L)(_ + _._3).tail
+    val naive = all.zip(cums).takeWhile(_._2 <= budget)
+      .map { case ((id, sc, n), c) => (id, sc, n, c) }
+    assert(got.sortBy(t => (-t._2, t._1)).toSeq == naive.toSeq,
+      "two-phase selection must equal the naive quality-order prefix")
+    if (naive.length < all.length)
+      assert(cums(naive.length) > budget, "cut must be sharp")
+    // degenerate budgets: 0 keeps nothing, total keeps everything
+    assert(Sampling.qualityBudgetSelection(docs, 0L).count() == 0L)
+    assert(Sampling.qualityBudgetSelection(docs, cums.last).count()
+      == all.length.toLong)
+  }
+
   test("smp6 weighted mix: per-stratum mix factors, deterministic replicas") {
     val docs = Tables.load(spark, sf, "documents")
     val got = Sampling.mixWithWeights(docs, "doc_id", "lang",
