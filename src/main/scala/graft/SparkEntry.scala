@@ -861,6 +861,14 @@ object SparkEntry {
     "audit5_surgical_funnel" -> ((s, d) =>
       Pipeline.surgicalFilterFunnel(t(s, d, "documents"),
         t(s, d, "embeddings"))),
+    // e20: the release fingerprint — one (n_docs, n_tokens, digest)
+    // row pinning e18 for data versioning: md5-derived 60-bit ints of
+    // "doc_id:n_tok" folded by bit-XOR (order-independent, no sort, no
+    // single-partition funnel; engine-portable by md5)
+    "e20_release_fingerprint" -> ((s, d) =>
+      Pipeline.releaseFingerprint(
+        Pipeline.fullMultimodalRelease(t(s, d, "documents"),
+          t(s, d, "embeddings")))),
     // e19: the spliced text of the full multimodal release — the
     // (doc_id, lang, text) corpus a trainer loads when the drop is
     // e18: every e18 survivor with its post-splice text; doc set ==
@@ -1884,6 +1892,82 @@ object SparkEntry {
       |FULL OUTER JOIN ele
       |  ON COALESCE(med.bench_id, qle.bench_id) = ele.bench_id"""
       .stripMargin
+
+  /** The e18 oracle, factored so the e20 fingerprint wraps the
+    * IDENTICAL release SQL as a nested CTE (`WITH rel AS (...)`) — the
+    * digest an audit re-derives is over exactly the rows the gated e18
+    * ships. */
+  private val e18OracleSql: String =
+    s"""WITH $e3DropCtes,
+        |$semanticPairCtes,
+        |sdrop AS (SELECT DISTINCT ec.vec_id AS doc_id
+        |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
+        |              JOIN enn nb ON nb.vec_id = ec.bench_id
+        |       WHERE na.nrm > 0 AND nb.nrm > 0
+        |         AND ROUND(ec.dot / (na.nrm * nb.nrm), 6) >= 0.4),
+        |$phashSigCtes,
+        |$audioSigCtes,
+        |mdrop AS (SELECT DISTINCT b.doc_id
+        |          FROM psig a JOIN psig b ON a.doc_id < b.doc_id
+        |          WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |          UNION
+        |          SELECT b.doc_id
+        |          FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+        |          WHERE bit_count(xor(a.ah, b.ah)) <= 2),
+        |cflag AS (SELECT DISTINCT t.doc_id
+        |          FROM psig t JOIN psig b ON t.doc_id >= 25
+        |            AND b.doc_id < 25
+        |          WHERE bit_count(xor(t.ph, b.ph)) <= 5
+        |          UNION
+        |          SELECT t.doc_id
+        |          FROM asig t JOIN asig b ON t.doc_id >= 25
+        |            AND b.doc_id < 25
+        |          WHERE bit_count(xor(t.ah, b.ah)) <= 3),
+        |$quoteSpanTailCtes,
+        |sp AS (SELECT DISTINCT doc_id, s, e FROM (
+        |        SELECT d1 AS doc_id, MIN(i1) AS s, MAX(i1) + 2 AS e
+        |        FROM gs GROUP BY d1, d2, shift, sid)),
+        |u1 AS (SELECT doc_id, s, e,
+        |         CASE WHEN MAX(e) OVER wp IS NULL
+        |                OR s > MAX(e) OVER wp + 1 THEN 1 ELSE 0 END AS ns
+        |       FROM sp
+        |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |u2 AS (SELECT doc_id, s, e,
+        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS gid
+        |       FROM u1),
+        |cov AS (SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT)
+        |          AS n_redacted
+        |        FROM (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
+        |              FROM u2 GROUP BY 1, 2) GROUP BY 1),
+        |survivors AS (
+        |  SELECT doc_id, lang FROM documents
+        |  WHERE doc_id >= 25 AND length(text) >= 100
+        |    AND doc_id NOT IN (SELECT doc_id FROM neardups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM exactdups)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND doc_id NOT IN (SELECT doc_id FROM sdrop)
+        |    AND doc_id NOT IN (SELECT doc_id FROM mdrop)
+        |    AND doc_id NOT IN (SELECT doc_id FROM cflag)
+        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'),
+        |cnt AS (SELECT s.doc_id, s.lang,
+        |          CAST(len(t.toks) AS BIGINT) AS n_tok_orig,
+        |          CAST(COALESCE(c.n_redacted, 0) AS BIGINT)
+        |            AS n_redacted,
+        |          CAST(len(t.toks) AS BIGINT)
+        |            - CAST(COALESCE(c.n_redacted, 0) AS BIGINT) AS n_tok
+        |        FROM survivors s JOIN tk t ON t.doc_id = s.doc_id
+        |        LEFT JOIN cov c ON c.doc_id = s.doc_id)
+        |SELECT doc_id, lang, n_tok_orig, n_redacted, n_tok,
+        |       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) AS BIGINT) AS start_offset,
+        |       CAST(floor(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         0) / 4096) AS BIGINT) AS chunk_id
+        |FROM cnt WHERE n_tok >= 1""".stripMargin
 
   /** The d3 oracle (exact-Jaccard pair set — see the recall note at its
     * map entry), factored so the d34 auto-banding twin gates against
@@ -4523,77 +4607,19 @@ object SparkEntry {
     // higher-ids at the dedup budgets, d25 contamination at the loose
     // e10 budgets) in the survivor predicate — the commutation law
     // (e18 == e17 minus the media drops) is pinned in PipelineSpec
-    "e18_multimodal_release" ->
-      s"""WITH $e3DropCtes,
-        |$semanticPairCtes,
-        |sdrop AS (SELECT DISTINCT ec.vec_id AS doc_id
-        |       FROM ec JOIN enn na ON na.vec_id = ec.vec_id
-        |              JOIN enn nb ON nb.vec_id = ec.bench_id
-        |       WHERE na.nrm > 0 AND nb.nrm > 0
-        |         AND ROUND(ec.dot / (na.nrm * nb.nrm), 6) >= 0.4),
-        |$phashSigCtes,
-        |$audioSigCtes,
-        |mdrop AS (SELECT DISTINCT b.doc_id
-        |          FROM psig a JOIN psig b ON a.doc_id < b.doc_id
-        |          WHERE bit_count(xor(a.ph, b.ph)) <= 3
-        |          UNION
-        |          SELECT b.doc_id
-        |          FROM asig a JOIN asig b ON a.doc_id < b.doc_id
-        |          WHERE bit_count(xor(a.ah, b.ah)) <= 2),
-        |cflag AS (SELECT DISTINCT t.doc_id
-        |          FROM psig t JOIN psig b ON t.doc_id >= 25
-        |            AND b.doc_id < 25
-        |          WHERE bit_count(xor(t.ph, b.ph)) <= 5
-        |          UNION
-        |          SELECT t.doc_id
-        |          FROM asig t JOIN asig b ON t.doc_id >= 25
-        |            AND b.doc_id < 25
-        |          WHERE bit_count(xor(t.ah, b.ah)) <= 3),
-        |$quoteSpanTailCtes,
-        |sp AS (SELECT DISTINCT doc_id, s, e FROM (
-        |        SELECT d1 AS doc_id, MIN(i1) AS s, MAX(i1) + 2 AS e
-        |        FROM gs GROUP BY d1, d2, shift, sid)),
-        |u1 AS (SELECT doc_id, s, e,
-        |         CASE WHEN MAX(e) OVER wp IS NULL
-        |                OR s > MAX(e) OVER wp + 1 THEN 1 ELSE 0 END AS ns
-        |       FROM sp
-        |       WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        |u2 AS (SELECT doc_id, s, e,
-        |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS gid
-        |       FROM u1),
-        |cov AS (SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT)
-        |          AS n_redacted
-        |        FROM (SELECT doc_id, gid, MIN(s) AS ms, MAX(e) AS me
-        |              FROM u2 GROUP BY 1, 2) GROUP BY 1),
-        |survivors AS (
-        |  SELECT doc_id, lang FROM documents
-        |  WHERE doc_id >= 25 AND length(text) >= 100
-        |    AND doc_id NOT IN (SELECT doc_id FROM neardups)
-        |    AND doc_id NOT IN (SELECT doc_id FROM exactdups)
-        |    AND doc_id NOT IN (SELECT doc_id FROM contam)
-        |    AND doc_id NOT IN (SELECT doc_id FROM sdrop)
-        |    AND doc_id NOT IN (SELECT doc_id FROM mdrop)
-        |    AND doc_id NOT IN (SELECT doc_id FROM cflag)
-        |    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'),
-        |cnt AS (SELECT s.doc_id, s.lang,
-        |          CAST(len(t.toks) AS BIGINT) AS n_tok_orig,
-        |          CAST(COALESCE(c.n_redacted, 0) AS BIGINT)
-        |            AS n_redacted,
-        |          CAST(len(t.toks) AS BIGINT)
-        |            - CAST(COALESCE(c.n_redacted, 0) AS BIGINT) AS n_tok
-        |        FROM survivors s JOIN tk t ON t.doc_id = s.doc_id
-        |        LEFT JOIN cov c ON c.doc_id = s.doc_id)
-        |SELECT doc_id, lang, n_tok_orig, n_redacted, n_tok,
-        |       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |         0) AS BIGINT) AS start_offset,
-        |       CAST(floor(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |         0) / 4096) AS BIGINT) AS chunk_id
-        |FROM cnt WHERE n_tok >= 1""".stripMargin,
+    "e18_multimodal_release" -> e18OracleSql,
+    // e20: the e18 release SQL verbatim as a nested CTE + the
+    // order-independent md5/bit_xor digest (both engines implement md5
+    // and 60-bit hex-to-int identically, so the fingerprint is
+    // engine-portable by construction)
+    "e20_release_fingerprint" ->
+      (s"WITH rel AS (\n$e18OracleSql)\n" +
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+          |       bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+          |           || ':' || CAST(n_tok AS VARCHAR)), 1, 15)
+          |         AS BIGINT)) AS digest
+          |FROM rel""".stripMargin),
     // e19: e18's survivor predicate (every drop list) + e16's splice
     // tail verbatim — the spliced text form of the full multimodal
     // release; the splice CTEs are survivor-set independent, so only

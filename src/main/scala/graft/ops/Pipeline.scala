@@ -1000,6 +1000,27 @@ object Pipeline {
       .select(col("bench_id").as("query_id")),
       Seq("query_id"), "left_anti")
 
+  /** E20 — the release FINGERPRINT: one row that pins a release for
+    * data versioning — (n_docs, n_tokens, digest), where digest is the
+    * bit-XOR over per-row md5-derived 60-bit integers of
+    * "doc_id:n_tok". The identity a training run records next to its
+    * checkpoint: same digest ⇔ same doc set with the same
+    * post-redaction token counts, any single-row change flips it, and
+    * XOR makes it ORDER-INDEPENDENT — two clusters producing the same
+    * release in different partition orders agree byte-for-byte, with
+    * no sort and no single-partition funnel anywhere (the digest is
+    * one map-side-combinable aggregate over the manifest). md5 is the
+    * deliberate choice over xxhash64: both engines implement it
+    * identically, so the fingerprint is engine-portable — a DuckDB
+    * audit job can re-derive the digest the Spark release published.
+    * Takes any manifest carrying (doc_id, n_tok) — e3 through e18. */
+  def releaseFingerprint(manifest: DataFrame): DataFrame =
+    manifest.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).cast("long").as("n_tokens"),
+      bit_xor(conv(substring(md5(concat_ws(":", col("doc_id"),
+          col("n_tok"))), 1, 15), 16, 10).cast("long")).as("digest"))
+
   /** Corpus datasheet: per (lang, source) stratum — document count, token
     * and character totals, and near-dup exposure. The report every corpus
     * release ships (and the input the mixing weights of

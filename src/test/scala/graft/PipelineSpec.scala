@@ -3189,6 +3189,43 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates(); Multimodal.clearMedia()
   }
 
+  test("e20 release fingerprint: order-independent, single-row " +
+      "sensitive, and stable across partitionings") {
+    import spark.implicits._
+    import graft.ops.Pipeline
+    val m = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("doc_id", "n_tok")
+    def fp(df: org.apache.spark.sql.DataFrame) = {
+      val r = Pipeline.releaseFingerprint(df).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val base = fp(m)
+    assert(base._1 == 3L && base._2 == 60L)
+    // ORDER-independent: any row order / partitioning yields the same
+    // digest (XOR is commutative — the property that lets two clusters
+    // agree without a sort)
+    assert(fp(m.orderBy(col("doc_id").desc)) == base)
+    assert(fp(m.repartition(7)) == base)
+    // sensitive: one token-count change, one dropped doc, one id swap
+    // each flip the digest
+    val bumped = fp(Seq((1L, 10L), (2L, 21L), (3L, 30L))
+      .toDF("doc_id", "n_tok"))
+    assert(bumped._3 != base._3 && bumped._2 == 61L)
+    assert(fp(m.where(col("doc_id") =!= 2L))._3 != base._3)
+    assert(fp(Seq((1L, 10L), (5L, 20L), (3L, 30L))
+      .toDF("doc_id", "n_tok"))._3 != base._3)
+    // the flagship use: e18's fingerprint is reproducible run to run
+    // (the manifest is deterministic, the digest order-free)
+    val docs01 = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val emb01 = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val f1 = fp(Pipeline.fullMultimodalRelease(docs01, emb01))
+    val f2 = fp(Pipeline.fullMultimodalRelease(docs01, emb01)
+      .repartition(13))
+    assert(f1 == f2 && f1._1 > 0)
+    graft.ops.Dedup.clearSubstrates()
+    graft.ops.Multimodal.clearMedia()
+  }
+
   test("e16 CJK butt joints closed: the token-stream law holds through " +
       "script-fusing splices, bigram-run edges, and zero-width islands") {
     import spark.implicits._
