@@ -131,29 +131,37 @@ object Sampling {
     * derivation.
     *
     * Scale shape: the global quality-ordered cumsum runs two-phase like
-    * every prefix sum here — decile bands of the SAME 6dp score q1
-    * hash-matches (the cur3 banding) are the buckets (band 0 = best),
-    * an intra-band window cumsum plus broadcast exclusive band offsets
-    * via [[exclusiveOffsets]] — no single-partition window anywhere.
-    * Output (doc_id, score, n_tok, cum_tok), kept rows only. */
+    * every prefix sum here — score bands (band = floor(score·nBands),
+    * clamped, over the SAME 6dp score q1 hash-matches — the cur3
+    * banding) are the buckets, an intra-band window cumsum plus
+    * broadcast exclusive band offsets via [[exclusiveOffsets]] — no
+    * single-partition window anywhere. Band boundaries are a
+    * coarsening of the (score desc, doc_id) order, so any nBands
+    * yields identical output (spec-pinned); at 100 TB size nBands so a
+    * band's rows sort within executor spill budgets — the
+    * [[curriculumOrder]] knob, same posture, and a score distribution
+    * concentrated on few values bounds what banding alone can split
+    * (the cur3 caveat verbatim). Output (doc_id, score, n_tok,
+    * cum_tok), kept rows only. */
   def qualityBudgetSelection(documents: DataFrame,
-      budget: Long): DataFrame = {
+      budget: Long, nBands: Int = 10): DataFrame = {
     require(budget >= 0L, "budget must be >= 0")
+    require(nBands >= 1, "nBands must be >= 1")
+    val band = least(greatest(floor(col("score") * nBands), lit(0.0)),
+      lit((nBands - 1).toDouble)).cast("long")
     val n = TextAnalysis.modelQualityScore(documents)
       .select(col("doc_id"), col("score"),
         col("n_toks").cast("long").as("n_tok"))
-      // ascending band == descending score, so exclusiveOffsets'
-      // default `<` comparator walks the quality order
-      .withColumn("band", (lit(9L) -
-        least(greatest(floor(col("score") * 10), lit(0.0)), lit(9.0))
-          .cast("long")))
+      // descending band == descending score: the `>` comparator below
+      // walks the quality order band by band
+      .withColumn("band", band)
       .localCheckpoint()
     val wIn = Window.partitionBy(col("band"))
       .orderBy(col("score").desc, col("doc_id"))
     val local = n.withColumn("cum_in", sum(col("n_tok")).over(wIn))
     val totals = n.groupBy(col("band")).agg(sum(col("n_tok")).as("bt"))
-      .localCheckpoint() // <= 10 rows — materialized for the self-join
-    val offs = exclusiveOffsets(totals, "band", "bt", "band_off")
+      .localCheckpoint() // <= nBands rows — materialized for the join
+    val offs = exclusiveOffsets(totals, "band", "bt", "band_off", _ > _)
     local.join(broadcast(offs), "band")
       .select(col("doc_id"), col("score"), col("n_tok"),
         (col("cum_in") + col("band_off")).as("cum_tok"))

@@ -484,6 +484,13 @@ class OpsSpec extends GraftSuite {
     assert(Sampling.qualityBudgetSelection(docs, 0L).count() == 0L)
     assert(Sampling.qualityBudgetSelection(docs, cums.last).count()
       == all.length.toLong)
+    // band-count invariance: band boundaries coarsen the (score desc,
+    // doc_id) order, so ANY nBands yields the identical selection —
+    // the knob only sizes partitions (the curriculumOrder posture)
+    val fine = Sampling.qualityBudgetSelection(docs, budget, nBands = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(fine == got.map(t => (t._1, t._4)).toSet,
+      "nBands must not change the selection or its running sums")
   }
 
   test("smp6 weighted mix: per-stratum mix factors, deterministic replicas") {
