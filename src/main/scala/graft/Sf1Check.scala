@@ -295,6 +295,17 @@ object Sf1Check {
             emb.join(simhashDocs.select(col("doc_id").as("vec_id")),
               Seq("vec_id"), "left_semi"), 2500)
           .select(col("doc_id"), col("n_tok"))),
+      // round-17: sel5's band independence at sf1 — the quality-ordered
+      // budget selection under two band layouts (10 vs 250): band
+      // boundaries coarsen the (score desc, doc_id) order, so the
+      // two-phase cumsum must produce identical selections and running
+      // sums at any granularity (the pack_offsets_bucket_independence
+      // law for the quality-prefix family). Budget = ~44% of the sf1
+      // corpus token mass (the sf0.01 gate's 12000 x 100).
+      ("quality_budget_band_independence",
+        () => ops.Sampling.qualityBudgetSelection(docs, 1200000L),
+        () => ops.Sampling.qualityBudgetSelection(docs, 1200000L,
+          nBands = 250)),
       // round-16: sel4 == its own public decomposition (sel3 draw +
       // corpus semi-join + tokenOffsets + weight carry) — the packaged
       // op with its internal checkpoint vs the hand-assembled pipeline;
