@@ -18,6 +18,10 @@ object PlanDump {
     val names =
       if (args.length > 1) args(1).split(",").toSeq
       else SparkEntry.queries.keys.toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — names must match " +
+        "SparkEntry.queries keys")
     val b = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -853,8 +853,8 @@ object SparkEntry {
         t(s, d, "embeddings"))),
     // audit5: the SURGICAL provenance funnel — e18's conservation-law
     // audit where redaction is a first-class non-drop stage (benchmark
-    // → too_short → exact_dup → near_dup → contaminated → semantic →
-    // media_near_dup → media_contaminated → sampled_out →
+    // → too_short → empty → exact_dup → near_dup → contaminated →
+    // semantic → media_near_dup → media_contaminated → sampled_out →
     // fully_redacted → redacted → kept); kept ∪ redacted == e18's doc
     // set, Σ n_docs = |documents|, and n_tok_cut reconciles against
     // e18's n_redacted (all spec-pinned)
@@ -4813,6 +4813,7 @@ object SparkEntry {
         |  SELECT d.text, COALESCE(cv.covered, 0) AS covered,
         |    CASE WHEN d.doc_id < 25 THEN 'benchmark'
         |         WHEN length(d.text) < 100 THEN 'too_short'
+        |         WHEN len(t.toks) = 0 THEN 'empty'
         |         WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
         |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
         |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'

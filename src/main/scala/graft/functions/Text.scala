@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** One-char regex class matching EXACTLY the chars [[tokenize]]
+    * treats as token chars: ASCII alphanumerics, their only two
+    * non-ASCII simple-lowercase preimages (U+212A KELVIN SIGN,
+    * U+0130 İ — see [[tokenize]]'s Latin-branch note), and the `isCjk`
+    * ranges (a lone CJK char emits itself, so any CJK char implies a
+    * token). Contract (spec-pinned equivalence): `s` contains a match
+    * ⟺ `tokenize(s)` is non-empty — the cheap corpus-wide "has any
+    * token at all" predicate audit5's `empty` stage runs WITHOUT
+    * tokenizing unflagged docs. */
+  val tokenCharClass: String =
+    "[a-zA-Z0-9\u212A\u0130\u3400-\u9FFF\u3040-\u30FF" +
+      "\uAC00-\uD7AF\uF900-\uFAFF]"
+
   /** Shared tokenizer core (used by the UDF and the native Generator).
     * CJK coverage: Unified Ideographs + Ext A, Hiragana/Katakana, Hangul
     * syllables, compatibility ideographs. A lone CJK char between

@@ -81,6 +81,14 @@ object Pipeline {
     * the d31 semantic flags for e14) — anti-join semantics are
     * identical whatever probe produced the flags. Returned
     * checkpointed: every caller fans it out. */
+  /** The exact-dup FINGERPRINT (md5 of alnum-normalized text) — ONE
+    * definition shared by the release survivor chain (e3Survivors) and
+    * BOTH audit funnels (funnelCore, surgicalFilterFunnel), so a change
+    * to what "exact duplicate" means cannot make a release and its
+    * provenance report diverge silently. */
+  private def exactDupFingerprint: org.apache.spark.sql.Column =
+    md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+
   private def e3Survivors(documents: DataFrame,
       benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
       extraDrops: Option[DataFrame]): DataFrame = {
@@ -94,8 +102,7 @@ object Pipeline {
     // smaller keeper id
     val exactDups = documents
       .select(col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
-          .as("fp"))
+        exactDupFingerprint.as("fp"))
       .withColumn("keeper", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .where(col("doc_id") =!= col("keeper"))
@@ -1391,9 +1398,14 @@ object Pipeline {
     * (first-rejecting, the documented cheapest-test-first convention,
     * media stages where e18 inserts them):
     *
-    *   benchmark → too_short → exact_dup → near_dup → contaminated →
-    *   semantic → media_near_dup → media_contaminated → sampled_out →
-    *   fully_redacted → redacted → kept
+    *   benchmark → too_short → empty → exact_dup → near_dup →
+    *   contaminated → semantic → media_near_dup → media_contaminated →
+    *   sampled_out → fully_redacted → redacted → kept
+    *
+    * (`empty` = no token chars at all: zero tokenize tokens, dropped
+    * by the release's n_tok >= 1 pack floor with no probe flag — the
+    * cheap [[graft.functions.Text.tokenCharClass]] rlike, so unflagged
+    * docs are still never tokenized.)
     *
     * `redacted` (docs that SHIP with spans cut) and `kept` (ship
     * verbatim) partition the e18 survivor set — kept ∪ redacted ==
@@ -1421,9 +1433,7 @@ object Pipeline {
       .select(col("doc2").as("doc_id")).distinct()
       .withColumn("is_near", lit(true))
     val exactDups = documents
-      .select(col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
-          .as("fp"))
+      .select(col("doc_id"), exactDupFingerprint.as("fp"))
       .withColumn("keeper", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .where(col("doc_id") =!= col("keeper"))
@@ -1467,6 +1477,15 @@ object Pipeline {
       .withColumn("stage",
         when(col("doc_id") < benchmarkMaxId, "benchmark")
           .when(length(col("text")) < minChars, "too_short")
+          // a doc with NO token chars at all (symbol/whitespace-only
+          // past the length floor) ships zero tokenize tokens, so
+          // e18's n_tok >= 1 pack floor drops it even when no probe
+          // flags it — without this stage it would attribute 'kept'
+          // and break the kept ∪ redacted == e18 law. The test is the
+          // cheap tokenCharClass rlike (spec-pinned equivalent to
+          // tokenize(text).isEmpty), never a corpus-wide tokenize.
+          .when(!col("text").rlike(graft.functions.Text.tokenCharClass),
+            "empty")
           .when(col("is_exact"), "exact_dup")
           .when(col("is_near"), "near_dup")
           .when(col("is_contam"), "contaminated")
@@ -1494,8 +1513,7 @@ object Pipeline {
       .withColumn("is_near", lit(true))
     val exactDups = documents
       .select(col("doc_id"),
-        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
-          .as("fp"))
+        exactDupFingerprint.as("fp"))
       .withColumn("keeper", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .where(col("doc_id") =!= col("keeper"))

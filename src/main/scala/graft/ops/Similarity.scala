@@ -308,7 +308,17 @@ object Similarity {
     * memo (test hygiene, the `Pipeline.clearCurated` contract). */
   private[graft] def requireBenchUnderCap(bench: DataFrame,
       maxBenchRows: Long): Unit = {
-    val key = (bench.queryExecution.analyzed.canonicalized, maxBenchRows)
+    // the key carries the sorted input-file list alongside the
+    // canonicalized plan: two reads of the same parquet DIRECTORY
+    // canonicalize equal even after files were appended (file indexes
+    // compare by root path, not listing), so a plan-only key would let
+    // a grown file-backed holdout ride a stale pass and skip the guard
+    // — the one failure mode this cap exists to block. inputFiles is a
+    // driver-side listing (no Spark job), empty for in-memory frames
+    // (whose data lives IN the plan, so growth changes the plan).
+    val key = (bench.queryExecution.analyzed.canonicalized, maxBenchRows,
+      java.util.Arrays.hashCode(
+        bench.inputFiles.sorted.asInstanceOf[Array[AnyRef]]))
     val hit = capCheckCache.synchronized(capCheckCache.contains(key))
     if (hit) return
     val probeN = math.min(maxBenchRows + 1, Int.MaxValue.toLong).toInt
@@ -318,11 +328,19 @@ object Similarity {
         s"$maxBenchRows — probe it through " +
         "embeddingContaminationIndexed (IVF cells) instead of the " +
         "all-pairs broadcast scan")
-    capCheckCache.synchronized(capCheckCache.add(key))
+    capCheckCache.synchronized {
+      // bound the memo: keys retain LogicalPlans (and, for
+      // LocalRelation holdouts, their row data) for the session — a
+      // long session cycling many distinct holdouts must not
+      // accumulate them without limit
+      if (capCheckCache.size >= 64) capCheckCache.clear()
+      capCheckCache.add(key)
+    }
   }
 
   private val capCheckCache = scala.collection.mutable.Set[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long)]()
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long,
+      Int)]()
 
   /** Drop the memoized cap-check passes (test hygiene; a long session
     * re-registering a holdout source whose data changed in place). */

@@ -6,6 +6,23 @@ import org.apache.spark.sql.functions._
   * spark.sql after registration. */
 class FunctionsSpec extends GraftSuite {
 
+  test("tokenCharClass matches a string iff tokenize emits a token") {
+    import graft.functions.Text
+    val re = Text.tokenCharClass.r
+    // boundary-only, ASCII, CJK (run + lone + range endpoints), the two
+    // non-ASCII simple-lowercase preimages, and the classic
+    // lowercase-outside-[a-z] boundary chars
+    val cases = Seq("", "!!! ??? ...", ";;;   ;;;", "abc", "  a  ", "A9",
+      "中", "。中。", "中文", "a中b", "㐀", "鿿", "぀",
+      "ヿ", "가", "힯", "豈", "﫿",
+      "K", "xKy", "İ", "À", "Ω", "Ａ", "ſ", "Å",
+      "١٢", "κ")
+    cases.foreach { s =>
+      assert(Text.tokenize(s).nonEmpty == re.findFirstIn(s).isDefined,
+        s"tokenCharClass and tokenize disagree on '$s'")
+    }
+  }
+
   test("kwsplit Generator works in SQL via LATERAL VIEW") {
     functions.GraftFunctions.register(spark)
     Tables.load(spark, sf, "documents").createOrReplaceTempView("docs_v")

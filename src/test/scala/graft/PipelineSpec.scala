@@ -3152,6 +3152,45 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates()
   }
 
+  test("audit5 'empty' stage: a zero-token doc past every probe is " +
+      "dropped by e18's pack floor and the funnel says so — " +
+      "kept ∪ redacted == e18 survives the corner") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Multimodal, Pipeline}
+    // doc 41: >= 100 chars, sampling-hash-in, NO token chars at all
+    // (symbols/whitespace only) — every probe passes it (no shingles,
+    // unique fingerprint, video modality so no d21/d23/d25 leg,
+    // orthogonal vector), yet e18 drops it at the n_tok >= 1 floor;
+    // before the 'empty' stage the funnel attributed it 'kept' and the
+    // conservation law broke exactly here
+    val sym = "*** ??? !!! ;;; ((( ))) --- +++ === ~~~ " * 4
+    val hand = Seq(
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+        "juliett kilo lima mike november oscar papa"),
+      (41L, sym.trim),
+      (29L, "an unrelated survivor whose words never touch anything " +
+        "above and still runs well past the hundred character floor"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val vecs = Seq(
+      (3L, Array(1f, 0f, 0f, 0f)),
+      (41L, Array(0f, 1f, 0f, 0f)),
+      (29L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val funnel = Pipeline.surgicalFilterFunnel(hand, vecs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel.get("empty").contains(1L),
+      s"the zero-token doc must attribute to 'empty': $funnel")
+    val e18ids = Pipeline.fullMultimodalRelease(hand, vecs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(e18ids == Set(29L),
+      s"e18 drops the zero-token doc at the pack floor: $e18ids")
+    assert(funnel.values.sum == 3L, s"conservation: $funnel")
+    assert(funnel.getOrElse("kept", 0L) +
+      funnel.getOrElse("redacted", 0L) == e18ids.size.toLong,
+      s"kept + redacted must equal the release: $funnel vs $e18ids")
+    Dedup.clearSubstrates(); Multimodal.clearMedia()
+  }
+
   test("e19 spliced multimodal text: ships exactly e18's doc set, " +
       "re-tokenizes to e18's n_tok per doc, and == e16 minus the " +
       "semantic + media drops row-for-row including text (sf0.01)") {
