@@ -1306,6 +1306,12 @@ object SparkEntry {
     // DuckDB's nfc_normalize (both sides implement UAX#15)
     "t17_normalize_text" -> ((s, d) =>
       TextAnalysis.normalizeText(t(s, d, "documents"))),
+    // accent-folded tokenization (Text.foldAccents == DuckDB
+    // strip_accents): the folded leg recovers the unaccented
+    // tokenization, the raw leg shows each planted diacritic splitting
+    // the word — hash-gated on both legs
+    "t21_accent_fold_tokens" -> ((s, d) =>
+      TextAnalysis.accentFoldedTokenStats(t(s, d, "documents"))),
     // Jensen-Shannon categorical drift over event_type, even vs odd
     // event_id slices (the categorical companion of drift1's PSI)
     "drift2_js_categorical" -> ((s, d) => {
@@ -6597,6 +6603,25 @@ object SparkEntry {
         |       CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
         |       text <> clean_text AS changed
         |FROM c""".stripMargin,
+    // the accented rendering is the same per-char translate on both
+    // engines; folded leg = strip_accents (utf8proc) == Text.foldAccents
+    // (NFD - marks - NFC), raw leg treats each accented char as a
+    // boundary in both tokenizers
+    "t21_accent_fold_tokens" ->
+      ("""WITH a AS (SELECT doc_id,
+        |  translate(text, 'aeiouAEIOU', 'áèîöúÀÉÎÖÜ') AS atext
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(strip_accents(atext)),
+        |    '[^a-z0-9]+'), x -> x <> '') AS ftoks,
+        |  list_filter(string_split_regex(lower(atext),
+        |    '[^a-z0-9]+'), x -> x <> '') AS rtoks
+        |  FROM a)
+        |SELECT doc_id,
+        |  CAST(len(ftoks) AS INTEGER) AS n_tok_folded,
+        |  CAST(len(rtoks) AS INTEGER) AS n_tok_raw,
+        |  COALESCE(ftoks[1], '') AS head_tok
+        |FROM t""").stripMargin,
     // smoothing arithmetic mirrors DataQuality.jsDivergence exactly;
     // K = observed category count, m recomputed inline as (p+q)/2
     "drift2_js_categorical" ->

@@ -88,6 +88,60 @@ object Text {
 
   val tokenizeUdf: UserDefinedFunction = udf { (s: String) => tokenize(s) }
 
+  /** Accent folding — the UAX#29-adjacent answer to "é/ü are token
+    * BOUNDARIES" (see [[tokenize]]'s Latin-branch note: chars whose
+    * simple lowercase stays outside [a-z] split words, so un-folded
+    * diacritic-bearing Latin text degrades shingles, dedup, and DSIR).
+    * Exactly DuckDB's `strip_accents` (utf8proc): canonical-decompose
+    * (NFD), drop every combining mark (categories Mn/Mc/Me — the
+    * utf8proc STRIPMARK set), recompose (NFC, so Hangul syllables that
+    * NFD split into Jamo come back precomposed and stay inside the
+    * tokenizer's CJK ranges). Verified char-for-char against DuckDB:
+    * é→e, ü→u, ñ→n, Å→A, İ→I, U+212A→K, e+U+0301→e, 한→한; chars with
+    * no canonical decomposition (ß, ø, ﬁ, fullwidth Ａ) pass through
+    * unchanged on both engines — folding is diacritic removal, not
+    * transliteration. Reference anchor: the IK segmenter
+    * (IkUtil.java:14-35) is the reference's non-ASCII answer; this is
+    * the Spark-first equivalent for Latin diacritics.
+    *
+    * Fold BEFORE [[tokenize]]/[[tokenizeWithOffsets]]; spans then index
+    * the FOLDED string. For precomposed-only input (NFC text, the wild
+    * norm) folding is 1:1 per char, so spans transfer to the original
+    * unchanged; combining sequences shorten the string and a caller
+    * splicing original text must fold first (spec-pinned). */
+  def foldAccents(s: String): String = {
+    if (s == null) return null
+    val nfd = java.text.Normalizer.normalize(s,
+      java.text.Normalizer.Form.NFD)
+    var i = 0
+    var hasMark = false
+    while (i < nfd.length && !hasMark) {
+      val t = Character.getType(nfd.charAt(i))
+      hasMark = t == Character.NON_SPACING_MARK ||
+        t == Character.COMBINING_SPACING_MARK ||
+        t == Character.ENCLOSING_MARK
+      i += 1
+    }
+    if (!hasMark) // common case (ASCII/CJK): one NFC pass, no rebuild
+      return java.text.Normalizer.normalize(nfd,
+        java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      val t = Character.getType(c)
+      if (t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) sb.append(c)
+      i += 1
+    }
+    java.text.Normalizer.normalize(sb.toString,
+      java.text.Normalizer.Form.NFC)
+  }
+
+  val foldAccentsUdf: UserDefinedFunction =
+    udf { (s: String) => foldAccents(s) }
+
   /** A token plus its ORIGINAL-string char span: `cs` inclusive, `ce`
     * exclusive, both 0-based. */
   case class TokenSpan(tok: String, cs: Int, ce: Int)

@@ -1492,8 +1492,7 @@ object Dedup {
     * via 4x16-bit chunk banding (pigeonhole: distance <=3 implies an equal
     * chunk). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
-    bandedHammingPairs(simhash(documents),
-      Array.fill(4)(16), Array.tabulate(4)(_ * 16), maxHamming)
+    bandedHammingPairs(simhash(documents), 64, maxHamming)
 
   /** Audit hook (the sf1 cross-check harness): [[simhashPairs]] under an
     * EXPLICIT band count. Pigeonhole makes every legal layout (bands >
@@ -1502,15 +1501,58 @@ object Dedup {
     * the whole banded engine — bucketing, distinct-signature
     * compression, re-expansion — with no second implementation needed. */
   def simhashPairsBanded(documents: DataFrame, maxHamming: Int,
-      bands: Int): DataFrame = {
-    require(bands > maxHamming && bands <= 64,
-      "pigeonhole needs more bands than maxHamming, within the 64 bits")
-    val base = 64 / bands
-    val extra = 64 % bands
-    val widths = Array.tabulate(bands)(i => base + (if (i < extra) 1 else 0))
-    bandedHammingPairs(simhash(documents), widths,
-      widths.scanLeft(0)(_ + _).take(bands), maxHamming)
+      bands: Int): DataFrame =
+    bandedHammingPairs(simhash(documents), 64, maxHamming, bands)
+
+  /** Pigeonhole band layout over the LOW `bits` of a signature — the
+    * ONE place every Hamming family (d4 simhash, d19 portable, d21
+    * image dHash, d23 audio envelope, d24 video frames) resolves its
+    * banding, so a future distance-budget change can never silently
+    * break banded == brute at one call site. Returns (widths, offsets):
+    * `bands` contiguous near-equal chunks, the first `bits % bands`
+    * one bit wider.
+    *
+    * `bands = 0` resolves the TIGHTEST exact layout, maxHamming + 1 —
+    * the exactness theorem: a pair at Hamming <= maxHamming cannot
+    * differ in all maxHamming + 1 bands, so banded candidates + the
+    * hamming filter EQUAL the brute-force pair set for ANY legal
+    * layout (bands > maxHamming). Clamped to `bits` when the asked
+    * distance reaches the signature width (the d19 diagnostic case:
+    * every band is 1 bit, candidates approach all pairs — only exact
+    * complements, hamming == bits, can then be missed).
+    *
+    * An EXPLICIT band count must itself satisfy the pigeonhole
+    * (bands > maxHamming, within the signature) — the sf1 cross-check
+    * harness uses two legal layouts and asserts row-identity. */
+  private[graft] def hammingBandLayout(bits: Int, maxHamming: Int,
+      bands: Int = 0): (Array[Int], Array[Int]) = {
+    require(bits >= 1 && bits <= 64, s"bits must sit in [1, 64]: $bits")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val nb = if (bands == 0) math.min(maxHamming + 1, bits) else bands
+    require(nb > maxHamming || nb == bits,
+      s"pigeonhole needs more bands than maxHamming: bands=$nb " +
+        s"maxHamming=$maxHamming over $bits bits")
+    require(nb >= 1 && nb <= bits,
+      s"bands must sit in [1, $bits]: $nb")
+    val base = bits / nb
+    val extra = bits % nb // first `extra` bands are one bit wider
+    val widths = Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
+    (widths, widths.scanLeft(0)(_ + _).take(nb))
   }
+
+  /** [[bandedHammingPairs]] with the layout RESOLVED from the distance
+    * budget (see [[hammingBandLayout]]) — what every production call
+    * site uses; the raw (widths, offsets) form stays for layouts that
+    * are not contiguous low-bits chunkings. */
+  private[graft] def bandedHammingPairs(sigById: DataFrame, bits: Int,
+      maxHamming: Int, bands: Int): DataFrame = {
+    val (widths, offsets) = hammingBandLayout(bits, maxHamming, bands)
+    bandedHammingPairs(sigById, widths, offsets, maxHamming)
+  }
+
+  private[graft] def bandedHammingPairs(sigById: DataFrame, bits: Int,
+      maxHamming: Int): DataFrame =
+    bandedHammingPairs(sigById, bits, maxHamming, 0)
 
   /** Banded Hamming-pair join over DISTINCT signatures — the shared
     * candidate engine of [[simhashPairs]] (d4) and
@@ -1659,17 +1701,10 @@ object Dedup {
       // pow(2, p) is a power of two — exact in double for every p < 63
       .agg(sum(when(col("s") > 0, pow(lit(2.0), col("p")).cast("long"))
         .otherwise(lit(0L))).as("simhash"))
-    // pigeonhole band count derived from the asked distance: hamming <=
-    // maxHamming cannot differ in all maxHamming+1 bands, so blocking is
-    // exact for any maxHamming < bits (uneven widths are fine — only
-    // band COUNT matters for the pigeonhole)
-    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val bands = math.min(maxHamming + 1, bits)
-    val base = bits / bands
-    val extra = bits % bands // first `extra` bands are one bit wider
-    val widths = Array.tabulate(bands)(c => base + (if (c < extra) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    bandedHammingPairs(sig, widths, offsets, maxHamming)
+    // pigeonhole band count derived from the asked distance in the ONE
+    // shared layout resolver (hamming <= maxHamming cannot differ in
+    // all maxHamming+1 bands; only band COUNT matters for exactness)
+    bandedHammingPairs(sig, bits, maxHamming)
   }
 
   /** Embedding-cosine near-dup pairs: hyperplane-LSH buckets (L tables of

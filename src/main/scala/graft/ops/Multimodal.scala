@@ -826,18 +826,13 @@ object Multimodal {
       bands: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 56,
       "maxHamming must sit inside the 56-bit signature")
-    // bands = 0 -> the tightest pigeonhole layout; an explicit larger
-    // count is the sf1 cross-check's independent layout (same pair set)
-    val nb = if (bands == 0) maxHamming + 1 else bands
-    require(nb > maxHamming && nb <= 56, "bands must cover the pigeonhole")
-    val base = 56 / nb
-    val extra = 56 % nb
-    val widths = Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).take(nb)
+    // bands = 0 -> the tightest pigeonhole layout (resolved by the one
+    // shared Dedup.hammingBandLayout rule); an explicit larger count is
+    // the sf1 cross-check's independent layout (same pair set)
     Dedup.bandedHammingPairs(
       phash(toMediaTable(documents)).select(col("doc_id"),
         col("phash").as("simhash")),
-      widths, offsets, maxHamming)
+      56, maxHamming, bands)
   }
 
   /** Per-clip envelope hash over a media table: (doc_id, ahash) for
@@ -864,16 +859,10 @@ object Multimodal {
       bands: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 31,
       "maxHamming must sit inside the 31-bit signature")
-    val nb = if (bands == 0) maxHamming + 1 else bands
-    require(nb > maxHamming && nb <= 31, "bands must cover the pigeonhole")
-    val base = 31 / nb
-    val extra = 31 % nb
-    val widths = Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).take(nb)
     Dedup.bandedHammingPairs(
       audioHash(toMediaTable(documents)).select(col("doc_id"),
         col("ahash").as("simhash")),
-      widths, offsets, maxHamming)
+      31, maxHamming, bands)
   }
 
   /** Per-frame perceptual hashes of every VIDEO payload: (doc_id, frame,
@@ -934,12 +923,6 @@ object Multimodal {
       maxHamming: Int, threshold: Double, bands: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 56,
       "maxHamming must sit inside the 56-bit signature")
-    val nb = if (bands == 0) maxHamming + 1 else bands
-    require(nb > maxHamming && nb <= 56, "bands must cover the pigeonhole")
-    val base = 56 / nb
-    val extra = 56 % nb
-    val widths = Array.tabulate(nb)(i => base + (if (i < extra) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).take(nb)
     // fid packing: frame counts are bounded far below 2^20 by the
     // encoder (n_chars/64 + 1), and doc_id must fit the remaining 43
     // bits (2^43·2^20 = 2^63) — an out-of-range id on a general 64-bit
@@ -956,7 +939,7 @@ object Multimodal {
         col("frame").cast("string"))))
     val framePairs = Dedup.bandedHammingPairs(
       fh.select(fid.as("doc_id"), col("fhash").as("simhash")),
-      widths, offsets, maxHamming)
+      56, maxHamming, bands)
     // unpack with EXACT integer ops (shift/mask — M is a power of two
     // and fids are non-negative): a double-promoting floor(x / M) would
     // decode fids above 2^53 inexactly

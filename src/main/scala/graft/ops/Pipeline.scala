@@ -335,12 +335,11 @@ object Pipeline {
       // barrier: the interpreted fold below must not re-inline through
       // the text join per output row (the pqTopK discipline)
       .localCheckpoint()
-    // token-constituent char class — the tokenizer's contract: chars
-    // whose simple lowercase lands in [a-z0-9] (A-Z a-z 0-9 plus U+212A
-    // KELVIN and U+0130 İ) and the CJK ranges
-    val tokChar = "[a-zA-Z0-9\u212a\u0130\u3400-\u9fff" +
-      "\u3040-\u30ff\uac00-\ud7af\uf900-\ufaff]"
-    def isTok(c: Column) = c.rlike(tokChar)
+    // token-constituent char class — the tokenizer's own contract
+    // constant, shared so the splice joint-separator rule can never
+    // drift from what tokenize() considers a token char
+    def isTok(c: Column) =
+      c.rlike(graft.functions.Text.tokenCharClass)
     // a splice joint needs a separator when the kept chars on BOTH
     // sides of the cut are token-constituent (s > pos: the left
     // neighbor char survived — a zero-width shrunk island mid-run
@@ -551,14 +550,55 @@ object Pipeline {
       cosThreshold: Double = 0.4, maxHamming: Int = 3,
       audioMaxHamming: Int = 2, contamMaxHamming: Int = 5,
       contamAudioMaxHamming: Int = 3): DataFrame =
-    fullReleaseWithSpansAndDrops(documents,
-      Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
+    fullMultimodalReleaseWithFlags(documents,
+      multimodalFlags(documents, embeddings, benchmarkMaxId, threshold,
+        minPositions, cosThreshold, maxHamming, audioMaxHamming,
+        contamMaxHamming, contamAudioMaxHamming),
+      benchmarkMaxId, minChars, sampleFrac, seqLen)
+
+  /** The FOUR parameterized flag frames of the e18 family, derived in
+    * ONE place. The e18 release ([[fullMultimodalReleaseWithFlags]])
+    * and its provenance funnel ([[surgicalFilterFunnelWithFlags]])
+    * both consume an instance of this, so the funnel's conservation
+    * laws (kept ∪ redacted == e18's doc set, Σ n_tok_cut ==
+    * Σ n_redacted) hold by CONSTRUCTION, not by the caller remembering
+    * to pass identical thresholds twice — a mismatch is now
+    * unrepresentable at the seam (the e3-core frames — near/exact-dup,
+    * shingle contamination — carry no tunable thresholds: their
+    * shingle constants are pinned inside [[e3Survivors]] and the
+    * funnels alike). */
+  private[graft] final case class MultimodalFlags(spanPlan: DataFrame,
+      semantic: DataFrame, mediaDup: DataFrame, mediaContam: DataFrame) {
+    /** The release's pre-sampling drop assembly: the three doc_id drop
+      * lists unioned (disjointness is not required — drops anti-join). */
+    def drops: DataFrame = semantic
+      .unionByName(mediaDup).unionByName(mediaContam)
+  }
+
+  /** Derive the e18 family's flag frames once from the raw corpora —
+    * the ONLY place the four tunable-threshold frames are built. */
+  private[graft] def multimodalFlags(documents: DataFrame,
+      embeddings: DataFrame, benchmarkMaxId: Long,
+      threshold: Double = 0.8, minPositions: Int = 3,
+      cosThreshold: Double = 0.4, maxHamming: Int = 3,
+      audioMaxHamming: Int = 2, contamMaxHamming: Int = 5,
+      contamAudioMaxHamming: Int = 3): MultimodalFlags =
+    MultimodalFlags(
+      spanPlan = Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
         threshold, tol = 1, minPositions = minPositions),
-      semanticFlags(embeddings, benchmarkMaxId, cosThreshold)
-        .unionByName(mediaNearDupDrops(documents, maxHamming,
-          audioMaxHamming))
-        .unionByName(mediaContamDrops(documents, benchmarkMaxId,
-          contamMaxHamming, contamAudioMaxHamming)),
+      semantic = semanticFlags(embeddings, benchmarkMaxId, cosThreshold),
+      mediaDup = mediaNearDupDrops(documents, maxHamming,
+        audioMaxHamming),
+      mediaContam = mediaContamDrops(documents, benchmarkMaxId,
+        contamMaxHamming, contamAudioMaxHamming))
+
+  /** [[fullMultimodalRelease]] from PRECOMPUTED flags — the seam the
+    * funnel shares (see [[MultimodalFlags]]). */
+  private[graft] def fullMultimodalReleaseWithFlags(documents: DataFrame,
+      flags: MultimodalFlags, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5,
+      seqLen: Int = 4096): DataFrame =
+    fullReleaseWithSpansAndDrops(documents, flags.spanPlan, flags.drops,
       benchmarkMaxId, minChars, sampleFrac, seqLen)
 
   /** E16 — the SPLICED surgical release: the actual (doc_id, lang,
@@ -649,15 +689,11 @@ object Pipeline {
       cosThreshold: Double = 0.4, maxHamming: Int = 3,
       audioMaxHamming: Int = 2, contamMaxHamming: Int = 5,
       contamAudioMaxHamming: Int = 3): DataFrame = {
-    val drops = semanticFlags(embeddings, benchmarkMaxId, cosThreshold)
-      .unionByName(mediaNearDupDrops(documents, maxHamming,
-        audioMaxHamming))
-      .unionByName(mediaContamDrops(documents, benchmarkMaxId,
-        contamMaxHamming, contamAudioMaxHamming))
-    fullMultimodalReleaseTextWithSpansAndDrops(documents,
-      Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
-        threshold, tol = 1, minPositions = minPositions),
-      drops, benchmarkMaxId, minChars, sampleFrac)
+    val flags = multimodalFlags(documents, embeddings, benchmarkMaxId,
+      threshold, minPositions, cosThreshold, maxHamming, audioMaxHamming,
+      contamMaxHamming, contamAudioMaxHamming)
+    fullMultimodalReleaseTextWithSpansAndDrops(documents, flags.spanPlan,
+      flags.drops, benchmarkMaxId, minChars, sampleFrac)
   }
 
   /** [[fullMultimodalReleaseText]] with PRECOMPUTED span plan and drop
@@ -1428,7 +1464,20 @@ object Pipeline {
       sampleFrac: Double = 0.5, cosThreshold: Double = 0.4,
       maxHamming: Int = 3, audioMaxHamming: Int = 2,
       contamMaxHamming: Int = 5, contamAudioMaxHamming: Int = 3,
-      threshold: Double = 0.8, minPositions: Int = 3): DataFrame = {
+      threshold: Double = 0.8, minPositions: Int = 3): DataFrame =
+    surgicalFilterFunnelWithFlags(documents,
+      multimodalFlags(documents, embeddings, benchmarkMaxId, threshold,
+        minPositions, cosThreshold, maxHamming, audioMaxHamming,
+        contamMaxHamming, contamAudioMaxHamming),
+      benchmarkMaxId, minChars, sampleFrac)
+
+  /** [[surgicalFilterFunnel]] from PRECOMPUTED flags — consume the
+    * SAME [[MultimodalFlags]] instance the audited release was built
+    * from and the kept ∪ redacted == e18 / Σ n_tok_cut == Σ n_redacted
+    * laws hold by construction (no threshold re-plumbing to drift). */
+  private[graft] def surgicalFilterFunnelWithFlags(documents: DataFrame,
+      flags: MultimodalFlags, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5): DataFrame = {
     val nearDups = Dedup.jaccardPairs(documents, 3, 0.5)
       .select(col("doc2").as("doc_id")).distinct()
       .withColumn("is_near", lit(true))
@@ -1443,19 +1492,15 @@ object Pipeline {
       .contaminationSplitCheck(documents, benchmarkMaxId, 3, 5)
       .select(col("doc_id")).distinct()
       .withColumn("is_contam", lit(true))
-    val semantic = semanticFlags(embeddings, benchmarkMaxId, cosThreshold)
-      .withColumn("is_sem", lit(true))
-    val mediaDup = mediaNearDupDrops(documents, maxHamming,
-      audioMaxHamming).withColumn("is_mdup", lit(true))
-    val mediaContam = mediaContamDrops(documents, benchmarkMaxId,
-      contamMaxHamming, contamAudioMaxHamming)
+    val semantic = flags.semantic.withColumn("is_sem", lit(true))
+    val mediaDup = flags.mediaDup.withColumn("is_mdup", lit(true))
+    val mediaContam = flags.mediaContam
       .withColumn("is_mcontam", lit(true))
     // the unioned d30 island mass per flagged doc — the SAME islands the
-    // e18 pack cuts — plus the tokenize-space count for exactly those
-    // docs (flag-bounded: unflagged docs cannot be fully redacted)
-    val covered = unionTokenSpans(
-        Dedup.quoteRedactionSpans(documents, benchmarkMaxId, 3,
-          threshold, tol = 1, minPositions = minPositions))
+    // e18 pack cuts (the shared flags.spanPlan) — plus the tokenize-space
+    // count for exactly those docs (flag-bounded: unflagged docs cannot
+    // be fully redacted)
+    val covered = unionTokenSpans(flags.spanPlan)
       .groupBy(col("doc_id"))
       .agg(sum(col("me") - col("ms") + 1).as("covered"))
     val flaggedNtok = documents

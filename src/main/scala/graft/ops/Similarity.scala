@@ -316,31 +316,65 @@ object Similarity {
     // — the one failure mode this cap exists to block. inputFiles is a
     // driver-side listing (no Spark job), empty for in-memory frames
     // (whose data lives IN the plan, so growth changes the plan).
-    val key = (bench.queryExecution.analyzed.canonicalized, maxBenchRows,
-      java.util.Arrays.hashCode(
-        bench.inputFiles.sorted.asInstanceOf[Array[AnyRef]]))
-    val hit = capCheckCache.synchronized(capCheckCache.contains(key))
-    if (hit) return
-    val probeN = math.min(maxBenchRows + 1, Int.MaxValue.toLong).toInt
-    val benchN = bench.limit(probeN).count()
-    require(benchN <= maxBenchRows,
-      s"eval holdout has >= $benchN vectors > broadcast cap " +
-        s"$maxBenchRows — probe it through " +
-        "embeddingContaminationIndexed (IVF cells) instead of the " +
-        "all-pairs broadcast scan")
-    capCheckCache.synchronized {
-      // bound the memo: keys retain LogicalPlans (and, for
-      // LocalRelation holdouts, their row data) for the session — a
-      // long session cycling many distinct holdouts must not
-      // accumulate them without limit
-      if (capCheckCache.size >= 64) capCheckCache.clear()
-      capCheckCache.add(key)
+    val files = bench.inputFiles
+    val analyzed = bench.queryExecution.analyzed
+    // Memoize ONLY when growth provably changes the key: file-scan
+    // sources (the listing is in the key) and data-in-plan leaves
+    // (LocalRelation/OneRowRelation — the rows ARE the plan). Any other
+    // leaf (JDBC, an external table, a custom V2 source) can grow
+    // without perturbing either the canonicalized plan or inputFiles,
+    // so a grown holdout over one would ride a stale pass and skip the
+    // over-cap guard — those sources re-run the bounded check every
+    // construction (it is a limit-count, never a full scan).
+    val memoizable = files.nonEmpty || analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        => true
+      case l => l.maxRows.isDefined // e.g. OneRowRelation / pinned limit
     }
+    val key = (analyzed.canonicalized, maxBenchRows,
+      java.util.Arrays.hashCode(
+        files.sorted.asInstanceOf[Array[AnyRef]]))
+    if (memoizable &&
+        capCheckCache.synchronized(capCheckCache.containsKey(key))) return
+    // single-flight per key: two threads constructing the same probe
+    // concurrently share one limit-count job instead of both paying it
+    val keyLock = capCheckInFlight.computeIfAbsent(key, _ => new Object)
+    keyLock.synchronized {
+      if (memoizable &&
+          capCheckCache.synchronized(capCheckCache.containsKey(key)))
+        return
+      val probeN = math.min(maxBenchRows + 1, Int.MaxValue.toLong).toInt
+      val benchN = bench.limit(probeN).count()
+      require(benchN <= maxBenchRows,
+        s"eval holdout has >= $benchN vectors > broadcast cap " +
+          s"$maxBenchRows — probe it through " +
+          "embeddingContaminationIndexed (IVF cells) instead of the " +
+          "all-pairs broadcast scan")
+      if (memoizable) capCheckCache.synchronized {
+        capCheckCache.put(key, java.lang.Boolean.TRUE)
+      }
+    }
+    capCheckInFlight.remove(key)
   }
 
-  private val capCheckCache = scala.collection.mutable.Set[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long,
-      Int)]()
+  private type CapKey =
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int)
+
+  // LRU-bounded: keys retain LogicalPlans (and, for LocalRelation
+  // holdouts, their row data) for the session — a long session cycling
+  // many distinct holdouts must not accumulate them without limit, and
+  // evicting ONLY the eldest (access-ordered) keeps the hot flagship
+  // keys resident instead of the old clear-everything reset
+  private val capCheckCache =
+    new java.util.LinkedHashMap[CapKey, java.lang.Boolean](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CapKey, java.lang.Boolean]): Boolean =
+        size() > 64
+    }
+
+  private val capCheckInFlight =
+    new java.util.concurrent.ConcurrentHashMap[CapKey, Object]()
 
   /** Drop the memoized cap-check passes (test hygiene; a long session
     * re-registering a holdout source whose data changed in place). */

@@ -23,6 +23,32 @@ object TextAnalysis {
       length(col("text")).as("n_chars_actual"),
       col("n_chars"))
 
+  /** T21 — accent-folded tokenization (the multilingual-Latin close):
+    * per doc, token counts of an accented rendering of the text under
+    * (a) the FOLDED path — `Text.foldAccents` (DuckDB `strip_accents`
+    * semantics) then tokenize — and (b) the raw path, where every
+    * diacritic-bearing char is a token boundary. The accented rendering
+    * is a deterministic per-char vowel→accented-vowel translate of the
+    * corpus text (the sf tables are ASCII; the translate plants exactly
+    * the é/ü-class chars the fold must recover, and BOTH engines derive
+    * it from the same rows, so the gate stays a hash compare). The
+    * folded leg recovers the original tokenization exactly — the law a
+    * diacritic-bearing corpus needs for shingles/dedup/DSIR to see
+    * "café" and "cafe" as one word; the raw leg measures the
+    * degradation (one split per planted vowel). */
+  def accentFoldedTokenStats(documents: DataFrame): DataFrame = {
+    val accented = translate(col("text"), "aeiouAEIOU", "áè" +
+      "îöúÀÉÎÖÜ")
+    val folded = graft.functions.Text.tokenizeUdf(
+      graft.functions.Text.foldAccentsUdf(accented))
+    val raw = graft.functions.Text.tokenizeUdf(accented)
+    documents.select(
+      col("doc_id"),
+      size(folded).as("n_tok_folded"),
+      size(raw).as("n_tok_raw"),
+      coalesce(element_at(folded, 1), lit("")).as("head_tok"))
+  }
+
   /** Quality scoring: integer counts only (stopword hits, punctuation,
     * digits, distinct words) so the oracle comparison is exact; a composite
     * score would just be arithmetic over these. */

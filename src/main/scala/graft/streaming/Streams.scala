@@ -1609,6 +1609,32 @@ object Streams {
         mediaOut),
       benchmarkMaxId, minChars, sampleFrac)
 
+  /** The STREAMED e20 — the release FINGERPRINT of the streamed e18:
+    * `Pipeline.releaseFingerprint` over the manifest
+    * [[fullMultimodalReleaseFromIngest]] assembles from the four
+    * committed flag stores. This is the identity an ONLINE release
+    * publishes next to its checkpoint — until now only the batch
+    * flagship could record the (n_docs, n_tokens, digest) row its
+    * training run pins, so a streamed drop had no fingerprint to
+    * compare against the batch re-derivation. The digest is the same
+    * order-independent XOR aggregate (no sort, no single-partition
+    * funnel), so the streamed and batch forms agree byte-for-byte
+    * whenever the release manifests agree (the e18 parity conditions);
+    * determinism given the committed stores means a kill/restart or a
+    * re-read of the same frontier republishes the SAME digest —
+    * replay-stable by construction (parity spec-pinned alongside
+    * e18/e19). */
+  def releaseFingerprintFromIngest(documents: DataFrame,
+      benchDocs: DataFrame, quoteState: String, quoteOut: String,
+      embState: String, embOut: String, mediaState: String,
+      mediaOut: String, benchmarkMaxId: Long = 25L, minChars: Int = 100,
+      sampleFrac: Double = 0.5, seqLen: Int = 4096, n: Int = 3,
+      minPositions: Int = 3): DataFrame =
+    graft.ops.Pipeline.releaseFingerprint(
+      fullMultimodalReleaseFromIngest(documents, benchDocs, quoteState,
+        quoteOut, embState, embOut, mediaState, mediaOut,
+        benchmarkMaxId, minChars, sampleFrac, seqLen, n, minPositions))
+
   /** The FROM-INGEST sel4 — DSIR select-then-pack over the corpus the
     * exactly-once landing sink ([[txnSink]]) has COMMITTED so far:
     * importance weights, the Gumbel-top-k draw, and the pack all

@@ -72,6 +72,37 @@ class FormatsSpec extends GraftSuite {
     assert(back.count() == 3)
   }
 
+  test("broadcast-cap guard re-checks growable JDBC sources instead of " +
+      "riding a stale memo") {
+    import graft.ops.Similarity
+    // a JDBC table can grow WITHOUT changing either the canonicalized
+    // plan or inputFiles (both empty for non-file sources) — the one
+    // source class where a memoized pass would skip the over-cap guard;
+    // the memo therefore only applies to file-scan and data-in-plan
+    // holdouts, and this path re-runs the bounded limit-count each time
+    val dir = Files.createTempDirectory("graft_derby_cap").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    def exec(sqls: String*): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try { val st = conn.createStatement()
+        sqls.foreach(st.execute); st.close() } finally conn.close()
+    }
+    exec("CREATE TABLE cap_probe (vec_id BIGINT)",
+      "INSERT INTO cap_probe VALUES (1), (2), (3)")
+    Similarity.clearCapChecks()
+    val bench = spark.read.jdbc(url, "cap_probe", props)
+    Similarity.requireBenchUnderCap(bench, 4) // 3 rows under cap: passes
+    exec("INSERT INTO cap_probe VALUES (4), (5), (6)")
+    // identical plan, grown data: the guard must still fire
+    val grown = spark.read.jdbc(url, "cap_probe", props)
+    val e = intercept[IllegalArgumentException](
+      Similarity.requireBenchUnderCap(grown, 4))
+    assert(e.getMessage.contains("broadcast cap"))
+    Similarity.clearCapChecks()
+  }
+
   test("OLAP sink tolerates schema evolution across day partitions") {
     import spark.implicits._
     // day 1 lands with the v1 schema; a later deploy adds a column and

@@ -158,6 +158,50 @@ class FunctionsSpec extends GraftSuite {
       Seq("a", "b", "a", "b", "a", "b", "a", "b", "a", "b"))
   }
 
+  test("foldAccents: DuckDB strip_accents semantics — precomposed and " +
+      "combining forms fold alike, non-decomposables pass through") {
+    import functions.Text.{foldAccents, tokenize, tokenizeWithOffsets}
+    // precomposed (NFC) and combining (NFD) renderings of the same word
+    // fold to the same ASCII — the seg1-style inline fixture
+    assert(foldAccents("café") == "cafe")
+    assert(foldAccents("café") == "cafe") // e + COMBINING ACUTE
+    assert(foldAccents("naïve über señor") == "naive uber senor")
+    assert(foldAccents("Ångström") == "Angstrom")
+    // singleton decompositions fold (İ→I, KELVIN→K); chars with NO
+    // canonical decomposition pass through — diacritic removal, not
+    // transliteration (all verified == DuckDB strip_accents)
+    assert(foldAccents("İstanbul 3K") == "Istanbul 3K")
+    assert(foldAccents("ß ø ﬁ Ａ") == "ß ø ﬁ Ａ")
+    // Hangul survives the NFD round-trip PRECOMPOSED (NFC recompose),
+    // so folded CJK text stays inside the tokenizer's ranges; CJK and
+    // kana are untouched
+    assert(foldAccents("한국어 中文 かな") == "한국어 中文 かな")
+    assert(tokenize(foldAccents("한국어")).toSeq == Seq("한국", "국어"))
+    assert(foldAccents(null) == null && foldAccents("") == "")
+    // the law t21 gates corpus-wide: folding an accented rendering
+    // recovers the unaccented tokenization; unfolded, every diacritic
+    // splits the word
+    val accented = "Crème brûlée für die Straße"
+    assert(tokenize(foldAccents(accented)).toSeq ==
+      Seq("creme", "brulee", "fur", "die", "stra", "e"))
+    assert(tokenize(accented).toSeq ==
+      Seq("cr", "me", "br", "l", "e", "f", "r", "die", "stra", "e"))
+    // folded-path span semantics (pinned): offsets index the FOLDED
+    // string; precomposed-only input folds 1:1 per char, so spans
+    // transfer to the original unchanged — combining sequences shorten
+    // the string and spans index the folded form only
+    val pre = "café au lait"   // precomposed: same length after fold
+    val folded = foldAccents(pre)
+    assert(folded.length == pre.length)
+    assert(tokenizeWithOffsets(folded).map(t => (t.tok, t.cs, t.ce)).toSeq
+      == Seq(("cafe", 0, 4), ("au", 5, 7), ("lait", 8, 12)))
+    val comb = "café au lait" // combining: fold shortens by one
+    val foldedC = foldAccents(comb)
+    assert(foldedC.length == comb.length - 1)
+    assert(tokenizeWithOffsets(foldedC).map(t => (t.tok, t.cs, t.ce)).toSeq
+      == Seq(("cafe", 0, 4), ("au", 5, 7), ("lait", 8, 12)))
+  }
+
   test("vec_dot and vec_norm usable from SQL") {
     functions.GraftFunctions.register(spark)
     Tables.load(spark, sf, "embeddings").createOrReplaceTempView("emb_v")

@@ -1102,4 +1102,56 @@ class OpsSpec extends GraftSuite {
     val missing = SparkEntry.queries.keySet -- real.keySet
     assert(missing.isEmpty, s"queries without a bench baseline: $missing")
   }
+
+  test("hammingBandLayout resolves the pigeonhole for every family") {
+    // the one shared layout rule (d4/d19/d21/d23/d24): widths tile the
+    // low `bits` exactly, offsets are the prefix sums, and the tightest
+    // layout is maxHamming+1 bands — so banded == brute holds for any
+    // budget a call site asks for, not just the pinned defaults
+    for (bits <- Seq(31, 56, 60, 64); mh <- 0 until math.min(bits, 9)) {
+      val (w, o) = Dedup.hammingBandLayout(bits, mh)
+      assert(w.length == mh + 1, s"bits=$bits mh=$mh")
+      assert(w.sum == bits, s"widths must tile bits=$bits mh=$mh")
+      assert(w.forall(x => x == bits / (mh + 1) || x == bits / (mh + 1) + 1))
+      assert(o.toSeq == w.scanLeft(0)(_ + _).take(w.length).toSeq)
+    }
+    // the pinned production layouts, byte for byte: a future change to
+    // the resolver cannot silently move the oracle-gated families
+    assert(Dedup.hammingBandLayout(64, 3)._1.toSeq == Seq(16, 16, 16, 16))
+    assert(Dedup.hammingBandLayout(60, 3)._1.toSeq == Seq(15, 15, 15, 15))
+    assert(Dedup.hammingBandLayout(56, 3)._1.toSeq == Seq(14, 14, 14, 14))
+    assert(Dedup.hammingBandLayout(31, 2)._1.toSeq == Seq(11, 10, 10))
+    assert(Dedup.hammingBandLayout(56, 5)._1.toSeq
+      == Seq(10, 10, 9, 9, 9, 9))
+    // explicit layouts must still satisfy the pigeonhole; the clamp
+    // case (bands == bits) is the documented 1-bit-band diagnostic
+    intercept[IllegalArgumentException](Dedup.hammingBandLayout(64, 7, 7))
+    intercept[IllegalArgumentException](Dedup.hammingBandLayout(64, 3, 65))
+    assert(Dedup.hammingBandLayout(60, 60)._1.length == 60)
+    assert(Dedup.hammingBandLayout(8, 3, 8)._1.toSeq
+      == Seq.fill(8)(1))
+  }
+
+  test("banded Hamming pair set is layout-invariant on a planted fixture") {
+    // two legal layouts (tightest 4-band and an uneven 7-band) over the
+    // same signatures must produce the identical pair set — the small-SF
+    // twin of the Sf1Check cross-layout identity, run per-commit
+    val sigs = spark.createDataFrame(Seq(
+      (1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdeeL), // hamming 1
+      (3L, 0x0123456789abcdefL),                            // exact dup of 1
+      (4L, 0xfedcba9876543210L),                            // far away
+      (5L, 0x0123456789abcdf0L),                            // hamming 5 from 1 (5 low bits flipped)
+      (6L, -1L), (7L, -3L)                                  // negative sigs, hamming 1
+    )).toDF("doc_id", "simhash")
+    def run(bands: Int) = Dedup
+      .bandedHammingPairs(sigs, 64, 3, bands)
+      .orderBy("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val tight = run(0)
+    assert(tight == run(7))
+    assert(tight.contains((1L, 2L, 1)) && tight.contains((1L, 3L, 0)) &&
+      tight.contains((2L, 3L, 1)) && tight.contains((6L, 7L, 1)))
+    assert(!tight.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!tight.exists(p => (p._1, p._2) == (1L, 5L)))
+  }
 }

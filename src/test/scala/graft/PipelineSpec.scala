@@ -3191,6 +3191,34 @@ class PipelineSpec extends GraftSuite {
     Dedup.clearSubstrates(); Multimodal.clearMedia()
   }
 
+  test("MultimodalFlags seam: release and funnel built from ONE flags " +
+      "instance at non-default thresholds satisfy the partition law " +
+      "by construction") {
+    import graft.ops.{Dedup, Multimodal, Pipeline}
+    val docs = Tables.load(spark, sf, "documents")
+    val emb = Tables.load(spark, sf, "embeddings")
+    // non-default budgets everywhere a threshold exists: pre-seam, a
+    // caller auditing a tuned release had to re-plumb every one of
+    // these into the funnel and a single mismatch silently broke the
+    // laws; the seam makes the coupling an object, not a convention
+    val flags = Pipeline.multimodalFlags(docs, emb, benchmarkMaxId = 20L,
+      threshold = 0.7, minPositions = 2, cosThreshold = 0.3,
+      maxHamming = 2, audioMaxHamming = 1, contamMaxHamming = 4,
+      contamAudioMaxHamming = 2)
+    val rel = Pipeline.fullMultimodalReleaseWithFlags(docs, flags,
+      benchmarkMaxId = 20L, minChars = 80, sampleFrac = 0.6)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val funnel = Pipeline.surgicalFilterFunnelWithFlags(docs, flags,
+      benchmarkMaxId = 20L, minChars = 80, sampleFrac = 0.6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel.values.sum == docs.count(), s"conservation: $funnel")
+    assert(funnel.getOrElse("kept", 0L) +
+      funnel.getOrElse("redacted", 0L) == rel.size.toLong,
+      s"kept + redacted == release doc set: $funnel vs ${rel.size}")
+    Dedup.clearSubstrates(); Multimodal.clearMedia()
+  }
+
   test("e19 spliced multimodal text: ships exactly e18's doc set, " +
       "re-tokenizes to e18's n_tok per doc, and == e16 minus the " +
       "semantic + media drops row-for-row including text (sf0.01)") {

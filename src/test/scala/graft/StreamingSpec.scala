@@ -1996,6 +1996,24 @@ class StreamingSpec extends GraftSuite {
     assert(gotTxt == wantTxt,
       s"streamed e19 diverged: only_stream=${gotTxt -- wantTxt} " +
         s"only_batch=${wantTxt -- gotTxt}")
+    // the e20 FINGERPRINT from the SAME four stores: the identity an
+    // online release publishes next to its checkpoint must equal the
+    // batch re-derivation row-for-row (n_docs, n_tokens, digest) —
+    // and republishing off the same committed frontier must give the
+    // SAME digest (replay stability: deterministic given the stores)
+    val wantFp = rows(Pipeline.releaseFingerprint(
+      Pipeline.fullMultimodalRelease(corpusFixture, emb,
+        audioMaxHamming = 0)))
+    def streamedFp() = rows(Streams.releaseFingerprintFromIngest(
+      corpusFixture, benchDocs, qstate, qout, estate, eout, mstate,
+      mout))
+    val gotFp = streamedFp()
+    assert(gotFp == wantFp,
+      s"streamed e20 diverged: stream=$gotFp batch=$wantFp")
+    assert(streamedFp() == gotFp,
+      "e20 digest must be stable across republish off one frontier")
+    assert(wantFp.head.head.asInstanceOf[Long] > 0L,
+      s"vacuous fingerprint (empty release): $wantFp")
     graft.ops.Dedup.clearSubstrates()
     graft.ops.Multimodal.clearMedia()
   }
