@@ -89,7 +89,7 @@ object Pipeline {
   private def exactDupFingerprint: org.apache.spark.sql.Column =
     md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
 
-  private def e3Survivors(documents: DataFrame,
+  private[graft] def e3Survivors(documents: DataFrame,
       benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
       extraDrops: Option[DataFrame]): DataFrame = {
     val corpus = documents.where(col("doc_id") >= benchmarkMaxId)
@@ -188,7 +188,7 @@ object Pipeline {
     * e3 survivor set for e13), drop docs redacted to nothing, repack
     * the rest contiguously. Spans for docs outside `docs` are inert
     * (left join). */
-  private def redactPack(docs: DataFrame, spanPlan: DataFrame,
+  private[graft] def redactPack(docs: DataFrame, spanPlan: DataFrame,
       seqLen: Int): DataFrame = {
     val covered = unionTokenSpans(spanPlan)
       .groupBy(col("doc_id"))
@@ -225,7 +225,7 @@ object Pipeline {
     * the text splice ([[redactedTextFromSpans]] — e15/e16), so the two
     * sides of the token-stream law read the SAME islands by
     * construction. */
-  private def unionTokenSpans(spanPlan: DataFrame): DataFrame = {
+  private[graft] def unionTokenSpans(spanPlan: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spans = spanPlan
       .select(col("doc_id"), col("span_start").as("s"),
@@ -438,7 +438,7 @@ object Pipeline {
 
   /** The d31 flag frame as a (doc_id) drop list — shared by the e14
     * release and its funnel so the two cannot diverge. */
-  private def semanticFlags(embeddings: DataFrame, benchmarkMaxId: Long,
+  private[graft] def semanticFlags(embeddings: DataFrame, benchmarkMaxId: Long,
       cosThreshold: Double): DataFrame =
     Similarity.embeddingContaminationSplitCheck(embeddings,
         benchmarkMaxId, cosThreshold)
@@ -653,7 +653,7 @@ object Pipeline {
     * survivor-set INDEPENDENT (spans derive from the corpus, drops only
     * choose which spliced rows ship), which is exactly why every
     * release's text form can share it. */
-  private def splicedText(documents: DataFrame, plan: DataFrame,
+  private[graft] def splicedText(documents: DataFrame, plan: DataFrame,
       manifest: DataFrame): DataFrame = {
     val delta = redactedTextFromSpans(documents, plan)
       .select(col("doc_id"), col("redacted_text"))
