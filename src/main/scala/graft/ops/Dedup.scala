@@ -579,7 +579,20 @@ object Dedup {
       col("shingle"))
     val bench = pos.where(col("doc_id") < benchMaxId)
       .select(col("doc_id").as("doc2"), col("i").as("k2"), col("shingle"))
-    redactionSpansCore(flagged, train, bench, n, minPositions)
+    val spans = redactionSpansCore(flagged, train, bench, n, minPositions)
+    // memoized like the d28 flags one stage upstream (plan-equality
+    // reuse; optimization round): NINE consumers share this frame in a
+    // release session (d30 plan, d33 char lift, e12/e13 packs, e15
+    // splice, e16/e17/e18/e19 compositions, audit5's funnel), and at
+    // scale the span plan is derived once per corpus release, not once
+    // per downstream artifact. The frame is flag-bounded (pairs x
+    // shifts x islands) — persisting it is contamination-mass-scale
+    // storage however large the corpus.
+    if (spans.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      spans.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      registerPersist(spans)
+    }
+    spans
   }
 
   /** Shared span-rebuild core of [[quoteRedactionSpans]] and the

@@ -20,11 +20,28 @@ object Etl {
     */
   def parseValidate(events: DataFrame, requiredTypes: Seq[String]): DataFrame =
     events
-      .withColumn("j", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .withColumn("j", parsedPropsOnce)
       .where(col("j.k").isNotNull && col("user_id").isNotNull &&
         col("event_type").isin(requiredTypes: _*))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("j.k").as("k"))
+
+  /** `from_json(props)` evaluated ONCE per record (optimization-round
+    * fix, guide §4.4 shape): a plain `withColumn` + filter on the parsed
+    * struct lets predicate pushdown substitute the alias, leaving TWO
+    * from_json evaluations in the physical plan — one in the pushed
+    * Filter, one in the Project (both interpreted: from_json is
+    * CodegenFallback), so every surviving record paid the Jackson parse
+    * twice. Wrapping the parse in explode(array(...)) puts it in a
+    * Generate operator (exactly one output row per input row — array(x)
+    * is never null); a filter on generator output cannot be pushed below
+    * the Generate, so the parse runs once and the cheap column
+    * predicates still push to the scan. Results are bit-identical: the
+    * struct, the null semantics, and the surviving rows are unchanged
+    * (oracle-gated). */
+  private def parsedPropsOnce: Column =
+    explode(array(from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k INT"))))
 
   /** P1 dirty channel — the records `parseValidate` rejects, tagged with
     * the first failed check (the reference logs these from its catch block,
@@ -33,7 +50,7 @@ object Etl {
     * streaming foreachBatch both legs share one scan. */
   def parseRejects(events: DataFrame, requiredTypes: Seq[String]): DataFrame =
     events
-      .withColumn("j", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .withColumn("j", parsedPropsOnce)
       .withColumn("reject_reason",
         when(col("j.k").isNull, "unparsable_props")
           .when(col("user_id").isNull, "missing_user")

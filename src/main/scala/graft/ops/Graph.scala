@@ -49,13 +49,14 @@ object Graph {
         e.select(col("src").as("id")).distinct().localCheckpoint()
       else null
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-      .localCheckpoint()
     var it = 0
     while (it < iters) {
       // total rank parked on dangling nodes this round: one bounded agg
       // (<= N rank rows anti-joined against the out-degree keys) folded
       // to a single driver double — the same bounded-collect posture as
-      // the Lloyd centroids
+      // the Lloyd centroids. The .head is an ACTION, so the dangling
+      // variant materializes ranks every round regardless (see the
+      // checkpoint note below).
       val dangTerm =
         if (!redistributeDangling) 0.0
         else {
@@ -71,8 +72,20 @@ object Graph {
         .select(col("id"), (lit((1 - d) / n) +
           lit(d) * (coalesce(col("in_sum"), lit(0.0)) + lit(dangTerm)))
           .as("rank"))
-        .localCheckpoint()
+      // CHECKPOINT POLICY (optimization round, guide §2.4): each round's
+      // rank frame feeds the next round exactly ONCE, so nesting the
+      // iterations into one lineage re-computes nothing — the old
+      // per-round localCheckpoint bought only a shorter plan at the
+      // price of one materialization JOB per round (iters+1 jobs where
+      // one suffices). Nesting is bounded every 8 rounds (plan depth /
+      // re-optimization cost grows with the chain — §3.3's "very large
+      // plans" note), and the dangling variant still checkpoints every
+      // round: its per-round .head action would otherwise re-run the
+      // whole prefix chain once per round (quadratic re-execution).
+      // Same arithmetic either way — results are bit-identical
+      // (oracle-gated gr1/gr3/gr5).
       it += 1
+      if (redistributeDangling || it % 8 == 0) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -595,12 +595,20 @@ object Multimodal {
     }
   }
 
-  /** Unpersist every media frame this object has memoized. */
-  def clearMedia(): Unit = mediaCache.synchronized {
-    mediaCache.values.foreach { df =>
-      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+  /** Unpersist every media/signature frame this object has memoized. */
+  def clearMedia(): Unit = {
+    mediaCache.synchronized {
+      mediaCache.values.foreach { df =>
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+      }
+      mediaCache.clear()
     }
-    mediaCache.clear()
+    sigCache.synchronized {
+      sigCache.values.foreach { df =>
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+      }
+      sigCache.clear()
+    }
   }
 
   private val mediaCache = scala.collection.mutable.Map[
@@ -776,7 +784,14 @@ object Multimodal {
     * pixels, and near-dup clips (small per-frame Hamming throughout)
     * stay near. Same embarrassingly-parallel mapPartitions batch shape
     * as [[extractFeatures]] — one task per split, no shuffle. */
-  def phash(media: DataFrame): DataFrame = {
+  def phash(media: DataFrame): DataFrame =
+    memoSig("phash", media)(phashCompute(media))
+
+  /** The uncached per-call decode+hash — streaming foreachBatch bodies
+    * call this directly (a per-batch plan would never re-hit the memo
+    * and would only pin persisted frames — the [[buildMediaTable]]
+    * contract). */
+  private[graft] def phashCompute(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
@@ -788,6 +803,41 @@ object Multimodal {
       })
     }.toDF("doc_id", "phash")
   }
+
+  /** Session-memoized signature substrates (image dHash, audio
+    * envelope, per-frame video dHash) — the [[toMediaTable]] contract
+    * one stage later (optimization round, guide §1.2 "don't recompute
+    * what you throw away"): the decode+hash pass over the media table
+    * is the expensive leg, and SEVEN suite queries plus the release
+    * compositions (d21/d23/d24, e9/e10, the e18 family, both media
+    * funnels, d25's probe) re-derive identical signatures from the same
+    * media frame. At 100 TB the signatures are a persisted index
+    * artifact living next to the media store (the d21/d23 scale story),
+    * so computing them once per session per corpus IS the deployed
+    * shape. Keyed on (session, kind, canonicalized input plan) because
+    * the typed mapPartitions closure defeats CacheManager
+    * plan-equality; entries of stopped sessions are evicted on every
+    * call; `clearMedia()` drops these too. The count() is the
+    * materialization barrier: one decode pass, not one per concurrent
+    * scan inside a single action. */
+  private val sigCache = scala.collection.mutable.Map[
+    (org.apache.spark.sql.SparkSession, String,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+
+  private def memoSig(kind: String, input: DataFrame)(
+      build: => DataFrame): DataFrame =
+    sigCache.synchronized {
+      sigCache.filterInPlace { case ((s, _, _), _) =>
+        !s.sparkContext.isStopped
+      }
+      sigCache.getOrElseUpdate((input.sparkSession, kind,
+        input.queryExecution.analyzed.canonicalized), {
+        val df = build
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      })
+    }
 
   /** Per-frame brightness profile of every VIDEO payload: (doc_id,
     * frame, mean_px) — one row per DECODED frame, floor-mean over that
@@ -838,7 +888,12 @@ object Multimodal {
   /** Per-clip envelope hash over a media table: (doc_id, ahash) for
     * every payload that parses as PCM WAV; images and corrupt payloads
     * drop. Same no-shuffle mapPartitions batch shape as [[phash]]. */
-  def audioHash(media: DataFrame): DataFrame = {
+  def audioHash(media: DataFrame): DataFrame =
+    memoSig("ahash", media)(audioHashCompute(media))
+
+  /** Uncached per-call form — the streaming entry ([[phashCompute]]'s
+    * contract). */
+  private[graft] def audioHashCompute(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
@@ -871,17 +926,19 @@ object Multimodal {
     * mapPartitions batch shape as [[phash]]. */
   def videoFramePhashes(documents: DataFrame): DataFrame = {
     val media = toMediaTable(documents)
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
-      it.grouped(64).flatMap(_.flatMap { r =>
-        decodePng(r.payload).filter(_.animated).toSeq.flatMap { p =>
-          p.frames.zipWithIndex.map { case (px, k) =>
-            (r.doc_id, k, dHash56(grayGrid(p.w, p.h, px)))
+    memoSig("vframes", media) {
+      val spark = media.sparkSession
+      import spark.implicits._
+      media.as[MediaRecord].mapPartitions { it =>
+        it.grouped(64).flatMap(_.flatMap { r =>
+          decodePng(r.payload).filter(_.animated).toSeq.flatMap { p =>
+            p.frames.zipWithIndex.map { case (px, k) =>
+              (r.doc_id, k, dHash56(grayGrid(p.w, p.h, px)))
+            }
           }
-        }
-      })
-    }.toDF("doc_id", "frame", "fhash")
+        })
+      }.toDF("doc_id", "frame", "fhash")
+    }
   }
 
   /** Clip-containment pairs via FRAME-LEVEL near-dup matching — the
@@ -913,7 +970,10 @@ object Multimodal {
     * the frame-pair output, never corpus-proportional. */
   def videoContainmentPairs(documents: DataFrame, maxHamming: Int = 3,
       threshold: Double = 0.8, bands: Int = 0): DataFrame =
-    videoContainmentFromFrames(videoFramePhashes(documents).localCheckpoint(),
+    // the memoized frame-hash substrate is already materialized
+    // (persist + count barrier) — the fan-out barrier the old
+    // localCheckpoint provided comes with it
+    videoContainmentFromFrames(videoFramePhashes(documents),
       maxHamming, threshold, bands)
 
   /** [[videoContainmentPairs]] below the decode: containment over an

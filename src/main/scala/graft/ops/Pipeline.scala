@@ -118,19 +118,27 @@ object Pipeline {
 
     // deliberately NO broadcast hints on the drop-lists: near/exact-dup
     // lists grow with the corpus (a forced broadcast would break at
-    // 100 TB), so the anti-joins stay planner-chosen — AQE broadcasts
-    // them when they measure small, shuffles when they don't
+    // 100 TB), so the anti-join stays planner-chosen — AQE broadcasts
+    // it when it measures small, shuffles when it doesn't.
+    // ONE anti-join over the UNIONED drop lists (optimization round,
+    // guide §2.4): chained per-list anti-joins cost one join build and
+    // one corpus probe pass EACH — and at scale, where the lists are too
+    // big to broadcast, one corpus shuffle each. Set subtraction by a
+    // union of id lists is associative, so unioning first (a concat, no
+    // shuffle — anti-join semantics don't need the lists deduped) buys
+    // the same survivor set for one join however many drop stages the
+    // release composes. Row-identical by construction; oracle-gated.
+    val dropIds = nearDups
+      .unionByName(exactDups)
+      .unionByName(contaminated)
+      .transform(df => extraDrops.map(df.unionByName(_)).getOrElse(df))
     // localCheckpoint: the packing stage reads survivors three times (the
     // bucket window, the bucket totals, and the final lang join) and
     // Catalyst does not dedup common subplans inside one action — without
-    // the barrier the filter + three anti-joins + sampling would run 3x
+    // the barrier the filter + anti-join + sampling would run 3x
     corpus
       .where(length(col("text")) >= minChars)
-      .join(nearDups, Seq("doc_id"), "left_anti")
-      .join(exactDups, Seq("doc_id"), "left_anti")
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .transform(df => extraDrops
-        .map(f => df.join(f, Seq("doc_id"), "left_anti")).getOrElse(df))
+      .join(dropIds, Seq("doc_id"), "left_anti")
       .transform(Sampling.deterministicSample(_, "doc_id", sampleFrac))
       .localCheckpoint()
   }
@@ -189,8 +197,19 @@ object Pipeline {
     * the rest contiguously. Spans for docs outside `docs` are inert
     * (left join). */
   private[graft] def redactPack(docs: DataFrame, spanPlan: DataFrame,
-      seqLen: Int): DataFrame = {
-    val covered = unionTokenSpans(spanPlan)
+      seqLen: Int): DataFrame =
+    redactPackFromIslands(docs, unionTokenSpans(spanPlan), seqLen)
+
+  /** [[redactPack]] from PRECOMPUTED merged islands (the
+    * [[unionTokenSpans]] output) — the optimization-round seam: e16/e19
+    * run manifest AND text splice over ONE span plan, and both sides
+    * start by interval-unioning it; deriving the islands once (a tiny
+    * flag-bounded frame, checkpointed by the caller) removes the
+    * duplicated distinct + window + groupBy chain from the composed
+    * plan. Same islands, same laws, row-identical. */
+  private[graft] def redactPackFromIslands(docs: DataFrame,
+      islands: DataFrame, seqLen: Int): DataFrame = {
+    val covered = islands
       .groupBy(col("doc_id"))
       .agg(sum(col("me") - col("ms") + 1).as("n_redacted"))
     // localCheckpoint: the frame fans out into the offset pass AND the
@@ -208,7 +227,7 @@ object Pipeline {
       .withColumn("n_tok", col("n_tok_orig") - col("n_redacted"))
       .where(col("n_tok") >= 1)
       .localCheckpoint()
-    Sampling.offsetsFromCounts(
+    Sampling.offsetsFromMaterializedCounts(
         counts.select(col("doc_id"), col("n_tok")), seqLen)
       .join(counts.select(col("doc_id"), col("n_tok_orig"),
         col("n_redacted")), "doc_id")
@@ -308,8 +327,13 @@ object Pipeline {
     * from ONE d30 derivation, and `Streams.surgicalCorpusTextFromIngest`
     * feeds spans rebuilt from the committed online d28 flags. */
   private[graft] def redactedTextFromSpans(documents: DataFrame,
-      spanPlan: DataFrame): DataFrame = {
-    val merged = unionTokenSpans(spanPlan)
+      spanPlan: DataFrame): DataFrame =
+    redactedTextFromIslands(documents, unionTokenSpans(spanPlan))
+
+  /** [[redactedTextFromSpans]] from PRECOMPUTED merged islands — the
+    * island-sharing twin of [[redactPackFromIslands]] (see there). */
+  private[graft] def redactedTextFromIslands(documents: DataFrame,
+      merged: DataFrame): DataFrame = {
     val offs = Dedup.tokenOffsetsFor(documents, merged)
     val cur = element_at(col("offs"), col("ms").cast("int"))
     val lst = element_at(col("offs"), col("me").cast("int"))
@@ -397,10 +421,20 @@ object Pipeline {
   private[graft] def surgicalCorpusWithSpans(documents: DataFrame,
       spanPlan: DataFrame, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5,
+      seqLen: Int = 4096): DataFrame =
+    surgicalCorpusFromIslands(documents, unionTokenSpans(spanPlan),
+      benchmarkMaxId, minChars, sampleFrac, seqLen)
+
+  /** [[surgicalCorpusWithSpans]] from PRECOMPUTED merged islands — the
+    * e16 seam ([[surgicalCorpusTextWithSpans]]) feeds manifest and
+    * splice from ONE island derivation. */
+  private[graft] def surgicalCorpusFromIslands(documents: DataFrame,
+      islands: DataFrame, benchmarkMaxId: Long = 25L,
+      minChars: Int = 100, sampleFrac: Double = 0.5,
       seqLen: Int = 4096): DataFrame = {
     val survivors = e3Survivors(documents, benchmarkMaxId, minChars,
       sampleFrac, extraDrops = None)
-    redactPack(survivors, spanPlan, seqLen)
+    redactPackFromIslands(survivors, islands, seqLen)
       .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tok_orig"),
         col("n_redacted"), col("n_tok"), col("start_offset"),
@@ -480,10 +514,20 @@ object Pipeline {
   private[graft] def fullReleaseWithSpansAndDrops(documents: DataFrame,
       spanPlan: DataFrame, semanticDrops: DataFrame,
       benchmarkMaxId: Long = 25L, minChars: Int = 100,
+      sampleFrac: Double = 0.5, seqLen: Int = 4096): DataFrame =
+    fullReleaseFromIslandsAndDrops(documents, unionTokenSpans(spanPlan),
+      semanticDrops, benchmarkMaxId, minChars, sampleFrac, seqLen)
+
+  /** [[fullReleaseWithSpansAndDrops]] from PRECOMPUTED merged islands —
+    * the e19 seam feeds manifest and splice from ONE island
+    * derivation (see [[redactPackFromIslands]]). */
+  private[graft] def fullReleaseFromIslandsAndDrops(documents: DataFrame,
+      islands: DataFrame, semanticDrops: DataFrame,
+      benchmarkMaxId: Long = 25L, minChars: Int = 100,
       sampleFrac: Double = 0.5, seqLen: Int = 4096): DataFrame = {
     val survivors = e3Survivors(documents, benchmarkMaxId, minChars,
       sampleFrac, Some(semanticDrops.select(col("doc_id")).distinct()))
-    redactPack(survivors, spanPlan, seqLen)
+    redactPackFromIslands(survivors, islands, seqLen)
       .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tok_orig"),
         col("n_redacted"), col("n_tok"), col("start_offset"),
@@ -640,10 +684,15 @@ object Pipeline {
   private[graft] def surgicalCorpusTextWithSpans(documents: DataFrame,
       spanPlan: DataFrame, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5): DataFrame = {
-    val plan = spanPlan.localCheckpoint()
-    splicedText(documents, plan,
-      surgicalCorpusWithSpans(documents, plan, benchmarkMaxId, minChars,
-          sampleFrac)
+    // ONE island derivation, checkpointed (tiny — flag-bounded), shared
+    // by manifest and splice: checkpointing the MERGED islands instead
+    // of the raw span plan (the round-17 shape) also folds the d30
+    // rebuild into the same single materialization, so the composed
+    // plan carries one span subtree and one interval-union, not two
+    val islands = unionTokenSpans(spanPlan).localCheckpoint()
+    splicedText(documents, islands,
+      surgicalCorpusFromIslands(documents, islands, benchmarkMaxId,
+          minChars, sampleFrac)
         .select(col("doc_id"), col("lang")))
   }
 
@@ -652,10 +701,13 @@ object Pipeline {
     * where flagged, verbatim otherwise. The splice itself is
     * survivor-set INDEPENDENT (spans derive from the corpus, drops only
     * choose which spliced rows ship), which is exactly why every
-    * release's text form can share it. */
-  private[graft] def splicedText(documents: DataFrame, plan: DataFrame,
+    * release's text form can share it. `islands` is the MERGED
+    * interval-union frame ([[unionTokenSpans]] output, checkpointed by
+    * the caller) — both consumers of the span plan read the same
+    * islands by construction. */
+  private[graft] def splicedText(documents: DataFrame, islands: DataFrame,
       manifest: DataFrame): DataFrame = {
-    val delta = redactedTextFromSpans(documents, plan)
+    val delta = redactedTextFromIslands(documents, islands)
       .select(col("doc_id"), col("redacted_text"))
     manifest
       .join(documents.select(col("doc_id"), col("text").as("orig")),
@@ -707,9 +759,11 @@ object Pipeline {
       documents: DataFrame, spanPlan: DataFrame, drops: DataFrame,
       benchmarkMaxId: Long = 25L, minChars: Int = 100,
       sampleFrac: Double = 0.5): DataFrame = {
-    val plan = spanPlan.localCheckpoint()
-    splicedText(documents, plan,
-      fullReleaseWithSpansAndDrops(documents, plan, drops,
+    // ONE island derivation shared by manifest and splice — the e16
+    // discipline (see surgicalCorpusTextWithSpans)
+    val islands = unionTokenSpans(spanPlan).localCheckpoint()
+    splicedText(documents, islands,
+      fullReleaseFromIslandsAndDrops(documents, islands, drops,
           benchmarkMaxId, minChars, sampleFrac)
         .select(col("doc_id"), col("lang")))
   }

@@ -227,10 +227,26 @@ object Sampling {
     * the token stream first). Same two-phase offsets, same output
     * columns. */
   def offsetsFromCounts(counts: DataFrame, seqLen: Int,
-      bucketSize: Long = 4096L): DataFrame = {
-    val n = counts.select(col("doc_id"), col("n_tok"),
+      bucketSize: Long = 4096L): DataFrame =
+    offsetsCore(counts, seqLen, bucketSize, materialize = true)
+
+  /** [[offsetsFromCounts]] for a counts frame the caller ALREADY
+    * materialized (localCheckpoint/persist) — optimization round: the
+    * internal checkpoint exists so the window branch and the totals
+    * branch don't recompute the counts subtree twice, but when the
+    * input is a checkpointed frame (redactPack's counts), re-running
+    * the trivial (doc_id, n_tok, bkt) projection against it twice is
+    * free and the extra materialization job is pure overhead — at
+    * scale it is a second corpus-sized copy pinned for nothing. */
+  private[ops] def offsetsFromMaterializedCounts(counts: DataFrame,
+      seqLen: Int, bucketSize: Long = 4096L): DataFrame =
+    offsetsCore(counts, seqLen, bucketSize, materialize = false)
+
+  private def offsetsCore(counts: DataFrame, seqLen: Int,
+      bucketSize: Long, materialize: Boolean): DataFrame = {
+    val n0 = counts.select(col("doc_id"), col("n_tok"),
       floor(col("doc_id") / bucketSize).as("bkt"))
-      .localCheckpoint()
+    val n = if (materialize) n0.localCheckpoint() else n0
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
     val local = n.withColumn("local_end", sum(col("n_tok")).over(wIn))
     val totals = n.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bt"))

@@ -1114,10 +1114,13 @@ object Streams {
         benchSigs.where(col("modality") === modality)
           .select(col("bench_id"), col("bsig")),
         bits, mh, 0, modality)
-    val flags = leg(graft.ops.Multimodal.phash(media)
+    // the UNCACHED signature forms: a per-micro-batch plan would never
+    // re-hit the session memo and would only pin persisted frames (the
+    // buildMediaTable contract)
+    val flags = leg(graft.ops.Multimodal.phashCompute(media)
         .select(col("doc_id"), col("phash").as("sig")), "visual", 56,
         maxHamming)
-      .unionByName(leg(graft.ops.Multimodal.audioHash(media)
+      .unionByName(leg(graft.ops.Multimodal.audioHashCompute(media)
         .select(col("doc_id"), col("ahash").as("sig")), "audio", 31,
         audioMaxHamming))
     flags.write.mode("overwrite").parquet(s"$outDir/bid=$batchId")

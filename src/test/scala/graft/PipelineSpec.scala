@@ -2627,6 +2627,68 @@ class PipelineSpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("r18: e3's unioned drop anti-join equals the chained-anti twin") {
+    import org.apache.spark.sql.expressions.Window
+    // the optimization-round survivor chain anti-joins ONCE over the
+    // unioned drop lists; this twin rebuilds the round-17 chained form
+    // from the public ops and pins doc-set equality
+    val corpus = docs.where(col("doc_id") >= 25L)
+      .where(length(col("text")) >= 100)
+    val near = Dedup.jaccardPairs(docs, 3, 0.5)
+      .select(col("doc2").as("doc_id")).distinct()
+    val fp = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+    val exactD = docs.select(col("doc_id"), fp.as("fp"))
+      .withColumn("keeper", min(col("doc_id")).over(
+        Window.partitionBy(col("fp"))))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    val contam = Dedup.contaminationSplitCheck(docs, 25L, 3, 5)
+      .select(col("doc_id")).distinct()
+    val twin = Sampling.deterministicSample(
+        corpus.join(near, Seq("doc_id"), "left_anti")
+          .join(exactD, Seq("doc_id"), "left_anti")
+          .join(contam, Seq("doc_id"), "left_anti"), "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Pipeline.trainingCorpus(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == twin)
+    assert(got.nonEmpty)
+  }
+
+  test("r18: pagerank is partition-invariant across the lineage-nesting " +
+      "checkpoint boundary") {
+    import spark.implicits._
+    // 9 rounds crosses the every-8-rounds checkpoint once, so both the
+    // nested and the checkpointed segments execute; max in-degree <= 2
+    // keeps every per-node sum a single IEEE add (exact equality)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (1L, 4L))
+      .toDF("src", "dst")
+    def ranks(parts: Int): Map[Long, Double] =
+      Graph.pageRank(edges.repartition(parts), 9).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(7) == ranks(3))
+  }
+
+  test("r18: signature substrates memoize per session, match the uncached " +
+      "compute, and clear with clearMedia") {
+    Multimodal.clearMedia()
+    val m = Multimodal.toMediaTable(docs)
+    val a = Multimodal.phash(m)
+    assert(Multimodal.phash(m) eq a,
+      "repeat call must return the memoized frame")
+    assert(a.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE, "memo must persist")
+    def sigSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sigSet(a) == sigSet(Multimodal.phashCompute(m)),
+      "memoized signatures must equal the uncached compute")
+    assert(sigSet(Multimodal.audioHash(m)) ==
+      sigSet(Multimodal.audioHashCompute(m)))
+    Multimodal.clearMedia()
+    assert(!(Multimodal.phash(Multimodal.toMediaTable(docs)) eq a),
+      "clearMedia must drop the memo")
+  }
+
   test("d14 span merge stays linear on a 50k-word document") {
     import spark.implicits._
     // one 50k-word doc sharing a 1000-word run with a small doc: the

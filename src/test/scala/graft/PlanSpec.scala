@@ -38,6 +38,18 @@ class PlanSpec extends GraftSuite {
     assert(plan("j4_lookup_region").contains("BroadcastHashJoin"))
   }
 
+  test("p1/p12 evaluate from_json exactly once (r18: no pushdown duplicate)") {
+    // predicate pushdown used to substitute the parsed alias into the
+    // pushed Filter, leaving TWO interpreted from_json evaluations per
+    // record (one in Filter, one in Project); the Generate barrier in
+    // Etl.parsedPropsOnce pins it to one
+    Seq("p1_parse_validate", "p12_parse_rejects").foreach { q =>
+      val p = plan(q)
+      assert("from_json".r.findAllIn(p).size == 1,
+        s"$q must parse props exactly once:\n$p")
+    }
+  }
+
   test("a10/a15 bound gates: exact+sketch legs cost at most the scans they need") {
     // a10 computes HLL and exact countDistinct in ONE grouped pass —
     // adding the bound gate must not have doubled the events scan
