@@ -89,7 +89,77 @@ object Pipeline {
   private def exactDupFingerprint: org.apache.spark.sql.Column =
     md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
 
+  /** Session memo for the survivor set (the [[curatedCorpus]] contract
+    * one family over; optimization round): SIX release artifacts
+    * (e3/e13/e16 at the no-extra-drops key, e14/e17 at the semantic
+    * key, e18/e19/e20 at the semantic∪media key) each rebuilt the
+    * identical checkpointed survivor chain; at scale a release session
+    * materializes its survivor set once per corpus drop and every
+    * artifact (manifest, text, fingerprint, audit) derives from that
+    * one frame. Keyed on (session, corpus plan, params, extra-drops
+    * plan); entries of stopped sessions are evicted on every lookup;
+    * `clearSurvivors()` drops the memo (test hygiene, the clearCurated
+    * contract). The memoized frame is the localCheckpoint the chain
+    * already produced — first toucher pays inside the timed region. */
+  private val survivorCache = scala.collection.mutable.Map[
+    (org.apache.spark.sql.SparkSession,
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+      Long, Int, Long,
+      Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Int)]),
+    DataFrame]()
+
+  /** Drop the memoized survivor frames. */
+  def clearSurvivors(): Unit =
+    survivorCache.synchronized(survivorCache.clear())
+
+  /** Memo key for one input frame, or None when growth could not
+    * perturb the key (the requireBenchUnderCap rule): file-scan
+    * sources key on (canonicalized plan, sorted-inputFiles hash) — the
+    * streamed release compositions re-derive the survivor set over
+    * GROWING landed stores whose re-reads canonicalize equal, so a
+    * plan-only key would serve stale survivors; data-in-plan leaves
+    * (LocalRelation etc.) key on the plan alone. Anything else (JDBC,
+    * custom V2) never memoizes. */
+  private def survivorKeyOf(df: DataFrame): Option[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int)] = {
+    val files = df.inputFiles
+    val analyzed = df.queryExecution.analyzed
+    val memoizable = files.nonEmpty || analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        => true
+      case l => l.maxRows.isDefined
+    }
+    if (memoizable)
+      Some((analyzed.canonicalized, java.util.Arrays.hashCode(
+        files.sorted.asInstanceOf[Array[AnyRef]])))
+    else None
+  }
+
   private[graft] def e3Survivors(documents: DataFrame,
+      benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
+      extraDrops: Option[DataFrame]): DataFrame = {
+    val docKey = survivorKeyOf(documents)
+    // extraDrops: None (no drop stage) and Some(unmemoizable frame)
+    // must not collide — the latter disables the memo entirely
+    val dropKey = extraDrops.map(survivorKeyOf)
+    if (docKey.isEmpty || dropKey.exists(_.isEmpty))
+      return e3SurvivorsCompute(documents, benchmarkMaxId, minChars,
+        sampleFrac, extraDrops)
+    survivorCache.synchronized {
+      survivorCache.filterInPlace { case ((s, _, _, _, _, _), _) =>
+        !s.sparkContext.isStopped
+      }
+      survivorCache.getOrElseUpdate(
+        (documents.sparkSession, docKey.get, benchmarkMaxId, minChars,
+          java.lang.Double.doubleToLongBits(sampleFrac),
+          dropKey.map(_.get)),
+        e3SurvivorsCompute(documents, benchmarkMaxId, minChars,
+          sampleFrac, extraDrops))
+    }
+  }
+
+  private def e3SurvivorsCompute(documents: DataFrame,
       benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
       extraDrops: Option[DataFrame]): DataFrame = {
     val corpus = documents.where(col("doc_id") >= benchmarkMaxId)
