@@ -96,7 +96,7 @@ object Clustering {
     val cacheKey =
       (embeddings.queryExecution.analyzed.canonicalized, k, iters)
     assignCache.synchronized {
-      assignCache.getOrElseUpdate(cacheKey, {
+      assignCache.getOrElseUpdate(cacheKey, MemoLedger.timed("kmeans_assign") {
         val (df, cents) = lloydAssign(embeddings, k, iters)
         centsCache.synchronized(centsCache(cacheKey) = cents)
         df

@@ -31,7 +31,18 @@ object Graph {
     * ONE aggregation shuffle keyed on dst, and the rank frame is
     * checkpointed per round so the plan stays one iteration deep instead
     * of nesting. At cluster scale, pre-partition `edges` by src once and
-    * every iteration's join reuses that partitioning. */
+    * every iteration's join reuses that partitioning.
+    *
+    * RETURN CONTRACT (since the optimization rounds): for the default
+    * non-dangling path with iters not a multiple of 8 the returned frame
+    * is a NESTED, unmaterialized plan — a caller that fans the result
+    * into more than one action (or references it in more than one branch
+    * of one plan — Catalyst does not dedup common subplans) re-executes
+    * the remaining iterations per consumer and should `localCheckpoint()`
+    * the result itself. Single-action consumers (the gr1/gr3 queries,
+    * any write) pay the iterations exactly once either way; keeping the
+    * final checkpoint out of this op is what collapsed iters+1 jobs into
+    * one. */
   def pageRank(edges: DataFrame, iters: Int = 5, d: Double = 0.85,
       redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "iters >= 1")

@@ -579,41 +579,33 @@ object Multimodal {
     // (fails at action time) — and entries of stopped sessions are
     // evicted on every call so a long-lived process doesn't pin
     // MEMORY_AND_DISK storage for sessions that no longer exist
-    val key = (documents.sparkSession,
-      documents.queryExecution.analyzed.canonicalized)
-    mediaCache.synchronized {
-      mediaCache.filterInPlace { case ((s, _), _) =>
-        !s.sparkContext.isStopped
-      }
-      mediaCache.getOrElseUpdate(key, {
-        val df = buildMediaTable(documents)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // materialization barrier: one encode pass, not one
-                   // per concurrent scan inside a single action
-        df
-      })
+    Memo.filesHashOf(documents) match {
+      case Some(h) => mediaCache.getOrBuild(documents.sparkSession,
+        documents.queryExecution.analyzed.canonicalized, h,
+        MemoLedger.timed("media_table") {
+          val df = buildMediaTable(documents)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count() // materialization barrier: one encode pass, not one
+                     // per concurrent scan inside a single action
+          df
+        }, releaseIfLive)
+      case None => buildMediaTable(documents)
     }
   }
+
+  /** Unpersist a memo-evicted frame unless its session already died
+    * (unpersist on a stopped context throws). */
+  private val releaseIfLive: DataFrame => Unit = df =>
+    if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
 
   /** Unpersist every media/signature frame this object has memoized. */
   def clearMedia(): Unit = {
-    mediaCache.synchronized {
-      mediaCache.values.foreach { df =>
-        if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
-      }
-      mediaCache.clear()
-    }
-    sigCache.synchronized {
-      sigCache.values.foreach { df =>
-        if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
-      }
-      sigCache.clear()
-    }
+    mediaCache.clear(releaseIfLive)
+    sigCache.clear(releaseIfLive)
   }
 
-  private val mediaCache = scala.collection.mutable.Map[
-    (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+  private val mediaCache = new SessionMemo[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
 
   /** The uncached per-call encode — the session memo above is for the
     * repeated-query batch suite; streaming foreachBatch bodies call this
@@ -816,27 +808,30 @@ object Multimodal {
     * so computing them once per session per corpus IS the deployed
     * shape. Keyed on (session, kind, canonicalized input plan) because
     * the typed mapPartitions closure defeats CacheManager
-    * plan-equality; entries of stopped sessions are evicted on every
-    * call; `clearMedia()` drops these too. The count() is the
-    * materialization barrier: one decode pass, not one per concurrent
-    * scan inside a single action. */
-  private val sigCache = scala.collection.mutable.Map[
-    (org.apache.spark.sql.SparkSession, String,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+    * plan-equality. [[SessionMemo]] discipline (optimization round 2,
+    * ADVICE fix): each entry carries the sorted-inputFiles hash, so a
+    * batch session re-deriving signatures over a GROWN file-backed
+    * store REPLACES the stale frame instead of being served old
+    * signatures silently (the survivorKeyOf rule, applied here);
+    * stopped-session eviction on every call; builds run single-flight
+    * per key outside the global monitor; `clearMedia()` drops these
+    * too. The count() is the materialization barrier: one decode pass,
+    * not one per concurrent scan inside a single action. */
+  private val sigCache = new SessionMemo[
+    (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
 
   private def memoSig(kind: String, input: DataFrame)(
       build: => DataFrame): DataFrame =
-    sigCache.synchronized {
-      sigCache.filterInPlace { case ((s, _, _), _) =>
-        !s.sparkContext.isStopped
-      }
-      sigCache.getOrElseUpdate((input.sparkSession, kind,
-        input.queryExecution.analyzed.canonicalized), {
-        val df = build
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        df
-      })
+    Memo.filesHashOf(input) match {
+      case Some(h) => sigCache.getOrBuild(input.sparkSession,
+        (kind, input.queryExecution.analyzed.canonicalized), h,
+        MemoLedger.timed(s"sig_$kind") {
+          val df = build
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          df
+        }, releaseIfLive)
+      case None => build
     }
 
   /** Per-frame brightness profile of every VIDEO payload: (doc_id,

@@ -90,76 +90,76 @@ object Pipeline {
     md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
 
   /** Session memo for the survivor set (the [[curatedCorpus]] contract
-    * one family over; optimization round): SIX release artifacts
-    * (e3/e13/e16 at the no-extra-drops key, e14/e17 at the semantic
-    * key, e18/e19/e20 at the semantic∪media key) each rebuilt the
-    * identical checkpointed survivor chain; at scale a release session
-    * materializes its survivor set once per corpus drop and every
-    * artifact (manifest, text, fingerprint, audit) derives from that
-    * one frame. Keyed on (session, corpus plan, params, extra-drops
-    * plan); entries of stopped sessions are evicted on every lookup;
-    * `clearSurvivors()` drops the memo (test hygiene, the clearCurated
-    * contract). The memoized frame is the localCheckpoint the chain
-    * already produced — first toucher pays inside the timed region. */
-  private val survivorCache = scala.collection.mutable.Map[
-    (org.apache.spark.sql.SparkSession,
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-      Long, Int, Long,
-      Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        Int)]),
-    DataFrame]()
+    * one family over): SIX release artifacts (e3/e13/e16 at the
+    * no-extra-drops key, e14/e17 at the semantic key, e18/e19/e20 at
+    * the semantic∪media key) each rebuilt the identical survivor chain;
+    * at scale a release session materializes its survivor set once per
+    * corpus drop and every artifact derives from it.
+    *
+    * RETENTION BOUND (optimization round 2, VERDICT #2): the memo
+    * stores ONLY the checkpointed survivor doc_id column — never text.
+    * Round 18 pinned up to three corpus-scale survivor frames (text
+    * included) on executor storage; now each entry is ids-only
+    * (8 bytes/row) and consumers re-attach the payload with one
+    * left-semi join against the corpus (guide §8: decide with small
+    * rows, move big rows once — the scan is column-pruned to what each
+    * consumer actually reads, and the e18-family manifests are
+    * themselves memoized one seam downstream, so most artifacts never
+    * re-touch the corpus at all). Staleness/eviction: [[SessionMemo]]
+    * (replace-on-files-change — the streamed compositions re-derive
+    * over GROWING landed stores whose re-reads canonicalize equal;
+    * accreting hash-in-key entries would leak one pinned frame per
+    * batch). Frames that are neither file-backed nor data-in-plan never
+    * memoize ([[Memo.filesHashOf]]). */
+  private val survivorIdCache = new SessionMemo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Int,
+      Long,
+      Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])]()
 
-  /** Drop the memoized survivor frames. */
-  def clearSurvivors(): Unit =
-    survivorCache.synchronized(survivorCache.clear())
+  /** The live survivor-memo frames (spec probe: the VERDICT #2
+    * retention bound — memoized survivor frames carry ONLY doc_id,
+    * never text). */
+  private[graft] def survivorMemoFrames: Seq[DataFrame] =
+    survivorIdCache.frames
 
-  /** Memo key for one input frame, or None when growth could not
-    * perturb the key (the requireBenchUnderCap rule): file-scan
-    * sources key on (canonicalized plan, sorted-inputFiles hash) — the
-    * streamed release compositions re-derive the survivor set over
-    * GROWING landed stores whose re-reads canonicalize equal, so a
-    * plan-only key would serve stale survivors; data-in-plan leaves
-    * (LocalRelation etc.) key on the plan alone. Anything else (JDBC,
-    * custom V2) never memoizes. */
-  private def survivorKeyOf(df: DataFrame): Option[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int)] = {
-    val files = df.inputFiles
-    val analyzed = df.queryExecution.analyzed
-    val memoizable = files.nonEmpty || analyzed.collectLeaves().forall {
-      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
-        => true
-      case l => l.maxRows.isDefined
-    }
-    if (memoizable)
-      Some((analyzed.canonicalized, java.util.Arrays.hashCode(
-        files.sorted.asInstanceOf[Array[AnyRef]])))
-    else None
+  /** Drop the memoized survivor/islands/manifest/delta/drop-list
+    * frames. */
+  def clearSurvivors(): Unit = {
+    survivorIdCache.clear()
+    islandsCache.clear(Memo.unpersist)
+    manifestCache.clear(Memo.unpersist)
+    deltaCache.clear(Memo.unpersist)
+    dropListCache.clear(Memo.unpersist)
   }
 
   private[graft] def e3Survivors(documents: DataFrame,
       benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
       extraDrops: Option[DataFrame]): DataFrame = {
-    val docKey = survivorKeyOf(documents)
-    // extraDrops: None (no drop stage) and Some(unmemoizable frame)
-    // must not collide — the latter disables the memo entirely
-    val dropKey = extraDrops.map(survivorKeyOf)
-    if (docKey.isEmpty || dropKey.exists(_.isEmpty))
-      return e3SurvivorsCompute(documents, benchmarkMaxId, minChars,
-        sampleFrac, extraDrops)
-    survivorCache.synchronized {
-      survivorCache.filterInPlace { case ((s, _, _, _, _, _), _) =>
-        !s.sparkContext.isStopped
-      }
-      survivorCache.getOrElseUpdate(
-        (documents.sparkSession, docKey.get, benchmarkMaxId, minChars,
-          java.lang.Double.doubleToLongBits(sampleFrac),
-          dropKey.map(_.get)),
-        e3SurvivorsCompute(documents, benchmarkMaxId, minChars,
-          sampleFrac, extraDrops))
+    val fh = Memo.filesHashOf((documents +: extraDrops.toSeq): _*)
+    fh match {
+      case Some(h) =>
+        val ids = survivorIdCache.getOrBuild(documents.sparkSession,
+          (documents.queryExecution.analyzed.canonicalized,
+            benchmarkMaxId, minChars,
+            java.lang.Double.doubleToLongBits(sampleFrac),
+            extraDrops.map(_.queryExecution.analyzed.canonicalized)), h,
+          MemoLedger.timed("e3_survivor_ids") {
+            e3SurvivorChain(documents, benchmarkMaxId, minChars,
+              sampleFrac, extraDrops)
+              .select(col("doc_id")).localCheckpoint()
+          })
+        // payload re-attach: all of `documents`' columns, survivor rows
+        // only (doc_id is the corpus key, so the semi-join is a filter)
+        documents.join(ids, Seq("doc_id"), "left_semi")
+      case None =>
+        // unmemoizable inputs: the old contract — full chain, one
+        // materialization, callers fan out of the checkpoint
+        e3SurvivorChain(documents, benchmarkMaxId, minChars, sampleFrac,
+          extraDrops).localCheckpoint()
     }
   }
 
-  private def e3SurvivorsCompute(documents: DataFrame,
+  private def e3SurvivorChain(documents: DataFrame,
       benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
       extraDrops: Option[DataFrame]): DataFrame = {
     val corpus = documents.where(col("doc_id") >= benchmarkMaxId)
@@ -202,15 +202,10 @@ object Pipeline {
       .unionByName(exactDups)
       .unionByName(contaminated)
       .transform(df => extraDrops.map(df.unionByName(_)).getOrElse(df))
-    // localCheckpoint: the packing stage reads survivors three times (the
-    // bucket window, the bucket totals, and the final lang join) and
-    // Catalyst does not dedup common subplans inside one action — without
-    // the barrier the filter + anti-join + sampling would run 3x
     corpus
       .where(length(col("text")) >= minChars)
       .join(dropIds, Seq("doc_id"), "left_anti")
       .transform(Sampling.deterministicSample(_, "doc_id", sampleFrac))
-      .localCheckpoint()
   }
 
   /** E12 — the SURGICAL release path: e11 drops every quote-flagged doc
@@ -268,7 +263,7 @@ object Pipeline {
     * (left join). */
   private[graft] def redactPack(docs: DataFrame, spanPlan: DataFrame,
       seqLen: Int): DataFrame =
-    redactPackFromIslands(docs, unionTokenSpans(spanPlan), seqLen)
+    redactPackFromIslands(docs, sharedIslands(spanPlan), seqLen)
 
   /** [[redactPack]] from PRECOMPUTED merged islands (the
     * [[unionTokenSpans]] output) — the optimization-round seam: e16/e19
@@ -334,6 +329,120 @@ object Pipeline {
       .select(col("doc_id"), col("ms"), col("me"))
   }
 
+  /** Session memo for the merged-islands frame (optimization round 2):
+    * NINE batch queries interval-union the SAME persisted d30 span plan
+    * (e12/e13/e15/e16/e17, the e18 family, audit5) — each paid the
+    * distinct + window + groupBy chain again (~0.5–1 s at sf0.1, one
+    * full pass over the flag-bounded spans at scale). The frame is tiny
+    * (flag-bounded merged intervals), so persisting it is
+    * contamination-mass-scale storage. Staleness/bound: [[SessionMemo]]
+    * (the streamed compositions re-read growing flag stores — a files
+    * change replaces the entry instead of serving stale islands or
+    * accreting one per batch). */
+  private val islandsCache = new SessionMemo[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+
+  /** [[unionTokenSpans]] through the islands memo. `checkpointFallback`
+    * preserves the e16/e19 seams' materialization barrier when the span
+    * plan is unmemoizable (neither file-backed nor data-in-plan): those
+    * seams fan the islands into manifest AND splice, and Catalyst does
+    * not dedup common subplans. */
+  private[graft] def sharedIslands(spanPlan: DataFrame,
+      checkpointFallback: Boolean = false): DataFrame =
+    Memo.filesHashOf(spanPlan) match {
+      case Some(h) => islandsCache.getOrBuild(spanPlan.sparkSession,
+        spanPlan.queryExecution.analyzed.canonicalized, h,
+        MemoLedger.timed("span_islands") {
+          val df = unionTokenSpans(spanPlan)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count() // one derivation however many consumers fan out
+          df
+        }, Memo.unpersist)
+      case None =>
+        val raw = unionTokenSpans(spanPlan)
+        if (checkpointFallback) raw.localCheckpoint() else raw
+    }
+
+  /** Session memo for the PACKED RELEASE MANIFESTS (optimization round
+    * 2, VERDICT #6): e13+e16 share the surgical manifest, e18+e19+e20
+    * share the multimodal one (e20 is the fingerprint AGGREGATE of
+    * e18's frame — it re-derived the whole redact-pack chain; now it
+    * aggregates the pinned manifest). The frame is narrow — (doc_id,
+    * lang, five longs), never text — so pinning it is the §5-safe
+    * trade, and at 100 TB it IS the release manifest artifact a corpus
+    * drop publishes. Key: (docs plan, islands plan, drops plan, params);
+    * staleness/bound via [[SessionMemo]] like every memo here. */
+  private val manifestCache = new SessionMemo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
+      Long, Int, Long, Int)]()
+
+  private def packedManifestCompute(documents: DataFrame,
+      islands: DataFrame, extraDrops: Option[DataFrame],
+      benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
+      seqLen: Int): DataFrame = {
+    val survivors = e3Survivors(documents, benchmarkMaxId, minChars,
+      sampleFrac, extraDrops)
+    redactPackFromIslands(survivors, islands, seqLen)
+      .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tok_orig"),
+        col("n_redacted"), col("n_tok"), col("start_offset"),
+        col("chunk_id"))
+  }
+
+  /** The shared redact-and-pack manifest core of e13 ([[surgicalCorpus]])
+    * and e17/e18 ([[fullRelease]] family), memoized per (corpus, islands,
+    * drops, params) — see [[manifestCache]]. */
+  private[graft] def packedManifest(documents: DataFrame,
+      islands: DataFrame, extraDrops: Option[DataFrame],
+      benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
+      seqLen: Int): DataFrame = {
+    val fh = Memo.filesHashOf(
+      (documents +: islands +: extraDrops.toSeq): _*)
+    fh match {
+      case Some(h) => manifestCache.getOrBuild(documents.sparkSession,
+        (documents.queryExecution.analyzed.canonicalized,
+          islands.queryExecution.analyzed.canonicalized,
+          extraDrops.map(_.queryExecution.analyzed.canonicalized),
+          benchmarkMaxId, minChars,
+          java.lang.Double.doubleToLongBits(sampleFrac), seqLen), h,
+        MemoLedger.timed("release_manifest") {
+          val df = packedManifestCompute(documents, islands, extraDrops,
+            benchmarkMaxId, minChars, sampleFrac, seqLen)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count() // one pack however many artifacts fan out
+          df
+        }, Memo.unpersist)
+      case None => packedManifestCompute(documents, islands, extraDrops,
+        benchmarkMaxId, minChars, sampleFrac, seqLen)
+    }
+  }
+
+  /** Session memo for the two MEDIA drop lists (optimization round 2,
+    * VERDICT #3): audit2, e9/e10, and the e18 family each re-ran the
+    * banded-Hamming pair engines / containment probe over the memoized
+    * signatures to re-derive identical pair-mass-bounded id lists.
+    * Tiny frames; same staleness/bound discipline as every memo here. */
+  private val dropListCache = new SessionMemo[
+    (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Int, Int, Long)]()
+
+  private def memoDropList(tag: String, documents: DataFrame, a: Int,
+      b: Int, benchMaxId: Long)(build: => DataFrame): DataFrame =
+    Memo.filesHashOf(documents) match {
+      case Some(h) => dropListCache.getOrBuild(documents.sparkSession,
+        (tag, documents.queryExecution.analyzed.canonicalized, a, b,
+          benchMaxId), h,
+        MemoLedger.timed(tag) {
+          val df = build
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          df
+        }, Memo.unpersist)
+      case None => build
+    }
+
   /** E15 — the REDACTED TEXT itself: the surgical family finally
     * produces the artifact the plan exists for. d30 emits token spans,
     * d33 lifts them to char ranges; this op SPLICES — for every flagged
@@ -398,11 +507,38 @@ object Pipeline {
     * feeds spans rebuilt from the committed online d28 flags. */
   private[graft] def redactedTextFromSpans(documents: DataFrame,
       spanPlan: DataFrame): DataFrame =
-    redactedTextFromIslands(documents, unionTokenSpans(spanPlan))
+    redactedTextFromIslands(documents, sharedIslands(spanPlan))
+
+  /** Session memo for the redaction DELTA (optimization round 2): the
+    * splice is survivor-set INDEPENDENT (the e16/e19 scaladoc law), so
+    * e15, e16, and e19 ship the IDENTICAL flag-bounded
+    * (doc_id, n_spans, n_chars_cut, redacted_text) frame — each was
+    * re-running the offsets semi-join + interval lift + interpreted
+    * fold. Tiny (flagged docs only); same staleness/bound discipline
+    * as every memo here. */
+  private val deltaCache = new SessionMemo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
 
   /** [[redactedTextFromSpans]] from PRECOMPUTED merged islands — the
-    * island-sharing twin of [[redactPackFromIslands]] (see there). */
+    * island-sharing twin of [[redactPackFromIslands]] (see there),
+    * memo-backed per (documents, islands). */
   private[graft] def redactedTextFromIslands(documents: DataFrame,
+      merged: DataFrame): DataFrame =
+    Memo.filesHashOf(documents, merged) match {
+      case Some(h) => deltaCache.getOrBuild(documents.sparkSession,
+        (documents.queryExecution.analyzed.canonicalized,
+          merged.queryExecution.analyzed.canonicalized), h,
+        MemoLedger.timed("redaction_delta") {
+          val df = redactedTextFromIslandsCompute(documents, merged)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          df
+        }, Memo.unpersist)
+      case None => redactedTextFromIslandsCompute(documents, merged)
+    }
+
+  private def redactedTextFromIslandsCompute(documents: DataFrame,
       merged: DataFrame): DataFrame = {
     val offs = Dedup.tokenOffsetsFor(documents, merged)
     val cur = element_at(col("offs"), col("ms").cast("int"))
@@ -492,7 +628,7 @@ object Pipeline {
       spanPlan: DataFrame, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5,
       seqLen: Int = 4096): DataFrame =
-    surgicalCorpusFromIslands(documents, unionTokenSpans(spanPlan),
+    surgicalCorpusFromIslands(documents, sharedIslands(spanPlan),
       benchmarkMaxId, minChars, sampleFrac, seqLen)
 
   /** [[surgicalCorpusWithSpans]] from PRECOMPUTED merged islands — the
@@ -501,15 +637,9 @@ object Pipeline {
   private[graft] def surgicalCorpusFromIslands(documents: DataFrame,
       islands: DataFrame, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5,
-      seqLen: Int = 4096): DataFrame = {
-    val survivors = e3Survivors(documents, benchmarkMaxId, minChars,
-      sampleFrac, extraDrops = None)
-    redactPackFromIslands(survivors, islands, seqLen)
-      .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("doc_id"), col("lang"), col("n_tok_orig"),
-        col("n_redacted"), col("n_tok"), col("start_offset"),
-        col("chunk_id"))
-  }
+      seqLen: Int = 4096): DataFrame =
+    packedManifest(documents, islands, extraDrops = None,
+      benchmarkMaxId, minChars, sampleFrac, seqLen)
 
   /** E14 — SEMANTIC decontamination enforced: e3's whole curation
     * pipeline with one more drop stage — every training doc whose
@@ -585,7 +715,7 @@ object Pipeline {
       spanPlan: DataFrame, semanticDrops: DataFrame,
       benchmarkMaxId: Long = 25L, minChars: Int = 100,
       sampleFrac: Double = 0.5, seqLen: Int = 4096): DataFrame =
-    fullReleaseFromIslandsAndDrops(documents, unionTokenSpans(spanPlan),
+    fullReleaseFromIslandsAndDrops(documents, sharedIslands(spanPlan),
       semanticDrops, benchmarkMaxId, minChars, sampleFrac, seqLen)
 
   /** [[fullReleaseWithSpansAndDrops]] from PRECOMPUTED merged islands —
@@ -594,15 +724,10 @@ object Pipeline {
   private[graft] def fullReleaseFromIslandsAndDrops(documents: DataFrame,
       islands: DataFrame, semanticDrops: DataFrame,
       benchmarkMaxId: Long = 25L, minChars: Int = 100,
-      sampleFrac: Double = 0.5, seqLen: Int = 4096): DataFrame = {
-    val survivors = e3Survivors(documents, benchmarkMaxId, minChars,
-      sampleFrac, Some(semanticDrops.select(col("doc_id")).distinct()))
-    redactPackFromIslands(survivors, islands, seqLen)
-      .join(survivors.select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("doc_id"), col("lang"), col("n_tok_orig"),
-        col("n_redacted"), col("n_tok"), col("start_offset"),
-        col("chunk_id"))
-  }
+      sampleFrac: Double = 0.5, seqLen: Int = 4096): DataFrame =
+    packedManifest(documents, islands,
+      Some(semanticDrops.select(col("doc_id")).distinct()),
+      benchmarkMaxId, minChars, sampleFrac, seqLen)
 
   /** The media NEAR-DUP drop list (the e9 stage as a frame): the
     * higher-id side of every d21 perceptual-hash image pair and every
@@ -615,11 +740,14 @@ object Pipeline {
     * drop rule cannot drift between release and audit. */
   private[graft] def mediaNearDupDrops(documents: DataFrame,
       maxHamming: Int = 3, audioMaxHamming: Int = 2): DataFrame =
-    Multimodal.phashPairs(documents, maxHamming)
-      .select(col("doc2").as("doc_id"))
-      .unionByName(Multimodal.audioPairs(documents, audioMaxHamming)
-        .select(col("doc2").as("doc_id")))
-      .distinct()
+    memoDropList("media_dup_drops", documents, maxHamming,
+        audioMaxHamming, 0L) {
+      Multimodal.phashPairs(documents, maxHamming)
+        .select(col("doc2").as("doc_id"))
+        .unionByName(Multimodal.audioPairs(documents, audioMaxHamming)
+          .select(col("doc2").as("doc_id")))
+        .distinct()
+    }
 
   /** The media CONTAMINATION drop list (the e10 stage as a frame):
     * every training doc the d25 probe flags as carrying benchmark media
@@ -630,9 +758,12 @@ object Pipeline {
   private[graft] def mediaContamDrops(documents: DataFrame,
       benchMaxId: Long, contamMaxHamming: Int = 5,
       contamAudioMaxHamming: Int = 3): DataFrame =
-    Multimodal.mediaContaminationSplitCheck(documents, benchMaxId,
-        contamMaxHamming, contamAudioMaxHamming)
-      .select(col("doc_id")).distinct()
+    memoDropList("media_contam_drops", documents, contamMaxHamming,
+        contamAudioMaxHamming, benchMaxId) {
+      Multimodal.mediaContaminationSplitCheck(documents, benchMaxId,
+          contamMaxHamming, contamAudioMaxHamming)
+        .select(col("doc_id")).distinct()
+    }
 
   /** E18 — the full MULTIMODAL release: every enforced defense across
     * every modality in ONE composition. e17 closed the text+semantic
@@ -754,12 +885,10 @@ object Pipeline {
   private[graft] def surgicalCorpusTextWithSpans(documents: DataFrame,
       spanPlan: DataFrame, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5): DataFrame = {
-    // ONE island derivation, checkpointed (tiny — flag-bounded), shared
-    // by manifest and splice: checkpointing the MERGED islands instead
-    // of the raw span plan (the round-17 shape) also folds the d30
-    // rebuild into the same single materialization, so the composed
-    // plan carries one span subtree and one interval-union, not two
-    val islands = unionTokenSpans(spanPlan).localCheckpoint()
+    // ONE island derivation shared by manifest and splice — now the
+    // session-memoized islands frame (persisted; the checkpoint fallback
+    // keeps the barrier when the span plan is unmemoizable)
+    val islands = sharedIslands(spanPlan, checkpointFallback = true)
     splicedText(documents, islands,
       surgicalCorpusFromIslands(documents, islands, benchmarkMaxId,
           minChars, sampleFrac)
@@ -831,7 +960,7 @@ object Pipeline {
       sampleFrac: Double = 0.5): DataFrame = {
     // ONE island derivation shared by manifest and splice — the e16
     // discipline (see surgicalCorpusTextWithSpans)
-    val islands = unionTokenSpans(spanPlan).localCheckpoint()
+    val islands = sharedIslands(spanPlan, checkpointFallback = true)
     splicedText(documents, islands,
       fullReleaseFromIslandsAndDrops(documents, islands, drops,
           benchmarkMaxId, minChars, sampleFrac)
@@ -1624,7 +1753,7 @@ object Pipeline {
     // e18 pack cuts (the shared flags.spanPlan) — plus the tokenize-space
     // count for exactly those docs (flag-bounded: unflagged docs cannot
     // be fully redacted)
-    val covered = unionTokenSpans(flags.spanPlan)
+    val covered = sharedIslands(flags.spanPlan)
       .groupBy(col("doc_id"))
       .agg(sum(col("me") - col("ms") + 1).as("covered"))
     val flaggedNtok = documents

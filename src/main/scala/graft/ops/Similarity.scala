@@ -31,7 +31,35 @@ object Similarity {
     persistedGraphs.foreach(_.unpersist())
     persistedGraphs.clear()
     blockedCache.synchronized(blockedCache.clear())
+    edgeCache.clear(Memo.unpersist)
+    residCache.clear()
   }
+
+  /** Session memo for the PORTABLE kNN edge substrate (optimization
+    * round 2, VERDICT #4): gr3 (PageRank, k=1) and gr4 (triangle census,
+    * k=3) each re-derived the Σ bucket² candidate join + exact-cosine
+    * rerank over the same corpus at the same (bits, dims). The memo
+    * stores the ranked top-[[edgeCacheK]] frame ONCE per (corpus, bits,
+    * dims); any k ≤ [[edgeCacheK]] is a filter of it (`rankTopK`'s
+    * (cos desc, nid asc) order makes the top-1 of a top-3 THE top-1 by
+    * construction). Staleness-guarded and bounded via [[SessionMemo]];
+    * k > [[edgeCacheK]] computes directly (no memo). */
+  private val edgeCache = new SessionMemo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int)]()
+  private val edgeCacheK = 3
+
+  /** Session memo for the IVFADC RESIDUAL frame (optimization round 2,
+    * VERDICT #1): the exact-dyadic residual checkpoint is the corpus-side
+    * substrate every sim12 invocation re-materialized — and because a
+    * localCheckpoint mints a fresh plan per call, the per-subspace Lloyd
+    * memos (`Clustering.assignCache`) keyed on slices of it could never
+    * hit across calls either. Memoizing the checkpoint restores both:
+    * one residual materialization per (corpus, cells, iters) per session,
+    * and stable downstream assign/centroid memo keys. At 100 TB this IS
+    * the persisted residual frame a real IVFADC deployment encodes from
+    * (the scaladoc note on [[portableIvfAdcTopK]]). */
+  private val residCache = new SessionMemo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int)]()
 
   /** Session memo for the BLOCKED kNN graph, keyed by (canonicalized
     * corpus plan, k, bits, tables, dims). knnGraph's plan-equality
@@ -86,12 +114,13 @@ object Similarity {
       nCells: Int): org.apache.spark.ml.clustering.KMeansModel =
     quantCache.synchronized {
       val key = (embeddings.queryExecution.analyzed.canonicalized, nCells)
-      quantCache.getOrElseUpdate(key,
+      quantCache.getOrElseUpdate(key, MemoLedger.timed("ivf_quantizer") {
         new org.apache.spark.ml.clustering.KMeans()
           .setK(nCells).setSeed(42L)
           .setMaxIter(8).setInitMode("random") // coarse cells only — full
           .setFeaturesCol("fv").setPredictionCol("cell") // convergence buys
-          .fit(withFeatureVec(embeddings))) // no recall at nprobe<<nCells
+          .fit(withFeatureVec(embeddings)) // no recall at nprobe<<nCells
+      })
     }
 
   private def withNorm(df: DataFrame): DataFrame =
@@ -658,9 +687,16 @@ object Similarity {
     def xiAt(j: Int) =
       round(get(col("embedding"), lit(j)).cast("double") * 1e6)
         .cast("long")
+    // n_j counts ELEMENT PRESENCE (size > j), not non-null values —
+    // exactly what the pre-optimization posexplode + count(lit(1))
+    // counted: a null element still occupies position j and belongs in
+    // the mean's denominator (ADVICE round-18; spec-pinned on a
+    // null-element corpus). Also cheaper than count(xiAt(j)): size() is
+    // O(1) where the get+round+cast chain re-evaluated per dim per row.
     val mu: Array[Long] = {
       val aggs = (0 until dims).flatMap(j =>
-        Seq(sum(xiAt(j)).as(s"s$j"), count(xiAt(j)).as(s"n$j")))
+        Seq(sum(xiAt(j)).as(s"s$j"),
+          count(when(size(col("embedding")) > j, 1)).as(s"n$j")))
       val row = embeddings.agg(aggs.head, aggs.tail: _*).head
       val a = new Array[Long](dims)
       // HALF_UP (away from zero), matching SQL ROUND — math.round would
@@ -986,6 +1022,31 @@ object Similarity {
     * single table. */
   def portableKnnEdges(embeddings: DataFrame, bits: Int = 6,
       dims: Int = 64, k: Int = 1): DataFrame = {
+    // gr3/gr4 share one substrate: serve any k <= edgeCacheK by
+    // filtering the memoized ranked top-edgeCacheK frame (see edgeCache)
+    val fh = if (k <= edgeCacheK) Memo.filesHashOf(embeddings) else None
+    fh match {
+      case Some(h) =>
+        val ranked = edgeCache.getOrBuild(embeddings.sparkSession,
+          (embeddings.queryExecution.analyzed.canonicalized, bits, dims), h,
+          MemoLedger.timed("portable_knn_edges") {
+            val df = portableKnnEdgesRanked(embeddings, bits, dims,
+              edgeCacheK)
+            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            df.count() // one materialization however many consumers fan out
+            df
+          }, Memo.unpersist)
+        ranked.where(col("rn") <= k).select(col("qid"), col("nid"))
+      case None =>
+        portableKnnEdgesRanked(embeddings, bits, dims, k)
+          .select(col("qid"), col("nid"))
+    }
+  }
+
+  /** The ranked (qid, rn, nid) form of [[portableKnnEdges]] — the frame
+    * the edge memo stores. */
+  private def portableKnnEdgesRanked(embeddings: DataFrame, bits: Int,
+      dims: Int, k: Int): DataFrame = {
     val sigs = embeddings
       .select(col("vec_id"), portableSigCol(bits, dims).as("sig"))
     val cand = sigs.toDF("qid", "sig")
@@ -998,7 +1059,7 @@ object Similarity {
         col("nrm").as("q_nrm")), "qid")
       .join(base.select(col("vec_id").as("nid"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm")), "nid")
-    rankTopK(pairs, k).select(col("qid"), col("nid"))
+    rankTopK(pairs, k)
   }
 
   /** ENGINE-PORTABLE embedding near-duplicate pairs — the oracle-checkable
@@ -1420,15 +1481,26 @@ object Similarity {
     // exact-dyadic residuals (see scaladoc), materialized once — the
     // stand-in for the persisted residual frame a real IVFADC deployment
     // encodes from (8+ downstream scans across subspace training/encode
-    // would otherwise re-run the assign join per scan)
-    val resid = embeddings
-      .join(assign, "vec_id")
-      .join(broadcast(centArr), "cid")
-      .select(col("vec_id"),
-        zip_with(col("embedding"), col("cen"), (x, c) =>
-          (round(x.cast("double") * S) - round(c * S))
-            .cast("double") / S).as("embedding"))
-      .localCheckpoint()
+    // would otherwise re-run the assign join per scan). SESSION-MEMOIZED
+    // (residCache): the checkpoint mints a fresh plan per call, so
+    // without the memo every invocation re-built the residual frame AND
+    // invalidated the per-subspace Lloyd memos keyed on its slices.
+    def residCompute: DataFrame = MemoLedger.timed("ivfadc_residuals") {
+      embeddings
+        .join(assign, "vec_id")
+        .join(broadcast(centArr), "cid")
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("cen"), (x, c) =>
+            (round(x.cast("double") * S) - round(c * S))
+              .cast("double") / S).as("embedding"))
+        .localCheckpoint()
+    }
+    val resid = Memo.filesHashOf(embeddings) match {
+      case Some(h) => residCache.getOrBuild(embeddings.sparkSession,
+        (embeddings.queryExecution.analyzed.canonicalized, cells, iters), h,
+        residCompute)
+      case None => residCompute
+    }
     val cand = portableIvfCandidates(embeddings, queryIds, cells, iters,
       nprobe)
     // the per-(query, probed cell) offset: Σ qi·ci over the full vector,
@@ -1455,13 +1527,23 @@ object Similarity {
         (col("adc") + col("cdot")).as("adc")), topK)
   }
 
+  /** Per-query ADC top-k via the exact-int64 TopKLong aggregate
+    * (optimization round 2, guide §2.3 — the `rankTopK` discipline
+    * applied to the ADC stage): map-side partials ship at most k
+    * (adc, nid) pairs per qid per task, replacing the `row_number`
+    * window's full sort of every scored candidate after the exchange.
+    * Values stay int64 end to end (TopK's Double buffer would round
+    * past 2^53 — the grids' exactness contract forbids that); tie order
+    * (adc desc, nid asc) matches the window form exactly, and adc is
+    * never null by construction (an integer sum over non-null codes). */
   private def rankAdc(scored: DataFrame, topK: Int): DataFrame =
     scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("adc").desc, col("nid"))))
-      .where(col("rn") <= topK)
-      .select(col("qid"), col("rn"), col("nid"), col("adc"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topKLong(col("adc"), col("nid"), topK)
+        .as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("rn0", "e")))
+      .select(col("qid"), (col("rn0") + 1).cast("int").as("rn"),
+        col("e.id").as("nid"), col("e.value").as("adc"))
 
   /** The scoring stage of [[portablePqTopK]]/[[portableIvfPqTopK]]:
     * (qid, nid, adc) over all pairs, or over `cand` only when given (the
@@ -1542,8 +1624,9 @@ object Similarity {
     pqCbCache.synchronized {
       val key = (embeddings.queryExecution.analyzed.canonicalized, m, k,
         dims, sampleN)
-      pqCbCache.getOrElseUpdate(key,
-        trainPqCodebooks(embeddings, m, k, dims, sampleN))
+      pqCbCache.getOrElseUpdate(key, MemoLedger.timed("pq_codebooks") {
+        trainPqCodebooks(embeddings, m, k, dims, sampleN)
+      })
     }
 
   private def trainPqCodebooks(embeddings: DataFrame, m: Int, k: Int,

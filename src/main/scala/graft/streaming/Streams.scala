@@ -893,16 +893,24 @@ object Streams {
   private[graft] def mergePhashIngest(batch: DataFrame, batchId: Long,
       stateDir: String, outDir: String, maxHamming: Int,
       compactEvery: Int = 0): Unit =
+    // phashCompute, NOT the session-memoized phash: each micro-batch's
+    // plan is unique, so the memo could never hit — it would only pin a
+    // new persisted frame per batch per leg and pay an extra count()
+    // job (the exact leak mergeMediaContamination's *Compute forms
+    // guard against; ADVICE round-18)
     mergeMediaIngest(batch, batchId, stateDir, outDir, maxHamming,
-      bits = 56, sigCol = "phash", sigOf = graft.ops.Multimodal.phash,
+      bits = 56, sigCol = "phash",
+      sigOf = graft.ops.Multimodal.phashCompute,
       compactEvery = compactEvery)
 
   /** The per-batch body of `audioIngestSink` (spec entry point). */
   private[graft] def mergeAudioIngest(batch: DataFrame, batchId: Long,
       stateDir: String, outDir: String, maxHamming: Int,
       compactEvery: Int = 0): Unit =
+    // audioHashCompute, not the memoized audioHash — see mergePhashIngest
     mergeMediaIngest(batch, batchId, stateDir, outDir, maxHamming,
-      bits = 31, sigCol = "ahash", sigOf = graft.ops.Multimodal.audioHash,
+      bits = 31, sigCol = "ahash",
+      sigOf = graft.ops.Multimodal.audioHashCompute,
       compactEvery = compactEvery)
 
   /** The generic per-batch media-ingest body: `sigOf` maps a media batch
