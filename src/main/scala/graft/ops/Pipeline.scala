@@ -39,8 +39,7 @@ object Pipeline {
       seqLen: Int = 4096, quoteThreshold: Option[Double] = None): DataFrame =
     trainingCorpusCore(documents, benchmarkMaxId, minChars, sampleFrac,
       seqLen, quoteThreshold.map(t => Dedup
-        .quoteContaminationSplitCheck(documents, benchmarkMaxId, 3, t)
-        .select(col("doc_id")).distinct()))
+        .quoteContaminationSplitCheck(documents, benchmarkMaxId, 3, t)))
 
   /** [[trainingCorpus]] with a PRECOMPUTED (doc_id) drop-list — the
     * release composition point for any externally-produced flag set:
@@ -57,7 +56,7 @@ object Pipeline {
       minChars: Int = 100, sampleFrac: Double = 0.5,
       seqLen: Int = 4096): DataFrame =
     trainingCorpusCore(documents, benchmarkMaxId, minChars, sampleFrac,
-      seqLen, Some(drops.select(col("doc_id")).distinct()))
+      seqLen, Some(drops))
 
   private def trainingCorpusCore(documents: DataFrame,
       benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
@@ -132,9 +131,19 @@ object Pipeline {
     dropListCache.clear(Memo.unpersist)
   }
 
+  /** Drop-list normalization applied ONCE, here, for every survivor
+    * caller: callers pass their RAW flag frame and the chain reduces it
+    * to a distinct (doc_id) list. Normalizing at one layer also makes
+    * the memo keys of semantically-equal callers collide — round-19's
+    * substrate_builds ledger showed e14 and e17 each paying a survivor
+    * build because one pre-wrapped its drops and the other didn't. */
+  private def normDrops(drops: DataFrame): DataFrame =
+    drops.select(col("doc_id")).distinct()
+
   private[graft] def e3Survivors(documents: DataFrame,
       benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
-      extraDrops: Option[DataFrame]): DataFrame = {
+      extraDropsRaw: Option[DataFrame]): DataFrame = {
+    val extraDrops = extraDropsRaw.map(normDrops)
     val fh = Memo.filesHashOf((documents +: extraDrops.toSeq): _*)
     fh match {
       case Some(h) =>
@@ -159,32 +168,49 @@ object Pipeline {
     }
   }
 
+  /** The three CORE drop lists of the e3 curation chain, memoized
+    * (optimization round 2): every survivor build (four keys in a
+    * release session — none / quote / semantic / semantic∪media) and
+    * every audit funnel (audit1/audit4/audit5) re-derived the identical
+    * near-dup, exact-dup, and contamination id lists; now each is one
+    * session-pinned tiny frame. Near-dup: the lower-id doc of each d2
+    * pair is the keeper (rides the d2 pair cache). Exact-dup: any doc
+    * whose normalized fingerprint has a smaller keeper id.
+    * Contamination: the d9 probe over the shared shingle substrate. */
+  private[graft] def nearDupDropIds(documents: DataFrame): DataFrame =
+    memoDropList("near_dup_drops", documents, 3, 0, 0L) {
+      Dedup.jaccardPairs(documents, 3, 0.5)
+        .select(col("doc2").as("doc_id")).distinct()
+    }
+
+  private[graft] def exactDupDropIds(documents: DataFrame): DataFrame =
+    memoDropList("exact_dup_drops", documents, 0, 0, 0L) {
+      documents
+        .select(col("doc_id"), exactDupFingerprint.as("fp"))
+        .withColumn("keeper", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .where(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"))
+    }
+
+  private[graft] def contamDropIds(documents: DataFrame,
+      benchmarkMaxId: Long): DataFrame =
+    memoDropList("contam_drops", documents, 3, 5, benchmarkMaxId) {
+      Dedup.contaminationSplitCheck(documents, benchmarkMaxId, 3, 5)
+        .select(col("doc_id")).distinct()
+    }
+
   private def e3SurvivorChain(documents: DataFrame,
       benchmarkMaxId: Long, minChars: Int, sampleFrac: Double,
       extraDrops: Option[DataFrame]): DataFrame = {
     val corpus = documents.where(col("doc_id") >= benchmarkMaxId)
-
-    // near-dup drop-list: the lower-id doc of each pair is the keeper
-    // (reuses the d2 pair cache when both run in one session)
-    val nearDups = Dedup.jaccardPairs(documents, 3, 0.5)
-      .select(col("doc2").as("doc_id")).distinct()
-    // exact-dup drop-list: any doc whose normalized fingerprint has a
-    // smaller keeper id
-    val exactDups = documents
-      .select(col("doc_id"),
-        exactDupFingerprint.as("fp"))
-      .withColumn("keeper", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .where(col("doc_id") =!= col("keeper"))
-      .select(col("doc_id"))
-    // contamination stage shares the FULL-corpus shingle substrate that
+    val nearDups = nearDupDropIds(documents)
+    val exactDups = exactDupDropIds(documents)
+    // contamination shares the FULL-corpus shingle substrate that
     // jaccardPairs above already persisted: both the corpus and benchmark
     // shingle frames are id-range filters of it, so the pipeline shingles
-    // each document exactly once (re-shingling the corpus subset would
-    // build — and cache — a second substrate for the same text)
-    val contaminated = Dedup
-      .contaminationSplitCheck(documents, benchmarkMaxId, 3, 5)
-      .select(col("doc_id")).distinct()
+    // each document exactly once
+    val contaminated = contamDropIds(documents, benchmarkMaxId)
 
     // deliberately NO broadcast hints on the drop-lists: near/exact-dup
     // lists grow with the corpus (a forced broadcast would break at
@@ -725,8 +751,7 @@ object Pipeline {
       islands: DataFrame, semanticDrops: DataFrame,
       benchmarkMaxId: Long = 25L, minChars: Int = 100,
       sampleFrac: Double = 0.5, seqLen: Int = 4096): DataFrame =
-    packedManifest(documents, islands,
-      Some(semanticDrops.select(col("doc_id")).distinct()),
+    packedManifest(documents, islands, Some(semanticDrops),
       benchmarkMaxId, minChars, sampleFrac, seqLen)
 
   /** The media NEAR-DUP drop list (the e9 stage as a frame): the
@@ -1731,19 +1756,13 @@ object Pipeline {
   private[graft] def surgicalFilterFunnelWithFlags(documents: DataFrame,
       flags: MultimodalFlags, benchmarkMaxId: Long = 25L,
       minChars: Int = 100, sampleFrac: Double = 0.5): DataFrame = {
-    val nearDups = Dedup.jaccardPairs(documents, 3, 0.5)
-      .select(col("doc2").as("doc_id")).distinct()
+    // the SAME memoized core drop lists the release chain anti-joins —
+    // shared derivation AND shared session frame (see nearDupDropIds)
+    val nearDups = nearDupDropIds(documents)
       .withColumn("is_near", lit(true))
-    val exactDups = documents
-      .select(col("doc_id"), exactDupFingerprint.as("fp"))
-      .withColumn("keeper", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .where(col("doc_id") =!= col("keeper"))
-      .select(col("doc_id"))
+    val exactDups = exactDupDropIds(documents)
       .withColumn("is_exact", lit(true))
-    val contaminated = Dedup
-      .contaminationSplitCheck(documents, benchmarkMaxId, 3, 5)
-      .select(col("doc_id")).distinct()
+    val contaminated = contamDropIds(documents, benchmarkMaxId)
       .withColumn("is_contam", lit(true))
     val semantic = flags.semantic.withColumn("is_sem", lit(true))
     val mediaDup = flags.mediaDup.withColumn("is_mdup", lit(true))
@@ -1806,20 +1825,11 @@ object Pipeline {
   private def funnelCore(documents: DataFrame, benchmarkMaxId: Long,
       minChars: Int, sampleFrac: Double,
       semanticDrops: Option[DataFrame]): DataFrame = {
-    val nearDups = Dedup.jaccardPairs(documents, 3, 0.5)
-      .select(col("doc2").as("doc_id")).distinct()
+    val nearDups = nearDupDropIds(documents)
       .withColumn("is_near", lit(true))
-    val exactDups = documents
-      .select(col("doc_id"),
-        exactDupFingerprint.as("fp"))
-      .withColumn("keeper", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .where(col("doc_id") =!= col("keeper"))
-      .select(col("doc_id"))
+    val exactDups = exactDupDropIds(documents)
       .withColumn("is_exact", lit(true))
-    val contaminated = Dedup
-      .contaminationSplitCheck(documents, benchmarkMaxId, 3, 5)
-      .select(col("doc_id")).distinct()
+    val contaminated = contamDropIds(documents, benchmarkMaxId)
       .withColumn("is_contam", lit(true))
     val sampledIn = Sampling.contentHash("doc_id") <
       lit(Sampling.fractionThreshold(sampleFrac))
