@@ -378,12 +378,18 @@ object Pipeline {
     Memo.filesHashOf(spanPlan) match {
       case Some(h) => islandsCache.getOrBuild(spanPlan.sparkSession,
         spanPlan.queryExecution.analyzed.canonicalized, h,
+        // checkpoint, not persist: consumers (and the manifest/delta
+        // memo keys) see a three-line ExistingRDD scan instead of the
+        // full span-derivation body re-printed and re-canonicalized at
+        // every leg (the audit5 plan-size pathology, guide §3.3)
         MemoLedger.timed("span_islands") {
-          val df = unionTokenSpans(spanPlan)
-          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count() // one derivation however many consumers fan out
-          df
-        }, Memo.unpersist)
+          unionTokenSpans(spanPlan).localCheckpoint()
+        },
+        // a files change invalidates every manifest/delta derived from
+        // the old islands checkpoint — their keys carry its RDD
+        // identity and would never be looked up again, so drop them
+        // rather than pinning orphans for the session
+        _ => { manifestCache.clear(); deltaCache.clear() })
       case None =>
         val raw = unionTokenSpans(spanPlan)
         if (checkpointFallback) raw.localCheckpoint() else raw
@@ -433,13 +439,16 @@ object Pipeline {
           extraDrops.map(_.queryExecution.analyzed.canonicalized),
           benchmarkMaxId, minChars,
           java.lang.Double.doubleToLongBits(sampleFrac), seqLen), h,
+        // localCheckpoint, NOT persist: a persisted manifest prints its
+        // whole cached-plan body at EVERY consuming join leg (the
+        // audit5 8.8k-line-dump pathology, guide §3.3's plan-size note)
+        // and Catalyst re-canonicalizes that body per reference; the
+        // checkpoint is the same one eager materialization but enters
+        // consumer plans as a three-line ExistingRDD scan
         MemoLedger.timed("release_manifest") {
-          val df = packedManifestCompute(documents, islands, extraDrops,
-            benchmarkMaxId, minChars, sampleFrac, seqLen)
-          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count() // one pack however many artifacts fan out
-          df
-        }, Memo.unpersist)
+          packedManifestCompute(documents, islands, extraDrops,
+            benchmarkMaxId, minChars, sampleFrac, seqLen).localCheckpoint()
+        })
       case None => packedManifestCompute(documents, islands, extraDrops,
         benchmarkMaxId, minChars, sampleFrac, seqLen)
     }
@@ -460,12 +469,9 @@ object Pipeline {
       case Some(h) => dropListCache.getOrBuild(documents.sparkSession,
         (tag, documents.queryExecution.analyzed.canonicalized, a, b,
           benchMaxId), h,
-        MemoLedger.timed(tag) {
-          val df = build
-          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count()
-          df
-        }, Memo.unpersist)
+        // checkpoint, not persist — the plan-print/canonicalization
+        // argument on the manifest memo applies to every funnel leg
+        MemoLedger.timed(tag)(build.localCheckpoint()))
       case None => build
     }
 
@@ -556,11 +562,9 @@ object Pipeline {
         (documents.queryExecution.analyzed.canonicalized,
           merged.queryExecution.analyzed.canonicalized), h,
         MemoLedger.timed("redaction_delta") {
-          val df = redactedTextFromIslandsCompute(documents, merged)
-          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count()
-          df
-        }, Memo.unpersist)
+          redactedTextFromIslandsCompute(documents, merged)
+            .localCheckpoint()
+        })
       case None => redactedTextFromIslandsCompute(documents, merged)
     }
 

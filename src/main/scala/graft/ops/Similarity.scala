@@ -1030,12 +1030,11 @@ object Similarity {
         val ranked = edgeCache.getOrBuild(embeddings.sparkSession,
           (embeddings.queryExecution.analyzed.canonicalized, bits, dims), h,
           MemoLedger.timed("portable_knn_edges") {
-            val df = portableKnnEdgesRanked(embeddings, bits, dims,
-              edgeCacheK)
-            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            df.count() // one materialization however many consumers fan out
-            df
-          }, Memo.unpersist)
+            // checkpoint: enters gr3/gr4 plans as a 3-line scan instead
+            // of an InMemoryRelation body per consumer leg
+            portableKnnEdgesRanked(embeddings, bits, dims, edgeCacheK)
+              .localCheckpoint()
+          })
         ranked.where(col("rn") <= k).select(col("qid"), col("nid"))
       case None =>
         portableKnnEdgesRanked(embeddings, bits, dims, k)
