@@ -61,6 +61,29 @@ object Similarity {
   private val residCache = new SessionMemo[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int)]()
 
+  /** Session memo for the PORTABLE sign-LSH signature frame
+    * (optimization round 2): `portableSigCol` is an interpreted
+    * aggregate HOF — bits×dims (384 at the defaults) element_at + round
+    * + weight evaluations per row — and every consumer (d18's near-dup
+    * pairs, r4/r7's LSH top-1, the gr3/gr4 edge substrate) evaluated it
+    * on BOTH sides of a self-join, per query. One (vec_id, sig)
+    * checkpoint per (corpus, bits, dims) per session; a few bytes per
+    * vector. */
+  private val sigFrameCache = new SessionMemo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int)]()
+
+  private def portableSigs(embeddings: DataFrame, bits: Int,
+      dims: Int): DataFrame = {
+    def compute = embeddings
+      .select(col("vec_id"), portableSigCol(bits, dims).as("sig"))
+    Memo.filesHashOf(embeddings) match {
+      case Some(h) => sigFrameCache.getOrBuild(embeddings.sparkSession,
+        (embeddings.queryExecution.analyzed.canonicalized, bits, dims), h,
+        MemoLedger.timed("portable_sigs")(compute.localCheckpoint()))
+      case None => compute
+    }
+  }
+
   /** Session memo for the BLOCKED kNN graph, keyed by (canonicalized
     * corpus plan, k, bits, tables, dims). knnGraph's plan-equality
     * persist cannot work here — the signature localCheckpoint mints a
@@ -990,8 +1013,7 @@ object Similarity {
 
   def portableLshTop1(embeddings: DataFrame, queryIds: Seq[Long],
       bits: Int = 6, dims: Int = 64): DataFrame = {
-    val sigs = embeddings
-      .select(col("vec_id"), portableSigCol(bits, dims).as("sig"))
+    val sigs = portableSigs(embeddings, bits, dims)
     val q = sigs
       .where(col("vec_id").isin(queryIds.map(x => x: Any): _*))
       .toDF("qid", "sig")
@@ -1046,8 +1068,7 @@ object Similarity {
     * the edge memo stores. */
   private def portableKnnEdgesRanked(embeddings: DataFrame, bits: Int,
       dims: Int, k: Int): DataFrame = {
-    val sigs = embeddings
-      .select(col("vec_id"), portableSigCol(bits, dims).as("sig"))
+    val sigs = portableSigs(embeddings, bits, dims)
     val cand = sigs.toDF("qid", "sig")
       .join(sigs.toDF("nid", "sig2"),
         col("sig") === col("sig2") && col("qid") =!= col("nid"))
@@ -1074,8 +1095,7 @@ object Similarity {
     * codegen scan; embeddings re-attach to the bounded candidate set. */
   def portableNearDupPairs(embeddings: DataFrame, bits: Int = 6,
       dims: Int = 64, threshold: Double = 0.4): DataFrame = {
-    val sigs = embeddings
-      .select(col("vec_id"), portableSigCol(bits, dims).as("sig"))
+    val sigs = portableSigs(embeddings, bits, dims)
     val cand = sigs.toDF("vid_a", "sig")
       .join(sigs.toDF("vid_b", "sig2"),
         col("sig") === col("sig2") && col("vid_a") < col("vid_b"))
